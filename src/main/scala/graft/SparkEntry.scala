@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in
+  * `oracleSql` (same bare table names; the driver registers the
+  * sf-dir parquet files under those names). Column names and rounding
+  * are aligned on both sides because the driver's compare sorts
+  * columns by name before hashing values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.discovery(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_discovery" -> ((s, d) => Relational.discovery(s, d)),
+    "q02_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q03_topk" -> ((s, d) => Relational.topK(s, d)),
+    "q04_dim_join" -> ((s, d) => Relational.dimJoin(s, d)),
+    "q05_anti_join" -> ((s, d) => Relational.antiJoin(s, d)),
+    "q06_semi_join" -> ((s, d) => Relational.semiJoin(s, d)),
+    "q07_exclude_set" -> ((s, d) => Relational.excludeSet(s, d)),
+    "q08_latest_per_key" -> ((s, d) => Relational.latestPerKey(s, d)),
+    "q09_config_cross" -> ((s, d) => Relational.configCross(s, d)),
+    "q10_set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "q11_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
+    "q12_props_filter" -> ((s, d) => Relational.propsFilter(s, d)),
+    "q13_time_ops" -> ((s, d) => Relational.timeOps(s, d)),
+    "q14_filenames" -> ((s, d) => Relational.filenames(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_discovery" -> Relational.discoverySql,
+    "q02_pricing_summary" -> Relational.pricingSummarySql,
+    "q03_topk" -> Relational.topKSql,
+    "q04_dim_join" -> Relational.dimJoinSql,
+    "q05_anti_join" -> Relational.antiJoinSql,
+    "q06_semi_join" -> Relational.semiJoinSql,
+    "q07_exclude_set" -> Relational.excludeSetSql,
+    "q08_latest_per_key" -> Relational.latestPerKeySql,
+    "q09_config_cross" -> Relational.configCrossSql,
+    "q10_set_ops" -> Relational.setOpsSql,
+    "q11_range_join" -> Relational.rangeJoinSql,
+    "q12_props_filter" -> Relational.propsFilterSql,
+    "q13_time_ops" -> Relational.timeOpsSql,
+    "q14_filenames" -> Relational.filenamesSql,
+  )
 }

@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The reference's relational surface (SURVEY.md §2.2/§2.3/§2.6-2.8)
+  * re-expressed as declarative DataFrame plans over the star-schema
+  * fixtures, so Catalyst plans them (broadcast joins for the small
+  * dims, TakeOrderedAndProject for the top-K, partial+final hash
+  * aggregation) instead of the reference's ship-SQL-text-to-Postgres
+  * approach (reference main.py:467-486).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (nation, region) are explicitly `broadcast()` —
+  *    they are bounded-size dims, so no shuffle of the fact side;
+  *  - the exclude-set CTE (reference main.py:468-473) aggregates the
+  *    *sink* table before joining — at scale that is a shuffle on the
+  *    group key only of already-filtered (30-day lookback) data;
+  *  - top-K never globally sorts: orderBy+limit plans as
+  *    TakeOrderedAndProject (per-partition heap + driver merge of K).
+  */
+object Relational {
+
+  /** Q1-Q8 composed: the discovery query (reference main.py:467-488).
+    * Star-schema mapping (FIXTURES.md §A): water_bodies ≈ customer
+    * (areasqkm ≈ c_acctbal), geometries dim ≈ nation,
+    * already_downloaded_images ≈ orders grouped per customer with an
+    * ARRAY_AGG exclude set (reference main.py:469-472); area filter ≈
+    * acctbal < 9000 (reference main.py:482); top-K 1100 largest-first
+    * (reference main.py:483-484) with an explicit id tie-break for
+    * determinism (the reference has none — ties are Postgres-order).
+    */
+  def discovery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    // CTE already_downloaded_images: 30-day-lookback analog = a fixed
+    // date predicate (the reference derives it from date.today(),
+    // main.py:45-46 — nondeterministic; we parameterize instead).
+    val already = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+          ",").as("exclude_ids"),
+        count(lit(1)).as("n_downloaded"))
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"), "left")
+      .join(already, cust("c_custkey") === already("o_custkey"), "left")
+      .filter(col("c_acctbal") < 9000)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(1100)
+      .select(
+        col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("n_name"), col("exclude_ids"),
+        coalesce(col("n_downloaded"), lit(0L)).as("n_downloaded"))
+  }
+
+  val discoverySql: String =
+    """WITH already AS (
+      |  SELECT o_custkey,
+      |         array_to_string(list_sort(array_agg(o_orderkey)), ',') AS exclude_ids,
+      |         count(*) AS n_downloaded
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      |  GROUP BY o_custkey)
+      |SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal,
+      |       n_name, exclude_ids,
+      |       coalesce(n_downloaded, 0) AS n_downloaded
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN already ON c_custkey = o_custkey
+      |WHERE c_acctbal < 9000
+      |ORDER BY c_acctbal DESC, c_custkey
+      |LIMIT 1100""".stripMargin
+
+  /** Q3-style hash aggregate with map-side partial agg (TPC-H Q1 shape
+    * over lineitem; mirrors the masked-mean aggregation pattern of
+    * reference main.py:247-251 in relational form). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q7 top-K (reference main.py:483-484): ORDER BY … LIMIT plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("o_orderstatus"))
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice, o_orderstatus
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Q4/Q5 left-outer dim joins (reference main.py:476-480), both dims
+    * broadcast — the fact side never shuffles. */
+  def dimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"), "left")
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"), "left")
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  val dimJoinSql: String =
+    """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** F4 as an honest anti-join (reference main.py:415 implements it as
+    * ARRAY_AGG + client-side membership test; SURVEY §2.6 calls
+    * left_anti the honest relational form). Customers with no
+    * pending-status orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join (EXISTS): customers that do have recent orders —
+    * the `check_existing_images` guard inverted (reference main.py:43). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** The exclude-set semantics of F4 exactly as the reference runs it
+    * (membership test against an aggregated id array, reference
+    * main.py:371-372, 415) — expressed with collect_list + an
+    * array_contains filter, then validated equivalent to left_anti by
+    * the ScalaTest property spec. Counts surviving lineitems per flag. */
+  def excludeSet(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val excl = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    li.join(excl, li("l_orderkey") === excl("o_orderkey"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val excludeSetSql: String =
+    """SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** §2.8 window extension: "latest image per water body" ≈ latest
+    * order per customer — row_number over a desc-ordered partition
+    * with deterministic tie-breaks. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val latestPerKeySql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice, 2) AS totalprice
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** P2 config cross product (reference main.py:433-440: every water
+    * body × every dataset config) — tiny dim crossJoin, broadcast. */
+  def configCross(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    reg.crossJoin(broadcast(nat.select(col("n_name"))))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_combos"))
+      .orderBy(col("r_name"))
+  }
+
+  val configCrossSql: String =
+    """SELECT r_name, count(*) AS n_combos
+      |FROM region CROSS JOIN (SELECT n_name FROM nation)
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Set ops (SURVEY §2.8 notes the reference has none; the engine
+    * surface includes them): nations having customers but no suppliers
+    * (EXCEPT) and the distinct union size. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ck = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+    val ek = Tables.events(spark, dir).select(col("user_id").as("k"))
+    ck.except(ek)
+      .orderBy(col("k"))
+  }
+
+  val setOpsSql: String =
+    """SELECT c_custkey AS k FROM customer
+      |EXCEPT
+      |SELECT user_id AS k FROM events
+      |ORDER BY k""".stripMargin
+
+  /** F1/F2 as a non-equi range join: events falling inside a per-order
+    * time window (the image-ts ∈ [start, end) containment of reference
+    * main.py:398, generalized to a join). Equi key on user/cust plus a
+    * range predicate keeps it a hash join with residual, not a
+    * cartesian. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val windows = ev.groupBy(col("user_id").as("w_user"))
+      .agg(min(col("ts")).as("w_start"))
+    ev.join(windows,
+        ev("user_id") === windows("w_user") &&
+        ev("ts") >= windows("w_start") &&
+        ev("ts") < windows("w_start") + expr("INTERVAL 7 DAYS"),
+        "inner")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH windows AS (
+      |  SELECT user_id AS w_user, min(ts) AS w_start FROM events GROUP BY user_id)
+      |SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events JOIN windows
+      |  ON user_id = w_user
+      | AND ts >= w_start
+      | AND ts < w_start + INTERVAL 7 DAY
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** F3 property filter over schemaless JSON props (reference
+    * main.py:403-404 filters on CLOUDY_PIXEL_PERCENTAGE inside the
+    * properties dict; P5 serializes with json.dumps). Extract, filter,
+    * aggregate. Regex extraction is used (not get_json_object) so the
+    * DuckDB oracle needs no JSON extension. */
+  def propsFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
+      .filter(col("k") < 20)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  val propsFilterSql: String =
+    """SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k
+      |FROM (SELECT event_type, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k FROM events)
+      |WHERE k < 20
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** P3 epoch-millis → timestamp conversion (reference main.py:416,
+    * 424 — which uses local-tz fromtimestamp; we pin UTC) plus a
+    * per-day tumbling count (the batch shape of §2.9 streaming). */
+  def timeOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_millis", unix_millis(col("ts")))
+      .withColumn("ts_rt", timestamp_millis(col("ts_millis")))
+      .groupBy(date_trunc("day", col("ts_rt")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+
+  val timeOpsSql: String =
+    """SELECT date_trunc('day', epoch_ms(epoch_ms(ts))) AS day,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** P4 filename templating (reference main.py:141-148 — whose
+    * strftime format "%Y%M%d%H%m%S" swaps minute/month; SURVEY §7.3
+    * documents the divergence: we emit the *correct* yyyyMMddHHmmss). */
+  def filenames(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        concat(
+          col("event_type"), lit("/"),
+          col("user_id").cast("string"), lit("_"),
+          date_format(col("ts"), "yyyyMMddHHmmss"), lit(".tif")).as("filename"),
+        concat(
+          col("user_id").cast("string"), lit("_"),
+          date_format(col("ts"), "yyyyMMddHHmmss"), lit("_thumbnail.png")).as("thumbnail_filename"))
+      .orderBy(col("event_id"))
+
+  val filenamesSql: String =
+    """SELECT event_id,
+      |       event_type || '/' || CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y%m%d%H%M%S') || '.tif' AS filename,
+      |       CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y%m%d%H%M%S') || '_thumbnail.png' AS thumbnail_filename
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local(4)
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("discovery: respects filter, top-K ordering, and left-join semantics") {
+    val rows = Relational.discovery(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 1100)
+    val bals = rows.map(_.getAs[Double]("acctbal"))
+    assert(bals.forall(_ < 9000), "area-limit analog filter")
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b }, "largest-first")
+  }
+
+  test("discovery exclude_ids is a sorted, comma-joined id list") {
+    val r = Relational.discovery(spark, sf).filter(col("exclude_ids").isNotNull).head()
+    val ids = r.getAs[String]("exclude_ids").split(",").map(_.toLong)
+    assert(ids.sorted.sameElements(ids))
+    assert(r.getAs[Long]("n_downloaded") >= ids.length || ids.nonEmpty)
+  }
+
+  test("pricing summary groups are complete and averages consistent") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_qty")
+      val sum = r.getAs[Double]("sum_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(avg - sum / n) < 0.01, s"avg_qty ≈ sum/count for $r")
+    }
+  }
+
+  test("topK returns exactly K descending rows") {
+    val rows = Relational.topK(spark, sf).collect()
+    assert(rows.length == 100)
+    val ps = rows.map(_.getAs[Double]("totalprice"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("exclude-set membership semantics ≡ left_anti join (SURVEY §5 property)") {
+    // The reference filters candidates by membership in an ARRAY_AGG'd
+    // exclude list (main.py:415); the engine plans it as left_anti.
+    // Both forms must agree.
+    val li = Tables.lineitem(spark, sf)
+    val excl = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val viaAnti = li.join(excl, li("l_orderkey") === excl("o_orderkey"), "left_anti").count()
+    val exclSet = excl.agg(collect_set(col("o_orderkey"))).head().getSeq[Long](0).toSet
+    val viaMembership = li.filter(!col("l_orderkey").isin(exclSet.toSeq: _*)).count()
+    assert(viaAnti == viaMembership)
+  }
+
+  test("latestPerKey yields one row per key, the max-date one") {
+    val df = Relational.latestPerKey(spark, sf)
+    val n = df.count()
+    val nKeys = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(n == nKeys)
+  }
+
+  test("anti ∪ semi partition the customer set for the same predicate") {
+    val cust = Tables.customer(spark, sf)
+    val ord = Tables.orders(spark, sf).filter(col("o_orderstatus") === "P")
+    val anti = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti").count()
+    val semi = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi").count()
+    assert(anti + semi == cust.count())
+  }
+
+  test("all declared queries run on sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle coverage: every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("discovery plan broadcasts the dim join and plans top-K without global sort") {
+    val plan = Relational.discovery(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation dim should broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "orderBy+limit should plan as top-K")
+  }
+}
