@@ -65,6 +65,9 @@ case class ImageStats(child: Expression)
     var i = 0
     while (i < nRows) {
       val rr = r.getArray(i); val gr = g.getArray(i); val br = b.getArray(i)
+      // malformed shape (null row array) → null result, matching the
+      // other malformed-shape paths — not an executor NPE
+      if (rr == null || gr == null || br == null) return null
       val nCols = rr.numElements()
       if (gr.numElements() != nCols || br.numElements() != nCols) return null
       var j = 0

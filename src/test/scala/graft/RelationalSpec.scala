@@ -25,7 +25,8 @@ class RelationalSpec extends AnyFunSuite {
     val r = Relational.discovery(spark, sf).filter(col("exclude_ids").isNotNull).head()
     val ids = r.getAs[String]("exclude_ids").split(",").map(_.toLong)
     assert(ids.sorted.sameElements(ids))
-    assert(r.getAs[Long]("n_downloaded") >= ids.length || ids.nonEmpty)
+    assert(r.getAs[Long]("n_downloaded") == ids.length,
+      "n_downloaded must equal the number of aggregated exclude ids")
   }
 
   test("pricing summary groups are complete and averages consistent") {
