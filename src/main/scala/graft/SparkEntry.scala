@@ -33,6 +33,7 @@ object SparkEntry {
     "q12_props_filter" -> ((s, d) => Relational.propsFilter(s, d)),
     "q13_time_ops" -> ((s, d) => Relational.timeOps(s, d)),
     "q14_filenames" -> ((s, d) => Relational.filenames(s, d)),
+    "q15_pixel_stats" -> ((s, d) => Pixels.pixelStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
     "q12_props_filter" -> Relational.propsFilterSql,
     "q13_time_ops" -> Relational.timeOpsSql,
     "q14_filenames" -> Relational.filenamesSql,
+    "q15_pixel_stats" -> Pixels.pixelStatsSql,
   )
 }
