@@ -34,6 +34,11 @@ object SparkEntry {
     "q13_time_ops" -> ((s, d) => Relational.timeOps(s, d)),
     "q14_filenames" -> ((s, d) => Relational.filenames(s, d)),
     "q15_pixel_stats" -> ((s, d) => Pixels.pixelStats(s, d)),
+    "q16_fanout" -> ((s, d) => Relational.fanout(s, d)),
+    "q17_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q18_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q19_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q20_simhash" -> ((s, d) => Dedup.simhash(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +59,10 @@ object SparkEntry {
     "q13_time_ops" -> Relational.timeOpsSql,
     "q14_filenames" -> Relational.filenamesSql,
     "q15_pixel_stats" -> Pixels.pixelStatsSql,
+    "q16_fanout" -> Relational.fanoutSql,
+    "q17_exact_dedup" -> Dedup.exactDedupSql,
+    "q18_minhash_lsh" -> Dedup.minhashLshSql,
+    "q19_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q20_simhash" -> Dedup.simhashSql,
   )
 }

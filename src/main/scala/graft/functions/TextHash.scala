@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic polynomial string hash — the shared hashing contract
+  * of the text-dedup/fingerprint operators (SURVEY §7.1 M6):
+  *
+  *   h = fold(0; h, c → (h * 31 + c) mod 1_000_000_007) over bytes
+  *
+  * Chosen over Spark's murmur `hash()` because the DuckDB oracle must
+  * compute the IDENTICAL value with portable SQL
+  * (`list_reduce(list_prepend(0, list_transform(generate_series(1,
+  * length(s)), i -> ascii(substr(s,i,1)))), (h,c) -> (h*31+c) %
+  * 1000000007)`). Byte fold ≡ code-point fold on ASCII input (the
+  * fixture corpus is ASCII; the contract is documented as
+  * ASCII-exact).
+  *
+  * Implemented as a native Catalyst expression WITH `doGenCode` so the
+  * hot dedup path stays inside whole-stage codegen — no UDF
+  * serialization, no boxing. `PolyHashSpec` proves it equal to the
+  * pure-built-in HOF formulation.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"polyhash requires a string argument, got ${child.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xff)) % PolyHash.Mod
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xFF)) % ${PolyHash.Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+  override def prettyName: String = "polyhash"
+}
+
+object PolyHash {
+  val Mod = 1000000007L
+}
+
+/** Session-level registration so `polyhash(...)` is usable inside SQL
+  * higher-order-function lambdas (transform/aggregate), where Column
+  * composition can't reach. Idempotent per session. */
+object TextHash {
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerTempFunction(
+      spark, "polyhash", exprs => PolyHash(exprs.head))
+
+  /** The equivalent pure-built-in formula (the contract the DuckDB
+    * oracle mirrors); used by PolyHashSpec to pin semantics. */
+  val hofFormulaSql: String =
+    """aggregate(
+      |  transform(sequence(1, length(%s)), i -> CAST(ascii(substring(%s, i, 1)) AS BIGINT)),
+      |  CAST(0 AS BIGINT),
+      |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+}

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+
+/** LLM-training-data deduplication surface over the `documents`
+  * fixture (SURVEY §7.1 M6; BASELINE north star). Four operators,
+  * each shuffle-bounded — NO all-pairs crossJoin anywhere:
+  *
+  *  - q17 exact dedup: content-hash grouping (md5) with deterministic
+  *    keeper selection (min doc_id) — the `dropDuplicates` contract in
+  *    its deterministic form;
+  *  - q18 MinHash-LSH near-dup: shingle → K-minhash signature → banded
+  *    bucket keys → candidate pairs ONLY within buckets → exact
+  *    Jaccard verification of candidates. O(n·K) + per-bucket pair
+  *    work; recall is governed by (bands, rows) not by a scan of n²;
+  *  - q19 inverted-index n-gram Jaccard: explode shingles → self-join
+  *    on the shingle (document-frequency-capped — stop-shingles are
+  *    dropped, the classic skew guard) → shared-shingle counts are the
+  *    intersection directly;
+  *  - q20 SimHash: 30-bit frequency-weighted fingerprint per document
+  *    (dup candidates = small Hamming distance via xor/bit_count).
+  *
+  * All hashing goes through the `polyhash` contract (TextHash) so the
+  * DuckDB oracle reproduces results bit-exactly.
+  */
+object Dedup {
+
+  /** Tokenized docs (space-split — the corpus is normalized text). */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+
+  /** Distinct word 3-gram shingles per doc (docs with ≥3 tokens).
+    * NOTE Spark `t[i]` is 0-based (DuckDB's is 1-based — the oracle
+    * indexes i..i+2 for the same window). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("shingles"))
+
+  private val shinglesDuck =
+    """SELECT doc_id,
+      |       list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  /** polyhash over a DuckDB lambda variable. */
+  private def duckPolyhash(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($v)), i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+
+  /** Exact dedup via content hash. Deterministic `dropDuplicates`:
+    * one row per distinct content, keeper = min doc_id. Pure hash
+    * aggregate — partial map-side combine, one shuffle on the hash. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keeper_id"),
+        max(col("n_chars")).as("n_chars"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+      |       min(doc_id) AS keeper_id, max(n_chars) AS n_chars
+      |FROM documents
+      |GROUP BY md5(text)""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+
+  /** MinHash signature length and banding: K = 12 hashes in 6 bands
+    * of 2 rows. Permutation k: h_k(x) = ((2k+1)·x + 7919k) mod P. */
+  private val minhashSigSql =
+    "transform(sequence(0, 11), k -> array_min(transform(hh, h -> ((2*k+1) * h + 7919 * k) % 1000000007)))"
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    TextHash.register(spark)
+    val sh = shingled(spark, dir)
+    val sig = sh
+      .withColumn("hh", expr("transform(shingles, s -> polyhash(s))"))
+      .withColumn("sig", expr(minhashSigSql))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val bands = sig.select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, 5), j -> (element_at(sig, 2*j+1) * 1000003 + element_at(sig, 2*j+2)) % 1000000007)"))
+          .as("bkey"))
+      .distinct() // a pair colliding in several bands counts once
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  val minhashLshSql: String = {
+    s"""WITH sh AS (
+       |$shinglesDuck),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(generate_series(0, 11),
+       |           k -> list_min(list_transform(hh, h -> ((2*k+1) * h + 7919 * k) % 1000000007))) AS sig
+       |  FROM (SELECT doc_id, shingles, list_transform(shingles, s -> ${duckPolyhash("s")}) AS hh FROM sh)),
+       |bands AS (
+       |  SELECT DISTINCT doc_id, bkey FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(generate_series(0, 5),
+       |             j -> (sig[2*j+1] * 1000003 + sig[2*j+2]) % 1000000007)) AS bkey
+       |    FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |jac AS (
+       |  SELECT a_id, b_id,
+       |         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+       |           / (len(sa.shingles) + len(sb.shingles)
+       |              - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, round(jaccard, 4) AS jaccard
+       |FROM jac WHERE jaccard >= 0.8""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+
+  /** Document-frequency cap for the inverted index: shingles occurring
+    * in more than MaxDf docs are stop-shingles — dropped from
+    * candidate generation (bounds per-shingle pair fan-out; the skew
+    * guard that keeps this O(Σ df²) with df ≤ MaxDf). */
+  private val MaxDf = 50
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+    val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= MaxDf)
+      .select(col("s"))
+    val exk = ex.join(keep, "s")
+    val pairs = exk.as("a")
+      .join(exk.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    pairs
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS (
+       |$shinglesDuck),
+       |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 2 AND count(*) <= $MaxDf),
+       |exk AS (SELECT ex.* FROM ex JOIN keep USING (s)),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+       |         any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT a_id, b_id, inter,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+
+  /** 30-bit SimHash (frequency-weighted: repeated tokens vote
+    * repeatedly). Bit j is set iff Σ_tokens (±1 by bit j of
+    * polyhash(token)) > 0. Whole computation is per-row higher-order
+    * functions — a narrow map stage, no shuffle at all. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    TextHash.register(spark)
+    tokenized(spark, dir)
+      .filter(size(col("t")) >= 1)
+      .withColumn("hh", expr("transform(t, tok -> polyhash(tok))"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        expr(
+          """aggregate(sequence(0, 29), CAST(0 AS BIGINT), (acc, j) -> acc +
+            |  CASE WHEN aggregate(hh, CAST(0 AS BIGINT), (a, h) -> a +
+            |    CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+            |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+          .as("simhash"))
+  }
+
+  val simhashSql: String =
+    s"""WITH hh AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |         list_transform(t, tok -> ${duckPolyhash("tok")}) AS hh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 1),
+       |bits AS (
+       |  SELECT doc_id, n_tokens, j.j,
+       |         CASE WHEN list_sum(list_transform(hh,
+       |                h -> CASE WHEN (h // (CAST(1 AS BIGINT) << j.j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |              THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END AS bit
+       |  FROM hh, (SELECT unnest(generate_series(0, 29)) AS j) j)
+       |SELECT doc_id, any_value(n_tokens) AS n_tokens, CAST(sum(bit) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+}

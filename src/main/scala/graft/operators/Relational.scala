@@ -355,4 +355,44 @@ object Relational {
       |       CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y%m%d%H%M%S') || '_thumbnail.png' AS thumbnail_filename
       |FROM events
       |WHERE event_type = 'purchase'""".stripMargin
+
+  /** P1 query→image fan-out (reference main.py:412-429) — THE central
+    * row-multiplying step: each water-body "query" row carries an
+    * array of candidate-image features which is exploded to one row
+    * per candidate, then the F4 anti-join drops already-downloaded
+    * ids (main.py:415).
+    *
+    * Modeled as: per-customer candidate array (sort_array(collect_list
+    * (struct…)) — sorted so positions are deterministic regardless of
+    * partition order) → posexplode → left_anti vs the downloaded set.
+    * The oracle exploits the round-trip law `explode(collect_list(x))
+    * ≡ x` (multiset) with `row_number − 1` reproducing the position.
+    * Scale: collect_list is bounded per key (a water body has a
+    * bounded candidate list in a 30-day window, main.py:34); the
+    * anti-join stays a broadcast anti-join on the exclude keys. */
+  def fanout(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).filter(col("o_custkey") % 7 === 0)
+    val queries = ord
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(
+        col("o_orderkey"), col("o_orderdate"), col("o_totalprice")))).as("features"))
+    val candidates = queries
+      .select(col("o_custkey"), posexplode(col("features")).as(Seq("pos", "f")))
+      .select(col("o_custkey"), col("pos"),
+        col("f.o_orderkey").as("ee_id"),
+        col("f.o_orderdate").as("captured_ts"),
+        round(col("f.o_totalprice"), 2).as("measure"))
+    val downloaded = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    candidates.join(downloaded, candidates("ee_id") === downloaded("o_orderkey"), "left_anti")
+  }
+
+  val fanoutSql: String =
+    """SELECT o_custkey, pos, ee_id, captured_ts, measure FROM (
+      |  SELECT o_custkey,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INT) AS pos,
+      |         o_orderkey AS ee_id, o_orderdate AS captured_ts,
+      |         round(o_totalprice, 2) AS measure
+      |  FROM orders WHERE o_custkey % 7 = 0)
+      |WHERE ee_id NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
 }

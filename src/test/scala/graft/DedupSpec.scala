@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.functions.TextHash
+import graft.operators.Dedup
+
+/** PolyHash contract + dedup-operator invariants on sf0.001. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("polyhash: codegen expression ≡ pure-HOF formula (the DuckDB contract)") {
+    import spark.implicits._
+    TextHash.register(spark)
+    val strs = Gen.listOfN(200,
+      Gen.listOf(Gen.frequency(
+        (8, Gen.alphaLowerChar), (1, Gen.const(' ')), (1, Gen.numChar))).map(_.mkString))
+      .sample.get :+ "" :+ "a" :+ "the quick brown fox"
+    val df = strs.toDF("s")
+    val hof = TextHash.hofFormulaSql.replace("%s", "s")
+    val rows = df.select(expr("polyhash(s)").as("fast"), expr(hof).as("spec")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch for ${r}"))
+  }
+
+  test("polyhash: known value (manual fold of 'abc')") {
+    import spark.implicits._
+    TextHash.register(spark)
+    // ((0*31+97)*31+98)*31+99 = 96354
+    assert(Seq("abc").toDF("s").selectExpr("polyhash(s)").head().getLong(0) == 96354L)
+  }
+
+  test("exact dedup: keeper count equals distinct content count") {
+    val docs = Tables.documents(spark, sf)
+    val groups = Dedup.exactDedup(spark, sf)
+    assert(groups.count() == docs.select(col("text")).distinct().count())
+    // total docs preserved across groups
+    val total = groups.agg(sum(col("n_copies"))).head().getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("minhash-LSH finds the planted near-dup pairs and none below threshold") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+    assert(pairs.nonEmpty, "fixture has planted near-dups (jaccard ≥ 0.97 pairs exist)")
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+
+  test("minhash-LSH recall: finds every brute-force pair at jaccard ≥ 0.9") {
+    // brute force over the small sf via the inverted index WITHOUT the
+    // df cap and with threshold 0.9 (planted dups are ≥0.97, so any
+    // LSH miss would show here)
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("shingles"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("a.shingles")) + size(col("b.shingles")) - col("inter")))
+      .filter(col("j") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(brute.subsetOf(lsh), s"LSH missed pairs: ${brute -- lsh}")
+  }
+
+  test("ngram-jaccard pairs agree with minhash pairs at the shared threshold") {
+    val lsh = Dedup.minhashLsh(spark, sf).filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val inv = Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // inverted index (df-capped) should still contain every LSH pair:
+    // near-dup shingles are rare, far below the df cap
+    assert(lsh.subsetOf(inv), s"inverted index missed: ${lsh -- inv}")
+  }
+
+  test("simhash: near-dup docs have small hamming distance, others large") {
+    val sims = Dedup.simhash(spark, sf)
+    val pairs = Dedup.minhashLsh(spark, sf).filter(col("jaccard") >= 0.9)
+    val withH = pairs
+      .join(sims.select(col("doc_id").as("a_id"), col("simhash").as("ha")), "a_id")
+      .join(sims.select(col("doc_id").as("b_id"), col("simhash").as("hb")), "b_id")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val nearDup = withH.collect().map(_.getAs[Int]("hamming"))
+    nearDup.foreach(h =>
+      assert(h <= 8, s"near-dup pair should have small simhash hamming distance: $h"))
+    // discriminative: near-dup pairs are closer than random pairs on
+    // average (the corpus shares one small vocabulary, so random docs
+    // are only a few bits apart — the signal is relative, not absolute)
+    val s = sims.limit(50).collect().map(_.getAs[Long]("simhash"))
+    val avgRandom = (for (i <- s.indices; j <- 0 until i)
+      yield java.lang.Long.bitCount(s(i) ^ s(j))).sum.toDouble / (s.length * (s.length - 1) / 2)
+    val avgNear = nearDup.sum.toDouble / nearDup.length
+    assert(avgNear < avgRandom,
+      s"near-dup pairs ($avgNear bits) should be closer than random pairs ($avgRandom bits)")
+  }
+}
