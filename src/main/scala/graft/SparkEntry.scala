@@ -39,6 +39,8 @@ object SparkEntry {
     "q18_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q19_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q20_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q21_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q22_ann_lsh" -> ((s, d) => Similarity.annTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +66,7 @@ object SparkEntry {
     "q18_minhash_lsh" -> Dedup.minhashLshSql,
     "q19_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q20_simhash" -> Dedup.simhashSql,
+    "q21_cosine_topk" -> Similarity.cosineTopKSql,
+    "q22_ann_lsh" -> Similarity.annTopKSql,
   )
 }

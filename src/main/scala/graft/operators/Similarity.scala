@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors; SURVEY §7.1 M6, BASELINE north star).
+  *
+  *  - q21 brute-force cosine top-k: the exactness baseline. Queries
+  *    (a small, filtered set) are BROADCAST against the corpus — the
+  *    corpus never shuffles; per-pair work is a sequential fold so the
+  *    DuckDB oracle reproduces doubles bit-exactly.
+  *  - q22 LSH ANN: the scale path. 4 sign-bits of dot products with
+  *    pseudo-random hyperplanes (deterministic LCG — both engines
+  *    derive identical planes with integer arithmetic) bucket the
+  *    corpus; each query MULTI-PROBES its own bucket plus the 4
+  *    hamming-1 buckets (the standard recall lever — probing costs
+  *    5 equi-join lookups, not a wider scan), then exact cosine
+  *    reranks candidates. At 100 TB the probe join is an equi-join on
+  *    the bucket id — O(5·n/2^bits) candidates per query, not O(n).
+  *
+  * All folds are explicitly left-to-right (`aggregate` in Spark,
+  * `list_reduce(list_prepend(0,…))` in DuckDB) — double addition is
+  * not associative, so fold ORDER is part of the operator contract.
+  */
+object Similarity {
+
+  private val QueryFilter = "vec_id % 25 = 0"
+
+  /** Doubles + norms; shared head of both queries. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+
+  private val duckVectors =
+    """SELECT vec_id,
+      |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |       sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |         (a, x) -> a + x)) AS nrm
+      |FROM embeddings""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val n = vectors(spark, dir)
+    val q = n.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("sim", col("dot") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH n AS (
+       |$duckVectors),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE $QueryFilter),
+       |p AS (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i])),
+       |           (a, x) -> a + x) / (qn * nrm) AS sim
+       |  FROM n, q WHERE vec_id != q_id),
+       |r AS (SELECT q_id, neighbor_id, sim,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+
+  /** LCG hyperplane component: plane j, dimension d (0-based) →
+    * uniform in [-0.5, 0.5). Identical integer arithmetic on both
+    * engines (glibc LCG constants — public knowledge). */
+  private def planeSql(jExpr: String, dExpr: String): String =
+    s"CAST((CAST(1103515245 AS BIGINT) * ($jExpr * 64 + $dExpr) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5"
+
+  private val Bits = 4
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      s"""aggregate(sequence(0, ${Bits - 1}), 0, (acc, j) -> acc + shiftleft(
+         |  CASE WHEN aggregate(sequence(1, size(e)), CAST(0 AS DOUBLE),
+         |    (a, i) -> a + element_at(e, i) * (${planeSql("j", "i - 1")})) > 0
+         |  THEN 1 ELSE 0 END, j))""".stripMargin)
+    val b = vectors(spark, dir).withColumn("bucket", bucketExpr)
+    val q = b.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("q_bucket"))
+      // multi-probe: own bucket + the Bits hamming-1 neighbors
+      .withColumn("probe", explode(expr(
+        s"transform(sequence(0, $Bits), j -> CASE WHEN j = 0 THEN q_bucket ELSE CAST(q_bucket AS INT) ^ CAST(shiftleft(1, j - 1) AS INT) END)")))
+    // equi-join on the bucket id — the candidate set is 5 buckets, not the corpus
+    val cand = b.join(broadcast(q),
+        col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("sim", col("dot") / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  val annTopKSql: String =
+    s"""WITH n AS (
+       |$duckVectors),
+       |b AS (
+       |  SELECT vec_id, e, nrm,
+       |         CAST(list_sum(list_transform(generate_series(0, ${Bits - 1}), j ->
+       |           CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                  list_transform(generate_series(1, len(e)),
+       |                    i -> e[i] * (${planeSql("j", "i - 1")}))),
+       |                  (a, x) -> a + x) > 0
+       |           THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+       |  FROM n),
+       |q0 AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket AS q_bucket FROM b WHERE $QueryFilter),
+       |q AS (
+       |  SELECT q_id, qe, qn,
+       |         unnest(list_transform(generate_series(0, $Bits),
+       |           j -> CASE WHEN j = 0 THEN q_bucket ELSE xor(q_bucket, (1 << (j - 1))) END)) AS probe
+       |  FROM q0),
+       |p AS (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i])),
+       |           (a, x) -> a + x) / (qn * nrm) AS sim
+       |  FROM b JOIN q ON bucket = probe AND vec_id != q_id),
+       |r AS (SELECT q_id, neighbor_id, sim,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= 3""".stripMargin
+}
