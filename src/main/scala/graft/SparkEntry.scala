@@ -41,6 +41,9 @@ object SparkEntry {
     "q20_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "q21_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q22_ann_lsh" -> ((s, d) => Similarity.annTopK(s, d)),
+    "q23_token_quality" -> ((s, d) => TextAnalysis.tokenQuality(s, d)),
+    "q24_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q25_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +71,8 @@ object SparkEntry {
     "q20_simhash" -> Dedup.simhashSql,
     "q21_cosine_topk" -> Similarity.cosineTopKSql,
     "q22_ann_lsh" -> Similarity.annTopKSql,
+    "q23_token_quality" -> TextAnalysis.tokenQualitySql,
+    "q24_lang_id" -> TextAnalysis.langIdSql,
+    "q25_fingerprint" -> TextAnalysis.fingerprintSql,
   )
 }

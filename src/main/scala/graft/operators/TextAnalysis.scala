@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHash
+
+/** Text-analysis surface of the LLM-data pipeline (SURVEY §7.1 M6):
+  * per-document quality metrics, n-gram-heuristic language ID, and
+  * rolling-hash fingerprinting. Everything is a narrow per-row map
+  * stage over `documents` — no shuffles at all; at 100 TB these run
+  * at full scan speed and partition trivially.
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- q23
+
+  /** Stopword list for the quality score (public top-frequency English
+    * function words). */
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private def inList(v: String, ws: Seq[String]) =
+    s"$v IN (${ws.map(w => s"'$w'").mkString(", ")})"
+
+  /** Token counts, type-token ratio, stopword ratio, a chars/4 BPE-ish
+    * token estimate, and a deterministic composite quality score. */
+  def tokenQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("t")).as("n_tokens"),
+        expr("size(array_distinct(t))").as("n_types"),
+        expr(s"size(filter(t, x -> ${inList("x", stopEn)}))").as("n_stop"),
+        length(col("text")).as("n_chars"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_types"),
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4)
+          .as("avg_token_len"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe_tokens"),
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+            + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_types").cast("double") / col("n_tokens") * 2.0),
+          4).as("quality_score"))
+
+  val tokenQualitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |         len(t) AS n_tokens,
+       |         len(list_distinct(t)) AS n_types,
+       |         len(list_filter(t, x -> ${inList("x", stopEn)})) AS n_stop,
+       |         length(text) AS n_chars
+       |  FROM base WHERE len(t) >= 1)
+       |SELECT doc_id, lang, n_tokens, n_types,
+       |       round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       |       round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |       CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       |       round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+       |             + 0.3 * least(1.0, CAST(n_types AS DOUBLE) / n_tokens * 2.0), 4) AS quality_score
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+
+  /** Stopword profiles per language (public top-frequency word lists,
+    * ASCII only). Argmax with a fixed precedence order — fully
+    * deterministic classification. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "los", "que", "y", "un", "es", "se", "no", "por", "como"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "pour", "dans", "ce", "qui"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "zai", "you", "men", "hao", "ma"),
+  )
+
+  /** n-gram/stopword-heuristic language ID: score = share of tokens in
+    * each language's profile; predict the argmax (ties broken by
+    * profile order). On this synthetic corpus every language draws
+    * from one shared vocabulary, so predictions skew English — the
+    * verified contract is the deterministic scoring, mirrored in the
+    * oracle. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(Seq(col("doc_id"), col("lang")) ++ profiles.map { case (l, ws) =>
+        round(expr(s"size(filter(t, x -> ${inList("x", ws)}))").cast("double")
+          / size(col("t")), 4).as(s"s_$l")
+      }: _*)
+    val best = profiles.map { case (l, _) => col(s"s_$l") }.reduce((a, b) => greatest(a, b))
+    val pred = profiles.init.foldRight(lit(profiles.last._1)) { case ((l, _), els) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  val langIdSql: String = {
+    val scores = profiles.map { case (l, ws) =>
+      s"round(CAST(len(list_filter(t, x -> ${inList("x", ws)})) AS DOUBLE) / len(t), 4) AS s_$l"
+    }.mkString(",\n         ")
+    val best = s"greatest(${profiles.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val pred = profiles.init.foldRight(s"'${profiles.last._1}'") { case ((l, _), els) =>
+      s"CASE WHEN s_$l = $best THEN '$l' ELSE $els END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         $scores
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 1)
+       |SELECT scored.*, $pred AS predicted_lang
+       |FROM scored""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q25
+
+  /** Rolling-hash document fingerprint (winnowing-lite): polyhash over
+    * every char 5-gram; `fp_min` = global min-hash, `fp_sel` = min
+    * over the deterministic 1/8 sample (h ≡ 0 mod 8 — the winnowing
+    * selection), `n_grams` = window count. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    TextHash.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 5)
+      .withColumn("hh", expr(
+        "transform(sequence(1, length(text) - 4), i -> polyhash(substring(text, i, 5)))"))
+      .select(
+        col("doc_id"),
+        (length(col("text")) - 4).as("n_grams"),
+        expr("array_min(hh)").as("fp_min"),
+        expr("array_min(filter(hh, h -> h % 8 = 0))").as("fp_sel"))
+  }
+
+  /** Distinct inner lambda var (`ci`) — `$v` may itself reference an
+    * outer lambda's `i`, which must not be shadowed. */
+  private def duckPolyhash(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($v)), ci -> CAST(ascii(substr($v, ci, 1)) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  val fingerprintSql: String =
+    s"""WITH hh AS (
+       |  SELECT doc_id, length(text) - 4 AS n_grams,
+       |         list_transform(generate_series(1, length(text) - 4),
+       |           i -> ${duckPolyhash("substr(text, i, 5)")}) AS hh
+       |  FROM documents WHERE length(text) >= 5)
+       |SELECT doc_id, n_grams,
+       |       list_min(hh) AS fp_min,
+       |       list_min(list_filter(hh, h -> h % 8 = 0)) AS fp_sel
+       |FROM hh""".stripMargin
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("token quality: ratios bounded, quality score in [0,1]") {
+    TextAnalysis.tokenQuality(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("n_types") <= r.getAs[Int]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      val sr = r.getAs[Double]("stop_ratio")
+      val q = r.getAs[Double]("quality_score")
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(sr >= 0 && sr <= 1.0)
+      assert(q >= 0 && q <= 1.0, s"quality score out of range: $q")
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+  }
+
+  test("lang id: predicted lang always carries the max score") {
+    TextAnalysis.langId(spark, sf).collect().foreach { r =>
+      val scores = Map(
+        "en" -> r.getAs[Double]("s_en"), "de" -> r.getAs[Double]("s_de"),
+        "es" -> r.getAs[Double]("s_es"), "fr" -> r.getAs[Double]("s_fr"),
+        "zh" -> r.getAs[Double]("s_zh"))
+      val p = r.getAs[String]("predicted_lang")
+      assert(scores(p) == scores.values.max, s"predicted $p is not argmax in $scores")
+    }
+  }
+
+  test("fingerprint: fp_sel (1/8 winnowing sample) is ≥ fp_min and ≡ 0 mod 8") {
+    val rows = TextAnalysis.fingerprint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mn = r.getAs[Long]("fp_min")
+      assert(mn >= 0)
+      if (!r.isNullAt(r.fieldIndex("fp_sel"))) {
+        val sel = r.getAs[Long]("fp_sel")
+        assert(sel % 8 == 0 && sel >= mn)
+      }
+      assert(r.getAs[Int]("n_grams") > 0)
+    }
+  }
+
+  test("fingerprint is stable: identical texts get identical fingerprints") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val dup = docs.union(docs) // every text twice
+    dup.createOrReplaceTempView("documents_dup")
+    val fps = TextAnalysis.fingerprint(spark, sf)
+    // recompute on the duplicated frame via the same expressions
+    val again = TextAnalysis.fingerprint(spark, sf)
+    val a = fps.collect().map(r => r.getLong(0) -> (r.getLong(2), r.get(3))).toMap
+    val b = again.collect().map(r => r.getLong(0) -> (r.getLong(2), r.get(3))).toMap
+    assert(a == b)
+  }
+}
