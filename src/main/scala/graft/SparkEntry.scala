@@ -44,6 +44,8 @@ object SparkEntry {
     "q23_token_quality" -> ((s, d) => TextAnalysis.tokenQuality(s, d)),
     "q24_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q25_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q26_spatial_join" -> ((s, d) => Spatial.spatialJoin(s, d)),
+    "q27_geometry_prep" -> ((s, d) => Spatial.geometryPrep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,5 +76,7 @@ object SparkEntry {
     "q23_token_quality" -> TextAnalysis.tokenQualitySql,
     "q24_lang_id" -> TextAnalysis.langIdSql,
     "q25_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q26_spatial_join" -> Spatial.spatialJoinSql,
+    "q27_geometry_prep" -> Spatial.geometryPrepSql,
   )
 }
