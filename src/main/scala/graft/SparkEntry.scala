@@ -46,6 +46,7 @@ object SparkEntry {
     "q25_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q26_spatial_join" -> ((s, d) => Spatial.spatialJoin(s, d)),
     "q27_geometry_prep" -> ((s, d) => Spatial.geometryPrep(s, d)),
+    "q28_raster_clip" -> ((s, d) => Pixels.rasterClip(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +79,6 @@ object SparkEntry {
     "q25_fingerprint" -> TextAnalysis.fingerprintSql,
     "q26_spatial_join" -> Spatial.spatialJoinSql,
     "q27_geometry_prep" -> Spatial.geometryPrepSql,
+    "q28_raster_clip" -> Pixels.rasterClipSql,
   )
 }

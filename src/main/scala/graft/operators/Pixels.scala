@@ -98,4 +98,79 @@ object Pixels {
        |  round(CASE WHEN $inb > 0 THEN CAST($wht AS DOUBLE) / ($inb) END, 4) AS white_fraction
        |FROM px""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q28
+
+  /** q28: R2 raster clip wired end-to-end. A 3×4×4 cube (derived like
+    * q15) is geo-referenced to bbox [0,4]×[0,4] (north-up affine:
+    * pixel centers x = col+0.5, y = 3.5−row) and clipped by the
+    * ray-cast kernel to a diamond |x−2|+|y−2| ≤ 1.7, then ImageStats
+    * runs on the clipped cube.
+    *
+    * Geometry chosen so no pixel center lies on the boundary (center
+    * distances are 1.0/2.0/3.0 vs r=1.7) and exactly the 4 center
+    * pixels (rows 1–2 × cols 1–2) survive. The ORACLE hardcodes that
+    * expected mask — computing stats over only those 4 positions — so
+    * any mis-mask in the affine transform or the ray cast is a hash
+    * mismatch, not just a unit-test failure. */
+  def cubeFormula(c: Int, i: Int, j: Int): String =
+    s"(l_partkey * ${3 + c} + l_suppkey * ${1 + i} + l_orderkey * ${1 + j} + ${c * 16 + i * 4 + j}) % 256"
+
+  private val clipSubset = "l_orderkey % 41 = 0 AND l_linenumber <= 2"
+
+  def rasterClip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Raster
+    val names = for (c <- 0 until 3; i <- 0 until 4; j <- 0 until 4) yield s"v${c}_${i}_$j"
+    val defs = for (c <- 0 until 3; i <- 0 until 4; j <- 0 until 4)
+      yield s"CAST(${cubeFormula(c, i, j)} AS INT) AS v${c}_${i}_$j"
+    val cube = expr((0 until 3).map { c =>
+      (0 until 4).map { i =>
+        "array(" + (0 until 4).map(j => s"v${c}_${i}_$j").mkString(", ") + ")"
+      }.mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")"))
+    val diamond: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(3.7, 2.0), Seq(2.0, 3.7), Seq(0.3, 2.0), Seq(2.0, 0.3)))
+    val clipped = Raster.clipUdf(
+      cube, lit(0.0), lit(4.0), lit(0.0), lit(4.0), typedlit(diamond))
+    Tables.lineitem(spark, dir)
+      .filter(expr(clipSubset))
+      .selectExpr(Seq("l_orderkey", "l_linenumber") ++ defs: _*)
+      .withColumn("s", PixelOps.imageStats(clipped))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("s.red_average"), 4).as("red_average"),
+        round(col("s.green_average"), 4).as("green_average"),
+        round(col("s.blue_average"), 4).as("blue_average"),
+        round(col("s.white_fraction"), 4).as("white_fraction"))
+  }
+
+  val rasterClipSql: String = {
+    // expected survivors of the diamond mask: rows 1-2 × cols 1-2
+    val surv = Seq((1, 1), (1, 2), (2, 1), (2, 2))
+    val defs = (for (c <- 0 until 3; (i, j) <- surv)
+      yield s"CAST(${cubeFormula(c, i, j)} AS INT) AS v${c}_${i}_$j").mkString(",\n    ")
+    def chan(c: Int) = {
+      val vs = surv.map { case (i, j) => s"v${c}_${i}_$j" }
+      val cnt = vs.map(v => s"CASE WHEN $v != 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"CASE WHEN $cnt > 0 THEN CAST(${vs.mkString(" + ")} AS DOUBLE) / ($cnt) END"
+    }
+    val pixels = surv.map { case (i, j) =>
+      (s"greatest(v0_${i}_$j, v1_${i}_$j, v2_${i}_$j)",
+        s"least(v0_${i}_$j, v1_${i}_$j, v2_${i}_$j)")
+    }
+    val inb = pixels.map { case (mx, _) => s"CASE WHEN $mx != 0 THEN 1 ELSE 0 END" }.mkString(" + ")
+    val wht = pixels.map { case (mx, mn) =>
+      s"CASE WHEN $mx != 0 AND $mn >= 153 AND $mx - $mn <= 25 THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH px AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    $defs
+       |  FROM lineitem WHERE $clipSubset)
+       |SELECT l_orderkey, l_linenumber,
+       |  round(${chan(0)}, 4) AS red_average,
+       |  round(${chan(1)}, 4) AS green_average,
+       |  round(${chan(2)}, 4) AS blue_average,
+       |  round(CASE WHEN $inb > 0 THEN CAST($wht AS DOUBLE) / ($inb) END, 4) AS white_fraction
+       |FROM px""".stripMargin
+  }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Raster
+
+/** Golden tests for the raster kernels (FIXTURES.md §B raster_pixels
+  * plan; reference main.py:206-308). */
+class RasterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def gray(v: Int, h: Int, w: Int): Seq[Seq[Seq[Int]]] =
+    Seq.fill(3)(Seq.fill(h)(Seq.fill(w)(v)))
+
+  val diamond: Seq[Seq[Seq[Double]]] =
+    Seq(Seq(Seq(3.7, 2.0), Seq(2.0, 3.7), Seq(0.3, 2.0), Seq(2.0, 0.3)))
+
+  test("clip golden: 4×4 / diamond keeps exactly the 4 center pixels") {
+    val cube = gray(200, 4, 4)
+    val clipped = Raster.clip(cube, 0, 4, 0, 4, diamond)
+    for (c <- 0 until 3; i <- 0 until 4; j <- 0 until 4) {
+      val expectIn = (i == 1 || i == 2) && (j == 1 || j == 2)
+      assert(clipped(c)(i)(j) == (if (expectIn) 200 else 0),
+        s"pixel c=$c i=$i j=$j")
+    }
+  }
+
+  test("clip golden: 8×8 / triangle polygon matches half-plane closed form") {
+    // triangle (0,0)-(8,0)-(0,8): pixel center (x,y) inside iff x+y<8
+    val tri = Seq(Seq(Seq(0.0, 0.0), Seq(8.0, 0.0), Seq(0.0, 8.0)))
+    val clipped = Raster.clip(gray(99, 8, 8), 0, 8, 0, 8, tri)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val x = j + 0.5; val y = 7.5 - i
+      val in = x + y < 8.0 // no center lands exactly on the hypotenuse (x+y ∈ {1,2,…})
+      assert(clipped(0)(i)(j) == (if (in) 99 else 0), s"i=$i j=$j x=$x y=$y")
+    }
+  }
+
+  test("clip is idempotent (SURVEY §5 property)") {
+    val cube = Seq.tabulate(3, 6, 6)((c, i, j) => (c * 37 + i * 11 + j * 5) % 256)
+    val once = Raster.clip(cube, 0, 6, 0, 6, diamond)
+    val twice = Raster.clip(once, 0, 6, 0, 6, diamond)
+    assert(once == twice)
+  }
+
+  test("stack + thumbnail: 14×14 → 2×2 with channel means preserved on uniform input") {
+    val thumb = Raster.thumbnailArray(gray(180, 14, 14), 7)
+    assert(thumb.length == 3 && thumb.head.length == 2 && thumb.head.head.length == 2)
+    // uniform image: bicubic must return the same uniform value
+    for (c <- 0 until 3; i <- 0 until 2; j <- 0 until 2)
+      assert(thumb(c)(i)(j) == 180)
+  }
+
+  test("thumbnail of non-uniform image keeps means within tolerance (PIL-parity is structural)") {
+    val cube = Seq.tabulate(3, 14, 14)((c, i, j) => if (j < 7) 40 else 200)
+    val thumb = Raster.thumbnailArray(cube, 7)
+    val mean = thumb.head.flatten.sum.toDouble / 4
+    assert(math.abs(mean - 120.0) < 40.0, s"half-dark/half-light mean ≈ 120, got $mean")
+  }
+
+  test("PNG codec roundtrip is lossless") {
+    val cube = Seq.tabulate(3, 5, 7)((c, i, j) => (c * 83 + i * 29 + j * 13) % 256)
+    assert(Raster.decodeImage(Raster.encodePng(cube)) == cube)
+  }
+
+  test("TIFF codec roundtrip is lossless (JDK ImageIO TIFF plugin)") {
+    val cube = Seq.tabulate(3, 4, 4)((c, i, j) => (c * 51 + i * 17 + j * 7) % 256)
+    assert(Raster.decodeImage(Raster.encodeTiff(cube)) == cube)
+  }
+
+  test("clip UDF works inside a DataFrame pipeline (R2 in plan form)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, gray(200, 4, 4))).toDF("id", "pixels")
+      .withColumn("clipped",
+        Raster.clipUdf(col("pixels"), lit(0.0), lit(4.0), lit(0.0), lit(4.0),
+          typedlit(diamond)))
+      .select(graft.functions.PixelOps.imageStats(col("clipped")).as("s"))
+      .select("s.*")
+    val r = df.head()
+    assert(r.getDouble(0) == 200.0 && r.getDouble(3) == 1.0)
+  }
+}
