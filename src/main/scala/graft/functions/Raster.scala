@@ -39,6 +39,7 @@ object Raster {
       minLon: Double, maxLon: Double, minLat: Double, maxLat: Double,
       polys: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Int]]] = {
     if (pixels == null || pixels.isEmpty || pixels.head.isEmpty) return pixels
+    if (polys == null || polys.isEmpty) return pixels // no geometry → no mask
     val h = pixels.head.length
     val w = pixels.head.head.length
     val rings = polys.map(_.map(_.toIndexedSeq).toIndexedSeq)

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §2.9 streaming/incremental surface. The reference is a daily cron
+  * batch with hand-rolled incremental semantics (template.yml:36):
+  * 30-day lookback (LOOKBACK_DAYS, main.py:34, 45-46), an exclude set
+  * so nothing is fetched twice (main.py:468-473, 415), and an
+  * idempotent sink (ON CONFLICT DO NOTHING, main.py:453-457).
+  *
+  * Structured-Streaming mapping — works identically on a stream or a
+  * batch DataFrame (the transforms are plan-level):
+  *  - `withWatermark(30 days)` IS the lookback: state for keys older
+  *    than the watermark is dropped, bounding memory exactly like the
+  *    reference bounds its query window;
+  *  - `dropDuplicates` on the composite PK (waterbody_id,
+  *    captured_ts, main.py:106-107) IS the exclude-set/upsert
+  *    contract: a replayed event is a no-op;
+  *  - tumbling-window counts are the per-body daily aggregation shape.
+  */
+object Incremental {
+
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("captured_ts", "30 days")
+      .dropDuplicates("waterbody_id", "captured_ts")
+
+  def dailyCounts(events: DataFrame): DataFrame =
+    dedupStream(events)
+      .groupBy(col("waterbody_id"), window(col("captured_ts"), "1 day").as("day"))
+      .agg(count(lit(1)).as("n_images"))
+}
