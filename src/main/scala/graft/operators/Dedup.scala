@@ -82,13 +82,28 @@ object Dedup {
   private val minhashSigSql =
     "transform(sequence(0, 11), k -> array_min(transform(hh, h -> ((2*k+1) * h + 7919 * k) % 1000000007)))"
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Perf shape (sf0.1 bench finding): the band self-join DUPLICATES
+    * its input subtree in the plan, so without a materialization point
+    * the shingle hashing would run 4× (bands×2, verification sides
+    * ×2). The hashed-shingle set (`hh`, bigints — far cheaper to
+    * shuffle and intersect than shingle strings) is computed once and
+    * cached; Jaccard verification intersects hashed sets (identical
+    * in the oracle, so collision behavior — negligible at 1e9+7 —
+    * is bit-consistent). */
+  /** Hashed distinct shingle sets — the shared (and cached)
+    * intermediate of q18/q19; both queries build the identical
+    * logical plan here, so they share one InMemoryRelation. */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame = {
     TextHash.register(spark)
-    val sh = shingled(spark, dir)
-    val sig = sh
-      .withColumn("hh", expr("transform(shingles, s -> polyhash(s))"))
-      .withColumn("sig", expr(minhashSigSql))
-      .select(col("doc_id"), col("shingles"), col("sig"))
+    shingled(spark, dir)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(shingles, s -> polyhash(s)))").as("hh"))
+      .cache()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(spark, dir)
+    val sig = sh.withColumn("sig", expr(minhashSigSql))
     val bands = sig.select(
         col("doc_id"),
         explode(expr("transform(sequence(0, 5), j -> (element_at(sig, 2*j+1) * 1000003 + element_at(sig, 2*j+2)) % 1000000007)"))
@@ -99,24 +114,27 @@ object Dedup {
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    val sa = sh.select(col("doc_id").as("a_id"), col("hh").as("ha"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("hh").as("hb"))
     cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
       .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   val minhashLshSql: String = {
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |$shinglesDuck),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles, s -> ${duckPolyhash("s")})) AS hh
+       |  FROM sh0),
        |sig AS (
-       |  SELECT doc_id, shingles,
+       |  SELECT doc_id,
        |         list_transform(generate_series(0, 11),
        |           k -> list_min(list_transform(hh, h -> ((2*k+1) * h + 7919 * k) % 1000000007))) AS sig
-       |  FROM (SELECT doc_id, shingles, list_transform(shingles, s -> ${duckPolyhash("s")}) AS hh FROM sh)),
+       |  FROM sh),
        |bands AS (
        |  SELECT DISTINCT doc_id, bkey FROM (
        |    SELECT doc_id,
@@ -128,9 +146,9 @@ object Dedup {
        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |jac AS (
        |  SELECT a_id, b_id,
-       |         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
-       |           / (len(sa.shingles) + len(sb.shingles)
-       |              - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jaccard
+       |         CAST(len(list_filter(sa.hh, h -> list_contains(sb.hh, h))) AS DOUBLE)
+       |           / (len(sa.hh) + len(sb.hh)
+       |              - len(list_filter(sa.hh, h -> list_contains(sb.hh, h)))) AS jaccard
        |  FROM cand
        |  JOIN sh sa ON sa.doc_id = a_id
        |  JOIN sh sb ON sb.doc_id = b_id)
@@ -147,15 +165,17 @@ object Dedup {
   private val MaxDf = 50
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val ex = sh.select(col("doc_id"), size(col("shingles")).as("n"),
-      explode(col("shingles")).as("s"))
-    val keep = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // same cached hashed-shingle sets as q18; the inverted index
+    // shuffles bigint hashes, not shingle strings
+    val sh = hashedShingles(spark, dir)
+    val ex = sh.select(col("doc_id"), size(col("hh")).as("n"),
+      explode(col("hh")).as("h"))
+    val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= MaxDf)
-      .select(col("s"))
-    val exk = ex.join(keep, "s")
+      .select(col("h"))
+    val exk = ex.join(keep, "h")
     val pairs = exk.as("a")
-      .join(exk.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(exk.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
@@ -167,15 +187,18 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |$shinglesDuck),
-       |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 2 AND count(*) <= $MaxDf),
-       |exk AS (SELECT ex.* FROM ex JOIN keep USING (s)),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(shingles, s -> ${duckPolyhash("s")})) AS hh
+       |  FROM sh0),
+       |ex AS (SELECT doc_id, len(hh) AS n, unnest(hh) AS h FROM sh),
+       |keep AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2 AND count(*) <= $MaxDf),
+       |exk AS (SELECT ex.* FROM ex JOIN keep USING (h)),
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
        |         any_value(a.n) AS na, any_value(b.n) AS nb
-       |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT a_id, b_id, inter,
        |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard

@@ -38,12 +38,18 @@ object Relational {
     // CTE already_downloaded_images: 30-day-lookback analog = a fixed
     // date predicate (the reference derives it from date.today(),
     // main.py:45-46 — nondeterministic; we parameterize instead).
+    // Exclude-set aggregate is the reference's legacy form
+    // (main.py:469-472); the honest scale path is the left_anti join
+    // (q05, proven equivalent in RelationalSpec). Per the round-1
+    // scale audit the materialized list is CAPPED (slice 100) so a
+    // skewed key cannot OOM the aggregate; n_downloaded remains the
+    // full count.
     val already = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp"))
       .groupBy(col("o_custkey"))
       .agg(
         array_join(
-          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+          transform(slice(sort_array(collect_list(col("o_orderkey"))), 1, 100), _.cast("string")),
           ",").as("exclude_ids"),
         count(lit(1)).as("n_downloaded"))
     cust
@@ -61,7 +67,7 @@ object Relational {
   val discoverySql: String =
     """WITH already AS (
       |  SELECT o_custkey,
-      |         array_to_string(list_sort(array_agg(o_orderkey)), ',') AS exclude_ids,
+      |         array_to_string(list_sort(array_agg(o_orderkey))[1:100], ',') AS exclude_ids,
       |         count(*) AS n_downloaded
       |  FROM orders
       |  WHERE o_orderdate >= TIMESTAMP '1995-06-01'

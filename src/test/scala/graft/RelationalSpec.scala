@@ -25,8 +25,10 @@ class RelationalSpec extends AnyFunSuite {
     val r = Relational.discovery(spark, sf).filter(col("exclude_ids").isNotNull).head()
     val ids = r.getAs[String]("exclude_ids").split(",").map(_.toLong)
     assert(ids.sorted.sameElements(ids))
-    assert(r.getAs[Long]("n_downloaded") == ids.length,
-      "n_downloaded must equal the number of aggregated exclude ids")
+    // the materialized list is capped at 100 (scale guard); the count
+    // is always the full group size
+    assert(r.getAs[Long]("n_downloaded") == ids.length || ids.length == 100,
+      "n_downloaded must equal the number of aggregated exclude ids (unless capped)")
   }
 
   test("pricing summary groups are complete and averages consistent") {
