@@ -47,6 +47,11 @@ object SparkEntry {
     "q26_spatial_join" -> ((s, d) => Spatial.spatialJoin(s, d)),
     "q27_geometry_prep" -> ((s, d) => Spatial.geometryPrep(s, d)),
     "q28_raster_clip" -> ((s, d) => Pixels.rasterClip(s, d)),
+    "q29_multimodal" -> ((s, d) => Extended.multimodal(s, d)),
+    "q30_rollup" -> ((s, d) => Extended.rollupAgg(s, d)),
+    "q31_window_suite" -> ((s, d) => Extended.windowSuite(s, d)),
+    "q32_asof_join" -> ((s, d) => Extended.asofJoin(s, d)),
+    "q33_sessionize" -> ((s, d) => Extended.sessionize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,5 +85,10 @@ object SparkEntry {
     "q26_spatial_join" -> Spatial.spatialJoinSql,
     "q27_geometry_prep" -> Spatial.geometryPrepSql,
     "q28_raster_clip" -> Pixels.rasterClipSql,
+    "q29_multimodal" -> Extended.multimodalSql,
+    "q30_rollup" -> Extended.rollupAggSql,
+    "q31_window_suite" -> Extended.windowSuiteSql,
+    "q32_asof_join" -> Extended.asofJoinSql,
+    "q33_sessionize" -> Extended.sessionizeSql,
   )
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Extended engine surface beyond the reference's own operators:
+  * multimodal binary columns, OLAP rollups, the general window-
+  * function suite, as-of joins, and sessionization. Each is verified
+  * against DuckDB — q32 deliberately checks our COMPOSED as-of join
+  * against DuckDB's NATIVE `ASOF JOIN` operator.
+  */
+object Extended {
+
+  // ---------------------------------------------------------------- q29
+
+  /** Multimodal column conventions (SURVEY §7.1 M6): opaque binary
+    * payload + typed metadata travelling together. The payload here is
+    * the utf-8 text itself (the container has no image/audio codecs —
+    * the *plumbing* is the deliverable: binary column, content hashes,
+    * size metadata, lossless roundtrip). */
+  def multimodal(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"), // BinaryType payload
+        col("lang").as("meta_lang"),
+        col("n_chars").as("meta_n_chars"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_md5"),
+        sha2(col("payload"), 256).as("content_sha256"),
+        col("meta_lang"),
+        col("meta_n_chars"))
+
+  val multimodalSql: String =
+    """SELECT doc_id,
+      |       strlen(text) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       sha256(text) AS content_sha256,
+      |       lang AS meta_lang,
+      |       n_chars AS meta_n_chars
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+
+  /** OLAP rollup (SURVEY §2.7 notes these as absent-but-expected
+    * engine surface): subtotals + grand total in one pass, with
+    * grouping indicator flags. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+
+  /** The general window-function suite over a fully deterministic
+    * ordering (ts, event_id): ranking, offsets, running and sliding
+    * frames (frames spelled out explicitly — the default RANGE frame
+    * differs between engines on ties). */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = byTs.rowsBetween(-2, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        row_number().over(byTs).as("rn"),
+        rank().over(byValue).as("value_rank"),
+        round(lag(col("value"), 1).over(byTs), 2).as("prev_value"),
+        lead(col("event_type"), 1).over(byTs).as("next_type"),
+        round(sum(col("value")).over(running), 2).as("cum_value"),
+        round(avg(col("value")).over(sliding), 4).as("moving_avg3"),
+        ntile(4).over(byTs).as("quartile"))
+  }
+
+  val windowSuiteSql: String =
+    """SELECT event_id, user_id,
+      |       CAST(row_number() OVER w_ts AS INT) AS rn,
+      |       CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS value_rank,
+      |       round(lag(value, 1) OVER w_ts, 2) AS prev_value,
+      |       lead(event_type, 1) OVER w_ts AS next_type,
+      |       round(sum(value) OVER (w_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value,
+      |       round(avg(value) OVER (w_ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+      |       CAST(ntile(4) OVER w_ts AS INT) AS quartile
+      |FROM events
+      |WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+
+  /** As-of join — for every event, the latest order of the same
+    * customer at or before the event timestamp. Spark has no native
+    * as-of operator; the scale-correct composition is the tagged
+    * UNION + last-ignoring-nulls running window: one shuffle on the
+    * key, no per-row subqueries, no range self-join blowup. The
+    * DuckDB oracle uses its NATIVE `ASOF LEFT JOIN`, so the
+    * composition is checked against a first-class implementation.
+    *
+    * Orders are pre-deduped to one per (custkey, date) — max orderkey
+    * — because as-of tie behavior among equal timestamps is undefined
+    * in the native operator. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(
+        col("o_custkey").as("key"), col("o_orderdate").as("ts"),
+        lit(0).as("tag"), col("o_orderkey"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val ev = Tables.events(spark, dir)
+      .select(
+        col("user_id").as("key"), col("ts"),
+        lit(1).as("tag"), lit(null).cast("long").as("o_orderkey"),
+        col("event_id"), col("value"))
+    // order rows sort before event rows at equal ts (tag 0 < 1), so
+    // an order at exactly the event time IS visible to it (>= asof)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("key").as("user_id"),
+        col("asof_orderkey"), round(col("value"), 2).as("value"))
+  }
+
+  val asofJoinSql: String =
+    """WITH ord AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+      |       round(e.value, 2) AS value
+      |FROM events e
+      |ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+
+  /** Sessionization: a 30-minute inactivity gap starts a new session
+    * (lag → gap flag → running sum = session id → per-session
+    * aggregate). Two window passes + one aggregation, all on the same
+    * user_id shuffle partitioning — Catalyst reuses the exchange. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(byTs)))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT *,
+      |         CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30 * 60 * 1000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT *, epoch_ms(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+      |        FROM events)),
+      |sess AS (
+      |  SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       round(sum(value), 2) AS session_value,
+      |       min(ts) AS session_start, max(ts) AS session_end
+      |FROM sess
+      |GROUP BY user_id, session_id""".stripMargin
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits — the 100 TB posture enforced as tests, not
+  * prose: no accidental cartesian products, dims broadcast, top-K
+  * never a global sort, collect-free operators. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Queries whose plan legitimately contains a nested-loop join:
+    * q09 crossJoin of two bounded dims (the reference's config cross
+    * product); q21 the documented brute-force similarity baseline
+    * (its scale path is q22). */
+  private val nestedLoopAllowed = Set("q09_config_cross", "q21_cosine_topk")
+
+  test("no query plans a CartesianProduct; nested-loop joins only where documented") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!nestedLoopAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — add an equi-key or broadcast hint")
+      }
+    }
+  }
+
+  test("top-K queries use TakeOrderedAndProject, never a global Sort+Limit") {
+    Seq("q01_discovery", "q03_topk").foreach { name =>
+      assert(planOf(name).contains("TakeOrderedAndProject"), name)
+    }
+  }
+
+  test("dim joins and LSH bucket joins broadcast the small side") {
+    Seq("q01_discovery", "q04_dim_join", "q22_ann_lsh", "q26_spatial_join").foreach { name =>
+      assert(planOf(name).contains("BroadcastHashJoin"), s"$name should broadcast")
+    }
+  }
+
+  test("dedup suite runs on hash joins/aggregates only — no sort-based pair generation") {
+    Seq("q17_exact_dedup", "q18_minhash_lsh", "q19_ngram_jaccard").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must generate candidates via bucket equi-joins")
+    }
+  }
+
+  test("sessionize reuses one user_id exchange across windows and the aggregate") {
+    val plan = planOf("q33_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected ≤1 user_id shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("narrow per-row operators have no shuffle at all") {
+    Seq("q15_pixel_stats", "q20_simhash", "q23_token_quality", "q25_fingerprint",
+      "q28_raster_clip", "q29_multimodal").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange"),
+        s"$name is a map-only operator but its plan shuffles:\n$plan")
+    }
+  }
+}
