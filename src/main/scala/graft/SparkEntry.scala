@@ -52,6 +52,8 @@ object SparkEntry {
     "q31_window_suite" -> ((s, d) => Extended.windowSuite(s, d)),
     "q32_asof_join" -> ((s, d) => Extended.asofJoin(s, d)),
     "q33_sessionize" -> ((s, d) => Extended.sessionize(s, d)),
+    "q34_quantiles" -> ((s, d) => Extended.quantiles(s, d)),
+    "q35_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +92,7 @@ object SparkEntry {
     "q31_window_suite" -> Extended.windowSuiteSql,
     "q32_asof_join" -> Extended.asofJoinSql,
     "q33_sessionize" -> Extended.sessionizeSql,
+    "q34_quantiles" -> Extended.quantilesSql,
+    "q35_embedding_dedup" -> Similarity.embeddingDedupSql,
   )
 }

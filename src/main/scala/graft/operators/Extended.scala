@@ -174,6 +174,31 @@ object Extended {
         max(col("ts")).as("session_end"))
   }
 
+  // ---------------------------------------------------------------- q34
+
+  /** Exact quantiles (R-7 linear interpolation — the formula Spark's
+    * `percentile` and DuckDB's `quantile_cont` share): per-group
+    * p25/median/p90. Exact percentile sorts within groups — the
+    * documented trade; the approximate scale path is
+    * `approx_percentile` (not oracle-comparable across engines by
+    * construction, so the exact form is the verified one). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"))
+
+  val quantilesSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS median,
+      |       round(quantile_cont(l_quantity, 0.9), 4) AS p90
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT *,

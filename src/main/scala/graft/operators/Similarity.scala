@@ -144,4 +144,59 @@ object Similarity {
        |      FROM p)
        |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
        |FROM r WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+
+  /** Embedding-cosine NEAR-DUP detection over the whole corpus (the
+    * last dedup family of the M6 brief): LSH-bucket self-join
+    * generates candidate pairs (a<b within a bucket — O(Σ bucket²),
+    * never n²), exact cosine verifies, threshold keeps near-dups.
+    * Same deterministic bucketing as q22, so the oracle replicates
+    * the candidate set exactly. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      s"""aggregate(sequence(0, ${Bits - 1}), 0, (acc, j) -> acc + shiftleft(
+         |  CASE WHEN aggregate(sequence(1, size(e)), CAST(0 AS DOUBLE),
+         |    (a, i) -> a + element_at(e, i) * (${planeSql("j", "i - 1")})) > 0
+         |  THEN 1 ELSE 0 END, j))""".stripMargin)
+    val b = vectors(spark, dir).withColumn("bucket", bucketExpr)
+      .select(col("vec_id"), col("e"), col("nrm"), col("bucket"))
+      .cache() // self-join below would recompute 4 hyperplane dots per side
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("dot"),
+        (col("a.nrm") * col("b.nrm")).as("nn"))
+      .withColumn("sim", col("dot") / col("nn"))
+    // threshold calibrated to the fixture corpus: its max pairwise
+    // cosine is ~0.51 (no planted embedding dups), so ≥0.4 marks the
+    // "suspiciously similar" tail; the operator contract is the
+    // bucket-join + rerank + threshold shape, not the constant
+    pairs.filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  val embeddingDedupSql: String =
+    s"""WITH n AS (
+       |$duckVectors),
+       |b AS (
+       |  SELECT vec_id, e, nrm,
+       |         CAST(list_sum(list_transform(generate_series(0, ${Bits - 1}), j ->
+       |           CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |                  list_transform(generate_series(1, len(e)),
+       |                    i -> e[i] * (${planeSql("j", "i - 1")}))),
+       |                  (a, x) -> a + x) > 0
+       |           THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+       |  FROM n),
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])),
+       |           (acc, x) -> acc + x) / (a.nrm * b.nrm) AS sim
+       |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, round(sim, 6) AS sim
+       |FROM p WHERE sim >= 0.4""".stripMargin
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The two scale patterns that can't show up in single-query plans:
+  * bucketed co-located joins and salt-based skew mitigation. Both are
+  * proven (a) semantically equivalent to the naive form and (b)
+  * structurally better (shuffle elimination asserted on the plan). */
+class ScalePatternsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no Exchange in the joined plan") {
+    val ord = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    try {
+      // write both sides bucketed by the join key into the session
+      // catalog (in-memory catalog; files land in spark-warehouse/)
+      ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_bucketed")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_bucketed")
+      val joined = spark.table("lineitem_bucketed")
+        .join(spark.table("orders_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not shuffle either side on the join key:\n$plan")
+      // and the result equals the naive shuffled join
+      val naive = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val bucketed = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(bucketed == naive)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+      // in-memory catalog leaves the files behind — remove them
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(rm)
+        p.delete()
+      }
+      rm(new java.io.File("spark-warehouse"))
+    }
+  }
+
+  test("salted aggregation ≡ plain aggregation on a skewed key") {
+    // skew: synthesize 90% of rows onto one key
+    val skewed = Tables.lineitem(spark, sf)
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, lit(0L)).otherwise(col("l_orderkey")))
+    val plain = skewed.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("s"))
+    // two-phase salted aggregate: (k, salt) partial → k final.
+    // Counts/sums re-aggregate losslessly; the salt bounds any single
+    // reducer's share of the hot key to 1/16.
+    val salted = skewed
+      .withColumn("salt", pmod(col("l_partkey"), lit(16)))
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("l_quantity")).as("ps"))
+      .groupBy(col("k"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("ps")), 2).as("s"))
+    val a = plain.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = salted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, "salted two-phase aggregation must be lossless")
+  }
+
+  test("broadcast-salted join ≡ plain join under skew") {
+    // skewed fact joined to a dim: replicate the dim per salt value so
+    // the hot key's rows spread over 16 tasks
+    val fact = Tables.lineitem(spark, sf)
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, lit(1L)).otherwise(col("l_orderkey") % 100))
+      .withColumn("salt", pmod(col("l_partkey"), lit(16)))
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    val plain = fact.join(dim, "k").groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val dimSalted = dim.crossJoin(
+      spark.range(16).select(col("id").cast("int").as("salt")))
+    val saltedJoin = fact.join(dimSalted, Seq("k", "salt"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val a = plain.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = saltedJoin.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "salted join must preserve join semantics")
+  }
+}
