@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** §2.9 streaming/incremental surface. The reference is a daily cron
   * batch with hand-rolled incremental semantics (template.yml:36):
@@ -30,4 +31,29 @@ object Incremental {
     dedupStream(events)
       .groupBy(col("waterbody_id"), window(col("captured_ts"), "1 day").as("day"))
       .agg(count(lit(1)).as("n_images"))
+
+  /** Arbitrary stateful processing (`mapGroupsWithState` — the
+    * KeyValueGroupedDataset custom-state surface): a per-water-body
+    * running ingest ledger that survives across micro-batches. This is
+    * the stateful generalization the built-in operators above can't
+    * express: the state is a user type, updated with user logic. */
+  def runningIngestState(events: Dataset[ImageEvent]): Dataset[BodyProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.waterbody_id)
+      .mapGroupsWithState[BodyState, BodyProgress](GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[ImageEvent], state: GroupState[BodyState]) =>
+          val evs = batch.toSeq
+          val prev = state.getOption.getOrElse(BodyState(0L, Long.MinValue))
+          val next = BodyState(
+            prev.n + evs.size,
+            (prev.lastMillis +: evs.map(_.captured_ts.getTime)).max)
+          state.update(next)
+          BodyProgress(key, next.n, new java.sql.Timestamp(next.lastMillis))
+      }
+  }
 }
+
+case class ImageEvent(waterbody_id: Long, captured_ts: java.sql.Timestamp)
+case class BodyState(n: Long, lastMillis: Long)
+case class BodyProgress(waterbody_id: Long, n_images: Long, last_captured: java.sql.Timestamp)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Incremental
@@ -53,6 +54,30 @@ class StreamingSpec extends AnyFunSuite {
         (1L, "2024-06-01 00:00:00.0", 2L),
         (1L, "2024-06-02 00:00:00.0", 1L),
         (2L, "2024-06-01 00:00:00.0", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: per-body ledger state survives across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("waterbody_id", "captured_ts")
+      .as[graft.streaming.ImageEvent]
+    val q = graft.streaming.Incremental.runningIngestState(events)
+      .writeStream.format("memory").queryName("ledger_out").outputMode("update").start()
+    try {
+      input.addData((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-06-02 09:00:00")), (2L, ts("2024-06-01 08:00:00")))
+      q.processAllAvailable()
+      val latest = spark.table("ledger_out")
+        .groupBy(col("waterbody_id"))
+        .agg(max(col("n_images")).as("n"), max(col("last_captured")).as("last"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString)).toSet
+      assert(latest == Set(
+        (1L, 3L, "2024-06-02 09:00:00.0"), // 2 from batch 1 + 1 from batch 2: state carried
+        (2L, 1L, "2024-06-01 08:00:00.0")), latest.toString)
     } finally q.stop()
   }
 
