@@ -69,6 +69,63 @@ object PolyHash {
   val Mod = 1000000007L
 }
 
+/** Single-pass rolling-hash document fingerprint (the optimized form
+  * of the q25 kernel): computes min(polyhash(gram)) over all k-char
+  * grams AND min over the h ≡ 0 (mod 8) winnowing sample in ONE scan
+  * of the string — no gram array materialization, no per-gram lambda
+  * invocation (the HOF formulation costs one closure call per gram;
+  * at 100 TB that's the difference between scan-bound and
+  * interpreter-bound).
+  *
+  * Rolling update in the same modular field as PolyHash:
+  *   h' = ((h − c_out·31^(k−1)) mod P)·31 + c_in  (mod P)
+  * so every gram hash is EXACTLY the PolyHash of its substring —
+  * equivalence pinned in TextAnalysisSpec.
+  *
+  * Output: struct(n_grams int, fp_min bigint, fp_sel bigint?) —
+  * null when length(s) < k / no gram hits the sample. */
+case class GramFingerprint(child: Expression, k: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType),
+    StructField("fp_min", LongType),
+    StructField("fp_sel", LongType)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return null
+    val P = PolyHash.Mod
+    // 31^(k-1) mod P
+    var pow = 1L
+    var t = 0
+    while (t < k - 1) { pow = pow * 31L % P; t += 1 }
+    // initial gram
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 31L + (bytes(i) & 0xff)) % P; i += 1 }
+    var fpMin = h
+    var fpSel = if (h % 8 == 0) h else Long.MaxValue
+    // roll
+    i = k
+    while (i < n) {
+      val out = (bytes(i - k) & 0xff).toLong
+      h = (((h - out * pow % P) % P + P) % P * 31L + (bytes(i) & 0xff)) % P
+      if (h < fpMin) fpMin = h
+      if (h % 8 == 0 && h < fpSel) fpSel = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n - k + 1, fpMin, if (fpSel == Long.MaxValue) null else fpSel))
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramFingerprint = copy(child = c)
+  override def prettyName: String = "gram_fingerprint"
+}
+
 /** Session-level registration so `polyhash(...)` is usable inside SQL
   * higher-order-function lambdas (transform/aggregate), where Column
   * composition can't reach. Idempotent per session. */

@@ -47,6 +47,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("GramFingerprint rolling expression ≡ per-gram polyhash HOF spec") {
+    import graft.functions.TextHash
+    TextHash.register(spark)
+    val hof = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 5)
+      .withColumn("hh", expr(
+        "transform(sequence(1, length(text) - 4), i -> polyhash(substring(text, i, 5)))"))
+      .select(
+        col("doc_id"),
+        expr("array_min(hh)").as("fp_min"),
+        expr("array_min(filter(hh, h -> h % 8 = 0))").as("fp_sel"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val fast = TextAnalysis.fingerprint(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.get(2), r.get(3))).toMap
+    assert(hof == fast, "rolling-hash must reproduce the per-gram fold exactly")
+  }
+
   test("fingerprint is stable: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
