@@ -81,6 +81,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed file stream: restart resumes exactly-once (no reprocessing)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def writeChunk(rows: Seq[(Long, Timestamp)], name: String): Unit =
+      rows.toDF("waterbody_id", "captured_ts")
+        .coalesce(1).write.parquet(s"$inDir/$name")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("waterbody_id LONG, captured_ts TIMESTAMP")
+        .option("recursiveFileLookup", "true")
+        .parquet(inDir)
+      val q = graft.streaming.Incremental.dedupStream(stream)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeChunk(Seq((1L, ts("2024-06-01 10:00:00")), (1L, ts("2024-06-01 10:00:00")),
+      (2L, ts("2024-06-01 11:00:00"))), "chunk1")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 2, "first run dedups within the batch")
+    // restart with MORE data: checkpoint must skip chunk1 entirely
+    writeChunk(Seq((3L, ts("2024-06-02 10:00:00"))), "chunk2")
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 3, "restart processes only the new chunk (exactly-once)")
+    assert(out.select("waterbody_id").distinct().count() == 3)
+  }
+
   test("the same transforms run in batch mode (plan-level parity)") {
     import spark.implicits._
     val batch = Seq(
