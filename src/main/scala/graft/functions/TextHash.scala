@@ -126,6 +126,47 @@ case class GramFingerprint(child: Expression, k: Int)
   override def prettyName: String = "gram_fingerprint"
 }
 
+/** Single-pass SimHash over a pre-hashed token array (optimized form
+  * of the q20 kernel): one scan of the hashes maintains all `bits`
+  * counters — the HOF formulation re-walks the token array once per
+  * bit (30×). Bit j of token hash h votes ±1 via (h >> j) & 1; bit j
+  * of the result is set iff the vote sum is positive. Identical to
+  * the nested-aggregate spec for non-negative h (pinned in
+  * DedupSpec). */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+  override def prettyName: String = "simhash"
+}
+
 /** Session-level registration so `polyhash(...)` is usable inside SQL
   * higher-order-function lambdas (transform/aggregate), where Column
   * composition can't reach. Idempotent per session. */

@@ -209,22 +209,21 @@ object Dedup {
 
   /** 30-bit SimHash (frequency-weighted: repeated tokens vote
     * repeatedly). Bit j is set iff Σ_tokens (±1 by bit j of
-    * polyhash(token)) > 0. Whole computation is per-row higher-order
-    * functions — a narrow map stage, no shuffle at all. */
+    * polyhash(token)) > 0. A narrow map stage, no shuffle at all —
+    * with the single-pass `SimHash` expression doing one scan of the
+    * token hashes instead of the 30-passes-of-the-HOF spec (the spec
+    * form stays in DedupSpec as the executable contract). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     TextHash.register(spark)
+    val hh = expr("transform(t, tok -> polyhash(tok))")
     tokenized(spark, dir)
       .filter(size(col("t")) >= 1)
-      .withColumn("hh", expr("transform(t, tok -> polyhash(tok))"))
       .select(
         col("doc_id"),
         size(col("t")).as("n_tokens"),
-        expr(
-          """aggregate(sequence(0, 29), CAST(0 AS BIGINT), (acc, j) -> acc +
-            |  CASE WHEN aggregate(hh, CAST(0 AS BIGINT), (a, h) -> a +
-            |    CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1 THEN 1 ELSE -1 END) > 0
-            |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-          .as("simhash"))
+        GraftSqlBridge.column(
+          graft.functions.SimHash(GraftSqlBridge.expression(hh), 30)).as("simhash"))
   }
 
   val simhashSql: String =

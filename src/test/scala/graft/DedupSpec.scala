@@ -83,6 +83,24 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(inv), s"inverted index missed: ${lsh -- inv}")
   }
 
+  test("SimHash expression ≡ nested-aggregate HOF spec") {
+    TextHash.register(spark)
+    val spec = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("hh", expr("transform(t, tok -> polyhash(tok))"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 29), CAST(0 AS BIGINT), (acc, j) -> acc +
+          |  CASE WHEN aggregate(hh, CAST(0 AS BIGINT), (a, h) -> a +
+          |    CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+          |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.simhash(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(spec == fast, "single-pass expression must reproduce the 30-pass spec")
+  }
+
   test("simhash: near-dup docs have small hamming distance, others large") {
     val sims = Dedup.simhash(spark, sf)
     val pairs = Dedup.minhashLsh(spark, sf).filter(col("jaccard") >= 0.9)

@@ -50,6 +50,29 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitionBy write → partition pruning: filtered scan reads one partition") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events_by_day"
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    ev.write.partitionBy("day").parquet(dir)
+    val oneDay = ev.select(col("day")).distinct().orderBy(col("day")).head().getDate(0)
+    val pruned = spark.read.parquet(dir).filter(col("day") === lit(oneDay))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("day"),
+      s"day filter must prune partitions at the scan:\n$plan")
+    assert(pruned.count() == ev.filter(col("day") === lit(oneDay)).count())
+  }
+
+  test("parquet scans receive pushed data filters (min/max + dictionary skipping)") {
+    val df = Tables.lineitem(spark, sf).filter(col("l_quantity") < 5.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]"),
+      s"quantity predicate must reach the parquet reader:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"only the projected columns may be read:\n$plan")
+  }
+
   test("salted aggregation ≡ plain aggregation on a skewed key") {
     // skew: synthesize 90% of rows onto one key
     val skewed = Tables.lineitem(spark, sf)
