@@ -22,7 +22,15 @@ object TextAnalysis {
     s"$v IN (${ws.map(w => s"'$w'").mkString(", ")})"
 
   /** Token counts, type-token ratio, stopword ratio, a chars/4 BPE-ish
-    * token estimate, and a deterministic composite quality score. */
+    * token estimate, and a deterministic composite quality score.
+    *
+    * All ratios are emitted as INTEGER basis points via integer
+    * division — ratios of small integers land on decimal .xxx5
+    * boundaries where Spark (rounds the shortest decimal repr of the
+    * double) and DuckDB (rounds the binary value) disagree; e.g.
+    * round(0.78575, 4) is 0.7858 in Spark and 0.7857 in DuckDB. This
+    * surfaced as a real one-row hash mismatch at sf0.1. Integer
+    * arithmetic has no such boundary. */
   def tokenQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -30,41 +38,40 @@ object TextAnalysis {
       .filter(size(col("t")) >= 1)
       .select(
         col("doc_id"), col("lang"),
-        size(col("t")).as("n_tokens"),
-        expr("size(array_distinct(t))").as("n_types"),
-        expr(s"size(filter(t, x -> ${inList("x", stopEn)}))").as("n_stop"),
-        length(col("text")).as("n_chars"))
-      .select(
-        col("doc_id"), col("lang"), col("n_tokens"), col("n_types"),
-        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4)
-          .as("avg_token_len"),
-        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
-        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe_tokens"),
-        round(
-          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
-            + lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
-            + lit(0.3) * least(lit(1.0), col("n_types").cast("double") / col("n_tokens") * 2.0),
-          4).as("quality_score"))
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("size(array_distinct(t))").cast("long").as("n_types"),
+        expr(s"size(filter(t, x -> ${inList("x", stopEn)}))").cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_chars"))
+      .selectExpr(
+        "doc_id", "lang", "n_tokens", "n_types",
+        // ×100 average token length, integer
+        "(100 * (n_chars - (n_tokens - 1))) div n_tokens AS avg_token_len_x100",
+        "(10000 * n_types) div n_tokens AS ttr_bp",
+        "(10000 * n_stop) div n_tokens AS stop_ratio_bp",
+        "(n_chars + 3) div 4 AS est_bpe_tokens",
+        // 0.4·min(1, nt/100) + 0.3·(1 − stop/nt) + 0.3·min(1, 2·types/nt), in bp
+        """40 * least(100L, n_tokens)
+          | + (3000 * (n_tokens - n_stop)) div n_tokens
+          | + (3000 * least(n_tokens, 2 * n_types)) div n_tokens AS quality_bp""".stripMargin)
 
   val tokenQualitySql: String =
     s"""WITH base AS (
        |  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
        |m AS (
        |  SELECT doc_id, lang,
-       |         len(t) AS n_tokens,
-       |         len(list_distinct(t)) AS n_types,
-       |         len(list_filter(t, x -> ${inList("x", stopEn)})) AS n_stop,
-       |         length(text) AS n_chars
+       |         CAST(len(t) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       |         CAST(len(list_filter(t, x -> ${inList("x", stopEn)})) AS BIGINT) AS n_stop,
+       |         CAST(length(text) AS BIGINT) AS n_chars
        |  FROM base WHERE len(t) >= 1)
        |SELECT doc_id, lang, n_tokens, n_types,
-       |       round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS avg_token_len,
-       |       round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
-       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-       |       CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens,
-       |       round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-       |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-       |             + 0.3 * least(1.0, CAST(n_types AS DOUBLE) / n_tokens * 2.0), 4) AS quality_score
+       |       (100 * (n_chars - (n_tokens - 1))) // n_tokens AS avg_token_len_x100,
+       |       (10000 * n_types) // n_tokens AS ttr_bp,
+       |       (10000 * n_stop) // n_tokens AS stop_ratio_bp,
+       |       (n_chars + 3) // 4 AS est_bpe_tokens,
+       |       40 * least(CAST(100 AS BIGINT), n_tokens)
+       |         + (3000 * (n_tokens - n_stop)) // n_tokens
+       |         + (3000 * least(n_tokens, 2 * n_types)) // n_tokens AS quality_bp
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- q24
@@ -81,33 +88,34 @@ object TextAnalysis {
   )
 
   /** n-gram/stopword-heuristic language ID: score = share of tokens in
-    * each language's profile; predict the argmax (ties broken by
-    * profile order). On this synthetic corpus every language draws
-    * from one shared vocabulary, so predictions skew English — the
-    * verified contract is the deterministic scoring, mirrored in the
-    * oracle. */
+    * each language's profile, in integer basis points (see
+    * tokenQuality for why not rounded doubles); predict the argmax
+    * (ties broken by profile order). On this synthetic corpus every
+    * language draws from one shared vocabulary, so predictions skew
+    * English — the verified contract is the deterministic scoring,
+    * mirrored in the oracle. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 1)
       .select(Seq(col("doc_id"), col("lang")) ++ profiles.map { case (l, ws) =>
-        round(expr(s"size(filter(t, x -> ${inList("x", ws)}))").cast("double")
-          / size(col("t")), 4).as(s"s_$l")
+        expr(s"(10000 * size(filter(t, x -> ${inList("x", ws)}))) div size(t)")
+          .as(s"s_${l}_bp")
       }: _*)
-    val best = profiles.map { case (l, _) => col(s"s_$l") }.reduce((a, b) => greatest(a, b))
+    val best = profiles.map { case (l, _) => col(s"s_${l}_bp") }.reduce((a, b) => greatest(a, b))
     val pred = profiles.init.foldRight(lit(profiles.last._1)) { case ((l, _), els) =>
-      when(col(s"s_$l") === best, lit(l)).otherwise(els)
+      when(col(s"s_${l}_bp") === best, lit(l)).otherwise(els)
     }
     scored.withColumn("predicted_lang", pred)
   }
 
   val langIdSql: String = {
     val scores = profiles.map { case (l, ws) =>
-      s"round(CAST(len(list_filter(t, x -> ${inList("x", ws)})) AS DOUBLE) / len(t), 4) AS s_$l"
+      s"(10000 * len(list_filter(t, x -> ${inList("x", ws)}))) // len(t) AS s_${l}_bp"
     }.mkString(",\n         ")
-    val best = s"greatest(${profiles.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val best = s"greatest(${profiles.map { case (l, _) => s"s_${l}_bp" }.mkString(", ")})"
     val pred = profiles.init.foldRight(s"'${profiles.last._1}'") { case ((l, _), els) =>
-      s"CASE WHEN s_$l = $best THEN '$l' ELSE $els END"
+      s"CASE WHEN s_${l}_bp = $best THEN '$l' ELSE $els END"
     }
     s"""WITH scored AS (
        |  SELECT doc_id, lang,

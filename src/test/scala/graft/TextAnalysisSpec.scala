@@ -9,25 +9,25 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("token quality: ratios bounded, quality score in [0,1]") {
+  test("token quality: basis-point ratios bounded, quality score in [0,10000]") {
     TextAnalysis.tokenQuality(spark, sf).collect().foreach { r =>
-      assert(r.getAs[Int]("n_types") <= r.getAs[Int]("n_tokens"))
-      val ttr = r.getAs[Double]("ttr")
-      val sr = r.getAs[Double]("stop_ratio")
-      val q = r.getAs[Double]("quality_score")
-      assert(ttr > 0 && ttr <= 1.0)
-      assert(sr >= 0 && sr <= 1.0)
-      assert(q >= 0 && q <= 1.0, s"quality score out of range: $q")
-      assert(r.getAs[Double]("avg_token_len") > 0)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      val ttr = r.getAs[Long]("ttr_bp")
+      val sr = r.getAs[Long]("stop_ratio_bp")
+      val q = r.getAs[Long]("quality_bp")
+      assert(ttr > 0 && ttr <= 10000)
+      assert(sr >= 0 && sr <= 10000)
+      assert(q >= 0 && q <= 10000, s"quality score out of range: $q")
+      assert(r.getAs[Long]("avg_token_len_x100") > 0)
     }
   }
 
   test("lang id: predicted lang always carries the max score") {
     TextAnalysis.langId(spark, sf).collect().foreach { r =>
       val scores = Map(
-        "en" -> r.getAs[Double]("s_en"), "de" -> r.getAs[Double]("s_de"),
-        "es" -> r.getAs[Double]("s_es"), "fr" -> r.getAs[Double]("s_fr"),
-        "zh" -> r.getAs[Double]("s_zh"))
+        "en" -> r.getAs[Long]("s_en_bp"), "de" -> r.getAs[Long]("s_de_bp"),
+        "es" -> r.getAs[Long]("s_es_bp"), "fr" -> r.getAs[Long]("s_fr_bp"),
+        "zh" -> r.getAs[Long]("s_zh_bp"))
       val p = r.getAs[String]("predicted_lang")
       assert(scores(p) == scores.values.max, s"predicted $p is not argmax in $scores")
     }
