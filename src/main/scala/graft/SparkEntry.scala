@@ -54,6 +54,7 @@ object SparkEntry {
     "q33_sessionize" -> ((s, d) => Extended.sessionize(s, d)),
     "q34_quantiles" -> ((s, d) => Extended.quantiles(s, d)),
     "q35_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
+    "q36_cube" -> ((s, d) => Extended.cubeAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,6 @@ object SparkEntry {
     "q33_sessionize" -> Extended.sessionizeSql,
     "q34_quantiles" -> Extended.quantilesSql,
     "q35_embedding_dedup" -> Similarity.embeddingDedupSql,
+    "q36_cube" -> Extended.cubeAggSql,
   )
 }

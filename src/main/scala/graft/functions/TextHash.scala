@@ -133,8 +133,7 @@ case class GramFingerprint(child: Expression, k: Int)
   * of the result is set iff the vote sum is positive. Identical to
   * the nested-aggregate spec for non-negative h (pinned in
   * DedupSpec). */
-case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   import org.apache.spark.sql.types._
 
   override def dataType: DataType = LongType
@@ -162,6 +161,31 @@ case class SimHash(child: Expression, bits: Int)
     }
     out
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    if ((($h >> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($votes[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
   override def prettyName: String = "simhash"

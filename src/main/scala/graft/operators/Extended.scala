@@ -67,6 +67,29 @@ object Extended {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+
+  /** CUBE: all 2^k grouping combinations in one pass (rollup's q30
+    * covers the hierarchy prefixes; cube completes the §2.7 grouping
+    * surface). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   // ---------------------------------------------------------------- q31
 
   /** The general window-function suite over a fully deterministic
