@@ -179,7 +179,15 @@ object Extended {
   /** Sessionization: a 30-minute inactivity gap starts a new session
     * (lag → gap flag → running sum = session id → per-session
     * aggregate). Two window passes + one aggregation, all on the same
-    * user_id shuffle partitioning — Catalyst reuses the exchange. */
+    * user_id shuffle partitioning — Catalyst reuses the exchange.
+    *
+    * session_value is summed as exact integer cents (floor(value*100))
+    * rather than round(sum(double)): a group-agg's summation order is
+    * nondeterministic under hash aggregation, so a double sum landing
+    * on a .xx5 rounding boundary hash-diverges between engines (and
+    * between runs) — CORRECTNESS_r02 caught exactly that. floor() of
+    * the same IEEE double is identical in both engines and integer
+    * addition is order-independent. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -192,7 +200,7 @@ object Extended {
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"),
+        sum(floor(col("value") * 100).cast("long")).as("session_value_cents"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
   }
@@ -235,7 +243,7 @@ object Extended {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |       round(sum(value), 2) AS session_value,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents,
       |       min(ts) AS session_start, max(ts) AS session_end
       |FROM sess
       |GROUP BY user_id, session_id""".stripMargin
