@@ -238,9 +238,12 @@ object Extended {
       |  FROM (SELECT *, epoch_ms(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
       |        FROM events)),
       |sess AS (
-      |  SELECT *, sum(new_session) OVER (
+      |  -- CAST: DuckDB window sum(int) yields HUGEINT, which pandas/
+      |  -- arrow surface as float64 (1.0 vs Spark's bigint 1) — the
+      |  -- actual q33 hash-mismatch in CORRECTNESS_r02.
+      |  SELECT *, CAST(sum(new_session) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents,

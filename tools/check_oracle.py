@@ -53,6 +53,15 @@ def compare(got, want):
         return False, f"row count differs: spark={len(got)} oracle={len(want)}"
     g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
     w = want[wc].sort_values(by=wc, kind="mergesort").reset_index(drop=True)
+    # The driver hashes raw values, so int64 1 vs float64 1.0 is a
+    # mismatch there even though == says equal here. DuckDB HUGEINT
+    # (from sum(int)/sum(bigint)) surfaces as float64 in pandas — the
+    # q33 round-2 failure mode. Be at least as strict as the driver.
+    for c in gc:
+        gk, wk = g[c].dtype.kind, w[c].dtype.kind
+        if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+            return False, (f"col {c} dtype kind differs: spark={g[c].dtype} "
+                           f"oracle={w[c].dtype} (HUGEINT→float64 leak?)")
     for c in gc:
         for i, (a, b) in enumerate(zip(g[c], w[c])):
             if not cell_eq(a, b):
