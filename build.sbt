@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim instead of logging it
+// with an `[info] ` prefix: the driver parses Bench's single JSON
+// stdout line, and the prefix broke that parse (BENCH_r02 "parsed":
+// null). Stderr (Spark logs) keeps flowing to the sbt logger.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
