@@ -55,6 +55,7 @@ object SparkEntry {
     "q34_quantiles" -> ((s, d) => Extended.quantiles(s, d)),
     "q35_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "q36_cube" -> ((s, d) => Extended.cubeAgg(s, d)),
+    "q37_interval_join" -> ((s, d) => Extended.intervalJoinQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +97,6 @@ object SparkEntry {
     "q34_quantiles" -> Extended.quantilesSql,
     "q35_embedding_dedup" -> Similarity.embeddingDedupSql,
     "q36_cube" -> Extended.cubeAggSql,
+    "q37_interval_join" -> Extended.intervalJoinQuerySql,
   )
 }

@@ -230,6 +230,41 @@ object Extended {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+
+  /** Point-in-interval join through the CUSTOM physical operator
+    * (graft.plans.IntervalJoinExec — logical node + strategy + exec
+    * registered at runtime): purchase events open a 2-hour window; all
+    * other events of the same user falling inside any window attach to
+    * it. The oracle is the plain SQL range join, so the custom exec is
+    * verified against the declarative semantics it replaces. */
+  def intervalJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("iv_user"), col("event_id").as("iv_id"),
+        col("ts").as("iv_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("iv_end"))
+    val pt = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    graft.plans.IntervalJoins
+      .intervalJoin(pt, iv, "user_id", "iv_user", "ts", "iv_start", "iv_end")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("iv_id"))
+  }
+
+  val intervalJoinQuerySql: String =
+    """WITH iv AS (
+      |  SELECT user_id AS iv_user, event_id AS iv_id, ts AS iv_start,
+      |         ts + INTERVAL 2 HOUR AS iv_end
+      |  FROM events WHERE event_type = 'purchase'),
+      |pt AS (
+      |  SELECT user_id, event_id, ts, event_type
+      |  FROM events WHERE event_type <> 'purchase')
+      |SELECT p.event_id, p.user_id, p.event_type, iv.iv_id
+      |FROM pt p JOIN iv
+      |  ON p.user_id = iv.iv_user
+      | AND p.ts >= iv.iv_start AND p.ts < iv.iv_end""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT *,

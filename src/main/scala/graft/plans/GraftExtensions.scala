@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: the deployment-grade way to
+  * install graft's planner extensions cluster-wide —
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * or programmatically `SparkSession.builder().withExtensions(new
+  * GraftExtensions)`. Sessions built without it (e.g. the driver's
+  * Verify/Bench sessions) get the same strategy lazily through
+  * `IntervalJoins.register` on first use, so both registration paths
+  * are exercised: extensions in ExtensionsSpec, experimental-methods
+  * in the q37 query path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+  }
+}

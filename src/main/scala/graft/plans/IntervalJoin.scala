@@ -1,0 +1,255 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.functions.col
+
+/** Point-in-interval join as a first-class operator: the whole-operator
+  * tier (c) of the custom-operator ladder — a custom `LogicalPlan`
+  * planned by a `SparkStrategy` into a custom `SparkPlan`, registered
+  * either through `SparkSessionExtensions` (GraftExtensions) or
+  * post-hoc via `spark.experimental.extraStrategies`.
+  *
+  * Semantics: inner join of `left` (points) with `right` (intervals) on
+  *   leftKey = rightKey AND ivStart <= point < ivEnd
+  * — the reference's image-timestamp ∈ [window_start, window_end)
+  * containment (reference main.py:384-398) lifted from a filter to a
+  * join, the same shape Flink's interval join and Trino/DuckDB range
+  * joins make native.
+  *
+  * Why a custom operator when q11 already composes one: Catalyst plans
+  * key+range joins as a shuffled hash/sort-merge join on the equi key
+  * with the range as a post-join residual filter — every (point,
+  * interval) pair sharing a key is materialized before the filter
+  * drops it. With K intervals per key that is O(points × K) rows; this
+  * exec instead sorts each co-partitioned side once and binary-searches
+  * the per-key interval list for each point, touching only the
+  * candidate prefix. Same single shuffle per side as SMJ, no
+  * intermediate blowup, no driver involvement — the shape that holds
+  * at 100 TB.
+  */
+case class IntervalJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    point: Expression,
+    ivStart: Expression,
+    ivEnd: Expression)
+  extends BinaryNode {
+
+  require(leftKey.dataType == rightKey.dataType,
+    s"key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(ivStart.dataType == point.dataType && ivEnd.dataType == point.dataType,
+    s"interval bound types must match the point type ${point.dataType}")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans IntervalJoinPlan → IntervalJoinExec; a no-op on every other
+  * node, so it is safe to leave permanently registered. */
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinPlan(l, r, lk, rk, pt, s, e) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, pt, s, e) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Co-partitioned, co-sorted merge sweep.
+  *
+  * Child contracts (EnsureRequirements inserts the exchanges/sorts):
+  *  - distribution: ClusteredDistribution on each side's key — one
+  *    hash shuffle per side, exactly what sort-merge join would cost;
+  *  - ordering: (key, point) on the left, (key, ivStart) on the right.
+  *
+  * Per partition: advance both sorted streams key-by-key; buffer the
+  * current key's intervals (sorted by start, copied out of the
+  * operator's reused UnsafeRows); for each point, binary-search the
+  * first interval with start > point and scan only that prefix testing
+  * end > point. Memory is bounded by the widest single key's interval
+  * count — the documented skew contract (same as SMJ's buffered right
+  * group); a spilling interval buffer is the upgrade path.
+  *
+  * Not codegen'd (no CodegenSupport): the sweep is join-internal
+  * control flow, and both inputs arrive through exchanges that already
+  * break whole-stage codegen at this boundary.
+  */
+case class IntervalJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    point: Expression,
+    ivStart: Expression,
+    ivEnd: Expression)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    SortOrder(leftKey, Ascending) :: SortOrder(point, Ascending) :: Nil,
+    SortOrder(rightKey, Ascending) :: SortOrder(ivStart, Ascending) :: Nil)
+
+  // rows stream out in left order — lets a downstream sort on the same
+  // prefix be elided
+  override def outputOrdering: Seq[SortOrder] =
+    SortOrder(leftKey, Ascending) :: SortOrder(point, Ascending) :: Nil
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val ptOrd = TypeUtils.getInterpretedOrdering(point.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lk = BindReferences.bindReference(leftKey, lOut)
+      val pt = BindReferences.bindReference(point, lOut)
+      val rk = BindReferences.bindReference(rightKey, rOut)
+      val ivS = BindReferences.bindReference(ivStart, rOut)
+      val ivE = BindReferences.bindReference(ivEnd, rOut)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, lOut ++ rOut)
+
+      // one-row lookahead over the interval stream; rows are copied
+      // because the upstream sort reuses its UnsafeRow
+      var rRow: InternalRow = null
+      var rKey: Any = null
+      def advanceRight(): Unit = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val t = rIter.next()
+          rKey = rk.eval(t)
+          if (rKey != null) rRow = t.copy() // null keys never match: drop
+        }
+      }
+      advanceRight()
+
+      // interval buffer for the current key, sorted by start (inherited
+      // from the child ordering)
+      var bufKey: Any = null
+      var bufValid = false
+      val bufRows = new scala.collection.mutable.ArrayBuffer[InternalRow]
+      val bufStart = new scala.collection.mutable.ArrayBuffer[Any]
+      val bufEnd = new scala.collection.mutable.ArrayBuffer[Any]
+
+      def loadBufferFor(k: Any): Unit = {
+        if (bufValid && keyOrd.equiv(bufKey, k)) return
+        while (rRow != null && keyOrd.lt(rKey, k)) advanceRight()
+        bufRows.clear(); bufStart.clear(); bufEnd.clear()
+        bufKey = k; bufValid = true
+        while (rRow != null && keyOrd.equiv(rKey, k)) {
+          val s = ivS.eval(rRow)
+          val e = ivE.eval(rRow)
+          if (s != null && e != null) {
+            bufRows += rRow; bufStart += s; bufEnd += e
+          }
+          advanceRight()
+        }
+      }
+
+      // first index whose start is > p (buffer sorted by start)
+      def upperBound(p: Any): Int = {
+        var lo = 0
+        var hi = bufStart.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ptOrd.lteq(bufStart(mid), p)) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+
+      lIter.flatMap { lRow =>
+        val k = lk.eval(lRow)
+        if (k == null) Iterator.empty
+        else {
+          loadBufferFor(k)
+          if (bufRows.isEmpty) Iterator.empty
+          else {
+            val p = pt.eval(lRow)
+            if (p == null) Iterator.empty
+            else {
+              val ub = upperBound(p)
+              (0 until ub).iterator
+                .filter(i => ptOrd.gt(bufEnd(i), p)) // start <= p < end
+                .map { i =>
+                  numOutputRows += 1
+                  resultProj(joined(lRow, bufRows(i)))
+                }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level API. Columns are resolved by name against each
+  * side, the right side is re-aliased (fresh exprIds, so self-joins of
+  * the same source are safe), and the strategy is registered on the
+  * session if absent. */
+object IntervalJoins {
+
+  def register(spark: SparkSession): Unit =
+    GraftSqlBridge.addExtraStrategy(spark, IntervalJoinStrategy)
+
+  def intervalJoin(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      point: String,
+      ivStart: String,
+      ivEnd: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    register(spark)
+    val dup = leftDf.columns.toSet.intersect(rightDf.columns.toSet)
+    require(dup.isEmpty,
+      s"left/right column names must be disjoint, both have: ${dup.mkString(", ")}")
+    // fresh exprIds on the interval side: both inputs may come from the
+    // same source (self-join), and a custom node bypasses the
+    // analyzer's DeduplicateRelations
+    val rightFresh = rightDf.select(rightDf.columns.map(c => col(c).as(c)).toSeq: _*)
+    val lPlan = planOf(leftDf)
+    val rPlan = planOf(rightFresh)
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+    GraftSqlBridge.ofRows(spark, IntervalJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, leftKey, "left"), attr(rPlan, rightKey, "right"),
+      attr(lPlan, point, "left"),
+      attr(rPlan, ivStart, "right"), attr(rPlan, ivEnd, "right")))
+  }
+
+  private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+}

@@ -14,6 +14,23 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an (already resolved) custom logical plan as a DataFrame —
+    * `classic.Dataset.ofRows` is `private[sql]`. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently append a planner strategy on a live session (the
+    * runtime-registration alternative to spark.sql.extensions). */
+  def addExtraStrategy(
+      spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** Register a temp SQL function backed by a custom Catalyst
     * expression (so it is usable inside HOF lambdas). The session's
     * `sessionState` is `private[sql]`-reachable from this package. */

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Extended
+import graft.plans.{GraftExtensions, IntervalJoinPlan, IntervalJoins}
+
+/** The custom interval-join operator (logical node → strategy → exec):
+  * semantics vs the composed declarative join, [start, end) boundary
+  * behavior, null handling, self-join safety, and both registration
+  * paths (experimental strategies + SparkSessionExtensions). */
+class IntervalJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def points = {
+    import spark.implicits._
+    Seq(
+      (1L, 100L, 5L), (1L, 101L, 10L), (1L, 102L, 20L),
+      (2L, 103L, 10L), (3L, 104L, 7L))
+      .toDF("k", "pid", "pt")
+  }
+
+  private def intervals = {
+    import spark.implicits._
+    Seq(
+      (1L, 200L, 5L, 10L),   // [5,10): matches pt=5 only
+      (1L, 201L, 10L, 15L),  // [10,15): matches pt=10 only
+      (1L, 202L, 0L, 100L),  // [0,100): matches 5, 10, 20
+      (2L, 203L, 11L, 12L))  // misses pt=10
+      .toDF("ik", "iid", "s", "e")
+  }
+
+  test("half-open [start, end) boundary semantics on a hand-checked fixture") {
+    val got = IntervalJoins.intervalJoin(points, intervals, "k", "ik", "pt", "s", "e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(
+      (100L, 200L), (100L, 202L), // pt=5: in [5,10) and [0,100)
+      (101L, 201L), (101L, 202L), // pt=10: excluded from [5,10), in [10,15)
+      (102L, 202L)))              // pt=20: only [0,100)
+  }
+
+  test("null keys and null bounds produce no matches (inner-join equality)") {
+    import spark.implicits._
+    val p = Seq((Some(1L), 1L, Some(5L)), (None, 2L, Some(5L)), (Some(1L), 3L, None))
+      .toDF("k", "pid", "pt")
+    val iv = Seq((Some(1L), 10L, Some(0L), Some(9L)), (None, 11L, Some(0L), Some(9L)),
+      (Some(1L), 12L, None, Some(9L)))
+      .toDF("ik", "iid", "s", "e")
+    val got = IntervalJoins.intervalJoin(p, iv, "k", "ik", "pt", "s", "e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("empty interval side yields an empty result") {
+    val got = IntervalJoins.intervalJoin(
+      points, intervals.filter(col("iid") < 0), "k", "ik", "pt", "s", "e")
+    assert(got.count() === 0)
+  }
+
+  test("q37 matches the composed join it replaces (self-join of events)") {
+    val custom = Extended.intervalJoinQuery(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("iv_user"), col("event_id").as("iv_id"),
+        col("ts").as("iv_start"), (col("ts") + expr("INTERVAL 2 HOURS")).as("iv_end"))
+    val composed = ev.filter(col("event_type") =!= "purchase")
+      .join(iv, col("user_id") === col("iv_user") &&
+        col("ts") >= col("iv_start") && col("ts") < col("iv_end"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("iv_id"))
+    assert(custom.count() === composed.count())
+    assert(custom.except(composed).count() === 0)
+    assert(composed.except(custom).count() === 0)
+  }
+
+  test("plan uses IntervalJoinExec — no cartesian, no nested loop, no residual-filter join") {
+    val plan = Extended.intervalJoinQuery(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("SparkSessionExtensions registration path plans the operator") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extSession = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import extSession.implicits._
+      val p = Seq((1L, 1L, 5L)).toDF("k", "pid", "pt")
+      val iv = Seq((1L, 9L, 0L, 9L)).toDF("ik", "iid", "s", "e")
+      // build the logical node directly — no IntervalJoins.register, so
+      // only the injected extension can plan it
+      def a(df: DataFrame, n: String) = df.queryExecution.analyzed.output.find(_.name == n).get
+      val df = GraftSqlBridge.ofRows(extSession, IntervalJoinPlan(
+        p.queryExecution.analyzed, iv.queryExecution.analyzed,
+        a(p, "k"), a(iv, "ik"), a(p, "pt"), a(iv, "s"), a(iv, "e")))
+      assert(df.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+      assert(df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === Set((1L, 9L)))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
