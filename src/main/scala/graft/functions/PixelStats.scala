@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -40,7 +40,7 @@ import org.apache.spark.sql.types._
   * custom-work item 3).
   */
 case class ImageStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val WhiteMin = 0.6 * 255.0   // 153.0 (main.py:277)
   private val WhiteSpread = 0.1 * 255.0 // 25.5  (main.py:277)
@@ -92,6 +92,72 @@ case class ImageStats(child: Expression)
       mean(sumR, cntR), mean(sumG, cntG), mean(sumB, cntB),
       if (inBounds == 0) null else white.toDouble / inBounds))
   }
+
+  /** Same kernel emitted as Java so the per-image pass stays inside
+    * whole-stage codegen — no interpreted-eval virtual dispatch per
+    * row in the pixel hot path. Thresholds are compared as doubles,
+    * exactly like the interpreted eval (PixelStatsSpec pins both
+    * paths to the same goldens). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      val ok = ctx.freshName("ok")
+      val r = ctx.freshName("r"); val g = ctx.freshName("g"); val b = ctx.freshName("b")
+      val sums = ctx.freshName("sums"); val cnts = ctx.freshName("cnts")
+      val white = ctx.freshName("white"); val inb = ctx.freshName("inb")
+      val nRows = ctx.freshName("nRows"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val rr = ctx.freshName("rr"); val gr = ctx.freshName("gr"); val br = ctx.freshName("br")
+      val nCols = ctx.freshName("nCols")
+      val rv = ctx.freshName("rv"); val gv = ctx.freshName("gv"); val bv = ctx.freshName("bv")
+      val mx = ctx.freshName("mx"); val mn = ctx.freshName("mn")
+      val out = ctx.freshName("out")
+      s"""
+         |${ev.isNull} = true;
+         |boolean $ok = $c.numElements() == 3;
+         |$ad $r = null; $ad $g = null; $ad $b = null;
+         |if ($ok) {
+         |  $r = $c.getArray(0); $g = $c.getArray(1); $b = $c.getArray(2);
+         |  $ok = $r != null && $g != null && $b != null;
+         |}
+         |int $nRows = 0;
+         |if ($ok) {
+         |  $nRows = $r.numElements();
+         |  $ok = $g.numElements() == $nRows && $b.numElements() == $nRows;
+         |}
+         |long[] $sums = new long[3]; long[] $cnts = new long[3];
+         |long $white = 0L; long $inb = 0L;
+         |for (int $i = 0; $ok && $i < $nRows; $i++) {
+         |  $ad $rr = $r.getArray($i); $ad $gr = $g.getArray($i); $ad $br = $b.getArray($i);
+         |  if ($rr == null || $gr == null || $br == null) { $ok = false; break; }
+         |  int $nCols = $rr.numElements();
+         |  if ($gr.numElements() != $nCols || $br.numElements() != $nCols) { $ok = false; break; }
+         |  for (int $j = 0; $j < $nCols; $j++) {
+         |    int $rv = $rr.getInt($j); int $gv = $gr.getInt($j); int $bv = $br.getInt($j);
+         |    if ($rv != 0) { $sums[0] += $rv; $cnts[0]++; }
+         |    if ($gv != 0) { $sums[1] += $gv; $cnts[1]++; }
+         |    if ($bv != 0) { $sums[2] += $bv; $cnts[2]++; }
+         |    int $mx = Math.max($rv, Math.max($gv, $bv));
+         |    int $mn = Math.min($rv, Math.min($gv, $bv));
+         |    if ($mx != 0) {
+         |      $inb++;
+         |      if ($mn >= 153.0D && ($mx - $mn) <= 25.5D) $white++;
+         |    }
+         |  }
+         |}
+         |if ($ok) {
+         |  Object[] $out = new Object[4];
+         |  for (int $j = 0; $j < 3; $j++) {
+         |    $out[$j] = $cnts[$j] == 0L ? null
+         |      : (Object) Double.valueOf((double) $sums[$j] / $cnts[$j]);
+         |  }
+         |  $out[3] = $inb == 0L ? null
+         |    : (Object) Double.valueOf((double) $white / $inb);
+         |  ${ev.isNull} = false;
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($out);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): ImageStats = copy(child = c)
   override def prettyName: String = "image_stats"

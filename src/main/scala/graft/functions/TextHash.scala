@@ -85,7 +85,7 @@ object PolyHash {
   * Output: struct(n_grams int, fp_min bigint, fp_sel bigint?) —
   * null when length(s) < k / no gram hits the sample. */
 case class GramFingerprint(child: Expression, k: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   import org.apache.spark.sql.types._
 
   override def dataType: DataType = StructType(Seq(
@@ -121,6 +121,45 @@ case class GramFingerprint(child: Expression, k: Int)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       n - k + 1, fpMin, if (fpSel == Long.MaxValue) null else fpSel))
   }
+
+  /** The same rolling scan emitted as Java (mirrors nullSafeEval
+    * statement-for-statement; TextAnalysisSpec pins gram hashes to
+    * PolyHash of the substrings, which exercises this path through
+    * the codegen'd q25 plan). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b"); val n = ctx.freshName("n")
+      val pow = ctx.freshName("pow"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val fpMin = ctx.freshName("fpMin"); val fpSel = ctx.freshName("fpSel")
+      val outv = ctx.freshName("outv")
+      val P = s"${PolyHash.Mod}L"
+      s"""
+         |${ev.isNull} = true;
+         |byte[] $b = $c.getBytes();
+         |int $n = $b.length;
+         |if ($n >= $k) {
+         |  long $pow = 1L;
+         |  for (int $t = 0; $t < $k - 1; $t++) { $pow = $pow * 31L % $P; }
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $k; $i++) { $h = ($h * 31L + ($b[$i] & 0xFF)) % $P; }
+         |  long $fpMin = $h;
+         |  long $fpSel = ($h % 8L == 0L) ? $h : Long.MAX_VALUE;
+         |  for (int $i = $k; $i < $n; $i++) {
+         |    long $outv = (long) ($b[$i - $k] & 0xFF);
+         |    $h = ((($h - $outv * $pow % $P) % $P + $P) % $P * 31L + ($b[$i] & 0xFF)) % $P;
+         |    if ($h < $fpMin) $fpMin = $h;
+         |    if ($h % 8L == 0L && $h < $fpSel) $fpSel = $h;
+         |  }
+         |  ${ev.isNull} = false;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] {
+         |      Integer.valueOf($n - $k + 1),
+         |      Long.valueOf($fpMin),
+         |      $fpSel == Long.MAX_VALUE ? null : (Object) Long.valueOf($fpSel) });
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): GramFingerprint = copy(child = c)
   override def prettyName: String = "gram_fingerprint"

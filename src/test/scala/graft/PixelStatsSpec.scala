@@ -127,4 +127,33 @@ class PixelStatsSpec extends AnyFunSuite {
       assert(eq(s.get(3), r.get(5)), s"white_fraction mismatch id=${r.getInt(0)}")
     }
   }
+
+  test("ImageStats doGenCode compiles and matches interpreted eval (no silent fallback)") {
+    import spark.implicits._
+    import graft.functions.ImageStats
+    import org.apache.spark.sql.GraftSqlBridge
+    // Janino failures normally fall back to interpreted execution and
+    // the test would still pass — disable the fallback so a codegen
+    // bug FAILS here instead of shipping as a silent slow path.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (1, Seq(Seq(Seq(200, 0)), Seq(Seq(210, 0)), Seq(Seq(190, 0)))), // white + nodata px
+        (2, Seq(Seq(Seq(10, 20)), Seq(Seq(0, 0)), Seq(Seq(30, 40)))),   // all-zero green
+        (3, Seq(Seq(Seq.empty[Int]), Seq(Seq.empty[Int]), Seq(Seq.empty[Int])))) // empty planes
+        .toDF("id", "pixels")
+      val rows = df.select(col("id"),
+          GraftSqlBridge.column(ImageStats(GraftSqlBridge.expression(col("pixels")))).as("s"))
+        .orderBy("id").collect()
+      val s1 = rows(0).getStruct(1)
+      assert(s1.getDouble(0) === 200.0 && s1.getDouble(1) === 210.0 && s1.getDouble(2) === 190.0)
+      assert(s1.getDouble(3) === 1.0) // the one in-bounds pixel is white
+      val s2 = rows(1).getStruct(1)
+      assert(s2.isNullAt(1), "all-zero green channel must be null")
+      assert(s2.getDouble(3) === 0.0)
+      val s3 = rows(2).getStruct(1)
+      assert(s3.isNullAt(0) && s3.isNullAt(3), "empty planes: all stats null")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }

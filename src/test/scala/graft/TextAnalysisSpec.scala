@@ -64,6 +64,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(hof == fast, "rolling-hash must reproduce the per-gram fold exactly")
   }
 
+  test("GramFingerprint doGenCode compiles and matches interpreted eval (no silent fallback)") {
+    import spark.implicits._
+    import graft.functions.{GramFingerprint, PolyHash}
+    import org.apache.spark.sql.GraftSqlBridge
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val texts = Seq("hello world", "aaaaa", "abcd", "", "xyxyxyxyxy")
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+      val rows = df.select(col("id"),
+          GraftSqlBridge.column(GramFingerprint(GraftSqlBridge.expression(col("t")), 5)).as("fp"))
+        .orderBy("id").collect()
+      // "abcd" and "" are shorter than k=5 → null struct
+      assert(rows(3).isNullAt(1) && rows(2).isNullAt(1))
+      // "aaaaa": one gram; its hash must equal polyhash("aaaaa")
+      val one = rows(1).getStruct(1)
+      val pa = df.select(
+        GraftSqlBridge.column(PolyHash(GraftSqlBridge.expression(lit("aaaaa"))))).head().getLong(0)
+      assert(one.getInt(0) === 1 && one.getLong(1) === pa)
+      // "hello world": 7 grams, min must match the brute-force min
+      val hw = rows(0).getStruct(1)
+      val grams = "hello world".sliding(5).toSeq
+      val gdf = grams.toDF("g").select(
+        GraftSqlBridge.column(PolyHash(GraftSqlBridge.expression(col("g")))).as("h"))
+      val mins = gdf.collect().map(_.getLong(0))
+      assert(hw.getInt(0) === 7 && hw.getLong(1) === mins.min)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("fingerprint is stable: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
