@@ -56,6 +56,9 @@ object SparkEntry {
     "q35_embedding_dedup" -> ((s, d) => Similarity.embeddingDedup(s, d)),
     "q36_cube" -> ((s, d) => Extended.cubeAgg(s, d)),
     "q37_interval_join" -> ((s, d) => Extended.intervalJoinQuery(s, d)),
+    "q38_pivot" -> ((s, d) => Extended.pivotAgg(s, d)),
+    "q39_stats_moments" -> ((s, d) => Extended.statsMoments(s, d)),
+    "q40_posexplode" -> ((s, d) => Extended.posExplodeWords(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,5 +101,8 @@ object SparkEntry {
     "q35_embedding_dedup" -> Similarity.embeddingDedupSql,
     "q36_cube" -> Extended.cubeAggSql,
     "q37_interval_join" -> Extended.intervalJoinQuerySql,
+    "q38_pivot" -> Extended.pivotAggSql,
+    "q39_stats_moments" -> Extended.statsMomentsSql,
+    "q40_posexplode" -> Extended.posExplodeWordsSql,
   )
 }

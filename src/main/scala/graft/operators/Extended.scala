@@ -11,6 +11,27 @@ import graft.Tables
   * against DuckDB — q32 deliberately checks our COMPOSED as-of join
   * against DuckDB's NATIVE `ASOF JOIN` operator.
   */
+/** q39's formula text, spliced verbatim into BOTH the Spark plan and
+  * the DuckDB oracle — one source of truth, so the two engines run
+  * the exact same IEEE double operations on exact integer moments
+  * (n, sx, sxx, sy, syy, sxy over integer cents). */
+object StatsFormulas {
+  /** value is exact 2-decimal data; value*100 is within 1e-10 of an
+    * integer in both engines, so round() agrees (floor would not). */
+  val cents = "CAST(round(value * 100) AS BIGINT)"
+  val mean = "CAST(sx AS DOUBLE) / (100.0 * n)"
+  val stddev =
+    "CASE WHEN n > 1 THEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)) / 100.0 END"
+  val corr =
+    """CASE WHEN n > 1
+      |      AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) > 0
+      |      AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) > 0
+      | THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      |      / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+      |         * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+      | END""".stripMargin.replaceAll("\\s+", " ")
+}
+
 object Extended {
 
   // ---------------------------------------------------------------- q29
@@ -200,7 +221,10 @@ object Extended {
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 100).cast("long")).as("session_value_cents"),
+        // round, not floor: value*100 lands ~1e-10 off an integer
+        // (12.31*100 = 1230.999…), and both engines round it to the
+        // same exact cent; floor would be consistent but off by one
+        sum(round(col("value") * 100).cast("long")).as("session_value_cents"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
   }
@@ -229,6 +253,99 @@ object Extended {
       |       round(quantile_cont(l_quantity, 0.9), 4) AS p90
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot (long → wide): per-cohort event-type counts. The value list
+    * is passed EXPLICITLY — `pivot(col)` without values runs a
+    * driver-side distinct job over the full input first, an extra
+    * pass that is pure waste at 100 TB when the categories are known.
+    * Empty cells are coalesced to 0 to match COUNT semantics. */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("cohort") +:
+        EventTypes.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+
+  val pivotAggSql: String = {
+    val legs = EventTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n      |       ")
+    s"""SELECT user_id % 10 AS cohort,
+      |       $legs
+      |FROM events
+      |GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q39
+
+  /** Statistical aggregates (mean / sample stddev / Pearson corr) with
+    * bit-exact cross-engine output: the naive `stddev(value)` /
+    * `corr(x, y)` aggregate sums doubles in nondeterministic order, so
+    * its last-ulp output differs between engines and runs. Instead,
+    * accumulate EXACT integer moments (cents are integral, so every
+    * sum is an order-independent bigint) and derive the statistics
+    * with IDENTICAL double-arithmetic formula text in both engines —
+    * same IEEE ops on the same exact inputs ⇒ identical bits, no
+    * rounding needed. StatsMomentsSpec pins the results to Spark's
+    * native stddev_samp/corr within 1e-9. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .withColumn("xc", expr(StatsFormulas.cents))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("user_id")).as("sy"),
+        sum(col("user_id") * col("user_id")).as("syy"),
+        sum(col("xc") * col("user_id")).as("sxy"))
+    agg.selectExpr(
+      "event_type", "n",
+      s"${StatsFormulas.mean} AS mean_value",
+      s"${StatsFormulas.stddev} AS stddev_value",
+      s"${StatsFormulas.corr} AS corr_value_user")
+  }
+
+  val statsMomentsSql: String =
+    s"""WITH m AS (
+      |  SELECT event_type,
+      |         count(*) AS n,
+      |         CAST(sum(xc) AS BIGINT) AS sx,
+      |         CAST(sum(xc * xc) AS BIGINT) AS sxx,
+      |         CAST(sum(user_id) AS BIGINT) AS sy,
+      |         CAST(sum(user_id * user_id) AS BIGINT) AS syy,
+      |         CAST(sum(xc * user_id) AS BIGINT) AS sxy
+      |  FROM (SELECT event_type, user_id, ${StatsFormulas.cents} AS xc FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, n,
+      |       ${StatsFormulas.mean} AS mean_value,
+      |       ${StatsFormulas.stddev} AS stddev_value,
+      |       ${StatsFormulas.corr} AS corr_value_user
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+
+  /** posexplode fan-out with positions: the ordinal variant of the P1
+    * row multiplier (q16 covers plain explode). Empty tokens are
+    * filtered on BOTH sides after position assignment, so positions
+    * reflect the original split. */
+  def posExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+
+  val posExplodeWordsSql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id,
+      |         CAST(generate_subscripts(words, 1) - 1 AS INT) AS pos,
+      |         unnest(words) AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+      |WHERE word <> ''""".stripMargin
 
   // ---------------------------------------------------------------- q37
 
@@ -281,7 +398,7 @@ object Extended {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents,
       |       min(ts) AS session_start, max(ts) AS session_end
       |FROM sess
       |GROUP BY user_id, session_id""".stripMargin

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Extended
+
+/** q38–q40: pivot, exact-moment statistics, posexplode. */
+class ExtendedOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("pivot cells equal the groupBy counts they reshape") {
+    val wide = Extended.pivotAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val long = Tables.events(spark, sf)
+      .groupBy((col("user_id") % 10).as("cohort"), col("event_type"))
+      .count().collect()
+    long.foreach { r =>
+      val cohort = r.getLong(0)
+      val et = r.getString(1)
+      assert(wide(cohort).getAs[Long](et) === r.getLong(2),
+        s"cohort=$cohort type=$et")
+    }
+    // row sums must equal total event count (no row lost in reshaping)
+    val total = wide.values.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("exact-moment stddev/corr match Spark's native aggregates within 1e-9") {
+    val exact = Extended.statsMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val native = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(
+        avg(col("value")).as("mean"),
+        stddev_samp(col("value")).as("sd"),
+        corr(col("value"), col("user_id")).as("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === native.keySet)
+    exact.foreach { case (et, r) =>
+      val nr = native(et)
+      assert(math.abs(r.getDouble(2) - nr.getDouble(1)) < 1e-9, s"$et mean")
+      assert(math.abs(r.getDouble(3) - nr.getDouble(2)) < 1e-9, s"$et stddev")
+      assert(math.abs(r.getDouble(4) - nr.getDouble(3)) < 1e-9, s"$et corr")
+    }
+  }
+
+  test("posexplode positions index into the original split") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val exploded = Extended.posExplodeWords(spark, sf).collect()
+    assert(exploded.nonEmpty)
+    exploded.take(2000).foreach { r =>
+      val (id, pos, w) = (r.getLong(0), r.getInt(1), r.getString(2))
+      assert(docs(id)(pos) === w, s"doc=$id pos=$pos")
+      assert(w.nonEmpty)
+    }
+  }
+}
