@@ -59,6 +59,9 @@ object SparkEntry {
     "q38_pivot" -> ((s, d) => Extended.pivotAgg(s, d)),
     "q39_stats_moments" -> ((s, d) => Extended.statsMoments(s, d)),
     "q40_posexplode" -> ((s, d) => Extended.posExplodeWords(s, d)),
+    // no oracle entry (sketches are engine-specific); driver applies
+    // its rows-only check, SketchSpec owns the accuracy contract
+    "q41_sketch_summary" -> ((s, d) => Extended.sketchSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

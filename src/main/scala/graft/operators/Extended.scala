@@ -347,6 +347,25 @@ object Extended {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
       |WHERE word <> ''""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+
+  /** Sketch summary — the SCALE path for q34's exact percentiles and
+    * any distinct-count: HLL++ (approx_count_distinct) and t-digest-
+    * style approx_percentile are single-pass with mergeable partial
+    * state and bounded memory, where exact forms sort or shuffle all
+    * distinct values. Sketch outputs are engine-specific by
+    * construction, so this query has NO DuckDB oracle (driver records
+    * the weaker rows-only check); SketchSpec asserts accuracy against
+    * the exact answers instead. */
+  def sketchSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90"))
+
   // ---------------------------------------------------------------- q37
 
   /** Point-in-interval join through the CUSTOM physical operator

@@ -112,4 +112,40 @@ class ScalePatternsSpec extends AnyFunSuite {
     val b = saltedJoin.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b, "salted join must preserve join semantics")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // manual salting (above) is the static fix; AQE skew-join is the
+    // runtime fix — prove the engine config actually fires on a
+    // pathological key so 100 TB skew has a no-code-change answer
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // ~200k rows all on key 0 vs a uniform right side
+      val left = spark.range(200000)
+        .select(
+          when(col("id") % 50 === 0, col("id")).otherwise(lit(0L)).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      // materialize through THIS dataframe's own QueryExecution —
+      // count() and even .rdd build separate QueryExecutions and
+      // would leave this plan unfinalized (isFinalPlan=false)
+      joined.queryExecution.toRdd.count()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join partition for splitting:\n${finalPlan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
