@@ -17,5 +17,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    // transparent adoption: declarative `join(k = k && s <= pt < e)`
+    // is rewritten to the custom operator during optimization
+    ext.injectOptimizerRule(_ => RewriteRangeJoins)
   }
 }
