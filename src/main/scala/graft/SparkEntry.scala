@@ -62,6 +62,7 @@ object SparkEntry {
     // no oracle entry (sketches are engine-specific); driver applies
     // its rows-only check, SketchSpec owns the accuracy contract
     "q41_sketch_summary" -> ((s, d) => Extended.sketchSummary(s, d)),
+    "q42_dataset_split" -> ((s, d) => Extended.datasetSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,5 +108,6 @@ object SparkEntry {
     "q38_pivot" -> Extended.pivotAggSql,
     "q39_stats_moments" -> Extended.statsMomentsSql,
     "q40_posexplode" -> Extended.posExplodeWordsSql,
+    "q42_dataset_split" -> Extended.datasetSplitSql,
   )
 }

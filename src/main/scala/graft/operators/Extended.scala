@@ -32,6 +32,17 @@ object StatsFormulas {
       | END""".stripMargin.replaceAll("\\s+", " ")
 }
 
+/** q42's split-assignment formulas — same text in both engines.
+  * Knuth's multiplicative constant 2654435761 = floor(2^32/phi);
+  * doc_id fits well under 2^22, so the product stays inside bigint in
+  * BOTH engines (DuckDB throws on bigint overflow where Spark wraps —
+  * the mod-early rule from the dialect notes). */
+object SplitFormulas {
+  val bucket = "CAST(((doc_id * 2654435761) % 4294967296) % 100 AS INT)"
+  val assign =
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+}
+
 object Extended {
 
   // ---------------------------------------------------------------- q29
@@ -346,6 +357,27 @@ object Extended {
       |         unnest(words) AS word
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
       |WHERE word <> ''""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+
+  /** Deterministic train/val/test split — the assignment every
+    * training-data pipeline needs, done WITHOUT sampling RNG state:
+    * bucket = Knuth-multiplicative-hash(doc_id) mod 100, thresholds
+    * 80/90. Pure bigint arithmetic makes it reproducible across runs,
+    * engines, partitionings, and cluster sizes (a `rand(seed)`-based
+    * split changes with partitioning — useless as a stable contract).
+    * The same formula text runs in Spark and the DuckDB oracle. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(SplitFormulas.bucket))
+      .withColumn("split", expr(SplitFormulas.assign))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  val datasetSplitSql: String =
+    s"""SELECT doc_id,
+      |       ${SplitFormulas.bucket} AS bucket,
+      |       ${SplitFormulas.assign.replace("bucket", s"(${SplitFormulas.bucket})")} AS split
+      |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- q41
 

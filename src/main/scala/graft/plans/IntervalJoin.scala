@@ -129,6 +129,10 @@ case class IntervalJoinExec(
     val rOut = right.output
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val ptOrd = TypeUtils.getInterpretedOrdering(point.dataType)
+    // skew guard: the per-key interval buffer is the operator's only
+    // unbounded memory; fail with guidance instead of an executor OOM
+    val maxBufferRows = conf.getConfString(
+      "spark.graft.intervalJoin.maxBufferRows", "10000000").toLong
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lk = BindReferences.bindReference(leftKey, lOut)
@@ -170,6 +174,11 @@ case class IntervalJoinExec(
           val s = ivS.eval(rRow)
           val e = ivE.eval(rRow)
           if (s != null && e != null) {
+            if (bufRows.length >= maxBufferRows) {
+              throw new IllegalStateException(
+                s"interval-join key $k has more than $maxBufferRows intervals; " +
+                  "salt the key or raise spark.graft.intervalJoin.maxBufferRows")
+            }
             bufRows += rRow; bufStart += s; bufEnd += e
           }
           advanceRight()

@@ -47,6 +47,20 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset split is deterministic, partition-invariant, and ~80/10/10") {
+    val a = Extended.datasetSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // partitioning must not change assignments (rand()-based splits fail this)
+    val b = Tables.documents(spark, sf).repartition(13)
+      .withColumn("bucket", expr(graft.operators.SplitFormulas.bucket))
+      .withColumn("split", expr(graft.operators.SplitFormulas.assign))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a === b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, frac.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.02 && frac.getOrElse("test", 0.0) > 0.02, frac.toString)
+  }
+
   test("posexplode positions index into the original split") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
