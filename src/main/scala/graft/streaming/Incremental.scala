@@ -32,6 +32,30 @@ object Incremental {
       .groupBy(col("waterbody_id"), window(col("captured_ts"), "1 day").as("day"))
       .agg(count(lit(1)).as("n_images"))
 
+  /** Stream-stream INTERVAL join with watermark-bounded state — the
+    * streaming form of the engine's point-in-interval join (q37): each
+    * probe event joins the purchase events of the same user that
+    * happened in the 2 hours BEFORE it. Both sides carry watermarks
+    * and the join condition bounds event time on both sides, so Spark
+    * can expire buffered state — the requirement that makes
+    * stream-stream joins run unbounded. Inner join ⇒ append mode.
+    *
+    * At 100 TB/day this is the shape that works: state per key is
+    * bounded by (watermark + interval), not by stream length. */
+  def streamIntervalJoin(probes: DataFrame, purchases: DataFrame): DataFrame = {
+    val p = probes
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val iv = purchases
+      .withWatermark("pts", "1 hour")
+      .select(col("p_user_id"), col("p_event_id"), col("pts"))
+    p.join(iv,
+      col("user_id") === col("p_user_id") &&
+        col("ts") >= col("pts") &&
+        col("ts") < col("pts") + expr("INTERVAL 2 HOURS"))
+      .select(col("event_id"), col("p_event_id"), col("user_id"))
+  }
+
   /** Arbitrary stateful processing (`mapGroupsWithState` — the
     * KeyValueGroupedDataset custom-state surface): a per-water-body
     * running ingest ledger that survives across micro-batches. This is

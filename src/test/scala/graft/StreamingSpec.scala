@@ -113,6 +113,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("waterbody_id").distinct().count() == 3)
   }
 
+  test("stream-stream interval join: watermarked, append-mode, matches batch semantics") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val probeIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchIn = MemoryStream[(Long, Long, Timestamp)]
+    val probes = probeIn.toDF().toDF("user_id", "event_id", "ts")
+    val purchases = purchIn.toDF().toDF("p_user_id", "p_event_id", "pts")
+    val q = Incremental.streamIntervalJoin(probes, purchases)
+      .writeStream.format("memory").queryName("sij_out").outputMode("append").start()
+    try {
+      purchIn.addData(
+        (1L, 900L, ts("2024-06-01 10:00:00")),
+        (2L, 901L, ts("2024-06-01 10:00:00")))
+      probeIn.addData(
+        (1L, 1L, ts("2024-06-01 11:00:00")), // in [10:00, 12:00) → match
+        (1L, 2L, ts("2024-06-01 12:00:00")), // at end bound → no match
+        (1L, 3L, ts("2024-06-01 09:59:59")), // before start → no match
+        (2L, 4L, ts("2024-06-01 10:00:00")), // at start bound → match
+        (3L, 5L, ts("2024-06-01 11:00:00"))) // no purchase for user 3
+      q.processAllAvailable()
+      val got = spark.table("sij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 900L), (4L, 901L)))
+      // late-but-inside-watermark purchase still joins a later probe
+      purchIn.addData((3L, 902L, ts("2024-06-01 11:30:00")))
+      probeIn.addData((3L, 6L, ts("2024-06-01 12:00:00")))
+      q.processAllAvailable()
+      val got2 = spark.table("sij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 === Set((1L, 900L), (4L, 901L), (6L, 902L)))
+    } finally q.stop()
+  }
+
   test("the same transforms run in batch mode (plan-level parity)") {
     import spark.implicits._
     val batch = Seq(
