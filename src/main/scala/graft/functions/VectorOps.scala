@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Single-pass vector kernels for the similarity family (q21/q22/q35).
+  *
+  * The HOF formulations (`aggregate(zip_with(a, b, *), 0.0, +)` and
+  * the per-bit hyperplane fold) cost one interpreted lambda call per
+  * element per row — 128 invocations per candidate pair, millions of
+  * pairs after the LSH bucket join. These expressions run the same
+  * folds as tight codegen'd loops. CRITICALLY, the summation order is
+  * identical to the HOFs (ascending i, one accumulator per bit), so
+  * results are BIT-EXACT: the DuckDB oracles keep their list_reduce
+  * formulations and the driver's hash compare proves the equivalence
+  * end-to-end. VectorOpsSpec additionally pins expression ≡ HOF
+  * in-engine.
+  */
+
+/** Left-to-right dot product of two double arrays. Mirrors
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) -> acc+x)`
+  * exactly, including null semantics: a null element or a length
+  * mismatch (zip_with pads with null) yields null. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = $b.numElements() != $n;
+         |double $acc = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** Sign-bit LSH bucket over `bits` LCG-derived hyperplanes: bit j is
+  * set iff Σ_i e(i)·plane(j,i) > 0, with plane(j,i) =
+  * ((1103515245·(j·stride+i) + 12345) mod 2^31) / 2^31 − 0.5 — the
+  * same public-LCG derivation the DuckDB oracle computes (q22/q35).
+  * One pass over the array maintains all `bits` accumulators; each
+  * accumulator adds in ascending i, matching the HOF fold order, so
+  * buckets are bit-identical to the declarative form. A null element
+  * nulls every dot (HOF semantics), making every CASE fall to 0 —
+  * bucket 0. */
+case class HyperplaneBucket(child: Expression, bits: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val e = v.asInstanceOf[ArrayData]
+    val n = e.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (e.isNullAt(i)) return 0 // null element → every dot null → all bits 0
+      val x = e.getDouble(i)
+      var j = 0
+      while (j < bits) {
+        val h = (1103515245L * (j.toLong * stride + i) + 12345L) % 2147483648L
+        acc(j) += x * (h.toDouble / 2147483648.0 - 0.5)
+        j += 1
+      }
+      i += 1
+    }
+    var bucket = 0
+    var j = 0
+    while (j < bits) {
+      if (acc(j) > 0) bucket |= 1 << j
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val nullEl = ctx.freshName("nullEl")
+      s"""
+         |int $n = $e.numElements();
+         |double[] $acc = new double[$bits];
+         |boolean $nullEl = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($e.isNullAt($i)) { $nullEl = true; break; }
+         |  double $x = $e.getDouble($i);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    long $h = (1103515245L * ((long) $j * $stride + $i) + 12345L) % 2147483648L;
+         |    $acc[$j] += $x * ((double) $h / 2147483648.0D - 0.5D);
+         |  }
+         |}
+         |int $bucket = 0;
+         |if (!$nullEl) {
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    if ($acc[$j] > 0.0D) $bucket |= 1 << $j;
+         |  }
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
+object VectorOps {
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def hyperplaneBucket(e: Column, bits: Int, stride: Int): Column =
+    GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(e), bits, stride))
+}

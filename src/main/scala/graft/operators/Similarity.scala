@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.VectorOps
 
 /** Similarity search over the `embeddings` fixture (64-dim float
   * vectors; SURVEY §7.1 M6, BASELINE north star).
@@ -33,8 +34,9 @@ object Similarity {
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+      // sqrt(dot(e,e)) — same ascending fold as the HOF the oracle
+      // runs, in one codegen'd pass (VectorOpsSpec pins ≡)
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
 
   private val duckVectors =
     """SELECT vec_id,
@@ -51,8 +53,7 @@ object Similarity {
     val q = n.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val pairs = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("dot", VectorOps.dot(col("qe"), col("e")))
       .withColumn("sim", col("dot") / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     pairs
@@ -88,13 +89,25 @@ object Similarity {
 
   private val Bits = 4
 
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = expr(
+  /** Single-pass codegen'd bucket (≡ the HOF formulation below,
+    * pinned in VectorOpsSpec; the DuckDB oracles keep the HOF form so
+    * the driver hash-compare re-proves equivalence end-to-end). */
+  private def bucketCol = VectorOps.hyperplaneBucket(col("e"), Bits, 64)
+
+  /** The declarative executable spec of `bucketCol` (and of the DuckDB
+    * oracle side) — kept for the equivalence test. */
+  private[graft] def bucketHofExpr =
+    expr(
       s"""aggregate(sequence(0, ${Bits - 1}), 0, (acc, j) -> acc + shiftleft(
          |  CASE WHEN aggregate(sequence(1, size(e)), CAST(0 AS DOUBLE),
          |    (a, i) -> a + element_at(e, i) * (${planeSql("j", "i - 1")})) > 0
          |  THEN 1 ELSE 0 END, j))""".stripMargin)
-    val b = vectors(spark, dir).withColumn("bucket", bucketExpr)
+
+  private[graft] def vectorsForSpec(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val b = vectors(spark, dir).withColumn("bucket", bucketCol)
     val q = b.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))
@@ -104,8 +117,7 @@ object Similarity {
     // equi-join on the bucket id — the candidate set is 5 buckets, not the corpus
     val cand = b.join(broadcast(q),
         col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qe, e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("dot", VectorOps.dot(col("qe"), col("e")))
       .withColumn("sim", col("dot") / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     cand
@@ -154,12 +166,7 @@ object Similarity {
     * Same deterministic bucketing as q22, so the oracle replicates
     * the candidate set exactly. */
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = expr(
-      s"""aggregate(sequence(0, ${Bits - 1}), 0, (acc, j) -> acc + shiftleft(
-         |  CASE WHEN aggregate(sequence(1, size(e)), CAST(0 AS DOUBLE),
-         |    (a, i) -> a + element_at(e, i) * (${planeSql("j", "i - 1")})) > 0
-         |  THEN 1 ELSE 0 END, j))""".stripMargin)
-    val b = vectors(spark, dir).withColumn("bucket", bucketExpr)
+    val b = vectors(spark, dir).withColumn("bucket", bucketCol)
       .select(col("vec_id"), col("e"), col("nrm"), col("bucket"))
       .cache() // self-join below would recompute 4 hyperplane dots per side
     val pairs = b.as("a")
@@ -167,8 +174,7 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
-          .as("dot"),
+        VectorOps.dot(col("a.e"), col("b.e")).as("dot"),
         (col("a.nrm") * col("b.nrm")).as("nn"))
       .withColumn("sim", col("dot") / col("nn"))
     // threshold calibrated to the fixture corpus: its max pairwise
