@@ -113,6 +113,29 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(a == b, "salted join must preserve join semantics")
   }
 
+  test("write path controls the small-files problem (maxRecordsPerFile + pre-repartition)") {
+    // at 100 TB the failure mode is millions of tiny parquet files:
+    // one per task per partition-value. The contract: repartition on
+    // the partition column before a partitionBy write (one file per
+    // value), with maxRecordsPerFile as the upper-bound safety valve.
+    val dir = Files.createTempDirectory("graft_smallfiles").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    ev.repartition(col("day"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100000)
+      .partitionBy("day").parquet(dir)
+    val days = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+    assert(days.nonEmpty)
+    days.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${d.getName}: expected exactly one file after clustering, got ${parts.length}")
+    }
+    // and the write is lossless
+    assert(spark.read.parquet(dir).count() === ev.count())
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // manual salting (above) is the static fix; AQE skew-join is the
     // runtime fix — prove the engine config actually fires on a
