@@ -1,0 +1,93 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 write path: two-phase commit with manifest-gated visibility. */
+class ManifestSinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val fmt = "graft.sources.ManifestSink"
+
+  private def tmpDir() =
+    Files.createTempDirectory("graft_manifest").toString
+
+  test("write → read-back round-trips rows, schema, and nulls") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq(
+      (1L, "hello\tworld", Some(1.5), true),
+      (2L, "line\nbreak and \\ backslash", None, false),
+      (3L, "", Some(-0.0), true))
+      .toDF("id", "s", "d", "b")
+    df.write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(b === a)
+  }
+
+  test("each append publishes one manifest; reads see the union") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq((2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val manifests = new File(dir).listFiles().filter(_.getName.startsWith("_manifest-"))
+    assert(manifests.length === 2)
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("unpublished files are invisible: stray temp and unmanifested data are never read") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "committed")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // simulate a failed/speculative attempt that died before commit
+    val stray = new File(dir, "_temp/part-deadbeef-00000-99.tsv")
+    stray.getParentFile.mkdirs()
+    Files.write(stray.toPath, "9\tghost\n".getBytes(StandardCharsets.UTF_8))
+    // and a file dropped into the root WITHOUT a manifest entry
+    Files.write(new File(dir, "part-orphan-00000-98.tsv").toPath,
+      "8\torphan\n".getBytes(StandardCharsets.UTF_8))
+    val back = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(back.map(_.getLong(0)).toSeq === Seq(1L),
+      "only manifest-listed files may be visible")
+  }
+
+  test("empty-partition tasks publish no files") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 8 partitions, 2 rows → most tasks write nothing
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").repartition(8)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val dataFiles = new File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.isFile)
+    // 2 rows in 8 partitions → at most 2 non-empty tasks (round-robin
+    // may co-locate them); the 6+ empty tasks must publish nothing
+    assert(dataFiles.nonEmpty && dataFiles.length <= 2,
+      s"only non-empty tasks may publish: ${dataFiles.map(_.getName).toSeq}")
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 2)
+  }
+
+  test("events-shaped data survives a realistic round-trip") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    ev.write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.count() === ev.count())
+    val a = ev.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
