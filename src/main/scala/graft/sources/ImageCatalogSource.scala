@@ -69,6 +69,24 @@ object ImageCatalogSource {
     case "footprint_max_lat" => ((i * 69069L + 1L) % 152L).toDouble - 90.0 + 28.0
     case "cloud_pct" => ((i * 37L) % 100L).toDouble
   }
+
+  /** Source-side filter evaluation — rejected rows are skipped at
+    * generation, reproducing the reference's server-side
+    * filterDate/metadata filters (main.py:395-404). Shared by the
+    * row-based and columnar readers. */
+  def accept(pushed: Array[Filter], idx: Long): Boolean = pushed.forall {
+    case EqualTo("dataset", v: String) =>
+      field(idx, "dataset").toString == v
+    case GreaterThan("captured_ts_millis", v) =>
+      field(idx, "captured_ts_millis").asInstanceOf[Long] > v.asInstanceOf[Number].longValue()
+    case GreaterThanOrEqual("captured_ts_millis", v) =>
+      field(idx, "captured_ts_millis").asInstanceOf[Long] >= v.asInstanceOf[Number].longValue()
+    case LessThan("captured_ts_millis", v) =>
+      field(idx, "captured_ts_millis").asInstanceOf[Long] < v.asInstanceOf[Number].longValue()
+    case LessThanOrEqual("captured_ts_millis", v) =>
+      field(idx, "captured_ts_millis").asInstanceOf[Long] <= v.asInstanceOf[Number].longValue()
+    case _ => true
+  }
 }
 
 class ImageCatalogTable(rows: Long, partitions: Int) extends Table with SupportsRead {
@@ -128,32 +146,64 @@ case class ImageCatalogPartition(start: Long, end: Long) extends InputPartition
 
 class ImageCatalogReaderFactory(pushed: Array[Filter], columns: Array[String])
     extends PartitionReaderFactory {
+
+  /** VECTORIZED delivery: the scan hands Spark `ColumnarBatch`es (the
+    * same interface the built-in parquet reader uses), so downstream
+    * whole-stage codegen consumes column vectors via `ColumnarToRow`
+    * instead of one virtual call per row per field. The row-based
+    * reader below is kept as the reference implementation; the spec
+    * pins both paths to identical results. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val p = partition.asInstanceOf[ImageCatalogPartition]
+    val schema = StructType(columns.map(c =>
+      ImageCatalogSource.schema(ImageCatalogSource.schema.fieldIndex(c))))
+    val capacity = 4096
+    new PartitionReader[ColumnarBatch] {
+      private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+      private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+      private var i = p.start
+
+      override def next(): Boolean = {
+        vectors.foreach(_.reset())
+        var n = 0
+        while (n < capacity && i < p.end) {
+          if (ImageCatalogSource.accept(pushed, i)) {
+            var c = 0
+            while (c < columns.length) {
+              ImageCatalogSource.field(i, columns(c)) match {
+                case l: Long => vectors(c).putLong(n, l)
+                case d: Double => vectors(c).putDouble(n, d)
+                case s: UTF8String =>
+                  val b = s.getBytes; vectors(c).putByteArray(n, b, 0, b.length)
+              }
+              c += 1
+            }
+            n += 1
+          }
+          i += 1
+        }
+        batch.setNumRows(n)
+        n > 0
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ImageCatalogPartition]
     new PartitionReader[InternalRow] {
       private var i = p.start - 1
       private var current: InternalRow = _
 
-      /** Source-side filter evaluation — rejected rows are skipped at
-        * generation, reproducing the reference's server-side
-        * filterDate/metadata filters (main.py:395-404). */
-      private def accept(idx: Long): Boolean = pushed.forall {
-        case EqualTo("dataset", v: String) =>
-          ImageCatalogSource.field(idx, "dataset").toString == v
-        case GreaterThan("captured_ts_millis", v) =>
-          ImageCatalogSource.field(idx, "captured_ts_millis").asInstanceOf[Long] > v.asInstanceOf[Number].longValue()
-        case GreaterThanOrEqual("captured_ts_millis", v) =>
-          ImageCatalogSource.field(idx, "captured_ts_millis").asInstanceOf[Long] >= v.asInstanceOf[Number].longValue()
-        case LessThan("captured_ts_millis", v) =>
-          ImageCatalogSource.field(idx, "captured_ts_millis").asInstanceOf[Long] < v.asInstanceOf[Number].longValue()
-        case LessThanOrEqual("captured_ts_millis", v) =>
-          ImageCatalogSource.field(idx, "captured_ts_millis").asInstanceOf[Long] <= v.asInstanceOf[Number].longValue()
-        case _ => true
-      }
-
       override def next(): Boolean = {
         i += 1
-        while (i < p.end && !accept(i)) i += 1
+        while (i < p.end && !ImageCatalogSource.accept(pushed, i)) i += 1
         if (i >= p.end) return false
         current = new GenericInternalRow(
           columns.map(c => ImageCatalogSource.field(i, c)).toArray[Any])
