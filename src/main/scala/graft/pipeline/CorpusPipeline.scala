@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, SplitFormulas, TextAnalysis}
+
+/** The LLM-corpus counterpart of SatellitePipeline: the M6 operators
+  * composed into the curation dataflow a training-data pipeline
+  * actually runs, end to end —
+  *
+  *   documents
+  *     → language-ID + quality scoring            (q23/q24 operators)
+  *     → quality gate (length + stopword sanity)
+  *     → exact dedup (content-hash keepers)       (q17)
+  *     → near-dup removal (MinHash-LSH pairs,     (q18)
+  *       keep the lower doc_id of each pair)
+  *     → deterministic train/val/test assignment  (q42)
+  *     → manifest-committed sink                  (ManifestSink)
+  *
+  * Every stage is one of the independently-oracled operators, joined
+  * on doc_id — the pipeline adds composition, not new semantics.
+  * Scale shape: lang/quality are map-side (one shuffle-free pass),
+  * dedup stages shuffle on content hash / band key exactly once each,
+  * near-dup removal is a left_anti on the pair list, the split is a
+  * map-side hash. Nothing collects to the driver; the funnel summary
+  * aggregates counts, not rows.
+  *
+  * Drop policy for near-dup pairs: every pair (a, b) has a < b, and b
+  * is dropped — for transitive chains (1,2),(2,3) the minimum id 1
+  * survives, which keeps exactly one representative per connected
+  * component REACHED FROM its minimum; the documented approximation
+  * (a full connected-components pass is the exact form and overkill
+  * for near-dup curation).
+  */
+object CorpusPipeline {
+
+  case class FunnelStage(stage: String, rows: Long)
+
+  /** Runs the curation funnel; writes the kept corpus to `outDir` via
+    * the manifest-committed sink and returns the per-stage funnel. */
+  def run(spark: SparkSession, dir: String, outDir: String,
+      minTokens: Long = 5, maxStopRatioBp: Long = 8000): Seq[FunnelStage] = {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.count()
+
+    // analysis stages (map-side; each is the oracled operator)
+    val quality = TextAnalysis.tokenQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"), col("quality_bp"))
+    val lang = TextAnalysis.langId(spark, dir)
+      .select(col("doc_id"), col("predicted_lang"))
+
+    val gated = docs
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("n_tokens") >= minTokens && col("stop_ratio_bp") <= maxStopRatioBp)
+    val nGated = gated.count()
+
+    // exact dedup: keep the minimum doc_id per content hash
+    val keepers = Dedup.exactDedup(spark, dir).select(col("keeper_id").as("doc_id"))
+    val exact = gated.join(keepers, "doc_id")
+    val nExact = exact.count()
+
+    // near-dup removal: drop the greater id of every LSH-verified pair
+    val nearDupLosers = Dedup.minhashLsh(spark, dir)
+      .select(col("b_id").as("doc_id")).distinct()
+    val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val nDeduped = deduped.count()
+
+    // deterministic split + publish
+    val cured = deduped
+      .withColumn("bucket", expr(SplitFormulas.bucket))
+      .withColumn("split", expr(SplitFormulas.assign))
+      .select(col("doc_id"), col("text"), col("predicted_lang"),
+        col("n_tokens"), col("quality_bp"), col("split"))
+    cured.write.format("graft.sources.ManifestSink")
+      .option("path", outDir).mode(SaveMode.Append).save()
+
+    Seq(
+      FunnelStage("input", total),
+      FunnelStage("quality_gate", nGated),
+      FunnelStage("exact_dedup", nExact),
+      FunnelStage("near_dedup", nDeduped))
+  }
+}
