@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstream}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,7 +108,9 @@ class ManifestTable(path: String, external: StructType)
     }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(path, info)
@@ -122,7 +125,61 @@ class ManifestWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBu
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ManifestBatchWrite(path, info.queryId(), info.schema())
+    override def toStreaming: wstream.StreamingWrite =
+      new ManifestStreamingWrite(path, info.queryId(), info.schema())
   }
+}
+
+/** Streaming flavor: one manifest per (queryId, epoch). Exactly-once
+  * across restarts comes from IDEMPOTENT epoch commit — after a crash
+  * between sink commit and checkpoint advance, Structured Streaming
+  * re-runs the epoch and commits it AGAIN; if the epoch's manifest
+  * already exists the duplicate commit publishes nothing and the
+  * re-written temp files are discarded. */
+class ManifestStreamingWrite(path: String, queryId: String, schema: StructType)
+    extends wstream.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): wstream.StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(path, queryId, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new File(path)
+    root.mkdirs()
+    val manifest = new File(root, s"_manifest-$queryId-epoch-$epochId")
+    if (manifest.exists()) { // replayed epoch: drop the duplicate files
+      messages.collect { case m: ManifestCommitMessage =>
+        new File(root, s"_temp/${m.file}").delete()
+      }
+      return
+    }
+    val files = messages.collect {
+      case m: ManifestCommitMessage if m.rows > 0 =>
+        Files.move(
+          new File(root, s"_temp/${m.file}").toPath,
+          new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
+        m.file
+    }
+    val schemaFile = new File(root, ManifestSink.SchemaFile)
+    if (!schemaFile.exists())
+      Files.write(schemaFile.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    Files.write(manifest.toPath, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new File(path)
+    messages.collect { case m: ManifestCommitMessage =>
+      new File(root, s"_temp/${m.file}").delete()
+    }
+  }
+}
+
+class ManifestStreamingWriterFactory(path: String, queryId: String, schema: StructType)
+    extends wstream.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ManifestWriterFactory(path, s"$queryId-e$epochId", schema)
+      .createWriter(partitionId, taskId)
 }
 
 class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
