@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -39,11 +39,18 @@ object CorpusPipeline {
   case class FunnelStage(stage: String, rows: Long)
 
   /** Runs the curation funnel; writes the kept corpus to `outDir` via
-    * the manifest-committed sink and returns the per-stage funnel. */
+    * the manifest-committed sink and returns the per-stage funnel.
+    *
+    * Funnel counts are `observe` metrics collected DURING the single
+    * write action — a `count()` per stage would re-execute the
+    * pipeline prefix once per stage (4 full passes over the corpus at
+    * 100 TB); observation nodes count rows as they stream through the
+    * one real job. The input count stays a separate `count()` because
+    * parquet answers it from footer metadata without scanning. */
   def run(spark: SparkSession, dir: String, outDir: String,
       minTokens: Long = 5, maxStopRatioBp: Long = 8000): Seq[FunnelStage] = {
     val docs = Tables.documents(spark, dir)
-    val total = docs.count()
+    val total = docs.count() // metadata-only on parquet
 
     // analysis stages (map-side; each is the oracled operator)
     val quality = TextAnalysis.tokenQuality(spark, dir)
@@ -51,24 +58,28 @@ object CorpusPipeline {
     val lang = TextAnalysis.langId(spark, dir)
       .select(col("doc_id"), col("predicted_lang"))
 
+    val oGate = Observation("quality_gate")
+    val oExact = Observation("exact_dedup")
+    val oDedup = Observation("near_dedup")
+
     val gated = docs
       .join(quality, "doc_id")
       .join(lang, "doc_id")
       .filter(col("n_tokens") >= minTokens && col("stop_ratio_bp") <= maxStopRatioBp)
-    val nGated = gated.count()
+      .observe(oGate, count(lit(1)).as("rows"))
 
     // exact dedup: keep the minimum doc_id per content hash
     val keepers = Dedup.exactDedup(spark, dir).select(col("keeper_id").as("doc_id"))
     val exact = gated.join(keepers, "doc_id")
-    val nExact = exact.count()
+      .observe(oExact, count(lit(1)).as("rows"))
 
     // near-dup removal: drop the greater id of every LSH-verified pair
     val nearDupLosers = Dedup.minhashLsh(spark, dir)
       .select(col("b_id").as("doc_id")).distinct()
     val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val nDeduped = deduped.count()
+      .observe(oDedup, count(lit(1)).as("rows"))
 
-    // deterministic split + publish
+    // deterministic split + publish — the ONE action of the funnel
     val cured = deduped
       .withColumn("bucket", expr(SplitFormulas.bucket))
       .withColumn("split", expr(SplitFormulas.assign))
@@ -77,10 +88,11 @@ object CorpusPipeline {
     cured.write.format("graft.sources.ManifestSink")
       .option("path", outDir).mode(SaveMode.Append).save()
 
+    def observed(o: Observation): Long = o.get("rows").asInstanceOf[Long]
     Seq(
       FunnelStage("input", total),
-      FunnelStage("quality_gate", nGated),
-      FunnelStage("exact_dedup", nExact),
-      FunnelStage("near_dedup", nDeduped))
+      FunnelStage("quality_gate", observed(oGate)),
+      FunnelStage("exact_dedup", observed(oExact)),
+      FunnelStage("near_dedup", observed(oDedup)))
   }
 }
