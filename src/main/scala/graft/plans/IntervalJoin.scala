@@ -261,4 +261,24 @@ object IntervalJoins {
   }
 
   private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Typed surface: join Dataset[L] points with Dataset[R] intervals,
+    * returning Dataset[(L, R)]. Columns resolve against the case-class
+    * fields; the result re-encodes through the product encoder, so the
+    * custom operator composes with typed pipelines (maps, typed
+    * filters) like any built-in join. */
+  def intervalJoinTyped[L: org.apache.spark.sql.Encoder, R: org.apache.spark.sql.Encoder](
+      left: org.apache.spark.sql.Dataset[L],
+      right: org.apache.spark.sql.Dataset[R],
+      leftKey: String, rightKey: String,
+      point: String, ivStart: String, ivEnd: String)(
+      implicit pair: org.apache.spark.sql.Encoder[(L, R)]): org.apache.spark.sql.Dataset[(L, R)] = {
+    val joined = intervalJoin(left.toDF(), right.toDF(),
+      leftKey, rightKey, point, ivStart, ivEnd)
+    val lCols = left.toDF().columns
+    val rCols = right.toDF().columns
+    joined.select(
+      org.apache.spark.sql.functions.struct(lCols.map(col).toSeq: _*).as("_1"),
+      org.apache.spark.sql.functions.struct(rCols.map(col).toSeq: _*).as("_2")).as[(L, R)]
+  }
 }

@@ -82,6 +82,19 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("typed interval join returns Dataset[(L, R)] and composes with typed ops") {
+    import spark.implicits._
+    val pts = Seq(Pt(1L, 100L, 5L), Pt(1L, 101L, 10L), Pt(2L, 102L, 3L)).toDS()
+    val ivs = Seq(Iv(1L, 200L, 5L, 12L), Iv(2L, 201L, 10L, 20L)).toDS()
+    val joined: org.apache.spark.sql.Dataset[(Pt, Iv)] =
+      IntervalJoins.intervalJoinTyped(pts, ivs, "k", "ik", "pt", "s", "e")
+    val got = joined
+      .filter(p => p._1.pt >= 5L) // typed lambda over the pair
+      .map(p => (p._1.pid, p._2.iid))
+      .collect().toSet
+    assert(got === Set((100L, 200L), (101L, 200L)))
+  }
+
   test("SparkSessionExtensions registration path plans the operator") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -109,3 +122,6 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 }
+
+case class Pt(k: Long, pid: Long, pt: Long)
+case class Iv(ik: Long, iid: Long, s: Long, e: Long)
