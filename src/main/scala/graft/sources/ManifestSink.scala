@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstream}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{streaming => wstream}
 import org.apache.spark.sql.types._
@@ -77,6 +78,20 @@ object ManifestSink {
     else v.toString
       .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
 
+  /** Deterministic manifest order: (mtime, name). Epoch manifests of
+    * one streaming query are also monotone by epoch id; a production
+    * deployment would use strictly monotone manifest ids — the
+    * protocol is unchanged. */
+  def sortedManifests(root: File): Seq[File] =
+    Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith("_manifest-")).toSeq
+      .sortBy(f => (f.lastModified(), f.getName))
+
+  def filesOf(manifests: Seq[File]): Seq[String] =
+    manifests.flatMap(m => new String(
+      Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).split("\n"))
+      .filter(_.nonEmpty)
+
   def decodeField(s: String, dt: DataType): Any =
     if (s == "\\N") null
     else {
@@ -110,13 +125,14 @@ class ManifestTable(path: String, external: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(path, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(path, schema())
+    new ManifestScanBuilder(path, schema(),
+      Option(options.get("asOfManifest")).map(_.toInt))
 }
 
 // --------------------------------------------------------------- write
@@ -259,29 +275,70 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
 
 // ---------------------------------------------------------------- read
 
-class ManifestScanBuilder(path: String, schema: StructType) extends ScanBuilder {
-  override def build(): Scan = new ManifestScan(path, schema)
+class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int])
+    extends ScanBuilder {
+  override def build(): Scan = new ManifestScan(path, schema, asOf)
 }
 
-class ManifestScan(path: String, schema: StructType) extends Scan with Batch {
+class ManifestScan(path: String, schema: StructType, asOf: Option[Int])
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
   /** Only manifest-listed files — a stray temp or unpublished file is
     * invisible by construction. One input partition per committed
-    * file (each file was one task's output: natural parallelism). */
+    * file (each file was one task's output: natural parallelism).
+    * `asOfManifest = n` time-travels to the first n commits: every
+    * commit is a retained snapshot boundary. */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new File(path)
-    val committed = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_manifest-"))
-      .flatMap(m => new String(
-        Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).split("\n"))
-      .filter(_.nonEmpty)
-    committed.map(f => ManifestFilePartition(new File(root, f).getPath): InputPartition)
+    val manifests = ManifestSink.sortedManifests(root)
+    val visible = asOf.fold(manifests)(n => manifests.take(n))
+    ManifestSink.filesOf(visible)
+      .map(f => ManifestFilePartition(new File(root, f).getPath): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema)
+
+  /** Streaming read: the manifest sequence IS the offset log — offset
+    * n = "the first n committed manifests". Each micro-batch reads
+    * exactly the manifests that appeared since the last one; commits
+    * are atomic, so a batch never sees a torn write. */
+  override def toMicroBatchStream(checkpointLocation: String): rstream.MicroBatchStream =
+    new ManifestMicroBatchStream(path, schema)
+}
+
+case class ManifestOffset(n: Int) extends rstream.Offset {
+  override def json(): String = n.toString
+}
+
+class ManifestMicroBatchStream(path: String, schema: StructType)
+    extends rstream.MicroBatchStream {
+  private val root = new File(path)
+
+  override def initialOffset(): rstream.Offset = ManifestOffset(0)
+  override def latestOffset(): rstream.Offset =
+    ManifestOffset(ManifestSink.sortedManifests(root).size)
+  override def deserializeOffset(json: String): rstream.Offset =
+    ManifestOffset(json.toInt)
+
+  override def planInputPartitions(
+      start: rstream.Offset, end: rstream.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestOffset].n
+    val e = end.asInstanceOf[ManifestOffset].n
+    val slice = ManifestSink.sortedManifests(root).slice(s, e)
+    ManifestSink.filesOf(slice)
+      .map(f => ManifestFilePartition(new File(root, f).getPath): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema)
+
+  override def commit(end: rstream.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ManifestFilePartition(file: String) extends InputPartition

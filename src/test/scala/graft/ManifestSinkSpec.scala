@@ -125,6 +125,46 @@ class ManifestSinkSpec extends AnyFunSuite {
       "duplicate epoch files must be discarded")
   }
 
+  test("asOfManifest time-travels to a committed snapshot") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Thread.sleep(20) // distinct mtimes for deterministic manifest order
+    Seq((2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val snap1 = spark.read.format(fmt)
+      .option("path", dir).option("asOfManifest", "1").load()
+    assert(snap1.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val snap2 = spark.read.format(fmt)
+      .option("path", dir).option("asOfManifest", "2").load()
+    assert(snap2.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("streaming read: each new commit arrives as a micro-batch, exactly once") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("manifest_stream_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("manifest_stream_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      Thread.sleep(20)
+      // a batch writer publishes a new commit while the stream runs
+      Seq((3L, "c")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+      q.processAllAvailable()
+      assert(spark.table("manifest_stream_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+        "the new manifest must arrive once, earlier ones must not replay")
+    } finally q.stop()
+  }
+
   test("events-shaped data survives a realistic round-trip") {
     val dir = tmpDir()
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
