@@ -95,6 +95,36 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got === Set((100L, 200L), (101L, 200L)))
   }
 
+  test("property: custom join ≡ composed join on randomized fixtures (dups, skew, empties)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val keyGen = Gen.chooseNum(0L, 6L) // few keys → heavy per-key collision
+    val ptGen = Gen.chooseNum(-50L, 50L)
+    val pointsGen = Gen.listOfN(120, Gen.zip(keyGen, ptGen))
+    val ivGen = Gen.listOfN(80, for {
+      k <- keyGen
+      s <- ptGen
+      len <- Gen.chooseNum(0L, 30L) // zero-length intervals match nothing
+    } yield (k, s, s + len))
+    (0 until 5).foreach { round =>
+      val seedP = org.scalacheck.rng.Seed(42L + round)
+      val seedI = org.scalacheck.rng.Seed(1042L + round)
+      val pts = pointsGen.apply(Gen.Parameters.default, seedP).get
+        .zipWithIndex.map { case ((k, p), i) => (k, i.toLong, p) }
+        .toDF("k", "pid", "pt")
+      val ivs = ivGen.apply(Gen.Parameters.default, seedI).get
+        .zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+        .toDF("ik", "iid", "s", "e")
+      val custom = IntervalJoins.intervalJoin(pts, ivs, "k", "ik", "pt", "s", "e")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val composed = pts.join(ivs,
+          col("k") === col("ik") && col("pt") >= col("s") && col("pt") < col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(custom === composed, s"round $round diverged: " +
+        s"only-custom=${(custom -- composed).take(5)} only-composed=${(composed -- custom).take(5)}")
+    }
+  }
+
   test("SparkSessionExtensions registration path plans the operator") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
