@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-first access to the DSv2 tables through a V2 catalog plugin.
+  *
+  * NOTE Spark caches the catalog INSTANCE at first use — later
+  * changes to spark.sql.catalog.* confs do not re-initialize it — so
+  * the suite configures one catalog+warehouse up front and every
+  * test shares it. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft_warehouse").toString
+    spark.conf.set("spark.sql.catalog.graft_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse", wh)
+    wh
+  }
+
+  test("the generated image catalog is queryable from plain SQL with pushdown") {
+    warehouse
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_test.db.image_catalog WHERE dataset = 'S2A'")
+      .head().getLong(0)
+    val expected = (0L until 10000L).count(i =>
+      graft.sources.ImageCatalogSource.field(i, "dataset").toString == "S2A")
+    assert(n === expected)
+  }
+
+  test("CREATE TABLE AS SELECT writes a manifest table readable by name and by path") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft_test.db.curated AS SELECT * FROM ctas_src")
+    // by catalog name
+    val byName = spark.sql("SELECT id FROM graft_test.db.curated")
+      .collect().map(_.getLong(0)).sorted
+    assert(byName.toSeq === Seq(1L, 2L))
+    // the same data through the raw format path (same warehouse)
+    val byPath = spark.read.format("graft.sources.ManifestSink")
+      .option("path", s"$warehouse/db/curated").load()
+    assert(byPath.count() === 2)
+    // and it shows up in SHOW TABLES
+    val tables = spark.sql("SHOW TABLES IN graft_test.db")
+      .collect().map(_.getString(1)).toSet
+    assert(tables.contains("curated") && tables.contains("image_catalog"))
+    spark.sql("DROP TABLE graft_test.db.curated")
+    assert(!spark.sql("SHOW TABLES IN graft_test.db")
+      .collect().map(_.getString(1)).contains("curated"))
+  }
+
+  test("INSERT INTO appends a new manifest commit") {
+    import spark.implicits._
+    warehouse
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("ins_src")
+    spark.sql("CREATE TABLE graft_test.db.appendable AS SELECT * FROM ins_src")
+    spark.sql("INSERT INTO graft_test.db.appendable SELECT 2L AS id, 'b' AS s")
+    val got = spark.sql("SELECT id FROM graft_test.db.appendable")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+}
