@@ -95,6 +95,19 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got === Set((100L, 200L), (101L, 200L)))
   }
 
+  test("downstream groupBy on the interval-side key reuses the join's exchange") {
+    // PartitioningCollection advertises both children's clusterings:
+    // aggregating on the RIGHT key immediately after the join must not
+    // introduce a third Exchange (2 = one per join input)
+    val joined = IntervalJoins.intervalJoin(points, intervals, "k", "ik", "pt", "s", "e")
+    val agg = joined.groupBy(col("ik")).count()
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected no extra shuffle for the right-key agg:\n$plan")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 5L), (2L, 0L)).filter(_._2 > 0)) // iid 200:1,201:1,202:3 → k=1 count 5
+  }
+
   test("property: custom join ≡ composed join on randomized fixtures (dups, skew, empties)") {
     import spark.implicits._
     import org.scalacheck.Gen
