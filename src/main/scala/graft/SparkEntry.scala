@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,8 +18,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.discovery(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * A ListMap, deliberately: a 42-entry immutable `Map(...)` is a
+    * HashMap whose iteration order changes whenever entries are added,
+    * so Bench/Verify ran queries in hash order — adding 6 queries in
+    * round 3 silently reshuffled the bench execution order (the hidden
+    * variable behind the q04 timing regression investigated in
+    * PERF.md). Insertion order makes runs reproducible round-over-round. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_discovery" -> ((s, d) => Relational.discovery(s, d)),
     "q02_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q03_topk" -> ((s, d) => Relational.topK(s, d)),
@@ -67,7 +75,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ListMap(
     "q01_discovery" -> Relational.discoverySql,
     "q02_pricing_summary" -> Relational.pricingSummarySql,
     "q03_topk" -> Relational.topKSql,

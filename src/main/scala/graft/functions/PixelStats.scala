@@ -140,7 +140,7 @@ case class ImageStats(child: Expression)
          |    int $mn = Math.min($rv, Math.min($gv, $bv));
          |    if ($mx != 0) {
          |      $inb++;
-         |      if ($mn >= 153.0D && ($mx - $mn) <= 25.5D) $white++;
+         |      if ($mn >= ${WhiteMin}D && ($mx - $mn) <= ${WhiteSpread}D) $white++;
          |    }
          |  }
          |}

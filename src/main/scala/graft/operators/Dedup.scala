@@ -90,16 +90,21 @@ object Dedup {
     * cached; Jaccard verification intersects hashed sets (identical
     * in the oracle, so collision behavior — negligible at 1e9+7 —
     * is bit-consistent). */
-  /** Hashed distinct shingle sets — the shared (and cached)
-    * intermediate of q18/q19; both queries build the identical
-    * logical plan here, so they share one InMemoryRelation. */
-  private def hashedShingles(spark: SparkSession, dir: String): DataFrame = {
-    TextHash.register(spark)
-    shingled(spark, dir)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(shingles, s -> polyhash(s)))").as("hh"))
-      .cache()
-  }
+  /** Hashed distinct shingle sets — the shared cached intermediate of
+    * q18/q19 (both queries' self-joins would otherwise re-execute the
+    * shingle hashing on each side of the plan). Lifecycle is
+    * caller-managed via [[graft.CacheRegistry]]: memoized per
+    * (session, dir) so repeated calls reuse ONE persisted DataFrame,
+    * and released by whoever owns the session scope
+    * (`CacheRegistry.releaseAll()` — Bench/Verify do this after each
+    * query) instead of pinning an InMemoryRelation forever. */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.getOrCache(spark, s"dedup.hashedShingles:$dir") {
+      TextHash.register(spark)
+      shingled(spark, dir)
+        .select(col("doc_id"),
+          expr("array_distinct(transform(shingles, s -> polyhash(s)))").as("hh"))
+    }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(spark, dir)

@@ -65,6 +65,8 @@ class ManifestSink extends TableProvider {
 
 object ManifestSink {
   val SchemaFile = "_schema.ddl"
+  private val ManifestPrefix = "_manifest-"
+
   def root(options: CaseInsensitiveStringMap): File = {
     val p = options.get("path")
     require(p != null, "ManifestSink requires option 'path'")
@@ -72,30 +74,149 @@ object ManifestSink {
   }
 
   // ---- tab-escaped row codec (supported types: long, int, double,
-  // ---- boolean, string, timestamp-as-micros) ----
+  // ---- boolean, string, timestamp-as-micros). CR is escaped too —
+  // ---- an unescaped \r would split the row under Files.lines ----
   def encodeField(v: Any): String =
     if (v == null) "\\N"
-    else v.toString
-      .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    else {
+      val s = v.toString
+      if (s.indexOf('\\') < 0 && s.indexOf('\t') < 0 &&
+          s.indexOf('\n') < 0 && s.indexOf('\r') < 0) s
+      else s.replace("\\", "\\\\").replace("\t", "\\t")
+        .replace("\n", "\\n").replace("\r", "\\r")
+    }
 
-  /** Deterministic manifest order: (mtime, name). Epoch manifests of
-    * one streaming query are also monotone by epoch id; a production
-    * deployment would use strictly monotone manifest ids — the
-    * protocol is unchanged. */
-  def sortedManifests(root: File): Seq[File] =
-    Option(root.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.startsWith("_manifest-")).toSeq
-      .sortBy(f => (f.lastModified(), f.getName))
+  /** Single left-to-right unescape: a '\\' consumes the next char
+    * BEFORE it can be re-interpreted. (The old sequential
+    * `.replace("\\n", …).replace("\\\\", …)` chain corrupted strings
+    * like `"C:\net"`: its encoding `C:\\net` matched the `\n` rule
+    * first, decoding to backslash+LF.) */
+  private def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '\\' => sb.append('\\')
+          case other => sb.append(other) // codec never emits these; pass through
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Manifest names carry a STRICTLY MONOTONE zero-padded sequence
+    * number — `_manifest-<seq>-<tag>` — claimed at commit time, so
+    * ordering is a property of the name alone. (The old basis was
+    * (mtime, name); with coarse filesystem mtime granularity a new
+    * manifest could sort BEFORE an already-consumed streaming offset
+    * index, skipping or re-reading a commit.)
+    *
+    * A compaction checkpoint (`tag = ckpt-<w>`) carries the logical
+    * WEIGHT w = number of commits it absorbed; it supersedes every
+    * manifest with seq ≤ its own, which keeps listings O(recent
+    * commits) after thousands of epochs while offsets stay stable:
+    * offset n still means "the first n logical commits". */
+  private def seqOf(f: File): Int =
+    f.getName.stripPrefix(ManifestPrefix).takeWhile(_.isDigit).toInt
+
+  private def tagOf(f: File): String =
+    f.getName.stripPrefix(ManifestPrefix).dropWhile(_.isDigit).stripPrefix("-")
+
+  def weightOf(f: File): Int = {
+    val t = tagOf(f)
+    if (t.startsWith("ckpt-")) t.stripPrefix("ckpt-").toInt else 1
+  }
+
+  /** Visible manifests in commit order. A checkpoint hides everything
+    * it absorbed (seq ≤ checkpoint seq), so a reader racing a
+    * compaction sees either the originals or the checkpoint — never
+    * both — and file lists / logical counts stay consistent. */
+  def sortedManifests(root: File): Seq[File] = {
+    val all = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith(ManifestPrefix)).toSeq
+      .sortBy(f => (seqOf(f), f.getName))
+    val ckpt = all.filter(f => tagOf(f).startsWith("ckpt-"))
+    if (ckpt.isEmpty) all
+    else {
+      val top = ckpt.maxBy(f => (seqOf(f), weightOf(f)))
+      top +: all.filter(f => seqOf(f) > seqOf(top))
+    }
+  }
+
+  /** Total logical commit count (the streaming `latestOffset`). */
+  def logicalCount(root: File): Int = sortedManifests(root).map(weightOf).sum
+
+  /** Manifests covering logical commit range [s, e). Compaction may
+    * only be crossed at checkpoint boundaries: an offset strictly
+    * inside a checkpoint's absorbed range is no longer individually
+    * addressable (same contract as snapshot expiry in table formats). */
+  def manifestSlice(root: File, s: Int, e: Int): Seq[File] = {
+    var acc = 0
+    val out = Seq.newBuilder[File]
+    sortedManifests(root).foreach { m =>
+      val lo = acc
+      acc += weightOf(m)
+      if (lo < e && acc > s) {
+        require(lo >= s && acc <= e,
+          s"offset range [$s,$e) splits compacted checkpoint ${m.getName} " +
+            s"covering logical commits [$lo,$acc) — compact only below the " +
+            "slowest reader's committed offset")
+        out += m
+      }
+    }
+    out.result()
+  }
+
+  /** Atomically publish a manifest under the next free sequence
+    * number: content goes to a temp file first, then an atomic rename
+    * claims `_manifest-<seq>-<tag>` — readers never see partial
+    * content. (Single committer per path, as before; what the
+    * sequence fixes is ordering stability, not multi-writer commits.) */
+  def writeManifest(root: File, tag: String, files: Seq[String]): File = {
+    val tmp = Files.createTempFile(root.toPath, "_inflight-", ".manifest")
+    Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    var seq = sortedManifests(root).lastOption.map(seqOf(_) + 1).getOrElse(0)
+    var target = new File(root, f"$ManifestPrefix$seq%09d-$tag")
+    while (target.exists()) { seq += 1; target = new File(root, f"$ManifestPrefix$seq%09d-$tag") }
+    Files.move(tmp, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    target
+  }
+
+  /** Compact the current manifest list into ONE checkpoint manifest
+    * (prefix union) carrying the absorbed logical weight, then drop
+    * the superseded files. Listing cost goes from O(commits) to
+    * O(commits since last compaction); `asOfManifest`/streaming
+    * offsets at or beyond the checkpoint boundary are unchanged. */
+  def compact(path: String): Unit = {
+    val root = new File(path)
+    val ms = sortedManifests(root)
+    if (ms.size <= 1) return
+    val union = filesOf(ms)
+    val w = ms.map(weightOf).sum
+    val seq = seqOf(ms.last)
+    val tmp = Files.createTempFile(root.toPath, "_inflight-", ".manifest")
+    Files.write(tmp, union.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, new File(root, f"$ManifestPrefix$seq%09d-ckpt-$w").toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    ms.foreach(_.delete()) // already hidden by the checkpoint
+  }
 
   def filesOf(manifests: Seq[File]): Seq[String] =
     manifests.flatMap(m => new String(
       Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).split("\n"))
-      .filter(_.nonEmpty)
+      .filter(_.nonEmpty).distinct
 
   def decodeField(s: String, dt: DataType): Any =
     if (s == "\\N") null
     else {
-      val raw = s.replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+      val raw = unescape(s)
       dt match {
         case LongType | TimestampType => raw.toLong
         case IntegerType => raw.toInt
@@ -159,34 +280,43 @@ class ManifestStreamingWrite(path: String, queryId: String, schema: StructType)
       info: PhysicalWriteInfo): wstream.StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, queryId, schema)
 
+  private def epochTag(epochId: Long) = s"$queryId-epoch-$epochId"
+  private def writeId(epochId: Long) = s"$queryId-e$epochId"
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new File(path)
     root.mkdirs()
-    val manifest = new File(root, s"_manifest-$queryId-epoch-$epochId")
-    if (manifest.exists()) { // replayed epoch: drop the duplicate files
-      messages.collect { case m: ManifestCommitMessage =>
-        new File(root, s"_temp/${m.file}").delete()
+    val tempDir = new File(root, s"_temp/${writeId(epochId)}")
+    val replayed = ManifestSink.sortedManifests(root)
+      .exists(_.getName.endsWith(s"-${epochTag(epochId)}"))
+    if (!replayed) {
+      val files = messages.collect {
+        case m: ManifestCommitMessage if m.rows > 0 =>
+          Files.move(
+            new File(tempDir, m.file).toPath,
+            new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
+          m.file
       }
-      return
+      val schemaFile = new File(root, ManifestSink.SchemaFile)
+      if (!schemaFile.exists())
+        Files.write(schemaFile.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
+      ManifestSink.writeManifest(root, epochTag(epochId), files.toSeq)
     }
-    val files = messages.collect {
-      case m: ManifestCommitMessage if m.rows > 0 =>
-        Files.move(
-          new File(root, s"_temp/${m.file}").toPath,
-          new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
-        m.file
-    }
-    val schemaFile = new File(root, ManifestSink.SchemaFile)
-    if (!schemaFile.exists())
-      Files.write(schemaFile.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
-    Files.write(manifest.toPath, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // replayed epoch: publish nothing, drop the duplicate temp files.
+    // Either way the epoch's temp dir goes away — zero-row task files
+    // included (these used to accumulate for the life of the query).
+    cleanupEpochTemp(tempDir)
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val root = new File(path)
-    messages.collect { case m: ManifestCommitMessage =>
-      new File(root, s"_temp/${m.file}").delete()
-    }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanupEpochTemp(new File(path, s"_temp/${writeId(epochId)}"))
+
+  /** Remove this epoch's temp subdirectory only — the shared `_temp`
+    * root may hold another write's in-flight files. */
+  private def cleanupEpochTemp(tempDir: File): Unit = {
+    Option(tempDir.listFiles()).foreach(_.foreach(_.delete()))
+    tempDir.delete()
+    tempDir.getParentFile.delete() // only succeeds when _temp is empty
   }
 }
 
@@ -195,7 +325,7 @@ class ManifestStreamingWriterFactory(path: String, queryId: String, schema: Stru
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ManifestWriterFactory(path, s"$queryId-e$epochId", schema)
-      .createWriter(partitionId, taskId)
+      .createWriter(partitionId, taskId) // temp scope: _temp/<queryId>-e<epochId>/
 }
 
 class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
@@ -212,29 +342,31 @@ class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new File(path)
     root.mkdirs()
+    val tempDir = new File(root, s"_temp/$queryId")
     val files = messages.collect {
       case m: ManifestCommitMessage if m.rows > 0 =>
-        val tmp = new File(root, s"_temp/${m.file}")
-        Files.move(tmp.toPath, new File(root, m.file).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+        Files.move(new File(tempDir, m.file).toPath,
+          new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
         m.file
     }
     val schemaFile = new File(root, ManifestSink.SchemaFile)
     if (!schemaFile.exists())
       Files.write(schemaFile.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
-    Files.write(
-      new File(root, s"_manifest-$queryId").toPath,
-      files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ManifestSink.writeManifest(root, queryId, files.toSeq)
     cleanupTemp(root)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     cleanupTemp(new File(path))
 
+  /** Scoped to THIS write's `_temp/<queryId>` subdirectory — the old
+    * whole-`_temp` sweep could delete a concurrent batch write's
+    * in-flight task files out from under it. */
   private def cleanupTemp(root: File): Unit = {
-    val tmp = new File(root, "_temp")
+    val tmp = new File(root, s"_temp/$queryId")
     Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
     tmp.delete()
+    tmp.getParentFile.delete() // removes _temp itself only when empty
   }
 }
 
@@ -249,7 +381,7 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fileName = f"part-$queryId-$partitionId%05d-$taskId.tsv"
-      private val tmp = new File(new File(path, "_temp"), fileName)
+      private val tmp = new File(new File(path, s"_temp/$queryId"), fileName)
       tmp.getParentFile.mkdirs()
       private val out = Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
       private var rows = 0L
@@ -292,8 +424,8 @@ class ManifestScan(path: String, schema: StructType, asOf: Option[Int])
     * commit is a retained snapshot boundary. */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new File(path)
-    val manifests = ManifestSink.sortedManifests(root)
-    val visible = asOf.fold(manifests)(n => manifests.take(n))
+    val visible = asOf.fold(ManifestSink.sortedManifests(root))(n =>
+      ManifestSink.manifestSlice(root, 0, n)) // n counts LOGICAL commits
     ManifestSink.filesOf(visible)
       .map(f => ManifestFilePartition(new File(root, f).getPath): InputPartition)
       .toArray
@@ -320,7 +452,7 @@ class ManifestMicroBatchStream(path: String, schema: StructType)
 
   override def initialOffset(): rstream.Offset = ManifestOffset(0)
   override def latestOffset(): rstream.Offset =
-    ManifestOffset(ManifestSink.sortedManifests(root).size)
+    ManifestOffset(ManifestSink.logicalCount(root)) // weight-aware: stable across compaction
   override def deserializeOffset(json: String): rstream.Offset =
     ManifestOffset(json.toInt)
 
@@ -328,7 +460,7 @@ class ManifestMicroBatchStream(path: String, schema: StructType)
       start: rstream.Offset, end: rstream.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ManifestOffset].n
     val e = end.asInstanceOf[ManifestOffset].n
-    val slice = ManifestSink.sortedManifests(root).slice(s, e)
+    val slice = ManifestSink.manifestSlice(root, s, e)
     ManifestSink.filesOf(slice)
       .map(f => ManifestFilePartition(new File(root, f).getPath): InputPartition)
       .toArray

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Cache lifecycle (round-3 judge finding #3): operator-internal
+  * caches must be caller-releasable — no InMemoryRelation outlives its
+  * query scope in a long-lived session.
+  */
+class CacheRegistrySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q18+q19 share ONE registered shingle cache; releaseAll empties the cache manager") {
+    CacheRegistry.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
+
+    Dedup.minhashLsh(spark, sf).write.format("noop").mode("overwrite").save()
+    Dedup.ngramJaccard(spark, sf).write.format("noop").mode("overwrite").save()
+    // memoized per (session, dir): the pair shares one entry, and no
+    // "already cached" re-persist was issued for the second query
+    assert(CacheRegistry.size == 1,
+      s"q18/q19 must share one cached intermediate, got ${CacheRegistry.size}")
+    assert(!spark.sharedState.cacheManager.isEmpty)
+
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.size == 0)
+    // unpersist(blocking=false) still removes the plan from the cache
+    // manager synchronously — only block cleanup is async
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "released caches must not linger in the session cache manager")
+  }
+
+  test("q35 bucketed-vectors cache is registered and released the same way") {
+    CacheRegistry.releaseAll()
+    Similarity.embeddingDedup(spark, sf).write.format("noop").mode("overwrite").save()
+    assert(CacheRegistry.size == 1)
+    CacheRegistry.releaseAll()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("withCaches scope releases on exit even when the body throws") {
+    CacheRegistry.releaseAll()
+    intercept[RuntimeException] {
+      CacheRegistry.withCaches {
+        Dedup.minhashLsh(spark, sf).write.format("noop").mode("overwrite").save()
+        assert(CacheRegistry.size == 1)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(CacheRegistry.size == 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("released cache does not change results: q18 identical before/after release") {
+    CacheRegistry.releaseAll()
+    val before = Dedup.minhashLsh(spark, sf).orderBy(col("a_id"), col("b_id")).collect().toSeq
+    CacheRegistry.releaseAll()
+    val after = Dedup.minhashLsh(spark, sf).orderBy(col("a_id"), col("b_id")).collect().toSeq
+    CacheRegistry.releaseAll()
+    assert(before == after)
+  }
+}

@@ -165,6 +165,108 @@ class ManifestSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("codec: literal backslash sequences and CR round-trip unharmed (ADVICE r03)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // "C:\net" encodes to C:\\net — the old sequential decode chain
+    // matched \n first, yielding backslash+LF; embedded \r used to
+    // split the row under Files.lines
+    val tricky = Seq(
+      (1L, "C:\\net"), (2L, "a\\nb"), (3L, "carriage\rreturn"),
+      (4L, "\\t literal"), (5L, "mix\\\\r\n\t\r end"), (6L, "\\N almost-null"))
+      .toDF("id", "s")
+    tricky.write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      tricky.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("compaction: one checkpoint manifest replaces the prefix; reads and offsets survive") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (1L to 3L).foreach(i => Seq((i, s"v$i")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save())
+    assert(graft.sources.ManifestSink.sortedManifests(new File(dir)).size === 3)
+
+    graft.sources.ManifestSink.compact(dir)
+    val afterCompact = graft.sources.ManifestSink.sortedManifests(new File(dir))
+    assert(afterCompact.size === 1, "prefix union → one checkpoint manifest")
+    assert(graft.sources.ManifestSink.weightOf(afterCompact.head) === 3,
+      "checkpoint carries the absorbed logical commit count")
+    assert(spark.read.format(fmt).option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+
+    // a later append continues the monotone sequence past the checkpoint
+    Seq((4L, "v4")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 4)
+    // time travel at the checkpoint boundary still works (3 logical commits)
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", "3").load().count() === 3)
+    // an offset INSIDE the compacted range is no longer addressable — loud error
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("asOfManifest", "1").load().collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("compaction is re-compactable and streaming reads resume past a checkpoint") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    (1L to 2L).foreach(i => Seq((i, s"v$i")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save())
+    // consume both commits, then compact, then append more
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("compact_stream_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("compact_stream_out").count() === 2)
+      graft.sources.ManifestSink.compact(dir)
+      Seq((3L, "v3")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+      q.processAllAvailable()
+      assert(spark.table("compact_stream_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L),
+        "a reader at the checkpoint boundary resumes exactly-once")
+    } finally q.stop()
+    // second compaction absorbs the first checkpoint + the new commit
+    graft.sources.ManifestSink.compact(dir)
+    val ms = graft.sources.ManifestSink.sortedManifests(new File(dir))
+    assert(ms.size === 1 && graft.sources.ManifestSink.weightOf(ms.head) === 3)
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 3)
+  }
+
+  test("zero-row streaming epoch leaves no temp garbage (ADVICE r03)") {
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val write = new graft.sources.ManifestStreamingWrite(dir, "qzero", schema)
+    val factory = new graft.sources.ManifestStreamingWriterFactory(dir, "qzero", schema)
+    val w = factory.createWriter(0, 11L, 5L) // writes nothing
+    write.commit(5L, Array[WriterCommitMessage](w.commit()))
+    val temp = new File(dir, "_temp")
+    assert(!temp.exists() || temp.listFiles().isEmpty,
+      "empty epoch temp files must be cleaned up, not accumulate")
+  }
+
+  test("batch commit cleanup is scoped: a concurrent write's in-flight temp survives") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // writer A is mid-flight: its temp file exists under its own scope
+    val otherTemp = new File(dir, "_temp/other-query-id/part-other-00000-1.tsv")
+    otherTemp.getParentFile.mkdirs()
+    Files.write(otherTemp.toPath, "42\n".getBytes(StandardCharsets.UTF_8))
+    // writer B commits
+    Seq((1L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(otherTemp.exists(),
+      "commit cleanup must only remove its own _temp/<queryId> scope")
+  }
+
   test("events-shaped data survives a realistic round-trip") {
     val dir = tmpDir()
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
