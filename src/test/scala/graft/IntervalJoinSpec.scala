@@ -138,6 +138,65 @@ class IntervalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("hot key beyond the old fail-fast limit completes by SPILLING (soft warning, no error)") {
+    import spark.implicits._
+    // one key with 3000 intervals; force the spill machinery with tiny
+    // thresholds, and set the old hard limit far below the key width —
+    // pre-round-4 behavior was IllegalStateException here
+    val prevWarn = spark.conf.getOption("spark.graft.intervalJoin.maxBufferRows")
+    val prevSpill = spark.conf.getOption("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    val prevMem = spark.conf.getOption("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+    spark.conf.set("spark.graft.intervalJoin.maxBufferRows", "100")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "64")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "32")
+    try {
+      val ivs = (0 until 3000).map(i => (1L, i.toLong, i.toLong, i.toLong + 10L))
+        .toDF("ik", "iid", "s", "e")
+      val pts = Seq((1L, 100L, 1500L), (1L, 101L, 0L), (1L, 102L, 3009L))
+        .toDF("k", "pid", "pt")
+      val got = IntervalJoins.intervalJoin(pts, ivs, "k", "ik", "pt", "s", "e")
+        .groupBy(col("pid")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // pt=1500 ∈ [s, s+10) for s in 1491..1500 → 10 matches;
+      // pt=0 matches s=0 only; pt=3009 matches s=3000-1? no: s max 2999,
+      // [2999,3009) excludes 3009 → 0 matches and the key drops out
+      assert(got === Map(100L -> 10L, 101L -> 1L))
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.graft.intervalJoin.maxBufferRows", prevWarn)
+      restore("spark.sql.sortMergeJoinExec.buffer.spill.threshold", prevSpill)
+      restore("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", prevMem)
+    }
+  }
+
+  test("spilled buffer produces identical results to the composed join") {
+    import spark.implicits._
+    val prevSpill = spark.conf.getOption("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    val prevMem = spark.conf.getOption("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "64")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "32")
+    try {
+      val rnd = new scala.util.Random(7)
+      val ivs = (0 until 800).map(i =>
+        (rnd.nextInt(3).toLong, i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong + 50L))
+        .toDF("ik", "iid", "s", "e")
+      val pts = (0 until 200).map(i =>
+        (rnd.nextInt(3).toLong, (1000 + i).toLong, rnd.nextInt(200).toLong))
+        .toDF("k", "pid", "pt")
+      val custom = IntervalJoins.intervalJoin(pts, ivs, "k", "ik", "pt", "s", "e")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val composed = pts.join(ivs,
+          col("k") === col("ik") && col("pt") >= col("s") && col("pt") < col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(custom === composed)
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.sortMergeJoinExec.buffer.spill.threshold", prevSpill)
+      restore("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", prevMem)
+    }
+  }
+
   test("SparkSessionExtensions registration path plans the operator") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
