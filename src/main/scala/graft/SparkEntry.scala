@@ -71,6 +71,7 @@ object SparkEntry {
     // its rows-only check, SketchSpec owns the accuracy contract
     "q41_sketch_summary" -> ((s, d) => Extended.sketchSummary(s, d)),
     "q42_dataset_split" -> ((s, d) => Extended.datasetSplit(s, d)),
+    "q43_lang_id_trigram" -> ((s, d) => TextAnalysis.langIdTrigram(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +118,6 @@ object SparkEntry {
     "q39_stats_moments" -> Extended.statsMomentsSql,
     "q40_posexplode" -> Extended.posExplodeWordsSql,
     "q42_dataset_split" -> Extended.datasetSplitSql,
+    "q43_lang_id_trigram" -> TextAnalysis.langIdTrigramSql,
   )
 }

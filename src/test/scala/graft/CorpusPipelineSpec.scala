@@ -45,6 +45,60 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
   }
 
+  test("connected components: chains, middleman links, and multi-component graphs") {
+    import spark.implicits._
+    import graft.operators.Components
+    // chain 1-2-3-4, separate pair 10-11, middleman 20-22 & 21-22,
+    // isolated-by-duplicate-edge 30-31 (both directions + dup rows)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 22L), (21L, 22L),
+      (31L, 30L), (30L, 31L), (30L, 31L))
+      .toDF("a_id", "b_id")
+    val comps = Components.minLabelComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+    // the middleman case is where the old pairwise policy differed:
+    // pairwise dropped only {22} (the b-side), keeping both 20 and 21
+    // of one component; components keep exactly the minimum
+    val dropped = Components.nonRepresentatives(edges)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(2L, 3L, 4L, 11L, 21L, 22L, 31L))
+  }
+
+  test("funnel with a synthetic (1,2),(2,3),(3,4) chain keeps exactly one representative") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_corpus_chain").toString
+    // find four doc_ids that certainly survive quality gate + exact
+    // dedup (run the funnel with NO near-dup edges), then chain them
+    // as synthetic near-dup edges
+    val exactSurvivorIds = {
+      val tmp = Files.createTempDirectory("graft_corpus_ids").toString
+      CorpusPipeline.run(spark, sf, tmp,
+        nearDupPairs = Some(Seq.empty[(Long, Long)].toDF("a_id", "b_id")))
+      spark.read.format("graft.sources.ManifestSink").option("path", tmp)
+        .load().select("doc_id").orderBy("doc_id")
+        .limit(4).collect().map(_.getLong(0))
+    }
+    val Array(d1, d2, d3, d4) = exactSurvivorIds
+    val chain = Seq((d1, d2), (d2, d3), (d3, d4)).toDF("a_id", "b_id")
+    val funnel = CorpusPipeline.run(spark, sf, out, nearDupPairs = Some(chain))
+    val exactCount = funnel.find(_.stage == "exact_dedup").get.rows
+    val nearCount = funnel.find(_.stage == "near_dedup").get.rows
+    assert(nearCount === exactCount - 3,
+      "a 4-document chain must lose exactly 3 documents (one representative kept)")
+    val kept = spark.read.format("graft.sources.ManifestSink")
+      .option("path", out).load().select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(d1) && !kept.contains(d2) && !kept.contains(d3) && !kept.contains(d4),
+      "the minimum id of the chain is the surviving representative")
+  }
+
   test("the funnel is idempotent on its own output semantics (re-run appends identically)") {
     val out = Files.createTempDirectory("graft_corpus2").toString
     val f1 = CorpusPipeline.run(spark, sf, out)
