@@ -57,4 +57,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "bucket equi-join should plan as a broadcast HASH join, not nested-loop")
   }
+
+  // ------------------------------------------------------- bits scaling
+
+  /** Deterministic clustered corpus: 3000 vectors in 16-dim, 30
+    * cluster centers, small per-vector noise — all integer-hash
+    * derived so every run is identical. */
+  private def clusteredCorpus = {
+    import spark.implicits._
+    val dim = 16
+    def center(k: Int, d: Int): Double =
+      (((k * 31 + d) * 2654435761L) % 1000).toDouble / 1000.0 - 0.5
+    def noise(i: Int, d: Int): Double =
+      (((i * 97L + d) * 40503L) % 100).toDouble / 100.0 * 0.05
+    (0 until 3000).map { i =>
+      val k = i % 30
+      (i.toLong, (0 until dim).map(d => (center(k, d) + noise(i, d)).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bits parameter trades candidates for recall@1 (4 → 8 → 12 bits, generated corpus)") {
+    val corpus = Similarity.withNorms(clusteredCorpus)
+    val qPred = expr("vec_id % 50 = 0") // 60 queries
+
+    // Scala-side brute-force top-1 (same ascending fold order as the
+    // codegen'd DotProduct, so doubles are bit-identical)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.keys.filter(_ % 50 == 0).toSeq.sorted
+    val top1 = queries.map { q =>
+      q -> vecs.keys.filter(_ != q)
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .minBy { case (n, s) => (-s, n) }._1 // sim desc, id asc — ANN's order
+    }.toMap
+
+    val results = Seq(4, 8, 12).map { bits =>
+      val ann = Similarity.annTopKWith(corpus, qPred, bits, 16, 3).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      val recall = top1.count { case (q, nn) =>
+        ann.getOrElse(q, Set.empty).contains(nn) }.toDouble / top1.size
+      val meanCand = {
+        val c = Similarity.annCandidateCounts(corpus, qPred, bits, 16).collect()
+        if (c.isEmpty) 0.0 else c.map(_.getAs[Long]("n_candidates")).sum.toDouble / top1.size
+      }
+      (bits, recall, meanCand)
+    }
+    val byBits = results.map { case (b, r, c) => b -> ((r, c)) }.toMap
+    val info = results.map { case (b, r, c) => f"bits=$b recall@1=$r%.2f cand=$c%.0f" }.mkString("; ")
+
+    // candidate count must SHRINK as bits grow — the scale lever
+    assert(byBits(4)._2 > byBits(8)._2 && byBits(8)._2 > byBits(12)._2,
+      s"candidates must shrink with bits: $info")
+    // clustered data keeps recall usable even at 12 bits; 4 bits is
+    // near-exhaustive on 16 buckets
+    assert(byBits(4)._1 >= 0.8, s"4-bit recall collapsed: $info")
+    assert(byBits(8)._1 >= 0.5, s"8-bit recall collapsed: $info")
+    assert(byBits(12)._1 >= 0.3, s"12-bit recall collapsed: $info")
+    // 12 bits on 3000 vectors must actually prune: << corpus size
+    assert(byBits(12)._2 < 1500, s"12-bit candidate set failed to prune: $info")
+  }
 }
