@@ -19,12 +19,16 @@ import graft.sinks.Sink
   *    P6 sink-record assembly
   *  - run: S5 artifact sink + S6 idempotent upsert
   *
-  * S3 (HTTP zip fetch of band GeoTIFFs, main.py:161-186) and the
-  * GeoTIFF decode (S4, main.py:188-196) are STUBBED by design: the
-  * `rasters` input table carries pre-decoded band planes (the offline
-  * environment has no EE endpoint; the codec surface exists —
-  * Raster.decodeImage — and the fetch would slot into mapPartitions
-  * at the marked point below).
+  * S3 (HTTP fetch of band images, main.py:161-186) exists as a real
+  * executor-side transport — `sources/HttpFetch.fetchColumn`
+  * (mapPartitions, pooled client per partition, bounded retries,
+  * per-row status; HttpFetchSpec drives it over live sockets against
+  * an in-process server and chains fetch → decode → stats). THIS
+  * pipeline still reads pre-staged band planes from the `rasters`
+  * table because the sandbox has no imagery endpoint; a live
+  * deployment swaps the `rasters` join for
+  * `HttpFetch.fetchColumn(cands, "band_url", "raw")` +
+  * `Raster.decodeImageUdf` at the marked point below.
   *
   * Scale posture: water bodies and configs are broadcast-size dims;
   * the catalog and rasters are the big sides and are touched by

@@ -1,0 +1,97 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Raster
+import graft.sources.HttpFetch
+
+/** S3 executor-side HTTP fetch against an in-process fixture server —
+  * real sockets, real HTTP, zero egress. Covers the happy path (bytes
+  * decode back to the served image), the retry path (endpoint fails
+  * twice then serves), and the failure posture (404 recorded, job
+  * survives, payload null).
+  */
+class HttpFetchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** 2x2 test cube with distinct channel values. */
+  private val cube: Seq[Seq[Seq[Int]]] = Seq(
+    Seq(Seq(10, 20), Seq(30, 40)),
+    Seq(Seq(50, 60), Seq(70, 80)),
+    Seq(Seq(90, 100), Seq(110, 120)))
+  private def png = Raster.encodePng(cube)
+
+  private def withServer(f: (HttpServer, String) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.start()
+    try f(server, s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def reply(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  test("fetched band bytes decode to the exact served image (S3 -> S4 chain)") {
+    withServer { (server, base) =>
+      server.createContext("/band", (ex: HttpExchange) => reply(ex, 200, png))
+      import spark.implicits._
+      val df = (1L to 20L).map(i => (i, s"$base/band?id=$i")).toDF("id", "url")
+        .repartition(4) // several partitions → several pooled clients
+      val out = HttpFetch.fetchColumn(df, "url", "band").collect()
+      assert(out.length === 20)
+      out.foreach { r =>
+        assert(r.getAs[Int]("band_status") === 200)
+        assert(r.getAs[Int]("band_attempts") === 1)
+        val decoded = Raster.decodeImage(r.getAs[Array[Byte]]("band"))
+        assert(decoded === cube, "the PNG round-trips through the HTTP fetch bit-exactly")
+      }
+    }
+  }
+
+  test("transient 503s are retried with bounded attempts; 404 is terminal; job survives") {
+    withServer { (server, base) =>
+      val flakyHits = new AtomicInteger(0)
+      server.createContext("/flaky", (ex: HttpExchange) =>
+        if (flakyHits.incrementAndGet() <= 2) reply(ex, 503, Array.empty)
+        else reply(ex, 200, png))
+      server.createContext("/gone", (ex: HttpExchange) => reply(ex, 404, Array.empty))
+      import spark.implicits._
+      val df = Seq(
+        (1L, s"$base/flaky"),
+        (2L, s"$base/gone")).toDF("id", "url").repartition(1)
+      val rows = HttpFetch.fetchColumn(df, "url", "band").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Int]("band_status"), r.getAs[Int]("band_attempts"),
+            r.getAs[Array[Byte]]("band")))).toMap
+      val (fStatus, fAttempts, fBody) = rows(1L)
+      assert(fStatus === 200 && fAttempts === 3, "two 503s then success on the third try")
+      assert(Raster.decodeImage(fBody) === cube)
+      val (gStatus, gAttempts, gBody) = rows(2L)
+      assert(gStatus === 404 && gAttempts === 1, "4xx must not be retried")
+      assert(gBody == null, "failed fetch → null payload, row preserved")
+    }
+  }
+
+  test("fetch composes with the raster pipeline: fetch -> decode -> stats") {
+    withServer { (server, base) =>
+      server.createContext("/img", (ex: HttpExchange) => reply(ex, 200, png))
+      import spark.implicits._
+      val df = Seq((1L, s"$base/img")).toDF("ee_key", "url")
+      val stats = HttpFetch.fetchColumn(df, "url", "raw")
+        .withColumn("cube", Raster.decodeImageUdf(col("raw")))
+        .withColumn("s", graft.functions.PixelOps.imageStats(col("cube")))
+        .select("s.red_average").head().getDouble(0)
+      // channel 0 of the cube: mean of 10,20,30,40 (no zeros → no nodata drop)
+      assert(stats === 25.0)
+    }
+  }
+}
