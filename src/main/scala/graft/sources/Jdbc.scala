@@ -108,6 +108,26 @@ object Jdbc {
     }
   }
 
+  /** Streaming form of the sink — the reference's actual deployment
+    * shape (a daily incremental run appending only new images) as a
+    * Structured Streaming query: each micro-batch runs the idempotent
+    * upsert, so exactly-once comes from idempotence — an epoch
+    * replayed after a crash between sink write and checkpoint advance
+    * re-runs the same insert-if-absent and publishes nothing. */
+  def streamUpsert(
+      stream: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsert(batch.toDF(), url, table, keyCols)
+      }
+      .outputMode("append")
+      .start()
+
   private def setParam(ps: PreparedStatement, idx: Int, v: Any, dt: DataType): Unit =
     if (v == null) ps.setNull(idx, sqlTypeOf(dt)) else ps.setObject(idx, v)
 

@@ -253,7 +253,8 @@ class ManifestTable(path: String, external: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema(),
-      Option(options.get("asOfManifest")).map(_.toInt))
+      Option(options.get("asOfManifest")).map(_.toInt),
+      Option(options.get("maxManifestsPerTrigger")).map(_.toInt))
 }
 
 // --------------------------------------------------------------- write
@@ -407,12 +408,14 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
 
 // ---------------------------------------------------------------- read
 
-class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int])
+class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
+    maxPerTrigger: Option[Int] = None)
     extends ScanBuilder {
-  override def build(): Scan = new ManifestScan(path, schema, asOf)
+  override def build(): Scan = new ManifestScan(path, schema, asOf, maxPerTrigger)
 }
 
-class ManifestScan(path: String, schema: StructType, asOf: Option[Int])
+class ManifestScan(path: String, schema: StructType, asOf: Option[Int],
+    maxPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -439,15 +442,20 @@ class ManifestScan(path: String, schema: StructType, asOf: Option[Int])
     * exactly the manifests that appeared since the last one; commits
     * are atomic, so a batch never sees a torn write. */
   override def toMicroBatchStream(checkpointLocation: String): rstream.MicroBatchStream =
-    new ManifestMicroBatchStream(path, schema)
+    new ManifestMicroBatchStream(path, schema, maxPerTrigger)
 }
 
 case class ManifestOffset(n: Int) extends rstream.Offset {
   override def json(): String = n.toString
 }
 
-class ManifestMicroBatchStream(path: String, schema: StructType)
-    extends rstream.MicroBatchStream {
+/** `maxManifestsPerTrigger` bounds how many commits a micro-batch
+  * ingests (admission control): a reader catching up on a long commit
+  * backlog — or starting fresh against years of epochs — processes the
+  * log in bounded, checkpointable steps instead of one giant batch. */
+class ManifestMicroBatchStream(path: String, schema: StructType,
+    maxPerTrigger: Option[Int] = None)
+    extends rstream.MicroBatchStream with rstream.SupportsAdmissionControl {
   private val root = new File(path)
 
   override def initialOffset(): rstream.Offset = ManifestOffset(0)
@@ -455,6 +463,19 @@ class ManifestMicroBatchStream(path: String, schema: StructType)
     ManifestOffset(ManifestSink.logicalCount(root)) // weight-aware: stable across compaction
   override def deserializeOffset(json: String): rstream.Offset =
     ManifestOffset(json.toInt)
+
+  override def getDefaultReadLimit: rstream.ReadLimit =
+    maxPerTrigger.map(n => rstream.ReadLimit.maxRows(n.toLong))
+      .getOrElse(rstream.ReadLimit.allAvailable())
+
+  override def latestOffset(start: rstream.Offset, limit: rstream.ReadLimit): rstream.Offset = {
+    val s = start.asInstanceOf[ManifestOffset].n
+    val total = ManifestSink.logicalCount(root)
+    limit match {
+      case r: rstream.ReadMaxRows => ManifestOffset(math.min(total, s + r.maxRows().toInt))
+      case _ => ManifestOffset(total)
+    }
+  }
 
   override def planInputPartitions(
       start: rstream.Offset, end: rstream.Offset): Array[InputPartition] = {

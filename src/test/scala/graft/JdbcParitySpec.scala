@@ -128,4 +128,29 @@ class JdbcParitySpec extends AnyFunSuite {
     assert(finalRows.filter(col("image_id") === 250L).select("name").head().getString(0)
       === "img-250")
   }
+
+  test("streaming incremental upsert: micro-batches land exactly once, overlaps do nothing") {
+    loaded
+    Jdbc.execute(url, Seq(
+      """CREATE TABLE stream_images ("image_id" BIGINT NOT NULL PRIMARY KEY,
+        |  "name" VARCHAR(64))""".stripMargin))
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jdbc_stream").toString
+    val q = Jdbc.streamUpsert(
+      input.toDF().toDF("image_id", "name"), url, "stream_images", Seq("image_id"), ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(Jdbc.readTable(spark, url, "stream_images").count() === 2)
+      // second batch overlaps the first — only the new key lands
+      input.addData((2L, "b-replayed"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = Jdbc.readTable(spark, url, "stream_images").collect()
+        .map(r => r.getAs[Long]("image_id") -> r.getAs[String]("name")).toMap
+      assert(rows === Map(1L -> "a", 2L -> "b", 3L -> "c"),
+        "overlapping keys must keep their first-write values (do-nothing semantics)")
+    } finally q.stop()
+  }
 }

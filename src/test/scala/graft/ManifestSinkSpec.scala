@@ -267,6 +267,30 @@ class ManifestSinkSpec extends AnyFunSuite {
       "commit cleanup must only remove its own _temp/<queryId> scope")
   }
 
+  test("maxManifestsPerTrigger paces catch-up into bounded micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    // 5 pre-existing commits, then a rate-limited reader catches up
+    (1L to 5L).foreach(i => Seq((i, s"v$i")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save())
+    val q = spark.readStream.format(fmt)
+      .option("path", dir).option("maxManifestsPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("paced_stream_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paced_stream_out").collect()
+        .map(_.getLong(0)).sorted.toSeq === (1L to 5L),
+        "pacing must not lose or duplicate commits")
+      // 5 commits at <=2 per trigger → at least 3 non-empty batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3,
+        s"expected >=3 paced micro-batches, saw $batches: " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("events-shaped data survives a realistic round-trip") {
     val dir = tmpDir()
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
