@@ -136,32 +136,16 @@ object TextAnalysis {
     * (" th", "he ") — the strongest signal; weights are rank-based
     * (top trigram = list size … 1), all from public frequency
     * knowledge of each language's orthography. ASCII-only so both
-    * engines index identically. */
-  private val triProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" th", "the", "he ", "and", " an", "nd ", "ing", "ng ",
-      " of", "of ", "ed ", " to", "to ", "er ", " in", "in ", "ion",
-      "on ", "is ", " is", "at ", "es ", "ent", " be", "hat", " he",
-      "tha", " it", "it ", " co"),
-    "de" -> Seq("en ", "er ", "der", " de", "ie ", "die", " di", "und",
-      " un", "ein", " ei", "ich", " ic", "ch ", "sch", "che", "cht",
-      "ung", "gen", "nde", " ge", "das", " da", "ten", "ine", "ber",
-      "ens", "ist", " is", "ne "),
-    "es" -> Seq(" de", "de ", "os ", " la", "la ", " el", "el ", "que",
-      " qu", "ue ", " en", "en ", "as ", "ar ", " co", "con", " se",
-      "es ", " es", "ado", "do ", "nte", " po", "por", "ra ", "cio",
-      "ion", " un", "una", "los"),
-    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", " la",
-      "la ", "et ", " et", "ion", "on ", "re ", "ne ", "que", " qu",
-      "ue ", " pa", "par", " co", "our", "les", "ous", "eur", "ur ",
-      "ait", "ais", " un", "une"),
-    "zh" -> Seq("ng ", "ang", "eng", "ian", "ong", "shi", "hi ", "wo ",
-      " wo", "ni ", " ni", "hao", "ao ", " zh", "zh ", "de ", " de",
-      "ta ", " ta", "men", "en ", "bu ", " bu", "yi ", " yi", "ma ",
-      " ma", "ai ", "uo ", "an "),
-  )
+    * engines index identically. Master data lives in
+    * [[graft.functions.TrigramProfiles]], shared by the codegen'd
+    * scorer and the oracle generator below. */
+  private def triProfiles = graft.functions.TrigramProfiles.profiles
 
-  /** Simple-CASE weight ladder shared verbatim by both engines. */
-  private def triLadder(v: String, ws: Seq[String]): String =
+  /** Simple-CASE weight ladder — the DuckDB-oracle (and executable
+    * spec) form of the scorer; the engine side runs the single-pass
+    * `TrigramLangScores` expression, proven ≡ in LangIdSpec and by
+    * the driver hash-compare. */
+  private[graft] def triLadder(v: String, ws: Seq[String]): String =
     s"CASE $v ${ws.zipWithIndex.map { case (g, i) =>
       s"WHEN '$g' THEN ${ws.length - i}" }.mkString(" ")} ELSE 0 END"
 
@@ -199,19 +183,21 @@ object TextAnalysis {
 
   /** Generic form of the trigram classifier: classify `textCol` of any
     * DataFrame, appending `t_<lang>` scores and `predicted_lang`. The
-    * held-out accuracy fixture in LangIdSpec drives this directly. */
+    * held-out accuracy fixture in LangIdSpec drives this directly.
+    * Scoring is ONE codegen'd scan per row (`TrigramLangScores`) —
+    * the per-language HOF formulation is the spec, not the engine. */
   def classifyTrigram(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val keep = df.columns.map(col).toSeq
     val scored = df
       .filter(length(col(textCol)) >= 3)
       // pad with spaces: word-boundary trigrams (" le", "wo ") must
       // fire at the first and last word too, not just mid-sentence
       .withColumn("graft_lt", concat(lit(" "), lower(col(textCol)), lit(" ")))
-      .select(keep ++ triProfiles.map { case (l, ws) =>
-        expr(
-          s"""aggregate(sequence(1, length(graft_lt) - 2), CAST(0 AS BIGINT),
-             |  (acc, i) -> acc + ${triLadder("substr(graft_lt, i, 3)", ws)})""".stripMargin)
-          .as(s"t_${l}")
+      .withColumn("graft_tri", GraftSqlBridge.column(graft.functions.TrigramLangScores(
+        GraftSqlBridge.expression(col("graft_lt")))))
+      .select(keep ++ triProfiles.zipWithIndex.map { case ((l, _), i) =>
+        element_at(col("graft_tri"), i + 1).as(s"t_${l}")
       }: _*)
     val best = triProfiles.map { case (l, _) => col(s"t_${l}") }.reduce((a, b) => greatest(a, b))
     val pred = triProfiles.init.foldRight(lit(triProfiles.last._1)) { case ((l, _), els) =>

@@ -104,6 +104,36 @@ class LangIdSpec extends AnyFunSuite {
       wrong.map(r => s"  ${r.getString(0)} -> ${r.getString(1)}: ${r.getString(2)}").mkString("\n"))
   }
 
+  test("TrigramLangScores expression ≡ per-language HOF specification (codegen.fallback=false)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.{TrigramLangScores, TrigramProfiles}
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+    // the declarative spec the DuckDB oracle mirrors: aggregate over
+    // codepoint windows with a weight CASE per language
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 3)
+      .withColumn("graft_lt", concat(lit(" "), lower(col("text")), lit(" ")))
+    val hof = docs.select(Seq(col("doc_id")) ++
+      TrigramProfiles.profiles.map { case (l, ws) =>
+        expr(
+          s"""aggregate(sequence(1, length(graft_lt) - 2), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + ${TextAnalysis.triLadder("substr(graft_lt, i, 3)", ws)})""".stripMargin)
+          .as(s"t_${l}")
+      }: _*).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fast = docs.select(col("doc_id"),
+      GraftSqlBridge.column(TrigramLangScores(
+        GraftSqlBridge.expression(col("graft_lt")))).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(x => x: Any)).toMap
+    assert(hof.keySet === fast.keySet)
+    hof.foreach { case (id, spec) =>
+      assert(fast(id) == spec, s"doc $id: expression ${fast(id)} != spec $spec")
+    }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("q43 over the documents fixture is deterministic and total") {
     val out = TextAnalysis.langIdTrigram(spark, sf)
     val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 3).count()
