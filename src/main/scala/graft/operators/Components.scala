@@ -10,65 +10,109 @@ import org.apache.spark.sql.functions._
   * only linked through a third document; components collapse each
   * whole cluster to one representative).
   *
-  * Algorithm: iterated min-label propagation ("hash-min"): every node
-  * starts labeled with the min of itself and its direct neighbors,
-  * then each round every node takes the min of its own and its
-  * neighbors' labels. Converges in O(diameter) rounds — near-dup
-  * clusters are small and dense (shingle overlap is transitive-ish),
-  * so the practical round count is 2-3; `maxRounds` bounds the
-  * pathological case and the alternating small-star/large-star scheme
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * public) is the O(log n) upgrade if corpora ever produce long
-  * chains.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", public) —
+  *   large-star(u): connect every neighbor v > u to
+  *     m = min(Γ(u) ∪ {u});
+  *   small-star(u): connect every neighbor v ≤ u, and u itself, to
+  *     m = min(Γ≤(u) ∪ {u}).
+  * The edge set contracts toward a star forest rooted at each
+  * component's minimum id in O(log n) alternations REGARDLESS of
+  * graph shape. (The first implementation was hash-min label
+  * propagation with pointer jumping — O(diameter) on adversarial
+  * chains because min-labels can point away from the global minimum;
+  * a shuffled 64-node path kept two representatives at the default
+  * round budget. ComponentsSpec-style long-chain cases in
+  * CorpusPipelineSpec pin the fix.)
   *
-  * Scale shape: each round is one equi-join edges⋈labels plus one
-  * groupBy-min — shuffle-bounded on node id, partial aggregation
-  * map-side. NO driver collect: the only per-round action is the
-  * 1-row convergence count. Lineage is truncated per round with
-  * `localCheckpoint` (otherwise the plan doubles every iteration and
-  * the optimizer chokes long before the data does).
+  * Scale shape: each star operation is one groupBy-min plus one
+  * equi-join on node id — shuffle-bounded, map-side partial
+  * aggregation, edges only ever contract. NO driver collect: the only
+  * per-round actions are the two convergence counts. Lineage is
+  * truncated per round with `localCheckpoint` (otherwise the plan
+  * doubles every iteration and the optimizer chokes long before the
+  * data does).
   */
 object Components {
 
+  private def symmetric(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+
+  /** large-star: emitted edges are (v, m) with v > u ≥ m — always
+    * (greater, smaller), the canonical orientation. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetric(e)
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** small-star over smaller-or-equal neighborhoods; also emits
+    * (u, m) so u keeps its link to the running minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = symmetric(e)
+    val smaller = sym.filter(col("v") <= col("u"))
+    val mins = smaller.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    smaller.join(mins, "u")
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(mins.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
   /** `edges`: two Long columns (endpoint pairs, any direction, dups
-    * fine). Returns (id, rep): every node of the graph mapped to its
-    * component representative = the component's minimum id. */
-  def minLabelComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    * and self-loops tolerated). Returns (id, rep): every node of the
+    * graph mapped to its component representative = the component's
+    * minimum id. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
     val a = edges.columns(0)
     val b = edges.columns(1)
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+    // canonical undirected form (greater, smaller), self-loops dropped
+    var e = edges
+      .select(greatest(col(a), col(b)).as("a"), least(col(a), col(b)).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-
-    // round 0: label = min(self, direct neighbors)
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("rep"))
       .localCheckpoint()
+    // every node of the ORIGINAL graph must appear in the output even
+    // if contraction later removes all its edges
+    val nodes = symmetric(e).select(col("u").as("id")).distinct().localCheckpoint()
+
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // each node pulls its neighbors' current labels and keeps the min
-      val pulled = sym
-        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
-        .groupBy(col("src").as("id")).agg(min(col("rep")).as("pulled_rep"))
-      val next = labels.as("l")
-        .join(pulled.as("p"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("l.rep"), coalesce(col("p.pulled_rep"), col("l.rep"))).as("rep"))
-        .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.rep") =!= col("o.rep")).count()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
+      converged = next.count() == e.count() &&
+        next.except(e).isEmpty
+      e = next
       round += 1
     }
-    labels
+
+    // converged star forest: a node's rep is its smallest neighbor
+    // (the root), and a root's smallest neighbor is larger than
+    // itself, so least(id, min neighbor) is the rep in both cases
+    val lab = symmetric(e).groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("rep"))
+    nodes.join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
+
+  /** Back-compat name for the first (hash-min) implementation. */
+  def minLabelComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame =
+    connectedComponents(edges, maxRounds)
 
   /** Nodes to DROP under the connected-components dedup policy: every
     * member of a component except its minimum-id representative. */
   def nonRepresentatives(edges: DataFrame): DataFrame =
-    minLabelComponents(edges)
+    connectedComponents(edges)
       .filter(col("id") =!= col("rep"))
       .select(col("id"))
 }

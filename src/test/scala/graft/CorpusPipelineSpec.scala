@@ -71,6 +71,46 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(dropped === Set(2L, 3L, 4L, 11L, 21L, 22L, 31L))
   }
 
+  test("long-chain convergence: pointer jumping resolves a 64-node path inside default rounds") {
+    import spark.implicits._
+    import graft.operators.Components
+    // a 64-node path whose ids are shuffled so the global minimum sits
+    // at one END of the path (worst case for plain min-propagation:
+    // O(n) rounds; pointer jumping needs O(log n))
+    val ids = (2L to 64L).toArray ++ Array(1L) // path: 2-3-...-64-1
+    val edges = ids.sliding(2).map(a => (a(0), a(1))).toSeq.toDF("a_id", "b_id")
+    val comps = Components.minLabelComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 64)
+    assert(comps.values.toSet === Set(1L),
+      s"all 64 chain nodes must collapse to representative 1; got reps ${comps.values.toSet}")
+  }
+
+  test("property: distributed components ≡ driver-side union-find on random graphs") {
+    import spark.implicits._
+    import graft.operators.Components
+    (0 until 3).foreach { round =>
+      val rnd = new scala.util.Random(1234 + round)
+      val n = 200
+      val edges = (0 until 240).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (x, y) => x != y }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x.toInt), find(y.toInt))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min id per component among TOUCHED nodes (isolated ids absent)
+      val minOf = touched.groupBy(id => find(id.toInt)).map { case (_, ids) => ids.min -> ids }
+      val expected = minOf.flatMap { case (m, ids) => ids.map(_ -> m) }.toMap
+      val got = Components.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"round $round diverged from union-find")
+    }
+  }
+
   test("funnel with a synthetic (1,2),(2,3),(3,4) chain keeps exactly one representative") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_corpus_chain").toString
