@@ -59,10 +59,13 @@ object CorpusPipeline {
     val docs = Tables.documents(spark, dir)
     val total = docs.count() // metadata-only on parquet
 
-    // analysis stages (map-side; each is the oracled operator)
+    // analysis stages (map-side; each is the oracled operator). The
+    // language stage uses the char-trigram classifier (q43) — the
+    // real capability; the stopword form (q24) remains available as
+    // the legacy contract
     val quality = TextAnalysis.tokenQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"), col("quality_bp"))
-    val lang = TextAnalysis.langId(spark, dir)
+    val lang = TextAnalysis.langIdTrigram(spark, dir)
       .select(col("doc_id"), col("predicted_lang"))
 
     val oGate = Observation("quality_gate")

@@ -19,7 +19,7 @@ class ExtensionsSafetySpec extends AnyFunSuite {
   // q41 is sketch-based (engine-deterministic but memory-layout
   // sensitive across sessions is not a concern — HLL is deterministic
   // for identical input partitioning; keep it in and see)
-  test("all 42 queries produce identical results under GraftExtensions") {
+  test("ALL declared queries produce identical results under GraftExtensions") {
     // canonical form on the plain session first (shared cache warm)
     val expected = SparkEntry.queries.map { case (name, fn) =>
       name -> canonical(fn(plain, sf).collect())

@@ -59,7 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("narrow per-row operators have no shuffle at all") {
     Seq("q15_pixel_stats", "q20_simhash", "q23_token_quality", "q25_fingerprint",
-      "q28_raster_clip", "q29_multimodal").foreach { name =>
+      "q28_raster_clip", "q29_multimodal", "q43_lang_id_trigram").foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name is a map-only operator but its plan shuffles:\n$plan")
