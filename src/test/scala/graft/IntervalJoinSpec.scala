@@ -146,26 +146,39 @@ class IntervalJoinSpec extends AnyFunSuite {
     val prevWarn = spark.conf.getOption("spark.graft.intervalJoin.maxBufferRows")
     val prevSpill = spark.conf.getOption("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
     val prevMem = spark.conf.getOption("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.graft.intervalJoin.maxBufferRows", "100")
     spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "64")
     spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "32")
+    // AQE wraps the exec in query stages, which hides it from a plain
+    // plan.collect — turn it off so the spill metric is reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val ivs = (0 until 3000).map(i => (1L, i.toLong, i.toLong, i.toLong + 10L))
         .toDF("ik", "iid", "s", "e")
       val pts = Seq((1L, 100L, 1500L), (1L, 101L, 0L), (1L, 102L, 3009L))
         .toDF("k", "pid", "pt")
-      val got = IntervalJoins.intervalJoin(pts, ivs, "k", "ik", "pt", "s", "e")
-        .groupBy(col("pid")).count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val joined = IntervalJoins.intervalJoin(pts, ivs, "k", "ik", "pt", "s", "e")
+        .select("pid", "iid")
+      val got = joined.collect().map(_.getLong(0))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
       // pt=1500 ∈ [s, s+10) for s in 1491..1500 → 10 matches;
       // pt=0 matches s=0 only; pt=3009 matches s=3000-1? no: s max 2999,
       // [2999,3009) excludes 3009 → 0 matches and the key drops out
       assert(got === Map(100L -> 10L, 101L -> 1L))
+      // and the buffer REALLY spilled (not just stayed under threshold):
+      // the exec's spillSize metric must be positive at these thresholds
+      val spillBytes = joined.queryExecution.executedPlan.collect {
+        case e: graft.plans.IntervalJoinExec => e.metrics("spillSize").value
+      }.sum
+      assert(spillBytes > 0, s"expected a real spill, spillSize=$spillBytes")
     } finally {
       def restore(k: String, v: Option[String]) =
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       restore("spark.graft.intervalJoin.maxBufferRows", prevWarn)
       restore("spark.sql.sortMergeJoinExec.buffer.spill.threshold", prevSpill)
       restore("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", prevMem)
+      restore("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
