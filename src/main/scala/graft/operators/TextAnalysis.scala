@@ -31,17 +31,22 @@ object TextAnalysis {
     * round(0.78575, 4) is 0.7858 in Spark and 0.7857 in DuckDB. This
     * surfaced as a real one-row hash mismatch at sf0.1. Integer
     * arithmetic has no such boundary. */
-  def tokenQuality(spark: SparkSession, dir: String): DataFrame =
+  /** Engine form: ONE codegen'd scan per document (`TokenStats`) —
+    * the split/distinct/filter HOF chain is the spec (TextAnalysisSpec
+    * pins ≡) and the oracle keeps the declarative form. */
+  def tokenQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-        split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("lang"),
+        GraftSqlBridge.column(graft.functions.TokenStats(
+          GraftSqlBridge.expression(col("text")), Seq(stopEn))).as("s"))
+      .filter(col("s.n_tokens") >= 1)
       .select(
         col("doc_id"), col("lang"),
-        size(col("t")).cast("long").as("n_tokens"),
-        expr("size(array_distinct(t))").cast("long").as("n_types"),
-        expr(s"size(filter(t, x -> ${inList("x", stopEn)}))").cast("long").as("n_stop"),
-        length(col("text")).cast("long").as("n_chars"))
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_types").as("n_types"),
+        expr("element_at(s.counts, 1)").as("n_stop"),
+        col("s.n_chars").as("n_chars"))
       .selectExpr(
         "doc_id", "lang", "n_tokens", "n_types",
         // ×100 average token length, integer
@@ -53,6 +58,7 @@ object TextAnalysis {
         """40 * least(100L, n_tokens)
           | + (3000 * (n_tokens - n_stop)) div n_tokens
           | + (3000 * least(n_tokens, 2 * n_types)) div n_tokens AS quality_bp""".stripMargin)
+  }
 
   val tokenQualitySql: String =
     s"""WITH base AS (
@@ -95,12 +101,16 @@ object TextAnalysis {
     * English — the verified contract is the deterministic scoring,
     * mirrored in the oracle. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    // one TokenStats scan returns all five per-profile counts at once
     val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 1)
-      .select(Seq(col("doc_id"), col("lang")) ++ profiles.map { case (l, ws) =>
-        expr(s"(10000 * size(filter(t, x -> ${inList("x", ws)}))) div size(t)")
-          .as(s"s_${l}_bp")
+      .select(col("doc_id"), col("lang"),
+        GraftSqlBridge.column(graft.functions.TokenStats(
+          GraftSqlBridge.expression(col("text")), profiles.map(_._2))).as("s"))
+      .filter(col("s.n_tokens") >= 1)
+      .select(Seq(col("doc_id"), col("lang")) ++ profiles.zipWithIndex.map {
+        case ((l, _), i) =>
+          expr(s"(10000 * element_at(s.counts, ${i + 1})) div s.n_tokens").as(s"s_${l}_bp")
       }: _*)
     val best = profiles.map { case (l, _) => col(s"s_${l}_bp") }.reduce((a, b) => greatest(a, b))
     val pred = profiles.init.foldRight(lit(profiles.last._1)) { case ((l, _), els) =>

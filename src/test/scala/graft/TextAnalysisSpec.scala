@@ -22,6 +22,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenStats expression ≡ split/distinct/filter HOF spec (codegen.fallback=false)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.TokenStats
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+      // tricky fixtures beyond the corpus: consecutive/leading/trailing
+      // spaces (empty tokens), empty string, multibyte chars, tokens
+      // longer than the 8-byte pack window
+      import spark.implicits._
+      val extra = Seq("", " ", "a  b", " the  the ", "café au lait the",
+        "supercalifragilistic the of of", "éé éé").toDF("text")
+      val docs = Tables.documents(spark, sf).select("text").union(extra)
+        .withColumn("t", split(col("text"), " "))
+      val spec = docs.select(
+          size(col("t")).cast("long").as("n_tokens"),
+          expr("size(array_distinct(t))").cast("long").as("n_types"),
+          expr(s"size(filter(t, x -> x IN (${stopEn.map(w => s"'$w'").mkString(", ")})))")
+            .cast("long").as("n_stop"),
+          length(col("text")).cast("long").as("n_chars"))
+        .collect().map(_.toSeq)
+      val fast = docs.select(GraftSqlBridge.column(TokenStats(
+          GraftSqlBridge.expression(col("text")), Seq(stopEn))).as("s"))
+        .select(col("s.n_tokens"), col("s.n_types"),
+          expr("element_at(s.counts, 1)"), col("s.n_chars"))
+        .collect().map(_.toSeq)
+      assert(fast.length === spec.length)
+      fast.zip(spec).zipWithIndex.foreach { case ((f, s), i) =>
+        assert(f == s, s"row $i: expression $f != spec $s")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("lang id: predicted lang always carries the max score") {
     TextAnalysis.langId(spark, sf).collect().foreach { r =>
       val scores = Map(
