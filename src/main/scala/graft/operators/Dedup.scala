@@ -109,11 +109,18 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(spark, dir)
     val sig = sh.withColumn("sig", expr(minhashSigSql))
-    val bands = sig.select(
+    // the band self-join below duplicates its input subtree with fresh
+    // expr ids, which defeats ReuseExchange — without a materialization
+    // point the K-minhash signatures are computed on BOTH sides.
+    // (doc_id, bkey) is 6 rows/doc of bigints: tiny; caller-released
+    // via CacheRegistry like every operator cache.
+    val bands = graft.CacheRegistry.getOrCache(spark, s"dedup.bands:$dir") {
+      sig.select(
         col("doc_id"),
         explode(expr("transform(sequence(0, 5), j -> (element_at(sig, 2*j+1) * 1000003 + element_at(sig, 2*j+2)) % 1000000007)"))
           .as("bkey"))
       .distinct() // a pair colliding in several bands counts once
+    }
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -175,9 +182,15 @@ object Dedup {
     val sh = hashedShingles(spark, dir)
     val ex = sh.select(col("doc_id"), size(col("hh")).as("n"),
       explode(col("hh")).as("h"))
-    val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= MaxDf)
-      .select(col("h"))
+    // the exk self-join duplicates this aggregate's subtree (fresh
+    // expr ids → no ReuseExchange), re-counting document frequencies
+    // over the exploded corpus twice; the kept-shingle list itself is
+    // bounded (distinct shingles with 2 ≤ df ≤ MaxDf) — materialize it
+    val keep = graft.CacheRegistry.getOrCache(spark, s"dedup.ngramKeep:$dir") {
+      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MaxDf)
+        .select(col("h"))
+    }
     val exk = ex.join(keep, "h")
     val pairs = exk.as("a")
       .join(exk.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

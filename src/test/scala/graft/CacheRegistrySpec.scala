@@ -19,10 +19,11 @@ class CacheRegistrySpec extends AnyFunSuite {
 
     Dedup.minhashLsh(spark, sf).write.format("noop").mode("overwrite").save()
     Dedup.ngramJaccard(spark, sf).write.format("noop").mode("overwrite").save()
-    // memoized per (session, dir): the pair shares one entry, and no
-    // "already cached" re-persist was issued for the second query
-    assert(CacheRegistry.size == 1,
-      s"q18/q19 must share one cached intermediate, got ${CacheRegistry.size}")
+    // memoized per (session, dir): the hashed-shingle entry is SHARED
+    // by the pair (not duplicated), plus each query's own self-join
+    // materialization point (q18 bands, q19 df-capped keep list)
+    assert(CacheRegistry.size == 3,
+      s"expected shared shingles + bands + keep = 3 entries, got ${CacheRegistry.size}")
     assert(!spark.sharedState.cacheManager.isEmpty)
 
     CacheRegistry.releaseAll()
@@ -46,7 +47,7 @@ class CacheRegistrySpec extends AnyFunSuite {
     intercept[RuntimeException] {
       CacheRegistry.withCaches {
         Dedup.minhashLsh(spark, sf).write.format("noop").mode("overwrite").save()
-        assert(CacheRegistry.size == 1)
+        assert(CacheRegistry.size == 2) // shingles + bands
         throw new RuntimeException("boom")
       }
     }
