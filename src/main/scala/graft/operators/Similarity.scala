@@ -107,7 +107,11 @@ object Similarity {
     vectors(spark, dir)
 
   def annTopK(spark: SparkSession, dir: String): DataFrame =
-    annTopKWith(vectors(spark, dir), expr(QueryFilter), Bits, 64, 3)
+    // shares the bucketed-corpus cache entry with q35 (same plan, same
+    // default bits): the query side is derived from the corpus side, so
+    // without a materialization point the hyperplane dots run twice
+    annTopKWith(vectors(spark, dir), expr(QueryFilter), Bits, 64, 3,
+      cacheKey = Some(s"similarity.bucketed:$dir"))
 
   /** Parameterized ANN core (round-3 judge ask #9: `Bits` was
     * fixture-sized and private — the recall/candidate-count trade it
@@ -122,8 +126,13 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column,
       bits: Int,
       dim: Int,
-      k: Int): DataFrame = {
-    val b = corpus.withColumn("bucket", VectorOps.hyperplaneBucket(col("e"), bits, dim))
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", VectorOps.hyperplaneBucket(col("e"), bits, dim))
+      .select(col("vec_id"), col("e"), col("nrm"), col("bucket"))
+    val b = cacheKey.fold(bucketed)(key =>
+      graft.CacheRegistry.getOrCache(corpus.sparkSession, key)(bucketed))
     val q = b.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))
