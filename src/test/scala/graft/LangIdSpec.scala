@@ -134,6 +134,35 @@ class LangIdSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("property: TrigramLangScores ≡ HOF on random unicode strings") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.{TrigramLangScores, TrigramProfiles}
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val charGen = Gen.frequency(
+      (6, Gen.alphaLowerChar),
+      (3, Gen.const(' ')),
+      (1, Gen.oneOf('é', 'ü', 'ß', '中', '文', '→')))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val strs = Gen.listOfN(200, strGen).apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(78L)).get :+ " th" :+ "the" :+ "中the文" :+ "é th é"
+    // padded, lowered — same preprocessing as classifyTrigram
+    val df = strs.toDF("text")
+      .withColumn("lt", concat(lit(" "), lower(col("text")), lit(" ")))
+    val spec = df.select(TrigramProfiles.profiles.map { case (l, ws) =>
+        expr(
+          s"""aggregate(sequence(1, length(lt) - 2), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + ${graft.operators.TextAnalysis.triLadder("substr(lt, i, 3)", ws)})""".stripMargin)
+          .as(s"t_$l")
+      }: _*).collect().map(_.toSeq)
+    val fast = df.select(GraftSqlBridge.column(TrigramLangScores(
+        GraftSqlBridge.expression(col("lt")))).as("s"))
+      .collect().map(_.getSeq[Long](0).map(x => x: Any))
+    fast.zip(spec).zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f == s, s"random string $i: '${strs(i)}' expression $f != spec $s")
+    }
+  }
+
   test("q43 over the documents fixture is deterministic and total") {
     val out = TextAnalysis.langIdTrigram(spark, sf)
     val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 3).count()

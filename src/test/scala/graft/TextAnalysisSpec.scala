@@ -56,6 +56,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("property: TokenStats ≡ HOF on random unicode strings (spaces, CJK, accents)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.TokenStats
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+    val charGen = Gen.frequency(
+      (6, Gen.alphaLowerChar),
+      (3, Gen.const(' ')),
+      (1, Gen.oneOf('é', 'ü', 'ß', '中', '文', '→')),
+      (1, Gen.oneOf("the", "of", "with").flatMap(w => Gen.const(w.head))))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val strs = Gen.listOfN(300, strGen).apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(77L)).get :+ "" :+ " " :+ "  " :+ "the the the" :+ "中 文 the"
+    val df = strs.toDF("text").withColumn("t", split(col("text"), " "))
+    val spec = df.select(
+        size(col("t")).cast("long"),
+        expr("size(array_distinct(t))").cast("long"),
+        expr(s"size(filter(t, x -> x IN (${stopEn.map(w => s"'$w'").mkString(", ")})))").cast("long"),
+        length(col("text")).cast("long"))
+      .collect().map(_.toSeq)
+    val fast = df.select(GraftSqlBridge.column(TokenStats(
+        GraftSqlBridge.expression(col("text")), Seq(stopEn))).as("s"))
+      .select(col("s.n_tokens"), col("s.n_types"),
+        expr("element_at(s.counts, 1)"), col("s.n_chars"))
+      .collect().map(_.toSeq)
+    fast.zip(spec).zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f == s, s"random string ${i}: '${strs(i)}' expression $f != spec $s")
+    }
+  }
+
   test("lang id: predicted lang always carries the max score") {
     TextAnalysis.langId(spark, sf).collect().foreach { r =>
       val scores = Map(
