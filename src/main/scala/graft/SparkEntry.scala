@@ -72,6 +72,9 @@ object SparkEntry {
     "q41_sketch_summary" -> ((s, d) => Extended.sketchSummary(s, d)),
     "q42_dataset_split" -> ((s, d) => Extended.datasetSplit(s, d)),
     "q43_lang_id_trigram" -> ((s, d) => TextAnalysis.langIdTrigram(s, d)),
+    "q44_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q45_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
+    "q46_grouping_sets" -> ((s, d) => Extended.groupingSetsAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,5 +122,8 @@ object SparkEntry {
     "q40_posexplode" -> Extended.posExplodeWordsSql,
     "q42_dataset_split" -> Extended.datasetSplitSql,
     "q43_lang_id_trigram" -> TextAnalysis.langIdTrigramSql,
+    "q44_ivf_ann" -> Similarity.ivfTopKSql,
+    "q45_bpe_tokens" -> TextAnalysis.bpeTokensSql,
+    "q46_grouping_sets" -> Extended.groupingSetsAggSql,
   )
 }

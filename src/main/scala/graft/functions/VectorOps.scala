@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Single-pass vector kernels for the similarity family (q21/q22/q35).
   *
@@ -147,6 +147,101 @@ case class HyperplaneBucket(child: Expression, bits: Int, stride: Int)
   override def prettyName: String = "hyperplane_bucket"
 }
 
+/** IVF coarse-quantizer assignment: the id of the centroid with the
+  * highest cosine similarity to the row's vector (q44). Centroids are
+  * driver-resident by design — that is what an IVF index IS (nlist ≈
+  * √n; at 100 TB ~1e5 centroids × 64 dims × 8 B ≈ 50 MB, broadcast
+  * territory) — and the whole corpus assignment is a narrow map stage:
+  * no shuffle, no per-vector join against the centroid table.
+  *
+  * FP-parity contract with the DuckDB oracle (which computes the same
+  * argmax relationally with `row_number() OVER (ORDER BY sim DESC,
+  * c_id)`): dots fold ascending i; sim = dot / (nrm · cnrm); strict
+  * `>` while scanning centroids in ascending-id order keeps the
+  * LOWEST id on exact ties — exactly the window's tie-break. Inputs
+  * must be non-zero vectors (a zero norm makes sim NaN, whose sort
+  * position is engine-specific; the fixture guarantees this and
+  * IvfSpec asserts it).
+  */
+case class NearestCell(
+    left: Expression,
+    right: Expression,
+    centIds: Array[Long],
+    centVecs: Array[Array[Double]],
+    centNrms: Array[Double])
+    extends BinaryExpression {
+
+  require(centIds.nonEmpty && centIds.length == centVecs.length &&
+    centIds.length == centNrms.length, "centroid arrays must align and be non-empty")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val e = l.asInstanceOf[ArrayData]
+    val nrm = r.asInstanceOf[Double]
+    val n = e.numElements()
+    var bestSim = Double.NegativeInfinity
+    var bestId = centIds(0)
+    var j = 0
+    while (j < centIds.length) {
+      val cv = centVecs(j)
+      if (cv.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (e.isNullAt(i)) return null
+        acc += e.getDouble(i) * cv(i)
+        i += 1
+      }
+      val sim = acc / (nrm * centNrms(j))
+      if (sim > bestSim) { bestSim = sim; bestId = centIds(j) }
+      j += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+    val vecs = ctx.addReferenceObj("centVecs", centVecs, "double[][]")
+    val nrms = ctx.addReferenceObj("centNrms", centNrms, "double[]")
+    nullSafeCodeGen(ctx, ev, (e, nrm) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val sim = ctx.freshName("sim")
+      val cv = ctx.freshName("cv")
+      val bestSim = ctx.freshName("bestSim")
+      val bestId = ctx.freshName("bestId")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $e.numElements();
+         |double $bestSim = Double.NEGATIVE_INFINITY;
+         |long $bestId = $ids[0];
+         |boolean $bad = false;
+         |for (int $j = 0; $j < $ids.length && !$bad; $j++) {
+         |  double[] $cv = $vecs[$j];
+         |  if ($cv.length != $n) { $bad = true; break; }
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($e.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $e.getDouble($i) * $cv[$i];
+         |  }
+         |  if ($bad) break;
+         |  double $sim = $acc / ($nrm * $nrms[$j]);
+         |  if ($sim > $bestSim) { $bestSim = $sim; $bestId = $ids[$j]; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $bestId; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCell =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell"
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
@@ -154,4 +249,11 @@ object VectorOps {
 
   def hyperplaneBucket(e: Column, bits: Int, stride: Int): Column =
     GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(e), bits, stride))
+
+  /** `cents` = (id, vector, norm) in ascending-id order (the tie-break
+    * contract of [[NearestCell]]). */
+  def nearestCell(e: Column, nrm: Column, cents: Seq[(Long, Array[Double], Double)]): Column =
+    GraftSqlBridge.column(NearestCell(
+      GraftSqlBridge.expression(e), GraftSqlBridge.expression(nrm),
+      cents.map(_._1).toArray, cents.map(_._2).toArray, cents.map(_._3).toArray))
 }

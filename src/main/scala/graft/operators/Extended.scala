@@ -122,6 +122,33 @@ object Extended {
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+
+  /** GROUPING SETS — the general form rollup/cube specialize: two
+    * DISJOINT single-dimension total rows in one pass (not expressible
+    * as either ROLLUP or CUBE prefix/powerset shapes). One shuffle;
+    * Spark plans it as a single Expand + hash aggregate, same as q30/
+    * q36. Grouping flags disambiguate which set a row belongs to. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  val groupingSetsAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   // ---------------------------------------------------------------- q31
 
   /** The general window-function suite over a fully deterministic

@@ -216,6 +216,61 @@ object TextAnalysis {
     scored.withColumn("predicted_lang", pred)
   }
 
+  // ---------------------------------------------------------------- q45
+
+  /** GPT-2-style pre-tokenizer classes: letter runs, digit runs, or a
+    * single non-alphanumeric symbol. ASCII-only classes so Java regex
+    * (Spark) and RE2 (DuckDB) agree; the alternation branches match
+    * disjoint leading characters, so leftmost-first vs leftmost-longest
+    * ambiguity cannot arise. */
+  private val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** BPE-ish regex tokenization (the training-pipeline token-count
+    * estimator: the GPT-2 pre-tokenizer splits text into letter runs /
+    * digit runs / punctuation before byte-pair merging — counting those
+    * pre-tokens is the standard fast cost estimate). The corpus fixture
+    * is pure `[a-z ]`, which would never exercise the digit/symbol
+    * classes, so the tokenized column is a deterministic enrichment —
+    * the document text wrapped in id/source markup built from fixture
+    * columns — and the same concat runs on both engines. Per-class
+    * counts key on the first character; ratios are integer basis
+    * points (see tokenQuality for the rounding rationale). Map-side
+    * only, no shuffle. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("enriched",
+        concat(col("text"), lit(" <doc id=\""), col("doc_id").cast("string"),
+          lit("\" src='"), col("source"), lit("' v1.0/>")))
+      .withColumn("tk", regexp_extract_all(col("enriched"), lit(BpeTokenRe), lit(0)))
+      .selectExpr(
+        "doc_id",
+        "CAST(size(tk) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(tk)) AS BIGINT) AS n_types",
+        "CAST(size(filter(tk, t -> (ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT) AS n_alpha",
+        "CAST(size(filter(tk, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT) AS n_num",
+        "CAST(size(filter(tk, t -> NOT ((ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122) OR (ascii(t) BETWEEN 48 AND 57)))) AS BIGINT) AS n_sym",
+        "aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t)) AS n_token_chars",
+        "(100 * aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t))) div size(tk) AS avg_token_len_x100")
+
+  val bpeTokensSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         regexp_extract_all(
+       |           text || ' <doc id="' || CAST(doc_id AS VARCHAR) || '" src=''' || source || ''' v1.0/>',
+       |           '$BpeTokenRe') AS tk
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(tk) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+       |       CAST(len(list_filter(tk, t -> (ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT) AS n_alpha,
+       |       CAST(len(list_filter(tk, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT) AS n_num,
+       |       CAST(len(list_filter(tk, t -> NOT ((ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122) OR (ascii(t) BETWEEN 48 AND 57)))) AS BIGINT) AS n_sym,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS n_token_chars,
+       |       (100 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)) // len(tk) AS avg_token_len_x100
+       |FROM tk""".stripMargin
+
   // ---------------------------------------------------------------- q25
 
   /** Rolling-hash document fingerprint (winnowing-lite): polyhash over

@@ -61,6 +61,27 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(frac.getOrElse("val", 0.0) > 0.02 && frac.getOrElse("test", 0.0) > 0.02, frac.toString)
   }
 
+  test("grouping sets (q46): disjoint single-dimension sets, flags complementary") {
+    val rows = Extended.groupingSetsAgg(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+    val nStatus = orders.select(col("o_orderstatus")).distinct().count()
+    val nPrio = orders.select(col("o_orderpriority")).distinct().count()
+    assert(rows.length == nStatus + nPrio, "one row per value of each dimension")
+    rows.foreach { r =>
+      val (gs, gp) = (r.getAs[Int]("g_status"), r.getAs[Int]("g_priority"))
+      assert(gs + gp == 1, s"each row belongs to exactly one grouping set: $r")
+      // the grouped-away dimension surfaces as NULL
+      assert((gp == 1) == (r.isNullAt(r.fieldIndex("o_orderpriority"))), r.toString)
+      assert((gs == 1) == (r.isNullAt(r.fieldIndex("o_orderstatus"))), r.toString)
+    }
+    // each set independently totals the table
+    val total = orders.count()
+    Seq(0, 1).foreach { flag =>
+      val n = rows.filter(_.getAs[Int]("g_priority") == flag).map(_.getAs[Long]("n")).sum
+      assert(n == total, s"set with g_priority=$flag must cover all rows")
+    }
+  }
+
   test("posexplode positions index into the original split") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("words"))

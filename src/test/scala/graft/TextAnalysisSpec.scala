@@ -158,6 +158,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("bpe tokens (q45): class counts partition the token stream; avg length consistent") {
+    val rows = TextAnalysis.bpeTokens(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val (na, nn, ns) = (r.getAs[Long]("n_alpha"), r.getAs[Long]("n_num"), r.getAs[Long]("n_sym"))
+      assert(na + nn + ns == nTok, s"classes must partition tokens: $r")
+      // the enrichment markup guarantees digit and symbol tokens even
+      // on the pure [a-z ] fixture text (doc_id digits; <, =, quotes…)
+      assert(nn >= 1 && ns >= 5, s"enrichment classes missing: $r")
+      assert(r.getAs[Long]("n_types") <= nTok)
+      val chars = r.getAs[Long]("n_token_chars")
+      assert(r.getAs[Long]("avg_token_len_x100") == (100 * chars) / nTok)
+    }
+  }
+
+  test("bpe token regex splits letter runs, digit runs, and single symbols") {
+    import spark.implicits._
+    // exercise the pre-tokenizer classes directly on crafted text
+    val toks = Seq("ab12cd!  e-3.14x").toDF("s")
+      .select(expr("regexp_extract_all(s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)").as("tk"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("ab", "12", "cd", "!", "e", "-", "3", ".", "14", "x"), toks.toString)
+  }
+
   test("fingerprint is stable: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
