@@ -180,18 +180,22 @@ object Dedup {
     // same cached hashed-shingle sets as q18; the inverted index
     // shuffles bigint hashes, not shingle strings
     val sh = hashedShingles(spark, dir)
-    val ex = sh.select(col("doc_id"), size(col("hh")).as("n"),
-      explode(col("hh")).as("h"))
-    // the exk self-join duplicates this aggregate's subtree (fresh
-    // expr ids → no ReuseExchange), re-counting document frequencies
-    // over the exploded corpus twice; the kept-shingle list itself is
-    // bounded (distinct shingles with 2 ≤ df ≤ MaxDf) — materialize it
-    val keep = graft.CacheRegistry.getOrCache(spark, s"dedup.ngramKeep:$dir") {
-      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // The pair self-join below duplicates its input subtree with fresh
+    // expr ids (no ReuseExchange), so materialize the KEPT inverted
+    // index itself — explode + df-count + df-cap join run once, and
+    // both self-join sides read the cached (h, doc_id, n) rows. The
+    // cache is bounded: ≤ MaxDf rows per kept shingle by construction
+    // (the same df cap that bounds the pair fan-out). Round-4 cached
+    // only the keep-list, which still re-exploded the corpus on both
+    // sides.
+    val exk = graft.CacheRegistry.getOrCache(spark, s"dedup.ngramExk:$dir") {
+      val ex = sh.select(col("doc_id"), size(col("hh")).as("n"),
+        explode(col("hh")).as("h"))
+      val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= MaxDf)
         .select(col("h"))
+      ex.join(keep, "h")
     }
-    val exk = ex.join(keep, "h")
     val pairs = exk.as("a")
       .join(exk.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -346,6 +346,81 @@ object Similarity {
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
   }
 
+  /** Lloyd (k-means) refinement of an IVF quantizer — the "train"
+    * half of a real IVF index build (q44's oracle contract keeps the
+    * sampled quantizer; this is the library capability). Each
+    * iteration:
+    *
+    *   1. assigns every vector to its nearest centroid with the same
+    *      codegen'd NearestCell map stage q44 uses (no shuffle);
+    *   2. recomputes each cell's centroid as the element-wise mean of
+    *      its members via a typed `Aggregator` (VecMeanAgg) — partial
+    *      buffers merge map-side, so the shuffle carries ONE
+    *      dim-length buffer per (partition, cell), never the vectors;
+    *   3. collects the C updated centroids (quantizer-sized, ~√n) and
+    *      re-derives norms. Cells that lose all members keep their
+    *      previous centroid (the standard empty-cluster rule).
+    *
+    * At 100 TB each iteration is a corpus scan + a C-key aggregate.
+    * Spec-only: IvfSpec asserts the mean assignment similarity
+    * improves monotonically over iterations; k-means is not
+    * reasonably expressible in the DuckDB oracle dialect. (Mean
+    * summation order follows Spark's partition merge order — Lloyd
+    * needs no bit-determinism, unlike the oracle-checked operators.) */
+  def refineCentroids(
+      corpus: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      iters: Int): Seq[(Long, Array[Double], Double)] = {
+    val meanAgg = udaf(graft.functions.VecMeanAgg)
+    var cur = cents
+    var it = 0
+    while (it < iters) {
+      val updated = corpus
+        .withColumn("cell", VectorOps.nearestCell(col("e"), col("nrm"), cur))
+        .groupBy(col("cell"))
+        .agg(meanAgg(col("e")).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cur = cur.map { case (id, v, nrm) =>
+        updated.get(id).filter(_.nonEmpty) match {
+          case Some(nv) =>
+            var acc = 0.0
+            var i = 0
+            while (i < nv.length) { acc += nv(i) * nv(i); i += 1 }
+            (id, nv, math.sqrt(acc))
+          case None => (id, v, nrm)
+        }
+      }
+      it += 1
+    }
+    cur
+  }
+
+  /** Mean cosine similarity of every vector to its assigned centroid —
+    * the quantization-quality metric IvfSpec tracks across Lloyd
+    * iterations (higher = tighter cells). One map stage + one scalar
+    * aggregate. */
+  def assignmentQuality(
+      corpus: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)]): Double = {
+    import org.apache.spark.sql.Row
+    val centDf = corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.parallelize(
+        cents.map { case (id, v, nm) => Row(id, v.toSeq, nm) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn", org.apache.spark.sql.types.DoubleType))))
+    corpus
+      .withColumn("cell", VectorOps.nearestCell(col("e"), col("nrm"), cents))
+      .join(broadcast(centDf), col("cell") === col("c_id"))
+      .select((VectorOps.dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
+      .agg(avg(col("sim")))
+      .head().getDouble(0)
+  }
+
   val ivfTopKSql: String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),

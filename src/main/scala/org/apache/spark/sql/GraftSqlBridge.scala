@@ -37,7 +37,12 @@ object GraftSqlBridge {
   def registerTempFunction(
       spark: SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "scala_udf")
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    // truly idempotent: createOrReplaceTempFunction logs a WARN on
+    // every re-registration, and operators call register() per query
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!registry.functionExists(ident))
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }

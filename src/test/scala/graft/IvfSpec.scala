@@ -115,6 +115,26 @@ class IvfSpec extends AnyFunSuite {
     assert(mean < 1500, s"IVF candidates failed to prune: mean=$mean of 3000")
   }
 
+  test("Lloyd refinement improves assignment quality monotonically (clustered corpus)") {
+    val corpus = Similarity.withNorms(clusteredCorpus)
+    val seed = corpus.filter(expr("vec_id % 31 = 7"))
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val q0 = Similarity.assignmentQuality(corpus, seed)
+    val c1 = Similarity.refineCentroids(corpus, seed, 1)
+    val q1 = Similarity.assignmentQuality(corpus, c1)
+    val c2 = Similarity.refineCentroids(corpus, c1, 1)
+    val q2 = Similarity.assignmentQuality(corpus, c2)
+    // Lloyd never decreases the objective (mean member→centroid sim);
+    // tiny FP tolerance for the non-associative mean summation
+    assert(q1 >= q0 - 1e-9, f"iteration 1 must not degrade: $q0%.4f -> $q1%.4f")
+    assert(q2 >= q1 - 1e-9, f"iteration 2 must not degrade: $q1%.4f -> $q2%.4f")
+    assert(q1 > q0 + 1e-4, f"sampled->trained must actually improve: $q0%.4f -> $q1%.4f")
+    // ids/count preserved; empty-cluster rule keeps the set aligned
+    assert(c2.map(_._1) == seed.map(_._1))
+  }
+
   test("assignment is a narrow map stage and the probe join broadcasts") {
     val plan = Similarity.ivfTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),

@@ -16,8 +16,13 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries whose plan legitimately contains a nested-loop join:
     * q09 crossJoin of two bounded dims (the reference's config cross
     * product); q21 the documented brute-force similarity baseline
-    * (its scale path is q22). */
-  private val nestedLoopAllowed = Set("q09_config_cross", "q21_cosine_topk")
+    * (its scale path is q22); q44 queries×centroids probe ranking —
+    * both sides bounded by construction (the query set and the
+    * quantizer, ~√n rows), and the CORPUS side of q44 only ever joins
+    * through the broadcast hash equi-join on the cell id (asserted in
+    * IvfSpec). */
+  private val nestedLoopAllowed =
+    Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
