@@ -75,6 +75,7 @@ object SparkEntry {
     "q44_ivf_ann" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q45_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q46_grouping_sets" -> ((s, d) => Extended.groupingSetsAgg(s, d)),
+    "q47_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,5 +126,6 @@ object SparkEntry {
     "q44_ivf_ann" -> Similarity.ivfTopKSql,
     "q45_bpe_tokens" -> TextAnalysis.bpeTokensSql,
     "q46_grouping_sets" -> Extended.groupingSetsAggSql,
+    "q47_pii_scrub" -> TextAnalysis.piiScrubSql,
   )
 }

@@ -271,6 +271,54 @@ object TextAnalysis {
        |         list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)) // len(tk) AS avg_token_len_x100
        |FROM tk""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+
+  /** PII patterns (ASCII classes + bounded quantifiers only, so Java
+    * regex and RE2 agree; both are anchored to realistic shapes, not
+    * exhaustive validators — standard corpus-scrub practice). */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing — the safety-filter stage of a training-data
+    * pipeline: detect and redact email addresses and phone numbers,
+    * keeping per-document redaction counts (the audit trail a corpus
+    * release needs). The fixture text is pure `[a-z ]`, so the scanned
+    * column is a deterministic enrichment that plants one email and
+    * one phone per document from fixture values — the same concat runs
+    * on both engines (q45's pattern). Map-side only; order matters
+    * (emails first — the phone pattern cannot overlap a redacted
+    * `<EMAIL>` token). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("enriched",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      // Column API, not expr(): the SQL parser would eat the regex's
+      // backslash escapes inside a '...' literal (\+ became +, an
+      // invalid pattern)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("enriched"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("enriched"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("enriched"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+
+  val piiScrubSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS enriched
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(enriched, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(enriched, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |       regexp_replace(regexp_replace(enriched, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM e""".stripMargin
+
   // ---------------------------------------------------------------- q25
 
   /** Rolling-hash document fingerprint (winnowing-lite): polyhash over

@@ -136,6 +136,47 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === ev.count())
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // The 100 TB lever for non-broadcastable dims: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the selective
+    // (filtered) side and applies might_contain on the fact scan
+    // BEFORE its shuffle — rows that cannot join never enter the
+    // exchange. Local data is far below the production thresholds, so
+    // the application-side floor is lowered to make the rule fire;
+    // the contract proven here is injection + result equivalence.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    def joined = {
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "P").select(col("o_orderkey"))
+      Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val withBloom = joined
+      val opt = withBloom.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"runtime bloom filter was not injected into the fact side:\n$opt")
+      val a = withBloom.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val b = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(a == b, "bloom-pruned join must equal the plain join")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // manual salting (above) is the static fix; AQE skew-join is the
     // runtime fix — prove the engine config actually fires on a

@@ -183,6 +183,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(toks == Seq("ab", "12", "cd", "!", "e", "-", "3", ".", "14", "x"), toks.toString)
   }
 
+  test("pii scrub (q47): plants are detected, redacted text has no residual matches") {
+    val rows = TextAnalysis.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}".r
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1 && r.getAs[Long]("n_phones") >= 1,
+        s"enrichment plants one of each: $r")
+      val s = r.getAs[String]("scrubbed")
+      assert(email.findFirstIn(s).isEmpty, s"residual email in: $s")
+      assert(phone.findFirstIn(s).isEmpty, s"residual phone in: $s")
+      assert(s.contains("<EMAIL>") && s.contains("<PHONE>"))
+    }
+  }
+
   test("fingerprint is stable: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
