@@ -76,6 +76,7 @@ object SparkEntry {
     "q45_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "q46_grouping_sets" -> ((s, d) => Extended.groupingSetsAgg(s, d)),
     "q47_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "q48_session_window" -> ((s, d) => Extended.sessionWindowAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +128,6 @@ object SparkEntry {
     "q45_bpe_tokens" -> TextAnalysis.bpeTokensSql,
     "q46_grouping_sets" -> Extended.groupingSetsAggSql,
     "q47_pii_scrub" -> TextAnalysis.piiScrubSql,
+    "q48_session_window" -> Extended.sessionWindowAggSql,
   )
 }

@@ -267,6 +267,47 @@ object Extended {
         max(col("ts")).as("session_end"))
   }
 
+  // ---------------------------------------------------------------- q48
+
+  /** Sessionization via Spark's NATIVE `session_window` operator —
+    * q33 composes sessions from window primitives; this exercises the
+    * first-class operator (the one that also runs under Structured
+    * Streaming with merging session state) in batch form, against a
+    * DuckDB gaps-and-islands oracle that reproduces the operator's
+    * exact semantics: a new session starts when the gap is >= the
+    * 30-minute duration (session windows are half-open — an event AT
+    * prev_end does not merge), and session_end = last event + gap.
+    * Value totals in exact integer cents (q33's cross-engine rounding
+    * rule). One shuffle on (user_id, session), map-side partials. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("session_value_cents"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("session_value_cents"))
+
+  val sessionWindowAggSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents
+      |FROM g
+      |GROUP BY user_id, sid""".stripMargin
+
   // ---------------------------------------------------------------- q34
 
   /** Exact quantiles (R-7 linear interpolation — the formula Spark's

@@ -82,6 +82,30 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window (q48): half-open non-overlapping sessions covering all events") {
+    val rows = Extended.sessionWindowAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total, "sessions partition the events")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      sorted.foreach { r =>
+        val s = r.getAs[java.sql.Timestamp]("session_start").getTime
+        val e = r.getAs[java.sql.Timestamp]("session_end").getTime
+        assert(e > s, s"end after start for user $u")
+      }
+      // gap-session contract: the next session must start at or after
+      // the previous end, else the operator would have merged them
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("session_start").getTime >=
+            a.getAs[java.sql.Timestamp]("session_end").getTime,
+            s"overlapping sessions for user $u")
+        case _ =>
+      }
+    }
+  }
+
   test("posexplode positions index into the original split") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
