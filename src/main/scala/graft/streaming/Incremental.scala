@@ -32,6 +32,22 @@ object Incremental {
       .groupBy(col("waterbody_id"), window(col("captured_ts"), "1 day").as("day"))
       .agg(count(lit(1)).as("n_images"))
 
+  /** Gap-session aggregation with the NATIVE `session_window` operator
+    * under a watermark — the streaming twin of q48's batch form.
+    * Session state merges as events arrive (Spark's merging session
+    * store); a session is emitted in append mode once the watermark
+    * passes its end, i.e. when no event can extend it any more. The
+    * watermark bounds the session state exactly like the lookback
+    * bounds the reference's incremental window. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("captured_ts", "1 hour")
+      .groupBy(col("waterbody_id"), session_window(col("captured_ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_images"))
+      .select(col("waterbody_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_images"))
+
   /** Stream-stream INTERVAL join with watermark-bounded state — the
     * streaming form of the engine's point-in-interval join (q37): each
     * probe event joins the purchase events of the same user that

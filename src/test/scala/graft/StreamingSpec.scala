@@ -57,6 +57,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window: sessions merge across batches, close past the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("waterbody_id", "captured_ts")
+    val q = Incremental.sessionCounts(df)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // session A: 10:00 + 10:10 (one session — gap 10 min < 30);
+      // session B: 11:00 (gap 50 min ≥ 30 starts a new session);
+      // delivered across two micro-batches to force session-state merge
+      input.addData((1L, ts("2024-06-01 10:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-06-01 10:10:00")), (1L, ts("2024-06-01 11:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0,
+        "no session may be emitted before the watermark passes its end")
+      // watermark driver: a much later event (other key) moves the
+      // watermark to 19:00 (1h delay), closing both of user 1's sessions
+      input.addData((2L, ts("2024-06-01 20:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-06-01 23:00:00"))) // advance again so batch commits
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").collect()
+        .map(r => (r.getAs[Long]("waterbody_id"),
+          r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Timestamp]("session_end").toString,
+          r.getAs[Long]("n_images"))).toSet
+      assert(rows.contains((1L, "2024-06-01 10:00:00.0", "2024-06-01 10:40:00.0", 2L)),
+        s"merged 2-event session missing: $rows")
+      assert(rows.contains((1L, "2024-06-01 11:00:00.0", "2024-06-01 11:30:00.0", 1L)),
+        s"singleton session missing: $rows")
+      // user 2's last session is still open — must not be emitted
+      assert(!rows.exists { case (u, s, _, _) => u == 2L && s.startsWith("2024-06-01 23") },
+        s"open session leaked: $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-body ledger state survives across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
