@@ -135,6 +135,22 @@ class IvfSpec extends AnyFunSuite {
     assert(c2.map(_._1) == seed.map(_._1))
   }
 
+  test("NearestCell null/mismatch semantics: null element or ragged dims yield null") {
+    import spark.implicits._
+    val cents = Seq((5L, Array(1.0, 0.0), 1.0), (9L, Array(0.0, 1.0), 1.0))
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.1)),      // clean → cell 5
+      (2L, Seq[java.lang.Double](0.1, 1.0)),      // clean → cell 9
+      (3L, Seq[java.lang.Double](1.0, null)),     // null element → null
+      (4L, Seq[java.lang.Double](1.0, 0.0, 0.0)) // dim mismatch → null
+    ).toDF("id", "e")
+      .select(col("id"), col("e").cast("array<double>").as("e"), lit(1.0).as("nrm"))
+      .withColumn("cell", graft.functions.VectorOps.nearestCell(col("e"), col("nrm"), cents))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(r.fieldIndex("cell"))) None else Some(r.getLong(r.fieldIndex("cell"))))).toMap
+    assert(got == Map(1L -> Some(5L), 2L -> Some(9L), 3L -> None, 4L -> None), got.toString)
+  }
+
   test("assignment is a narrow map stage and the probe join broadcasts") {
     val plan = Similarity.ivfTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
