@@ -135,6 +135,32 @@ class IvfSpec extends AnyFunSuite {
     assert(c2.map(_._1) == seed.map(_._1))
   }
 
+  test("NearestCell codegen ≡ interpreted eval (both execution modes, fallback disabled)") {
+    val corpus = Similarity.withNorms(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")))
+    val cents = corpus.filter(expr("vec_id % 31 = 7"))
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    def assignAll(): Map[Long, Long] = corpus
+      .withColumn("cell", graft.functions.VectorOps.nearestCell(col("e"), col("nrm"), cents))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saved = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode").map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false") // Janino errors must throw
+      val viaCodegen = assignAll()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val viaInterpreter = assignAll()
+      assert(viaCodegen == viaInterpreter, "doGenCode and nullSafeEval must agree")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("NearestCell null/mismatch semantics: null element or ragged dims yield null") {
     import spark.implicits._
     val cents = Seq((5L, Array(1.0, 0.0), 1.0), (9L, Array(0.0, 1.0), 1.0))

@@ -64,10 +64,26 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("narrow per-row operators have no shuffle at all") {
     Seq("q15_pixel_stats", "q20_simhash", "q23_token_quality", "q25_fingerprint",
-      "q28_raster_clip", "q29_multimodal", "q43_lang_id_trigram").foreach { name =>
+      "q28_raster_clip", "q29_multimodal", "q43_lang_id_trigram",
+      "q45_bpe_tokens", "q47_pii_scrub").foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name is a map-only operator but its plan shuffles:\n$plan")
     }
+  }
+
+  test("grouping families plan one Expand and a single hash exchange") {
+    Seq("q30_rollup", "q36_cube", "q46_grouping_sets").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("Expand"), s"$name should plan an Expand:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"$name: expected exactly 1 shuffle, saw $exchanges:\n$plan")
+    }
+  }
+
+  test("session_window plans a single (user, session) shuffle") {
+    val plan = planOf("q48_session_window")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
   }
 }
