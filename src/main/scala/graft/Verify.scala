@@ -30,6 +30,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir)
+    spark.stop()
+  }
+
+  /** The dump loop, session-lifetime-neutral so the error path is
+    * testable in-process (VerifyHarnessSpec): a failing query is
+    * recorded and skipped — the oracle_sql.json the driver needs is
+    * ALWAYS written, so one broken query costs one red row, not the
+    * whole round's correctness artifact. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
@@ -56,6 +66,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(wrapOracle(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -274,11 +274,15 @@ object Extended {
     * first-class operator (the one that also runs under Structured
     * Streaming with merging session state) in batch form, against a
     * DuckDB gaps-and-islands oracle that reproduces the operator's
-    * exact semantics: a new session starts when the gap is >= the
-    * 30-minute duration (session windows are half-open — an event AT
-    * prev_end does not merge), and session_end = last event + gap.
-    * Value totals in exact integer cents (q33's cross-engine rounding
-    * rule). One shuffle on (user_id, session), map-side partials. */
+    * exact semantics: sessions MERGE while the gap is <= the 30-minute
+    * duration — the end boundary is inclusive for merging (an event AT
+    * prev_end = last + gap still extends the session; pinned
+    * empirically in ExtendedOpsSpec after the half-open-looking
+    * [start, last+gap) print format suggested otherwise) — so a new
+    * session starts only when the gap is STRICTLY greater, the same
+    * rule q33 composes. session_end = last event + gap. Value totals
+    * in exact integer cents (q33's cross-engine rounding rule). One
+    * shuffle on (user_id, session), map-side partials. */
   def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -293,7 +297,7 @@ object Extended {
     """WITH s AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS new_s
+      |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |g AS (

@@ -106,6 +106,50 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping sets ≡ the union of its per-set groupBys") {
+    val orders = Tables.orders(spark, sf)
+    val gs = Extended.groupingSetsAgg(spark, sf).collect()
+    val statusRows = gs.filter(_.getAs[Int]("g_priority") == 1)
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_price"))).toSet
+    val prioRows = gs.filter(_.getAs[Int]("g_status") == 1)
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_price"))).toSet
+    def grouped(c: String) = orders.groupBy(col(c))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("s"))).toSet
+    assert(statusRows == grouped("o_orderstatus"))
+    assert(prioRows == grouped("o_orderpriority"))
+  }
+
+  test("gap-boundary semantics pinned: session_window merges at exactly the gap, splits beyond — q33's rule agrees") {
+    import spark.implicits._
+    // Empirical contract the q48 oracle depends on: Spark merges an
+    // event AT prev_end (= last + gap) into the session — the merge
+    // boundary is INCLUSIVE despite the [start, last+gap) window print
+    // format — and splits strictly beyond. The fixture has no
+    // exact-gap pairs, so only this test guards the boundary rule.
+    def sessions(ts2: String): Long = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf(ts2))).toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1))).count()
+    assert(sessions("2024-06-01 10:30:00") == 1, "gap == duration must merge")
+    assert(sessions("2024-06-01 10:30:00.001") == 2, "gap > duration must split")
+    // q33's composed strict-> rule takes the same branch at the boundary
+    val byTs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val composed = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:30:00"))).toDF("user_id", "ts")
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(byTs)))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
+      .agg(sum(col("new_session"))).head().getLong(0)
+    assert(composed == 1, "q33's strict-> rule merges the boundary gap too")
+  }
+
   test("posexplode positions index into the original split") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
