@@ -77,6 +77,7 @@ object SparkEntry {
     "q46_grouping_sets" -> ((s, d) => Extended.groupingSetsAgg(s, d)),
     "q47_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q48_session_window" -> ((s, d) => Extended.sessionWindowAgg(s, d)),
+    "q49_set_ops_onepass" -> ((s, d) => Relational.setOpsOnePass(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +130,6 @@ object SparkEntry {
     "q46_grouping_sets" -> Extended.groupingSetsAggSql,
     "q47_pii_scrub" -> TextAnalysis.piiScrubSql,
     "q48_session_window" -> Extended.sessionWindowAggSql,
+    "q49_set_ops_onepass" -> Relational.setOpsOnePassSql,
   )
 }

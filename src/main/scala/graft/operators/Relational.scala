@@ -285,6 +285,56 @@ object Relational {
       |UNION ALL
       |SELECT 'union_all' AS op, count(*) AS n FROM (SELECT c_custkey AS k FROM customer UNION ALL SELECT user_id FROM events)""".stripMargin
 
+  /** The six set-op cardinalities of q10 in ONE pass — the scale path.
+    * q10 runs each EXCEPT/INTERSECT/UNION leg as its own pipeline:
+    * honest operator surface, but 12 full-input shuffles for one
+    * 6-row summary — the shape that dies first at 100 TB. Here each
+    * input is aggregated to per-key counts once (map-side partials),
+    * the two count tables full-outer join on the key (one bounded
+    * shuffle per side), and every cardinality is arithmetic over
+    * (ca, cb):
+    *
+    *   except_distinct    = #keys with ca>0 ∧ cb=0
+    *   except_all         = Σ max(ca − cb, 0)
+    *   intersect_distinct = #keys with ca>0 ∧ cb>0
+    *   intersect_all      = Σ min(ca, cb)
+    *   union_distinct     = #keys
+    *   union_all          = Σca + Σcb
+    *
+    * The ORACLE is deliberately the same six-leg SQL as q10's, so the
+    * driver hash-compare proves the rewrite ≡ the operator forms
+    * end-to-end; PlanAuditSpec proves it plans strictly fewer
+    * exchanges. */
+  def setOpsOnePass(spark: SparkSession, dir: String): DataFrame = {
+    val ca = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = Tables.events(spark, dir).select(col("user_id").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq("k"), "full_outer")
+      .select(
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .agg(
+        sum(when(col("ca") > 0 && col("cb") === 0, 1L).otherwise(0L)).as("ed"),
+        sum(greatest(col("ca") - col("cb"), lit(0L))).as("ea"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L)).as("id"),
+        sum(least(col("ca"), col("cb"))).as("ia"),
+        count(lit(1)).as("ud"),
+        (sum(col("ca")) + sum(col("cb"))).as("ua"))
+      .selectExpr(
+        """stack(6,
+          |  'except_distinct', ed,
+          |  'except_all', ea,
+          |  'intersect_distinct', id,
+          |  'intersect_all', ia,
+          |  'union_distinct', ud,
+          |  'union_all', ua) AS (op, n)""".stripMargin)
+  }
+
+  /** Same contract as q10 — the hash-compare against the six-leg SQL
+    * IS the equivalence proof. */
+  val setOpsOnePassSql: String = setOpsSql
+
   /** F1/F2 as a non-equi range join: events falling inside a per-order
     * time window (the image-ts ∈ [start, end) containment of reference
     * main.py:398, generalized to a join). Equi key on user/cust plus a

@@ -86,4 +86,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
   }
+
+  test("one-pass set-op summary plans strictly fewer shuffles than the six-leg form") {
+    def shuffles(name: String) =
+      "Exchange hashpartitioning".r.findAllIn(planOf(name)).length
+    val legs = shuffles("q10_set_ops")
+    val onePass = shuffles("q49_set_ops_onepass")
+    assert(onePass < legs, s"one-pass=$onePass must beat six-leg=$legs")
+  }
 }
