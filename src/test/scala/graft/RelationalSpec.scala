@@ -62,6 +62,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(viaAnti == viaMembership)
   }
 
+  test("one-pass set-op arithmetic ≡ Spark's set operators on seeded random multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812)
+    (1 to 3).foreach { round =>
+      // overlapping multisets with duplicates — the case distinct-only
+      // reasoning gets wrong
+      val xs = Seq.fill(300)(rnd.nextInt(40).toLong)
+      val ys = Seq.fill(250)(rnd.nextInt(40).toLong + 20)
+      val a = xs.toDF("k")
+      val b = ys.toDF("k")
+      val ops = Map(
+        "except_distinct" -> a.except(b).count(),
+        "except_all" -> a.exceptAll(b).count(),
+        "intersect_distinct" -> a.intersect(b).count(),
+        "intersect_all" -> a.intersectAll(b).count(),
+        "union_distinct" -> a.union(b).distinct().count(),
+        "union_all" -> a.union(b).count())
+      val ca = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keys = ca.keySet ++ cb.keySet
+      val arith = Map(
+        "except_distinct" -> keys.count(k => ca.getOrElse(k, 0L) > 0 && cb.getOrElse(k, 0L) == 0).toLong,
+        "except_all" -> keys.toSeq.map(k => math.max(ca.getOrElse(k, 0L) - cb.getOrElse(k, 0L), 0L)).sum,
+        "intersect_distinct" -> keys.count(k => ca.getOrElse(k, 0L) > 0 && cb.getOrElse(k, 0L) > 0).toLong,
+        "intersect_all" -> keys.toSeq.map(k => math.min(ca.getOrElse(k, 0L), cb.getOrElse(k, 0L))).sum,
+        "union_distinct" -> keys.size.toLong,
+        "union_all" -> (xs.size.toLong + ys.size))
+      assert(ops == arith, s"round $round: operators=$ops arithmetic=$arith")
+    }
+  }
+
   test("latestPerKey yields one row per key, the max-date one") {
     val df = Relational.latestPerKey(spark, sf)
     val n = df.count()
