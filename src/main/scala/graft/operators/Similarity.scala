@@ -285,8 +285,14 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
         .toSeq
+    // coalesce to a sentinel cell no probe can match (real cells are
+    // vec_ids ≥ 0): NearestCell is nullable (ragged/null vectors), so
+    // the inner join would infer isnotnull(cell) and push it into the
+    // scan filter — evaluating the most expensive kernel of the query
+    // TWICE per row (filter + project). The non-null coalesce kills
+    // the inferred filter; null-vector rows still match nothing.
     val assigned = corpus.withColumn("cell",
-      VectorOps.nearestCell(col("e"), col("nrm"), cents))
+      coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
     // centroid table for query probing — rebuilt from the collected
     // quantizer (no second corpus scan)
     import spark.implicits._
@@ -329,7 +335,7 @@ object Similarity {
         .sortBy(_._1)
         .toSeq
     val assigned = corpus.withColumn("cell",
-      VectorOps.nearestCell(col("e"), col("nrm"), cents))
+      coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
     import spark.implicits._
     val centDf = cents.map { case (id, v, nm) => (id, v.toSeq, nm) }
       .toDF("c_id", "ce", "cn")
@@ -414,7 +420,8 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
         org.apache.spark.sql.types.StructField("cn", org.apache.spark.sql.types.DoubleType))))
     corpus
-      .withColumn("cell", VectorOps.nearestCell(col("e"), col("nrm"), cents))
+      .withColumn("cell",
+        coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
       .join(broadcast(centDf), col("cell") === col("c_id"))
       .select((VectorOps.dot(col("e"), col("ce")) / (col("nrm") * col("cn"))).as("sim"))
       .agg(avg(col("sim")))

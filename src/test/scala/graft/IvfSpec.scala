@@ -190,4 +190,13 @@ class IvfSpec extends AnyFunSuite {
     assert(!assignPlan.contains("Exchange"),
       "corpus→cell assignment must not shuffle")
   }
+
+  test("the nearest_cell kernel is evaluated once per corpus row, not re-derived in a pushed filter") {
+    // without the non-null coalesce the inner probe join infers
+    // isnotnull(cell) and pushes it into the parquet scan, running the
+    // most expensive kernel of the query twice per row
+    val plan = Similarity.ivfTopK(spark, sf).queryExecution.executedPlan.toString
+    val mentions = "nearest_cell".r.findAllIn(plan).length
+    assert(mentions == 1, s"nearest_cell must appear exactly once (the projection), saw $mentions:\n$plan")
+  }
 }
