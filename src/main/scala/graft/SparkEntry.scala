@@ -80,6 +80,9 @@ object SparkEntry {
     "q49_set_ops_onepass" -> ((s, d) => Relational.setOpsOnePass(s, d)),
     "q50_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
     "q51_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "q52_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q53_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "q54_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +138,8 @@ object SparkEntry {
     "q49_set_ops_onepass" -> Relational.setOpsOnePassSql,
     "q50_vocab_topk" -> TextAnalysis.vocabTopKSql,
     "q51_stratified_sample" -> TextAnalysis.stratifiedSampleSql,
+    "q52_decontaminate" -> Dedup.decontaminateSql,
+    "q53_repetition" -> TextAnalysis.repetitionSql,
+    "q54_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
   )
 }

@@ -262,4 +262,63 @@ object Dedup {
        |  FROM hh, (SELECT unnest(generate_series(0, 29)) AS j) j)
        |SELECT doc_id, any_value(n_tokens) AS n_tokens, CAST(sum(bit) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+
+  /** Word n-gram size for decontamination (4 — long enough that a hit
+    * means shared phrasing, short enough to fire on the fixture; real
+    * pipelines use 8-13 on natural text). Eval membership is a
+    * deterministic fixture rule (doc_id ≡ 0 mod 97). */
+  private val DecontamN = 4
+  private val EvalMod = 97
+
+  /** Benchmark decontamination — the eval-overlap scan every training
+    * corpus needs before release: flag each training document that
+    * shares ≥1 word 4-gram with any document of the held-out eval set.
+    *
+    * Shape for 100 TB: both sides explode DISTINCT gram hashes
+    * (bigints, not strings — cheap to ship); the eval side is a
+    * benchmark suite, small by nature, and its `doc_id % 97 = 0`
+    * predicate pushes below the gram explode straight onto the scan,
+    * so only eval docs are hashed twice. The equi-join on the gram
+    * hash is explicitly `broadcast()` (the classic build-side: eval
+    * grams fit in memory at any realistic corpus scale), so the
+    * 100 TB training side never shuffles — a narrow scan + broadcast
+    * probe + one agg shuffle on doc_id. Both engines join on the SAME
+    * polyhash values, so collision behavior is bit-consistent. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    TextHash.register(spark)
+    val grams = tokenized(spark, dir)
+      .filter(size(col("t")) >= DecontamN)
+      .select(col("doc_id"), array_distinct(expr(
+        s"""transform(sequence(1, size(t) - ${DecontamN - 1}),
+           |  i -> polyhash(concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2])))""".stripMargin))
+        .as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g"), col("doc_id").as("eval_id"))
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_grams")).as("n_grams"),
+        countDistinct(col("g")).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .withColumn("hit_bp", expr("(10000 * n_hits) div n_grams"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - ${DecontamN - 1}),
+       |    gi -> ${duckPolyhash("t[gi] || ' ' || t[gi+1] || ' ' || t[gi+2] || ' ' || t[gi+3]")})) AS gs
+       |  FROM tok WHERE len(t) >= $DecontamN),
+       |ex AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g FROM g0),
+       |ev AS (SELECT g, doc_id AS eval_id FROM ex WHERE doc_id % $EvalMod = 0)
+       |SELECT a.doc_id, max(a.n_grams) AS n_grams,
+       |       count(DISTINCT a.g) AS n_hits, count(DISTINCT ev.eval_id) AS n_eval_docs,
+       |       (10000 * count(DISTINCT a.g)) // max(a.n_grams) AS hit_bp
+       |FROM ex a JOIN ev ON a.g = ev.g AND a.doc_id % $EvalMod <> 0
+       |GROUP BY a.doc_id""".stripMargin
 }

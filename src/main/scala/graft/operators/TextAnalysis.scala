@@ -326,6 +326,118 @@ object TextAnalysis {
        |  FROM documents)
        |WHERE sample_rank <= 50""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+
+  /** Keep thresholds (basis points) for the repetition filter — the
+    * Gopher-style cut: drop documents whose top token exceeds 20% of
+    * all tokens or whose duplicate-trigram share exceeds 30%. */
+  private val TopTokenBpMax = 2000L
+  private val DupTrigramBpMax = 3000L
+
+  /** Repetition-quality signals (Gopher §A.1.1): top-token share and
+    * duplicate word-trigram share per document, plus the keep/drop
+    * verdict a curation funnel applies. ONE codegen'd byte scan per
+    * row ([[graft.functions.RepetitionStats]] — the O(types·tokens)
+    * HOF formulation stays in TextAnalysisSpec as the executable
+    * spec). Map-side only, no shuffle: at 100 TB this runs at scan
+    * speed like q23/q43. Ratios are integer basis points (see
+    * tokenQuality for why not rounded doubles). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), GraftSqlBridge.column(graft.functions.RepetitionStats(
+        GraftSqlBridge.expression(col("text")))).as("r"))
+      .filter(col("r.n_tokens") >= 1)
+      .selectExpr(
+        "doc_id",
+        "r.n_tokens AS n_tokens",
+        "r.top_count AS top_count",
+        "r.n_trigrams AS n_trigrams",
+        "r.n_tri_distinct AS n_tri_distinct",
+        "(10000 * r.top_count) div r.n_tokens AS top_token_bp",
+        s"""CASE WHEN r.n_trigrams > 0
+           |  THEN (10000 * (r.n_trigrams - r.n_tri_distinct)) div r.n_trigrams
+           |  ELSE CAST(0 AS BIGINT) END AS dup_trigram_bp""".stripMargin)
+      .withColumn("keep",
+        col("top_token_bp") <= TopTokenBpMax && col("dup_trigram_bp") <= DupTrigramBpMax)
+  }
+
+  val repetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(t) AS BIGINT) AS n_tokens,
+       |         CAST(list_max(list_transform(list_distinct(t),
+       |           x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_count,
+       |         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_trigrams,
+       |         CAST(CASE WHEN len(t) >= 3 THEN len(list_distinct(
+       |           list_transform(generate_series(1, len(t) - 2),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+       |           ELSE 0 END AS BIGINT) AS n_tri_distinct
+       |  FROM tok WHERE len(t) >= 1),
+       |b AS (
+       |  SELECT doc_id, n_tokens, top_count, n_trigrams, n_tri_distinct,
+       |         (10000 * top_count) // n_tokens AS top_token_bp,
+       |         CASE WHEN n_trigrams > 0
+       |           THEN (10000 * (n_trigrams - n_tri_distinct)) // n_trigrams
+       |           ELSE CAST(0 AS BIGINT) END AS dup_trigram_bp
+       |  FROM m)
+       |SELECT b.*, (top_token_bp <= $TopTokenBpMax AND dup_trigram_bp <= $DupTrigramBpMax) AS keep
+       |FROM b""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+
+  /** TF-IDF top terms per document — the keyword-extraction /
+    * feature-weighting pass of a corpus pipeline. The score is kept
+    * in exact integer arithmetic: ppm = (1e6 · tf · N) div (len · df)
+    * — the rational form of tf/len · N/df with a linearized idf — so
+    * both engines rank identical integers (no log(), no double
+    * rounding at engine boundaries; see tokenQuality).
+    *
+    * Shape for 100 TB: one shuffle to (doc, token) counts with
+    * map-side combine; doc lengths derive from that same aggregate
+    * (shuffle on doc_id); document frequencies from the same aggregate
+    * (shuffle on token — vocabulary-sized, small after aggregation);
+    * N is a 1-row broadcast. The final per-doc top-5 is a windowed
+    * rank where WindowGroupLimit keeps per-partition heaps ahead of
+    * the sort (same pushdown as q21/q44/q51). */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = dlen.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_ppm").desc, col("token"))
+    tf.join(dlen, "doc_id").join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_ppm", expr("(1000000 * tf * n_docs) div (dlen * df)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf_ppm"), col("rnk"))
+  }
+
+  val tfidfTopKSql: String =
+    """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM ex
+      |       WHERE length(token) > 0 GROUP BY doc_id, token),
+      |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM tf GROUP BY doc_id),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT count(*) AS n_docs FROM dlen),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |         CAST((1000000 * tf.tf * nd.n_docs) // (dlen.dlen * dfreq.df) AS BIGINT) AS tfidf_ppm
+      |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd)
+      |SELECT doc_id, token, tf, df, tfidf_ppm,
+      |       CAST(row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY tfidf_ppm DESC, token) AS INT) AS rnk
+      |FROM scored
+      |QUALIFY rnk <= 5""".stripMargin
+
   // ---------------------------------------------------------------- q47
 
   /** PII patterns (ASCII classes + bounded quantifiers only, so Java
