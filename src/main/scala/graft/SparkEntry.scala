@@ -83,6 +83,10 @@ object SparkEntry {
     "q52_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q53_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "q54_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    "q55_chunks" -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
+    "q56_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q57_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q58_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,5 +145,9 @@ object SparkEntry {
     "q52_decontaminate" -> Dedup.decontaminateSql,
     "q53_repetition" -> TextAnalysis.repetitionSql,
     "q54_tfidf_topk" -> TextAnalysis.tfidfTopKSql,
+    "q55_chunks" -> TextAnalysis.chunkDocsSql,
+    "q56_simhash_neardup" -> Dedup.simhashNearDupSql,
+    "q57_semantic_dedup" -> Similarity.semanticDedupSql,
+    "q58_importance_sample" -> TextAnalysis.importanceSampleSql,
   )
 }

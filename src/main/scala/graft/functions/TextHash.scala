@@ -230,6 +230,163 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash"
 }
 
+/** Single-pass word n-gram hasher (optimized form of the q18/q19
+  * shingle and q52 decontamination kernels): for a token array t,
+  * emits polyhash(concat_ws(' ', t[i], …, t[i+n-1])) for every window
+  * i — WITHOUT materializing the gram strings and WITHOUT the
+  * interpreted per-gram HOF lambda (`transform(sequence…, i ->
+  * polyhash(concat_ws(…)))` walks a ~10-node expression tree per gram
+  * per row; this folds token bytes directly into the modular hash).
+  * Each element is EXACTLY the PolyHash of the joined gram string —
+  * including concat_ws's skip-null semantics (a null token contributes
+  * neither bytes nor a separator) — pinned ≡ the HOF form in
+  * DedupSpec. Returns an empty array when size(t) < n (the HOF form
+  * is undefined there: `sequence(1, size-n+1)` runs DESCENDING when
+  * size < n — callers filter first; the kernel makes the edge total).
+  */
+case class WordNGramHashes(child: Expression, n: Int, step: Int = 1)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(n >= 1, "gram size must be >= 1")
+  require(step >= 1, "step must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val ts = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = ts.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val P = PolyHash.Mod
+    val out = new Array[Long]((m - n) / step + 1)
+    var w = 0
+    while (w < out.length) {
+      val i = w * step
+      var h = 0L
+      var emitted = false
+      var j = 0
+      while (j < n) {
+        if (!ts.isNullAt(i + j)) {
+          if (emitted) h = (h * 31L + 0x20L) % P
+          val bytes = ts.getUTF8String(i + j).getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h = (h * 31L + (bytes(b) & 0xff)) % P
+            b += 1
+          }
+          emitted = true
+        }
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ts => {
+      val m = ctx.freshName("m"); val out = ctx.freshName("out")
+      val w = ctx.freshName("w"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val bytes = ctx.freshName("bytes"); val emitted = ctx.freshName("emitted")
+      val P = s"${PolyHash.Mod}L"
+      s"""
+         |int $m = $ts.numElements();
+         |long[] $out = new long[$m < $n ? 0 : ($m - $n) / $step + 1];
+         |for (int $w = 0; $w < $out.length; $w++) {
+         |  int $i = $w * $step;
+         |  long $h = 0L;
+         |  boolean $emitted = false;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$ts.isNullAt($i + $j)) {
+         |      if ($emitted) $h = ($h * 31L + 0x20L) % $P;
+         |      byte[] $bytes = $ts.getUTF8String($i + $j).getBytes();
+         |      for (int $b = 0; $b < $bytes.length; $b++) {
+         |        $h = ($h * 31L + ($bytes[$b] & 0xFF)) % $P;
+         |      }
+         |      $emitted = true;
+         |    }
+         |  }
+         |  $out[$w] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WordNGramHashes = copy(child = c)
+  override def prettyName: String = "word_ngram_hashes"
+}
+
+/** Single-pass K-permutation MinHash signature (optimized form of the
+  * q18 kernel): one scan of the hashed-shingle array maintains all K
+  * minima — the HOF formulation (`transform(sequence(0, K-1), k ->
+  * array_min(transform(hh, h -> ((2k+1)·h + 7919k) mod P)))`) re-walks
+  * the array K times through interpreted lambdas. Identical values:
+  * min is order-independent and (2k+1)·h + 7919k ≤ ~2.5e10 fits a
+  * long, so the arithmetic is exact on both paths (pinned ≡ in
+  * DedupSpec). Empty input → null (the HOF yields an array of null
+  * mins; neither shape can produce a band key that joins, and the
+  * operators filter empty docs upstream — divergence documented, not
+  * load-bearing). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(k >= 1, "signature length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val P = PolyHash.Mod
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val hv = ((2L * j + 1L) * h + 7919L * j) % P
+        if (hv < mins(j)) mins(j) = hv
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val hv = ctx.freshName("hv")
+      val P = s"${PolyHash.Mod}L"
+      s"""
+         |int $n = $hs.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $hs.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $hv = ((2L * $j + 1L) * $h + 7919L * $j) % $P;
+         |      if ($hv < $mins[$j]) $mins[$j] = $hv;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Session-level registration so `polyhash(...)` is usable inside SQL
   * higher-order-function lambdas (transform/aggregate), where Column
   * composition can't reach. Idempotent per session. */
@@ -237,6 +394,25 @@ object TextHash {
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.GraftSqlBridge.registerTempFunction(
       spark, "polyhash", exprs => PolyHash(exprs.head))
+
+  /** Column form of [[MinHashSig]]. */
+  def minhashSig(hh: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      MinHashSig(org.apache.spark.sql.GraftSqlBridge.expression(hh), k))
+
+  /** Column form of [[PolyHash]]. */
+  def polyhash(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PolyHash(org.apache.spark.sql.GraftSqlBridge.expression(s)))
+
+  /** Column form of [[WordNGramHashes]]: polyhashes of the word
+    * n-grams of a token-array column, window start advancing by
+    * `step` (1 = every window; q55 chunks use step = stride so the
+    * kernel never hashes windows the chunker would drop). */
+  def wordNGramHashes(tokens: org.apache.spark.sql.Column, n: Int,
+      step: Int = 1): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      WordNGramHashes(org.apache.spark.sql.GraftSqlBridge.expression(tokens), n, step))
 
   /** The equivalent pure-built-in formula (the contract the DuckDB
     * oracle mirrors); used by PolyHashSpec to pin semantics. */

@@ -174,6 +174,25 @@ case class NearestCell(
   require(centIds.nonEmpty && centIds.length == centVecs.length &&
     centIds.length == centNrms.length, "centroid arrays must align and be non-empty")
 
+  // Array fields get reference equality from the synthesized case-class
+  // equals, so two semantically identical NearestCells would never
+  // compare equal — defeating plan canonicalization (exchange reuse,
+  // cached-plan lookup). Deep-compare the quantizer instead; the hash
+  // folds in only the ids (cheap, and id-set equality is the
+  // discriminating part of a quantizer in practice).
+  override def equals(other: Any): Boolean = other match {
+    case n: NearestCell =>
+      left == n.left && right == n.right &&
+        java.util.Arrays.equals(centIds, n.centIds) &&
+        java.util.Arrays.equals(centNrms, n.centNrms) &&
+        centVecs.length == n.centVecs.length &&
+        centVecs.indices.forall(i => java.util.Arrays.equals(centVecs(i), n.centVecs(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Integer.valueOf(java.util.Arrays.hashCode(centIds)))
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 

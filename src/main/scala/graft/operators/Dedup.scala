@@ -36,7 +36,9 @@ object Dedup {
   /** Distinct word 3-gram shingles per doc (docs with ≥3 tokens).
     * NOTE Spark `t[i]` is 0-based (DuckDB's is 1-based — the oracle
     * indexes i..i+2 for the same window). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Declarative executable spec of the shingle path — DedupSpec pins
+    * the WordNGramHashes kernel ≡ this HOF form. */
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     tokenized(spark, dir)
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
@@ -78,8 +80,11 @@ object Dedup {
   // ---------------------------------------------------------------- q18
 
   /** MinHash signature length and banding: K = 12 hashes in 6 bands
-    * of 2 rows. Permutation k: h_k(x) = ((2k+1)·x + 7919k) mod P. */
-  private val minhashSigSql =
+    * of 2 rows. Permutation k: h_k(x) = ((2k+1)·x + 7919k) mod P.
+    * The HOF form below is the executable spec (and the oracle's
+    * formulation); the query runs the single-pass codegen'd
+    * [[graft.functions.MinHashSig]] kernel — DedupSpec pins ≡. */
+  private[graft] val minhashSigSql =
     "transform(sequence(0, 11), k -> array_min(transform(hh, h -> ((2*k+1) * h + 7919 * k) % 1000000007)))"
 
   /** Perf shape (sf0.1 bench finding): the band self-join DUPLICATES
@@ -100,15 +105,20 @@ object Dedup {
     * query) instead of pinning an InMemoryRelation forever. */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.getOrCache(spark, s"dedup.hashedShingles:$dir") {
-      TextHash.register(spark)
-      shingled(spark, dir)
+      // single-pass WordNGramHashes kernel instead of the two
+      // interpreted HOF passes (string shingles → per-shingle polyhash
+      // lambda). distinct-after-hash ≡ the oracle's distinct-on-strings
+      // then hash: deduping strings before hashing cannot change the
+      // SET of hash values. DedupSpec pins kernel ≡ HOF form.
+      tokenized(spark, dir)
+        .filter(size(col("t")) >= 3)
         .select(col("doc_id"),
-          expr("array_distinct(transform(shingles, s -> polyhash(s)))").as("hh"))
+          array_distinct(TextHash.wordNGramHashes(col("t"), 3)).as("hh"))
     }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(spark, dir)
-    val sig = sh.withColumn("sig", expr(minhashSigSql))
+    val sig = sh.withColumn("sig", TextHash.minhashSig(col("hh"), 12))
     // the band self-join below duplicates its input subtree with fresh
     // expr ids, which defeats ReuseExchange — without a materialization
     // point the K-minhash signatures are computed on BOTH sides.
@@ -237,8 +247,10 @@ object Dedup {
     * form stays in DedupSpec as the executable contract). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
-    TextHash.register(spark)
-    val hh = expr("transform(t, tok -> polyhash(tok))")
+    // 1-grams: WordNGramHashes(t, 1) ≡ transform(t, tok ->
+    // polyhash(tok)) on split() output (which never yields nulls) —
+    // the codegen'd byte scan replaces the interpreted per-token lambda
+    val hh = TextHash.wordNGramHashes(col("t"), 1)
     tokenized(spark, dir)
       .filter(size(col("t")) >= 1)
       .select(
@@ -287,13 +299,14 @@ object Dedup {
     * probe + one agg shuffle on doc_id. Both engines join on the SAME
     * polyhash values, so collision behavior is bit-consistent. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    TextHash.register(spark)
+    // WordNGramHashes kernel: one codegen'd byte scan per document
+    // instead of the interpreted transform(sequence…) lambda — that
+    // lambda walked ~10 expression nodes per gram per row and was the
+    // entire q52 hot spot (≈9 s of an 11 s query at sf0.1)
     val grams = tokenized(spark, dir)
       .filter(size(col("t")) >= DecontamN)
-      .select(col("doc_id"), array_distinct(expr(
-        s"""transform(sequence(1, size(t) - ${DecontamN - 1}),
-           |  i -> polyhash(concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2])))""".stripMargin))
-        .as("gs"))
+      .select(col("doc_id"),
+        array_distinct(TextHash.wordNGramHashes(col("t"), DecontamN)).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
         explode(col("gs")).as("g"))
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
@@ -307,6 +320,68 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .withColumn("hit_bp", expr("(10000 * n_hits) div n_grams"))
   }
+
+  // ---------------------------------------------------------------- q56
+
+  /** Max hamming distance for simhash near-dups. 2 is the pigeonhole-
+    * EXACT regime for 3 bands of 10 bits: a pair differing in ≤2 of
+    * the 30 bits leaves at least one band untouched, so the banded
+    * equi-join has guaranteed 100% recall — the banding is provably
+    * equivalent to the all-pairs scan it replaces (the classic simhash
+    * near-dup construction from the public web-dedup literature). */
+  private val SimhashBands = 3
+  private val SimhashBandBits = 10
+  private val SimhashHamMax = 2
+
+  /** Simhash hamming near-dup join — the third dedup family beside
+    * MinHash-Jaccard (q18/q19) and embedding-cosine (q35): pairs of
+    * documents whose 30-bit simhashes differ in ≤ [[SimhashHamMax]]
+    * bits.
+    *
+    * Shape for 100 TB: band the fingerprint into 3×10-bit keys; the
+    * candidate join is an EQUI-join on (band, value) — O(Σ bucket²)
+    * per band, never n² — and the exact `bit_count(xor)` verify runs
+    * only on candidates. One narrow map stage (q20's codegen'd
+    * SimHash), one shuffle on the band key. At hamming ≤ 2 the
+    * pigeonhole bound makes recall exact, so this IS the brute-force
+    * result at banded-join cost. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // band frame self-joins below — materialize so the simhash map
+    // stage runs once (same pattern as q18's bands)
+    val bands = graft.CacheRegistry.getOrCache(spark, s"dedup.simhashBands:$dir") {
+      simhash(spark, dir)
+        .select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until SimhashBands).map(j =>
+            shiftright(col("simhash"), j * SimhashBandBits)
+              .bitwiseAND(lit((1 << SimhashBandBits) - 1))): _*)))
+        .toDF("doc_id", "simhash", "band", "bval")
+    }
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct() // a pair sharing several bands counts once
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= SimhashHamMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  val simhashNearDupSql: String =
+    s"""WITH sh AS (
+       |$simhashSql),
+       |bands AS (
+       |  SELECT doc_id, simhash, j.j AS band,
+       |         (simhash >> (j.j * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS bval
+       |  FROM sh, (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS j) j),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.simhash AS ha, b.simhash AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $SimhashHamMax""".stripMargin
 
   val decontaminateSql: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

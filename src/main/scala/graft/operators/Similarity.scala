@@ -30,10 +30,13 @@ object Similarity {
 
   private val QueryFilter = "vec_id % 25 = 0"
 
-  /** Doubles + norms; shared head of both queries. */
+  /** Doubles + norms; shared head of both queries. Cast, not
+    * transform(x -> CAST(x)): Catalyst's array Cast is codegen'd while
+    * the HOF lambda is interpreted — identical values (float→double
+    * widening is exact). */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       // sqrt(dot(e,e)) — same ascending fold as the HOF the oracle
       // runs, in one codegen'd pass (VectorOpsSpec pins ≡)
       .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
@@ -168,7 +171,7 @@ object Similarity {
   /** Norm-annotated view of an arbitrary (vec_id, embedding) frame —
     * the public entry for running the ANN on non-fixture corpora. */
   def withNorms(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
 
   val annTopKSql: String =
@@ -266,33 +269,50 @@ object Similarity {
   private val IvfNprobe = 3
   private val IvfK = 3
 
-  /** Parameterized IVF core. `corpus` needs (vec_id, e[double], nrm)
-    * with non-zero vectors (NearestCell's NaN precondition). */
-  def ivfTopKWith(
+  /** Shared IVF prefix of [[ivfTopKWith]] and [[ivfCandidateCounts]]:
+    * collect+sort the quantizer, assign the corpus with one
+    * sentinel-coalesced [[graft.functions.NearestCell]] map stage, and
+    * rank each query's probe cells. Returns (assigned corpus with
+    * `cell`, probes with (q_id, qe, qn, probe)). */
+  /** Quantizer load: bounded by construction (n/31 here, nlist ≈ √n
+    * in a real deployment); sorted ascending so NearestCell's strict->
+    * scan reproduces the oracle's (sim DESC, c_id ASC) tie-break. */
+  private def collectCentroids(
+      corpus: DataFrame,
+      centroidPred: org.apache.spark.sql.Column): Seq[(Long, Array[Double], Double)] = {
+    val cents = corpus.filter(centroidPred)
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty,
+      s"IVF centroid predicate matched no rows: $centroidPred")
+    cents
+  }
+
+  /** One codegen'd NearestCell map stage assigning every corpus row to
+    * its cell. Coalesced to a sentinel cell no probe can match (real
+    * cells are vec_ids ≥ 0): NearestCell is nullable (ragged/null
+    * vectors), so an inner join on `cell` would infer isnotnull(cell)
+    * and push it into the scan filter — evaluating the most expensive
+    * kernel of the query TWICE per row (filter + project). The
+    * non-null coalesce kills the inferred filter; null-vector rows
+    * still match nothing. */
+  private def assignCells(
+      corpus: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame =
+    corpus.withColumn("cell",
+      coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
+
+  private def ivfAssignAndProbe(
       corpus: DataFrame,
       queryPred: org.apache.spark.sql.Column,
       centroidPred: org.apache.spark.sql.Column,
-      nprobe: Int,
-      k: Int): DataFrame = {
+      nprobe: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    // quantizer load: bounded by construction (n/31 here, nlist ≈ √n
-    // in a real deployment); sorted ascending so NearestCell's strict->
-    // scan reproduces the oracle's (sim DESC, c_id ASC) tie-break
-    val cents: Seq[(Long, Array[Double], Double)] =
-      corpus.filter(centroidPred)
-        .select(col("vec_id"), col("e"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-        .toSeq
-    // coalesce to a sentinel cell no probe can match (real cells are
-    // vec_ids ≥ 0): NearestCell is nullable (ragged/null vectors), so
-    // the inner join would infer isnotnull(cell) and push it into the
-    // scan filter — evaluating the most expensive kernel of the query
-    // TWICE per row (filter + project). The non-null coalesce kills
-    // the inferred filter; null-vector rows still match nothing.
-    val assigned = corpus.withColumn("cell",
-      coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
+    val cents = collectCentroids(corpus, centroidPred)
+    val assigned = assignCells(corpus, cents)
     // centroid table for query probing — rebuilt from the collected
     // quantizer (no second corpus scan)
     import spark.implicits._
@@ -306,6 +326,18 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
+    (assigned, probes)
+  }
+
+  /** Parameterized IVF core. `corpus` needs (vec_id, e[double], nrm)
+    * with non-zero vectors (NearestCell's NaN precondition). */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      centroidPred: org.apache.spark.sql.Column,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred, centroidPred, nprobe)
     // the probe join: equi-join on the cell id — candidates are the
     // nprobe cells' inverted lists, not the corpus
     val cand = assigned.join(broadcast(probes),
@@ -326,28 +358,8 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column,
       centroidPred: org.apache.spark.sql.Column,
       nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    val cents: Seq[(Long, Array[Double], Double)] =
-      corpus.filter(centroidPred)
-        .select(col("vec_id"), col("e"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-        .toSeq
-    val assigned = corpus.withColumn("cell",
-      coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
-    import spark.implicits._
-    val centDf = cents.map { case (id, v, nm) => (id, v.toSeq, nm) }
-      .toDF("c_id", "ce", "cn")
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    val probes = corpus.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("sim", VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("c_id").as("probe"))
-    assigned.join(broadcast(probes),
+    val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred, centroidPred, nprobe)
+    assigned.join(broadcast(probes.select(col("q_id"), col("probe"))),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
   }
@@ -377,6 +389,7 @@ object Similarity {
       corpus: DataFrame,
       cents: Seq[(Long, Array[Double], Double)],
       iters: Int): Seq[(Long, Array[Double], Double)] = {
+    require(cents.nonEmpty, "cannot refine an empty quantizer")
     val meanAgg = udaf(graft.functions.VecMeanAgg)
     var cur = cents
     var it = 0
@@ -461,6 +474,80 @@ object Similarity {
        |      FROM cand)
        |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
        |FROM r WHERE rank <= $IvfK""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q57
+
+  /** Similarity threshold for semantic dedup. Fixture-calibrated like
+    * q35's (max pairwise cosine ≈ 0.51, no planted embedding dups):
+    * ≥0.35 marks the suspicious tail. The contract is the
+    * cell-bucketed candidate shape, not the constant. */
+  private val SemTau = 0.35
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupWith(vectors(spark, dir), expr(IvfCentroidFilter), SemTau,
+      cacheKey = Some(s"similarity.ivfCells:$dir"))
+
+  /** SemDeDup-style semantic deduplication (the embedding analog of
+    * the SemDeDup recipe in the public literature): cluster the corpus
+    * with the SAME coarse quantizer q44 probes (one codegen'd
+    * NearestCell map stage, no shuffle), then verify exact cosine only
+    * WITHIN each cell — candidates are O(Σ cell²), never n², and at a
+    * real deployment's nlist ≈ √n the expected within-cell pair count
+    * is O(n^1.5), each cell's self-join co-located by the cell-id
+    * shuffle. Differs from q35 (LSH buckets) in the candidate
+    * generator: k-means-style cells adapt to the data distribution
+    * where hyperplane buckets are data-oblivious — the two operators
+    * are complementary recall profiles over the same contract. */
+  def semanticDedupWith(
+      corpus: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      tau: Double,
+      cacheKey: Option[String] = None): DataFrame = {
+    val cents = collectCentroids(corpus, centroidPred)
+    val assigned0 = assignCells(corpus, cents)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    // the self-join duplicates its input subtree (fresh expr ids, no
+    // ReuseExchange) — materialize so NearestCell runs once per row
+    val b = cacheKey.fold(assigned0)(key =>
+      graft.CacheRegistry.getOrCache(corpus.sparkSession, key)(assigned0))
+    b.as("a")
+      .join(b.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.cell").as("cell"),
+        (VectorOps.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("cell"), round(col("sim"), 6).as("sim"))
+  }
+
+  val semanticDedupSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    s"""WITH n AS (
+       |$duckVectors),
+       |cents AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE $IvfCentroidFilter),
+       |sims AS (
+       |  SELECT n.vec_id, c_id,
+       |         ${dot("n.e", "ce")} / (n.nrm * cn) AS sim
+       |  FROM n CROSS JOIN cents),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |v AS (
+       |  SELECT n.vec_id, a.cell, n.e, n.nrm
+       |  FROM assign a JOIN n ON n.vec_id = a.vec_id),
+       |p AS (
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.cell,
+       |         ${dot("x.e", "y.e")} / (x.nrm * y.nrm) AS sim
+       |  FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT a_id, b_id, cell, round(sim, 6) AS sim
+       |FROM p WHERE sim >= $SemTau""".stripMargin
   }
 
   val embeddingDedupSql: String =

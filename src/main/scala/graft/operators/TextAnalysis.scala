@@ -81,6 +81,33 @@ object TextAnalysis {
        |         + (3000 * least(n_tokens, 2 * n_types)) // n_tokens AS quality_bp
        |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+
+  /** Quality-weighted deterministic sampling — the data-mixing stage
+    * that upsamples clean text: keep a document iff
+    * Knuth-hash(doc_id) mod 10000 < quality_bp, i.e. a deterministic
+    * Bernoulli thinning whose acceptance rate IS the q23 quality score
+    * (quality_bp ∈ [0, 10000] by construction, so the score is the
+    * probability in basis points). Same reproducibility argument as
+    * q42/q51: pure integer arithmetic on the key — stable across
+    * partitionings, engines, and cluster sizes, where `rand()` is
+    * none of those. Map-side only on top of q23's single-pass kernel;
+    * at 100 TB this composes with the quality scan for free. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame =
+    tokenQuality(spark, dir)
+      .withColumn("accept_hash",
+        expr("CAST(((doc_id * 2654435761) % 4294967296) % 10000 AS INT)"))
+      .filter(col("accept_hash") < col("quality_bp"))
+      .select(col("doc_id"), col("lang"), col("quality_bp"), col("accept_hash"))
+
+  val importanceSampleSql: String =
+    s"""WITH q AS (
+       |$tokenQualitySql)
+       |SELECT doc_id, lang, quality_bp,
+       |       CAST(((doc_id * 2654435761) % 4294967296) % 10000 AS INT) AS accept_hash
+       |FROM q
+       |WHERE CAST(((doc_id * 2654435761) % 4294967296) % 10000 AS INT) < quality_bp""".stripMargin
+
   // ---------------------------------------------------------------- q24
 
   /** Stopword profiles per language (public top-frequency word lists,
@@ -414,7 +441,14 @@ object TextAnalysis {
       .orderBy(col("tfidf_ppm").desc, col("token"))
     tf.join(dlen, "doc_id").join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf_ppm", expr("(1000000 * tf * n_docs) div (dlen * df)"))
+      // numerator in DECIMAL(38,0) (oracle: HUGEINT): 1e6·tf·N in
+      // 64-bit overflows once tf·N > 9.2e12 — reachable at corpus
+      // scale, and the engines diverge on overflow (Spark non-ANSI
+      // wraps, DuckDB raises). 38 digits holds any realistic corpus
+      // (tf ≤ 1e9, N ≤ 1e12 → 27 digits); `div` on decimals already
+      // returns BIGINT, keeping the published schema
+      .withColumn("tfidf_ppm",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * tf * n_docs) div (CAST(dlen AS DECIMAL(38,0)) * df)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -430,7 +464,7 @@ object TextAnalysis {
       |nd AS (SELECT count(*) AS n_docs FROM dlen),
       |scored AS (
       |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-      |         CAST((1000000 * tf.tf * nd.n_docs) // (dlen.dlen * dfreq.df) AS BIGINT) AS tfidf_ppm
+      |         CAST((CAST(1000000 AS HUGEINT) * tf.tf * nd.n_docs) // (CAST(dlen.dlen AS HUGEINT) * dfreq.df) AS BIGINT) AS tfidf_ppm
       |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd)
       |SELECT doc_id, token, tf, df, tfidf_ppm,
       |       CAST(row_number() OVER (PARTITION BY doc_id
@@ -528,4 +562,89 @@ object TextAnalysis {
        |       list_min(hh) AS fp_min,
        |       list_min(list_filter(hh, h -> h % 8 = 0)) AS fp_sel
        |FROM hh""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+
+  /** Chunk window / stride in tokens (overlap = W − S). Fixture-scaled
+    * (docs are ≤100 tokens); real RAG/context chunkers use the same
+    * shape at 256–2048. */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Sliding-window document chunking — the context-window prep stage
+    * of a RAG / training-data pipeline: split each document into
+    * overlapping W-token windows at stride S, one output row per
+    * chunk, identified by (doc_id, chunk_id) with the chunk content
+    * carried as its polyhash (the downstream dedup/decontamination
+    * currency of this library; see q52).
+    *
+    * No token is dropped: docs shorter than W yield their whole text
+    * as chunk 0 (hashed as the raw `text` on BOTH engines, so parity
+    * never depends on re-joining tokens); long docs whose last full
+    * stride window doesn't reach the end get one extra TAIL chunk
+    * anchored at m−W (the standard chunker rule — it overlaps the
+    * previous window more instead of truncating). Long docs hash each
+    * stride window with the [[graft.functions.WordNGramHashes]]
+    * kernel at step = S: the codegen'd scan hashes ONLY the windows
+    * the chunker keeps.
+    *
+    * Shape for 100 TB: narrow map + generate (posexplode) — no
+    * shuffle, no driver state; chunk rows inherit the input's
+    * partitioning. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+    val long = tok.filter(size(col("t")) >= ChunkW)
+      .select(col("doc_id"),
+        posexplode(TextHash.wordNGramHashes(col("t"), ChunkW, ChunkS)))
+      .toDF("doc_id", "chunk_id", "chunk_hash")
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkS).as("start_tok"),
+        lit(ChunkW).as("n_tokens"), col("chunk_hash"))
+    val tail = tok
+      .filter(size(col("t")) >= ChunkW &&
+        (size(col("t")) - ChunkW) % ChunkS =!= 0)
+      .select(col("doc_id"),
+        expr(s"CAST((size(t) - $ChunkW) div $ChunkS AS INT) + 1").as("chunk_id"),
+        (size(col("t")) - ChunkW).as("start_tok"),
+        lit(ChunkW).as("n_tokens"),
+        TextHash.polyhash(
+          concat_ws(" ", slice(col("t"), size(col("t")) - ChunkW + 1, lit(ChunkW))))
+          .as("chunk_hash"))
+    val short = tok.filter(size(col("t")) < ChunkW)
+      .select(col("doc_id"), lit(0).as("chunk_id"), lit(0).as("start_tok"),
+        size(col("t")).as("n_tokens"), TextHash.polyhash(col("text")).as("chunk_hash"))
+    long.unionByName(tail).unionByName(short)
+  }
+
+  val chunkDocsSql: String = {
+    val w = ChunkW; val s = ChunkS
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |long AS (
+       |  SELECT doc_id, CAST(wi.w AS INT) AS chunk_id,
+       |         CAST(wi.w * $s AS INT) AS start_tok, $w AS n_tokens,
+       |         ${duckChunkHash(s"list_slice(t, wi.w * $s + 1, wi.w * $s + $w)")} AS chunk_hash
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(0, (len(t) - $w) // $s)) AS w) wi
+       |  WHERE len(t) >= $w),
+       |tail AS (
+       |  SELECT doc_id, CAST((len(t) - $w) // $s + 1 AS INT) AS chunk_id,
+       |         CAST(len(t) - $w AS INT) AS start_tok, $w AS n_tokens,
+       |         ${duckChunkHash(s"list_slice(t, len(t) - $w + 1, len(t))")} AS chunk_hash
+       |  FROM tok WHERE len(t) >= $w AND (len(t) - $w) % $s <> 0),
+       |short AS (
+       |  SELECT doc_id, 0 AS chunk_id, 0 AS start_tok,
+       |         CAST(len(t) AS INT) AS n_tokens,
+       |         ${duckChunkHash("NULL", direct = Some("text"))} AS chunk_hash
+       |  FROM tok WHERE len(t) < $w)
+       |SELECT * FROM long UNION ALL SELECT * FROM tail UNION ALL SELECT * FROM short""".stripMargin
+  }
+
+  /** polyhash over either a joined token-slice (`list`) or a raw
+    * string column (`direct`) in DuckDB SQL. */
+  private def duckChunkHash(list: String, direct: Option[String] = None): String = {
+    val sExpr = direct.getOrElse(s"array_to_string($list, ' ')")
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($sExpr)), ci -> CAST(ascii(substr($sExpr, ci, 1)) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+  }
 }

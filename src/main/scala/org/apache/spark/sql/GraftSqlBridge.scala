@@ -31,18 +31,34 @@ object GraftSqlBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Per-session set of function names THIS bridge registered. Keyed
+    * by session identity so two sessions never mask each other. A
+    * plain `functionExists` guard is not enough: the registry also
+    * holds every builtin, so a name collision (now or after a Spark
+    * upgrade) would silently skip registration and the graft builder
+    * would never win. */
+  private val registered =
+    scala.collection.mutable.Set[(Int, String)]()
+
   /** Register a temp SQL function backed by a custom Catalyst
     * expression (so it is usable inside HOF lambdas). The session's
-    * `sessionState` is `private[sql]`-reachable from this package. */
+    * `sessionState` is `private[sql]`-reachable from this package.
+    *
+    * Idempotent WITHOUT being collision-blind: re-registration is
+    * skipped only for names graft itself registered on this session
+    * (operators call register() per query and
+    * createOrReplaceTempFunction WARNs on every replace); any other
+    * name — absent or a builtin collision — falls through to
+    * createOrReplaceTempFunction so the graft builder always wins. */
   def registerTempFunction(
       spark: SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit = {
+      builder: Seq[Expression] => Expression): Unit = synchronized {
     val registry = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
-    // truly idempotent: createOrReplaceTempFunction logs a WARN on
-    // every re-registration, and operators call register() per query
-    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-    if (!registry.functionExists(ident))
+    val key = (System.identityHashCode(spark), name)
+    if (!registered.contains(key)) {
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      registered += key
+    }
   }
 }

@@ -25,6 +25,45 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mismatch for ${r}"))
   }
 
+  test("word_ngram_hashes kernel ≡ HOF shingle form (incl. null-token concat_ws skip)") {
+    import spark.implicits._
+    TextHash.register(spark)
+    val tokGen = Gen.listOf(Gen.frequency(
+      (8, Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.const(null: String))))
+    val rows = Gen.listOfN(150, tokGen).sample.get ++
+      Seq(Nil, List("a"), List("a", "b"), List("a", "b", "c", "d", "e"))
+    val df = rows.map(Tuple1(_)).toDF("t")
+    for (n <- Seq(2, 3, 4)) {
+      val cmp = df.filter(size(col("t")) >= n)
+        .select(
+          TextHash.wordNGramHashes(col("t"), n).as("fast"),
+          expr(s"""transform(sequence(1, size(t) - ${n - 1}),
+                  |  i -> polyhash(concat_ws(' ', ${(0 until n).map(j => s"t[i-1+$j]").mkString(", ")})))""".stripMargin).as("spec"))
+        .collect()
+      cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"n=$n mismatch: $r"))
+    }
+    // totality below the window size: empty array, not a descending-sequence surprise
+    assert(Seq(Tuple1(List("a"))).toDF("t")
+      .select(TextHash.wordNGramHashes(col("t"), 3)).head().getSeq[Long](0).isEmpty)
+  }
+
+  test("hashedShingles kernel path ≡ string-shingle + polyhash HOF path") {
+    // distinct-after-hash over the kernel grams must equal the oracle's
+    // distinct-on-strings-then-hash (set of hash values is invariant)
+    val kernel = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(TextHash.wordNGramHashes(col("t"), 3))).as("hh"))
+    TextHash.register(spark)
+    val spec = Dedup.shingled(spark, sf)
+      .select(col("doc_id"),
+        array_sort(expr("array_distinct(transform(shingles, s -> polyhash(s)))")).as("hh"))
+    assert(kernel.exceptAll(spec).isEmpty && spec.exceptAll(kernel).isEmpty)
+  }
+
   test("polyhash: known value (manual fold of 'abc')") {
     import spark.implicits._
     TextHash.register(spark)
@@ -99,6 +138,32 @@ class DedupSpec extends AnyFunSuite {
     val fast = Dedup.simhash(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
     assert(spec == fast, "single-pass expression must reproduce the 30-pass spec")
+  }
+
+  test("minhash_sig kernel ≡ K-fold HOF form on random hash sets") {
+    import spark.implicits._
+    val sets = Gen.listOfN(120,
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000006L))).sample.get
+    val df = sets.map(Tuple1(_)).toDF("hh")
+    val cmp = df.select(
+      TextHash.minhashSig(col("hh"), 12).as("fast"),
+      expr(Dedup.minhashSigSql).as("spec")).collect()
+    cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r"))
+  }
+
+  test("simhash near-dup (q56): banded join ≡ brute force at hamming ≤ 2 (pigeonhole)") {
+    val sh = Dedup.simhash(spark, sf).select(col("doc_id"), col("simhash"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(banded == brute,
+      s"banded candidates must be exactly the brute-force pairs: " +
+        s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
   }
 
   test("simhash: near-dup docs have small hamming distance, others large") {

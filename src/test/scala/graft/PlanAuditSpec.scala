@@ -20,9 +20,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * both sides bounded by construction (the query set and the
     * quantizer, ~√n rows), and the CORPUS side of q44 only ever joins
     * through the broadcast hash equi-join on the cell id (asserted in
-    * IvfSpec). */
+    * IvfSpec); q54 crossJoin(broadcast(nDocs)) — a ONE-row broadcast
+    * of the corpus count (a keyless scalar has no equi-key to hash
+    * on; the inner loop runs exactly once per row, which is the right
+    * plan at any scale). */
   private val nestedLoopAllowed =
-    Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann")
+    Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

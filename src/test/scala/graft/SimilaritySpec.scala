@@ -123,4 +123,34 @@ class SimilaritySpec extends AnyFunSuite {
     // 12 bits on 3000 vectors must actually prune: << corpus size
     assert(byBits(12)._2 < 1500, s"12-bit candidate set failed to prune: $info")
   }
+
+  test("semantic dedup (q57): every pair same-cell with exact cosine ≥ τ; " +
+      "≡ brute force restricted to cells; candidates ≪ n²") {
+    import graft.functions.VectorOps
+    val corpus = Similarity.vectorsForSpec(spark, sf)
+    val out = Similarity.semanticDedupWith(corpus, expr("vec_id % 31 = 7"), 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent reconstruction: assign cells via the same public
+    // kernel, then brute-force all pairs and filter same-cell ∧ sim≥τ
+    val cents = corpus.filter(expr("vec_id % 31 = 7"))
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val assigned = corpus.withColumn("cell",
+      VectorOps.nearestCell(col("e"), col("nrm"), cents))
+    val brute = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        VectorOps.dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.35)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute, s"missing=${(brute -- out).take(3)} extra=${(out -- brute).take(3)}")
+    // shrinkage evidence: within-cell candidate pairs ≪ all pairs
+    val n = corpus.count()
+    val candPairs = assigned.groupBy(col("cell")).count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head().getAs[Any](0).toString.toDouble
+    assert(candPairs < n * (n - 1) / 4.0,
+      s"cells fail to prune: $candPairs candidate pairs vs ${n * (n - 1) / 2} total")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
+import graft.functions.TextHash
 
 class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
@@ -226,6 +227,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     val b = TextAnalysis.stratifiedSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(a == b)
+  }
+
+  test("chunking (q55): every token covered, chunk ids contiguous, no token dropped") {
+    import spark.implicits._
+    val chunks = TextAnalysis.chunkDocs(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("m"))
+      .as[(Long, Int)].collect().toMap
+    assert(chunks.keySet == lens.keySet, "every document must chunk")
+    chunks.foreach { case (docId, rows) =>
+      val m = lens(docId)
+      val ids = rows.map(_.getInt(1)).sorted
+      assert(ids.toSeq == (0 until rows.length), s"doc $docId chunk ids not contiguous")
+      // coverage: the union of [start, start+n) must be exactly [0, m)
+      val covered = rows.flatMap(r => r.getInt(2) until (r.getInt(2) + r.getInt(3))).toSet
+      assert(covered == (0 until m).toSet, s"doc $docId (m=$m) has uncovered tokens")
+      // full windows everywhere except a single whole-doc chunk for short docs
+      rows.foreach { r =>
+        if (m >= 32) assert(r.getInt(3) == 32) else assert(r.getInt(3) == m)
+      }
+    }
+  }
+
+  test("chunking (q55): chunk hash IS the polyhash of the joined window") {
+    import spark.implicits._
+    TextHash.register(spark)
+    // recompute per-chunk hashes independently via slice + concat_ws +
+    // the registered polyhash — must agree with the kernel/tail paths
+    val recomputed = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .join(TextAnalysis.chunkDocs(spark, sf), "doc_id")
+      .withColumn("again",
+        expr("polyhash(concat_ws(' ', slice(t, start_tok + 1, n_tokens)))"))
+    assert(recomputed.filter(col("again") =!= col("chunk_hash")).isEmpty)
+  }
+
+  test("importance sample (q58): deterministic, and kept docs skew high-quality") {
+    val q = TextAnalysis.tokenQuality(spark, sf)
+      .select(col("doc_id"), col("quality_bp"))
+    val kept = TextAnalysis.importanceSample(spark, sf).select(col("doc_id"))
+    val keptAgain = TextAnalysis.importanceSample(spark, sf).select(col("doc_id"))
+    assert(kept.exceptAll(keptAgain).isEmpty && keptAgain.exceptAll(kept).isEmpty)
+    val meanKept = q.join(kept, "doc_id").agg(avg("quality_bp")).head().getDouble(0)
+    val meanAll = q.agg(avg("quality_bp")).head().getDouble(0)
+    assert(meanKept >= meanAll,
+      s"acceptance ∝ quality must raise the kept mean: kept=$meanKept all=$meanAll")
+    // acceptance rate tracks the mean score (a 10000-bp score IS the rate)
+    val rate = kept.count().toDouble / q.count()
+    assert(math.abs(rate - meanAll / 10000.0) < 0.15,
+      s"rate $rate should approximate mean quality ${meanAll / 10000.0}")
   }
 
   test("fingerprint is stable: identical texts get identical fingerprints") {
