@@ -162,6 +162,107 @@ case class TokenStats(child: Expression, lists: Seq[Seq[String]])
   override def prettyName: String = "token_stats"
 }
 
+/** Single-pass per-token class statistics over an ALREADY-tokenized
+  * array<string> column — the codegen'd engine form of q45's per-class
+  * HOF scans (`size(filter(tk, t -> ascii(t) BETWEEN …))` ×3 plus the
+  * `aggregate(tk, 0, (a,t) -> a + length(t))` length fold — five
+  * interpreted walks of the token array become one).
+  *
+  * Semantics pinned to the HOF spec (TextAnalysisSpec proves ≡):
+  *  - class of a token = codepoint of its FIRST character (ascii()):
+  *    alpha [65,90]∪[97,122], num [48,57], sym otherwise (empty
+  *    string → ascii 0 → sym, as in the HOF);
+  *  - a null token is dropped by every filter (lambda yields null) but
+  *    nulls the aggregate's accumulator — so n_token_chars is null iff
+  *    any token is null, exactly like the HOF fold;
+  *  - lengths are codepoint counts (`length()` semantics).
+  *
+  * Output: struct(n_alpha, n_num, n_sym bigint, n_token_chars bigint?).
+  */
+case class TokenClassStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_alpha", LongType),
+    StructField("n_num", LongType),
+    StructField("n_sym", LongType),
+    StructField("n_token_chars", LongType)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_class_stats requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val ts = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = ts.numElements()
+    var alpha = 0L; var num = 0L; var sym = 0L; var chars = 0L
+    var charsNull = false
+    var i = 0
+    while (i < n) {
+      if (ts.isNullAt(i)) {
+        charsNull = true // null token nulls the length fold, filters skip it
+      } else {
+        val t = ts.getUTF8String(i)
+        val c = if (t.numChars() == 0) 0 else TokenClassStats.firstCodePoint(t)
+        if ((c >= 65 && c <= 90) || (c >= 97 && c <= 122)) alpha += 1
+        else if (c >= 48 && c <= 57) num += 1
+        else sym += 1
+        chars += t.numChars()
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](alpha, num, sym,
+      if (charsNull) null else chars))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ts => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val alpha = ctx.freshName("alpha"); val num = ctx.freshName("num")
+      val sym = ctx.freshName("sym"); val chars = ctx.freshName("chars")
+      val charsNull = ctx.freshName("charsNull")
+      val t = ctx.freshName("t"); val c = ctx.freshName("c")
+      s"""
+         |int $n = $ts.numElements();
+         |long $alpha = 0L; long $num = 0L; long $sym = 0L; long $chars = 0L;
+         |boolean $charsNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($ts.isNullAt($i)) {
+         |    $charsNull = true;
+         |  } else {
+         |    org.apache.spark.unsafe.types.UTF8String $t = $ts.getUTF8String($i);
+         |    int $c = $t.numChars() == 0 ? 0
+         |      : graft.functions.TokenClassStats.firstCodePoint($t);
+         |    if (($c >= 65 && $c <= 90) || ($c >= 97 && $c <= 122)) $alpha++;
+         |    else if ($c >= 48 && $c <= 57) $num++;
+         |    else $sym++;
+         |    $chars += $t.numChars();
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { Long.valueOf($alpha), Long.valueOf($num), Long.valueOf($sym),
+         |    $charsNull ? null : (Object) Long.valueOf($chars) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): TokenClassStats = copy(child = c)
+  override def prettyName: String = "token_class_stats"
+}
+
+object TokenClassStats {
+  /** Codepoint of the first character (ascii() semantics): the first
+    * byte when ASCII, else the decoded codepoint. */
+  def firstCodePoint(s: UTF8String): Int = {
+    val b0 = s.getByte(0) & 0xff
+    if (b0 < 0x80) b0 else s.toString.codePointAt(0)
+  }
+}
+
 object TokenStats {
   /** Pack word lists into a sorted key table + flat membership rows. */
   private[functions] def pack(lists: Seq[Seq[String]]): (Array[Long], Array[Int]) = {

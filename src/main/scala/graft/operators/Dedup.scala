@@ -125,9 +125,13 @@ object Dedup {
     // (doc_id, bkey) is 6 rows/doc of bigints: tiny; caller-released
     // via CacheRegistry like every operator cache.
     val bands = graft.CacheRegistry.getOrCache(spark, s"dedup.bands:$dir") {
+      // band key j = (sig[2j+1]·1000003 + sig[2j+2]) mod P as a literal
+      // array, not a transform() lambda (codegen stays intact)
       sig.select(
         col("doc_id"),
-        explode(expr("transform(sequence(0, 5), j -> (element_at(sig, 2*j+1) * 1000003 + element_at(sig, 2*j+2)) % 1000000007)"))
+        explode(array((0 until 6).map(j =>
+          (element_at(col("sig"), 2 * j + 1) * lit(1000003L) +
+            element_at(col("sig"), 2 * j + 2)) % lit(1000000007L)): _*))
           .as("bkey"))
       .distinct() // a pair colliding in several bands counts once
     }

@@ -139,9 +139,10 @@ object Similarity {
     val q = b.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))
-      // multi-probe: own bucket + the `bits` hamming-1 neighbors
-      .withColumn("probe", explode(expr(
-        s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 THEN q_bucket ELSE CAST(q_bucket AS INT) ^ CAST(shiftleft(1, j - 1) AS INT) END)")))
+      // multi-probe: own bucket + the `bits` hamming-1 neighbors —
+      // a literal array of bit-flips, not a transform() lambda (the
+      // HOF would drop this projection out of codegen)
+      .withColumn("probe", explode(probeArray(bits)))
     // equi-join on the bucket id — the candidate set is bits+1 buckets, not the corpus
     val cand = b.join(broadcast(q),
         col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
@@ -162,11 +163,17 @@ object Similarity {
     val b = corpus.withColumn("bucket", VectorOps.hyperplaneBucket(col("e"), bits, dim))
     val q = b.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"))
-      .withColumn("probe", explode(expr(
-        s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 THEN q_bucket ELSE CAST(q_bucket AS INT) ^ CAST(shiftleft(1, j - 1) AS INT) END)")))
+      .withColumn("probe", explode(probeArray(bits)))
     b.join(broadcast(q), col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
   }
+
+  /** `[q_bucket, q_bucket^1, q_bucket^2, …, q_bucket^2^(bits-1)]` as a
+    * literal array expression (≡ the transform(sequence…) HOF it
+    * replaces, codegen-friendly). */
+  private def probeArray(bits: Int): org.apache.spark.sql.Column =
+    array(col("q_bucket") +:
+      (0 until bits).map(j => col("q_bucket").bitwiseXOR(lit(1 << j))): _*)
 
   /** Norm-annotated view of an arbitrary (vec_id, embedding) frame —
     * the public entry for running the ANN on non-fixture corpora. */

@@ -264,21 +264,27 @@ object TextAnalysis {
     * counts key on the first character; ratios are integer basis
     * points (see tokenQuality for the rounding rationale). Map-side
     * only, no shuffle. */
-  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     Tables.documents(spark, dir)
       .withColumn("enriched",
         concat(col("text"), lit(" <doc id=\""), col("doc_id").cast("string"),
           lit("\" src='"), col("source"), lit("' v1.0/>")))
       .withColumn("tk", regexp_extract_all(col("enriched"), lit(BpeTokenRe), lit(0)))
+      // one TokenClassStats scan replaces the five interpreted HOF
+      // walks (3× filter + 2× aggregate; TextAnalysisSpec pins ≡)
+      .withColumn("s", GraftSqlBridge.column(graft.functions.TokenClassStats(
+        GraftSqlBridge.expression(col("tk")))))
       .selectExpr(
         "doc_id",
         "CAST(size(tk) AS BIGINT) AS n_tokens",
         "CAST(size(array_distinct(tk)) AS BIGINT) AS n_types",
-        "CAST(size(filter(tk, t -> (ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT) AS n_alpha",
-        "CAST(size(filter(tk, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT) AS n_num",
-        "CAST(size(filter(tk, t -> NOT ((ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122) OR (ascii(t) BETWEEN 48 AND 57)))) AS BIGINT) AS n_sym",
-        "aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t)) AS n_token_chars",
-        "(100 * aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t))) div size(tk) AS avg_token_len_x100")
+        "s.n_alpha AS n_alpha",
+        "s.n_num AS n_num",
+        "s.n_sym AS n_sym",
+        "s.n_token_chars AS n_token_chars",
+        "(100 * s.n_token_chars) div size(tk) AS avg_token_len_x100")
+  }
 
   val bpeTokensSql: String =
     s"""WITH tk AS (

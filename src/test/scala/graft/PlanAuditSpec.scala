@@ -97,4 +97,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val onePass = shuffles("q49_set_ops_onepass")
     assert(onePass < legs, s"one-pass=$onePass must beat six-leg=$legs")
   }
+
+  test("text/dedup/similarity hot paths carry no interpreted HOF lambda (the q43/q52 trap)") {
+    // Spark higher-order functions are CodegenFallback: a lambda on a
+    // per-token/per-gram/per-element path reverts the scan to the
+    // interpreter — q43 cost 230 s and q52 11 s that way before their
+    // kernels. The hot family must stay lambda-free; q27 spatial and
+    // q21/q22's 64-element folds are kernel'd too, so audit them all.
+    Seq("q17_exact_dedup", "q18_minhash_lsh", "q19_ngram_jaccard", "q20_simhash",
+      "q21_cosine_topk", "q22_ann_lsh", "q23_token_quality", "q24_lang_id",
+      "q25_fingerprint", "q35_embedding_dedup", "q43_lang_id_trigram",
+      "q44_ivf_ann", "q45_bpe_tokens", "q50_vocab_topk", "q52_decontaminate",
+      "q53_repetition", "q54_tfidf_topk", "q55_chunks", "q56_simhash_neardup",
+      "q57_semantic_dedup", "q58_importance_sample").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.toLowerCase.contains("lambdafunction") &&
+        !plan.contains("transform(") && !plan.contains("aggregate("),
+        s"$name plans an interpreted HOF lambda:\n$plan")
+    }
+  }
 }

@@ -264,6 +264,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(recomputed.filter(col("again") =!= col("chunk_hash")).isEmpty)
   }
 
+  test("token_class_stats kernel ≡ the five per-class HOF scans (q45 contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("abc", "XYZ", "123", "!", "<", "mixed9", "9mixed"),
+      Seq(""), // ascii('') = 0 → sym
+      Seq("é", "日本", "a"), // non-ASCII first chars → sym, codepoint length
+      Seq("tok", null, "x"), // null nulls the length fold, filters skip
+      Seq())
+    val df = rows.map(Tuple1(_)).toDF("tk")
+      .withColumn("s", GraftSqlBridge.column(graft.functions.TokenClassStats(
+        GraftSqlBridge.expression(col("tk")))))
+      .selectExpr(
+        "s.n_alpha", "s.n_num", "s.n_sym", "s.n_token_chars",
+        "CAST(size(filter(tk, t -> (ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT) AS h_alpha",
+        "CAST(size(filter(tk, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT) AS h_num",
+        "CAST(size(filter(tk, t -> NOT ((ascii(t) BETWEEN 65 AND 90) OR (ascii(t) BETWEEN 97 AND 122) OR (ascii(t) BETWEEN 48 AND 57)))) AS BIGINT) AS h_sym",
+        "aggregate(tk, CAST(0 AS BIGINT), (a, t) -> a + length(t)) AS h_chars")
+    df.collect().foreach { r =>
+      assert(r.get(0) == r.get(4) && r.get(1) == r.get(5) && r.get(2) == r.get(6)
+        && r.get(3) == r.get(7), s"kernel/HOF divergence: $r")
+    }
+  }
+
   test("importance sample (q58): deterministic, and kept docs skew high-quality") {
     val q = TextAnalysis.tokenQuality(spark, sf)
       .select(col("doc_id"), col("quality_bp"))
