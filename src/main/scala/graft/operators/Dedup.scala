@@ -365,11 +365,12 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct() // a pair sharing several bands counts once
-      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+      // verify BEFORE the dedup exchange: the distinct then shuffles
+      // only surviving pairs, not every band collision (filter-distinct
+      // commute — hamming is functionally determined by the pair)
       .filter(col("hamming") <= SimhashHamMax)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct() // a pair sharing several bands counts once
   }
 
   val simhashNearDupSql: String =
