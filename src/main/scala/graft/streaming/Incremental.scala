@@ -77,6 +77,38 @@ object Incremental {
     * running ingest ledger that survives across micro-batches. This is
     * the stateful generalization the built-in operators above can't
     * express: the state is a user type, updated with user logic. */
+  /** Streaming decontamination — q52's eval-overlap scan as a
+    * STREAM-STATIC join, the enrich-against-dims pattern every 100 TB
+    * ingest pipeline runs: incoming documents are gram-hashed with the
+    * same codegen'd [[graft.functions.WordNGramHashes]] kernel the
+    * batch operator uses, then joined against the STATIC eval-gram
+    * table. Spark plans a broadcast hash join per micro-batch (the
+    * static side is a benchmark suite — small by nature), so the
+    * stream side never shuffles for the join; the per-doc aggregate is
+    * scoped to the micro-batch (each doc's grams arrive in one event).
+    * Left-semi keeps the output a flag stream: (doc_id, n_hits ≥ 1).
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextHash.wordNGramHashes(col("t"), 4))).as("g"))
+      .join(evalGrams, "g") // stream-static equi-join; static side broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Static-side helper: the distinct gram hashes of an eval corpus
+    * (same kernel, same n as the stream side). */
+  def evalGramTable(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(explode(array_distinct(
+        graft.functions.TextHash.wordNGramHashes(col("t"), 4))).as("g"))
+      .distinct()
+
   def runningIngestState(events: Dataset[ImageEvent]): Dataset[BodyProgress] = {
     import events.sparkSession.implicits._
     events

@@ -57,6 +57,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stream-static gram join flags only overlapping docs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // static side: one eval doc of 6 tokens → three distinct 4-grams
+    val evalDocs = Seq("held out eval phrase appears here").toDF("text")
+    val evalGrams = Incremental.evalGramTable(evalDocs)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Incremental.decontaminateStream(docs, evalGrams)
+      .writeStream.format("memory").queryName("decon_out").outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, "totally clean training text with no overlap at all"),
+        (2L, "prefix words then held out eval phrase appears here exactly"),
+        (3L, "short"), // < 4 tokens — no grams
+        (4L, "eval phrase appears somewhere but never four shared in a row"))
+      q.processAllAvailable()
+      val rows = spark.table("decon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // doc 2 contains all 3 eval 4-grams as a contiguous run; 1/3/4 clean
+      assert(rows == Map(2L -> 3L), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming session_window: sessions merge across batches, close past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
