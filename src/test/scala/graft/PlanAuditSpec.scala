@@ -68,7 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("narrow per-row operators have no shuffle at all") {
     Seq("q15_pixel_stats", "q20_simhash", "q23_token_quality", "q25_fingerprint",
       "q28_raster_clip", "q29_multimodal", "q43_lang_id_trigram",
-      "q45_bpe_tokens", "q47_pii_scrub").foreach { name =>
+      "q45_bpe_tokens", "q47_pii_scrub", "q55_chunks",
+      "q58_importance_sample").foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name is a map-only operator but its plan shuffles:\n$plan")
