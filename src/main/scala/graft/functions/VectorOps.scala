@@ -261,6 +261,77 @@ case class NearestCell(
   override def prettyName: String = "nearest_cell"
 }
 
+/** Feature-hashing embedder (the "hashing trick" of the public
+  * literature): maps a bag of token hashes to a dense `dim`-vector by
+  * summing one deterministic LCG-derived unit pattern per token —
+  * v(j) = Σ_h lcgUnit(h·dim + j), lcgUnit(x) = ((1103515245·x +
+  * 12345) wrap-mod 2³¹)/2³¹ − 0.5. Documents sharing tokens get
+  * correlated vectors (cosine ≈ bag overlap under random projection),
+  * which is exactly what a cheap 100 TB near-dup/retrieval pass
+  * needs — no model, no network, one codegen'd scan per row.
+  *
+  * Arithmetic note: 1103515245·(h·dim+j) intentionally WRAPS in
+  * 64-bit (Java semantics) before the 2³¹ mod — deterministic and
+  * identical across partitions/executors, but not oracle-portable
+  * (DuckDB raises on bigint overflow), so the embedder is a library
+  * capability with spec coverage, not an oracle-checked query.
+  * Summation folds ascending i — one accumulator per dimension. */
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(dim >= 1, "embedding dim must be >= 1")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) return null
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < dim) {
+        val x = 1103515245L * (h * dim + j) + 12345L // wraps: see scaladoc
+        val m = ((x % 2147483648L) + 2147483648L) % 2147483648L
+        acc(j) += m.toDouble / 2147483648.0 - 0.5
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val x = ctx.freshName("x"); val m = ctx.freshName("m")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $hs.numElements();
+         |double[] $acc = new double[$dim];
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($hs.isNullAt($i)) { $bad = true; break; }
+         |  long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    long $x = 1103515245L * ($h * $dim + $j) + 12345L;
+         |    long $m = (($x % 2147483648L) + 2147483648L) % 2147483648L;
+         |    $acc[$j] += (double) $m / 2147483648.0D - 0.5D;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HashEmbed = copy(child = c)
+  override def prettyName: String = "hash_embed"
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
@@ -268,6 +339,9 @@ object VectorOps {
 
   def hyperplaneBucket(e: Column, bits: Int, stride: Int): Column =
     GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(e), bits, stride))
+
+  def hashEmbed(hashes: Column, dim: Int): Column =
+    GraftSqlBridge.column(HashEmbed(GraftSqlBridge.expression(hashes), dim))
 
   /** `cents` = (id, vector, norm) in ascending-id order (the tie-break
     * contract of [[NearestCell]]). */
