@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.functions.{TextHash, VectorOps}
+
+/** Every round-6 kernel must produce IDENTICAL results from its
+  * doGenCode and nullSafeEval paths (the IvfSpec NearestCell pattern
+  * generalized): run the same frame once with codegen forced-on
+  * (Janino errors throw) and once with NO_CODEGEN, compare exactly.
+  * Interpreted eval is what Spark falls back to under memory pressure
+  * or >64KB generated methods — divergence there is a silent
+  * correctness bug, not a perf bug. */
+class KernelDualModeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def dualMode(build: => Array[String]): Unit = {
+    val saved = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.wholeStage",
+      "spark.sql.codegen.factoryMode").map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val viaCodegen = build
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val viaInterpreter = build
+      assert(viaCodegen.toSeq == viaInterpreter.toSeq,
+        "doGenCode and nullSafeEval must agree")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private lazy val tokenRows: DataFrame = {
+    import spark.implicits._
+    val tokGen = Gen.listOf(Gen.frequency(
+      (6, Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.const("é日")),
+      (1, Gen.const(null: String))))
+    (Gen.listOfN(80, tokGen).sample.get ++
+      Seq(Nil, List("a"), List(null, null), List("a", "b", "c", "d", "e")))
+      .map(Tuple1(_)).toDF("t")
+  }
+
+  private lazy val hashRows: DataFrame = {
+    import spark.implicits._
+    (Gen.listOfN(80, Gen.listOf(Gen.chooseNum(0L, 1000000006L))).sample.get :+ Nil)
+      .map(Tuple1(_)).toDF("hh")
+  }
+
+  test("WordNGramHashes dual-mode (n=1..4, step 1 and 3)") {
+    for (n <- 1 to 4; step <- Seq(1, 3)) dualMode {
+      tokenRows.select(TextHash.wordNGramHashes(col("t"), n, step).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
+  test("MinHashSig dual-mode") {
+    dualMode {
+      hashRows.select(TextHash.minhashSig(col("hh"), 12).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
+  test("TokenClassStats dual-mode") {
+    import org.apache.spark.sql.GraftSqlBridge
+    dualMode {
+      tokenRows.select(GraftSqlBridge.column(graft.functions.TokenClassStats(
+        GraftSqlBridge.expression(col("t")))).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
+  test("HashEmbed dual-mode (incl. wrap-overflow inputs)") {
+    import spark.implicits._
+    val rows = (Gen.listOfN(60, Gen.listOf(Gen.chooseNum(0L, 1000000006L))).sample.get ++
+      Seq(Nil, List(Long.MaxValue / 128, 1000000006L))) // force the wrap path
+      .map(Tuple1(_)).toDF("hh")
+    dualMode {
+      rows.select(VectorOps.hashEmbed(col("hh"), 16).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+}
