@@ -52,7 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("dedup suite runs on hash joins/aggregates only — no sort-based pair generation") {
-    Seq("q17_exact_dedup", "q18_minhash_lsh", "q19_ngram_jaccard").foreach { name =>
+    Seq("q17_exact_dedup", "q18_minhash_lsh", "q19_ngram_jaccard",
+      "q56_simhash_neardup", "q57_semantic_dedup").foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name must generate candidates via bucket equi-joins")
