@@ -190,26 +190,42 @@ object Dedup {
     * guard that keeps this O(Σ df²) with df ≤ MaxDf). */
   private val MaxDf = 50
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     // same cached hashed-shingle sets as q18; the inverted index
     // shuffles bigint hashes, not shingle strings
-    val sh = hashedShingles(spark, dir)
+    ngramJaccardWith(hashedShingles(spark, dir), MaxDf, 0.5,
+      cacheKey = Some(s"dedup.ngramExk:$dir"))
+
+  /** Parameterized inverted-index Jaccard core. `sh` needs (doc_id,
+    * hh: array<bigint>). `maxDf` is the stop-shingle skew guard AND a
+    * recall knob (the 10×-soak finding): it bounds pair fan-out to
+    * O(Σ df²) with df ≤ maxDf, but a corpus whose true duplication
+    * rate exceeds maxDf silently loses those pairs — size it above
+    * the expected copies-per-shingle (DedupSpec demonstrates both
+    * sides on a replicated frame). */
+  def ngramJaccardWith(
+      sh: DataFrame,
+      maxDf: Int,
+      minJaccard: Double,
+      cacheKey: Option[String] = None): DataFrame = {
     // The pair self-join below duplicates its input subtree with fresh
     // expr ids (no ReuseExchange), so materialize the KEPT inverted
     // index itself — explode + df-count + df-cap join run once, and
     // both self-join sides read the cached (h, doc_id, n) rows. The
-    // cache is bounded: ≤ MaxDf rows per kept shingle by construction
+    // cache is bounded: ≤ maxDf rows per kept shingle by construction
     // (the same df cap that bounds the pair fan-out). Round-4 cached
     // only the keep-list, which still re-exploded the corpus on both
     // sides.
-    val exk = graft.CacheRegistry.getOrCache(spark, s"dedup.ngramExk:$dir") {
+    val exk0 = {
       val ex = sh.select(col("doc_id"), size(col("hh")).as("n"),
         explode(col("hh")).as("h"))
       val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= MaxDf)
+        .filter(col("df") >= 2 && col("df") <= maxDf)
         .select(col("h"))
       ex.join(keep, "h")
     }
+    val exk = cacheKey.fold(exk0)(key =>
+      graft.CacheRegistry.getOrCache(sh.sparkSession, key)(exk0))
     val pairs = exk.as("a")
       .join(exk.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -218,7 +234,7 @@ object Dedup {
     pairs
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("inter"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -349,17 +365,42 @@ object Dedup {
     * SimHash), one shuffle on the band key. At hamming ≤ 2 the
     * pigeonhole bound makes recall exact, so this IS the brute-force
     * result at banded-join cost. */
-  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // band frame self-joins below — materialize so the simhash map
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupWith(
+      simhash(spark, dir).select(col("doc_id"), col("simhash")),
+      SimhashBands * SimhashBandBits, SimhashBandBits, SimhashHamMax,
+      cacheKey = Some(s"dedup.simhashBands:$dir"))
+
+  /** Parameterized simhash near-dup core (the 10×-soak finding made a
+    * knob): `fp` needs (doc_id, simhash); `bits / bandBits` bands,
+    * recall EXACT for hamming ≤ bands−1 (pigeonhole), require()d
+    * against `hamMax`. `bandBits` is the bucket-population lever — a
+    * template-correlated corpus concentrates fingerprints, and
+    * Σ bucket² cost shrinks ~2^bandBits-fold per added band bit while
+    * the pigeonhole guarantee is untouched as long as bands stays >
+    * hamMax (grow the FINGERPRINT, keep the band count). DedupSpec
+    * shows max-bucket shrinkage 10 → 15 band bits on the fixture and
+    * re-proves exactness at the wider setting. */
+  def simhashNearDupWith(
+      fp: DataFrame,
+      bits: Int,
+      bandBits: Int,
+      hamMax: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
+    val nBands = bits / bandBits
+    require(hamMax < nBands,
+      s"hamming<=$hamMax needs > $hamMax bands for exact recall (have $nBands)")
+    // band frame self-joins below — materialize so the fingerprint map
     // stage runs once (same pattern as q18's bands)
-    val bands = graft.CacheRegistry.getOrCache(spark, s"dedup.simhashBands:$dir") {
-      simhash(spark, dir)
-        .select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until SimhashBands).map(j =>
-            shiftright(col("simhash"), j * SimhashBandBits)
-              .bitwiseAND(lit((1 << SimhashBandBits) - 1))): _*)))
-        .toDF("doc_id", "simhash", "band", "bval")
-    }
+    val banded0 = fp
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until nBands).map(j =>
+          shiftright(col("simhash"), j * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .toDF("doc_id", "simhash", "band", "bval")
+    val bands = cacheKey.fold(banded0)(key =>
+      graft.CacheRegistry.getOrCache(fp.sparkSession, key)(banded0))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -369,7 +410,7 @@ object Dedup {
       // verify BEFORE the dedup exchange: the distinct then shuffles
       // only surviving pairs, not every band collision (filter-distinct
       // commute — hamming is functionally determined by the pair)
-      .filter(col("hamming") <= SimhashHamMax)
+      .filter(col("hamming") <= hamMax)
       .distinct() // a pair sharing several bands counts once
   }
 

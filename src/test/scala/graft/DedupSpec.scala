@@ -166,6 +166,47 @@ class DedupSpec extends AnyFunSuite {
         s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
   }
 
+  test("q56 bandBits knob: wider bands shrink bucket populations, recall stays exact") {
+    val fp = Dedup.simhash(spark, sf).select(col("doc_id"), col("simhash"))
+    def maxBucket(bandBits: Int): Long = fp
+      .select(col("doc_id"),
+        posexplode(array((0 until 30 / bandBits).map(j =>
+          shiftright(col("simhash"), j * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .toDF("doc_id", "band", "bval")
+      .groupBy(col("band"), col("bval")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    // the soak lever: each extra band bit halves expected bucket size
+    assert(maxBucket(15) < maxBucket(10),
+      s"15-bit bands should shrink the worst bucket: ${maxBucket(10)} -> ${maxBucket(15)}")
+    // exactness survives the wider setting (2 bands → hamming ≤ 1 exact)
+    val sh = fp
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("h"))
+      .filter(col("h") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearDupWith(fp, 30, 15, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"30/15/1 banding must stay exact")
+  }
+
+  test("q19 maxDf knob: replication past the cap loses pairs; raising the cap recovers them") {
+    import spark.implicits._
+    // 5 replicas of one 6-token doc: every shingle has df=5
+    val docs = (0 until 5).map(k => (k.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        array_distinct(TextHash.wordNGramHashes(col("t"), 3)).as("hh"))
+    // cap below the replication factor: the df guard drops every shingle
+    assert(Dedup.ngramJaccardWith(sh, maxDf = 4, minJaccard = 0.5).isEmpty)
+    // cap at/above it: all 10 identical pairs at jaccard 1.0
+    val pairs = Dedup.ngramJaccardWith(sh, maxDf = 5, minJaccard = 0.5).collect()
+    assert(pairs.length == 10 && pairs.forall(_.getDouble(3) == 1.0), pairs.mkString(","))
+  }
+
   test("simhash: near-dup docs have small hamming distance, others large") {
     val sims = Dedup.simhash(spark, sf)
     val pairs = Dedup.minhashLsh(spark, sf).filter(col("jaccard") >= 0.9)
