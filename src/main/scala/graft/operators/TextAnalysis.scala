@@ -435,11 +435,20 @@ object TextAnalysis {
     * rank where WindowGroupLimit keeps per-partition heaps ahead of
     * the sort (same pushdown as q21/q44/q51). */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // dlen/dfreq/nDocs all derive from this aggregate, and AQE's
+    // exchange reuse does NOT deduplicate the branches (verified: the
+    // three tf stages materialize concurrently as separate query
+    // stages — their exchanges sit under different parent plans), so
+    // without a materialization point the corpus-wide explode+agg runs
+    // three times. Caller-released via CacheRegistry like every
+    // operator cache; MEMORY_AND_DISK spills at corpus scale.
+    val tf = graft.CacheRegistry.getOrCache(spark, s"text.tf:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+    }
     val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = dlen.select(count(lit(1)).as("n_docs"))
