@@ -43,10 +43,16 @@ object Relational {
     // ENTIRE orders table (sort_array(collect_list) per custkey) before
     // the limit; at 100 TB that is a full shuffle + array build of the
     // whole sink table to keep 1100 rows of it.
-    val top = cust
-      .filter(col("c_acctbal") < 9000)
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      .limit(1100)
+    // the work-list feeds BOTH the semi-join prune and the final left
+    // side; without a materialization point the customer scan +
+    // TakeOrdered runs twice (plan subtrees get fresh expr ids — no
+    // reuse). 1100 rows: the cheapest cache in the repo.
+    val top = graft.CacheRegistry.getOrCache(spark, s"relational.topWorklist:$dir") {
+      cust
+        .filter(col("c_acctbal") < 9000)
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(1100)
+    }
     // CTE already_downloaded_images: 30-day-lookback analog = a fixed
     // date predicate (the reference derives it from date.today(),
     // main.py:45-46 — nondeterministic; we parameterize instead).
