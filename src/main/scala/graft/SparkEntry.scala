@@ -87,6 +87,7 @@ object SparkEntry {
     "q56_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q57_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q58_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
+    "q59_funnel" -> ((s, d) => Extended.funnel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +150,6 @@ object SparkEntry {
     "q56_simhash_neardup" -> Dedup.simhashNearDupSql,
     "q57_semantic_dedup" -> Similarity.semanticDedupSql,
     "q58_importance_sample" -> TextAnalysis.importanceSampleSql,
+    "q59_funnel" -> Extended.funnelSql,
   )
 }

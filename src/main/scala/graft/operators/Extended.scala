@@ -525,4 +525,62 @@ object Extended {
       |       min(ts) AS session_start, max(ts) AS session_end
       |FROM sess
       |GROUP BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+
+  /** Ordered-sequence (funnel) analytics — the event family's last
+    * missing query shape (MATCH_RECOGNIZE-lite): per user, the
+    * earliest strict view → click → purchase chain. Greedy-earliest is
+    * the standard funnel semantics and, for a 3-step chain, maximizes
+    * completion (an earlier anchor can only admit more later steps).
+    *
+    * Shape for 100 TB: three cascaded conditional window minima over
+    * the SAME `user_id` partitioning — each step's threshold is the
+    * previous step's per-partition constant, so the chain is plain
+    * column arithmetic between windows. ONE exchange total: the
+    * windows share the partitioning and the final per-user aggregate
+    * reuses it (PlanAuditSpec asserts the count). No self-joins, no
+    * per-user collect. NULL propagation does the step gating: a user
+    * with no qualifying click has t_click = NULL, so `ts > NULL` is
+    * never true and t_purchase stays NULL — on both engines. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
+      .filter(col("t_view").isNotNull)
+      .withColumn("reached",
+        lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0))
+  }
+
+  val funnelSql: String =
+    """WITH w1 AS (
+      |  SELECT user_id, ts, event_type,
+      |         min(CASE WHEN event_type = 'view' THEN ts END)
+      |           OVER (PARTITION BY user_id) AS t_view
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |              OVER (PARTITION BY user_id) AS t_click
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |              OVER (PARTITION BY user_id) AS t_purchase
+      |  FROM w2),
+      |a AS (
+      |  SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+      |         min(t_purchase) AS t_purchase
+      |  FROM w3 GROUP BY user_id)
+      |SELECT user_id, t_view, t_click, t_purchase,
+      |       CAST(1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+      |              + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
+      |FROM a WHERE t_view IS NOT NULL""".stripMargin
 }

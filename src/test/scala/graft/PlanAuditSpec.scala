@@ -66,6 +66,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"expected ≤1 user_id shuffle, saw $exchanges:\n$plan")
   }
 
+  test("funnel plans ONE user_id exchange shared by all three windows and the aggregate") {
+    val plan = planOf("q59_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected ≤1 user_id shuffle, saw $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("narrow per-row operators have no shuffle at all") {
     Seq("q15_pixel_stats", "q20_simhash", "q23_token_quality", "q25_fingerprint",
       "q28_raster_clip", "q29_multimodal", "q43_lang_id_trigram",
