@@ -88,6 +88,13 @@ object SparkEntry {
     "q57_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q58_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
     "q59_funnel" -> ((s, d) => Extended.funnel(s, d)),
+    "q60_components" -> ((s, d) => Components.componentsQuery(s, d)),
+    "q61_quantize" -> ((s, d) => Similarity.quantize(s, d)),
+    "q62_pack_bins" -> ((s, d) => TextAnalysis.packBins(s, d)),
+    "q63_event_features" -> ((s, d) => Extended.eventFeatures(s, d)),
+    "q64_temperature_mix" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
+    "q65_retention" -> ((s, d) => Extended.retention(s, d)),
+    "q66_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,5 +158,12 @@ object SparkEntry {
     "q57_semantic_dedup" -> Similarity.semanticDedupSql,
     "q58_importance_sample" -> TextAnalysis.importanceSampleSql,
     "q59_funnel" -> Extended.funnelSql,
+    "q60_components" -> Components.componentsQuerySql,
+    "q61_quantize" -> Similarity.quantizeSql,
+    "q62_pack_bins" -> TextAnalysis.packBinsSql,
+    "q63_event_features" -> Extended.eventFeaturesSql,
+    "q64_temperature_mix" -> TextAnalysis.temperatureMixSql,
+    "q65_retention" -> Extended.retentionSql,
+    "q66_source_divergence" -> TextAnalysis.sourceDivergenceSql,
   )
 }

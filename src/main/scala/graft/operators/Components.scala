@@ -87,11 +87,16 @@ object Components {
 
     var round = 0
     var converged = false
+    // carry the edge count across rounds: the previous frame is
+    // already materialized, re-counting it would cost one extra job
+    // per round (the loop is job-overhead-bound, not data-bound)
+    var prevCount = e.count()
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
-      converged = next.count() == e.count() &&
-        next.except(e).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.except(e).isEmpty
       e = next
+      prevCount = nextCount
       round += 1
     }
 
@@ -115,4 +120,52 @@ object Components {
     connectedComponents(edges)
       .filter(col("id") =!= col("rep"))
       .select(col("id"))
+
+  // ---------------------------------------------------------------- q60
+
+  /** q60: the near-dup CLUSTERS themselves, oracled. Edges are q18's
+    * verified MinHash-LSH pairs (jaccard ≥ 0.8); output maps every
+    * document that participates in at least one near-dup pair to its
+    * component representative (= the component's minimum doc_id) plus
+    * the component size. This is the grouping the corpus funnel's
+    * keep-list derives from ([[nonRepresentatives]]) — here exposed as
+    * a first-class query so the driver's DuckDB oracle (an exact
+    * transitive closure via recursive CTE) hash-checks the distributed
+    * star-contraction algorithm end-to-end: the O(log n)-round
+    * large-star/small-star loop must agree pair-for-pair with the
+    * oracle's reachability fixpoint.
+    *
+    * Scale shape: edge generation is q18's bucket-bounded LSH join
+    * (shares its CacheRegistry materialization points); each CC round
+    * is a groupBy-min + equi-join on node id, edges only contract; the
+    * size annotation is one window over `rep`. Nothing collects to the
+    * driver but the two per-round convergence counts.
+    */
+  def componentsQuery(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val cc = connectedComponents(edges)
+    cc.select(col("id").as("doc_id"), col("rep"))
+      .withColumn("csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
+  }
+
+  /** Exact oracle: symmetric closure of the q18 pair set, transitive
+    * reachability as a recursive CTE (UNION dedup guarantees the
+    * fixpoint terminates), rep = least(self, min reachable). */
+  val componentsQuerySql: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.minhashLshSql}
+       |  ) mh),
+       |sym AS (
+       |  SELECT a_id AS u, b_id AS v FROM edges
+       |  UNION
+       |  SELECT b_id AS u, a_id AS v FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u),
+       |lab AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u)
+       |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM lab""".stripMargin
 }

@@ -583,4 +583,84 @@ object Extended {
       |       CAST(1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
       |              + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached
       |FROM a WHERE t_view IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+
+  /** Trailing-window width for the event features (seconds). */
+  private val TrailSecs = 604799L // 7 days inclusive
+
+  /** q63: trailing TIME-range window features over the event stream —
+    * the per-entity rolling aggregates a feature-store backfill
+    * computes (activity count / spend / peak over the last 7 days AS
+    * OF each event). A RANGE frame on integral epoch seconds, not a
+    * ROWS frame: the window is defined by time, so same-second events
+    * are frame peers — identical semantics on both engines, and the
+    * feature value is a pure function of the data, not of row order.
+    *
+    * `value` is aggregated as integer cents (floor(v·100 + 0.5)): a
+    * sliding double SUM depends on the engine's frame evaluation
+    * order (running fold vs segment tree), integer cents are
+    * associative and therefore bit-identical.
+    *
+    * Scale shape: ONE user_id shuffle; the frame is a bounded slide
+    * over each user's timeline (no self-join — the naive form is an
+    * interval self-join, O(events²) per user). */
+  def eventFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val sec = col("ts").cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(sec)
+      .rangeBetween(-TrailSecs, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cents", floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("cents_7d", sum(col("cents")).over(w))
+      .withColumn("peak_7d", max(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_7d"), col("cents_7d"), col("peak_7d"))
+  }
+
+  val eventFeaturesSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |         epoch_ms(ts) // 1000 AS sec,
+       |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM events)
+       |SELECT event_id, user_id,
+       |       count(*) OVER w AS n_7d,
+       |       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d,
+       |       max(cents) OVER w AS peak_7d
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+       |             RANGE BETWEEN $TrailSecs PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+
+  /** q65: retention cohort triangle — every user is assigned to the
+    * epoch-week of their first event (the cohort), then each
+    * (cohort, week-offset) cell counts DISTINCT users active that
+    * week. The classic product-analytics decay table, all integer.
+    *
+    * Scale shape: first-seen is a user_id aggregate; the join back is
+    * on the SAME key, so the aggregate's partitioning is reused (no
+    * extra corpus shuffle); the distinct collapses (user, offset)
+    * BEFORE the final cohort-cell aggregate, whose cardinality is
+    * weeks², not events. No window over the global timeline. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_w"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_w"), (col("wk") - col("cohort_w")).as("offset_w"))
+      .distinct()
+      .groupBy(col("cohort_w"), col("offset_w"))
+      .agg(count(lit(1)).as("actives"))
+  }
+
+  val retentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 1000 // 604800 AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_w FROM e GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_w, e.wk - f.cohort_w AS offset_w
+      |  FROM e JOIN f USING (user_id))
+      |SELECT cohort_w, offset_w, count(*) AS actives
+      |FROM a GROUP BY cohort_w, offset_w""".stripMargin
 }

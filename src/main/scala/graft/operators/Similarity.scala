@@ -577,4 +577,90 @@ object Similarity {
        |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT a_id, b_id, round(sim, 6) AS sim
        |FROM p WHERE sim >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+
+  /** q61: int8 scalar quantization of the embedding corpus — the
+    * storage-compression step of a 100 TB vector pipeline (4× smaller
+    * than float32, 8× smaller than the double working form; the
+    * standard prelude to PQ/IVF-PQ). Per-dimension affine codebook
+    * from the corpus min/max:
+    *
+    *   q_i  = floor((x_i - mn_i) / (mx_i - mn_i) * 255 + 0.5) - 128
+    *   rec_i = mn_i + ((q_i + 128) / 255) * (mx_i - mn_i)
+    *
+    * plus a per-vector quality audit `err_ppm` = max_i
+    * floor(1e6·|x_i − rec_i|) — MAX, not mean, deliberately: max is
+    * reduction-order-independent, so the metric is bit-deterministic
+    * on both engines (a double SUM's value depends on partition merge
+    * order; see the fold-order contract at the top of this file).
+    *
+    * Scale shape: the codebook is ONE narrow pass (posexplode →
+    * per-dimension min/max with map-side partial aggregation) that
+    * collects 2·d doubles to the driver — the IVF-centroid precedent
+    * of plan-time-tiny stats; quantization itself is a pure map stage
+    * of d literal-constant column expressions (no lambda, no shuffle,
+    * whole-stage codegen intact — PlanAuditSpec-clean). Constant
+    * dimensions (mx = mn) quantize to 0 and reconstruct exactly. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = v.select(posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, s"embeddings at $dir produced no dimension stats")
+
+    def qv(i: Int, mn: Double, mx: Double) =
+      if (mx == mn) lit(0)
+      else (floor((element_at(col("e"), i + 1) - lit(mn)) / lit(mx - mn) * lit(255.0) + lit(0.5))
+        .cast("int") - lit(128))
+
+    val errCols = stats.map { case (i, mn, mx) =>
+      val rec =
+        if (mx == mn) lit(mn)
+        else lit(mn) + (qv(i, mn, mx) + lit(128)).cast("double") / lit(255.0) * lit(mx - mn)
+      floor(lit(1000000.0) * abs(element_at(col("e"), i + 1) - rec)).cast("long")
+    }
+    // comma-joined string, not array<int>: the q01 exclude_ids
+    // convention — oracled outputs serialize arrays so both engines
+    // (and the driver compare) order and hash them as scalars
+    v.select(
+      col("vec_id"),
+      concat_ws(",",
+        array(stats.map { case (i, mn, mx) => qv(i, mn, mx) }.toIndexedSeq: _*)
+          .cast("array<string>")).as("qvec"),
+      (if (errCols.length == 1) errCols.head else greatest(errCols.toIndexedSeq: _*)).as("err_ppm"))
+  }
+
+  /** Self-contained oracle: derives the same per-dimension codebook in
+    * SQL (zipped unnest with subscripts), then applies the identical
+    * double-precision affine formulas. floor() makes every CAST land
+    * on an exactly-integral double, so DuckDB's round-on-cast and
+    * Spark's truncate-on-cast agree. */
+  val quantizeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |xs AS (
+      |  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v),
+      |s AS (
+      |  SELECT i, min(x) AS mn, max(x) AS mx FROM xs GROUP BY i),
+      |q AS (
+      |  SELECT vec_id, xs.i, xs.x, s.mn, s.mx,
+      |         CASE WHEN s.mx = s.mn THEN 0
+      |              ELSE CAST(floor((xs.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) AS INT) - 128
+      |         END AS qv
+      |  FROM xs JOIN s ON xs.i = s.i),
+      |r AS (
+      |  SELECT vec_id, i, qv, x,
+      |         CASE WHEN mx = mn THEN mn
+      |              ELSE mn + CAST(qv + 128 AS DOUBLE) / 255.0 * (mx - mn)
+      |         END AS rec
+      |  FROM q)
+      |SELECT vec_id,
+      |       array_to_string(list(qv ORDER BY i), ',') AS qvec,
+      |       max(CAST(floor(1000000.0 * abs(x - rec)) AS BIGINT)) AS err_ppm
+      |FROM r GROUP BY vec_id""".stripMargin
 }

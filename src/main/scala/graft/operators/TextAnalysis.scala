@@ -662,4 +662,190 @@ object TextAnalysis {
        |  list_transform(generate_series(1, length($sExpr)), ci -> CAST(ascii(substr($sExpr, ci, 1)) AS BIGINT))),
        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q62
+
+  /** Context-window capacity for sequence packing (tokens). */
+  private[graft] val PackBudget = 2048L
+
+  /** q62: sequence packing — the "concatenate the corpus, cut it into
+    * fixed token-budget context windows" step of LLM pretraining data
+    * prep. Documents are concatenated per `source` in doc_id order;
+    * a document belongs to the window its cumulative START offset
+    * falls into (`bin_id = start_offset div budget` — the streaming
+    * packer's rule, so a document that straddles a boundary counts
+    * toward the window it starts in). Output is one row per packed
+    * window: document count, token fill, and the doc_id span.
+    *
+    * Scale shape: one running-sum window PARTITIONED BY source —
+    * packing is embarrassingly parallel across sources (a global
+    * corpus-order cumsum would serialize into a single partition; the
+    * per-source contract is what survives 100 TB), then one hash
+    * aggregate on (source, bin_id). Integer-only outputs — nothing
+    * float touches the hash compare. */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("off", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("bin_id", expr(s"off div $PackBudget"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val packBinsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, source, tok,
+       |         CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              - tok AS BIGINT) AS off
+       |  FROM t)
+       |SELECT source, off // $PackBudget AS bin_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc,
+       |       max(doc_id) AS last_doc
+       |FROM o GROUP BY source, off // $PackBudget""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+
+  /** q64: temperature-based corpus mixing — the data-mixing step that
+    * rebalances source proportions before pretraining (α = 0.5, i.e.
+    * "temperature 2": small sources are upweighted relative to their
+    * raw share, the standard multilingual/multi-source recipe). The
+    * target budget is half the corpus; per-source quotas follow the
+    * tempered distribution
+    *
+    *   w_i = floor(10⁶·sqrt(n_i/N)),  quota_i = ((N div 2)·w_i) div Σw
+    *
+    * — the ppm weights make every division after the one sqrt
+    * INTEGER arithmetic, so quota derivation is bit-deterministic on
+    * both engines (a double Σw would depend on summation order).
+    * Selection within a source reuses the q51 mechanism: rank by the
+    * Knuth multiplicative hash of doc_id (partition-invariant, no
+    * RNG), keep rank ≤ quota. A source smaller than its tempered
+    * quota contributes everything it has (the cap is explicit).
+    *
+    * Scale shape: one tiny source-count aggregate + two one-row
+    * broadcasts derive the quota table (|sources| rows, broadcast to
+    * the rank join); the corpus itself sees ONE source-partitioned
+    * window. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val weights = counts.crossJoin(broadcast(total))
+      .withColumn("w",
+        floor(sqrt(col("n").cast("double") / col("n_total")) * lit(1000000.0)).cast("long"))
+    val wsum = weights.agg(sum(col("w")).as("wsum"))
+    val quotas = weights.crossJoin(broadcast(wsum))
+      .withColumn("quota", expr("((n_total div 2) * w) div wsum"))
+      .select(col("source"), col("quota"))
+    val rankW = Window.partitionBy(col("source"))
+      .orderBy(expr("(doc_id * 2654435761) % 4294967296"), col("doc_id"))
+    docs
+      .withColumn("mix_rank", row_number().over(rankW))
+      .join(broadcast(quotas), "source")
+      .filter(col("mix_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("mix_rank"), col("quota"))
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT count(*) AS n_total FROM documents),
+      |w AS (
+      |  SELECT source, n, n_total,
+      |         CAST(floor(sqrt(CAST(n AS DOUBLE) / n_total) * 1000000.0) AS BIGINT) AS w
+      |  FROM c, t),
+      |q AS (
+      |  SELECT source, ((n_total // 2) * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w) AS quota
+      |  FROM w),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS mix_rank
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, r.mix_rank, q.quota
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE r.mix_rank <= q.quota""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+
+  /** Reference-vocabulary size for the divergence metric. */
+  private val DivTopV = 100
+
+  /** q66: per-source vocabulary divergence — the L1 distance between
+    * each source's token distribution and the corpus distribution,
+    * restricted to the corpus's top-100 tokens (the domain-drift /
+    * mixture-audit metric a curation pipeline tracks per slice).
+    * All proportions are integer ppm (`(10⁶·cnt) div total`), so the
+    * per-source sum is exact integer arithmetic — no double Σ whose
+    * value depends on reduction order.
+    *
+    * Tokens of the reference vocabulary ABSENT from a source
+    * contribute exactly q_ppm to its L1. Rather than materializing
+    * the source×vocab grid, the identity
+    *   L1 = Σ_present (|p−q| − q) + Σ_top q
+    * folds the absent mass into one corpus-level constant — the grid
+    * term costs one extra 1-row broadcast instead of a cross join.
+    *
+    * Scale shape: top-100 selection is a TakeOrdered (never a global
+    * sort); the vocabulary and the per-source totals broadcast; the
+    * corpus-side explode aggregates map-side. Sources with NO
+    * reference token present still appear (left join from the
+    * source-total table) with l1_ppm = Σ_top q. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val corpusCnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c_cnt"))
+    val totalAll = tok.agg(count(lit(1)).as("c_tot"))
+    val topQ = corpusCnt.orderBy(col("c_cnt").desc, col("token")).limit(DivTopV)
+      .crossJoin(broadcast(totalAll))
+      .withColumn("q_ppm", expr("(1000000 * c_cnt) div c_tot"))
+      .select(col("token"), col("q_ppm"))
+    val qConst = topQ.agg(sum(col("q_ppm")).as("q_sum"))
+    val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("s_tot"))
+    val deltas = tok.join(broadcast(topQ), "token")
+      .groupBy(col("source"), col("token"), col("q_ppm"))
+      .agg(count(lit(1)).as("s_cnt"))
+      .join(broadcast(srcTot), "source")
+      .withColumn("delta",
+        abs(expr("(1000000 * s_cnt) div s_tot") - col("q_ppm")) - col("q_ppm"))
+      .groupBy(col("source")).agg(sum(col("delta")).as("d_sum"))
+    srcTot.join(deltas, Seq("source"), "left")
+      .crossJoin(broadcast(qConst))
+      .withColumn("l1_ppm", coalesce(col("d_sum"), lit(0L)) + col("q_sum"))
+      .select(col("source"), col("l1_ppm"))
+  }
+
+  val sourceDivergenceSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |cc AS (SELECT token, count(*) AS c_cnt FROM tok GROUP BY token),
+       |tt AS (SELECT count(*) AS c_tot FROM tok),
+       |tq AS (
+       |  SELECT token, (1000000 * c_cnt) // c_tot AS q_ppm
+       |  FROM (SELECT token, c_cnt FROM cc ORDER BY c_cnt DESC, token LIMIT $DivTopV) top, tt),
+       |qc AS (SELECT CAST(sum(q_ppm) AS BIGINT) AS q_sum FROM tq),
+       |st AS (SELECT source, count(*) AS s_tot FROM tok GROUP BY source),
+       |pr AS (
+       |  SELECT t.source, t.token, tq.q_ppm, count(*) AS s_cnt
+       |  FROM tok t JOIN tq USING (token) GROUP BY t.source, t.token, tq.q_ppm),
+       |d AS (
+       |  SELECT pr.source,
+       |         abs((1000000 * pr.s_cnt) // st.s_tot - pr.q_ppm) - pr.q_ppm AS delta
+       |  FROM pr JOIN st USING (source)),
+       |ds AS (SELECT source, CAST(sum(delta) AS BIGINT) AS d_sum FROM d GROUP BY source)
+       |SELECT st.source, coalesce(ds.d_sum, 0) + (SELECT q_sum FROM qc) AS l1_ppm
+       |FROM st LEFT JOIN ds USING (source)""".stripMargin
 }

@@ -162,4 +162,42 @@ class ExtendedOpsSpec extends AnyFunSuite {
       assert(w.nonEmpty)
     }
   }
+
+  test("q63 event features: trailing range frame ≡ brute-force per-user interval scan") {
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = raw.groupBy(_._2)
+    val out = Extended.eventFeatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_7d"), r.getAs[Long]("cents_7d"), r.getAs[Long]("peak_7d"))).toMap
+    assert(out.size == raw.length)
+    raw.foreach { case (eid, uid, sec, _) =>
+      val frame = byUser(uid).filter(e => e._3 >= sec - 604799L && e._3 <= sec)
+      val expect = (frame.length.toLong, frame.map(_._4).sum, frame.map(_._4).max)
+      assert(out(eid) == expect, s"event $eid: got ${out(eid)}, want $expect")
+    }
+  }
+
+  test("q65 retention: offset-0 cell equals cohort size, cells never exceed it, offsets non-negative") {
+    val cells = Extended.retention(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_w"), r.getAs[Long]("offset_w")) -> r.getAs[Long]("actives"))
+      .toMap
+    assert(cells.nonEmpty)
+    val cohortSize = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("wk"))
+      .groupBy(col("user_id")).agg(min(col("wk")).as("c"))
+      .groupBy(col("c")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cells.foreach { case ((cw, ow), n) =>
+      assert(ow >= 0, s"negative offset $ow")
+      assert(n <= cohortSize(cw), s"cell ($cw,$ow)=$n exceeds cohort ${cohortSize(cw)}")
+    }
+    // by definition every cohort member is active in their first week
+    cohortSize.foreach { case (cw, size) =>
+      assert(cells((cw, 0L)) == size, s"cohort $cw offset 0 must equal cohort size $size")
+    }
+  }
 }

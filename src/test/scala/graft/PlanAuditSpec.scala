@@ -23,9 +23,14 @@ class PlanAuditSpec extends AnyFunSuite {
     * IvfSpec); q54 crossJoin(broadcast(nDocs)) — a ONE-row broadcast
     * of the corpus count (a keyless scalar has no equi-key to hash
     * on; the inner loop runs exactly once per row, which is the right
-    * plan at any scale). */
+    * plan at any scale); q64 two ONE-row broadcasts (corpus total and
+    * Σweights) onto the |sources|-row quota table — same keyless-scalar
+    * shape as q54, never touching the corpus side; q66 likewise
+    * broadcasts the 1-row corpus total / Σq constants onto vocab- and
+    * source-sized tables only. */
   private val nestedLoopAllowed =
-    Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk")
+    Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
+      "q64_temperature_mix", "q66_source_divergence")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
@@ -74,14 +79,22 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("narrow per-row operators have no shuffle at all") {
+    // q61's codebook collect is a separate plan-time job (the IVF
+    // precedent); the RETURNED plan must be a pure scan+project
     Seq("q15_pixel_stats", "q20_simhash", "q23_token_quality", "q25_fingerprint",
       "q28_raster_clip", "q29_multimodal", "q43_lang_id_trigram",
       "q45_bpe_tokens", "q47_pii_scrub", "q55_chunks",
-      "q58_importance_sample").foreach { name =>
+      "q58_importance_sample", "q61_quantize").foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("Exchange"),
         s"$name is a map-only operator but its plan shuffles:\n$plan")
     }
+  }
+
+  test("pack bins: the window's source partitioning satisfies the (source, bin) aggregate — ONE shuffle") {
+    val plan = planOf("q62_pack_bins")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
   }
 
   test("grouping families plan one Expand and a single hash exchange") {
@@ -118,7 +131,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q25_fingerprint", "q35_embedding_dedup", "q43_lang_id_trigram",
       "q44_ivf_ann", "q45_bpe_tokens", "q50_vocab_topk", "q52_decontaminate",
       "q53_repetition", "q54_tfidf_topk", "q55_chunks", "q56_simhash_neardup",
-      "q57_semantic_dedup", "q58_importance_sample").foreach { name =>
+      "q57_semantic_dedup", "q58_importance_sample", "q61_quantize",
+      "q62_pack_bins").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),

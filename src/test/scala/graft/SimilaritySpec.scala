@@ -153,4 +153,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(candPairs < n * (n - 1) / 4.0,
       s"cells fail to prune: $candPairs candidate pairs vs ${n * (n - 1) / 2} total")
   }
+
+  test("q61 scalar quantization: full int8 range, reconstruction within the affine half-step bound") {
+    val rows = Similarity.quantize(spark, sf).collect()
+    assert(rows.length == 500)
+    // theoretical worst case: |x - rec| <= (mx - mn) / 510 per dim
+    val stats = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val bound = stats.map { case (mn, mx) => (mx - mn) / 510.0 * 1e6 }.max.ceil.toLong + 1
+    var sawMin = false; var sawMax = false
+    rows.foreach { r =>
+      val codes = r.getAs[String]("qvec").split(",").map(_.toInt)
+      assert(codes.length == 64)
+      codes.foreach(c => assert(c >= -128 && c <= 127, s"code $c out of int8 range"))
+      sawMin ||= codes.contains(-128); sawMax ||= codes.contains(127)
+      assert(r.getAs[Long]("err_ppm") >= 0 && r.getAs[Long]("err_ppm") <= bound,
+        s"err_ppm ${r.getAs[Long]("err_ppm")} above the half-step bound $bound")
+    }
+    // per-dimension extremes must land exactly on the range endpoints
+    assert(sawMin && sawMax, "corpus min/max should quantize to -128/127")
+  }
 }

@@ -316,4 +316,77 @@ class TextAnalysisSpec extends AnyFunSuite {
     val b = again.collect().map(r => r.getLong(0) -> (r.getLong(2), r.get(3))).toMap
     assert(a == b)
   }
+
+  test("q62 pack bins: token mass and doc count conserved per source, windows contiguous from 0") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bins = TextAnalysis.packBins(spark, sf).collect()
+    val bySrc = bins.groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == docs.keySet)
+    bySrc.foreach { case (src, bs) =>
+      assert(bs.map(_.getAs[Long]("bin_tokens")).sum == docs(src)._1,
+        s"$src: token mass not conserved")
+      assert(bs.map(_.getAs[Long]("n_docs")).sum == docs(src)._2,
+        s"$src: doc count not conserved")
+      // every doc is < budget tokens here, so window ids are the
+      // contiguous prefix 0..k (a start offset lands in every window)
+      val ids = bs.map(_.getAs[Long]("bin_id")).sorted
+      assert(ids.headOption.contains(0L) &&
+        ids.sameElements(0L until ids.length),
+        s"$src: windows not contiguous: ${ids.mkString(",")}")
+      bs.foreach { b =>
+        assert(b.getAs[Long]("first_doc") <= b.getAs[Long]("last_doc"))
+        assert(b.getAs[Long]("bin_tokens") >= 1)
+      }
+    }
+  }
+
+  test("q64 temperature mix: tempered quotas honored exactly, small sources upweighted") {
+    val srcCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = srcCounts.values.sum
+    val kept = TextAnalysis.temperatureMix(spark, sf).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source"))
+    // recompute the integer quota formula independently
+    val w = srcCounts.map { case (s, ni) =>
+      s -> math.floor(math.sqrt(ni.toDouble / n) * 1e6).toLong }
+    val wsum = w.values.sum
+    bySrc.foreach { case (src, rows) =>
+      val quota = (n / 2) * w(src) / wsum
+      assert(rows.forall(_.getAs[Long]("quota") == quota), s"$src quota mismatch")
+      assert(rows.length == math.min(srcCounts(src), quota),
+        s"$src kept ${rows.length}, want min(n=${srcCounts(src)}, quota=$quota)")
+      val ranks = rows.map(_.getAs[Int]("mix_rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length), s"$src ranks not the prefix 1..k")
+    }
+    // temperature α=0.5 upweights the smallest source relative to the largest
+    val (smallSrc, smallN) = srcCounts.minBy(_._2)
+    val (bigSrc, bigN) = srcCounts.maxBy(_._2)
+    if (smallN < bigN) {
+      val liftSmall = bySrc(smallSrc).length.toDouble / smallN
+      val liftBig = bySrc(bigSrc).length.toDouble / bigN
+      assert(liftSmall >= liftBig,
+        s"tempering must favor $smallSrc ($liftSmall) over $bigSrc ($liftBig)")
+    }
+  }
+
+  test("q66 source divergence: every source present, L1 within [0, 2e6], identical corpus ⇒ small") {
+    val rows = TextAnalysis.sourceDivergence(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("l1_ppm")).toMap
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.keySet == sources, "every source must appear, absent-vocab ones included")
+    rows.values.foreach { l1 =>
+      // L1 between two (sub-)distributions is bounded by 2 (= 2e6 ppm);
+      // integer flooring keeps it within one ulp of the bound
+      assert(l1 >= 0 && l1 <= 2000000L, s"l1_ppm $l1 out of range")
+    }
+    // the synthetic corpus shares one template vocabulary, so no
+    // source should diverge anywhere near the theoretical max
+    assert(rows.values.max < 1500000L, "divergence implausibly high for the shared-vocab fixture")
+  }
 }
