@@ -95,6 +95,8 @@ object SparkEntry {
     "q64_temperature_mix" -> ((s, d) => TextAnalysis.temperatureMix(s, d)),
     "q65_retention" -> ((s, d) => Extended.retention(s, d)),
     "q66_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
+    "q67_skew_profile" -> ((s, d) => Relational.skewProfile(s, d)),
+    "q68_unpivot_profile" -> ((s, d) => Extended.unpivotProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,5 +167,7 @@ object SparkEntry {
     "q64_temperature_mix" -> TextAnalysis.temperatureMixSql,
     "q65_retention" -> Extended.retentionSql,
     "q66_source_divergence" -> TextAnalysis.sourceDivergenceSql,
+    "q67_skew_profile" -> Relational.skewProfileSql,
+    "q68_unpivot_profile" -> Extended.unpivotProfileSql,
   )
 }

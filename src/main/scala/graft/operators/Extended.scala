@@ -663,4 +663,45 @@ object Extended {
       |  FROM e JOIN f USING (user_id))
       |SELECT cohort_w, offset_w, count(*) AS actives
       |FROM a GROUP BY cohort_w, offset_w""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+
+  /** Columns profiled by q68 (lineitem's numeric measures). */
+  private val ProfileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q68: dataset profiling via UNPIVOT — the inverse reshape of q38's
+    * pivot: `stack` melts the measure columns into (col_name, v) rows
+    * in ONE scan (a Generate/Expand, not N self-unions), then a
+    * per-column aggregate yields the profile a data-quality gate
+    * checks before a run: row/non-null/zero counts and min/max.
+    * min/max on doubles are exact comparisons (no arithmetic), so the
+    * profile is hash-stable; there is deliberately no double SUM.
+    *
+    * Scale shape: one scan × k columns expansion, map-side partial
+    * aggregation down to k rows — profiling cost is O(data), output
+    * O(columns). */
+  def unpivotProfile(spark: SparkSession, dir: String): DataFrame = {
+    val legs = ProfileCols.map(c => s"'$c', $c").mkString(", ")
+    Tables.lineitem(spark, dir)
+      .select(expr(s"stack(${ProfileCols.length}, $legs) AS (col_name, v)"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        count(when(col("v") === 0.0, lit(1))).as("n_zero"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+  }
+
+  val unpivotProfileSql: String = {
+    val legs = ProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, $c AS v FROM lineitem").mkString("\n  UNION ALL ")
+    s"""WITH u AS (
+       |  $legs)
+       |SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+       |       count(CASE WHEN v = 0 THEN 1 END) AS n_zero,
+       |       min(v) AS min_v, max(v) AS max_v
+       |FROM u GROUP BY col_name""".stripMargin
+  }
 }

@@ -472,4 +472,39 @@ object Relational {
       |         round(o_totalprice, 2) AS measure
       |  FROM orders WHERE o_custkey % 7 = 0)
       |WHERE ee_id NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+
+  /** q67: key-skew diagnostic — the histogram a scale engineer reads
+    * BEFORE choosing a join/agg strategy (salting factor, AQE skew
+    * thresholds, broadcast cut-offs). Per-customer order counts are
+    * bucketed by power of two; each bucket reports key count, count
+    * range, and row mass. The bucket id is the BINARY-STRING LENGTH
+    * of the count (= floor(log2)+1) — integer path on both engines,
+    * where floor(log2(x)) in doubles can land on either side of a
+    * power-of-two boundary.
+    *
+    * Scale shape: one key aggregate (map-side combine) + one
+    * histogram aggregate over keys — the histogram's cardinality is
+    * ~64 buckets regardless of data size. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket_pow2", length(conv(col("cnt"), 10, 2)))
+      .groupBy(col("bucket_pow2"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("cnt")).as("rows_covered"))
+
+  val skewProfileSql: String =
+    """WITH k AS (
+      |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+      |SELECT CAST(length(bin(cnt)) AS INT) AS bucket_pow2,
+      |       count(*) AS n_keys,
+      |       min(cnt) AS min_cnt,
+      |       max(cnt) AS max_cnt,
+      |       CAST(sum(cnt) AS BIGINT) AS rows_covered
+      |FROM k GROUP BY bucket_pow2""".stripMargin
 }

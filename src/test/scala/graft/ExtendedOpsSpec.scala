@@ -200,4 +200,20 @@ class ExtendedOpsSpec extends AnyFunSuite {
       assert(cells((cw, 0L)) == size, s"cohort $cw offset 0 must equal cohort size $size")
     }
   }
+
+  test("q68 unpivot profile: one row per measure, counts equal the scan, ranges sane") {
+    val rows = Extended.unpivotProfile(spark, sf).collect()
+    val n = graft.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[String]("col_name")).sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nonnull") <= n)
+      assert(r.getAs[Long]("n_zero") <= r.getAs[Long]("n_nonnull"))
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+    // the unpivot is ONE Expand scan, not 4 unioned scans
+    val plan = Extended.unpivotProfile(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"q68 must melt via stack/Expand, not self-union:\n$plan")
+  }
 }

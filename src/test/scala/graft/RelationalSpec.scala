@@ -134,4 +134,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "nation dim should broadcast")
     assert(plan.contains("TakeOrderedAndProject"), "orderBy+limit should plan as top-K")
   }
+
+  test("q67 skew profile: buckets are true power-of-two ranges, key and row masses conserved") {
+    val rows = Relational.skewProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket_pow2")
+      val lo = 1L << (b - 1); val hi = (1L << b) - 1
+      assert(r.getAs[Long]("min_cnt") >= lo && r.getAs[Long]("max_cnt") <= hi,
+        s"bucket $b range [${r.getAs[Long]("min_cnt")},${r.getAs[Long]("max_cnt")}] outside [$lo,$hi]")
+    }
+    val orders = graft.Tables.orders(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_keys")).sum ==
+      orders.select(col("o_custkey")).distinct().count())
+    assert(rows.map(_.getAs[Long]("rows_covered")).sum == orders.count())
+  }
 }
