@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** §2.9 streaming/incremental surface. The reference is a daily cron
   * batch with hand-rolled incremental semantics (template.yml:36):
@@ -109,6 +109,50 @@ object Incremental {
         graft.functions.TextHash.wordNGramHashes(col("t"), 4))).as("g"))
       .distinct()
 
+  /** Streaming analog of q63 (`Extended.eventFeatures`): per-EVENT
+    * trailing 7-day features emitted as events arrive, keyed state =
+    * each user's retained (sec, cents) window. flatMapGroupsWithState
+    * because the operator emits one row PER INPUT ROW (not per group
+    * per trigger — that is mapGroupsWithState's shape, see
+    * runningIngestState above).
+    *
+    * Batch-equivalence contract (StreamingSpec pins it): for in-order
+    * arrival the emitted features are EXACTLY the batch RANGE-frame
+    * results, including same-second peer semantics — events sharing a
+    * second all see the full peer set, so each micro-batch processes
+    * whole seconds in ascending order. A late event (older than the
+    * key's max seen second) still gets correct features over what its
+    * own frame retains, but does not retro-correct rows already
+    * emitted — the streaming trade documented rather than hidden.
+    *
+    * State is pruned to the trailing window per key (bounded by the
+    * user's 7-day event count, not history), so state size is
+    * O(active users × window density) at any corpus lifetime. */
+  def rollingFeatures(events: Dataset[FeatEvent]): Dataset[FeatOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FeatWindow, FeatOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FeatEvent], state: GroupState[FeatWindow]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[FeatOut]
+          batch.toSeq.groupBy(_.sec).toSeq.sortBy(_._1).foreach { case (sec, peers) =>
+            buf = (buf ++ peers.map(e => (e.sec, e.cents)))
+              .filter(_._1 >= sec - 604799L)
+            peers.foreach { e =>
+              // frame = retained entries in [sec-604799, sec]; state can
+              // hold later seconds if this event arrived late
+              val frame = buf.filter(t => t._1 <= sec)
+              out += FeatOut(e.event_id, uid,
+                frame.length.toLong, frame.map(_._2).sum, frame.map(_._2).max)
+            }
+          }
+          state.update(FeatWindow(buf))
+          out.result().iterator
+      }
+  }
+
   def runningIngestState(events: Dataset[ImageEvent]): Dataset[BodyProgress] = {
     import events.sparkSession.implicits._
     events
@@ -129,3 +173,6 @@ object Incremental {
 case class ImageEvent(waterbody_id: Long, captured_ts: java.sql.Timestamp)
 case class BodyState(n: Long, lastMillis: Long)
 case class BodyProgress(waterbody_id: Long, n_images: Long, last_captured: java.sql.Timestamp)
+case class FeatEvent(event_id: Long, user_id: Long, sec: Long, cents: Long)
+case class FeatWindow(buf: Vector[(Long, Long)])
+case class FeatOut(event_id: Long, user_id: Long, n_7d: Long, cents_7d: Long, peak_7d: Long)

@@ -217,4 +217,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(Incremental.dedupStream(batch).count() == 2)
     assert(Incremental.dailyCounts(batch).count() == 2)
   }
+
+  test("streaming rolling features ≡ batch q63 RANGE frame, state carried across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.expr("CAST(ts AS LONG)").as("sec"),
+        org.apache.spark.sql.functions.floor(
+          col("value") * org.apache.spark.sql.functions.lit(100.0) +
+            org.apache.spark.sql.functions.lit(0.5)).cast("long").as("cents"))
+      .as[graft.streaming.FeatEvent].collect().sortBy(e => (e.sec, e.event_id))
+    val expected = graft.operators.Extended.eventFeatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_7d"), r.getAs[Long]("cents_7d"), r.getAs[Long]("peak_7d"))).toMap
+
+    val input = MemoryStream[graft.streaming.FeatEvent]
+    val q = Incremental.rollingFeatures(input.toDS())
+      .writeStream.format("memory").queryName("feat_out").outputMode("append").start()
+    try {
+      // two in-order micro-batches: the second's frames must reach
+      // back into state built by the first. Cut on a SECOND boundary —
+      // same-second peers are RANGE-frame peers, so splitting a second
+      // across batches would (correctly, per the documented streaming
+      // trade) under-count the earlier batch's emission
+      val half = events.length / 2
+      val cut = (half until events.length)
+        .find(i => events(i).sec != events(i - 1).sec).getOrElse(events.length)
+      val (first, second) = events.splitAt(cut)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("feat_out").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("n_7d"), r.getAs[Long]("cents_7d"), r.getAs[Long]("peak_7d"))).toMap
+      assert(got.size == expected.size)
+      expected.foreach { case (eid, exp) =>
+        assert(got(eid) == exp, s"event $eid: streaming ${got(eid)} != batch $exp")
+      }
+    } finally q.stop()
+  }
 }
