@@ -175,4 +175,41 @@ class SimilaritySpec extends AnyFunSuite {
     // per-dimension extremes must land exactly on the range endpoints
     assert(sawMin && sawMax, "corpus min/max should quantize to -128/127")
   }
+
+  test("q61 compression preserves neighbor structure: top-5 cosine over reconstructed int8 ≈ exact") {
+    // reconstruct vectors from the emitted int8 codes + the same
+    // affine codebook, then re-rank: the 4x-compressed corpus must
+    // agree with the exact float top-5 on the vast majority of slots —
+    // the property that makes storing int8 at 100 TB acceptable
+    val stats = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val rec = Similarity.quantize(spark, sf).collect().map { r =>
+      val codes = r.getAs[String]("qvec").split(",").map(_.toInt)
+      val v = codes.zip(stats).map { case (q, (_, mn, mx)) =>
+        if (mx == mn) mn else mn + (q + 128).toDouble / 255.0 * (mx - mn)
+      }
+      r.getAs[Long]("vec_id") -> v
+    }.toMap
+    def top5(corpus: Map[Long, Array[Double]], qid: Long): Seq[Long] = {
+      val qv = corpus(qid)
+      corpus.iterator.filter(_._1 != qid).map { case (id, v) =>
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        val sim = dot / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+        (id, sim)
+      }.toSeq.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    }
+    val exact = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val queries = exact.keys.filter(_ % 25 == 0).toSeq
+    val overlaps = queries.map { q =>
+      top5(exact, q).toSet.intersect(top5(rec, q).toSet).size
+    }
+    val meanOverlap = overlaps.sum.toDouble / (overlaps.size * 5)
+    assert(meanOverlap >= 0.8,
+      s"int8 reconstruction degraded top-5 overlap to $meanOverlap")
+  }
 }
