@@ -332,6 +332,162 @@ case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "hash_embed"
 }
 
+/** Product-quantization encoder: splits the input vector into
+  * `m = codebooks.length` contiguous subspaces of `dsub =
+  * codebooks(0)(0).length` dims and emits, per subspace, the index of
+  * the L2-nearest codeword (`<` while scanning ascending keeps the
+  * LOWEST index on exact ties — deterministic). Returns array<int>
+  * of length m: the 100 TB storage form (m bytes-worth of codes vs
+  * 4·d float bytes; 32× for 64-dim float32 at m=8).
+  *
+  * One codegen'd pass: m·k·dsub multiply-adds per row, no lambda, no
+  * shuffle. A null element or a length mismatch yields null (the
+  * DotProduct contract). Codebooks are plan-time literals (the
+  * NearestCell precedent) with deep equality so canonicalization
+  * still works.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+    codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "codebooks must be a non-empty m x k x dsub array")
+
+  private val m = codebooks.length
+  private val k = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncode =>
+      child == p.child && m == p.m && k == p.k && dsub == p.dsub &&
+        codebooks.indices.forall(j => codebooks(j).indices.forall(c =>
+          java.util.Arrays.equals(codebooks(j)(c), p.codebooks(j)(c))))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(k),
+      Integer.valueOf(dsub))
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    if (e.numElements() != m * dsub) return null
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        val cw = codebooks(j)(c)
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          if (e.isNullAt(j * dsub + d)) return null
+          val diff = e.getDouble(j * dsub + d) - cw(d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestC = ctx.freshName("bestC")
+      val acc = ctx.freshName("acc"); val diff = ctx.freshName("diff")
+      s"""
+         |boolean $bad = $e.numElements() != ${m * dsub};
+         |int[] $out = new int[$m];
+         |for (int $j = 0; !$bad && $j < $m; $j++) {
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $c = 0; !$bad && $c < $k; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      if ($e.isNullAt($j * $dsub + $d)) { $bad = true; break; }
+         |      double $diff = $e.getDouble($j * $dsub + $d) - $cb[$j][$c][$d];
+         |      $acc += $diff * $diff;
+         |    }
+         |    if (!$bad && $acc < $best) { $best = $acc; $bestC = $c; }
+         |  }
+         |  $out[$j] = $bestC;
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Asymmetric-distance (ADC) lookup: approximate squared L2 between a
+  * query and a PQ-coded vector as Σ_j table[j·k + codes(j)], where
+  * `table` is the query's flattened m×k matrix of exact
+  * subspace-to-codeword distances. 8 array reads + adds per pair —
+  * the PQ-scan inner loop that replaces a d-dim float walk.
+  * Ascending-j accumulation keeps the sum deterministic. */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val table = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (table.numElements() != m * k) return null
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k || table.isNullAt(j * k + c)) return null
+      acc += table.getDouble(j * k + c)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, table) => {
+      val m = ctx.freshName("m"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $m = $codes.numElements();
+         |boolean $bad = $table.numElements() != $m * $k;
+         |double $acc = 0.0;
+         |for (int $j = 0; !$bad && $j < $m; $j++) {
+         |  if ($codes.isNullAt($j)) { $bad = true; break; }
+         |  int $c = $codes.getInt($j);
+         |  if ($c < 0 || $c >= $k || $table.isNullAt($j * $k + $c)) { $bad = true; break; }
+         |  $acc += $table.getDouble($j * $k + $c);
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "adc_score"
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
@@ -349,4 +505,11 @@ object VectorOps {
     GraftSqlBridge.column(NearestCell(
       GraftSqlBridge.expression(e), GraftSqlBridge.expression(nrm),
       cents.map(_._1).toArray, cents.map(_._2).toArray, cents.map(_._3).toArray))
+
+  def pqEncode(e: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(e), codebooks))
+
+  def adcScore(codes: Column, table: Column, k: Int): Column =
+    GraftSqlBridge.column(AdcScore(
+      GraftSqlBridge.expression(codes), GraftSqlBridge.expression(table), k))
 }
