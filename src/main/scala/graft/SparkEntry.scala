@@ -97,6 +97,12 @@ object SparkEntry {
     "q66_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "q67_skew_profile" -> ((s, d) => Relational.skewProfile(s, d)),
     "q68_unpivot_profile" -> ((s, d) => Extended.unpivotProfile(s, d)),
+    "q69_cdc_apply" -> ((s, d) => Extended.cdcApply(s, d)),
+    "q70_scd2_build" -> ((s, d) => Extended.scd2Build(s, d)),
+    "q71_gap_fill" -> ((s, d) => Extended.gapFill(s, d)),
+    "q72_fuzzy_match" -> ((s, d) => Dedup.fuzzyMatch(s, d)),
+    "q73_transition_profile" -> ((s, d) => Extended.transitionProfile(s, d)),
+    "q74_outliers" -> ((s, d) => Extended.outliers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -169,5 +175,11 @@ object SparkEntry {
     "q66_source_divergence" -> TextAnalysis.sourceDivergenceSql,
     "q67_skew_profile" -> Relational.skewProfileSql,
     "q68_unpivot_profile" -> Extended.unpivotProfileSql,
+    "q69_cdc_apply" -> Extended.cdcApplySql,
+    "q70_scd2_build" -> Extended.scd2BuildSql,
+    "q71_gap_fill" -> Extended.gapFillSql,
+    "q72_fuzzy_match" -> Dedup.fuzzyMatchSql,
+    "q73_transition_profile" -> Extended.transitionProfileSql,
+    "q74_outliers" -> Extended.outliersSql,
   )
 }

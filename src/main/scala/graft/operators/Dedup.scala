@@ -442,4 +442,44 @@ object Dedup {
        |       (10000 * count(DISTINCT a.g)) // max(a.n_grams) AS hit_bp
        |FROM ex a JOIN ev ON a.g = ev.g AND a.doc_id % $EvalMod <> 0
        |GROUP BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+
+  /** Max edit distance for a q72 name match. */
+  val FuzzyMaxDist = 4
+
+  /** q72: blocked fuzzy match (entity resolution) — find name variants
+    * in `part` by edit distance, the record-linkage primitive: distinct
+    * the NAMES first (the vocabulary is naturally far smaller than the
+    * row count), block on the last token (candidates must agree on it),
+    * and verify only within-block pairs with `levenshtein ≤ 4`.
+    * Blocking is what makes this an EQUI-join: the n² all-pairs
+    * distance matrix is never materialized, and the per-block pair
+    * count is O(Σ block²) over a vocabulary, not a corpus.
+    *
+    * `levenshtein` is codegen'd in Spark and implemented identically
+    * (unit-cost Wagner-Fischer) in DuckDB, so the distances — and the
+    * match set — are integer-exact on both engines. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name")).distinct()
+      .withColumn("blk", regexp_extract(col("p_name"), "([^ ]+)$", 1))
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
+  val fuzzyMatchSql: String =
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name,
+       |         regexp_extract(p_name, '([^ ]+)$$', 1) AS blk
+       |  FROM part)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+       |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist""".stripMargin
 }

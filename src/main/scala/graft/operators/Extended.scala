@@ -704,4 +704,217 @@ object Extended {
        |       min(v) AS min_v, max(v) AS max_v
        |FROM u GROUP BY col_name""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q69
+
+  /** q69: CDC changelog apply — the batch form of "materialize the
+    * current table from an op log" (a lakehouse MERGE). `events` is
+    * read as a changelog on the user record: every event upserts the
+    * user's value, `error` is a tombstone. The applied state is the
+    * LATEST op per key, with tombstoned keys absent.
+    *
+    * Scale shape: ONE user_id shuffle; the rank-1 filter is planned as
+    * WindowGroupLimit, so each map task keeps only its per-key latest
+    * row before the exchange — the shuffle carries ~|keys| rows, not
+    * the changelog. The tombstone filter must run AFTER rank-1 (a
+    * delete hides the older upserts it superseded), which is why this
+    * is not `latestPerKey` + a pushed-down predicate. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), expr(StatsFormulas.cents).as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("sec").as("last_sec"), col("cents").as("last_cents"))
+  }
+
+  val cdcApplySql: String =
+    s"""WITH c AS (
+       |  SELECT event_id, user_id, event_type,
+       |         epoch_ms(ts) // 1000 AS sec,
+       |         ${StatsFormulas.cents} AS cents
+       |  FROM events),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |                               ORDER BY sec DESC, event_id DESC) AS rn
+       |  FROM c)
+       |SELECT user_id, event_type AS last_op, sec AS last_sec, cents AS last_cents
+       |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+
+  /** q70: SCD-2 dimension build — turn a change feed (purchase events
+    * carrying a new value) into versioned rows with half-open validity
+    * intervals: `valid_from_sec` = the change's time, `valid_to_sec` =
+    * the NEXT change's time (null while current). The standard
+    * warehouse "type-2 slowly changing dimension" derivation, done
+    * with one `lead` window instead of a self-join.
+    *
+    * Scale shape: a pushed-down event_type filter prunes the scan,
+    * then ONE user_id shuffle computes ver + lead in a single Window
+    * operator (same partitioning, same ordering — one sort). */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"), expr(StatsFormulas.cents).as("cents"))
+      .withColumn("ver", row_number().over(w))
+      .withColumn("valid_to_sec", lead(col("sec"), 1).over(w))
+      .select(col("user_id"), col("ver"), col("sec").as("valid_from_sec"),
+        col("valid_to_sec"), col("cents"),
+        when(col("valid_to_sec").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+  }
+
+  val scd2BuildSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec,
+       |         ${StatsFormulas.cents} AS cents
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT user_id,
+       |       CAST(row_number() OVER w AS INT) AS ver,
+       |       sec AS valid_from_sec,
+       |       lead(sec, 1) OVER w AS valid_to_sec,
+       |       cents,
+       |       CASE WHEN lead(sec, 1) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+       |FROM p
+       |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+
+  /** q71: time-series gap-fill + forward-fill — regularize each user's
+    * event history onto a dense daily grid: `sequence(min_day,
+    * max_day)` generates the missing days (a Generate over the
+    * per-user span, not a calendar cross-join), a left join marks the
+    * gaps, and `last(_, ignoreNulls)` forward-fills the most recent
+    * observed daily total. The feature-store prerequisite for any
+    * fixed-step model over irregular events.
+    *
+    * Scale shape: the grid derives from the daily AGGREGATE (already
+    * |users|·|days| at most, never raw events); both join sides hash
+    * on (user_id, day); the fill window re-partitions on user_id only.
+    * Grid size is bounded by span — per-user, not global min/max — so
+    * one ancient user cannot explode every user's range. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"),
+        expr(StatsFormulas.cents).as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_cents", last(col("day_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        col("filled_cents"),
+        when(col("n_events").isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
+  }
+
+  val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day,
+       |         count(*) AS n_events,
+       |         CAST(sum(${StatsFormulas.cents}) AS BIGINT) AS day_cents
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+       |  FROM daily GROUP BY user_id)
+       |SELECT g.user_id, g.day,
+       |       coalesce(d.n_events, 0) AS n_events,
+       |       coalesce(d.day_cents, 0) AS day_cents,
+       |       last_value(d.day_cents IGNORE NULLS)
+       |         OVER (PARTITION BY g.user_id ORDER BY g.day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       |       CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+       |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+
+  /** q73: behavioral transition profile — the first-order Markov
+    * matrix over each user's event sequence: `lead` pairs consecutive
+    * event types per user, the pair counts aggregate globally, and the
+    * row-conditional probability is integer ppm (`div` by the
+    * from-state window total — exact on both engines, no float
+    * normalization). The session-model / anomaly-baseline primitive.
+    *
+    * Scale shape: one user_id shuffle for the lead, a map-side-combined
+    * pair aggregate (|types|² rows), and a window over that tiny
+    * aggregate — the matrix normalization never touches event rows. */
+  def transitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("sec"), col("event_type"))
+      .withColumn("to_state", lead(col("event_type"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("event_type").as("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("from_state"))))
+      .withColumn("p_ppm", expr("(1000000 * n) div tot"))
+      .drop("tot")
+  }
+
+  val transitionProfileSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS from_state,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY sec, event_id) AS to_state
+      |  FROM e),
+      |c AS (
+      |  SELECT from_state, to_state, count(*) AS n
+      |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_state, to_state, n,
+      |       CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+
+  /** q74: exact z-score outlier detection — flag events beyond 3
+    * sigma of their event_type, computed ENTIRELY in integer/decimal
+    * arithmetic: z² > 9 ⇔ (n·x − Σx)² > 9·(n·Σx² − (Σx)²), both sides
+    * exact integers, so there is no float mean/stddev whose rounding
+    * could flip a boundary row between engines. Spark carries the
+    * products in DECIMAL(38,0), the oracle in HUGEINT (the q54
+    * precedent); the magnitudes are bounded well inside both (≤ ~1e23
+    * at 1e9 rows × 1e5 cents).
+    *
+    * Scale shape: the per-type stats are a 5-row aggregate broadcast
+    * back onto the fact — the fact table never shuffles; detection is
+    * a map-side predicate. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), expr(StatsFormulas.cents).as("cents"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(expr("cents * cents")).as("ss"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(expr(
+        """(CAST(n AS DECIMAL(38,0)) * cents - s) * (CAST(n AS DECIMAL(38,0)) * cents - s)
+          | > 9 * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)""".stripMargin))
+      .select(col("event_id"), col("event_type"), col("cents"), col("n"))
+  }
+
+  val outliersSql: String =
+    s"""WITH c AS (
+       |  SELECT event_id, event_type, ${StatsFormulas.cents} AS cents FROM events),
+       |s AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(sum(cents) AS BIGINT) AS s,
+       |         CAST(sum(cents * cents) AS BIGINT) AS ss
+       |  FROM c GROUP BY event_type)
+       |SELECT c.event_id, c.event_type, c.cents, s.n
+       |FROM c JOIN s USING (event_type)
+       |WHERE (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
+       |      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""".stripMargin
 }

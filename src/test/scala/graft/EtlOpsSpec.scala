@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Extended}
+
+/** Semantic contracts for the round-6 ETL/feature operators
+  * (q69–q74): each assertion recomputes the property from the raw
+  * fixture on the driver, so a planner or window regression fails
+  * loudly rather than only flipping the oracle hash. */
+class EtlOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private lazy val rawEvents: Array[(Long, Long, Long, String, Long)] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+
+  test("q69 cdcApply: latest op per key wins, tombstones delete the key") {
+    val got = Extended.cdcApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("last_op"), r.getAs[Long]("last_sec"), r.getAs[Long]("last_cents"))))
+      .toMap
+    val latest = rawEvents.groupBy(_._2).map { case (u, evs) =>
+      u -> evs.maxBy(e => (e._3, e._1))
+    }
+    val expected = latest.filter(_._2._4 != "error")
+      .map { case (u, e) => u -> ((e._4, e._3, e._5)) }
+    assert(got == expected, "applied state must be exactly the non-tombstoned latest ops")
+    // the fixture must actually exercise the tombstone path
+    assert(latest.exists(_._2._4 == "error"), "fixture has no tombstoned user — test is vacuous")
+    latest.filter(_._2._4 == "error").keys.foreach(u =>
+      assert(!got.contains(u), s"tombstoned user $u leaked into the applied state"))
+  }
+
+  test("q70 scd2Build: versions are 1..n, intervals chain, exactly one current row per key") {
+    val rows = Extended.scd2Build(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("ver"))
+      assert(sorted.map(_.getAs[Int]("ver")).toSeq == (1 to rs.length),
+        s"user $u: version numbers must be dense 1..n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_sec") == b.getAs[Long]("valid_from_sec"),
+            s"user $u: interval chain broken at ver ${a.getAs[Int]("ver")}")
+        case _ =>
+      }
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1,
+        s"user $u: exactly one current version")
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_sec")),
+        s"user $u: the current version must be open-ended")
+    }
+    val purchases = rawEvents.count(_._4 == "purchase")
+    assert(rows.length == purchases, "every purchase event opens exactly one version")
+  }
+
+  test("q71 gapFill: dense per-user day grid, zero-filled gaps, forward-filled totals") {
+    val rows = Extended.gapFill(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val daily = rawEvents.groupBy(e => (e._2, e._3 / 86400))
+      .map { case (k, es) => k -> es.map(_._5).sum }
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day"))
+      val days = sorted.map(_.getAs[Long]("day"))
+      assert(days.toSeq == (days.head to days.last).toSeq, s"user $u: day grid must be dense")
+      var lastSeen = Long.MinValue
+      sorted.foreach { r =>
+        val day = r.getAs[Long]("day")
+        val isGap = r.getAs[Int]("is_gap") == 1
+        daily.get((u, day)) match {
+          case Some(cents) =>
+            assert(!isGap && r.getAs[Long]("day_cents") == cents,
+              s"user $u day $day: observed total mismatch")
+            lastSeen = cents
+          case None =>
+            assert(isGap && r.getAs[Long]("n_events") == 0 && r.getAs[Long]("day_cents") == 0,
+              s"user $u day $day: gap row must be zero-filled")
+        }
+        assert(r.getAs[Long]("filled_cents") == lastSeen,
+          s"user $u day $day: forward-fill must carry the last observed total")
+      }
+    }
+  }
+
+  test("q72 fuzzyMatch: equals the brute-force within-block edit-distance join") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select(col("p_name")).distinct()
+      .collect().map(_.getString(0))
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ").last == b.split(" ").last
+      d = lev(a, b) if d <= Dedup.FuzzyMaxDist
+    } yield (a, b, d)).toSet
+    val got = Dedup.fuzzyMatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expected, "blocked join must equal brute force within blocks")
+    assert(got.nonEmpty, "fixture yields no fuzzy pairs — test is vacuous")
+  }
+
+  test("q73 transitionProfile: pair mass conserved, ppm rows sum to ~1e6") {
+    val rows = Extended.transitionProfile(spark, sf).collect()
+    val totalPairs = rows.map(_.getAs[Long]("n")).sum
+    val usersWithEvents = rawEvents.map(_._2).distinct.length
+    assert(totalPairs == rawEvents.length - usersWithEvents,
+      "each user contributes exactly (events-1) transitions")
+    rows.groupBy(_.getAs[String]("from_state")).foreach { case (s, rs) =>
+      val ppm = rs.map(_.getAs[Long]("p_ppm")).sum
+      // integer div floors each cell, so the row sum is within |cells| of 1e6
+      assert(ppm > 1000000L - rs.length && ppm <= 1000000L, s"state $s: ppm row sum $ppm")
+    }
+  }
+
+  test("q74 outliers: exactly the rows whose integer z-squared exceeds 9") {
+    val byType = rawEvents.groupBy(_._4).map { case (t, es) =>
+      t -> ((es.length.toLong, es.map(_._5).sum, es.map(e => e._5 * e._5).sum))
+    }
+    val expected = rawEvents.filter { e =>
+      val (n, s, ss) = byType(e._4)
+      val lhs = (BigInt(n) * e._5 - s) * (BigInt(n) * e._5 - s)
+      lhs > 9 * (BigInt(n) * ss - BigInt(s) * s)
+    }.map(_._1).toSet
+    val got = Extended.outliers(spark, sf).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected, "outlier set must match exact integer arithmetic")
+    assert(got.nonEmpty, "fixture yields no outliers — test is vacuous")
+    // sanity: flagged rows really are >3 sigma in float terms too
+    got.foreach { id =>
+      val e = rawEvents.find(_._1 == id).get
+      val (n, s, ss) = byType(e._4)
+      val mu = s.toDouble / n
+      val sd = math.sqrt(ss.toDouble / n - mu * mu)
+      assert(math.abs(e._5 - mu) > 2.99 * sd, s"event $id not a 3-sigma outlier")
+    }
+  }
+}
