@@ -153,6 +153,33 @@ object Incremental {
       }
   }
 
+  /** Streaming analog of q69 (`Extended.cdcApply`): materialize the
+    * current row per key from a CDC op stream, keyed state = the
+    * winning (sec, event_id) op so far. Latest-wins is decided by the
+    * op's OWN timestamp, not arrival order — a late-arriving older op
+    * never overwrites a newer one, so the emitted snapshot converges
+    * to the batch result under any interleaving (StreamingSpec feeds
+    * shuffled chunks and asserts equality with the batch operator).
+    *
+    * Tombstones stay IN state (emitting `deleted = true`) rather than
+    * dropping the key: state removal would resurrect the record if an
+    * older upsert arrived late. State is O(1) per key — one op, not
+    * history. mapGroupsWithState (one row per key per trigger), the
+    * changelog-to-snapshot shape; the downstream reader filters
+    * `deleted`. */
+  def cdcState(ops: Dataset[CdcOp]): Dataset[CdcRow] = {
+    import ops.sparkSession.implicits._
+    ops
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcOp, CdcRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[CdcOp], state: GroupState[CdcOp]) =>
+          val winner = (state.getOption.iterator ++ batch)
+            .maxBy(o => (o.sec, o.event_id))
+          state.update(winner)
+          CdcRow(uid, winner.op, winner.sec, winner.cents, winner.op == "error")
+      }
+  }
+
   def runningIngestState(events: Dataset[ImageEvent]): Dataset[BodyProgress] = {
     import events.sparkSession.implicits._
     events
@@ -173,6 +200,8 @@ object Incremental {
 case class ImageEvent(waterbody_id: Long, captured_ts: java.sql.Timestamp)
 case class BodyState(n: Long, lastMillis: Long)
 case class BodyProgress(waterbody_id: Long, n_images: Long, last_captured: java.sql.Timestamp)
+case class CdcOp(event_id: Long, user_id: Long, sec: Long, op: String, cents: Long)
+case class CdcRow(user_id: Long, last_op: String, last_sec: Long, last_cents: Long, deleted: Boolean)
 case class FeatEvent(event_id: Long, user_id: Long, sec: Long, cents: Long)
 case class FeatWindow(buf: Vector[(Long, Long)])
 case class FeatOut(event_id: Long, user_id: Long, n_7d: Long, cents_7d: Long, peak_7d: Long)

@@ -139,4 +139,36 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name plans an interpreted HOF lambda:\n$plan")
     }
   }
+
+  test("CDC apply: rank-1 filter plans as WindowGroupLimit on ONE key shuffle") {
+    val plan = planOf("q69_cdc_apply")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q69 must pre-prune to the per-key latest before the exchange:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"q69: expected exactly 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("SCD-2 build: ver and lead fuse into ONE Window on ONE shuffle") {
+    val plan = planOf("q70_scd2_build")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val windows = "Window\\b".r.findAllIn(plan).length
+    assert(exchanges == 1 && windows == 1,
+      s"q70: expected 1 shuffle + 1 fused Window, saw $exchanges/$windows:\n$plan")
+  }
+
+  test("outlier detection: the fact table never shuffles — stats broadcast back") {
+    val plan = planOf("q74_outliers")
+    assert(plan.contains("BroadcastHashJoin"), s"q74 must broadcast the stats:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"q74: only the 5-row stats aggregate may shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("fuzzy match and gap-fill generate candidates/grids via equi-joins only") {
+    Seq("q71_gap_fill", "q72_fuzzy_match", "q73_transition_profile").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan an all-pairs join:\n$plan")
+    }
+  }
 }

@@ -259,4 +259,45 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming CDC state converges to the batch cdcApply snapshot under shuffled arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ops = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_type").as("op"),
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[graft.streaming.CdcOp].collect()
+      // deterministic shuffle: latest-wins must hold under ANY arrival
+      // order, so feed ops sorted by a hash, newest often first
+      .sortBy(o => o.event_id * 2654435761L % 4294967296L)
+    val expected = graft.operators.Extended.cdcApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("last_op"), r.getAs[Long]("last_sec"), r.getAs[Long]("last_cents"))))
+      .toMap
+
+    val input = MemoryStream[graft.streaming.CdcOp]
+    val q = Incremental.cdcState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out").outputMode("update").start()
+    try {
+      val (first, second) = ops.splitAt(ops.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      // snapshot = each key's LAST emitted row (update mode re-emits on change)
+      val emitted = spark.table("cdc_out").collect().zipWithIndex
+      val got = emitted.groupBy(_._1.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val live = got.filter(!_._2.getAs[Boolean]("deleted"))
+        .map { case (u, r) => u ->
+          ((r.getAs[String]("last_op"), r.getAs[Long]("last_sec"), r.getAs[Long]("last_cents"))) }
+      assert(live == expected,
+        "streaming snapshot (minus tombstones) must equal the batch CDC apply")
+      // tombstoned keys are present-but-deleted, never silently dropped
+      val tombstoned = got.keySet -- expected.keySet
+      assert(tombstoned.nonEmpty && tombstoned.forall(got(_).getAs[Boolean]("deleted")))
+    } finally q.stop()
+  }
 }
