@@ -103,6 +103,8 @@ object SparkEntry {
     "q72_fuzzy_match" -> ((s, d) => Dedup.fuzzyMatch(s, d)),
     "q73_transition_profile" -> ((s, d) => Extended.transitionProfile(s, d)),
     "q74_outliers" -> ((s, d) => Extended.outliers(s, d)),
+    "q75_ref_audit" -> ((s, d) => Relational.refAudit(s, d)),
+    "q76_incremental_agg" -> ((s, d) => Extended.incrementalAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,5 +183,7 @@ object SparkEntry {
     "q72_fuzzy_match" -> Dedup.fuzzyMatchSql,
     "q73_transition_profile" -> Extended.transitionProfileSql,
     "q74_outliers" -> Extended.outliersSql,
+    "q75_ref_audit" -> Relational.refAuditSql,
+    "q76_incremental_agg" -> Extended.incrementalAggSql,
   )
 }

@@ -905,6 +905,47 @@ object Extended {
       .select(col("event_id"), col("event_type"), col("cents"), col("n"))
   }
 
+  /** q76's cutoff: 2024-01-15T00:00:00Z. */
+  private val IncrCutoffSec = 1705276800L
+
+  /** q76: incremental aggregate maintenance — the exactness proof
+    * behind every "don't rescan history" pipeline: aggregate the BASE
+    * partition (before the cutoff) and the DELTA partition separately,
+    * then MERGE the partial states (sum of counts/sums, min of mins,
+    * max of maxes). The oracle computes the same aggregate from the
+    * full table in one pass — a cross-engine proof that the merge is
+    * bit-exact, i.e. yesterday's materialized aggregate plus today's
+    * delta IS the full recomputation. (count/sum/min/max are the
+    * decomposable aggregates; this is also precisely what Spark's own
+    * partial aggregation does between map and reduce.)
+    *
+    * Scale shape: both branches push their cutoff predicate into the
+    * scan (in production the base branch is the stored aggregate, not
+    * a scan); the merge aggregates a table of |users| partial rows,
+    * never raw history. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partial(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("sec", col("ts").cast("long"))
+        .filter(pred)
+        .withColumn("cents", expr(StatsFormulas.cents))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+    partial(col("sec") < IncrCutoffSec)
+      .unionByName(partial(col("sec") >= IncrCutoffSec))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("cents_sum"),
+        min(col("mn")).as("first_sec"), max(col("mx")).as("last_sec"))
+  }
+
+  val incrementalAggSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |       CAST(sum(${StatsFormulas.cents}) AS BIGINT) AS cents_sum,
+       |       min(epoch_ms(ts) // 1000) AS first_sec,
+       |       max(epoch_ms(ts) // 1000) AS last_sec
+       |FROM events GROUP BY user_id""".stripMargin
+
   val outliersSql: String =
     s"""WITH c AS (
        |  SELECT event_id, event_type, ${StatsFormulas.cents} AS cents FROM events),

@@ -507,4 +507,59 @@ object Relational {
       |       max(cnt) AS max_cnt,
       |       CAST(sum(cnt) AS BIGINT) AS rows_covered
       |FROM k GROUP BY bucket_pow2""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+
+  /** q75: referential-integrity audit — the pre-load data-quality gate
+    * over every FK edge of the star schema in one result: child rows,
+    * distinct child keys, and ORPHANS (children whose parent is
+    * absent). Orphan detection is a left-anti join per edge; `n_orphans
+    * = 0` is the audited invariant, and a regression in any upstream
+    * feed flips the row the moment it happens.
+    *
+    * Scale shape: each child table is scanned once with only its FK
+    * column (pruned scan); the anti-join probe side is the PARENT KEY
+    * SET — dimension-sized, broadcast — so the fact tables never
+    * shuffle; the three stats per edge ride one aggregate each. */
+  def refAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(fk: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val keys = child.select(col(key))
+      val orphans = keys.join(broadcast(parent.select(col(pkey))),
+        col(key) === col(pkey), "left_anti")
+      keys.agg(count(lit(1)).as("n_child"),
+          countDistinct(col(key)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(fk).as("fk"), col("n_child"), col("n_keys"), col("n_orphans"))
+    }
+    val c = Tables.customer(spark, dir); val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir); val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    edge("orders>customer", o, "o_custkey", c, "c_custkey")
+      .unionByName(edge("lineitem>orders", l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(edge("lineitem>part", l, "l_partkey", p, "p_partkey"))
+      .unionByName(edge("lineitem>supplier", l, "l_suppkey", s, "s_suppkey"))
+  }
+
+  val refAuditSql: String =
+    """SELECT 'orders>customer' AS fk, count(*) AS n_child,
+      |       count(DISTINCT o_custkey) AS n_keys,
+      |       (SELECT count(*) FROM orders o LEFT JOIN customer c
+      |         ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_orphans
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem>orders', count(*), count(DISTINCT l_orderkey),
+      |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |         ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem>part', count(*), count(DISTINCT l_partkey),
+      |       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+      |         ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem>supplier', count(*), count(DISTINCT l_suppkey),
+      |       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+      |         ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+      |FROM lineitem""".stripMargin
 }

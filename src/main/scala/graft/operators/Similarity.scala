@@ -704,10 +704,25 @@ object Similarity {
       topK: Int = 5): DataFrame = {
     val v = vectors(spark, dir)
     val cb = trainPq(v, m, k, iters)
-    val dsub = cb(0)(0).length
     val coded = v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes"))
     val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tdf = adcTables(spark, qs, cb)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
+    coded.join(broadcast(tdf), col("vec_id") =!= col("q_id"))
+      .withColumn("adist", VectorOps.adcScore(col("codes"), col("qtable"), k))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
+  /** Per-query flattened m×k ADC tables (exact subspace-to-codeword
+    * squared distances), shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def adcTables(
+      spark: SparkSession,
+      qs: Array[(Long, Array[Double])],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length; val k = cb(0).length; val dsub = cb(0)(0).length
     val tables = qs.map { case (qid, qv) =>
       val t = new Array[Double](m * k)
       var j = 0
@@ -729,13 +744,63 @@ object Similarity {
       (qid, t.toSeq)
     }
     import spark.implicits._
-    val tdf = tables.toSeq.toDF("q_id", "qtable")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
-    coded.join(broadcast(tdf), col("vec_id") =!= col("q_id"))
+    tables.toSeq.toDF("q_id", "qtable")
+  }
+
+  /** The composed production vector-search tier stack — what a 100 TB
+    * ANN index actually runs, assembled from the pieces each spec pins
+    * individually:
+    *
+    *   1. IVF cell pruning (q44's coarse quantizer): candidates come
+    *      only from each query's `nprobe` nearest cells' inverted
+    *      lists — O(nprobe·n/nlist) rows touched, never the corpus;
+    *   2. PQ-ADC scan (PqSpec's storage tier): within those cells the
+    *      engine reads ONLY the m-code arrays (16× smaller than the
+    *      vectors) and scores with the codegen'd table-lookup sum;
+    *   3. exact rerank: the full vectors are fetched for the ADC
+    *      SHORTLIST alone (the bounded random-read every PQ system
+    *      pays), and exact cosine orders the final top-k.
+    *
+    * Spec-only like its parts (k-means isn't oracle-expressible);
+    * PqSpec's composition case pins the end-to-end recall property
+    * against a driver-side replay of the same cell restriction. */
+  def ivfPqTopK(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 16,
+      k: Int = 128,
+      iters: Int = 2,
+      nprobe: Int = 3,
+      shortlist: Int = 20,
+      topK: Int = 5): DataFrame = {
+    val v = vectors(spark, dir)
+    val cb = trainPq(v, m, k, iters)
+    val (assigned, probes) =
+      ivfAssignAndProbe(v, expr(QueryFilter), expr(IvfCentroidFilter), nprobe)
+    // the stored index: cell id + PQ codes, nothing else
+    val coded = assigned.select(col("vec_id"), col("cell"),
+      VectorOps.pqEncode(col("e"), cb).as("codes"))
+    val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeT = probes.select(col("q_id"), col("probe"))
+      .join(adcTables(spark, qs, cb), "q_id")
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
+    val short = coded
+      .join(broadcast(probeT), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("adist", VectorOps.adcScore(col("codes"), col("qtable"), k))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qvecs = v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    short.join(v.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
+      .join(broadcast(qvecs), "q_id")
+      .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wR))
       .filter(col("rank") <= topK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adist"))
+      .select(col("q_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
   /** Self-contained oracle: derives the same per-dimension codebook in

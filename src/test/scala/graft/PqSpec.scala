@@ -116,4 +116,49 @@ class PqSpec extends AnyFunSuite {
     val rate = hit.toDouble / shortlist.size
     assert(rate >= 0.8, s"exact NN reached the ADC top-20 for only $rate of queries")
   }
+
+  test("composed IVF+PQ+rerank: the cell-restricted cosine NN survives to the final top-5") {
+    // driver-side replay of the IVF restriction (q44's contract:
+    // centroids = vec_id % 31 = 7, cosine argmax with lowest-id
+    // tie-break, nprobe=3): the composition's own contribution — ADC
+    // shortlist + exact rerank INSIDE the probed cells — is what this
+    // test isolates; IVF recall itself is IvfSpec's property.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cents = raw.filter(_._1 % 31 == 7).toSeq.sortBy(_._1)
+    def cellOf(v: Array[Double]): Long =
+      cents.foldLeft((Long.MinValue, Double.NegativeInfinity)) { case ((bid, bs), (cid, cv)) =>
+        val s = cos(v, cv); if (s > bs) (cid, s) else (bid, bs)
+      }._1
+    val cellIndex: Map[Long, Long] = raw.map { case (id, v) => id -> cellOf(v) }
+    val queries = raw.keys.filter(_ % 25 == 0).toSeq
+    def probed(q: Long): Set[Long] = cents
+      .map { case (cid, cv) => (cid, cos(raw(q), cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSet
+
+    val got = Similarity.ivfPqTopK(spark, sf, M, K, iters = 2).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rank")) }
+    assert(got.keySet == queries.toSet, "every query must be answered")
+    val hits = queries.count { q =>
+      val cells = probed(q)
+      val restricted = raw.iterator
+        .filter { case (id, _) => id != q && cells.contains(cellIndex(id)) }
+        .map { case (id, v) => (id, cos(raw(q), v)) }.toSeq
+      restricted.nonEmpty && {
+        val nn = restricted.minBy { case (id, s) => (-s, id) }._1
+        val rows = got(q)
+        val sims = rows.map(_.getAs[Double]("sim"))
+        assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+          s"query $q: rerank must order by descending exact cosine")
+        rows.map(_.getAs[Long]("neighbor_id")).contains(nn)
+      }
+    }
+    val rate = hits.toDouble / queries.size
+    assert(rate >= 0.75,
+      s"cell-restricted NN reached the reranked top-5 for only $rate of queries")
+  }
 }
