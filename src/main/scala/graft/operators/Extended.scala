@@ -905,6 +905,69 @@ object Extended {
       .select(col("event_id"), col("event_type"), col("cents"), col("n"))
   }
 
+  // ---------------------------------------------------------------- q77
+
+  /** q77: point-in-time (temporal) join — price every non-purchase
+    * event with the SCD-2 dimension version VALID AT ITS TIME: the
+    * composition of q70's dimension build with q32's as-of machinery,
+    * and the join every training-data pipeline needs to avoid feature
+    * leakage (joining tomorrow's dimension onto today's fact).
+    *
+    * Versions opening in the same second collapse to the highest ver
+    * first (one dim row per (key, sec) — DuckDB's ASOF would otherwise
+    * pick among exact ties arbitrarily), then the union-tag trick:
+    * dim rows sort BEFORE fact rows at equal sec (tag 0 < 1), so a
+    * version opening exactly at the event's second is visible to it —
+    * the `>=` as-of contract. Events before the first version drop
+    * (inner as-of), mirrored by the null filter.
+    *
+    * Scale shape: both branches and the fill window share the SAME
+    * user_id hash partitioning; no dim×fact range join, no per-event
+    * probe — one sort-window pass over the union, the q32 pattern. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wDedup = Window.partitionBy(col("user_id"), col("valid_from_sec"))
+      .orderBy(col("ver").desc)
+    val dim = scd2Build(spark, dir)
+      .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+      .select(col("user_id").as("key"), col("valid_from_sec").as("sec"),
+        lit(0).as("tag"), col("ver"), col("cents").as("price_cents"),
+        lit(null).cast("long").as("event_id"))
+    val fact = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("key"), col("ts").cast("long").as("sec"),
+        lit(1).as("tag"), lit(null).cast("int").as("ver"),
+        lit(null).cast("long").as("price_cents"), col("event_id"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("sec"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(fact)
+      .withColumn("asof_ver", last(col("ver"), ignoreNulls = true).over(w))
+      .withColumn("asof_price", last(col("price_cents"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("asof_ver").isNotNull)
+      .select(col("event_id"), col("key").as("user_id"), col("sec"),
+        col("asof_ver"), col("asof_price"))
+  }
+
+  val temporalJoinSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) // 1000 AS sec,
+       |         ${StatsFormulas.cents} AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id, CAST(row_number() OVER w AS INT) AS ver,
+       |         sec AS valid_from_sec, cents
+       |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |d AS (
+       |  SELECT * FROM v
+       |  QUALIFY row_number() OVER (PARTITION BY user_id, valid_from_sec
+       |                             ORDER BY ver DESC) = 1),
+       |f AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) // 1000 AS sec
+       |  FROM events WHERE event_type <> 'purchase')
+       |SELECT f.event_id, f.user_id, f.sec, d.ver AS asof_ver, d.cents AS asof_price
+       |FROM f ASOF JOIN d
+       |  ON f.user_id = d.user_id AND f.sec >= d.valid_from_sec""".stripMargin
+
   /** q76's cutoff: 2024-01-15T00:00:00Z. */
   private val IncrCutoffSec = 1705276800L
 

@@ -123,6 +123,39 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 temporalJoin: every event priced by the version valid AT ITS TIME — no future leakage") {
+    val purchases = rawEvents.filter(_._4 == "purchase")
+      .groupBy(_._2).map { case (u, es) =>
+        // replay q70: versions in (sec, event_id) order; same-second
+        // versions collapse to the latest
+        val vers = es.sortBy(e => (e._3, e._1)).zipWithIndex
+          .map { case (e, i) => (i + 1, e._3, e._5) }
+        u -> vers.groupBy(_._2).map { case (_, vs) => vs.maxBy(_._1) }.toSeq.sortBy(_._2)
+      }
+    val got = Extended.temporalJoin(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("user_id"), r.getAs[Long]("sec"),
+          r.getAs[Int]("asof_ver"), r.getAs[Long]("asof_price"))))
+      .toMap
+    val facts = rawEvents.filter(_._4 != "purchase")
+    var joined = 0
+    facts.foreach { e =>
+      val vers = purchases.getOrElse(e._2, Seq.empty).filter(_._2 <= e._3)
+      if (vers.isEmpty) {
+        assert(!got.contains(e._1), s"event ${e._1} priced before any version existed")
+      } else {
+        joined += 1
+        val (ver, _, cents) = vers.maxBy(v => (v._2, v._1))
+        assert(got(e._1) == ((e._2, e._3, ver, cents)),
+          s"event ${e._1}: expected version $ver/$cents, got ${got(e._1)}")
+      }
+    }
+    assert(joined == got.size, "no extra rows beyond the temporally joinable facts")
+    assert(joined > 0 && facts.exists(e =>
+      purchases.getOrElse(e._2, Seq.empty).forall(_._2 > e._3)),
+      "fixture must exercise both the joined and the before-first-version paths")
+  }
+
   test("q74 outliers: exactly the rows whose integer z-squared exceeds 9") {
     val byType = rawEvents.groupBy(_._4).map { case (t, es) =>
       t -> ((es.length.toLong, es.map(_._5).sum, es.map(e => e._5 * e._5).sum))
