@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the events-family ETL operators (q69–q77): replicate
+  * the sf0.1 events table N× with offset user_ids — N× users at the
+  * SAME per-user density, which is how an event corpus actually grows —
+  * and time each operator at 1× and N×. Near-linear growth (at fixed
+  * parallelism) is the pass criterion: every operator here is one
+  * key-partitioned pass, so there is no super-linear term to hide.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SoakEtl [N]"`
+  * Writes the replicated corpus under /tmp/graft_soak_etl (one-off).
+  */
+object SoakEtl {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    import spark.implicits._
+
+    val base = Tables.events(spark, sfDir)
+    val soakDir = "/tmp/graft_soak_etl"
+    val reps = spark.range(n).toDF("r")
+    base.crossJoin(broadcast(reps))
+      .withColumn("user_id", col("user_id") + col("r") * lit(1000000L))
+      .withColumn("event_id", col("event_id") + col("r") * lit(1000000000L))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$soakDir/events.parquet")
+
+    val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "q69_cdc_apply" -> operators.Extended.cdcApply _,
+        "q70_scd2_build" -> operators.Extended.scd2Build _,
+        "q71_gap_fill" -> operators.Extended.gapFill _,
+        "q73_transition_profile" -> operators.Extended.transitionProfile _,
+        "q74_outliers" -> operators.Extended.outliers _,
+        "q76_incremental_agg" -> operators.Extended.incrementalAgg _,
+        "q77_temporal_join" -> operators.Extended.temporalJoin _)
+
+    def time(dir: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = fn(spark, dir).write.format("noop").mode("overwrite")
+      rows.save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val cnt = fn(spark, dir).count()
+      (dt, cnt)
+    }
+
+    println(f"## ETL soak: sf0.1 events x$n (users x$n, same per-user density)")
+    ops.foreach { case (name, fn) =>
+      val (t1, c1) = time(sfDir, fn)
+      val (tn, cn) = time(soakDir, fn)
+      println(f"$name%-24s 1x: $t1%6.2f s ($c1%9d rows)   ${n}x: $tn%6.2f s ($cn%10d rows)   growth ${tn / t1}%4.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -27,10 +27,13 @@ class PlanAuditSpec extends AnyFunSuite {
     * Σweights) onto the |sources|-row quota table — same keyless-scalar
     * shape as q54, never touching the corpus side; q66 likewise
     * broadcasts the 1-row corpus total / Σq constants onto vocab- and
-    * source-sized tables only. */
+    * source-sized tables only; q75 crossJoins each FK edge's ONE-row
+    * orphan count onto its ONE-row child-stats aggregate — four 1×1
+    * joins; the fact tables themselves only ever pass through pruned
+    * scans and broadcast anti-joins. */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
-      "q64_temperature_mix", "q66_source_divergence")
+      "q64_temperature_mix", "q66_source_divergence", "q75_ref_audit")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
