@@ -57,6 +57,26 @@ class GraftCatalog extends TableCatalog {
       new ManifestTable(path, StructType(Nil))
     }
 
+  /** SQL time travel: `SELECT … FROM graft.db.t VERSION AS OF n`
+    * resolves here — the returned table is PINNED to the first `n`
+    * logical commits (every commit is a retained snapshot boundary,
+    * the `asOfManifest` contract), so the pin survives any reader
+    * options downstream. Weight-aware: `n` counts logical commits even
+    * after manifest compaction folded them into a checkpoint. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (ident.name == "image_catalog")
+      throw new UnsupportedOperationException(
+        "image_catalog is a generated source with no commit history")
+    val n = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft versions are logical commit counts, got '$version'")
+    }
+    val path = pathOf(ident)
+    if (!new java.io.File(path, ManifestSink.SchemaFile).exists())
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new ManifestTable(path, StructType(Nil), pinnedAsOf = Some(n))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -228,11 +228,13 @@ object ManifestSink {
     }
 }
 
-class ManifestTable(path: String, external: StructType)
+class ManifestTable(path: String, external: StructType,
+    pinnedAsOf: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead {
   require(path != null, "ManifestSink requires option 'path'")
 
-  override def name(): String = s"manifest_sink($path)"
+  override def name(): String =
+    s"manifest_sink($path${pinnedAsOf.fold("")(v => s"@v$v")})"
 
   override def schema(): StructType =
     if (external.nonEmpty) external
@@ -252,8 +254,10 @@ class ManifestTable(path: String, external: StructType)
     new ManifestWriteBuilder(path, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // a version pinned by SQL `VERSION AS OF` (catalog loadTable) wins
+    // over the per-read asOfManifest option
     new ManifestScanBuilder(path, schema(),
-      Option(options.get("asOfManifest")).map(_.toInt),
+      pinnedAsOf.orElse(Option(options.get("asOfManifest")).map(_.toInt)),
       Option(options.get("maxManifestsPerTrigger")).map(_.toInt))
 }
 

@@ -62,4 +62,28 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(1L, 2L))
   }
+
+  test("SQL VERSION AS OF time-travels to any commit; the pin beats reader options") {
+    import spark.implicits._
+    warehouse
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("tt_src")
+    spark.sql("CREATE TABLE graft_test.db.versioned AS SELECT * FROM tt_src")
+    spark.sql("INSERT INTO graft_test.db.versioned SELECT 2L AS id, 'b' AS s")
+    spark.sql("INSERT INTO graft_test.db.versioned SELECT 3L AS id, 'c' AS s")
+    def idsAt(v: Int): Seq[Long] = spark.sql(
+      s"SELECT id FROM graft_test.db.versioned VERSION AS OF $v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAt(1) === Seq(1L))
+    assert(idsAt(2) === Seq(1L, 2L))
+    assert(idsAt(3) === Seq(1L, 2L, 3L))
+    // latest (no version) still sees everything
+    assert(spark.sql("SELECT count(*) FROM graft_test.db.versioned")
+      .head().getLong(0) === 3L)
+    // a non-numeric version is a clear error, not a silent full read
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_test.db.versioned VERSION AS OF 'nope'").collect()
+    }
+    assert(err.getMessage.contains("logical commit counts"))
+    spark.sql("DROP TABLE graft_test.db.versioned")
+  }
 }

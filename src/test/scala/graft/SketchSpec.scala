@@ -57,6 +57,37 @@ class SketchSpec extends AnyFunSuite {
       s"p90 exact=${exact.getDouble(1)} approx=${approx.getDouble(1)}")
   }
 
+  test("DataSketches HLL: stored base sketch + delta sketch union == full-table sketch (incremental distinct)") {
+    // the q76 property for DISTINCT counts — impossible with plain
+    // counts, exact-by-construction with mergeable sketches: the
+    // materialized base sketch never needs rescanning, only a union
+    // with the delta's sketch. Register updates are max() per slot, so
+    // the union is order-insensitive and the merged ESTIMATE equals
+    // the full-table estimate exactly, not approximately.
+    val ev = Tables.events(spark, sf).withColumn("sec", col("ts").cast("long"))
+    val cutoff = 1705276800L
+    def sketch(pred: org.apache.spark.sql.Column) = ev.filter(pred)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = sketch(col("sec") < cutoff)
+      .unionByName(sketch(col("sec") >= cutoff))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == full,
+      s"sketch union must be exact w.r.t. the full-table sketch: $merged vs $full")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val relErr = math.abs(merged(t) - n).toDouble / n
+      assert(relErr < 0.05, s"$t: estimate ${merged(t)} vs exact $n (relErr $relErr)")
+    }
+  }
+
   test("q41 sketch summary returns one row per event_type with sane bounds") {
     val rows = Extended.sketchSummary(spark, sf).collect()
     assert(rows.length === 5)
