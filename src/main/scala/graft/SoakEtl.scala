@@ -56,3 +56,29 @@ object SoakEtl {
     spark.stop()
   }
 }
+
+/** ANN-ladder timing: the four index tiers over the same corpus and
+  * query set, timed end-to-end INCLUDING index build (assignment /
+  * training) — the honest comparison, since the exact scan has no
+  * build cost to amortize. Run:
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SoakAnn"` */
+object SoakAnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    val tiers: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "q21 exact cosine top-k" -> (() => operators.Similarity.cosineTopK(spark, sfDir)),
+      "q22 multi-probe LSH" -> (() => operators.Similarity.annTopK(spark, sfDir)),
+      "q44 IVF (coarse quantizer)" -> (() => operators.Similarity.ivfTopK(spark, sfDir)),
+      "PQ-ADC full scan" -> (() => operators.Similarity.pqTopK(spark, sfDir)),
+      "IVF+PQ+exact rerank" -> (() => operators.Similarity.ivfPqTopK(spark, sfDir)))
+    println(s"## ANN ladder at $sfDir (end-to-end incl. index build, warm 2nd run)")
+    tiers.foreach { case (name, fn) =>
+      fn().write.format("noop").mode("overwrite").save() // warm
+      val t0 = System.nanoTime()
+      fn().write.format("noop").mode("overwrite").save()
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -88,6 +88,24 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("frequent-items sketch (freqItems) captures every true heavy hitter") {
+    // Misra-Gries-style sketch: single pass, bounded memory — the
+    // scale path for "which keys dominate" when exact top-k would
+    // shuffle the full key set. Guarantee is one-sided (no false
+    // negatives above the support threshold); we assert exactly that.
+    val ev = Tables.events(spark, sf)
+    val support = 0.15
+    val found = ev.select(col("event_type")).stat.freqItems(Seq("event_type"), support)
+      .head().getSeq[String](0).toSet
+    val total = ev.count()
+    val trueHeavy = ev.groupBy(col("event_type")).count()
+      .filter(col("count") > total * support)
+      .collect().map(_.getString(0)).toSet
+    assert(trueHeavy.subsetOf(found),
+      s"sketch missed true heavy hitters: ${trueHeavy -- found}")
+    assert(trueHeavy.nonEmpty, "fixture must have heavy hitters at this support")
+  }
+
   test("q41 sketch summary returns one row per event_type with sane bounds") {
     val rows = Extended.sketchSummary(spark, sf).collect()
     assert(rows.length === 5)
