@@ -230,11 +230,30 @@ object ManifestSink {
 
 class ManifestTable(path: String, external: StructType,
     pinnedAsOf: Option[Int] = None)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "ManifestSink requires option 'path'")
 
   override def name(): String =
     s"manifest_sink($path${pinnedAsOf.fold("")(v => s"@v$v")})"
+
+  /** `DELETE FROM t WHERE p` — copy-on-write: rewrite the surviving
+    * rows with a DISTRIBUTED filter scan (not a driver loop), then
+    * atomically swap the whole manifest history for ONE checkpoint
+    * naming only the survivor files. Readers racing the swap see
+    * either the old manifests or the checkpoint — never both (the
+    * compaction visibility rule) — and the delete registers as one
+    * more logical commit, so `VERSION AS OF <new count>` is the
+    * post-delete snapshot. Pre-delete versions stop being
+    * individually addressable — the same snapshot-expiry contract as
+    * compaction, documented there. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => ManifestDelete.toColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ManifestDelete.run(path, filters)
 
   override def schema(): StructType =
     if (external.nonEmpty) external
@@ -519,5 +538,71 @@ class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
       override def get(): InternalRow = current
       override def close(): Unit = lines.close()
     }
+  }
+}
+
+// --------------------------------------------------------------- delete
+
+/** Copy-on-write DELETE for manifest tables (see
+  * [[ManifestTable.deleteWhere]]). Separated so the v1-Filter →
+  * Column translation is testable and `canDeleteWhere` can reject
+  * untranslatable predicates up front (Spark then fails the DELETE
+  * loudly instead of deleting the wrong rows). */
+object ManifestDelete {
+  import org.apache.spark.sql.{functions => F, Column}
+  import org.apache.spark.sql.{sources => v1}
+
+  /** Conservative translation: anything not in this list makes
+    * `canDeleteWhere` false. */
+  def toColumn(f: v1.Filter): Option[Column] = f match {
+    case v1.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case v1.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case v1.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case v1.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case v1.LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case v1.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case v1.In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case v1.IsNull(a) => Some(F.col(a).isNull)
+    case v1.IsNotNull(a) => Some(F.col(a).isNotNull)
+    case v1.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case v1.StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case v1.StringContains(a, v) => Some(F.col(a).contains(v))
+    case v1.Not(c) => toColumn(c).map(!_)
+    case v1.And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case v1.Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case v1.AlwaysTrue() => Some(F.lit(true))
+    case v1.AlwaysFalse() => Some(F.lit(false))
+    case _ => None
+  }
+
+  def run(path: String, filters: Array[v1.Filter]): Unit = {
+    val root = new File(path)
+    val before = ManifestSink.sortedManifests(root)
+    if (before.isEmpty) return // nothing committed → nothing to delete
+    val spark = org.apache.spark.sql.SparkSession.active
+    val toDelete = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+      .getOrElse(F.lit(true))
+    // distributed survivor rewrite into a scratch manifest table
+    val tmpDir = Files.createTempDirectory("graft_delete_cow").toFile
+    spark.read.format("graft.sources.ManifestSink").option("path", path).load()
+      .filter(!toDelete)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", tmpDir.getAbsolutePath).mode("append").save()
+    // adopt the survivor files under collision-free names
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
+      .zipWithIndex.map { case (f, i) =>
+        val target = s"cow-$stamp-$i-$f"
+        Files.move(new File(tmpDir, f).toPath, new File(root, target).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        target
+      }
+    // one checkpoint absorbs the entire pre-delete history PLUS this
+    // delete as a logical commit; its publication is the atomic swap
+    val w = before.map(ManifestSink.weightOf).sum + 1
+    ManifestSink.writeManifest(root, s"ckpt-$w", adopted)
+    before.foreach(_.delete()) // hidden already; reclaim
+    Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
+    tmpDir.delete()
   }
 }

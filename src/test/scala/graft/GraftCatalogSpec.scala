@@ -86,4 +86,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("logical commit counts"))
     spark.sql("DROP TABLE graft_test.db.versioned")
   }
+
+  test("SQL DELETE: copy-on-write swap keeps survivors, versions, and later appends working") {
+    import spark.implicits._
+    warehouse
+    Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "s")
+      .createOrReplaceTempView("del_src")
+    spark.sql("CREATE TABLE graft_test.db.deltest AS SELECT * FROM del_src")
+    spark.sql("INSERT INTO graft_test.db.deltest SELECT 4L AS id, 'drop' AS s")
+
+    spark.sql("DELETE FROM graft_test.db.deltest WHERE s = 'drop'")
+    val after = spark.sql("SELECT id FROM graft_test.db.deltest")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === Seq(1L, 3L), s"survivors only, got $after")
+
+    // the delete is one more logical commit; the new version is the
+    // post-delete snapshot (earlier versions were absorbed — the
+    // compaction/snapshot-expiry contract)
+    val root = new java.io.File(s"$warehouse/db/deltest")
+    assert(graft.sources.ManifestSink.logicalCount(root) === 3)
+    val v3 = spark.sql("SELECT id FROM graft_test.db.deltest VERSION AS OF 3")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(v3 === Seq(1L, 3L))
+
+    // the table stays fully writable after the swap
+    spark.sql("INSERT INTO graft_test.db.deltest SELECT 5L AS id, 'new' AS s")
+    assert(spark.sql("SELECT count(*) FROM graft_test.db.deltest")
+      .head().getLong(0) === 3L)
+
+    // delete-everything leaves an empty but intact table
+    spark.sql("DELETE FROM graft_test.db.deltest WHERE id > 0")
+    assert(spark.sql("SELECT count(*) FROM graft_test.db.deltest")
+      .head().getLong(0) === 0L)
+    spark.sql("INSERT INTO graft_test.db.deltest SELECT 6L AS id, 'again' AS s")
+    assert(spark.sql("SELECT id FROM graft_test.db.deltest")
+      .collect().map(_.getLong(0)).toSeq === Seq(6L))
+    spark.sql("DROP TABLE graft_test.db.deltest")
+  }
 }
