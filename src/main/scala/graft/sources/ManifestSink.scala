@@ -255,6 +255,20 @@ class ManifestTable(path: String, external: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     ManifestDelete.run(path, filters)
 
+  /** `TRUNCATE TABLE t` — the delete-all special case: no survivor
+    * rewrite needed, just the atomic checkpoint swap to an empty file
+    * list (still one logical commit, so versions stay monotone). */
+  override def truncateTable(): Boolean = {
+    val root = new File(path)
+    val before = ManifestSink.sortedManifests(root)
+    if (before.nonEmpty) {
+      val w = before.map(ManifestSink.weightOf).sum + 1
+      ManifestSink.writeManifest(root, s"ckpt-$w", Seq.empty)
+      before.foreach(_.delete())
+    }
+    true
+  }
+
   override def schema(): StructType =
     if (external.nonEmpty) external
     else {
@@ -602,6 +616,56 @@ object ManifestDelete {
     val w = before.map(ManifestSink.weightOf).sum + 1
     ManifestSink.writeManifest(root, s"ckpt-$w", adopted)
     before.foreach(_.delete()) // hidden already; reclaim
+    Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
+    tmpDir.delete()
+  }
+}
+
+/** Keyed UPSERT (MERGE semantics) for manifest tables — the
+  * reference's Postgres `insert … on conflict update` sink contract
+  * (main.py:453-457) on an object-store table: rows in `batch` REPLACE
+  * current rows sharing their key; everything else is inserted.
+  * Copy-on-write like DELETE: survivors = current rows whose key is
+  * ABSENT from the batch (broadcast left-anti — the batch is the small
+  * side by definition of an upsert), then survivors ∪ batch swap in as
+  * one checkpoint + commit. Replaying the same batch is a no-op
+  * state-wise (same final rows), which is the idempotence the
+  * reference gets from Postgres transactions. */
+object ManifestUpsert {
+  import org.apache.spark.sql.{functions => F, DataFrame}
+
+  def upsert(path: String, batch: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val spark = batch.sparkSession
+    val root = new File(path)
+    if (ManifestSink.sortedManifests(root).isEmpty) {
+      // first write defines the table — a plain insert
+      batch.write.format("graft.sources.ManifestSink")
+        .option("path", path).mode("append").save()
+      return
+    }
+    val current = spark.read.format("graft.sources.ManifestSink")
+      .option("path", path).load()
+    val survivors =
+      current.join(F.broadcast(batch.select(keyCols.map(F.col): _*).distinct()),
+        keyCols, "left_anti")
+    val tmpDir = Files.createTempDirectory("graft_upsert_cow").toFile
+    survivors.unionByName(batch.select(current.columns.map(F.col).toIndexedSeq: _*))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", tmpDir.getAbsolutePath).mode("append").save()
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
+      .zipWithIndex.map { case (f, i) =>
+        val target = s"ups-$stamp-$i-$f"
+        Files.move(new File(tmpDir, f).toPath, new File(root, target).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        target
+      }
+    val before = ManifestSink.sortedManifests(root)
+      .filterNot(m => adopted.contains(m.getName))
+    val w = before.map(ManifestSink.weightOf).sum + 1
+    ManifestSink.writeManifest(root, s"ckpt-$w", adopted)
+    before.foreach(_.delete())
     Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
     tmpDir.delete()
   }

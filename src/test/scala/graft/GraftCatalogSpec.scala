@@ -123,4 +123,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(6L))
     spark.sql("DROP TABLE graft_test.db.deltest")
   }
+
+  test("SQL TRUNCATE TABLE empties in one swap; keyed upsert merges like the reference's Postgres sink") {
+    import spark.implicits._
+    warehouse
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("trunc_src")
+    spark.sql("CREATE TABLE graft_test.db.merged AS SELECT * FROM trunc_src")
+    val path = s"$warehouse/db/merged"
+
+    // upsert: id=2 updated, id=3 inserted, id=1 untouched
+    graft.sources.ManifestUpsert.upsert(path,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "s"), Seq("id"))
+    def state(): Map[Long, String] = spark.read
+      .format("graft.sources.ManifestSink").option("path", path).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+
+    // replaying the SAME batch is state-idempotent (the reference's
+    // on-conflict-update contract under retry)
+    graft.sources.ManifestUpsert.upsert(path,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "s"), Seq("id"))
+    assert(state() === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+
+    spark.sql("TRUNCATE TABLE graft_test.db.merged")
+    assert(spark.sql("SELECT count(*) FROM graft_test.db.merged")
+      .head().getLong(0) === 0L)
+    // upsert into the truncated table re-seeds it
+    graft.sources.ManifestUpsert.upsert(path,
+      Seq((9L, "z")).toDF("id", "s"), Seq("id"))
+    assert(state() === Map(9L -> "z"))
+    spark.sql("DROP TABLE graft_test.db.merged")
+  }
 }
