@@ -208,6 +208,42 @@ object ManifestSink {
     ms.foreach(_.delete()) // already hidden by the checkpoint
   }
 
+  /** Write or WIDEN the stored schema — the add-column evolution every
+    * long-lived table eventually needs. Contract: appended trailing
+    * columns only; the narrower of (stored, incoming) must be a
+    * field-for-field prefix (same names and types) of the wider. Data
+    * files written under a narrower schema stay valid forever because
+    * the READER pads missing trailing cells with null — no rewrite of
+    * history, which is what makes evolution O(1) instead of O(table).
+    * Renames/retypes/reorders are rejected loudly: silently mapping
+    * old data into a repurposed column is how lakehouse tables get
+    * corrupted. */
+  def ensureSchema(root: File, schema: StructType): Unit = {
+    // stored as all-nullable: any column may hold null once a narrower
+    // writer or an evolution null-pad has existed — a NOT NULL marker
+    // would make codegen read 0/false where the data says null
+    val incoming = StructType(schema.fields.map(_.copy(nullable = true)))
+    val f = new File(root, SchemaFile)
+    if (!f.exists()) {
+      Files.write(f.toPath, incoming.toDDL.getBytes(StandardCharsets.UTF_8))
+      return
+    }
+    val stored = StructType.fromDDL(
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8))
+    def isPrefix(a: StructType, b: StructType): Boolean =
+      a.fields.length <= b.fields.length &&
+        a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name == y.name && x.dataType == y.dataType
+        }
+    if (isPrefix(stored, incoming) && stored.fields.length < incoming.fields.length)
+      Files.write(f.toPath, incoming.toDDL.getBytes(StandardCharsets.UTF_8))
+    else if (isPrefix(stored, incoming) || isPrefix(incoming, stored))
+      () // identical, or a narrower (pre-evolution) writer: reader pads
+    else throw new IllegalArgumentException(
+      s"incompatible schema evolution for $root: stored <${stored.toDDL}> vs " +
+        s"incoming <${incoming.toDDL}> — only appended trailing columns are supported")
+  }
+
   def filesOf(manifests: Seq[File]): Seq[String] =
     manifests.flatMap(m => new String(
       Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).split("\n"))
@@ -335,9 +371,7 @@ class ManifestStreamingWrite(path: String, queryId: String, schema: StructType)
             new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
           m.file
       }
-      val schemaFile = new File(root, ManifestSink.SchemaFile)
-      if (!schemaFile.exists())
-        Files.write(schemaFile.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
+      ManifestSink.ensureSchema(root, schema)
       ManifestSink.writeManifest(root, epochTag(epochId), files.toSeq)
     }
     // replayed epoch: publish nothing, drop the duplicate temp files.
@@ -387,9 +421,7 @@ class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
           new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
         m.file
     }
-    val schemaFile = new File(root, ManifestSink.SchemaFile)
-    if (!schemaFile.exists())
-      Files.write(schemaFile.toPath, schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    ManifestSink.ensureSchema(root, schema)
     ManifestSink.writeManifest(root, queryId, files.toSeq)
     cleanupTemp(root)
   }
@@ -545,8 +577,12 @@ class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
       override def next(): Boolean = {
         if (!it.hasNext) return false
         val cells = it.next().split("\t", -1)
+        // rows written under a NARROWER (pre-evolution) schema pad
+        // their missing trailing columns with null — see ensureSchema
         current = new GenericInternalRow(
-          types.indices.map(i => ManifestSink.decodeField(cells(i), types(i))).toArray[Any])
+          types.indices.map(i =>
+            if (i < cells.length) ManifestSink.decodeField(cells(i), types(i))
+            else null).toArray[Any])
         true
       }
       override def get(): InternalRow = current

@@ -16,6 +16,37 @@ class ManifestSinkSpec extends AnyFunSuite {
   private def tmpDir() =
     Files.createTempDirectory("graft_manifest").toString
 
+  test("schema evolution: appended columns widen the table, old rows read as null — no history rewrite") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // widen: same prefix + a new trailing column
+    Seq((3L, "c", 30.5)).toDF("id", "s", "score")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s", "score"))
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(rows === Set((1L, "a", null), (2L, "b", null), (3L, "c", 30.5)),
+      s"pre-evolution rows must null-pad, got $rows")
+    // a narrower (pre-evolution) writer keeps working unchanged
+    Seq((4L, "d")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 4)
+    // renames/reorders are rejected loudly, not silently remapped
+    val err = intercept[Exception] {
+      Seq((5L, 9.9)).toDF("id", "renamed")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    assert(err.getMessage.contains("schema evolution") ||
+      Option(err.getCause).exists(_.getMessage.contains("schema evolution")))
+    // history is untouched: version 1 is still the original two rows
+    val v1 = spark.read.format(fmt).option("path", dir)
+      .option("asOfManifest", "1").load()
+    assert(v1.count() === 2 && v1.schema.fieldNames.length === 3)
+  }
+
   test("write → read-back round-trips rows, schema, and nulls") {
     import spark.implicits._
     val dir = tmpDir()
