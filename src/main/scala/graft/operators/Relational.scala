@@ -513,32 +513,46 @@ object Relational {
   /** q75: referential-integrity audit — the pre-load data-quality gate
     * over every FK edge of the star schema in one result: child rows,
     * distinct child keys, and ORPHANS (children whose parent is
-    * absent). Orphan detection is a left-anti join per edge; `n_orphans
-    * = 0` is the audited invariant, and a regression in any upstream
-    * feed flips the row the moment it happens.
+    * absent). `n_orphans = 0` is the audited invariant; a regression
+    * in any upstream feed flips the row the moment it happens.
     *
-    * Scale shape: each child table is scanned once with only its FK
-    * column (pruned scan); the anti-join probe side is the PARENT KEY
-    * SET — dimension-sized, broadcast — so the fact tables never
-    * shuffle; the three stats per edge ride one aggregate each. */
+    * Scale shape: each FACT is scanned ONCE — all of its FK edges ride
+    * the same scan as left joins whose null-flags aggregate in a
+    * single pass, then `stack` reshapes the one stats row into one row
+    * per edge (vs the naive form's scan-per-edge-per-stat, 8 fact
+    * scans for these 4 edges). True dimensions (customer/part/
+    * supplier) are broadcast-hinted; the orders parent is left to the
+    * planner — it is NOT dimension-sized at 100 TB, and AQE picks
+    * broadcast locally / shuffle at scale. */
   def refAudit(spark: SparkSession, dir: String): DataFrame = {
-    def edge(fk: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): DataFrame = {
-      val keys = child.select(col(key))
-      val orphans = keys.join(broadcast(parent.select(col(pkey))),
-        col(key) === col(pkey), "left_anti")
-      keys.agg(count(lit(1)).as("n_child"),
-          countDistinct(col(key)).as("n_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-        .select(lit(fk).as("fk"), col("n_child"), col("n_keys"), col("n_orphans"))
-    }
     val c = Tables.customer(spark, dir); val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir); val p = Tables.part(spark, dir)
     val s = Tables.supplier(spark, dir)
-    edge("orders>customer", o, "o_custkey", c, "c_custkey")
-      .unionByName(edge("lineitem>orders", l, "l_orderkey", o, "o_orderkey"))
-      .unionByName(edge("lineitem>part", l, "l_partkey", p, "p_partkey"))
-      .unionByName(edge("lineitem>supplier", l, "l_suppkey", s, "s_suppkey"))
+    val lineitemEdges = l.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(p.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(s.select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("k_ord"),
+        countDistinct(col("l_partkey")).as("k_part"),
+        countDistinct(col("l_suppkey")).as("k_supp"),
+        count(when(col("o_orderkey").isNull, lit(1))).as("orph_ord"),
+        count(when(col("p_partkey").isNull, lit(1))).as("orph_part"),
+        count(when(col("s_suppkey").isNull, lit(1))).as("orph_supp"))
+      .select(expr(
+        """stack(3,
+          |  'lineitem>orders',   n, k_ord,  orph_ord,
+          |  'lineitem>part',     n, k_part, orph_part,
+          |  'lineitem>supplier', n, k_supp, orph_supp)
+          |AS (fk, n_child, n_keys, n_orphans)""".stripMargin))
+    val ordersEdge = o.select(col("o_custkey"))
+      .join(broadcast(c.select(col("c_custkey"))), col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_child"), countDistinct(col("o_custkey")).as("n_keys"),
+        count(when(col("c_custkey").isNull, lit(1))).as("n_orphans"))
+      .select(lit("orders>customer").as("fk"),
+        col("n_child"), col("n_keys"), col("n_orphans"))
+    ordersEdge.unionByName(lineitemEdges)
   }
 
   val refAuditSql: String =

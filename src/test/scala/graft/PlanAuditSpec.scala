@@ -27,13 +27,10 @@ class PlanAuditSpec extends AnyFunSuite {
     * Σweights) onto the |sources|-row quota table — same keyless-scalar
     * shape as q54, never touching the corpus side; q66 likewise
     * broadcasts the 1-row corpus total / Σq constants onto vocab- and
-    * source-sized tables only; q75 crossJoins each FK edge's ONE-row
-    * orphan count onto its ONE-row child-stats aggregate — four 1×1
-    * joins; the fact tables themselves only ever pass through pruned
-    * scans and broadcast anti-joins. */
+    * source-sized tables only. */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
-      "q64_temperature_mix", "q66_source_divergence", "q75_ref_audit")
+      "q64_temperature_mix", "q66_source_divergence")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
@@ -165,6 +162,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1,
       s"q74: only the 5-row stats aggregate may shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("ref audit: every FK edge of a fact rides ONE scan of it") {
+    val plan = planOf("q75_ref_audit")
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1,
+      s"lineitem's three FK edges must share one scan:\n$plan")
+    // orders legitimately appears twice: once as a child (its own
+    // customer edge), once as the parent key set of lineitem>orders
+    assert("orders\\.parquet".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("fuzzy match and gap-fill generate candidates/grids via equi-joins only") {

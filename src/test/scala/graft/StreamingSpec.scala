@@ -300,4 +300,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(tombstoned.nonEmpty && tombstoned.forall(got(_).getAs[Boolean]("deleted")))
     } finally q.stop()
   }
+
+  test("streaming MERGE: foreachBatch upserts each micro-batch into a manifest table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_merge").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "s").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the streaming MERGE pattern: each micro-batch upserts by key
+        // (caller pre-dedups within the batch, the q69 latest-wins rule)
+        graft.sources.ManifestUpsert.upsert(dir, batch, Seq("id"))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_merge_ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "B2"), (3L, "c"))
+      q.processAllAvailable()
+      def state(): Map[Long, String] = spark.read
+        .format("graft.sources.ManifestSink").option("path", dir).load()
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state() === Map(1L -> "a", 2L -> "B2", 3L -> "c"),
+        "later micro-batches must update, not duplicate")
+      // epoch replay (crash-before-checkpoint): same batch again is
+      // state-idempotent — the MERGE's retry-safety contract
+      graft.sources.ManifestUpsert.upsert(dir,
+        Seq((2L, "B2"), (3L, "c")).toDF("id", "s"), Seq("id"))
+      assert(state() === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    } finally q.stop()
+  }
 }
