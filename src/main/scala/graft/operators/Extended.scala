@@ -1009,6 +1009,59 @@ object Extended {
        |       max(epoch_ms(ts) // 1000) AS last_sec
        |FROM events GROUP BY user_id""".stripMargin
 
+  /** q78: snapshot diff / reconciliation — classify every key across
+    * two periods of the feed (the q76 cutoff): `added` (new in the
+    * second period), `churned` (vanished), `changed` (present in both
+    * with different activity), `stable`. The data-reconciliation gate
+    * run between any two loads of the same table; per-class counts
+    * plus before/after activity mass localize WHERE a feed drifted.
+    *
+    * Scale shape: two pushed-down-predicate scans aggregate per key;
+    * the full-outer join runs on the SAME user_id hash partitioning
+    * the aggregates produced (no extra corpus shuffle), and the class
+    * rollup is a 4-row aggregate. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def profile(pred: org.apache.spark.sql.Column, tag: String): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("sec", col("ts").cast("long"))
+        .filter(pred)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+    profile(col("sec") < IncrCutoffSec, "a")
+      .join(profile(col("sec") >= IncrCutoffSec, "b"),
+        Seq("user_id", "event_type"), "full_outer")
+      .withColumn("class",
+        when(col("n_a").isNull, lit("added"))
+          .when(col("n_b").isNull, lit("churned"))
+          .when(col("n_a") =!= col("n_b"), lit("changed"))
+          .otherwise(lit("stable")))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("n_a")), lit(0L)).as("events_before"),
+        coalesce(sum(col("n_b")), lit(0L)).as("events_after"))
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH a AS (
+       |  SELECT user_id, event_type, count(*) AS n_a
+       |  FROM events WHERE epoch_ms(ts) // 1000 < $IncrCutoffSec
+       |  GROUP BY user_id, event_type),
+       |b AS (
+       |  SELECT user_id, event_type, count(*) AS n_b
+       |  FROM events WHERE epoch_ms(ts) // 1000 >= $IncrCutoffSec
+       |  GROUP BY user_id, event_type),
+       |j AS (
+       |  SELECT CASE WHEN a.n_a IS NULL THEN 'added'
+       |              WHEN b.n_b IS NULL THEN 'churned'
+       |              WHEN a.n_a <> b.n_b THEN 'changed'
+       |              ELSE 'stable' END AS class,
+       |         a.n_a, b.n_b
+       |  FROM a FULL OUTER JOIN b USING (user_id, event_type))
+       |SELECT class, count(*) AS n_keys,
+       |       coalesce(CAST(sum(n_a) AS BIGINT), 0) AS events_before,
+       |       coalesce(CAST(sum(n_b) AS BIGINT), 0) AS events_after
+       |FROM j GROUP BY class""".stripMargin
+
   val outliersSql: String =
     s"""WITH c AS (
        |  SELECT event_id, event_type, ${StatsFormulas.cents} AS cents FROM events),

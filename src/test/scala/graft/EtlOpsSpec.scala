@@ -156,6 +156,27 @@ class EtlOpsSpec extends AnyFunSuite {
       "fixture must exercise both the joined and the before-first-version paths")
   }
 
+  test("q78 snapshotDiff: class rollup equals the driver-replayed reconciliation") {
+    val cutoff = 1705276800L
+    val byKey = rawEvents.groupBy(e => (e._2, e._4)).map { case (k, es) =>
+      k -> ((es.count(_._3 < cutoff).toLong, es.count(_._3 >= cutoff).toLong))
+    }
+    val expected = byKey.values.groupBy { case (a, b) =>
+      if (a == 0) "added" else if (b == 0) "churned"
+      else if (a != b) "changed" else "stable"
+    }.map { case (cls, vs) =>
+      cls -> ((vs.size.toLong, vs.map(_._1).sum, vs.map(_._2).sum))
+    }
+    val got = Extended.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("class") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("events_before"),
+          r.getAs[Long]("events_after"))))
+      .toMap
+    assert(got == expected, s"got $got expected $expected")
+    // event mass is conserved across the diff
+    assert(got.values.map(_._2).sum + got.values.map(_._3).sum == rawEvents.length.toLong)
+  }
+
   test("q74 outliers: exactly the rows whose integer z-squared exceeds 9") {
     val byType = rawEvents.groupBy(_._4).map { case (t, es) =>
       t -> ((es.length.toLong, es.map(_._5).sum, es.map(e => e._5 * e._5).sum))
