@@ -99,10 +99,13 @@ class ImageCatalogTable(rows: Long, partitions: Int) extends Table with Supports
 }
 
 class ImageCatalogScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ImageCatalogSource.schema
+  private var limit: Int = -1
+  private var agg: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
 
   /** Accept what the "remote catalog" can evaluate (dataset equality,
     * capture-time ranges); everything else stays a Spark-side
@@ -120,16 +123,71 @@ class ImageCatalogScanBuilder(rows: Long, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new ImageCatalogScan(rows, partitions, pushed, required)
+  /** LIMIT pushdown (Spark only offers it once every filter is pushed):
+    * each partition stops GENERATING after `limit` accepted rows —
+    * partial pushdown, Spark still applies the global limit on top. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
+
+  /** Aggregate pushdown for the shapes a remote catalog answers from
+    * its own index — global (no GROUP BY) COUNT(*)/MIN/MAX. Partial
+    * pushdown: each partition returns one pre-aggregated row and Spark
+    * merges, so the scan ships O(partitions) rows instead of O(rows) —
+    * the "ask the catalog, don't download the catalog" contract. */
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+        case _ => None
+      }
+    val ok = a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => colOf(m.column).isDefined
+        case m: Max => colOf(m.column).isDefined
+        case _ => false
+      }
+    if (ok) agg = Some(a)
+    ok
+  }
+
+  override def build(): Scan = agg match {
+    case Some(a) => new ImageCatalogAggScan(rows, partitions, pushed, a)
+    case None => new ImageCatalogScan(rows, partitions, pushed, required, limit)
+  }
 }
 
-class ImageCatalogScan(
-    rows: Long, partitions: Int, pushed: Array[Filter], required: StructType)
+/** Pushed-aggregate scan: one pre-aggregated row per partition. */
+class ImageCatalogAggScan(
+    rows: Long, partitions: Int, pushed: Array[Filter],
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+
+  /** (kind, column): kind ∈ count|min|max. */
+  private val specs: Array[(String, String)] = agg.aggregateExpressions.map {
+    case _: CountStar => ("count", "")
+    case m: Min => ("min", colOf(m.column))
+    case m: Max => ("max", colOf(m.column))
+  }
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (("count", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+    case ((_, c), i) =>
+      StructField(s"agg_$i", ImageCatalogSource.schema(c).dataType, nullable = true)
+  })
   override def description(): String =
-    s"ImageCatalogScan PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+    s"ImageCatalogAggScan PushedAggregates: [${specs.map(s => s"${s._1}(${s._2})").mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -138,14 +196,112 @@ class ImageCatalogScan(
       ImageCatalogPartition(start, math.min(start + per, rows)): InputPartition).toArray
   }
 
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ps = pushed; val sp = specs
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[ImageCatalogPartition]
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        var n = 0L
+        val mins = Array.fill[Any](sp.length)(null)
+        val maxs = Array.fill[Any](sp.length)(null)
+        var i = p.start
+        while (i < p.end) {
+          if (ImageCatalogSource.accept(ps, i)) {
+            n += 1
+            var c = 0
+            while (c < sp.length) {
+              sp(c) match {
+                case ("count", _) =>
+                case (kind, col) =>
+                  val v = ImageCatalogSource.field(i, col)
+                  val cmp = (a: Any, b: Any) => (a, b) match {
+                    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+                    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+                    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+                  }
+                  if (kind == "min" && (mins(c) == null || cmp(v, mins(c)) < 0)) mins(c) = v
+                  if (kind == "max" && (maxs(c) == null || cmp(v, maxs(c)) > 0)) maxs(c) = v
+              }
+              c += 1
+            }
+          }
+          i += 1
+        }
+        new GenericInternalRow(sp.zipWithIndex.map {
+          case (("count", _), _) => n: Any
+          case (("min", _), c) => mins(c)
+          case (("max", _), c) => maxs(c)
+        }.toArray[Any])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class ImageCatalogScan(
+    rows: Long, partitions: Int, pushed: Array[Filter], required: StructType,
+    limit: Int = -1)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"ImageCatalogScan PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
+      s"ReadSchema: ${required.catalogString}"
+  override def toBatch: Batch = this
+
+  /** Post-filter statistics from the catalog's own metadata — the
+    * ANALYTIC selectivity a remote catalog serves without a scan
+    * (dataset equality hits 1 of 3 datasets; a capture-time range is
+    * its overlap fraction with the catalog's time span). Without this,
+    * a DSv2 relation defaults to "unknown = huge" and the planner will
+    * never broadcast a filtered catalog join. */
+  override def estimateStatistics(): Statistics = {
+    val span = rows.toDouble * ImageCatalogSource.StepMillis
+    val base = ImageCatalogSource.BaseMillis
+    val sel = pushed.foldLeft(1.0) { (s, f) =>
+      s * (f match {
+        case EqualTo("dataset", _) => 1.0 / 3.0
+        case GreaterThan("captured_ts_millis", v) =>
+          (((base + span) - v.asInstanceOf[Number].doubleValue()) / span).max(0).min(1)
+        case GreaterThanOrEqual("captured_ts_millis", v) =>
+          (((base + span) - v.asInstanceOf[Number].doubleValue()) / span).max(0).min(1)
+        case LessThan("captured_ts_millis", v) =>
+          ((v.asInstanceOf[Number].doubleValue() - base) / span).max(0).min(1)
+        case LessThanOrEqual("captured_ts_millis", v) =>
+          ((v.asInstanceOf[Number].doubleValue() - base) / span).max(0).min(1)
+        case _ => 1.0
+      })
+    }
+    val est = math.max(1L, (rows * sel).toLong)
+    val estCapped = if (limit >= 0) math.min(est, limit.toLong) else est
+    val rowWidth = 72L // 8 numeric cols + short strings
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(estCapped * rowWidth)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(estCapped)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + partitions - 1) / partitions)
+    (0L until rows by per).map(start =>
+      ImageCatalogPartition(start, math.min(start + per, rows)): InputPartition).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new ImageCatalogReaderFactory(pushed, required.fieldNames)
+    new ImageCatalogReaderFactory(pushed, required.fieldNames, limit)
 }
 
 case class ImageCatalogPartition(start: Long, end: Long) extends InputPartition
 
-class ImageCatalogReaderFactory(pushed: Array[Filter], columns: Array[String])
+class ImageCatalogReaderFactory(
+    pushed: Array[Filter], columns: Array[String], limit: Int = -1)
     extends PartitionReaderFactory {
+
+  private def capped(n: Long): Long = if (limit >= 0) math.min(n, limit.toLong) else n
 
   /** VECTORIZED delivery: the scan hands Spark `ColumnarBatch`es (the
     * same interface the built-in parquet reader uses), so downstream
@@ -167,11 +323,12 @@ class ImageCatalogReaderFactory(pushed: Array[Filter], columns: Array[String])
       private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
       private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
       private var i = p.start
+      private var emitted = 0L
 
       override def next(): Boolean = {
         vectors.foreach(_.reset())
         var n = 0
-        while (n < capacity && i < p.end) {
+        while (n < capacity && i < p.end && emitted + n < capped(Long.MaxValue)) {
           if (ImageCatalogSource.accept(pushed, i)) {
             var c = 0
             while (c < columns.length) {
@@ -188,6 +345,7 @@ class ImageCatalogReaderFactory(pushed: Array[Filter], columns: Array[String])
           i += 1
         }
         batch.setNumRows(n)
+        emitted += n
         n > 0
       }
       override def get(): ColumnarBatch = batch
@@ -200,11 +358,14 @@ class ImageCatalogReaderFactory(pushed: Array[Filter], columns: Array[String])
     new PartitionReader[InternalRow] {
       private var i = p.start - 1
       private var current: InternalRow = _
+      private var emitted = 0L
 
       override def next(): Boolean = {
+        if (emitted >= capped(Long.MaxValue)) return false
         i += 1
         while (i < p.end && !ImageCatalogSource.accept(pushed, i)) i += 1
         if (i >= p.end) return false
+        emitted += 1
         current = new GenericInternalRow(
           columns.map(c => ImageCatalogSource.field(i, c)).toArray[Any])
         true

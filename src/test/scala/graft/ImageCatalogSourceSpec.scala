@@ -84,4 +84,42 @@ class ImageCatalogSourceSpec extends AnyFunSuite {
       || plan.contains("Filter"), "cloud predicate must be evaluated by Spark")
     assert(df.count() == catalog().collect().count(_.getDouble(7) < 20.0))
   }
+
+  test("LIMIT pushdown: partitions stop generating after the limit (plan carries PushedLimit)") {
+    val df = catalog().filter(col("dataset") === "S2A").limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"limit must reach the source:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 7 && rows.forall(_.getString(1) == "S2A"))
+  }
+
+  test("aggregate pushdown: COUNT/MIN/MAX never materialize catalog rows, partials merge exactly") {
+    val df = catalog().filter(col("dataset") === "S2A")
+      .agg(count(lit(1)).as("n"), min(col("captured_ts_millis")).as("mn"),
+        max(col("captured_ts_millis")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregation must be answered by the source:\n$plan")
+    val r = df.head()
+    // reference computed from the generator contract on the driver
+    val ref = (0L until 10000L).filter(i =>
+      graft.sources.ImageCatalogSource.field(i, "dataset").toString == "S2A")
+      .map(i => graft.sources.ImageCatalogSource.field(i, "captured_ts_millis").asInstanceOf[Long])
+    assert(r.getLong(0) == ref.length.toLong, "pushed COUNT")
+    assert(r.getLong(1) == ref.min && r.getLong(2) == ref.max, "pushed MIN/MAX")
+  }
+
+  test("reported statistics make a filtered catalog broadcastable in joins") {
+    import spark.implicits._
+    // without SupportsReportStatistics a DSv2 relation is "unknown =
+    // huge" and never broadcasts; the analytic post-filter estimate
+    // (1/3 of 10k rows * 72 B) is far under the 10 MB threshold
+    val dim = catalog().filter(col("dataset") === "L9")
+      .select(col("ee_id"), col("cloud_pct"))
+    val fact = spark.range(20000).select(
+      concat(lit("img"), lpad((col("id") % 10000).cast("string"), 10, "0")).as("ee_id"))
+    val plan = fact.join(dim, "ee_id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"planner must broadcast the filtered catalog via reported stats:\n$plan")
+  }
 }
