@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, Table, TableCatalog, TableChange}
+  FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -24,7 +25,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (alter/rename) is unsupported by design: the catalog is a window
   * onto immutable, manifest-committed data, not a mutable metastore.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -110,4 +111,14 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- FunctionCatalog: graft kernels callable from pure SQL ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+        ident.namespace.mkString("."), ident.name))
 }

@@ -124,6 +124,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_test.db.deltest")
   }
 
+  test("FunctionCatalog: graft kernels callable from pure SQL delegate to the same expressions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    warehouse
+    // catalog functions answer from SQL with no temp registration
+    assert(spark.sql("SELECT graft_test.db.dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) === 11.0)
+    // one kernel, two entry points: SQL catalog call ≡ Column API
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    docs.createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_test.db.polyhash(text) AS h FROM fn_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PolyHash(org.apache.spark.sql.GraftSqlBridge.expression(col("text")))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaColumn, "catalog function must equal the Column-API kernel")
+    // z_value from SQL matches the ZOrder helper
+    assert(spark.sql("SELECT graft_test.db.z_value(5L, 3L) AS z").head().getLong(0) ===
+      spark.range(1).select(graft.functions.ZOrder.zValue(lit(5L), lit(3L), 21)).head().getLong(0))
+    // unknown function is a typed miss, and SHOW FUNCTIONS lists the kernels
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_test.db.nope(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("SQL TRUNCATE TABLE empties in one swap; keyed upsert merges like the reference's Postgres sink") {
     import spark.implicits._
     warehouse
