@@ -100,7 +100,7 @@ class ImageCatalogTable(rows: Long, partitions: Int) extends Table with Supports
 
 class ImageCatalogScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ImageCatalogSource.schema
@@ -128,6 +128,30 @@ class ImageCatalogScanBuilder(rows: Long, partitions: Int)
     * partial pushdown, Spark still applies the global limit on top. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
+
+  /** TopN pushdown for ORDER BY captured_ts_millis [DESC] LIMIT n —
+    * the catalog's row index IS the time order (ts = base + i·step,
+    * monotone), so "latest n images" needs no sort anywhere: ascending
+    * reads forward, descending reads BACKWARD from each partition's
+    * end, both stopping at n accepted rows. Partial pushdown — Spark
+    * still merges the per-partition candidates with its TakeOrdered. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    orders match {
+      case Array(o) => o.expression() match {
+        case n: NamedReference
+            if n.fieldNames.sameElements(Array("captured_ts_millis")) =>
+          limit = l
+          descending = o.direction() == SortDirection.DESCENDING
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+  private var descending = false
 
   /** Aggregate pushdown for the shapes a remote catalog answers from
     * its own index — global (no GROUP BY) COUNT(*)/MIN/MAX. Partial
@@ -158,7 +182,7 @@ class ImageCatalogScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = agg match {
     case Some(a) => new ImageCatalogAggScan(rows, partitions, pushed, a)
-    case None => new ImageCatalogScan(rows, partitions, pushed, required, limit)
+    case None => new ImageCatalogScan(rows, partitions, pushed, required, limit, descending)
   }
 }
 
@@ -242,12 +266,13 @@ class ImageCatalogAggScan(
 
 class ImageCatalogScan(
     rows: Long, partitions: Int, pushed: Array[Filter], required: StructType,
-    limit: Int = -1)
+    limit: Int = -1, descending: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"ImageCatalogScan PushedFilters: [${pushed.mkString(", ")}], " +
-      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
+      (if (limit >= 0 && descending) s"PushedTopN: ts DESC LIMIT $limit, "
+       else if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.catalogString}"
   override def toBatch: Batch = this
 
@@ -292,13 +317,14 @@ class ImageCatalogScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ImageCatalogReaderFactory(pushed, required.fieldNames, limit)
+    new ImageCatalogReaderFactory(pushed, required.fieldNames, limit, descending)
 }
 
 case class ImageCatalogPartition(start: Long, end: Long) extends InputPartition
 
 class ImageCatalogReaderFactory(
-    pushed: Array[Filter], columns: Array[String], limit: Int = -1)
+    pushed: Array[Filter], columns: Array[String], limit: Int = -1,
+    descending: Boolean = false)
     extends PartitionReaderFactory {
 
   private def capped(n: Long): Long = if (limit >= 0) math.min(n, limit.toLong) else n
@@ -308,8 +334,10 @@ class ImageCatalogReaderFactory(
     * whole-stage codegen consumes column vectors via `ColumnarToRow`
     * instead of one virtual call per row per field. The row-based
     * reader below is kept as the reference implementation; the spec
-    * pins both paths to identical results. */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+    * pins both paths to identical results. (A descending TopN read
+    * takes the row path — its backward walk is n rows, not worth a
+    * second columnar loop.) */
+  override def supportColumnarReads(partition: InputPartition): Boolean = !descending
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -355,16 +383,20 @@ class ImageCatalogReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ImageCatalogPartition]
+    val step = if (descending) -1L else 1L
+    val first = if (descending) p.end else p.start - 1
     new PartitionReader[InternalRow] {
-      private var i = p.start - 1
+      private var i = first
       private var current: InternalRow = _
       private var emitted = 0L
 
+      private def inRange: Boolean = i >= p.start && i < p.end
+
       override def next(): Boolean = {
         if (emitted >= capped(Long.MaxValue)) return false
-        i += 1
-        while (i < p.end && !ImageCatalogSource.accept(pushed, i)) i += 1
-        if (i >= p.end) return false
+        i += step
+        while (inRange && !ImageCatalogSource.accept(pushed, i)) i += step
+        if (!inRange) return false
         emitted += 1
         current = new GenericInternalRow(
           columns.map(c => ImageCatalogSource.field(i, c)).toArray[Any])

@@ -109,6 +109,20 @@ class ImageCatalogSourceSpec extends AnyFunSuite {
     assert(r.getLong(1) == ref.min && r.getLong(2) == ref.max, "pushed MIN/MAX")
   }
 
+  test("TopN pushdown: latest-n-images reads BACKWARD, no sort of the catalog anywhere") {
+    val df = catalog().filter(col("dataset") === "S2A")
+      .orderBy(col("captured_ts_millis").desc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN"), s"TopN must reach the source:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(2)))
+    val expected = (0L until 10000L)
+      .filter(i => graft.sources.ImageCatalogSource.field(i, "dataset").toString == "S2A")
+      .map(i => (graft.sources.ImageCatalogSource.field(i, "ee_id").toString,
+        graft.sources.ImageCatalogSource.field(i, "captured_ts_millis").asInstanceOf[Long]))
+      .sortBy(-_._2).take(5)
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+  }
+
   test("reported statistics make a filtered catalog broadcastable in joins") {
     import spark.implicits._
     // without SupportsReportStatistics a DSv2 relation is "unknown =
