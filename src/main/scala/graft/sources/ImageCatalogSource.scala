@@ -267,7 +267,48 @@ class ImageCatalogAggScan(
 class ImageCatalogScan(
     rows: Long, partitions: Int, pushed: Array[Filter], required: StructType,
     limit: Int = -1, descending: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) partition pruning: capture time is MONOTONE
+    * in the row index, so each input partition covers a closed ts
+    * interval — a runtime IN/range filter on `captured_ts_millis`
+    * (delivered by Spark from the other side of a join, after that
+    * side is evaluated) prunes whole partitions before their tasks
+    * launch. The generation-time `pushed` filters prune ROWS at plan
+    * time; this prunes PARTITIONS at run time — the DSv2 analog of
+    * dynamic partition pruning on a time-partitioned table. */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only advertise what survived column pruning — Spark resolves
+    // these against the scan's OUTPUT, and a pruned-away column is an
+    // analysis error, not a skipped optimization
+    if (required.fieldNames.contains("captured_ts_millis"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("captured_ts_millis"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = runtime = filters
+
+  private def tsOf(i: Long): Long = ImageCatalogSource.BaseMillis + i * ImageCatalogSource.StepMillis
+
+  /** Partition [start, end) survives iff its ts interval can satisfy
+    * every runtime filter; unknown filter shapes keep the partition
+    * (pruning is an optimization, never a correctness gate). */
+  private def survives(start: Long, end: Long): Boolean = {
+    val lo = tsOf(start); val hi = tsOf(end - 1)
+    runtime.forall {
+      case org.apache.spark.sql.sources.In("captured_ts_millis", vs) =>
+        vs.exists { v => val t = v.asInstanceOf[Number].longValue(); t >= lo && t <= hi }
+      case EqualTo("captured_ts_millis", v) =>
+        val t = v.asInstanceOf[Number].longValue(); t >= lo && t <= hi
+      case GreaterThan("captured_ts_millis", v) => hi > v.asInstanceOf[Number].longValue()
+      case GreaterThanOrEqual("captured_ts_millis", v) => hi >= v.asInstanceOf[Number].longValue()
+      case LessThan("captured_ts_millis", v) => lo < v.asInstanceOf[Number].longValue()
+      case LessThanOrEqual("captured_ts_millis", v) => lo <= v.asInstanceOf[Number].longValue()
+      case _ => true
+    }
+  }
   override def readSchema(): StructType = required
   override def description(): String =
     s"ImageCatalogScan PushedFilters: [${pushed.mkString(", ")}], " +
@@ -312,8 +353,10 @@ class ImageCatalogScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per).map(start =>
-      ImageCatalogPartition(start, math.min(start + per, rows)): InputPartition).toArray
+    (0L until rows by per)
+      .filter(start => survives(start, math.min(start + per, rows)))
+      .map(start =>
+        ImageCatalogPartition(start, math.min(start + per, rows)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -123,6 +123,37 @@ class ImageCatalogSourceSpec extends AnyFunSuite {
     assert(got.toSeq == expected, s"got ${got.toSeq}")
   }
 
+  test("runtime filtering: a join's other side prunes catalog partitions before tasks launch") {
+    import spark.implicits._
+    val base = graft.sources.ImageCatalogSource.BaseMillis
+    val step = graft.sources.ImageCatalogSource.StepMillis
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cat = spark.read.format("graft.sources.ImageCatalogSource")
+        .option("rows", "2000000").option("partitions", "8").load()
+      // dim keys land in the FIRST of 8 partitions; the Range keeps a
+      // real Filter node (a folded LocalRelation would defeat the
+      // selectivity check and DPP would never be inserted)
+      val dim = spark.range(30)
+        .filter(col("id") % 10 === 0)
+        .select((lit(base) + col("id") * lit(step)).as("ts_wanted"))
+      val joined = cat.join(dim, col("captured_ts_millis") === col("ts_wanted"))
+      assert(joined.collect().length == 3)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"DPP filter must be planned against the scan:\n$plan")
+      val scanRows = plan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics("numOutputRows").value
+      }
+      // 7 of 8 partitions pruned at runtime: the scan generates only
+      // the surviving partition's 250k rows, not 2M
+      assert(scanRows.exists(n => n > 0 && n <= 250000L),
+        s"runtime filter should prune to one partition, scan emitted $scanRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("reported statistics make a filtered catalog broadcastable in joins") {
     import spark.implicits._
     // without SupportsReportStatistics a DSv2 relation is "unknown =
