@@ -39,7 +39,8 @@ class ImageCatalogSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ImageCatalogTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("partitionBy", "") == "dataset")
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -89,16 +90,17 @@ object ImageCatalogSource {
   }
 }
 
-class ImageCatalogTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+class ImageCatalogTable(rows: Long, partitions: Int, byDataset: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"image_catalog($rows)"
   override def schema(): StructType = ImageCatalogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ImageCatalogScanBuilder(rows, partitions)
+    new ImageCatalogScanBuilder(rows, partitions, byDataset)
 }
 
-class ImageCatalogScanBuilder(rows: Long, partitions: Int)
+class ImageCatalogScanBuilder(rows: Long, partitions: Int, byDataset: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN with SupportsPushDownAggregates {
 
@@ -182,6 +184,7 @@ class ImageCatalogScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = agg match {
     case Some(a) => new ImageCatalogAggScan(rows, partitions, pushed, a)
+    case None if byDataset => new ImageCatalogKeyedScan(rows, pushed, required)
     case None => new ImageCatalogScan(rows, partitions, pushed, required, limit, descending)
   }
 }
@@ -364,6 +367,57 @@ class ImageCatalogScan(
 }
 
 case class ImageCatalogPartition(start: Long, end: Long) extends InputPartition
+
+/** Storage-partitioned (key-grouped) layout: rows of dataset d are the
+  * residue class i ≡ d (mod 3), so "one partition per dataset" needs
+  * no data movement — each input partition declares its dataset as its
+  * partition key and the scan reports `KeyGroupedPartitioning` over
+  * identity(dataset). With `spark.sql.sources.v2.bucketing.enabled`,
+  * Spark then satisfies a dataset-clustered distribution FROM THE
+  * STORAGE LAYOUT: group-bys on dataset and joins between two such
+  * scans plan ZERO Exchange — the DSv2 storage-partitioned-join
+  * machinery modern table formats use, demonstrated end to end. */
+case class DatasetPartition(d: Int, rows: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](ImageCatalogSource.field(d.toLong, "dataset")))
+}
+
+class ImageCatalogKeyedScan(rows: Long, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"ImageCatalogKeyedScan PushedFilters: [${pushed.mkString(", ")}], KeyGroupedBy: dataset"
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.identity("dataset")), 3)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until 3).map(d => DatasetPartition(d, rows): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ps = pushed; val cols = required.fieldNames
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[DatasetPartition]
+      private var i = p.d.toLong - 3L
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        i += 3
+        while (i < p.rows && !ImageCatalogSource.accept(ps, i)) i += 3
+        if (i >= p.rows) return false
+        current = new GenericInternalRow(
+          cols.map(c => ImageCatalogSource.field(i, c)).toArray[Any])
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class ImageCatalogReaderFactory(
     pushed: Array[Filter], columns: Array[String], limit: Int = -1,

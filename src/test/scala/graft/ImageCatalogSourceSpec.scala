@@ -154,6 +154,37 @@ class ImageCatalogSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("storage-partitioned layout: key-grouped reporting eliminates agg AND join exchanges") {
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def keyed() = spark.read.format("graft.sources.ImageCatalogSource")
+        .option("rows", "9000").option("partitionBy", "dataset").load()
+      // group-by on the partition key: satisfied FROM STORAGE, no shuffle
+      val agg = keyed().groupBy(col("dataset")).count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "key-grouped scan must satisfy the aggregation's distribution")
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+        Seq(("L9", 3000L), ("S2A", 3000L), ("S2B", 3000L)))
+      // storage-partitioned JOIN: two keyed scans, zero Exchange even
+      // with broadcast disabled — the DSv2 SPJ path end to end
+      val j = keyed().groupBy(col("dataset")).count()
+        .join(keyed().groupBy(col("dataset")).agg(max("cloud_pct").as("mx")), "dataset")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"SPJ must avoid all shuffles:\n${j.queryExecution.executedPlan}")
+      assert(j.collect().length == 3)
+      // contrast: the row-range layout must shuffle for the same agg —
+      // the zero above is the REPORTED partitioning, not AQE luck
+      val plain = catalog(9000).groupBy(col("dataset")).count()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("reported statistics make a filtered catalog broadcastable in joins") {
     import spark.implicits._
     // without SupportsReportStatistics a DSv2 relation is "unknown =
