@@ -362,11 +362,30 @@ class ImageCatalogScan(
         ImageCatalogPartition(start, math.min(start + per, rows)): InputPartition).toArray
   }
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new RowsSkippedMetric)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ImageCatalogReaderFactory(pushed, required.fieldNames, limit, descending)
 }
 
 case class ImageCatalogPartition(start: Long, end: Long) extends InputPartition
+
+/** DSv2 custom metric: rows the pushed filters rejected AT GENERATION
+  * — the observability counterpart of pushdown. In the Spark UI /
+  * plan metrics this shows how much the source-side filter actually
+  * saved, which is how an operator at 100 TB proves its pushdown is
+  * working without re-running the query unpushed. */
+class RowsSkippedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsSkippedByPushdown"
+  override def description(): String = "rows rejected by pushed filters at generation"
+}
+
+class RowsSkippedTaskMetric(var count: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "rowsSkippedByPushdown"
+  override def value(): Long = count
+}
 
 /** Storage-partitioned (key-grouped) layout: rows of dataset d are the
   * residue class i ≡ d (mod 3), so "one partition per dataset" needs
@@ -449,12 +468,17 @@ class ImageCatalogReaderFactory(
       private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
       private var i = p.start
       private var emitted = 0L
+      private val skipped = new RowsSkippedTaskMetric(0L)
+
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(skipped)
 
       override def next(): Boolean = {
         vectors.foreach(_.reset())
         var n = 0
         while (n < capacity && i < p.end && emitted + n < capped(Long.MaxValue)) {
-          if (ImageCatalogSource.accept(pushed, i)) {
+          if (!ImageCatalogSource.accept(pushed, i)) skipped.count += 1
+          else {
             var c = 0
             while (c < columns.length) {
               ImageCatalogSource.field(i, columns(c)) match {
@@ -486,13 +510,14 @@ class ImageCatalogReaderFactory(
       private var i = first
       private var current: InternalRow = _
       private var emitted = 0L
+      private val skipped = new RowsSkippedTaskMetric(0L)
 
       private def inRange: Boolean = i >= p.start && i < p.end
 
       override def next(): Boolean = {
         if (emitted >= capped(Long.MaxValue)) return false
         i += step
-        while (inRange && !ImageCatalogSource.accept(pushed, i)) i += step
+        while (inRange && !ImageCatalogSource.accept(pushed, i)) { skipped.count += 1; i += step }
         if (!inRange) return false
         emitted += 1
         current = new GenericInternalRow(
@@ -500,6 +525,8 @@ class ImageCatalogReaderFactory(
         true
       }
       override def get(): InternalRow = current
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(skipped)
       override def close(): Unit = ()
     }
   }

@@ -85,6 +85,21 @@ class ImageCatalogSourceSpec extends AnyFunSuite {
     assert(df.count() == catalog().collect().count(_.getDouble(7) < 20.0))
   }
 
+  test("custom metric: rowsSkippedByPushdown shows exactly what the source-side filter saved") {
+    val df = catalog().filter(col("dataset") === "S2A")
+    // execute THIS plan (count() would build and run a different one)
+    assert(df.collect().nonEmpty)
+    val metric = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.metrics.get("rowsSkippedByPushdown").map(_.value)
+    }.flatten
+    // 2 of 3 datasets are rejected at generation: 10000 - |S2A|
+    val expected = 10000L - (0L until 10000L).count(
+      graft.sources.ImageCatalogSource.field(_, "dataset").toString == "S2A")
+    assert(metric.contains(expected),
+      s"skip metric should be $expected, got $metric")
+  }
+
   test("LIMIT pushdown: partitions stop generating after the limit (plan carries PushedLimit)") {
     val df = catalog().filter(col("dataset") === "S2A").limit(7)
     val plan = df.queryExecution.executedPlan.toString
