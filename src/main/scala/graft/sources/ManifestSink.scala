@@ -177,16 +177,31 @@ object ManifestSink {
   /** Atomically publish a manifest under the next free sequence
     * number: content goes to a temp file first, then an atomic rename
     * claims `_manifest-<seq>-<tag>` — readers never see partial
-    * content. (Single committer per path, as before; what the
-    * sequence fixes is ordering stability, not multi-writer commits.) */
+    * content. Concurrent committers race for the sequence slot; the
+    * ATOMIC_MOVE is the arbiter (exists-check alone is TOCTOU), and a
+    * loser simply claims the NEXT slot — both commits land, ordered by
+    * whoever won each rename. Bounded retries: exhausting them means
+    * something is renaming faster than the filesystem can arbitrate. */
   def writeManifest(root: File, tag: String, files: Seq[String]): File = {
     val tmp = Files.createTempFile(root.toPath, "_inflight-", ".manifest")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     var seq = sortedManifests(root).lastOption.map(seqOf(_) + 1).getOrElse(0)
-    var target = new File(root, f"$ManifestPrefix$seq%09d-$tag")
-    while (target.exists()) { seq += 1; target = new File(root, f"$ManifestPrefix$seq%09d-$tag") }
-    Files.move(tmp, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    target
+    var attempts = 0
+    while (attempts < 1000) {
+      val target = new File(root, f"$ManifestPrefix$seq%09d-$tag")
+      if (!target.exists()) {
+        try {
+          Files.move(tmp, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+          return target
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => // lost the race; next slot
+        }
+      }
+      seq += 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not claim a manifest sequence slot in $root after 1000 attempts")
   }
 
   /** Compact the current manifest list into ONE checkpoint manifest

@@ -47,6 +47,49 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(v1.count() === 2 && v1.schema.fieldNames.length === 3)
   }
 
+  test("concurrent committers race for sequence slots: every commit lands exactly once") {
+    val dir = new File(tmpDir())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 16).map { w =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String =
+            graft.sources.ManifestSink.writeManifest(dir, s"writer-$w", Seq(s"file-$w")).getName
+        })
+      }
+      val names = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(names.toSet.size == 16, "each commit must claim a distinct manifest")
+      val listed = graft.sources.ManifestSink.sortedManifests(dir)
+      assert(listed.size == 16 && graft.sources.ManifestSink.logicalCount(dir) == 16)
+      // all 16 payloads visible, none lost to the rename race
+      assert(graft.sources.ManifestSink.filesOf(listed).toSet ==
+        (0 until 16).map(w => s"file-$w").toSet)
+    } finally pool.shutdown()
+  }
+
+  test("row codec round-trips arbitrary strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // adversarial generator: heavy on the codec's escape characters
+    val g = Gen.listOf(Gen.frequency(
+      (4, Gen.asciiPrintableChar), (2, Gen.const('\\')), (2, Gen.const('\t')),
+      (2, Gen.const('\n')), (1, Gen.const('\r')),
+      (1, Gen.choose(0x20.toChar, 0x2FFF.toChar)))).map(_.mkString)
+    val cases = (0 until 500).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong))) :+ "" :+ "\\N" :+ "C:\\net\\r"
+    cases.foreach { s =>
+      val enc = graft.sources.ManifestSink.encodeField(s)
+      assert(!enc.contains('\t') && !enc.contains('\n') && !enc.contains('\r'),
+        s"encoded form must be line/field safe: ${enc.take(50)}")
+      val dec = graft.sources.ManifestSink.decodeField(enc,
+        org.apache.spark.sql.types.StringType)
+      assert(dec.toString == s, s"round-trip broke for ${s.take(50)}")
+    }
+    // the null sentinel is not confusable with the literal string "\\N"
+    assert(graft.sources.ManifestSink.decodeField("\\N",
+      org.apache.spark.sql.types.StringType) == null)
+  }
+
   test("write → read-back round-trips rows, schema, and nulls") {
     import spark.implicits._
     val dir = tmpDir()
