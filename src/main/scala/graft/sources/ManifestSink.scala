@@ -259,6 +259,33 @@ object ManifestSink {
         s"incoming <${incoming.toDDL}> — only appended trailing columns are supported")
   }
 
+  /** Test seam: runs between a COW rewrite and its swap publication,
+    * so specs can interleave a concurrent commit deterministically. */
+  private[graft] var beforeSwapHook: () => Unit = () => ()
+
+  /** Publish a copy-on-write swap under OPTIMISTIC CONCURRENCY: the
+    * swap is valid only against the exact manifest history the rewrite
+    * READ. If any commit landed in between, the survivor set is stale
+    * — publishing it would silently DROP the concurrent commit's rows
+    * — so the adopted files are removed and a
+    * ConcurrentModificationException surfaces for the caller to retry
+    * against the new history (the Iceberg/Delta commit-conflict
+    * contract). The residual window after the check is the rename
+    * itself — the same single arbiter writeManifest relies on. */
+  def publishCowSwap(root: File, expected: Seq[File], adopted: Seq[String]): Unit = {
+    beforeSwapHook()
+    val now = sortedManifests(root)
+    if (now.map(_.getName) != expected.map(_.getName)) {
+      adopted.foreach(f => new File(root, f).delete())
+      throw new java.util.ConcurrentModificationException(
+        s"table $root changed during the copy-on-write rewrite " +
+          s"(expected ${expected.size} manifests, found ${now.size}) — retry the operation")
+    }
+    val w = expected.map(weightOf).sum + 1
+    writeManifest(root, s"ckpt-$w", adopted)
+    expected.foreach(_.delete())
+  }
+
   def filesOf(manifests: Seq[File]): Seq[String] =
     manifests.flatMap(m => new String(
       Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).split("\n"))
@@ -312,11 +339,7 @@ class ManifestTable(path: String, external: StructType,
   override def truncateTable(): Boolean = {
     val root = new File(path)
     val before = ManifestSink.sortedManifests(root)
-    if (before.nonEmpty) {
-      val w = before.map(ManifestSink.weightOf).sum + 1
-      ManifestSink.writeManifest(root, s"ckpt-$w", Seq.empty)
-      before.foreach(_.delete())
-    }
+    if (before.nonEmpty) ManifestSink.publishCowSwap(root, before, Seq.empty)
     true
   }
 
@@ -663,12 +686,12 @@ object ManifestDelete {
         target
       }
     // one checkpoint absorbs the entire pre-delete history PLUS this
-    // delete as a logical commit; its publication is the atomic swap
-    val w = before.map(ManifestSink.weightOf).sum + 1
-    ManifestSink.writeManifest(root, s"ckpt-$w", adopted)
-    before.foreach(_.delete()) // hidden already; reclaim
-    Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
-    tmpDir.delete()
+    // delete as a logical commit; publication is the optimistic swap
+    try ManifestSink.publishCowSwap(root, before, adopted)
+    finally {
+      Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
+      tmpDir.delete()
+    }
   }
 }
 
@@ -689,7 +712,8 @@ object ManifestUpsert {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
     val spark = batch.sparkSession
     val root = new File(path)
-    if (ManifestSink.sortedManifests(root).isEmpty) {
+    val before = ManifestSink.sortedManifests(root)
+    if (before.isEmpty) {
       // first write defines the table — a plain insert
       batch.write.format("graft.sources.ManifestSink")
         .option("path", path).mode("append").save()
@@ -712,12 +736,12 @@ object ManifestUpsert {
           StandardCopyOption.ATOMIC_MOVE)
         target
       }
-    val before = ManifestSink.sortedManifests(root)
-      .filterNot(m => adopted.contains(m.getName))
-    val w = before.map(ManifestSink.weightOf).sum + 1
-    ManifestSink.writeManifest(root, s"ckpt-$w", adopted)
-    before.foreach(_.delete())
-    Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
-    tmpDir.delete()
+    // optimistic swap: a commit that landed since `before` aborts the
+    // merge (its rows are not in our survivor set) — caller retries
+    try ManifestSink.publishCowSwap(root, before, adopted)
+    finally {
+      Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
+      tmpDir.delete()
+    }
   }
 }

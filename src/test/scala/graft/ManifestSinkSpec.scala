@@ -47,6 +47,35 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(v1.count() === 2 && v1.schema.fieldNames.length === 3)
   }
 
+  test("COW conflict detection: a commit landing mid-rewrite aborts the swap, nothing lost") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // a writer sneaks a commit in between the delete's survivor
+    // rewrite and its swap publication — the lost-update scenario
+    graft.sources.ManifestSink.beforeSwapHook = () =>
+      Seq((99L, "sneaky")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    try {
+      val err = intercept[java.util.ConcurrentModificationException] {
+        graft.sources.ManifestUpsert.upsert(dir,
+          Seq((2L, "B2")).toDF("id", "s"), Seq("id"))
+      }
+      assert(err.getMessage.contains("retry"))
+    } finally graft.sources.ManifestSink.beforeSwapHook = () => ()
+    // the concurrent commit SURVIVED (not silently dropped) and the
+    // aborted merge left no partial state
+    val rows = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "b", 99L -> "sneaky"))
+    // the retry now succeeds against the new history
+    graft.sources.ManifestUpsert.upsert(dir, Seq((2L, "B2")).toDF("id", "s"), Seq("id"))
+    val after = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "a", 2L -> "B2", 99L -> "sneaky"))
+  }
+
   test("concurrent committers race for sequence slots: every commit lands exactly once") {
     val dir = new File(tmpDir())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
