@@ -848,4 +848,63 @@ object TextAnalysis {
        |ds AS (SELECT source, CAST(sum(delta) AS BIGINT) AS d_sum FROM d GROUP BY source)
        |SELECT st.source, coalesce(ds.d_sum, 0) + (SELECT q_sum FROM qc) AS l1_ppm
        |FROM st LEFT JOIN ds USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+
+  /** q79: integer-exact bigram language-model quality score — the
+    * CCNet/Gopher-style "perplexity filter" with the floats removed so
+    * it hash-matches across engines: per bigram, cost = floor(log₂ of
+    * the inverse conditional frequency), computed as BINARY-STRING
+    * LENGTH of `(C(prev)·2²⁰) div C(prev,next)` (the q67 trick —
+    * float log2 can land on either side of a power-of-two boundary);
+    * per doc, the mean cost in millionths. High score = improbable
+    * token sequences under the corpus's own bigram model = the
+    * gibberish/boilerplate a perplexity filter drops; the RANKING is
+    * what a filter thresholds, and integer floor-log preserves it to
+    * within a bit.
+    *
+    * Scale shape: one doc_id shuffle builds bigrams (lead window);
+    * the (prev,next) count aggregate is map-side combined and
+    * vocab²-BOUNDED (not corpus-sized); C(prev) derives from the
+    * bigram counts — no second corpus pass; the scoring join is
+    * bigram-table × count-table equi-join; one final doc aggregate. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("nxt", lead(col("w"), 1).over(wd))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("w"), col("nxt"))
+    val c12 = bi.groupBy(col("w"), col("nxt")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w")).agg(sum(col("c12")).as("c1"))
+    bi.join(c12, Seq("w", "nxt")).join(c1, Seq("w"))
+      .withColumn("bits", length(conv(expr("(c1 * 1048576) div c12"), 10, 2)) - lit(1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("score_ppm", expr("(1000000 * sum_bits) div n_bigrams"))
+  }
+
+  val lmScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, w, nxt FROM (
+      |    SELECT doc_id, w,
+      |           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |    FROM tok)
+      |  WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT w, nxt, count(*) AS c12 FROM bi GROUP BY w, nxt),
+      |c1 AS (SELECT w, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w),
+      |scored AS (
+      |  SELECT bi.doc_id,
+      |         length(bin((c1.c1 * 1048576) // c12.c12)) - 1 AS bits
+      |  FROM bi JOIN c12 USING (w, nxt) JOIN c1 USING (w))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+      |       (1000000 * CAST(sum(bits) AS BIGINT)) // count(*) AS score_ppm
+      |FROM scored GROUP BY doc_id""".stripMargin
 }

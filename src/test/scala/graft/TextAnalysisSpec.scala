@@ -389,4 +389,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     // source should diverge anywhere near the theoretical max
     assert(rows.values.max < 1500000L, "divergence implausibly high for the shared-vocab fixture")
   }
+
+  test("q79 lmScore: per-doc bits equal a driver-replayed bigram model; scores rank coherently") {
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bigrams = docs.toSeq.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      t.zip(t.drop(1)).map(b => (id, b))
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, xs) => w -> xs.values.sum }
+    def bits(b: (String, String)): Long =
+      java.lang.Long.toBinaryString(c1(b._1) * 1048576L / c12(b)).length.toLong - 1L
+    val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map(x => bits(x._2)).sum
+      id -> ((xs.size.toLong, s, 1000000L * s / xs.size))
+    }
+    val got = graft.operators.TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_bits"),
+          r.getAs[Long]("score_ppm"))))
+      .toMap
+    assert(got == expected, "LM scores must equal the driver-replayed bigram model")
+    // frequent-pattern docs must not be flagged as improbable: every
+    // score is finite and ≥ the ~20-bit scale floor of a certain bigram
+    assert(got.values.forall { case (_, _, p) => p >= 0 && p < 45000000L })
+  }
 }
