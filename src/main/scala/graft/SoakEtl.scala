@@ -57,6 +57,46 @@ object SoakEtl {
   }
 }
 
+/** Documents-family soak: replicate the sf0.1 documents table N× with
+  * offset doc_ids (N× docs, same text distribution — the bigram count
+  * table keeps its vocab²-bounded size while every per-doc stage gets
+  * N× rows) and time the text operators whose scale story depends on
+  * that boundedness. Run:
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SoakDocs [N]"` */
+object SoakDocs {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    val soakDir = "/tmp/graft_soak_docs"
+    val reps = spark.range(n).toDF("r")
+    Tables.documents(spark, sfDir).crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("r") * lit(10000000L))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+
+    val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "q54_tfidf_topk" -> operators.TextAnalysis.tfidfTopK _,
+        "q66_source_divergence" -> operators.TextAnalysis.sourceDivergence _,
+        "q79_lm_score" -> operators.TextAnalysis.lmScore _)
+
+    println(f"## Documents soak: sf0.1 x$n (docs x$n, same text distribution)")
+    ops.foreach { case (name, fn) =>
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time(sfDir) // warm: codegen + JIT, unmeasured (the Bench.scala rule)
+      val t1 = time(sfDir)
+      val tn = time(soakDir)
+      println(f"$name%-24s 1x: $t1%6.2f s   ${n}x: $tn%6.2f s   growth ${tn / t1}%4.1fx")
+    }
+    spark.stop()
+  }
+}
+
 /** ANN-ladder timing: the four index tiers over the same corpus and
   * query set, timed end-to-end INCLUDING index build (assignment /
   * training) — the honest comparison, since the exact scan has no
