@@ -695,6 +695,59 @@ object ManifestDelete {
   }
 }
 
+/** File-level OPTIMIZE for manifest tables — the small-files
+  * compaction every streaming sink eventually needs: thousands of
+  * per-epoch micro-files become `nFiles` bin-packed ones. Manifest
+  * compaction ([[ManifestSink.compact]]) shrinks the LOG; this
+  * shrinks the DATA, through the same optimistic swap as
+  * DELETE/upsert, so a commit landing mid-rewrite aborts the
+  * optimize instead of being dropped. Contents are bit-identical —
+  * only the file layout changes — and the swap registers as one
+  * logical commit so offsets/versions stay monotone. */
+object ManifestOptimize {
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      nFiles: Int = 1): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val root = new File(path)
+    val before = ManifestSink.sortedManifests(root)
+    if (before.isEmpty) return
+    val tmpDir = Files.createTempDirectory("graft_optimize").toFile
+    spark.read.format("graft.sources.ManifestSink").option("path", path).load()
+      .coalesce(nFiles)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", tmpDir.getAbsolutePath).mode("append").save()
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
+      .zipWithIndex.map { case (f, i) =>
+        val target = s"opt-$stamp-$i-$f"
+        Files.move(new File(tmpDir, f).toPath, new File(root, target).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        target
+      }
+    try ManifestSink.publishCowSwap(root, before, adopted)
+    finally {
+      Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
+      tmpDir.delete()
+    }
+  }
+
+  /** Delete data files no visible manifest references — the garbage
+    * left behind by OPTIMIZE/DELETE/upsert swaps. Deliberately a
+    * SEPARATE explicit call (never automatic): an in-flight reader
+    * that listed manifests before a swap may still be reading the old
+    * files, so vacuum carries the same contract as every table
+    * format's VACUUM — run it only once no reader predates the swap.
+    * Returns the number of files reclaimed. */
+  def vacuum(path: String): Int = {
+    val root = new File(path)
+    val live = ManifestSink.filesOf(ManifestSink.sortedManifests(root)).toSet
+    val orphans = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !live.contains(f.getName))
+    orphans.foreach(_.delete())
+    orphans.length
+  }
+}
+
 /** Keyed UPSERT (MERGE semantics) for manifest tables — the
   * reference's Postgres `insert … on conflict update` sink contract
   * (main.py:453-457) on an object-store table: rows in `batch` REPLACE

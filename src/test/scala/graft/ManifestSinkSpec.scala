@@ -47,6 +47,39 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(v1.count() === 2 && v1.schema.fieldNames.length === 3)
   }
 
+  test("OPTIMIZE bin-packs micro-files; VACUUM reclaims exactly the unreferenced garbage") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // 6 separate commits = many micro-files, the streaming-sink shape
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    def dataFiles(): Set[String] = new File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.getName).toSet
+    val beforeFiles = dataFiles()
+    assert(beforeFiles.size >= 6)
+
+    graft.sources.ManifestOptimize.compactFiles(spark, dir, nFiles = 1)
+    // contents identical, layout compacted, history one logical commit longer
+    val rows = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === (0 until 6).map(i => i.toLong -> s"v$i").toMap)
+    val root = new File(dir)
+    assert(graft.sources.ManifestSink.logicalCount(root) === 7)
+    val live = graft.sources.ManifestSink.filesOf(
+      graft.sources.ManifestSink.sortedManifests(root))
+    assert(live.size === 1, s"6 micro-files must bin-pack into 1, got $live")
+
+    // old files are garbage until an explicit vacuum (in-flight-reader contract)
+    assert(dataFiles().intersect(beforeFiles) === beforeFiles)
+    val reclaimed = graft.sources.ManifestOptimize.vacuum(dir)
+    assert(reclaimed === beforeFiles.size)
+    assert(dataFiles() === live.toSet)
+    // table unaffected by the vacuum
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 6)
+  }
+
   test("COW conflict detection: a commit landing mid-rewrite aborts the swap, nothing lost") {
     import spark.implicits._
     val dir = tmpDir()
