@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextHash
@@ -482,4 +483,55 @@ object Dedup {
        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+
+  /** q80's sliding-window width. */
+  val SnmWindow = 3
+
+  /** q80: sorted-neighborhood matching — the OTHER classic entity-
+    * resolution method (q72 is blocking): sort the name vocabulary,
+    * compare each entry only with its `SnmWindow` successors, verify
+    * with edit distance. No join at all — `lead` columns over the sort
+    * order make candidate generation a pure window, and the recall
+    * trade (pairs more than W apart in sort order are missed) is the
+    * method's documented property, not a bug. Blocking wins when a
+    * good blocking key exists; SNM wins when typos hit the key itself
+    * (a blocked first-letter typo lands in the wrong block forever; a
+    * sorted neighborhood still sees it if the names stay adjacent).
+    *
+    * Scale note: the sort is over the DISTINCT vocabulary (≪ rows);
+    * a cluster deployment range-partitions the sorted vocabulary with
+    * W rows of boundary overlap per partition, keeping the window
+    * shuffle-free — the standard SNM parallelization. */
+  def snmMatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("p_name"))
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+    val leads = names.select(col("p_name").as("name_a") +:
+      (1 to SnmWindow).map(k => lead(col("p_name"), k).over(w).as(s"n$k")): _*)
+    val legs = (1 to SnmWindow).map(k => s"n$k").mkString(", ")
+    leads
+      .select(col("name_a"), expr(s"stack($SnmWindow, $legs) AS name_b"))
+      .filter(col("name_b").isNotNull)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+  }
+
+  val snmMatchSql: String = {
+    val leadCols = (1 to SnmWindow).map(k =>
+      s"lead(p_name, $k) OVER (ORDER BY p_name) AS n$k").mkString(",\n       |         ")
+    val legs = (1 to SnmWindow).map(k =>
+      s"SELECT name_a, n$k AS name_b FROM l").mkString("\n       |  UNION ALL ")
+    s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+       |l AS (
+       |  SELECT p_name AS name_a,
+       |         $leadCols
+       |  FROM names),
+       |u AS (
+       |  $legs)
+       |SELECT name_a, name_b,
+       |       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+       |FROM u WHERE name_b IS NOT NULL
+       |  AND levenshtein(name_a, name_b) <= $FuzzyMaxDist""".stripMargin
+  }
 }

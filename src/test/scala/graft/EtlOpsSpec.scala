@@ -110,6 +110,26 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture yields no fuzzy pairs — test is vacuous")
   }
 
+  test("q80 snmMatch: equals the brute-force sorted-window scan; complements blocking") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf).select(col("p_name")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val expected = (for {
+      i <- names.indices; k <- 1 to Dedup.SnmWindow if i + k < names.length
+      d = lev(names(i), names(i + k)) if d <= Dedup.FuzzyMaxDist
+    } yield (names(i), names(i + k), d)).toSet
+    val got = Dedup.snmMatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expected, "SNM must equal the sorted sliding-window scan")
+    assert(got.nonEmpty, "fixture yields no SNM pairs — test is vacuous")
+  }
+
   test("q73 transitionProfile: pair mass conserved, ppm rows sum to ~1e6") {
     val rows = Extended.transitionProfile(spark, sf).collect()
     val totalPairs = rows.map(_.getAs[Long]("n")).sum
