@@ -885,6 +885,75 @@ object TextAnalysis {
       .withColumn("score_ppm", expr("(1000000 * sum_bits) div n_bigrams"))
   }
 
+  /** q81: minimum pair count for a collocation candidate (rare pairs
+    * have unreliable PMI — the standard support cutoff). */
+  val PmiMinCount = 20L
+
+  /** q81: PMI collocation extraction — the statistically-bound word
+    * pairs ("new york"-style units) a tokenizer or phrase miner wants:
+    * PMI = log₂(P(a,b) / (P(a)·P(b))), computed integer-exactly as
+    * BINARY-STRING LENGTH of `(C(a,b)·N·2²⁰) div (C(a)·C(b))` minus
+    * 21 (the q79 floor-log₂ trick; the +2²⁰ scale keeps sub-unit
+    * ratios positive so negative-PMI pairs floor at distinct integer
+    * levels too). Adjacent-pair counts reuse the q79 bigram machinery;
+    * a support cutoff (count ≥ 20) drops the unreliable tail before
+    * ranking.
+    *
+    * Scale shape: identical to q79 — one doc_id shuffle for bigrams,
+    * vocab²-bounded count tables, unigram counts derived from bigram
+    * counts (no second corpus pass); the PMI projection and top-K are
+    * over the count table, never the corpus. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("nxt", lead(col("w"), 1).over(wd))
+      .filter(col("nxt").isNotNull)
+      .select(col("w"), col("nxt"))
+    val c12 = bi.groupBy(col("w"), col("nxt")).agg(count(lit(1)).as("c12"))
+    val cA = c12.groupBy(col("w")).agg(sum(col("c12")).as("ca"))
+    val cB = c12.groupBy(col("nxt")).agg(sum(col("c12")).as("cb"))
+    val n = c12.agg(sum(col("c12")).as("n_pairs"))
+    c12.filter(col("c12") >= PmiMinCount)
+      .join(cA, Seq("w")).join(cB, Seq("nxt"))
+      .crossJoin(broadcast(n))
+      // numerator in DECIMAL(38,0) (oracle: HUGEINT) — c12·N·2²⁰
+      // overflows bigint at corpus scale, the q54 precedent; the
+      // RATIO is bounded by N·2²⁰ and lands back in long
+      .withColumn("pmi_bits",
+        length(conv(expr(
+          "(CAST(c12 AS DECIMAL(38,0)) * n_pairs * 1048576) div (CAST(ca AS DECIMAL(38,0)) * cb)"),
+          10, 2)) - lit(21))
+      .orderBy(col("pmi_bits").desc, col("c12").desc, col("w"), col("nxt"))
+      .limit(50)
+      .select(col("w").as("word_a"), col("nxt").as("word_b"),
+        col("c12").as("n_pair"), col("pmi_bits"))
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, ' ')) AS w,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |bi AS (
+       |  SELECT w, nxt FROM (
+       |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |    FROM tok)
+       |  WHERE nxt IS NOT NULL),
+       |c12 AS (SELECT w, nxt, count(*) AS c12 FROM bi GROUP BY w, nxt),
+       |ca AS (SELECT w, CAST(sum(c12) AS BIGINT) AS ca FROM c12 GROUP BY w),
+       |cb AS (SELECT nxt, CAST(sum(c12) AS BIGINT) AS cb FROM c12 GROUP BY nxt),
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pairs FROM c12)
+       |SELECT c12.w AS word_a, c12.nxt AS word_b,
+       |       c12.c12 AS n_pair,
+       |       CAST(length(bin(CAST((CAST(c12.c12 AS HUGEINT) * n.n_pairs * 1048576)
+       |                            // (CAST(ca.ca AS HUGEINT) * cb.cb) AS BIGINT))) - 21 AS INT) AS pmi_bits
+       |FROM c12 JOIN ca USING (w) JOIN cb USING (nxt), n
+       |WHERE c12.c12 >= $PmiMinCount
+       |ORDER BY pmi_bits DESC, c12.c12 DESC, word_a, word_b
+       |LIMIT 50""".stripMargin
+
   val lmScoreSql: String =
     """WITH tok AS (
       |  SELECT doc_id,

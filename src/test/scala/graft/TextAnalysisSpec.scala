@@ -417,4 +417,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     // score is finite and ≥ the ~20-bit scale floor of a certain bigram
     assert(got.values.forall { case (_, _, p) => p >= 0 && p < 45000000L })
   }
+
+  test("q81 pmiCollocations: top pairs equal the driver-replayed PMI ranking") {
+    val docs = Tables.documents(spark, sf).select(
+      org.apache.spark.sql.functions.col("text")).collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t => val w = t.split(" ", -1); w.zip(w.drop(1)) }
+    val c12 = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val ca = c12.groupBy(_._1._1).map { case (w, xs) => w -> xs.values.sum }
+    val cb = c12.groupBy(_._1._2).map { case (w, xs) => w -> xs.values.sum }
+    val n = c12.values.sum
+    val expected = c12.toSeq
+      .filter(_._2 >= graft.operators.TextAnalysis.PmiMinCount)
+      .map { case ((a, b), c) =>
+        val bits = java.lang.Long.toBinaryString(
+          (BigInt(c) * n * 1048576L / (BigInt(ca(a)) * cb(b))).toLong).length - 21
+        (a, b, c, bits)
+      }
+      .sortBy { case (a, b, c, bits) => (-bits, -c, a, b) }
+      .take(50)
+    val got = graft.operators.TextAnalysis.pmiCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pair"),
+        r.getAs[Int]("pmi_bits")))
+    assert(got.toSeq == expected, "PMI top-50 must equal the driver replay")
+    assert(got.nonEmpty)
+  }
 }
