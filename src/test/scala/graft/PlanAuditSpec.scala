@@ -27,10 +27,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * Σweights) onto the |sources|-row quota table — same keyless-scalar
     * shape as q54, never touching the corpus side; q66 likewise
     * broadcasts the 1-row corpus total / Σq constants onto vocab- and
-    * source-sized tables only. */
+    * source-sized tables only; q81 crossJoins the ONE-row pair total
+    * onto the support-filtered count table (vocab²-bounded, never the
+    * corpus) — the same keyless-scalar shape. */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
-      "q64_temperature_mix", "q66_source_divergence")
+      "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
