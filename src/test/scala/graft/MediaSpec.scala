@@ -57,4 +57,52 @@ class MediaSpec extends AnyFunSuite {
     assert(resized(3L).payload.sameElements(mediaDs.collect().find(_.media_id == 3L).get.payload),
       "non-images pass through untouched")
   }
+
+  test("WAV codec: RIFF/PCM16 round-trip, real duration and RMS; malformed payloads raise") {
+    import Media.WavCodec
+    // 0.5 s of a 440 Hz sine at 8 kHz, stereo interleaved
+    val rate = 8000; val frames = 4000; val amp = 16000.0
+    val samples = Array.tabulate(frames * 2) { i =>
+      val t = (i / 2).toDouble / rate
+      (amp * math.sin(2 * math.Pi * 440.0 * t)).toShort
+    }
+    val wav = WavCodec.encode(samples, rate, channels = 2)
+    assert(WavCodec.isWav(wav))
+    val a = WavCodec.decode(wav)
+    assert(a.sampleRate == rate && a.channels == 2)
+    assert(a.samples.sameElements(samples), "PCM samples must round-trip bit-exactly")
+    assert(a.nFrames == frames && a.durationMs == 500L)
+    // RMS of a sine is amp/sqrt(2); on the 0..255 scale
+    val expectedRms = amp / math.sqrt(2) / 32768.0 * 255.0
+    assert(math.abs(a.rmsLevel - expectedRms) < 1.0, s"rms ${a.rmsLevel} vs $expectedRms")
+
+    // the extraction pipeline real-decodes WAV audio rows
+    import spark.implicits._
+    val row = MediaRow(42L, "audio", wav, MediaMeta("audio/wav", 0, 0, 500L))
+    val feats = Media.extractFeatures(Seq(row).toDS()).collect()
+    assert(feats.length == 1 && feats.head.nFrames == frames)
+    assert(math.abs(feats.head.meanLuminance - expectedRms) < 1.0,
+      "pipeline must surface the REAL decoded RMS, not the stub level")
+
+    // unknown chunks (LIST/INFO) are legal and skipped
+    val withJunk = {
+      val junk = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII")).array()
+      val out = java.nio.ByteBuffer.allocate(wav.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(wav, 0, 12).put(junk).put(wav, 12, wav.length - 12)
+      val b = out.array()
+      // fix RIFF size
+      val sz = b.length - 8
+      b(4) = (sz & 0xff).toByte; b(5) = ((sz >> 8) & 0xff).toByte
+      b(6) = ((sz >> 16) & 0xff).toByte; b(7) = ((sz >> 24) & 0xff).toByte
+      b
+    }
+    assert(WavCodec.decode(withJunk).samples.sameElements(samples))
+
+    // truncated/hostile payloads raise, they do not guess
+    intercept[IllegalArgumentException](WavCodec.decode(wav.take(20)))
+    intercept[IllegalArgumentException](WavCodec.decode("RIFFxxxxWAVE".getBytes))
+  }
 }
