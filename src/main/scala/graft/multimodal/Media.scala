@@ -17,10 +17,13 @@ import graft.functions.Raster
   * Codec reality in this offline container:
   *  - images: REAL — PNG/TIFF decode+resize via `Raster`
   *    (JDK ImageIO);
-  *  - audio/video: STUBBED behind a deterministic fake decoder
-  *    (`FakeAvCodec`) with the production signature — no media libs
-  *    ship in the build environment, so the stub synthesizes frames
-  *    from the payload bytes deterministically.
+  *  - audio: REAL for WAV/PCM16 — [[Media.WavCodec]] parses the RIFF
+  *    container directly (no library needed);
+  *  - video: REAL for Y4M/C420 — [[Media.Y4mCodec]] parses the
+  *    yuv4mpeg2 container directly; COMPRESSED a/v (mp3/h264/…) stays
+  *    behind the deterministic `FakeAvCodec` stub with the production
+  *    signature — those codecs genuinely need external libraries that
+  *    do not ship in this build environment.
   */
 object Media {
 
@@ -107,6 +110,75 @@ object Media {
     }
   }
 
+  /** REAL video codec for Y4M (yuv4mpeg2) — like WAV, the container is
+    * a trivial text header + raw planes, so the video leg gets a real
+    * decoder with zero dependencies: `YUV4MPEG2 W.. H.. F..\n` then
+    * per frame `FRAME\n` + YUV420 planes. Only C420 is claimed.
+    * The decoder exposes the LUMA plane per frame (what frame-level
+    * features and thumbnails consume); the encoder exists for specs
+    * and pipelines. */
+  object Y4mCodec {
+    case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+        lumaFrames: Vector[Array[Byte]]) {
+      def nFrames: Int = lumaFrames.length
+      def durationMs: Long =
+        if (fpsNum == 0) 0L else nFrames * 1000L * fpsDen / fpsNum
+      def meanLuma(idx: Int): Double = {
+        val f = lumaFrames(idx)
+        f.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / f.length
+      }
+    }
+
+    private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
+
+    def isY4m(payload: Array[Byte]): Boolean =
+      payload.length > Magic.length && Magic.indices.forall(i => payload(i) == Magic(i))
+
+    def decode(payload: Array[Byte]): Y4mVideo = {
+      require(isY4m(payload), "not a YUV4MPEG2 payload")
+      val nl = payload.indexOf('\n'.toByte)
+      require(nl > 0, "missing stream-header terminator")
+      val params = new String(payload, 0, nl, "US-ASCII").split(" ").drop(1)
+      def tag(c: Char): Option[String] =
+        params.find(p => p.nonEmpty && p.head == c).map(_.tail)
+      val w = tag('W').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("missing W tag"))
+      val h = tag('H').map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("missing H tag"))
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, s"bad C420 dimensions ${w}x$h")
+      val (fn, fd) = tag('F').map { f =>
+        val Array(a, b) = f.split(":"); (a.toInt, b.toInt)
+      }.getOrElse((25, 1))
+      tag('C').foreach(c => require(c.startsWith("420"), s"only C420 is supported, got C$c"))
+      val ySize = w * h; val frameSize = ySize + ySize / 2
+      val frames = Vector.newBuilder[Array[Byte]]
+      var o = nl + 1
+      while (o < payload.length) {
+        require(o + 5 <= payload.length &&
+          new String(payload, o, 5, "US-ASCII") == "FRAME", "expected FRAME marker")
+        val fnl = payload.indexOf('\n'.toByte, o)
+        require(fnl > 0 && fnl + 1 + frameSize <= payload.length, "truncated frame")
+        frames += java.util.Arrays.copyOfRange(payload, fnl + 1, fnl + 1 + ySize)
+        o = fnl + 1 + frameSize
+      }
+      Y4mVideo(w, h, fn, fd, frames.result())
+    }
+
+    /** Encode luma frames as C420 (chroma planes neutral 128). */
+    def encode(lumaFrames: Seq[Array[Byte]], w: Int, h: Int,
+        fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+      require(lumaFrames.forall(_.length == w * h), "luma plane size mismatch")
+      val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n".getBytes("US-ASCII")
+      val chroma = Array.fill[Byte](w * h / 2)(128.toByte)
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val buf = new java.io.ByteArrayOutputStream(
+        header.length + lumaFrames.size * (marker.length + w * h * 3 / 2))
+      buf.write(header)
+      lumaFrames.foreach { f => buf.write(marker); buf.write(f); buf.write(chroma) }
+      buf.toByteArray
+    }
+  }
+
   /** STUB (documented): deterministic stand-in for an A/V codec.
     * Decodes `payload` into `n` fake frames of `w×h` gray pixels
     * derived from the payload hash — the production implementation
@@ -153,6 +225,10 @@ object Media {
             val a = WavCodec.decode(r.payload) // REAL decode
             MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
               a.rmsLevel, a.nFrames, pid)
+          case "video" if Y4mCodec.isY4m(r.payload) =>
+            val v = Y4mCodec.decode(r.payload) // REAL decode
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+              v.meanLuma(0), v.nFrames, pid)
           case _ =>
             MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
               codec.meanLevel(r.payload, r.meta), codec.frameCount(r.meta), pid)
@@ -161,13 +237,20 @@ object Media {
     }
 
   /** Frame sampling: every `everyN`-th frame, exploded to rows —
-    * a flatMap (P1-shaped row multiplier), never a collect. */
+    * a flatMap (P1-shaped row multiplier), never a collect. Y4M
+    * payloads sample REAL luma planes; others stay on the stub. */
   def sampleFrames(ds: Dataset[MediaRow], everyN: Int): Dataset[FrameRow] =
     ds.filter(_.kind == "video").mapPartitions { rows =>
       val codec = FakeAvCodec.open()
       rows.flatMap { r =>
-        (0 until codec.frameCount(r.meta) by everyN).map(i =>
-          FrameRow(r.media_id, i, codec.decodeFrame(r.payload, i, r.meta)))
+        if (Y4mCodec.isY4m(r.payload)) {
+          val v = Y4mCodec.decode(r.payload)
+          (0 until v.nFrames by everyN).map(i =>
+            FrameRow(r.media_id, i, v.lumaFrames(i)))
+        } else {
+          (0 until codec.frameCount(r.meta) by everyN).map(i =>
+            FrameRow(r.media_id, i, codec.decodeFrame(r.payload, i, r.meta)))
+        }
       }
     }
 

@@ -105,4 +105,35 @@ class MediaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(wav.take(20)))
     intercept[IllegalArgumentException](WavCodec.decode("RIFFxxxxWAVE".getBytes))
   }
+
+  test("Y4M codec: real video frames round-trip; sampling and features use decoded luma") {
+    import Media.Y4mCodec
+    val w = 16; val h = 8
+    // 10 frames with distinct, analytically-known mean luma
+    val frames = (0 until 10).map(f => Array.fill[Byte](w * h)((f * 20 + 5).toByte))
+    val y4m = Y4mCodec.encode(frames, w, h, fpsNum = 25, fpsDen = 1)
+    assert(Y4mCodec.isY4m(y4m))
+    val v = Y4mCodec.decode(y4m)
+    assert(v.width == w && v.height == h && v.nFrames == 10 && v.durationMs == 400L)
+    (0 until 10).foreach(f =>
+      assert(v.lumaFrames(f).sameElements(frames(f)), s"frame $f luma must round-trip"))
+    assert(math.abs(v.meanLuma(3) - 65.0) < 1e-9)
+
+    import spark.implicits._
+    val row = MediaRow(7L, "video", y4m, MediaMeta("video/y4m", w, h, 400L))
+    // feature path surfaces the REAL frame count and first-frame luma
+    val feats = Media.extractFeatures(Seq(row).toDS()).collect().head
+    assert(feats.nFrames == 10 && math.abs(feats.meanLuminance - 5.0) < 1e-9)
+    // frame sampling explodes REAL luma planes, every 3rd frame
+    val sampled = Media.sampleFrames(Seq(row).toDS(), everyN = 3).collect()
+      .sortBy(_.frameIdx)
+    assert(sampled.map(_.frameIdx).toSeq == Seq(0, 3, 6, 9))
+    assert(sampled(1).framePayload.sameElements(frames(3)))
+
+    // wrong chroma mode / truncated stream raise
+    val c444 = new String(y4m.takeWhile(_ != '\n'), "US-ASCII").replace("C420", "C444")
+    intercept[IllegalArgumentException](
+      Y4mCodec.decode(c444.getBytes("US-ASCII") ++ y4m.dropWhile(_ != '\n')))
+    intercept[IllegalArgumentException](Y4mCodec.decode(y4m.take(y4m.length - 10)))
+  }
 }
