@@ -20,5 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent adoption: declarative `join(k = k && s <= pt < e)`
     // is rewritten to the custom operator during optimization
     ext.injectOptimizerRule(_ => RewriteRangeJoins)
+    // first-class SQL for table maintenance (GRAFT OPTIMIZE/VACUUM) —
+    // a delegating parser, so stock SQL is untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // session-wide kernel functions (the third registration tier:
+    // extensions-injected, catalog-scoped in GraftFunctions,
+    // per-query temp in GraftSqlBridge) — same Expression either way
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.PolyHash].getName, "graft_polyhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PolyHash(children.head)))
   }
 }

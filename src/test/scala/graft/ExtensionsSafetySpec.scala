@@ -49,4 +49,48 @@ class ExtensionsSafetySpec extends AnyFunSuite {
 
   private def canonical(rows: Array[org.apache.spark.sql.Row]): Map[String, Int] =
     rows.map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("parser extension: GRAFT OPTIMIZE/VACUUM are first-class SQL; stock SQL untouched") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql_opt").toString
+      (0 until 4).foreach { i =>
+        Seq((i.toLong, s"v$i")).toDF("id", "s")
+          .write.format("graft.sources.ManifestSink")
+          .option("path", dir).mode("append").save()
+      }
+      // custom maintenance syntax, parsed by the injected parser
+      ext.sql(s"GRAFT OPTIMIZE '$dir' FILES 1")
+      val live = graft.sources.ManifestSink.filesOf(
+        graft.sources.ManifestSink.sortedManifests(new java.io.File(dir)))
+      assert(live.size == 1, "OPTIMIZE must bin-pack to one file")
+      val reclaimed = ext.sql(s"GRAFT VACUUM '$dir'").head().getLong(0)
+      assert(reclaimed == 4L, s"VACUUM must report the 4 reclaimed micro-files, got $reclaimed")
+      assert(ext.read.format("graft.sources.ManifestSink").option("path", dir)
+        .load().count() == 4L, "contents untouched by maintenance")
+      // the injected session-wide function (third registration tier)
+      val viaSql = ext.sql("SELECT graft_polyhash('abc') AS h").head().getLong(0)
+      val viaCol = Seq("abc").toDF("s").select(
+        org.apache.spark.sql.GraftSqlBridge.column(graft.functions.PolyHash(
+          org.apache.spark.sql.GraftSqlBridge.expression(org.apache.spark.sql.functions.col("s")))))
+        .head().getLong(0)
+      assert(viaSql == viaCol, "injected SQL function must equal the Column kernel")
+      // stock SQL delegates through unchanged
+      assert(ext.sql("SELECT 1 + 1").head().getInt(0) == 2)
+      val err = intercept[Exception](ext.sql("GRAFTX NONSENSE"))
+      assert(err.getMessage.toLowerCase.contains("syntax") ||
+        err.getMessage.contains("GRAFTX"), "non-matching text must fail in the DELEGATE parser")
+    } finally {
+      SparkSession.setDefaultSession(plain)
+      SparkSession.setActiveSession(plain)
+    }
+  }
 }
