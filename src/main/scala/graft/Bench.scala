@@ -65,8 +65,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)}}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)}}"""
+    // stdout is the driver contract, but a truncated capture loses the
+    // round's numbers (BENCH_r06.json arrived unparseable, tail-only) —
+    // so the same line also lands in a file as the durable copy
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -30,7 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_polyhash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.PolyHash].getName, "graft_polyhash"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.PolyHash(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // arity is validated at plan time with a proper analysis error:
+        // children.head alone would throw a raw NoSuchElementException
+        // on zero args and SILENTLY IGNORE extras (graft_polyhash('a','b')
+        // computing polyhash('a') is a wrong answer, not a convenience)
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_polyhash requires exactly 1 argument (a string column), " +
+              s"got ${children.length}")
+        graft.functions.PolyHash(children.head)
+      }))
   }
 }

@@ -11,7 +11,8 @@ import org.apache.spark.sql.Row
 
 /** Parser extension: first-class SQL syntax for the table-maintenance
   * operations — `GRAFT OPTIMIZE '<path>' [FILES n]` and
-  * `GRAFT VACUUM '<path>'` — exactly how production table formats
+  * `GRAFT VACUUM '<path>' [RETAIN n HOURS]` — exactly how production
+  * table formats
   * surface OPTIMIZE/VACUUM (a delegating parser that claims its own
   * statements and passes EVERYTHING else through untouched, so the
   * whole stock SQL surface is unaffected; ExtensionsSafetySpec's
@@ -23,12 +24,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, files) =>
       GraftOptimizeCommand(path, Option(files).map(_.toInt).getOrElse(1))
-    case Vacuum(path) => GraftVacuumCommand(path)
+    case Vacuum(path, retain) =>
+      // Delta-style retention override; default 1 h protects files a
+      // concurrent commit moved into the root before its manifest write
+      GraftVacuumCommand(path,
+        Option(retain).map(_.toLong * 3600000L).getOrElse(3600000L))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -59,9 +64,10 @@ case class GraftOptimizeCommand(path: String, nFiles: Int)
   }
 }
 
-case class GraftVacuumCommand(path: String) extends LeafRunnableCommand {
+case class GraftVacuumCommand(path: String, graceMs: Long = 3600000L)
+    extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("reclaimed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.sources.ManifestOptimize.vacuum(path).toLong))
+    Seq(Row(graft.sources.ManifestOptimize.vacuum(path, graceMs).toLong))
 }

@@ -239,8 +239,18 @@ object ManifestSink {
     // would make codegen read 0/false where the data says null
     val incoming = StructType(schema.fields.map(_.copy(nullable = true)))
     val f = new File(root, SchemaFile)
+    // publication is temp-file + ATOMIC_MOVE like every other file in
+    // this sink: an in-place truncating write would let a concurrent
+    // reader's inferSchema observe an empty/partial DDL, and two
+    // concurrent widening writers could interleave bytes
+    def publishDdl(ddl: String): Unit = {
+      val tmp = Files.createTempFile(root.toPath, "_inflight-", ".ddl")
+      Files.write(tmp, ddl.getBytes(StandardCharsets.UTF_8))
+      // POSIX rename replaces an existing target atomically
+      Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE)
+    }
     if (!f.exists()) {
-      Files.write(f.toPath, incoming.toDDL.getBytes(StandardCharsets.UTF_8))
+      publishDdl(incoming.toDDL)
       return
     }
     val stored = StructType.fromDDL(
@@ -251,7 +261,7 @@ object ManifestSink {
           x.name == y.name && x.dataType == y.dataType
         }
     if (isPrefix(stored, incoming) && stored.fields.length < incoming.fields.length)
-      Files.write(f.toPath, incoming.toDDL.getBytes(StandardCharsets.UTF_8))
+      publishDdl(incoming.toDDL)
     else if (isPrefix(stored, incoming) || isPrefix(incoming, stored))
       () // identical, or a narrower (pre-evolution) writer: reader pads
     else throw new IllegalArgumentException(
@@ -263,6 +273,20 @@ object ManifestSink {
     * so specs can interleave a concurrent commit deterministically. */
   private[graft] var beforeSwapHook: () => Unit = () => ()
 
+  /** Test seam: runs AFTER the optimistic pre-check but BEFORE the
+    * checkpoint claims its slot — the residual window the post-claim
+    * validation exists for. */
+  private[graft] var beforeClaimHook: () => Unit = () => ()
+
+  /** Every manifest file on disk, unordered and WITHOUT checkpoint
+    * hiding — the raw conflict-detection view publishCowSwap needs
+    * (sortedManifests would hide a concurrent commit whose seq landed
+    * below a just-written checkpoint, which is exactly the commit the
+    * conflict check must see). */
+  private def rawManifests(root: File): Seq[File] =
+    Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith(ManifestPrefix)).toSeq
+
   /** Publish a copy-on-write swap under OPTIMISTIC CONCURRENCY: the
     * swap is valid only against the exact manifest history the rewrite
     * READ. If any commit landed in between, the survivor set is stale
@@ -270,19 +294,36 @@ object ManifestSink {
     * — so the adopted files are removed and a
     * ConcurrentModificationException surfaces for the caller to retry
     * against the new history (the Iceberg/Delta commit-conflict
-    * contract). The residual window after the check is the rename
-    * itself — the same single arbiter writeManifest relies on. */
+    * contract).
+    *
+    * Claim-then-validate closes the pre-check's residual window: a
+    * commit can still land BETWEEN the optimistic pre-check and the
+    * checkpoint's rename, claim a lower sequence slot than the
+    * checkpoint, and be silently hidden by it. So after claiming the
+    * slot we re-list the RAW manifests (no checkpoint hiding): if
+    * anything beyond `expected` + our checkpoint exists, the
+    * checkpoint is rolled back (deleted along with the adopted files)
+    * and the conflict surfaces. A commit landing after our rename
+    * claims a HIGHER seq than the checkpoint and stays visible, so
+    * only the pre-rename window needs the rollback. */
   def publishCowSwap(root: File, expected: Seq[File], adopted: Seq[String]): Unit = {
     beforeSwapHook()
-    val now = sortedManifests(root)
-    if (now.map(_.getName) != expected.map(_.getName)) {
+    def abort(found: Int): Nothing = {
       adopted.foreach(f => new File(root, f).delete())
       throw new java.util.ConcurrentModificationException(
         s"table $root changed during the copy-on-write rewrite " +
-          s"(expected ${expected.size} manifests, found ${now.size}) — retry the operation")
+          s"(expected ${expected.size} manifests, found $found) — retry the operation")
     }
+    val now = sortedManifests(root)
+    if (now.map(_.getName) != expected.map(_.getName)) abort(now.size)
+    beforeClaimHook()
     val w = expected.map(weightOf).sum + 1
-    writeManifest(root, s"ckpt-$w", adopted)
+    val ckpt = writeManifest(root, s"ckpt-$w", adopted)
+    val raw = rawManifests(root).filter(_.getName != ckpt.getName)
+    if (raw.map(_.getName).sorted != expected.map(_.getName).sorted) {
+      ckpt.delete() // roll back the claim — the hidden commit wins
+      abort(raw.size)
+    }
     expected.foreach(_.delete())
   }
 
@@ -670,10 +711,15 @@ object ManifestDelete {
     val spark = org.apache.spark.sql.SparkSession.active
     val toDelete = filters.flatMap(toColumn(_)).reduceOption(_ && _)
       .getOrElse(F.lit(true))
-    // distributed survivor rewrite into a scratch manifest table
+    // distributed survivor rewrite into a scratch manifest table.
+    // SQL DELETE removes rows where the predicate is TRUE — rows where
+    // it evaluates to NULL (three-valued logic: e.g. `c = 'x'` on a
+    // null c, which this sink produces via all-nullable schemas and
+    // evolution null-padding) must SURVIVE, so the survivor filter is
+    // NOT(coalesce(p, false)), not NOT(p).
     val tmpDir = Files.createTempDirectory("graft_delete_cow").toFile
     spark.read.format("graft.sources.ManifestSink").option("path", path).load()
-      .filter(!toDelete)
+      .filter(!F.coalesce(toDelete, F.lit(false)))
       .write.format("graft.sources.ManifestSink")
       .option("path", tmpDir.getAbsolutePath).mode("append").save()
     // adopt the survivor files under collision-free names
@@ -737,12 +783,26 @@ object ManifestOptimize {
     * that listed manifests before a swap may still be reading the old
     * files, so vacuum carries the same contract as every table
     * format's VACUUM — run it only once no reader predates the swap.
+    *
+    * Concurrent WRITERS are a sharper hazard than readers: a commit
+    * moves its data files into the root BEFORE writing the manifest
+    * that references them (ManifestBatchWrite.commit), so a vacuum
+    * racing that window would see unreferenced just-published files,
+    * delete them, and leave the subsequent manifest permanently
+    * pointing at nothing. The retention check below closes it the way
+    * table formats do: only files older than `graceMs` are reclaimable
+    * (default 1 h — longer than any sane publish window), so an
+    * in-flight commit's freshly-moved files are never candidates.
+    * Passing graceMs=0 re-opens the race and is only for tests /
+    * single-writer maintenance windows.
     * Returns the number of files reclaimed. */
-  def vacuum(path: String): Int = {
+  def vacuum(path: String, graceMs: Long = 3600000L): Int = {
     val root = new File(path)
     val live = ManifestSink.filesOf(ManifestSink.sortedManifests(root)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val orphans = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !live.contains(f.getName))
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !live.contains(f.getName) && f.lastModified() <= cutoff)
     orphans.foreach(_.delete())
     orphans.length
   }

@@ -72,7 +72,10 @@ class ExtensionsSafetySpec extends AnyFunSuite {
       val live = graft.sources.ManifestSink.filesOf(
         graft.sources.ManifestSink.sortedManifests(new java.io.File(dir)))
       assert(live.size == 1, "OPTIMIZE must bin-pack to one file")
-      val reclaimed = ext.sql(s"GRAFT VACUUM '$dir'").head().getLong(0)
+      // default retention (1 h) protects the just-written micro-files;
+      // RETAIN 0 HOURS is the explicit maintenance-window override
+      assert(ext.sql(s"GRAFT VACUUM '$dir'").head().getLong(0) == 0L)
+      val reclaimed = ext.sql(s"GRAFT VACUUM '$dir' RETAIN 0 HOURS").head().getLong(0)
       assert(reclaimed == 4L, s"VACUUM must report the 4 reclaimed micro-files, got $reclaimed")
       assert(ext.read.format("graft.sources.ManifestSink").option("path", dir)
         .load().count() == 4L, "contents untouched by maintenance")
@@ -83,6 +86,16 @@ class ExtensionsSafetySpec extends AnyFunSuite {
           org.apache.spark.sql.GraftSqlBridge.expression(org.apache.spark.sql.functions.col("s")))))
         .head().getLong(0)
       assert(viaSql == viaCol, "injected SQL function must equal the Column kernel")
+      // arity is validated at analysis time: zero args must not throw a
+      // raw NoSuchElementException, extra args must not be silently
+      // dropped (graft_polyhash('a','b') computing polyhash('a') would
+      // be a wrong answer that LOOKS right)
+      val arity0 = intercept[Exception](ext.sql("SELECT graft_polyhash()").collect())
+      assert(!arity0.isInstanceOf[NoSuchElementException] &&
+        arity0.getMessage.contains("graft_polyhash"), s"got: $arity0")
+      val arity2 = intercept[Exception](
+        ext.sql("SELECT graft_polyhash('a', 'b')").collect())
+      assert(arity2.getMessage.contains("graft_polyhash"), s"got: $arity2")
       // stock SQL delegates through unchanged
       assert(ext.sql("SELECT 1 + 1").head().getInt(0) == 2)
       val err = intercept[Exception](ext.sql("GRAFTX NONSENSE"))

@@ -124,6 +124,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_test.db.deltest")
   }
 
+  test("SQL DELETE under three-valued logic: NULL-predicate rows survive") {
+    import spark.implicits._
+    warehouse
+    // s IS NULL rows arise naturally in this sink (all-nullable
+    // schemas, evolution null-padding); DELETE must remove only rows
+    // where the predicate is TRUE — NULL is not TRUE
+    Seq((1L, Some("drop")), (2L, Some("keep")), (3L, None), (4L, None))
+      .toDF("id", "s").createOrReplaceTempView("nulldel_src")
+    spark.sql("CREATE TABLE graft_test.db.nulldel AS SELECT * FROM nulldel_src")
+
+    // direct single-filter path (no analyzer-added IsNotNull guard):
+    // `s = 'drop'` evaluates to NULL on rows 3/4 — they must survive
+    graft.sources.ManifestDelete.run(s"$warehouse/db/nulldel",
+      Array(org.apache.spark.sql.sources.EqualTo("s", "drop")))
+    val after = spark.sql("SELECT id FROM graft_test.db.nulldel")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === Seq(2L, 3L, 4L),
+      s"rows with NULL predicate must survive the delete, got $after")
+
+    // and the explicit IS NULL form deletes exactly those rows
+    spark.sql("DELETE FROM graft_test.db.nulldel WHERE s IS NULL")
+    assert(spark.sql("SELECT id FROM graft_test.db.nulldel")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    spark.sql("DROP TABLE graft_test.db.nulldel")
+  }
+
   test("FunctionCatalog: graft kernels callable from pure SQL delegate to the same expressions") {
     import org.apache.spark.sql.functions.{col, lit}
     warehouse

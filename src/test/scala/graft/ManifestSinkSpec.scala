@@ -73,7 +73,12 @@ class ManifestSinkSpec extends AnyFunSuite {
 
     // old files are garbage until an explicit vacuum (in-flight-reader contract)
     assert(dataFiles().intersect(beforeFiles) === beforeFiles)
-    val reclaimed = graft.sources.ManifestOptimize.vacuum(dir)
+    // default retention protects files younger than the grace period —
+    // the window where a concurrent commit has moved data into the
+    // root but not yet written its manifest
+    assert(graft.sources.ManifestOptimize.vacuum(dir) === 0)
+    assert(dataFiles().intersect(beforeFiles) === beforeFiles)
+    val reclaimed = graft.sources.ManifestOptimize.vacuum(dir, graceMs = 0L)
     assert(reclaimed === beforeFiles.size)
     assert(dataFiles() === live.toSet)
     // table unaffected by the vacuum
@@ -103,6 +108,41 @@ class ManifestSinkSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows === Map(1L -> "a", 2L -> "b", 99L -> "sneaky"))
     // the retry now succeeds against the new history
+    graft.sources.ManifestUpsert.upsert(dir, Seq((2L, "B2")).toDF("id", "s"), Seq("id"))
+    val after = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "a", 2L -> "B2", 99L -> "sneaky"))
+  }
+
+  test("COW claim-then-validate: a commit landing AFTER the pre-check but before " +
+      "the checkpoint rename is detected and the swap rolled back") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // the narrowest window: the optimistic pre-check already PASSED,
+    // then a commit claims a sequence slot below the upcoming
+    // checkpoint's — without post-claim validation the checkpoint
+    // would silently hide (drop) it
+    graft.sources.ManifestSink.beforeClaimHook = () =>
+      Seq((99L, "sneaky")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    try {
+      val err = intercept[java.util.ConcurrentModificationException] {
+        graft.sources.ManifestUpsert.upsert(dir,
+          Seq((2L, "B2")).toDF("id", "s"), Seq("id"))
+      }
+      assert(err.getMessage.contains("retry"))
+    } finally graft.sources.ManifestSink.beforeClaimHook = () => ()
+    // the sneaky commit survived; the rolled-back checkpoint and its
+    // adopted files left no partial state
+    val rows = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "b", 99L -> "sneaky"))
+    val root = new File(dir)
+    assert(graft.sources.ManifestSink.sortedManifests(root).size === 2,
+      "the initial + sneaky commits only — no checkpoint may remain after the rollback")
+    // retry against the new history succeeds
     graft.sources.ManifestUpsert.upsert(dir, Seq((2L, "B2")).toDF("id", "s"), Seq("id"))
     val after = spark.read.format(fmt).option("path", dir).load()
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
