@@ -534,4 +534,77 @@ object Dedup {
        |FROM u WHERE name_b IS NOT NULL
        |  AND levenshtein(name_a, name_b) <= $FuzzyMaxDist""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q83
+
+  /** q83's window geometry: 48-char windows at stride 16. */
+  val SubstrW = 48
+  val SubstrStride = 16
+
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupWith(Tables.documents(spark, dir), SubstrW, SubstrStride)
+
+  /** q83: SUBSTRING-level deduplication — the document-granularity
+    * dedups (q17–q20) miss the dominant real-world contamination mode
+    * where a long passage (boilerplate, license header, quoted article)
+    * repeats inside otherwise-distinct documents; the public
+    * suffix-array dedup literature removes the repeated SPANS, not the
+    * documents. The scalable approximation of the suffix-array scan:
+    *
+    *  1. slide fixed W-char windows at stride S over each document
+    *     (aligned windows — both engines generate the identical set);
+    *  2. hash each window through the `polyhash` contract and find
+    *     hashes occurring in ≥ 2 DISTINCT documents (within-doc
+    *     repetition is q43's RepetitionStats, deliberately excluded);
+    *  3. join back to score each document by its duplicated-window
+    *     fraction `dup_ppm` (integer ppm — the cross-engine-exact
+    *     currency) — the per-document removal signal a training
+    *     pipeline thresholds on.
+    *
+    * Scale shape: the shuffle carries (hash BIGINT, doc_id) pairs —
+    * 16 bytes per window, never the window text; the dup set is an
+    * equi-join on the hash. Window count is chars/S, the method's
+    * real cost — production tunes S up toward W (non-overlapping
+    * windows) or runs per-partition suffix automata; S < W trades
+    * that cost for alignment-shift recall, and the S=W/3 default
+    * keeps recall for spans ≥ W + S chars at any alignment. */
+  def substringDedupWith(docs: DataFrame, w: Int, s: Int): DataFrame = {
+    val wnd = docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (length(text) - $w) div $s)")).as("g"),
+        col("text"))
+      .select(col("doc_id"),
+        TextHash.polyhash(expr(s"substring(text, g * $s + 1, $w)")).as("h"))
+    val dup = wnd.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h").as("dh"))
+    wnd.join(dup, col("h") === col("dh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("dh")).as("dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+        expr("dup_windows * 1000000 div n_windows").as("dup_ppm"))
+  }
+
+  val substringDedupSql: String = {
+    val w = SubstrW; val s = SubstrStride
+    s"""WITH wnd AS (
+       |  SELECT doc_id, ${duckPolyhash("w")} AS h
+       |  FROM (
+       |    SELECT doc_id, substring(text, g * $s + 1, $w) AS w
+       |    FROM (SELECT doc_id, text,
+       |                 unnest(generate_series(0, (length(text) - $w) // $s)) AS g
+       |          FROM documents WHERE length(text) >= $w))),
+       |dup AS (
+       |  SELECT h AS dh FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS nd FROM wnd GROUP BY h)
+       |  WHERE nd >= 2)
+       |SELECT doc_id, count(*) AS n_windows, count(dh) AS dup_windows,
+       |       count(dh) * 1000000 // count(*) AS dup_ppm
+       |FROM wnd LEFT JOIN dup ON h = dh
+       |GROUP BY doc_id""".stripMargin
+  }
 }

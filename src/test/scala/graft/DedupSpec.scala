@@ -227,4 +227,38 @@ class DedupSpec extends AnyFunSuite {
     assert(avgNear < avgRandom,
       s"near-dup pairs ($avgNear bits) should be closer than random pairs ($avgRandom bits)")
   }
+
+  test("q83 substring dedup equals a driver-side window scan; stride trade is monotone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val W = Dedup.SubstrW; val S = Dedup.SubstrStride
+    def polyhash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    val windows: Map[Long, Seq[Long]] = docs.collect {
+      case (id, t) if t.length >= W =>
+        id -> (0 to (t.length - W) / S).map(g => polyhash(t.substring(g * S, g * S + W)))
+    }
+    val docCount: Map[Long, Int] = windows.toSeq
+      .flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = windows.map { case (id, hs) =>
+      val dup = hs.count(h => docCount(h) >= 2)
+      (id, hs.size.toLong, dup.toLong, dup.toLong * 1000000L / hs.size)
+    }.toSet
+    val got = Dedup.substringDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"q83 diverged: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // the corpus has real cross-doc duplicated spans — the operator
+    // must find some, and a coarser stride must find at most as many
+    val dupDocs = expected.count(_._3 > 0)
+    assert(dupDocs > 0, "fixture should contain cross-doc duplicated substrings")
+    val coarse = Dedup.substringDedupWith(
+        spark.read.parquet(s"$sf/documents.parquet"), W, W)
+      .agg(sum(col("dup_windows"))).head().getLong(0)
+    val fine = expected.toSeq.map(_._3).sum
+    assert(coarse <= fine,
+      s"non-overlapping windows ($coarse dup) cannot exceed stride-$S recall ($fine)")
+  }
 }

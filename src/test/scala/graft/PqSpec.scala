@@ -161,4 +161,38 @@ class PqSpec extends AnyFunSuite {
     assert(rate >= 0.75,
       s"cell-restricted NN reached the reranked top-5 for only $rate of queries")
   }
+
+  test("oracled q82 (seed-codebook integer ADC) equals a full driver-side replay") {
+    // independent reimplementation of the whole q82 pipeline in plain
+    // Scala integer arithmetic — the same role check_oracle's DuckDB
+    // run plays, but exercised in-suite at sf0.001
+    val m = 8; val k = 16
+    val ints: Map[Long, Array[Long]] =
+      raw.map { case (id, v) => id -> v.map(x => math.floor(x * 1024.0).toLong) }
+    val dsub = ints.head._2.length / m
+    val seeds = ints.keys.toSeq
+      .sortBy(id => ((id * 2654435761L) % 4294967296L, id)).take(k)
+      .map(ints)
+    val cb = Array.tabulate(m, k)((j, c) => seeds(c).slice(j * dsub, (j + 1) * dsub))
+    def subDist(v: Array[Long], j: Int, c: Int): Long = {
+      var acc = 0L; var i = 0
+      while (i < dsub) { val d = v(j * dsub + i) - cb(j)(c)(i); acc += d * d; i += 1 }
+      acc
+    }
+    def codesOf(v: Array[Long]): Array[Int] =
+      Array.tabulate(m)(j => (0 until k).minBy(c => (subDist(v, j, c), c)))
+    val codes = ints.map { case (id, v) => id -> codesOf(v) }
+    val queries = ints.keys.filter(_ % 25 == 0).toSeq.sorted
+    val expected = queries.flatMap { q =>
+      val qv = ints(q)
+      ints.keys.filter(_ != q).toSeq
+        .map(x => (x, (0 until m).map(j => subDist(qv, j, codes(x)(j))).sum))
+        .sortBy { case (x, a) => (a, x) }.take(5).zipWithIndex
+        .map { case ((x, a), i) => (q, i + 1, x, a) }
+    }.toSet
+    val got = Similarity.pqAdcTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"q82 diverged from the driver replay: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+  }
 }
