@@ -103,13 +103,112 @@ object Raster {
     baos.toByteArray
   }
 
-  /** S4 decode: PNG/TIFF bytes → [3][H][W] cube. */
+  /** S4 decode: PNG/TIFF/JPEG bytes → [3][H][W] cube (ImageIO sniffs
+    * the container, so one decoder serves every supported format). */
   def decodeImage(bytes: Array[Byte]): Seq[Seq[Seq[Int]]] =
     fromBufferedImage(ImageIO.read(new ByteArrayInputStream(bytes)))
 
+  /** JPEG encode at an explicit quality (JDK writer — no external
+    * deps). JPEG is LOSSY: the roundtrip contract is structural (dims
+    * exact, channel means close), never bit-exact — which is why the
+    * artifact tier (R6) stays TIFF/PNG and JPEG is the thumbnail/
+    * preview tier a real catalog serves. */
+  def encodeJpeg(pixels: Seq[Seq[Seq[Int]]], quality: Float = 0.9f): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(toBufferedImage(pixels), null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Zip-of-band-TIFFs codec — the delivery format satellite archives
+    * actually serve (one single-band GeoTIFF per spectral band, zipped;
+    * reference main.py fetches per-band TIFF URLs and stacks them
+    * client-side). Encode: each channel becomes an 8-bit grayscale
+    * TIFF entry `<band>.tif` (lossless, so THIS roundtrip IS
+    * bit-exact). Decode: entries are matched to `bandOrder` by name
+    * and stacked into the standard [bands][H][W] cube — the in-archive
+    * order is irrelevant, as with real products. */
+  def encodeBandZip(pixels: Seq[Seq[Seq[Int]]], bands: Seq[String]): Array[Byte] = {
+    require(pixels.length == bands.length,
+      s"${pixels.length} planes but ${bands.length} band names")
+    val baos = new ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(baos)
+    bands.zip(pixels).foreach { case (name, plane) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(s"$name.tif"))
+      zip.write(encodeGrayTiff(plane))
+      zip.closeEntry()
+    }
+    zip.close()
+    baos.toByteArray
+  }
+
+  def decodeBandZip(bytes: Array[Byte], bandOrder: Seq[String]): Seq[Seq[Seq[Int]]] = {
+    val zip = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+    val planes = scala.collection.mutable.Map[String, Seq[Seq[Int]]]()
+    var entry = zip.getNextEntry
+    while (entry != null) {
+      val name = entry.getName.stripSuffix(".tif")
+      planes(name) = decodeGrayTiff(zip.readAllBytes())
+      entry = zip.getNextEntry
+    }
+    zip.close()
+    bandOrder.map(b => planes.getOrElse(b,
+      throw new IllegalArgumentException(
+        s"band $b missing from archive (has ${planes.keys.mkString(",")})")))
+  }
+
+  /** Band-zip decode without a caller-declared band list: planes stack
+    * in NAME-sorted order (deterministic for any archive entry order)
+    * — the generic-ingest path when no band mapping is configured. */
+  def decodeBandZipSorted(bytes: Array[Byte]): Seq[Seq[Seq[Int]]] = {
+    val zip = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
+    val planes = scala.collection.mutable.Map[String, Seq[Seq[Int]]]()
+    var entry = zip.getNextEntry
+    while (entry != null) {
+      planes(entry.getName) = decodeGrayTiff(zip.readAllBytes())
+      entry = zip.getNextEntry
+    }
+    zip.close()
+    require(planes.nonEmpty, "empty band archive")
+    planes.toSeq.sortBy(_._1).map(_._2)
+  }
+
+  /** Single-band 8-bit grayscale TIFF (TYPE_BYTE_GRAY is its own
+    * color space — roundtrips sample values exactly). */
+  private def encodeGrayTiff(plane: Seq[Seq[Int]]): Array[Byte] = {
+    val h = plane.length; val w = plane.head.length
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < h) {
+      var j = 0
+      while (j < w) { raster.setSample(j, i, 0, plane(i)(j)); j += 1 }
+      i += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "tiff", baos), "no ImageIO writer for tiff")
+    baos.toByteArray
+  }
+
+  private def decodeGrayTiff(bytes: Array[Byte]): Seq[Seq[Int]] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val raster = img.getRaster
+    Seq.tabulate(img.getHeight, img.getWidth)((i, j) => raster.getSample(j, i, 0))
+  }
+
   val encodePngUdf = udf(encodePng _)
   val encodeTiffUdf = udf(encodeTiff _)
+  val encodeJpegUdf = udf((px: Seq[Seq[Seq[Int]]], q: Float) => encodeJpeg(px, q))
   val decodeImageUdf = udf(decodeImage _)
+  val encodeBandZipUdf = udf(encodeBandZip _)
+  val decodeBandZipUdf = udf(decodeBandZip _)
 
   private def toBufferedImage(pixels: Seq[Seq[Seq[Int]]]): BufferedImage = {
     require(pixels.length == 3, s"expected 3 channels, got ${pixels.length}")

@@ -44,6 +44,12 @@ object Media {
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val frameEnc: Encoder[FrameRow] = Encoders.product[FrameRow]
 
+  /** PK local-file-header magic — a zip payload is a
+    * zip-of-band-TIFFs product ([[Raster.encodeBandZip]]). */
+  def isZip(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'P' && payload(1) == 'K' &&
+      payload(2) == 3 && payload(3) == 4
+
   /** REAL audio codec for WAV/PCM16 — RIFF is a trivial container, so
     * no external library is needed and the audio leg of the multimodal
     * story stops being a stub: parse the chunk list, read `fmt ` +
@@ -217,7 +223,11 @@ object Media {
       rows.map { r =>
         r.kind match {
           case "image" =>
-            val px = Raster.decodeImage(r.payload) // REAL decode
+            // one image path, three real containers: PNG/TIFF/JPEG via
+            // ImageIO sniffing, zip-of-band-TIFFs via the PK magic
+            val px =
+              if (Media.isZip(r.payload)) Raster.decodeBandZipSorted(r.payload)
+              else Raster.decodeImage(r.payload)
             val lum = px.head.flatten.map(_.toLong).sum.toDouble /
               (px.head.length * px.head.head.length)
             MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, lum, 1, pid)

@@ -37,6 +37,22 @@ class MediaSpec extends AnyFunSuite {
     assert(inits <= 2, s"codec must initialize per PARTITION, not per row (saw $inits)")
   }
 
+  test("image path spans all real containers: JPEG and zip-of-band-TIFFs extract features") {
+    import Media._
+    val cube = Seq.fill(3)(Seq.fill(8)(Seq.fill(8)(120)))
+    val rows = Seq(
+      MediaRow(10L, "image", Raster.encodeJpeg(cube, 0.9f),
+        MediaMeta("image/jpeg", 8, 8, 0L)),
+      MediaRow(11L, "image", Raster.encodeBandZip(cube, Seq("B04", "B03", "B02")),
+        MediaMeta("application/zip", 8, 8, 0L)))
+    val feats = Media.extractFeatures(spark.createDataset(rows)(mediaRowEnc))
+      .collect().map(f => f.media_id -> f).toMap
+    // JPEG is lossy but near-exact on a uniform image
+    assert(math.abs(feats(10L).meanLuminance - 120.0) < 2.0, s"${feats(10L)}")
+    // band-zip is lossless
+    assert(feats(11L).meanLuminance == 120.0, s"${feats(11L)}")
+  }
+
   test("frame sampling explodes every Nth frame as rows, deterministically") {
     val frames = Media.sampleFrames(mediaDs, everyN = 3).collect()
     assert(frames.map(_.media_id).toSet == Set(3L), "only video rows sampled")

@@ -68,6 +68,44 @@ class RasterSpec extends AnyFunSuite {
     assert(Raster.decodeImage(Raster.encodeTiff(cube)) == cube)
   }
 
+  test("JPEG codec: real lossy roundtrip — dims exact, channel means close, smaller payload") {
+    // LCG noise, 64×64: incompressible for PNG, so the size claim is
+    // about JPEG's lossy transform, not header overhead
+    var seed = 42L
+    def next(): Int = { seed = (seed * 6364136223846793005L + 1442695040888963407L); ((seed >>> 33) % 256).toInt }
+    val cube = Seq.fill(3, 64, 64)(next())
+    val bytes = Raster.encodeJpeg(cube, 0.9f)
+    // a real JPEG container, not a renamed bitmap
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing SOI marker")
+    val back = Raster.decodeImage(bytes)
+    assert(back.length == 3 && back.head.length == 64 && back.head.head.length == 64)
+    def mean(p: Seq[Seq[Int]]): Double = p.flatten.sum.toDouble / p.flatten.size
+    (0 until 3).foreach { c =>
+      assert(math.abs(mean(back(c)) - mean(cube(c))) < 4.0,
+        s"channel $c mean drifted: ${mean(back(c))} vs ${mean(cube(c))}")
+    }
+    // and the point of JPEG: the payload actually compresses
+    assert(bytes.length < Raster.encodePng(cube).length,
+      "lossy JPEG at q=0.9 should beat lossless PNG on noise")
+  }
+
+  test("zip-of-band-TIFFs codec: order-insensitive bit-exact roundtrip; missing band is loud") {
+    val cube = Seq.tabulate(3, 6, 9)((c, i, j) => (c * 91 + i * 31 + j * 11) % 256)
+    val bands = Seq("B04", "B03", "B02")
+    val zip = Raster.encodeBandZip(cube, bands)
+    assert(Raster.decodeBandZip(zip, bands) == cube, "same-order roundtrip")
+    // archives deliver entries in arbitrary order — decode stacks by NAME
+    val reordered = Raster.decodeBandZip(zip, Seq("B02", "B04", "B03"))
+    assert(reordered == Seq(cube(2), cube(0), cube(1)), "by-name stacking")
+    val err = intercept[IllegalArgumentException](
+      Raster.decodeBandZip(zip, Seq("B04", "B08")))
+    assert(err.getMessage.contains("B08"))
+    // zip is a real archive: entry names visible to plain java.util.zip
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(zip))
+    val names = Iterator.continually(zin.getNextEntry).takeWhile(_ != null).map(_.getName).toSet
+    assert(names == Set("B04.tif", "B03.tif", "B02.tif"))
+  }
+
   test("clip UDF works inside a DataFrame pipeline (R2 in plan form)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
