@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.Row
 
 /** Parser extension: first-class SQL syntax for the table-maintenance
-  * operations — `GRAFT OPTIMIZE '<path>' [FILES n]` and
-  * `GRAFT VACUUM '<path>' [RETAIN n HOURS]` — exactly how production
-  * table formats
+  * and merge operations — `GRAFT OPTIMIZE '<path>' [FILES n]`,
+  * `GRAFT VACUUM '<path>' [RETAIN n HOURS]`, and
+  * `GRAFT MERGE INTO '<path>' USING <source> KEY (k…)` — exactly how
+  * production table formats
   * surface OPTIMIZE/VACUUM (a delegating parser that claims its own
   * statements and passes EVERYTHING else through untouched, so the
   * whole stock SQL surface is unaffected; ExtensionsSafetySpec's
@@ -25,6 +26,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val Merge =
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s+(.+?)\s+KEY\s*\(([^)]+)\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, files) =>
@@ -34,6 +37,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // concurrent commit moved into the root before its manifest write
       GraftVacuumCommand(path,
         Option(retain).map(_.toLong * 3600000L).getOrElse(3600000L))
+    case Merge(path, source, keys) =>
+      GraftMergeCommand(path, source.trim,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -70,4 +76,27 @@ case class GraftVacuumCommand(path: String, graceMs: Long = 3600000L)
     Seq(AttributeReference("reclaimed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.ManifestOptimize.vacuum(path, graceMs).toLong))
+}
+
+/** `GRAFT MERGE INTO '<path>' USING <source> KEY (k1, k2, …)` — keyed
+  * upsert (MERGE semantics) as first-class SQL over a manifest table:
+  * source rows REPLACE current rows sharing their key, everything else
+  * inserts ([[graft.sources.ManifestUpsert]]'s copy-on-write swap
+  * under optimistic concurrency). `<source>` is either a table/view
+  * name or a parenthesized SELECT — parsed by the DELEGATE parser, so
+  * the whole stock expression surface is available inside it. Returns
+  * the table's new logical version (the merge is one more commit). */
+case class GraftMergeCommand(path: String, source: String, keys: Seq[String])
+    extends LeafRunnableCommand {
+  require(keys.nonEmpty, "GRAFT MERGE INTO requires at least one KEY column")
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val batch =
+      if (source.startsWith("(") && source.endsWith(")"))
+        spark.sql(source.substring(1, source.length - 1))
+      else spark.table(source)
+    graft.sources.ManifestUpsert.upsert(path, batch, keys)
+    Seq(Row(graft.sources.ManifestSink.logicalCount(new java.io.File(path)).toLong))
+  }
 }

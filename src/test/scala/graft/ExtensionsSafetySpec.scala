@@ -96,6 +96,23 @@ class ExtensionsSafetySpec extends AnyFunSuite {
       val arity2 = intercept[Exception](
         ext.sql("SELECT graft_polyhash('a', 'b')").collect())
       assert(arity2.getMessage.contains("graft_polyhash"), s"got: $arity2")
+      // GRAFT MERGE INTO: keyed upsert as SQL, inline-SELECT source,
+      // returns the new logical version; replay is state-idempotent
+      val mdir = java.nio.file.Files.createTempDirectory("graft_sql_merge").toString
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", mdir).mode("append").save()
+      val v1 = ext.sql(
+        s"GRAFT MERGE INTO '$mdir' USING (SELECT 2L AS id, 'B2' AS s UNION ALL SELECT 3L, 'c') KEY (id)")
+        .head().getLong(0)
+      assert(v1 == 2L, s"merge must be the table's second logical commit, got $v1")
+      def rowsOf() = ext.read.format("graft.sources.ManifestSink").option("path", mdir)
+        .load().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rowsOf() == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+      // a named temp view works as the source too
+      Seq((3L, "C3")).toDF("id", "s").createOrReplaceTempView("merge_src")
+      ext.sql(s"GRAFT MERGE INTO '$mdir' USING merge_src KEY (id)")
+      assert(rowsOf() == Map(1L -> "a", 2L -> "B2", 3L -> "C3"))
       // stock SQL delegates through unchanged
       assert(ext.sql("SELECT 1 + 1").head().getInt(0) == 2)
       val err = intercept[Exception](ext.sql("GRAFTX NONSENSE"))
