@@ -29,10 +29,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * broadcasts the 1-row corpus total / Σq constants onto vocab- and
     * source-sized tables only; q81 crossJoins the ONE-row pair total
     * onto the support-filtered count table (vocab²-bounded, never the
-    * corpus) — the same keyless-scalar shape. */
+    * corpus) — the same keyless-scalar shape; q82 the PQ-ADC scan —
+    * deliberately the q21 broadcast shape (per-query ADC tables are
+    * the declared-small side; its scale path is the IVF cell-pruned
+    * composition, ivfPqTopK, whose candidate join IS an equi-join on
+    * the cell id). */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
-      "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations")
+      "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
+      "q82_pq_adc")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
