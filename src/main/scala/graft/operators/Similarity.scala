@@ -704,7 +704,11 @@ object Similarity {
       topK: Int = 5): DataFrame = {
     val v = vectors(spark, dir)
     val cb = trainPq(v, m, k, iters)
-    val coded = v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes"))
+    // materialization point — see pqAdcTopK: without it projection
+    // collapse re-encodes every vector once per QUERY inside the join
+    val coded = graft.CacheRegistry.getOrCache(spark,
+      s"similarity.pqCoded:$dir:$m:$k:$iters")(
+      v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes")))
     val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val tdf = adcTables(spark, qs, cb)
@@ -777,9 +781,13 @@ object Similarity {
     val cb = trainPq(v, m, k, iters)
     val (assigned, probes) =
       ivfAssignAndProbe(v, expr(QueryFilter), expr(IvfCentroidFilter), nprobe)
-    // the stored index: cell id + PQ codes, nothing else
-    val coded = assigned.select(col("vec_id"), col("cell"),
-      VectorOps.pqEncode(col("e"), cb).as("codes"))
+    // the stored index: cell id + PQ codes, nothing else.
+    // Materialized (see pqAdcTopK) so NearestCell + PqEncode run once
+    // per vector, not once per (vector, probe) join pair.
+    val coded = graft.CacheRegistry.getOrCache(spark,
+      s"similarity.ivfPqCoded:$dir:$m:$k:$iters")(
+      assigned.select(col("vec_id"), col("cell"),
+        VectorOps.pqEncode(col("e"), cb).as("codes")))
     val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probeT = probes.select(col("q_id"), col("probe"))
@@ -843,7 +851,15 @@ object Similarity {
       floor(element_at(col("e0"), i + 1) * lit(1024.0)).cast("double")): _*)
     val v = raw.select(col("vec_id"), eInt.as("e"))
     val cb = trainPq(v, m, k, iters = 0) // seed rule only — deterministic
-    val coded = v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes"))
+    // MATERIALIZATION POINT, not an optimization nicety: without it,
+    // projection collapse inlines the 64-expr integer scale + PqEncode
+    // into the join's per-PAIR projection — encoding every vector once
+    // per query (80× redundant work here; measured 20 s vs 0.3 s at
+    // sf0.1). In a real deployment the codes ARE the stored index (the
+    // whole point of PQ), so the cache stands in for the code table a
+    // 100 TB corpus would read directly.
+    val coded = graft.CacheRegistry.getOrCache(spark, s"similarity.pqCoded:$dir")(
+      v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes")))
     val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val tdf = adcTables(spark, qs, cb)

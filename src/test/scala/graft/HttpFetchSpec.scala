@@ -94,4 +94,26 @@ class HttpFetchSpec extends AnyFunSuite {
       assert(stats === 25.0)
     }
   }
+
+  test("the reference's actual delivery flow: fetch ZIP of band TIFFs -> unzip -> stack -> stats") {
+    // reference main.py:161-186 downloads a zip with one single-band
+    // tif per spectral band and asserts len(namelist)==len(bands);
+    // this is that flow on the executor side, end to end
+    withServer { (server, base) =>
+      val zip = Raster.encodeBandZip(cube, Seq("B04", "B03", "B02"))
+      server.createContext("/product", (ex: HttpExchange) => reply(ex, 200, zip))
+      import spark.implicits._
+      val df = (1L to 8L).map(i => (i, s"$base/product?id=$i")).toDF("ee_key", "url")
+        .repartition(2)
+      val out = HttpFetch.fetchColumn(df, "url", "raw")
+        .withColumn("cube",
+          Raster.decodeBandZipUdf(col("raw"), typedlit(Seq("B04", "B03", "B02"))))
+        .withColumn("s", graft.functions.PixelOps.imageStats(col("cube")))
+        .select("ee_key", "s.red_average")
+      val rows = out.collect()
+      assert(rows.length === 8)
+      rows.foreach(r => assert(r.getDouble(1) === 25.0,
+        s"band-zip cube must equal the PNG cube's stats, got $r"))
+    }
+  }
 }
