@@ -912,6 +912,59 @@ object Similarity {
        |SELECT q_id, rank, neighbor_id, adist FROM r WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q84
+
+  /** q84: kNN classification eval — the standard downstream-task probe
+    * of embedding quality (and the label column's first operator):
+    * each query's label is predicted by MAJORITY VOTE over its exact
+    * top-5 cosine neighbors (q21's oracled contract), tie broken to
+    * the smallest label; `correct` scores it against the true label.
+    * Every output is integer (votes, labels, 0/1), so the row set is
+    * hash-stable by construction on top of q21's determinism.
+    *
+    * Scale shape: the expensive half IS q21/q22/q44 (pick the tier);
+    * the voting half never shuffles the corpus — the (q×k)-row
+    * neighbor table is BROADCAST into the label equi-join, votes are
+    * a map-side-combined count over q×k rows, and the argmax is a
+    * window over ≤ q·|labels| rows. On this synthetic fixture labels
+    * are geometry-INDEPENDENT (accuracy ≈ chance, SimilaritySpec pins
+    * the vote mechanics instead) — on a real corpus this operator is
+    * the recall@k/probe-accuracy dashboard number. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val nn = cosineTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val votes = labels
+      .join(broadcast(nn), col("vec_id") === col("neighbor_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    val pred = votes
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+    labels
+      .join(broadcast(pred), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("label").as("true_label"), col("pred_label"),
+        col("votes"),
+        (col("pred_label") === col("label")).cast("int").as("correct"))
+  }
+
+  val knnClassifySql: String =
+    s"""WITH nn AS (
+       |$cosineTopKSql),
+       |v AS (
+       |  SELECT q_id, e.label, count(*) AS votes
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+       |  GROUP BY q_id, e.label),
+       |p AS (
+       |  SELECT q_id, label AS pred_label, votes FROM (
+       |    SELECT q_id, label, votes,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+       |    FROM v) WHERE rn = 1)
+       |SELECT p.q_id, e.label AS true_label, p.pred_label, p.votes,
+       |       CAST(p.pred_label = e.label AS INT) AS correct
+       |FROM p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin
+
   /** Self-contained oracle: derives the same per-dimension codebook in
     * SQL (zipped unnest with subscripts), then applies the identical
     * double-precision affine formulas. floor() makes every CAST land

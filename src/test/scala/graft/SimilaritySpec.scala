@@ -212,4 +212,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(meanOverlap >= 0.8,
       s"int8 reconstruction degraded top-5 overlap to $meanOverlap")
   }
+
+  test("q84 kNN classify: majority vote with smallest-label tie-break, replayed from q21's neighbors") {
+    import org.apache.spark.sql.functions.col
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = nn.map { case (q, ns) =>
+      val votes = ns.groupBy(labels).view.mapValues(_.size).toMap
+      val (pl, v) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+      (q, labels(q), pl, v.toLong, if (pl == labels(q)) 1 else 0)
+    }.toSet
+    val got = Similarity.knnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toSet
+    assert(got == expected,
+      s"q84 diverged: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // every query answered exactly once; votes bounded by k=5.
+    // (On this fixture labels are geometry-independent, so accuracy sits
+    // at chance — the CONTRACT here is the vote mechanics; accuracy is
+    // the dashboard number on a real corpus.)
+    assert(got.map(_._1) == nn.keySet)
+    assert(got.forall { case (_, _, _, v, _) => v >= 1 && v <= 5 })
+  }
 }
