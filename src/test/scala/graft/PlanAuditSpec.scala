@@ -33,11 +33,12 @@ class PlanAuditSpec extends AnyFunSuite {
     * deliberately the q21 broadcast shape (per-query ADC tables are
     * the declared-small side; its scale path is the IVF cell-pruned
     * composition, ivfPqTopK, whose candidate join IS an equi-join on
-    * the cell id). */
+    * the cell id); q84 composes q21's exact-baseline subtree verbatim
+    * (the voting half itself joins only by equi-key broadcast). */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
-      "q82_pq_adc")
+      "q82_pq_adc", "q84_knn_classify")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
@@ -139,7 +140,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q44_ivf_ann", "q45_bpe_tokens", "q50_vocab_topk", "q52_decontaminate",
       "q53_repetition", "q54_tfidf_topk", "q55_chunks", "q56_simhash_neardup",
       "q57_semantic_dedup", "q58_importance_sample", "q61_quantize",
-      "q62_pack_bins").foreach { name =>
+      "q62_pack_bins", "q82_pq_adc", "q83_substring_dedup",
+      "q84_knn_classify").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
