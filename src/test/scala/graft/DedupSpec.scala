@@ -228,6 +228,22 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup pairs ($avgNear bits) should be closer than random pairs ($avgRandom bits)")
   }
 
+  test("q85 incremental near-dup ≡ q18's cross-split subset (ingest loses nothing vs full recompute)") {
+    // q18's unordered pairs where exactly one side is in the delta
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def inDelta(id: Long) = id % 10 == 7
+    val expected = full.collect {
+      case (a, b, j) if inDelta(a) != inDelta(b) =>
+        (if (inDelta(a)) (a, b) else (b, a), j)
+    }.toSet
+    val got = Dedup.deltaNearDup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture must have near-dup pairs crossing the delta split")
+    assert(got == expected,
+      s"q85 diverged from q18's cross-split subset: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+  }
+
   test("q83 substring dedup equals a driver-side window scan; stride trade is monotone") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
