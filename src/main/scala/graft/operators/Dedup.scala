@@ -117,31 +117,47 @@ object Dedup {
           array_distinct(TextHash.wordNGramHashes(col("t"), 3)).as("hh"))
     }
 
+  /** Hashed distinct shingle sets for an arbitrary documents frame
+    * (doc_id, text) — the reusable form of [[hashedShingles]] that the
+    * STREAMING twin applies to a micro-batch (the kernel is a pure map,
+    * so it runs identically on a stream). */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(TextHash.wordNGramHashes(col("t"), 3)).as("hh"))
+
+  /** Banded LSH bucket keys for a shingle table: K=12 minhash
+    * signature → 6 band keys of 2 rows, exploded to (doc_id, bkey).
+    * Band keys are a literal array, not a transform() lambda (codegen
+    * stays intact); `array_distinct` dedups per ROW — the only
+    * duplicates possible — so the derivation is STATELESS and legal on
+    * a stream (a cross-row `.distinct()` would be stateful there, and
+    * in batch it was a shuffle for nothing). */
+  def bandTable(sh: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    sh.withColumn("sig", TextHash.minhashSig(col("hh"), 12))
+      .select(
+        (col("doc_id") +: carry.map(col)) :+
+        explode(array_distinct(array((0 until 6).map(j =>
+          (element_at(col("sig"), 2 * j + 1) * lit(1000003L) +
+            element_at(col("sig"), 2 * j + 2)) % lit(1000000007L)): _*)))
+          .as("bkey"): _*)
+
   /** The banded LSH bucket index over the corpus — q18's candidate
     * generator and q85's STORED INDEX (same cache key: one physical
-    * band table serves the full self-dedup and the incremental delta
-    * probe, which is exactly the artifact a production deployment
-    * persists between ingest batches). */
-  private def bandsOf(spark: SparkSession, dir: String): DataFrame = {
-    val sig = hashedShingles(spark, dir)
-      .withColumn("sig", TextHash.minhashSig(col("hh"), 12))
-    // the band joins duplicate their input subtree with fresh expr
-    // ids, which defeats ReuseExchange — without a materialization
-    // point the K-minhash signatures are computed on BOTH sides.
-    // (doc_id, bkey) is 6 rows/doc of bigints: tiny; caller-released
-    // via CacheRegistry like every operator cache.
+    * band table serves the full self-dedup, the incremental delta
+    * probe, and the streaming ingest twin — exactly the artifact a
+    * production deployment persists between ingest batches). The band
+    * joins duplicate their input subtree with fresh expr ids, which
+    * defeats ReuseExchange — without a materialization point the
+    * K-minhash signatures are computed on BOTH sides. (doc_id, bkey)
+    * is ≤6 rows/doc of bigints: tiny; caller-released via
+    * CacheRegistry like every operator cache. */
+  private def bandsOf(spark: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.getOrCache(spark, s"dedup.bands:$dir") {
-      // band key j = (sig[2j+1]·1000003 + sig[2j+2]) mod P as a literal
-      // array, not a transform() lambda (codegen stays intact)
-      sig.select(
-        col("doc_id"),
-        explode(array((0 until 6).map(j =>
-          (element_at(col("sig"), 2 * j + 1) * lit(1000003L) +
-            element_at(col("sig"), 2 * j + 2)) % lit(1000000007L)): _*))
-          .as("bkey"))
-      .distinct() // a pair colliding in several bands counts once
+      bandTable(hashedShingles(spark, dir))
     }
-  }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = hashedShingles(spark, dir)

@@ -99,6 +99,41 @@ object Incremental {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Streaming near-dup ingest — q85's incremental delta-vs-corpus
+    * dedup as a CONTINUOUS flow: each arriving document is shingled,
+    * minhash-signed, and banded with the SAME codegen'd kernels the
+    * batch operators use (`Dedup.shingleTable`/`bandTable` — the band
+    * derivation is stateless by construction, per-row array_distinct,
+    * so it is legal on a stream), then probed into the STATIC corpus
+    * band index — the stored artifact q18/q85 share. Collided pairs
+    * are verified with exact Jaccard against the static shingle table
+    * and aggregated to one row per (doc_id, corpus_id) — the
+    * micro-batch-scoped groupBy, each doc's bands arrive in one event.
+    * At scale this is the ingest gate that runs continuously: new
+    * documents never trigger a corpus self-join, only equi-probes
+    * into the index. */
+  def nearDupStream(
+      docs: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      tau: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    // hh travels WITH the bands through the explode (carry column): a
+    // join of two stream-derived frames would be an illegal
+    // stream-stream join, and the stream side must stay one pipeline
+    val banded = Dedup.bandTable(Dedup.shingleTable(docs), carry = Seq("hh"))
+    banded
+      .join(corpusBands.select(col("doc_id").as("corpus_id"), col("bkey")), "bkey")
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"), col("hh").as("hc")),
+        "corpus_id")
+      .withColumn("inter", size(array_intersect(col("hh"), col("hc"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("hh")) + size(col("hc")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(round(max(col("jaccard")), 4).as("jaccard"))
+  }
+
   /** Static-side helper: the distinct gram hashes of an eval corpus
     * (same kernel, same n as the stream side). */
   def evalGramTable(evalDocs: DataFrame): DataFrame =

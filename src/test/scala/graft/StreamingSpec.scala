@@ -81,6 +81,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: band probe into the static corpus index ≡ batch jaccard") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // static corpus: two docs; doc 101's text will be near-duplicated
+    // by a stream arrival (one token changed), doc 102 is unrelated
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (102L, "completely different content about satellite imagery and water bodies"))
+      .toDF("doc_id", "text")
+    val corpusSh = graft.operators.Dedup.shingleTable(corpus)
+    val corpusBands = graft.operators.Dedup.bandTable(corpusSh)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Incremental.nearDupStream(docs, corpusBands, corpusSh)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("complete").start()
+    try {
+      input.addData(
+        (201L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (202L, "entirely novel text sharing no shingles with anything in the corpus"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exactly the planted near-dup pair; jaccard matches the batch
+      // kernels' exact computation over the same shingle sets
+      assert(rows.map(t => (t._1, t._2)).toSeq == Seq((201L, 101L)), rows.mkString(","))
+      val hh = corpusSh.unionByName(graft.operators.Dedup.shingleTable(
+          Seq((201L, "the quick brown fox jumps over the lazy dog near the river bank now"))
+            .toDF("doc_id", "text")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val inter = (hh(201L) & hh(101L)).size.toDouble
+      val expected = BigDecimal(inter / (hh(201L).size + hh(101L).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows.head._3 == expected, s"${rows.head._3} vs $expected")
+      assert(rows.head._3 >= 0.8)
+    } finally q.stop()
+  }
+
   test("streaming session_window: sessions merge across batches, close past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
