@@ -79,7 +79,16 @@ object SoakDocs {
       Seq(
         "q54_tfidf_topk" -> operators.TextAnalysis.tfidfTopK _,
         "q66_source_divergence" -> operators.TextAnalysis.sourceDivergence _,
-        "q79_lm_score" -> operators.TextAnalysis.lmScore _)
+        "q79_lm_score" -> operators.TextAnalysis.lmScore _,
+        // q83 is a linear pipeline (windows ∝ chars; the dup-hash set is
+        // bounded by DISTINCT windows, which replication leaves fixed).
+        // The PAIR operators (q18/q85) are deliberately absent: N×
+        // replication makes every copy a near-dup of its N−1 siblings,
+        // so pair counts grow N² by construction of the soak data, not
+        // of the algorithm — the honest pair-scale evidence is the
+        // bucket-boundedness PlanAudit/DedupSpec assert, not a
+        // replicated-corpus wall clock.
+        "q83_substring_dedup" -> operators.Dedup.substringDedup _)
 
     println(f"## Documents soak: sf0.1 x$n (docs x$n, same text distribution)")
     ops.foreach { case (name, fn) =>
