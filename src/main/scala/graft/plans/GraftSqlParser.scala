@@ -27,7 +27,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val Merge =
-    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s+(.+?)\s+KEY\s*\(([^)]+)\)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+(?:'([^']+)'|([A-Za-z_][\w.]*))\s+USING\s+(.+?)\s+KEY\s*\(([^)]+)\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(path, files) =>
@@ -37,9 +37,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // concurrent commit moved into the root before its manifest write
       GraftVacuumCommand(path,
         Option(retain).map(_.toLong * 3600000L).getOrElse(3600000L))
-    case Merge(path, source, keys) =>
-      GraftMergeCommand(path, source.trim,
-        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    case Merge(path, ident, source, keys) =>
+      GraftMergeCommand(Option(path).getOrElse(ident), source.trim,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        targetIsPath = path != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -78,20 +79,45 @@ case class GraftVacuumCommand(path: String, graceMs: Long = 3600000L)
     Seq(Row(graft.sources.ManifestOptimize.vacuum(path, graceMs).toLong))
 }
 
-/** `GRAFT MERGE INTO '<path>' USING <source> KEY (k1, k2, …)` — keyed
-  * upsert (MERGE semantics) as first-class SQL over a manifest table:
-  * source rows REPLACE current rows sharing their key, everything else
-  * inserts ([[graft.sources.ManifestUpsert]]'s copy-on-write swap
-  * under optimistic concurrency). `<source>` is either a table/view
+/** `GRAFT MERGE INTO <'path'|catalog.db.table> USING <source>
+  * KEY (k1, k2, …)` — keyed upsert (MERGE semantics) as first-class
+  * SQL over a manifest table: source rows REPLACE current rows sharing
+  * their key, everything else inserts
+  * ([[graft.sources.ManifestUpsert]]'s copy-on-write swap under
+  * optimistic concurrency). The target is a quoted path OR a catalog
+  * identifier resolved through the session's CatalogManager to a
+  * manifest table (a non-manifest table is a loud error — MERGE must
+  * not guess a storage location). `<source>` is either a table/view
   * name or a parenthesized SELECT — parsed by the DELEGATE parser, so
   * the whole stock expression surface is available inside it. Returns
   * the table's new logical version (the merge is one more commit). */
-case class GraftMergeCommand(path: String, source: String, keys: Seq[String])
+case class GraftMergeCommand(target: String, source: String, keys: Seq[String],
+    targetIsPath: Boolean = true)
     extends LeafRunnableCommand {
   require(keys.nonEmpty, "GRAFT MERGE INTO requires at least one KEY column")
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private def resolvePath(spark: SparkSession): String =
+    if (targetIsPath) target
+    else {
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+      require(parts.length >= 2,
+        s"GRAFT MERGE INTO <ident> needs a catalog-qualified name, got '$target'")
+      val catalog = spark.sessionState.catalogManager.catalog(parts.head)
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init.toArray, parts.last)
+      catalog.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(ident) match {
+          case mt: graft.sources.ManifestTable => mt.tablePath
+          case other => throw new IllegalArgumentException(
+            s"GRAFT MERGE INTO supports manifest tables only; " +
+              s"'$target' resolved to ${other.getClass.getSimpleName}")
+        }
+    }
+
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = resolvePath(spark)
     val batch =
       if (source.startsWith("(") && source.endsWith(")"))
         spark.sql(source.substring(1, source.length - 1))

@@ -353,6 +353,10 @@ class ManifestTable(path: String, external: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "ManifestSink requires option 'path'")
 
+  /** Storage location — lets catalog-resolved commands (GRAFT MERGE
+    * INTO <ident>) route to the path-based maintenance machinery. */
+  private[graft] def tablePath: String = path
+
   override def name(): String =
     s"manifest_sink($path${pinnedAsOf.fold("")(v => s"@v$v")})"
 

@@ -53,10 +53,13 @@ class ExtensionsSafetySpec extends AnyFunSuite {
   test("parser extension: GRAFT OPTIMIZE/VACUUM are first-class SQL; stock SQL untouched") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlx_wh").toString
     val ext = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft_sqlx", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft_sqlx.warehouse", wh)
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
@@ -113,6 +116,16 @@ class ExtensionsSafetySpec extends AnyFunSuite {
       Seq((3L, "C3")).toDF("id", "s").createOrReplaceTempView("merge_src")
       ext.sql(s"GRAFT MERGE INTO '$mdir' USING merge_src KEY (id)")
       assert(rowsOf() == Map(1L -> "a", 2L -> "B2", 3L -> "C3"))
+      // the catalog-identifier target form: resolved through the
+      // session CatalogManager to the manifest table's path
+      Seq((1L, "x"), (2L, "y")).toDF("id", "s").createOrReplaceTempView("cat_seed")
+      ext.sql("CREATE TABLE graft_sqlx.db.mergetgt AS SELECT * FROM cat_seed")
+      val v2 = ext.sql(
+        "GRAFT MERGE INTO graft_sqlx.db.mergetgt USING (SELECT 2L AS id, 'Y2' AS s) KEY (id)")
+        .head().getLong(0)
+      assert(v2 == 2L, s"catalog-form merge must advance the version, got $v2")
+      assert(ext.sql("SELECT s FROM graft_sqlx.db.mergetgt WHERE id = 2").head().getString(0) == "Y2")
+      assert(ext.sql("SELECT count(*) FROM graft_sqlx.db.mergetgt").head().getLong(0) == 2L)
       // stock SQL delegates through unchanged
       assert(ext.sql("SELECT 1 + 1").head().getInt(0) == 2)
       val err = intercept[Exception](ext.sql("GRAFTX NONSENSE"))
