@@ -591,9 +591,17 @@ object Dedup {
     * 16 bytes per window, never the window text; the dup set is an
     * equi-join on the hash. Window count is chars/S, the method's
     * real cost — production tunes S up toward W (non-overlapping
-    * windows) or runs per-partition suffix automata; S < W trades
-    * that cost for alignment-shift recall, and the S=W/3 default
-    * keeps recall for spans ≥ W + S chars at any alignment. */
+    * windows) or runs per-partition suffix automata.
+    *
+    * RECALL CONTRACT (precise, because grid windows are cut on each
+    * document's OWN stride): two carriers of a shared span produce
+    * hash-equal windows only when their span offsets agree mod S —
+    * shift-invariant content (and corpora whose duplication is
+    * copy-at-aligned-offsets, like this fixture) are always caught; an
+    * aperiodic span at a misaligned offset is not, at any length. The
+    * shift-INVARIANT tier is q86 ([[winnowDedup]]): content-defined
+    * anchors make window selection independent of alignment at ~the
+    * same sampled-window budget. */
   def substringDedupWith(docs: DataFrame, w: Int, s: Int): DataFrame = {
     val wnd = docs
       .filter(length(col("text")) >= w)
@@ -631,6 +639,80 @@ object Dedup {
        |SELECT doc_id, count(*) AS n_windows, count(dh) AS dup_windows,
        |       count(dh) * 1000000 // count(*) AS dup_ppm
        |FROM wnd LEFT JOIN dup ON h = dh
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** q86's anchor density: 1 in `WinnowP` gram positions (expected),
+    * matching q83's stride-16 sampled-window budget. */
+  val WinnowP = 16
+
+  def winnowDedup(spark: SparkSession, dir: String): DataFrame =
+    winnowDedupWith(Tables.documents(spark, dir), SubstrW, WinnowP)
+
+  /** q86: SHIFT-INVARIANT substring dedup via content-defined anchors
+    * — the winnowing/mod-p-sampling recipe from the public
+    * fingerprinting literature, and the answer to q83's documented
+    * recall gap: q83 cuts windows on each document's own stride grid,
+    * so carriers of a shared aperiodic span at misaligned offsets
+    * never produce hash-equal windows. Here the DOCUMENT CONTENT
+    * chooses the windows instead: every W-char gram is hashed and a
+    * position is an ANCHOR iff polyhash(gram) ≡ 0 (mod p) — a
+    * predicate on content alone, so a shared span carries its anchors
+    * WITH it to any offset in any document, and two carriers always
+    * agree on the span's in-span anchor set. Expected anchor density
+    * 1/p keeps the sampled-window budget at q83's chars/S while
+    * upgrading recall from "aligned mod S" to "any alignment".
+    *
+    * Cost shape: the full gram scan is chars·W byte-hashes (the price
+    * every shift-invariant scheme pays before sampling); the shuffle
+    * then carries only the 1/p anchors — (BIGINT hash, doc_id) pairs
+    * like q83. A single-pass ROLLING variant of this scan (each gram
+    * hash derived from the previous in O(1), the
+    * [[graft.functions.GramFingerprint]] kernel's recurrence) is the
+    * production form of the map stage; the explode form below keeps
+    * the plan oracle-transparent and is already linear. */
+  def winnowDedupWith(docs: DataFrame, w: Int, p: Int): DataFrame = {
+    val anchors = docs
+      .filter(length(col("text")) >= w)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, length(text) - $w)")).as("g"),
+        col("text"))
+      .select(col("doc_id"),
+        TextHash.polyhash(expr(s"substring(text, g + 1, $w)")).as("h"))
+      .filter(col("h") % lit(p) === 0)
+    val dup = anchors.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h").as("dh"))
+    anchors.join(dup, col("h") === col("dh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_anchors"),
+        count(col("dh")).as("dup_anchors"))
+      .select(col("doc_id"), col("n_anchors"), col("dup_anchors"),
+        expr("dup_anchors * 1000000 div n_anchors").as("dup_ppm"))
+  }
+
+  val winnowDedupSql: String = {
+    val w = SubstrW; val p = WinnowP
+    s"""WITH anch AS (
+       |  SELECT doc_id, h FROM (
+       |    SELECT doc_id, ${duckPolyhash("w")} AS h
+       |    FROM (
+       |      SELECT doc_id, substring(text, g + 1, $w) AS w
+       |      FROM (SELECT doc_id, text,
+       |                   unnest(generate_series(0, length(text) - $w)) AS g
+       |            FROM documents WHERE length(text) >= $w)))
+       |  WHERE h % $p = 0),
+       |dup AS (
+       |  SELECT h AS dh FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS nd FROM anch GROUP BY h)
+       |  WHERE nd >= 2)
+       |SELECT doc_id, count(*) AS n_anchors, count(dh) AS dup_anchors,
+       |       count(dh) * 1000000 // count(*) AS dup_ppm
+       |FROM anch LEFT JOIN dup ON h = dh
        |GROUP BY doc_id""".stripMargin
   }
 

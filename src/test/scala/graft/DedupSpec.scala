@@ -228,6 +228,72 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup pairs ($avgNear bits) should be closer than random pairs ($avgRandom bits)")
   }
 
+  test("q83 recall property: a planted shared passage is found; disjoint docs score zero") {
+    import spark.implicits._
+    val W = Dedup.SubstrW; val S = Dedup.SubstrStride
+    // a shared span of W + S chars guarantees each doc an ALIGNED
+    // window fully inside it; the two docs' grids cut the span at
+    // different offsets, so the span must be shift-invariant (one
+    // repeated char) for the window CONTENTS to hash-match — exactly
+    // the mod-S recall contract documented on the operator (the
+    // aperiodic-misaligned case belongs to q86, tested below)
+    val span = "z" * (W + S)
+    def filler(seed: Char): String = (seed.toString * 3 + " ") * 40
+    val docs = Seq(
+      (1L, filler('a') + span + filler('b')),          // span at one offset
+      (2L, filler('c').drop(7) + span + filler('d')),  // span at a shifted offset
+      (3L, filler('e') + filler('f'))                  // no shared content
+    ).toDF("doc_id", "text")
+    val rows = Dedup.substringDedupWith(docs, W, S).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(1L) > 0 && rows(2L) > 0,
+      s"the planted span must be detected in both carriers: $rows")
+    assert(rows(3L) == 0, s"disjoint doc must score zero dup windows: $rows")
+  }
+
+  test("q86 shift-invariance: an aperiodic span at MISALIGNED offsets is found " +
+      "(the case q83's grid provably misses); driver replay ≡") {
+    import spark.implicits._
+    val W = Dedup.SubstrW; val P = Dedup.WinnowP
+    // aperiodic span, long enough to expect in-span anchors
+    val span = "the migratory waterfowl census of nineteen ninety seven recorded " +
+      "unusual breeding colonies along the northern shoreline transects"
+    def polyhash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    // precondition, asserted so a text edit fails loudly: the span
+    // carries at least one FULLY-INTERIOR anchor that survives any
+    // embedding (grams overlapping the filler differ between docs)
+    val interior = (0 to span.length - W)
+      .count(i => polyhash(span.substring(i, i + W)) % P == 0)
+    assert(interior >= 1, s"test span must contain an interior anchor, has $interior")
+    def filler(c: Char) = (c.toString * 5 + " ") * 30
+    val docs = Seq(
+      (1L, filler('a') + span + filler('b')),
+      (2L, filler('c').drop(7) + span + filler('d')), // offsets differ by 7 ≢ 0 mod 16
+      (3L, filler('e') + filler('f'))
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowDedupWith(docs, W, P).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._3 >= 1 && byDoc(2L)._3 >= 1,
+      s"misaligned shared span must be detected in both carriers: ${got.mkString(",")}")
+    assert(byDoc.get(3L).forall(_._3 == 0), s"disjoint doc must have zero dup anchors: $byDoc")
+    // full driver replay of the anchor pipeline
+    val texts = Map(1L -> (filler('a') + span + filler('b')),
+      2L -> (filler('c').drop(7) + span + filler('d')), 3L -> (filler('e') + filler('f')))
+    val anchors = texts.map { case (id, t) =>
+      id -> (0 to t.length - W).map(i => polyhash(t.substring(i, i + W)))
+        .filter(_ % P == 0)
+    }
+    val nd = anchors.toSeq.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = anchors.collect { case (id, hs) if hs.nonEmpty =>
+      val dup = hs.count(h => nd(h) >= 2)
+      (id, hs.size.toLong, dup.toLong, dup.toLong * 1000000L / hs.size)
+    }.toSet
+    assert(got.toSet == expected, s"${got.toSet} vs $expected")
+  }
+
   test("q85 incremental near-dup ≡ q18's cross-split subset (ingest loses nothing vs full recompute)") {
     // q18's unordered pairs where exactly one side is in the delta
     val full = Dedup.minhashLsh(spark, sf).collect()

@@ -141,7 +141,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q53_repetition", "q54_tfidf_topk", "q55_chunks", "q56_simhash_neardup",
       "q57_semantic_dedup", "q58_importance_sample", "q61_quantize",
       "q62_pack_bins", "q82_pq_adc", "q83_substring_dedup",
-      "q84_knn_classify", "q85_delta_neardup").foreach { name =>
+      "q84_knn_classify", "q85_delta_neardup", "q86_winnow_dedup").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
