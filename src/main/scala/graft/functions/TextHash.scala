@@ -165,6 +165,86 @@ case class GramFingerprint(child: Expression, k: Int)
   override def prettyName: String = "gram_fingerprint"
 }
 
+/** q86's rolling anchor scan: ALL k-char-gram polyhashes with
+  * h ≡ 0 (mod p), in scan order, from ONE pass over the string —
+  * the [[GramFingerprint]] recurrence
+  *   h' = ((h − c_out·31^(k−1)) mod P)·31 + c_in  (mod P)
+  * so every emitted hash is EXACTLY the PolyHash of its gram
+  * substring (DedupSpec pins kernel ≡ the substring+polyhash explode
+  * form). Replaces the O(n·k) rehash-per-position plan with O(n), and
+  * emits only the 1/p sample — the explode downstream generates
+  * anchors, never positions. Byte-rolling ≡ char-substring hashing on
+  * the normalized-ASCII corpus contract every text oracle here
+  * already relies on. Returns null below k chars; an anchor-free doc
+  * returns the empty array (explodes to nothing, like the positional
+  * form). */
+case class WinnowAnchors(child: Expression, k: Int, p: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return null
+    val P = PolyHash.Mod
+    var pow = 1L
+    var t = 0
+    while (t < k - 1) { pow = pow * 31L % P; t += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 31L + (bytes(i) & 0xff)) % P; i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    if (h % p == 0) out += h
+    i = k
+    while (i < n) {
+      val c = (bytes(i - k) & 0xff).toLong
+      h = (((h - c * pow % P) % P + P) % P * 31L + (bytes(i) & 0xff)) % P
+      if (h % p == 0) out += h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b"); val n = ctx.freshName("n")
+      val pow = ctx.freshName("pow"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc"); val cnt = ctx.freshName("cnt")
+      val outv = ctx.freshName("outv"); val arr = ctx.freshName("arr")
+      val P = s"${PolyHash.Mod}L"
+      s"""
+         |${ev.isNull} = true;
+         |byte[] $b = $c.getBytes();
+         |int $n = $b.length;
+         |if ($n >= $k) {
+         |  long $pow = 1L;
+         |  for (int $t = 0; $t < $k - 1; $t++) { $pow = $pow * 31L % $P; }
+         |  long[] $acc = new long[$n - $k + 1];
+         |  int $cnt = 0;
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $k; $i++) { $h = ($h * 31L + ($b[$i] & 0xFF)) % $P; }
+         |  if ($h % ${p}L == 0L) { $acc[$cnt++] = $h; }
+         |  for (int $i = $k; $i < $n; $i++) {
+         |    long $outv = (long) ($b[$i - $k] & 0xFF);
+         |    $h = ((($h - $outv * $pow % $P) % $P + $P) % $P * 31L + ($b[$i] & 0xFF)) % $P;
+         |    if ($h % ${p}L == 0L) { $acc[$cnt++] = $h; }
+         |  }
+         |  long[] $arr = new long[$cnt];
+         |  System.arraycopy($acc, 0, $arr, 0, $cnt);
+         |  ${ev.isNull} = false;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowAnchors = copy(child = c)
+  override def prettyName: String = "winnow_anchors"
+}
+
 /** Single-pass SimHash over a pre-hashed token array (optimized form
   * of the q20 kernel): one scan of the hashes maintains all `bits`
   * counters — the HOF formulation re-walks the token array once per
@@ -404,6 +484,11 @@ object TextHash {
   def polyhash(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       PolyHash(org.apache.spark.sql.GraftSqlBridge.expression(s)))
+
+  /** Column form of [[WinnowAnchors]]. */
+  def winnowAnchors(s: org.apache.spark.sql.Column, k: Int, p: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      WinnowAnchors(org.apache.spark.sql.GraftSqlBridge.expression(s), k, p))
 
   /** Column form of [[WordNGramHashes]]: polyhashes of the word
     * n-grams of a token-array column, window start advancing by

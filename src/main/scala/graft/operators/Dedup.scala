@@ -674,14 +674,15 @@ object Dedup {
     * production form of the map stage; the explode form below keeps
     * the plan oracle-transparent and is already linear. */
   def winnowDedupWith(docs: DataFrame, w: Int, p: Int): DataFrame = {
+    // ONE rolling O(1)-per-position scan (WinnowAnchors kernel) that
+    // emits only the 1/p anchor hashes — the explode generates
+    // anchors, never positions. The positional substring+polyhash
+    // form it replaced (O(n·w) rehash, 3.3 s vs 0.3 s at sf0.1) lives
+    // on as the executable spec: DedupSpec pins kernel ≡ that form.
     val anchors = docs
       .filter(length(col("text")) >= w)
       .select(col("doc_id"),
-        explode(expr(s"sequence(0, length(text) - $w)")).as("g"),
-        col("text"))
-      .select(col("doc_id"),
-        TextHash.polyhash(expr(s"substring(text, g + 1, $w)")).as("h"))
-      .filter(col("h") % lit(p) === 0)
+        explode(TextHash.winnowAnchors(col("text"), w, p)).as("h"))
     val dup = anchors.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -294,6 +294,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSet == expected, s"${got.toSet} vs $expected")
   }
 
+  test("winnow_anchors kernel ≡ positional substring+polyhash form (rolling-hash invariant)") {
+    import org.apache.spark.sql.functions.{length => slen}
+    val W = Dedup.SubstrW; val P = Dedup.WinnowP
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(slen(col("text")) >= W)
+    val viaKernel = docs
+      .select(col("doc_id"), explode(TextHash.winnowAnchors(col("text"), W, P)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaSubstr = docs
+      .select(col("doc_id"), explode(expr(s"sequence(0, length(text) - $W)")).as("g"), col("text"))
+      .select(col("doc_id"), TextHash.polyhash(expr(s"substring(text, g + 1, $W)")).as("h"))
+      .filter(col("h") % P === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaKernel.nonEmpty && viaKernel == viaSubstr,
+      s"kernel anchors (${viaKernel.size}) must equal positional form (${viaSubstr.size})")
+  }
+
   test("q85 incremental near-dup ≡ q18's cross-split subset (ingest loses nothing vs full recompute)") {
     // q18's unordered pairs where exactly one side is in the delta
     val full = Dedup.minhashLsh(spark, sf).collect()

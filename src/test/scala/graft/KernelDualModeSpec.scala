@@ -59,6 +59,20 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowAnchors dual-mode (k=4 and 48, p=2 and 16; short/empty/unicode strings)") {
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.const(' ')), (1, Gen.const('é'))))
+      .map(_.mkString)
+    val rows = (Gen.listOfN(60, strGen).sample.get ++
+      Seq("", "abc", "a" * 48, "z" * 200, null))
+      .map(Tuple1(_)).toDF("s")
+    for (k <- Seq(4, 48); p <- Seq(2, 16)) dualMode {
+      rows.select(graft.functions.TextHash.winnowAnchors(col("s"), k, p).cast("string"))
+        .collect().map(String.valueOf(_))
+    }
+  }
+
   test("MinHashSig dual-mode") {
     dualMode {
       hashRows.select(TextHash.minhashSig(col("hh"), 12).as("v"))
