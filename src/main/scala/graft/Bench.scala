@@ -35,8 +35,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+
+    // The full summary JSON for whatever has completed so far. Both the
+    // driver's BENCH_r06/r07 captures arrived truncated (one end of the
+    // stream dropped), so the artifact strategy is redundancy in every
+    // direction: the durable file is REWRITTEN after each query (a killed
+    // or truncated run still has every completed timing), each query also
+    // prints its own compact progress line the moment it finishes, and
+    // the final summary line is printed both before and after teardown.
+    def summaryJson(): String = {
+      val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)}}"""
+    }
+    def writeDurable(): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (summaryJson() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
+
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t =
         try {
           runOnce(fn) // warmup (not recorded)
@@ -53,29 +82,21 @@ object Bench {
           // warmup + reps (the cache is built in the unrecorded warmup)
           CacheRegistry.releaseAll()
         }
-      name -> t
+      results(name) = t
+      println(f"""BENCHQ {"q":${jstr(name)},"sec":$t%.3f}""")
+      System.out.flush()
+      writeDurable()
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val json = summaryJson()
+    writeDurable()
     val total = results.values.filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)}}"""
-    // stdout is the driver contract, but a truncated capture loses the
-    // round's numbers (BENCH_r06.json arrived unparseable, tail-only) —
-    // so the same line also lands in a file as the durable copy
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
+    println(f"BENCH_TOTAL total=$total%.2fs queries=${results.size} errors=${errors.size}")
     println(json)
     System.out.flush()
     spark.stop()
+    // re-print after teardown: if the capture keeps only the stream tail,
+    // Spark's shutdown logging must not be the last thing in it
+    println(json)
+    System.out.flush()
   }
 }
