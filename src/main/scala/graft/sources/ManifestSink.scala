@@ -278,6 +278,12 @@ object ManifestSink {
     * validation exists for. */
   private[graft] var beforeClaimHook: () => Unit = () => ()
 
+  /** Test seam: runs AFTER the checkpoint claimed its slot but BEFORE
+    * the post-claim validation — a commit landing here claims a HIGHER
+    * seq than the checkpoint, stays visible, and must NOT be treated
+    * as a conflict. */
+  private[graft] var afterClaimHook: () => Unit = () => ()
+
   /** Every manifest file on disk, unordered and WITHOUT checkpoint
     * hiding — the raw conflict-detection view publishCowSwap needs
     * (sortedManifests would hide a concurrent commit whose seq landed
@@ -304,8 +310,26 @@ object ManifestSink {
     * anything beyond `expected` + our checkpoint exists, the
     * checkpoint is rolled back (deleted along with the adopted files)
     * and the conflict surfaces. A commit landing after our rename
-    * claims a HIGHER seq than the checkpoint and stays visible, so
-    * only the pre-rename window needs the rollback. */
+    * claims a HIGHER seq than the checkpoint and stays visible, so the
+    * validation only inspects seqs BELOW the checkpoint's — exactly
+    * the range it hides — and a post-claim commit is never a spurious
+    * conflict.
+    *
+    * Two tolerated artifacts of crashes/races, both bounded:
+    *  - CRASH RESIDUE: a previous writer that died between publishing
+    *    a checkpoint and deleting the files it absorbed (here, or in
+    *    [[compact]]) leaves manifests that every sortedManifests view
+    *    already hides. They sit at seq ≤ expected's own top
+    *    checkpoint — a live commit can never claim a slot there, so
+    *    they are unambiguously garbage and are collected here rather
+    *    than counted as conflicts (which would wedge every future COW
+    *    operation on the table).
+    *  - TRANSIENT READER ANOMALY: between the checkpoint rename and a
+    *    conflict rollback's `ckpt.delete()`, a racing reader can list
+    *    the never-committed swap state (a dirty read of the rewrite).
+    *    The window is one validation listing wide; readers needing
+    *    strict isolation follow the same contract as vacuum — don't
+    *    race an in-flight OPTIMIZE/DELETE, or re-read. */
   def publishCowSwap(root: File, expected: Seq[File], adopted: Seq[String]): Unit = {
     beforeSwapHook()
     def abort(found: Int): Nothing = {
@@ -319,10 +343,24 @@ object ManifestSink {
     beforeClaimHook()
     val w = expected.map(weightOf).sum + 1
     val ckpt = writeManifest(root, s"ckpt-$w", adopted)
+    afterClaimHook()
+    val expectedNames = expected.map(_.getName).toSet
+    // seq at/below expected's top checkpoint: a file there that is not
+    // part of expected can only be crash residue (writeManifest always
+    // claims slots above the visible history) — GC it, don't conflict
+    val residueCutoff = expected.filter(f => tagOf(f).startsWith("ckpt-"))
+      .map(seqOf).maxOption.getOrElse(-1)
     val raw = rawManifests(root).filter(_.getName != ckpt.getName)
-    if (raw.map(_.getName).sorted != expected.map(_.getName).sorted) {
+    val (residue, current) = raw.partition(f =>
+      !expectedNames(f.getName) && seqOf(f) <= residueCutoff)
+    residue.foreach(_.delete())
+    // our checkpoint hides exactly seq < its own; that range must be
+    // precisely the history the rewrite read. Higher seqs are commits
+    // that landed after the claim — still visible, not conflicts.
+    val hidden = current.filter(f => seqOf(f) < seqOf(ckpt))
+    if (hidden.map(_.getName).sorted != expected.map(_.getName).sorted) {
       ckpt.delete() // roll back the claim — the hidden commit wins
-      abort(raw.size)
+      abort(hidden.size)
     }
     expected.foreach(_.delete())
   }
@@ -449,9 +487,14 @@ class ManifestStreamingWrite(path: String, queryId: String, schema: StructType)
     if (!replayed) {
       val files = messages.collect {
         case m: ManifestCommitMessage if m.rows > 0 =>
-          Files.move(
-            new File(tempDir, m.file).toPath,
-            new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
+          val target = new File(root, m.file)
+          Files.move(new File(tempDir, m.file).toPath,
+            target.toPath, StandardCopyOption.ATOMIC_MOVE)
+          // vacuum's grace window is keyed on PUBLISH time; ATOMIC_MOVE
+          // preserves the task-write mtime, which for a straggler task
+          // may predate the grace period and let a concurrent vacuum
+          // reclaim the file in the pre-manifest window
+          target.setLastModified(System.currentTimeMillis())
           m.file
       }
       ManifestSink.ensureSchema(root, schema)
@@ -500,8 +543,11 @@ class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
     val tempDir = new File(root, s"_temp/$queryId")
     val files = messages.collect {
       case m: ManifestCommitMessage if m.rows > 0 =>
+        val target = new File(root, m.file)
         Files.move(new File(tempDir, m.file).toPath,
-          new File(root, m.file).toPath, StandardCopyOption.ATOMIC_MOVE)
+          target.toPath, StandardCopyOption.ATOMIC_MOVE)
+        // re-key retention on publish time (see streaming commit note)
+        target.setLastModified(System.currentTimeMillis())
         m.file
     }
     ManifestSink.ensureSchema(root, schema)
@@ -731,8 +777,10 @@ object ManifestDelete {
     val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
       .zipWithIndex.map { case (f, i) =>
         val target = s"cow-$stamp-$i-$f"
-        Files.move(new File(tmpDir, f).toPath, new File(root, target).toPath,
+        val dst = new File(root, target)
+        Files.move(new File(tmpDir, f).toPath, dst.toPath,
           StandardCopyOption.ATOMIC_MOVE)
+        dst.setLastModified(System.currentTimeMillis()) // publish-time retention
         target
       }
     // one checkpoint absorbs the entire pre-delete history PLUS this
@@ -770,8 +818,10 @@ object ManifestOptimize {
     val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
       .zipWithIndex.map { case (f, i) =>
         val target = s"opt-$stamp-$i-$f"
-        Files.move(new File(tmpDir, f).toPath, new File(root, target).toPath,
+        val dst = new File(root, target)
+        Files.move(new File(tmpDir, f).toPath, dst.toPath,
           StandardCopyOption.ATOMIC_MOVE)
+        dst.setLastModified(System.currentTimeMillis()) // publish-time retention
         target
       }
     try ManifestSink.publishCowSwap(root, before, adopted)

@@ -149,6 +149,76 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(after === Map(1L -> "a", 2L -> "B2", 99L -> "sneaky"))
   }
 
+  test("COW tolerates crash residue: manifests a dead compactor left behind are " +
+      "GC'd during validation, not counted as conflicts forever") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    }
+    val root = new File(dir)
+    val preCompact = graft.sources.ManifestSink.sortedManifests(root)
+      .map(m => m.getName -> Files.readAllBytes(m.toPath))
+    graft.sources.ManifestSink.compact(dir)
+    // simulate a compactor that died between the checkpoint rename and
+    // deleting the absorbed manifests: restore one absorbed manifest
+    val (residueName, residueBytes) = preCompact.head
+    Files.write(new File(root, residueName).toPath, residueBytes)
+    // every sortedManifests view already hides it; before the residue
+    // fix, the raw-listing validation saw it and threw
+    // ConcurrentModificationException on EVERY future COW operation
+    graft.sources.ManifestUpsert.upsert(dir, Seq((1L, "V1")).toDF("id", "s"), Seq("id"))
+    val rows = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(0L -> "v0", 1L -> "V1", 2L -> "v2"))
+    assert(!new File(root, residueName).exists(),
+      "validation must garbage-collect the permanently-hidden residue manifest")
+  }
+
+  test("COW post-claim commit (higher seq than the checkpoint) stays visible and " +
+      "does not trigger a spurious conflict rollback") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    // a commit landing AFTER the checkpoint rename claims a higher seq
+    // and is NOT hidden by it — the old whole-raw-listing comparison
+    // aborted the swap anyway (spurious conflict under contention)
+    graft.sources.ManifestSink.afterClaimHook = () =>
+      Seq((99L, "late")).toDF("id", "s")
+        .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    try graft.sources.ManifestUpsert.upsert(dir,
+      Seq((2L, "B2")).toDF("id", "s"), Seq("id"))
+    finally graft.sources.ManifestSink.afterClaimHook = () => ()
+    val rows = spark.read.format(fmt).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "B2", 99L -> "late"),
+      "both the swap and the post-claim commit must survive")
+  }
+
+  test("batch commit re-keys data-file mtime to publish time, so vacuum's grace " +
+      "window cannot reclaim a straggler task's just-published files") {
+    val dir = tmpDir()
+    val root = new File(dir)
+    val tempDir = new File(root, "_temp/qpub")
+    tempDir.mkdirs()
+    val staged = new File(tempDir, "part-straggler.parquet")
+    Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    // task finished long ago (> default 1 h grace); ATOMIC_MOVE would
+    // carry this mtime into the table root
+    staged.setLastModified(System.currentTimeMillis() - 7200000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    new graft.sources.ManifestBatchWrite(dir, "qpub", schema)
+      .commit(Array(graft.sources.ManifestCommitMessage("part-straggler.parquet", 1L)))
+    val published = new File(root, "part-straggler.parquet")
+    assert(published.exists())
+    assert(published.lastModified() > System.currentTimeMillis() - 600000L,
+      "publish must stamp commit time, not preserve the task-write mtime")
+  }
+
   test("concurrent committers race for sequence slots: every commit lands exactly once") {
     val dir = new File(tmpDir())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
