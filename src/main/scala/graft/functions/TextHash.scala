@@ -173,11 +173,18 @@ case class GramFingerprint(child: Expression, k: Int)
   * substring (DedupSpec pins kernel ≡ the substring+polyhash explode
   * form). Replaces the O(n·k) rehash-per-position plan with O(n), and
   * emits only the 1/p sample — the explode downstream generates
-  * anchors, never positions. Byte-rolling ≡ char-substring hashing on
-  * the normalized-ASCII corpus contract every text oracle here
-  * already relies on. Returns null below k chars; an anchor-free doc
-  * returns the empty array (explodes to nothing, like the positional
-  * form). */
+  * anchors, never positions.
+  *
+  * WINDOW-UNIT CONTRACT: k counts UTF-8 BYTES (PolyHash hashes
+  * bytes, so only byte windows keep "emitted hash = PolyHash of the
+  * window" exact). On ASCII text byte windows ≡ char windows, which
+  * is the corpus contract the char-windowed oracles rely on; on
+  * multibyte text the kernel is still well-defined and
+  * shift-invariant over byte windows (DedupSpec pins it), but
+  * char-windowed references diverge by design. Callers must gate
+  * admission on octet_length, not length. Returns null below k
+  * BYTES; an anchor-free doc returns the empty array (explodes to
+  * nothing, like the positional form). */
 case class WinnowAnchors(child: Expression, k: Int, p: Int)
     extends UnaryExpression {
   import org.apache.spark.sql.types._

@@ -672,15 +672,28 @@ object Dedup {
     * hash derived from the previous in O(1), the
     * [[graft.functions.GramFingerprint]] kernel's recurrence) is the
     * production form of the map stage; the explode form below keeps
-    * the plan oracle-transparent and is already linear. */
+    * the plan oracle-transparent and is already linear.
+    *
+    * WINDOW-UNIT CONTRACT: windows are W UTF-8 BYTES, matching every
+    * hash kernel in this file (PolyHash hashes bytes). On ASCII text
+    * bytes ≡ chars, which is what makes the char-windowed DuckDB
+    * oracle (`substring`/`ascii` are code-point based) hash-match —
+    * the same ASCII-corpus contract every text oracle here relies on.
+    * On multibyte text the kernel stays well-defined (byte windows,
+    * shift-invariance intact — DedupSpec pins it) but parity with a
+    * char-windowed reference is out of contract. */
   def winnowDedupWith(docs: DataFrame, w: Int, p: Int): DataFrame = {
     // ONE rolling O(1)-per-position scan (WinnowAnchors kernel) that
     // emits only the 1/p anchor hashes — the explode generates
     // anchors, never positions. The positional substring+polyhash
     // form it replaced (O(n·w) rehash, 3.3 s vs 0.3 s at sf0.1) lives
     // on as the executable spec: DedupSpec pins kernel ≡ that form.
+    // octet_length, not length: the admission filter must agree with
+    // the kernel's byte-based n ≥ w window check, or docs with
+    // chars < w ≤ bytes get silently dropped ahead of a kernel that
+    // has full windows for them
     val anchors = docs
-      .filter(length(col("text")) >= w)
+      .filter(octet_length(col("text")) >= w)
       .select(col("doc_id"),
         explode(TextHash.winnowAnchors(col("text"), w, p)).as("h"))
     val dup = anchors.groupBy(col("h"))
@@ -705,7 +718,7 @@ object Dedup {
        |      SELECT doc_id, substring(text, g + 1, $w) AS w
        |      FROM (SELECT doc_id, text,
        |                   unnest(generate_series(0, length(text) - $w)) AS g
-       |            FROM documents WHERE length(text) >= $w)))
+       |            FROM documents WHERE strlen(text) >= $w)))
        |  WHERE h % $p = 0),
        |dup AS (
        |  SELECT h AS dh FROM (

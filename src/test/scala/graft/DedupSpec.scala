@@ -311,6 +311,48 @@ class DedupSpec extends AnyFunSuite {
       s"kernel anchors (${viaKernel.size}) must equal positional form (${viaSubstr.size})")
   }
 
+  test("winnow byte-window contract (ADVICE r07): multibyte text stays well-defined, " +
+      "admission gates on octet_length, shift-invariance survives multibyte padding") {
+    import spark.implicits._
+    val W = Dedup.SubstrW; val P = Dedup.WinnowP
+    def polyhash(bs: Array[Byte]): Long =
+      bs.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    // byte-window reference: anchors over UTF-8 byte windows
+    def byteAnchors(s: String): Seq[Long] = {
+      val bs = s.getBytes("UTF-8")
+      (0 to bs.length - W).map(i => polyhash(bs.slice(i, i + W))).filter(_ % P == 0)
+    }
+    val span = "the migratory waterfowl census of nineteen ninety seven recorded " +
+      "unusual breeding colonies along the northern shoreline transects"
+    // 3-byte chars: 20 chars < W=48 ≤ 60 bytes — the doc the old
+    // char-based length filter silently dropped despite full windows
+    // (suffix chosen so the byte windows carry ≥1 anchor at P=16)
+    val shortChars = "日本語" * 6 + "うえ"
+    assert(shortChars.length < W && shortChars.getBytes("UTF-8").length >= W)
+    assert(byteAnchors(shortChars).nonEmpty, "fixture must carry an anchor")
+    val docs = Seq(
+      (1L, "éè" * 40 + span + "ü" * 30),  // multibyte padding
+      (2L, "中文" * 25 + span),                  // different multibyte padding
+      (3L, shortChars)
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowDedupWith(docs, W, P).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byDoc = got.map(t => t._1 -> t).toMap
+    // the admission fix: doc 3 must be scanned (bytes ≥ W), anchor
+    // count per the byte-window reference
+    assert(byDoc.contains(3L),
+      s"octet_length admission must keep chars<W≤bytes docs: $got")
+    assert(byDoc(3L)._2 == byteAnchors(shortChars).size)
+    // kernel ≡ byte-window reference on multibyte text
+    for ((id, t) <- Seq(1L -> ("éè" * 40 + span + "ü" * 30),
+        2L -> ("中文" * 25 + span), 3L -> shortChars))
+      assert(byDoc(id)._2 == byteAnchors(t).size, s"doc $id anchor count diverged")
+    // shift-invariance: the shared ASCII span pairs across carriers
+    // whose multibyte paddings differ (in-span byte windows agree)
+    assert(byDoc(1L)._3 >= 1 && byDoc(2L)._3 >= 1,
+      s"shared span must pair under multibyte padding: $got")
+  }
+
   test("q85 incremental near-dup ≡ q18's cross-split subset (ingest loses nothing vs full recompute)") {
     // q18's unordered pairs where exactly one side is in the delta
     val full = Dedup.minhashLsh(spark, sf).collect()
