@@ -116,11 +116,37 @@ case class GraftMergeCommand(target: String, source: String, keys: Seq[String],
         }
     }
 
+  /** True iff the leading '(' matches the trailing ')' — i.e. the
+    * outer parens wrap the WHOLE source. `(SELECT 1) UNION ALL
+    * (SELECT 2)` starts with '(' and ends with ')' but stripping them
+    * would leave unbalanced SQL; there the text goes to spark.sql
+    * unchanged. (A paren inside a string literal would defeat a plain
+    * balance scan, but then the stripped text still parses — this
+    * check only decides which well-formed text to hand the parser.) */
+  private def outerParensMatch(s: String): Boolean = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          // closed the opener before the end → the outer pair doesn't
+          // span the whole string
+          if (depth == 0 && i < s.length - 1) return false
+        case _ =>
+      }
+      i += 1
+    }
+    depth == 0
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val path = resolvePath(spark)
     val batch =
-      if (source.startsWith("(") && source.endsWith(")"))
+      if (source.startsWith("(") && source.endsWith(")") && outerParensMatch(source))
         spark.sql(source.substring(1, source.length - 1))
+      else if (source.startsWith("(")) spark.sql(source)
       else spark.table(source)
     graft.sources.ManifestUpsert.upsert(path, batch, keys)
     Seq(Row(graft.sources.ManifestSink.logicalCount(new java.io.File(path)).toLong))

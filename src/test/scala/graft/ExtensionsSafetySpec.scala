@@ -116,6 +116,12 @@ class ExtensionsSafetySpec extends AnyFunSuite {
       Seq((3L, "C3")).toDF("id", "s").createOrReplaceTempView("merge_src")
       ext.sql(s"GRAFT MERGE INTO '$mdir' USING merge_src KEY (id)")
       assert(rowsOf() == Map(1L -> "a", 2L -> "B2", 3L -> "C3"))
+      // ADVICE r07: a top-level parenthesized-UNION source starts with
+      // '(' and ends with ')' but the outer parens do NOT match — a
+      // naive first/last strip made it unbalanced SQL
+      ext.sql(s"GRAFT MERGE INTO '$mdir' USING " +
+        "(SELECT 4L AS id, 'd' AS s) UNION ALL (SELECT 5L, 'e') KEY (id)")
+      assert(rowsOf() == Map(1L -> "a", 2L -> "B2", 3L -> "C3", 4L -> "d", 5L -> "e"))
       // the catalog-identifier target form: resolved through the
       // session CatalogManager to the manifest table's path
       Seq((1L, "x"), (2L, "y")).toDF("id", "s").createOrReplaceTempView("cat_seed")
