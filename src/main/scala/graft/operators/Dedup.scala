@@ -796,4 +796,113 @@ object Dedup {
        |  JOIN sh sc ON sc.doc_id = corpus_id)
        |SELECT delta_id, corpus_id, round(jaccard, 4) AS jaccard
        |FROM jac WHERE jaccard >= 0.8""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+
+  /** q87's pairing radius and band width: 56-bit dHash, 4 bands of
+    * 14 bits → pigeonhole-EXACT recall for hamming ≤ 3 (pairs within
+    * 3 flipped gradient signs — resize/re-encode noise territory;
+    * RasterSpec measures planted duplicates well inside it). */
+  val DHashHamMax = 3
+  val DHashBandBits = 14
+
+  /** q87: PERCEPTUAL IMAGE near-dup — the multimodal dedup leg. Text
+    * dedup (q17-q86) never sees that a re-encoded or resized image is
+    * the same training example; dHash does: tiny grayscale grid, keep
+    * only horizontal gradient SIGNS, pair within a small hamming
+    * radius via the same banded pigeonhole join as q56 (shared core:
+    * [[simhashNearDupWith]] — q87 literally reuses it, 4×14-bit
+    * bands, so the pairing stage inherits q56's proven scale shape:
+    * map-side fingerprint, band explode, equi-join, verify, no n²).
+    *
+    * Oracle strategy: DuckDB cannot decode PNG, so the ORACLED query
+    * treats each embedding as a raster and PLANTS its own
+    * near-duplicates: every vector is hashed twice — as-is, and as a
+    * deterministically noise-perturbed "re-encoded copy"
+    * ([[graft.functions.VecDHash]], floor(x·1024) quantization ±
+    * Knuth-hash noise — integer-exact in both engines). The banded
+    * join must then recover exactly the planted copy-pairs: fixture
+    * margins put copies within hamming ≤ 1 and distinct vectors ≥ 9
+    * apart, so recall AND precision of the whole pairing pipeline are
+    * oracle-checked end-to-end, not just the hash math. The REAL
+    * pixel leg — decode → gray → [[graft.functions.PixelDHash]] →
+    * [[imageNearDupPixels]] — is the same expression family and the
+    * same join, proven in RasterSpec with planted resized +
+    * JPEG-re-encoded duplicates (the reference's pixel pipeline,
+    * main.py:259-286, supplies the arrays). */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageHash
+    val e = Tables.embeddings(spark, dir)
+    // ids interleave: original 2·vec_id, its planted copy 2·vec_id+1,
+    // so a_id < b_id keeps each copy-pair adjacent and orientation
+    // deterministic
+    val orig = e.select((col("vec_id") * 2).as("doc_id"),
+      ImageHash.vecDhash(col("embedding"), lit(0L), 0).as("simhash"))
+    val noisy = e.select((col("vec_id") * 2 + 1).as("doc_id"),
+      ImageHash.vecDhash(col("embedding"), col("vec_id"), ImageHash.NoiseAmp).as("simhash"))
+    simhashNearDupWith(orig.unionAll(noisy), ImageHash.Bits, DHashBandBits,
+      DHashHamMax, cacheKey = Some(s"dedup.dhashBands:$dir"))
+  }
+
+  /** The real-image form of q87: `images` carries (doc_id, pixels
+    * array<array<array<int>>>) — decoded cubes from any codec the
+    * raster surface reads (PNG/TIFF/JPEG/band-zip). Same banded
+    * pairing core as the oracled byte form. */
+  def imageNearDupPixels(images: DataFrame, hamMax: Int = DHashHamMax): DataFrame =
+    simhashNearDupWith(
+      images.select(col("doc_id"),
+        graft.functions.ImageHash.pixelDhash(col("pixels")).as("simhash")),
+      graft.functions.ImageHash.Bits, DHashBandBits, hamMax)
+
+  val imageNearDupSql: String = {
+    val R = graft.functions.ImageHash.GridRows   // 7
+    val C = graft.functions.ImageHash.GridCols   // 9
+    val minD = graft.functions.ImageHash.MinDims // 63
+    val bits = graft.functions.ImageHash.Bits    // 56
+    val q = graft.functions.ImageHash.Quant      // 1024
+    val amp = graft.functions.ImageHash.NoiseAmp // 8
+    val bb = DHashBandBits
+    // block mean for flat grid index k (0..62): r = k//9, c = k%9;
+    // row segment [r0,r1) of the n values, block [s,e) inside it —
+    // identical floor arithmetic to ImageHash.vecDhashOrMin (DuckDB's
+    // `//` floors like Java's floorDiv; sums can be negative)
+    val gBlock =
+      s"""list_transform(generate_series(0, ${R * C - 1}), k ->
+         |  list_sum(v[(n * (k // $C) // $R) + ((k % $C) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C) + 1
+         |              : (n * (k // $C) // $R) + (((k % $C) + 1) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C)])
+         |  // (((k % $C) + 1) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C
+         |     - ((k % $C) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C)))""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $q) AS BIGINT)) AS v0
+       |  FROM embeddings WHERE len(embedding) >= $minD),
+       |rast AS (
+       |  SELECT vec_id * 2 AS doc_id, v0 AS v, CAST(len(v0) AS BIGINT) AS n FROM qv
+       |  UNION ALL
+       |  SELECT vec_id * 2 + 1,
+       |         list_transform(generate_series(0, len(v0) - 1),
+       |           k -> v0[k + 1] + ((vec_id * 31 + k) * 2654435761 % 4294967296)
+       |                            % ${2 * amp + 1} - $amp),
+       |         CAST(len(v0) AS BIGINT)
+       |  FROM qv),
+       |grid AS (
+       |  SELECT doc_id, $gBlock AS g FROM rast),
+       |fp AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), k ->
+       |           CASE WHEN g[(k // ${C - 1}) * $C + (k % ${C - 1}) + 1]
+       |                   > g[(k // ${C - 1}) * $C + (k % ${C - 1}) + 2]
+       |                THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS dh
+       |  FROM grid),
+       |bands AS (
+       |  SELECT doc_id, dh, j.j AS band, (dh >> (j.j * $bb)) & ${(1L << bb) - 1} AS bval
+       |  FROM fp, (SELECT unnest(generate_series(0, ${bits / bb - 1})) AS j) j),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.dh AS ha, b.dh AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $DHashHamMax""".stripMargin
+  }
 }

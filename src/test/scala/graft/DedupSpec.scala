@@ -353,6 +353,17 @@ class DedupSpec extends AnyFunSuite {
       s"shared span must pair under multibyte padding: $got")
   }
 
+  test("q87 planted-copy recall: every (vector, perturbed copy) pair is recovered " +
+      "exactly — recall AND precision 1.0 on the fixture margins") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = vecs.map(i => (i * 2, i * 2 + 1))
+    val got = Dedup.imageNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(3)}, spurious: ${(got -- expected).take(3)}")
+  }
+
   test("q85 incremental near-dup ≡ q18's cross-split subset (ingest loses nothing vs full recompute)") {
     // q18's unordered pairs where exactly one side is in the delta
     val full = Dedup.minhashLsh(spark, sf).collect()

@@ -99,4 +99,33 @@ class KernelDualModeSpec extends AnyFunSuite {
         .collect().map(_.toString)
     }
   }
+
+  test("VecDHash dual-mode (amp 0 and 8; sub-grid and negative dims)") {
+    import spark.implicits._
+    import graft.functions.ImageHash
+    val vecGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1.5f, 1.5f)))
+    val rows = (Gen.listOfN(60, vecGen).sample.get ++
+      Seq(Nil, List.fill(63)(-0.25f), List.fill(64)(1.0f)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    for (amp <- Seq(0, 8)) dualMode {
+      rows.select(ImageHash.vecDhash(col("emb"), col("id"), amp).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
+  test("PixelDHash dual-mode (incl. sub-grid images → null)") {
+    import spark.implicits._
+    import graft.functions.ImageHash
+    def cube(c: Int, h: Int, w: Int, seed: Int): Seq[Seq[Seq[Int]]] =
+      Seq.tabulate(c, h, w)((ch, y, x) => (ch * 91 + y * 31 + x * 11 + seed * 7) % 256)
+    val rows = Seq(
+      cube(3, 56, 72, 1), cube(3, 7, 9, 2), cube(1, 14, 18, 3),
+      cube(3, 6, 9, 4), cube(3, 7, 8, 5) // below-grid → null
+    ).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "pixels")
+    dualMode {
+      rows.select(ImageHash.pixelDhash(col("pixels")).as("v"))
+        .collect().map(_.toString)
+    }
+  }
 }

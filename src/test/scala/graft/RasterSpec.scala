@@ -106,6 +106,41 @@ class RasterSpec extends AnyFunSuite {
     assert(names == Set("B04.tif", "B03.tif", "B02.tif"))
   }
 
+  test("q87 pixel leg: planted resized + JPEG-re-encoded duplicates pair with their " +
+      "original through imageNearDupPixels; a distinct image stays out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{ImageHash, Raster}
+    // smooth structured image — strong block-to-block gradients, so
+    // the dHash has real margins (flat/noisy inputs would make the
+    // gradient signs coin flips, which is not the perceptual regime)
+    def img(fx: Double, fy: Double, phase: Double): Seq[Seq[Seq[Int]]] =
+      Seq.tabulate(3, 56, 72)((c, y, x) =>
+        math.max(0, math.min(255,
+          (128 + 110 * math.sin(x / fx + phase) * math.cos(y / fy)).toInt)))
+    val base = img(11.0, 9.0, 0.3)
+    val distinct = img(5.0, 13.0, 2.1) // different spatial frequencies
+    val resized = Raster.thumbnailArray(base, 2) // bicubic 56×72 → 28×36
+    val jpeg = Raster.decodeImage(Raster.encodeJpeg(base, 0.85f))
+    // kernel-level invariance (driver replay)
+    val h0 = ImageHash.pixelDhashSeq(base)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, ImageHash.pixelDhashSeq(resized)) <= operators.Dedup.DHashHamMax,
+      "bicubic 2x resize must stay within the pairing radius")
+    assert(ham(h0, ImageHash.pixelDhashSeq(jpeg)) <= operators.Dedup.DHashHamMax,
+      "JPEG q=0.85 re-encode must stay within the pairing radius")
+    assert(ham(h0, ImageHash.pixelDhashSeq(distinct)) > operators.Dedup.DHashHamMax,
+      "a structurally different image must not pair")
+    // operator end-to-end: decode-side types, codegen'd expression,
+    // banded pigeonhole join
+    val df = Seq((0L, base), (1L, resized), (2L, jpeg), (10L, distinct))
+      .toDF("doc_id", "pixels")
+    val pairs = operators.Dedup.imageNearDupPixels(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"planted duplicates (and only they) must pair, got $pairs")
+  }
+
   test("clip UDF works inside a DataFrame pipeline (R2 in plan form)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
