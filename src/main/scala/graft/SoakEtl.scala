@@ -102,6 +102,79 @@ object SoakDocs {
       val tn = time(soakDir)
       println(f"$name%-24s 1x: $t1%6.2f s   ${n}x: $tn%6.2f s   growth ${tn / t1}%4.1fx")
     }
+
+    // Hot-bucket-cap soak: the viral-boilerplate shape the cap exists
+    // for — 1000 byte-identical copies make one O(n) bucket per band
+    // and the uncapped candidate join goes n². Measured: candidate
+    // volume and wall clock with the cap off vs on (cap 64).
+    {
+      import spark.implicits._
+      val viral = (0 until 1000).map(i =>
+        (90000000L + i, "all rights reserved unsubscribe from this newsletter " +
+          "by clicking the link below terms and conditions apply")).toSeq
+        .toDF("doc_id", "text")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).unionAll(viral)
+      val sh = operators.Dedup.shingleTable(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def candCount(maxBucket: Option[Int]): (Double, Long) = {
+        val bands = operators.Dedup.bandTable(sh)
+        val b = maxBucket.fold(bands)(m => operators.Dedup.dropHotBuckets(bands, m))
+        val t0 = System.nanoTime()
+        val c = b.as("a").join(b.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+          .count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val (tOff, cOff) = candCount(None)
+      val (tOn, cOn) = candCount(Some(64))
+      val rep = operators.Dedup.hotBucketReport(operators.Dedup.bandTable(sh), 64).head()
+      println(f"q18_hot_bucket_cap       off: $tOff%6.2f s ($cOff%10d cand)   " +
+        f"cap64: $tOn%6.2f s ($cOn%10d cand)   " +
+        f"dropped ${rep.getAs[Long]("rows_dropped")} rows in " +
+        f"${rep.getAs[Long]("n_hot_buckets")} buckets (max ${rep.getAs[Long]("max_bucket")})")
+      sh.unpersist()
+    }
+
+    // q85 delta-isolation soak: grow the CORPUS n×, keep the delta
+    // batch FIXED — the daily-ingest claim is that per-batch cost is
+    // O(delta) once the band index is stored (warm run builds/caches
+    // the index; the measured run is the probe + verify only).
+    {
+      import spark.implicits._
+      val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val delta = base.filter(expr("doc_id % 10 = 7"))
+      val corpus = base.filter(!expr("doc_id % 10 = 7"))
+      val nDelta = delta.count()
+      def mk(tag: String, mult: Int): String = {
+        val dir = s"/tmp/graft_soak_delta_$tag"
+        val reps = spark.range(mult).toDF("r")
+        corpus.crossJoin(broadcast(reps))
+          // offset is a multiple of 10, so the replicas keep their
+          // non-delta membership and the delta set stays fixed
+          .withColumn("doc_id", col("doc_id") + col("r") * lit(10000000L))
+          .drop("r")
+          .unionAll(delta)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }
+      val d1 = mk("1x", 1)
+      val dn = mk(s"${n}x", n)
+      def probeTime(dir: String): Double = {
+        // warm: builds + caches the stored index (bands + shingles)
+        operators.Dedup.deltaNearDup(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        operators.Dedup.deltaNearDup(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = probeTime(d1)
+      val tn = probeTime(dn)
+      println(f"q85_delta_probe          1x corpus: $t1%6.2f s   ${n}x corpus: $tn%6.2f s   " +
+        f"growth ${tn / t1}%4.1fx   (delta fixed at $nDelta docs; index cached)")
+      graft.CacheRegistry.releaseAll()
+    }
     spark.stop()
   }
 }

@@ -159,9 +159,28 @@ object Dedup {
       bandTable(hashedShingles(spark, dir))
     }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(spark, dir)
-    val bands = bandsOf(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(bandsOf(spark, dir), hashedShingles(spark, dir))
+
+  /** q18 with the HOT-BUCKET guard engaged (see [[dropHotBuckets]]) —
+    * the 100×-exposure fix for a viral boilerplate string: one shared
+    * band key makes one bucket O(n) and the bucket² candidate join
+    * quadratic. Off by default (q18's oracle hashes are the uncapped
+    * semantics); engage it when the corpus is known to carry
+    * boilerplate, sized above the expected true-duplicate group size
+    * (the q19 maxDf sizing rule). */
+  def minhashLshCapped(spark: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    minhashLshFrom(dropHotBuckets(bandsOf(spark, dir), maxBucket),
+      hashedShingles(spark, dir))
+
+  /** Frame-level form for specs / external corpora: `sh` needs
+    * (doc_id, hh: array<bigint>). */
+  def minhashLshWith(sh: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val b = bandTable(sh)
+    minhashLshFrom(maxBucket.fold(b)(m => dropHotBuckets(b, m)), sh)
+  }
+
+  private def minhashLshFrom(bands: DataFrame, sh: DataFrame): DataFrame = {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -176,6 +195,41 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** LSH hot-bucket guard — the q19 df-cap precedent lifted to band
+    * buckets. A band key shared by viral boilerplate collects O(n)
+    * members, and the bucket-join's Σ bucket² then grows quadratically
+    * in exactly that bucket; the guard drops buckets larger than
+    * `maxBucket` from candidate generation. Cost shape: the hot set
+    * is TINY by construction (a handful of viral keys), so it
+    * broadcasts into a left-anti probe — the band table itself never
+    * gains a shuffle. Recall contract (the knob's honest price): a
+    * pair is lost only if EVERY band it shares is viral — for true
+    * near-dups that means a duplicate GROUP larger than the cap, so
+    * size the cap above the expected copies-per-group and audit the
+    * dropped mass with [[hotBucketReport]] before engaging. */
+  def dropHotBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val hot = bands.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("bkey"))
+    bands.join(broadcast(hot), Seq("bkey"), "left_anti")
+  }
+
+  /** Dropped-mass audit for [[dropHotBuckets]]: one row of
+    * (n_buckets, n_hot_buckets, rows_dropped, max_bucket) — what a
+    * deployment checks before turning the cap on (rows_dropped ≫
+    * expected duplicate-group mass means the cap is eating real
+    * pairs, not boilerplate). */
+  def hotBucketReport(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("bkey")).agg(count(lit(1)).as("bucket_n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(when(col("bucket_n") > maxBucket, col("bucket_n")).otherwise(0L))
+          .as("rows_dropped"),
+        max(col("bucket_n")).as("max_bucket"))
 
   val minhashLshSql: String = {
     s"""WITH sh0 AS (
@@ -748,10 +802,24 @@ object Dedup {
     * τ = 0.8), restricted to pairs that CROSS the delta/corpus split —
     * DedupSpec proves q85 ≡ q18's cross-split subset, so incremental
     * ingest loses nothing against the full recompute. */
-  def deltaNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(spark, dir)
-    val bands = bandsOf(spark, dir)
-    val cand = bands.filter(expr(DeltaPred)).as("d")
+  def deltaNearDup(spark: SparkSession, dir: String): DataFrame =
+    deltaNearDupFrom(bandsOf(spark, dir), hashedShingles(spark, dir))
+
+  /** q85 with the hot-bucket guard (see [[dropHotBuckets]]): the cap
+    * applies to the SHARED stored index, bounding each delta probe to
+    * O(|delta| · maxBucket) collisions even when the corpus carries a
+    * viral band key. Off by default — q85's oracle is the uncapped
+    * semantics. */
+  def deltaNearDupCapped(spark: SparkSession, dir: String, maxBucket: Int): DataFrame =
+    deltaNearDupFrom(dropHotBuckets(bandsOf(spark, dir), maxBucket),
+      hashedShingles(spark, dir))
+
+  private def deltaNearDupFrom(bands: DataFrame, sh: DataFrame): DataFrame = {
+    // the DELTA side is the small one by construction (a daily ingest
+    // batch vs the corpus) — broadcast it so the stored index is only
+    // SCANNED, never shuffled, per batch (the q52 decontamination
+    // shape; SoakDocs' delta-isolation row measures exactly this)
+    val cand = broadcast(bands.filter(expr(DeltaPred))).as("d")
       .join(bands.filter(!expr(DeltaPred)).as("c"), col("d.bkey") === col("c.bkey"))
       .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
       .distinct()

@@ -353,6 +353,51 @@ class DedupSpec extends AnyFunSuite {
       s"shared span must pair under multibyte padding: $got")
   }
 
+  test("q18 hot-bucket cap: a viral boilerplate bucket is dropped, candidates stay " +
+      "bounded, every non-viral pair survives; cap off ≡ original") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant a viral boilerplate: 40 byte-identical copies — every band
+    // of every copy lands in the same 6 buckets, the O(n) bucket shape
+    val viral = (0 until 40).map(i =>
+      (9000000L + i, "all rights reserved unsubscribe from this newsletter " +
+        "by clicking the link below terms and conditions apply"))
+      .toDF("doc_id", "text")
+    val docs = base.unionAll(viral)
+    val sh = Dedup.shingleTable(docs)
+    val uncapped = Dedup.minhashLshWith(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshWith(sh, maxBucket = Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def isViral(id: Long) = id >= 9000000L
+    val viralPairs = uncapped.filter { case (a, b) => isViral(a) || isViral(b) }
+    assert(viralPairs.size >= 40 * 39 / 2, s"the plant must pair n² (got ${viralPairs.size})")
+    // the cap eats exactly the viral mass: every surviving pair is
+    // non-viral, and every non-viral pair survives (their buckets are
+    // small, so no collateral recall loss)
+    assert(capped == uncapped -- viralPairs,
+      s"cap must drop viral pairs only: spurious ${(capped -- uncapped).take(3)}, " +
+        s"lost ${((uncapped -- viralPairs) -- capped).take(3)}")
+    // bounded buckets after the guard — the 100 TB claim in miniature
+    val bands = Dedup.bandTable(sh)
+    val maxAfter = Dedup.dropHotBuckets(bands, 10)
+      .groupBy("bkey").count().agg(max("count")).head().getLong(0)
+    assert(maxAfter <= 10, s"no bucket may exceed the cap, got $maxAfter")
+    // the audit report a deployment reads before engaging the cap
+    val rep = Dedup.hotBucketReport(bands, 10).head()
+    assert(rep.getAs[Long]("n_hot_buckets") >= 1L &&
+      rep.getAs[Long]("rows_dropped") >= 40L &&
+      rep.getAs[Long]("max_bucket") >= 40L, s"report must expose the viral mass: $rep")
+    // cap off reproduces q18 exactly (the oracle contract is untouched)
+    val viaDir = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFrame = Dedup.minhashLshWith(Dedup.shingleTable(
+      spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDir == viaFrame)
+  }
+
   test("q87 planted-copy recall: every (vector, perturbed copy) pair is recovered " +
       "exactly — recall AND precision 1.0 on the fixture margins") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
