@@ -91,10 +91,18 @@ object Components {
     // already materialized, re-counting it would cost one extra job
     // per round (the loop is job-overhead-bound, not data-bound)
     var prevCount = e.count()
+    var equalStreak = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e).localCheckpoint()).localCheckpoint()
       val nextCount = next.count()
-      converged = nextCount == prevCount && next.except(e).isEmpty
+      // the except-equality proof is itself a distributed job; a
+      // SINGLE stable count is common mid-contraction (edges rewire at
+      // constant cardinality), so demand two consecutive stable counts
+      // before paying for it — at the fixpoint that trades one extra
+      // (cheap, contracted) round for one fewer except job per
+      // stable-count round, and the loop is job-overhead-bound
+      equalStreak = if (nextCount == prevCount) equalStreak + 1 else 0
+      converged = equalStreak >= 2 && next.except(e).isEmpty
       e = next
       prevCount = nextCount
       round += 1
