@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.Row
 
 /** Parser extension: first-class SQL syntax for the table-maintenance
-  * and merge operations — `GRAFT OPTIMIZE '<path>' [FILES n]`,
+  * and merge operations —
+  * `GRAFT OPTIMIZE '<path>' [FILES n] [ZORDER BY (x, y)]`,
   * `GRAFT VACUUM '<path>' [RETAIN n HOURS]`, and
   * `GRAFT MERGE INTO '<path>' USING <source> KEY (k…)` — exactly how
   * production table formats
@@ -23,15 +24,17 @@ import org.apache.spark.sql.Row
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FILES\s+(\d+))?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FILES\s+(\d+))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\))?\s*;?\s*""").r
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val Merge =
     """(?is)\s*GRAFT\s+MERGE\s+INTO\s+(?:'([^']+)'|([A-Za-z_][\w.]*))\s+USING\s+(.+?)\s+KEY\s*\(([^)]+)\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(path, files) =>
-      GraftOptimizeCommand(path, Option(files).map(_.toInt).getOrElse(1))
+    case Optimize(path, files, zx, zy) =>
+      GraftOptimizeCommand(path, Option(files).map(_.toInt).getOrElse(1),
+        Option(zx).map(x => (x, zy)))
     case Vacuum(path, retain) =>
       // Delta-style retention override; default 1 h protects files a
       // concurrent commit moved into the root before its manifest write
@@ -62,11 +65,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
-case class GraftOptimizeCommand(path: String, nFiles: Int)
+/** `GRAFT OPTIMIZE '<path>' [FILES n] [ZORDER BY (x, y)]` — file
+  * compaction, optionally multi-dimensionally clustered (see
+  * [[graft.sources.ManifestOptimize.compactFiles]]). */
+case class GraftOptimizeCommand(path: String, nFiles: Int,
+    zorderBy: Option[(String, String)] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
-    graft.sources.ManifestOptimize.compactFiles(spark, path, nFiles)
+    graft.sources.ManifestOptimize.compactFiles(spark, path, nFiles, zorderBy)
     Seq.empty
   }
 }

@@ -803,15 +803,50 @@ object ManifestDelete {
   * only the file layout changes — and the swap registers as one
   * logical commit so offsets/versions stay monotone. */
 object ManifestOptimize {
+  /** Per-dimension quantization width for ZORDER BY (the z-value
+    * interleave takes bucket ids in [0, 2^bits)): 16 bits/dim is far
+    * finer than any realistic file count, so file-level clustering is
+    * unaffected by the quantization. */
+  val ZBits = 16
+
+  /** `zorderBy = Some((x, y))` rewrites the data MULTI-DIMENSIONALLY
+    * CLUSTERED instead of bin-packed: dimension values are min/max-
+    * normalized into 2^ZBits buckets (one tiny stats agg over the
+    * table — this is a maintenance op), interleaved into a Morton
+    * z-value ([[graft.functions.ZOrder]]), range-partitioned and
+    * sorted by it, so every output file covers a tight box in BOTH
+    * dimensions — exactly what makes per-file min/max statistics
+    * (parquet footers, or a format's manifest-level column stats)
+    * selective for 2-D box predicates (what Delta's OPTIMIZE ZORDER
+    * BY and Iceberg sort orders do). The z-value is layout-only — it
+    * never lands in the table schema. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
-      nFiles: Int = 1): Unit = {
+      nFiles: Int = 1, zorderBy: Option[(String, String)] = None): Unit = {
     require(nFiles >= 1, "nFiles must be >= 1")
     val root = new File(path)
     val before = ManifestSink.sortedManifests(root)
     if (before.isEmpty) return
     val tmpDir = Files.createTempDirectory("graft_optimize").toFile
-    spark.read.format("graft.sources.ManifestSink").option("path", path).load()
-      .coalesce(nFiles)
+    val df = spark.read.format("graft.sources.ManifestSink")
+      .option("path", path).load()
+    import org.apache.spark.sql.{functions => F}
+    val rewritten = zorderBy match {
+      case None => df.coalesce(nFiles)
+      case Some((xc, yc)) =>
+        val s = df.agg(
+          F.min(F.col(xc).cast("double")), F.max(F.col(xc).cast("double")),
+          F.min(F.col(yc).cast("double")), F.max(F.col(yc).cast("double"))).head()
+        def bucket(c: String, i: Int): org.apache.spark.sql.Column =
+          if (s.isNullAt(i) || s.getDouble(i + 1) <= s.getDouble(i))
+            F.lit(0L) // empty/constant dimension: degenerate but legal
+          else ((F.col(c).cast("double") - s.getDouble(i))
+            / (s.getDouble(i + 1) - s.getDouble(i))
+            * ((1L << ZBits) - 1)).cast("long")
+        graft.functions.ZOrder
+          .layoutByZ(df, bucket(xc, 0), bucket(yc, 2), ZBits, nFiles)
+          .drop("zv")
+    }
+    rewritten
       .write.format("graft.sources.ManifestSink")
       .option("path", tmpDir.getAbsolutePath).mode("append").save()
     val stamp = java.util.UUID.randomUUID().toString.take(8)

@@ -132,6 +132,50 @@ class ExtensionsSafetySpec extends AnyFunSuite {
       assert(v2 == 2L, s"catalog-form merge must advance the version, got $v2")
       assert(ext.sql("SELECT s FROM graft_sqlx.db.mergetgt WHERE id = 2").head().getString(0) == "Y2")
       assert(ext.sql("SELECT count(*) FROM graft_sqlx.db.mergetgt").head().getLong(0) == 2L)
+      // GRAFT OPTIMIZE ... ZORDER BY (x, y): the rewrite lands through
+      // the same optimistic manifest swap, and the new files are
+      // 2-D-clustered — footer min/max boxes prune a box predicate
+      // where the pre-optimize layout could not
+      val zdir = java.nio.file.Files.createTempDirectory("graft_sql_zorder").toString
+      val bits = 7
+      val zc = org.apache.spark.sql.functions.col _
+      ext.range(1L << (2 * bits)).toDF("id")
+        .select((zc("id") % 128).as("x"), (zc("id") / 128).cast("long").as("y"))
+        .repartitionByRange(8, zc("x")) // linear-by-x micro-files: no y-skipping
+        .write.format("graft.sources.ManifestSink").option("path", zdir)
+        .mode("append").save()
+      val preCount = ext.read.format("graft.sources.ManifestSink")
+        .option("path", zdir).load().count()
+      ext.sql(s"GRAFT OPTIMIZE '$zdir' FILES 16 ZORDER BY (x, y)")
+      val zroot = new java.io.File(zdir)
+      assert(graft.sources.ManifestSink.logicalCount(zroot) == 2,
+        "ZORDER optimize must land as one more logical commit via the swap")
+      val zlive = graft.sources.ManifestSink.filesOf(
+        graft.sources.ManifestSink.sortedManifests(zroot))
+      assert(zlive.size == 16 && zlive.forall(_.startsWith("opt-")),
+        s"16 z-clustered files must replace the linear layout, got $zlive")
+      // file-skipping decision, computed from the same per-file
+      // min/max a format's stats would carry (the ZOrderSpec
+      // assertion, now through SQL + manifest swap; the sink's data
+      // files are TSV, so the boxes are computed directly)
+      val boxes = zlive.map { f =>
+        import scala.jdk.CollectionConverters._
+        val cells = java.nio.file.Files
+          .readAllLines(new java.io.File(zroot, f).toPath).asScala
+          .map(_.split("\t")).map(a => (a(0).toLong, a(1).toLong))
+        (cells.map(_._1).min, cells.map(_._1).max,
+          cells.map(_._2).min, cells.map(_._2).max)
+      }
+      def hits(x0: Long, x1: Long, y0: Long, y1: Long): Int =
+        boxes.count { case (mnx, mxx, mny, mxy) =>
+          mxx >= x0 && mnx <= x1 && mxy >= y0 && mny <= y1 }
+      assert(hits(0, 127, 96, 103) * 2 <= 16,
+        s"a y-slab must prune to a minority of z-files, hit ${hits(0, 127, 96, 103)}/16")
+      assert(hits(32, 39, 96, 103) <= 4,
+        s"an 8x8 box must hit <=4 z-files, hit ${hits(32, 39, 96, 103)}")
+      // lossless: same rows, one logical commit later
+      assert(ext.read.format("graft.sources.ManifestSink").option("path", zdir)
+        .load().count() == preCount)
       // stock SQL delegates through unchanged
       assert(ext.sql("SELECT 1 + 1").head().getInt(0) == 2)
       val err = intercept[Exception](ext.sql("GRAFTX NONSENSE"))
