@@ -994,4 +994,75 @@ object Similarity {
       |       array_to_string(list(qv ORDER BY i), ',') AS qvec,
       |       max(CAST(floor(1000000.0 * abs(x - rec)) AS BIGINT)) AS err_ppm
       |FROM r GROUP BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88: ANN RECALL AUDIT — the dashboard query a deployment actually
+    * monitors. q84 evaluates classification labels; what operations
+    * watches is recall@k of each approximate tier against the exact
+    * top-k on a sampled query set, because that number is what decays
+    * when an index drifts from its corpus (bad centroids after ingest,
+    * too-few probes after growth). One row per tier:
+    * (tier, n_hits, n_exact, recall_ppm) — integer ppm so the row
+    * hash-matches the oracle exactly.
+    *
+    * Each tier is compared at ITS OWN k (q22/q44 return top-3, q82
+    * top-5) against the same-k exact prefix — recall@3 for a top-3
+    * tier, recall@5 for a top-5 tier. The exact baseline is computed
+    * once and cached (CacheRegistry, released by the caller like
+    * every operator cache); the tier pipelines reuse their own stored
+    * artifacts (q22's bucketed corpus, q82's PQ codes) through their
+    * existing cache keys, so the audit costs one scan per tier plus
+    * three tiny semi-join aggregates — cheap enough to run on every
+    * ingest batch.
+    *
+    * Scale shape: the semi-join is on (q_id, neighbor_id) where both
+    * sides are |Q|·k rows (the SAMPLED query set, not the corpus) —
+    * the audit never touches corpus-sized data beyond what the tiers
+    * themselves do. */
+  def recallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = graft.CacheRegistry.getOrCache(spark, s"similarity.exactTopk:$dir")(
+      cosineTopK(spark, dir).select(col("q_id"), col("rank"), col("neighbor_id")))
+    val tiers = Seq(
+      ("lsh", annTopK(spark, dir), 3),
+      ("ivf", ivfTopK(spark, dir), 3),
+      ("pq_adc", pqAdcTopK(spark, dir), 5))
+    tiers.map { case (name, tierDf, k) =>
+      val ex = exact.filter(col("rank") <= k).select(col("q_id"), col("neighbor_id"))
+      val hits = tierDf.select(col("q_id"), col("neighbor_id"))
+        .join(ex, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val denom = ex.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(denom).select(
+        lit(name).as("tier"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Oracle: the four tier pipelines as nested-WITH CTEs (each one is
+    * its own oracled query — q21/q22/q44/q82 — so this reuses their
+    * exact SQL), then the same same-k semi-join ppm arithmetic. */
+  val recallAuditSql: String = {
+    def tierSel(name: String, tbl: String, k: Int): String =
+      s"""SELECT tier, n_hits, n_exact, n_hits * 1000000 // n_exact AS recall_ppm
+         |FROM (SELECT '$name' AS tier,
+         |  (SELECT count(*) FROM $tbl t
+         |   JOIN exact_t e ON t.q_id = e.q_id AND t.neighbor_id = e.neighbor_id
+         |   WHERE e.rank <= $k) AS n_hits,
+         |  (SELECT count(*) FROM exact_t WHERE rank <= $k) AS n_exact)""".stripMargin
+    s"""WITH exact_t AS (
+       |$cosineTopKSql
+       |), lsh_t AS (
+       |$annTopKSql
+       |), ivf_t AS (
+       |$ivfTopKSql
+       |), pq_t AS (
+       |$pqAdcTopKSql
+       |)
+       |${tierSel("lsh", "lsh_t", 3)}
+       |UNION ALL
+       |${tierSel("ivf", "ivf_t", 3)}
+       |UNION ALL
+       |${tierSel("pq_adc", "pq_t", 5)}""".stripMargin
+  }
 }

@@ -38,7 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
-      "q82_pq_adc", "q84_knn_classify")
+      "q82_pq_adc", "q84_knn_classify", "q88_ann_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
