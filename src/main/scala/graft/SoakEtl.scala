@@ -136,6 +136,24 @@ object SoakDocs {
       sh.unpersist()
     }
 
+    // BPE training soak: the corpus-sized work is ONE word-count
+    // aggregate; the merge loop is vocab-bounded — n× corpus must cost
+    // ~the aggregate's growth, not n× training.
+    {
+      def bpeTime(dir: String): (Double, Int) = {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        val merges = operators.TextAnalysis.trainBpe(docs, nMerges = 50)
+        ((System.nanoTime() - t0) / 1e9, merges.size)
+      }
+      bpeTime(sfDir) // warm
+      val (t1, m1) = bpeTime(sfDir)
+      val (tn, mn) = bpeTime(soakDir)
+      println(f"q45_bpe_train            1x: $t1%6.2f s ($m1 merges)   " +
+        f"${n}x: $tn%6.2f s ($mn merges)   growth ${tn / t1}%4.1fx")
+    }
+
     // q85 delta-isolation soak: grow the CORPUS n×, keep the delta
     // batch FIXED — the daily-ingest claim is that per-batch cost is
     // O(delta) once the band index is stored (warm run builds/caches

@@ -976,4 +976,110 @@ object TextAnalysis {
       |       CAST(sum(bits) AS BIGINT) AS sum_bits,
       |       (1000000 * CAST(sum(bits) AS BIGINT)) // count(*) AS score_ppm
       |FROM scored GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- BPE merge training
+
+  /** Aggregated word-frequency table — the corpus-sized HALF of BPE
+    * training, and the only distributed pass it needs: every published
+    * BPE trainer (the original Sennrich implementation, GPT-2's,
+    * SentencePiece's BPE mode) operates on the word->count dict, not
+    * the raw corpus, because merge decisions depend only on weighted
+    * pair counts. One explode + hash aggregate with map-side combine;
+    * output is VOCABULARY-sized (bounded by the language, not the
+    * corpus — the q72 blocked-matching precedent). */
+  def bpeWordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** BPE MERGE-TABLE TRAINING (spec-only surface, like the k-means
+    * half of IVF: iterative training is not reasonably
+    * oracle-expressible; BpeSpec pins it against an independent
+    * textbook replay). Completes the tokenizer surface q45 starts:
+    * q45 is the GPT-2 PRE-tokenizer, this learns the byte-pair merge
+    * list that a tokenizer applies after it.
+    *
+    * Algorithm (Sennrich et al.'s published recipe): words start as
+    * character sequences; each iteration counts adjacent symbol pairs
+    * weighted by word frequency, merges the most frequent pair
+    * everywhere, repeats. Deterministic tie-break: highest count,
+    * then lexicographically smallest (left, right) — pinned in the
+    * spec so retraining is reproducible.
+    *
+    * Scale shape, mirroring the IVF quantizer (Similarity.trainPq):
+    * the corpus-sized work is the ONE distributed [[bpeWordCounts]]
+    * aggregate; the merge loop then runs driver-side over the
+    * vocab-bounded dict — O(vocab · avg word len) per iteration,
+    * independent of corpus size (SoakDocs measures training flat at
+    * 10x corpus). That driver residency is the published design, not
+    * a shortcut: every production BPE trainer is a single-machine
+    * loop over the aggregated dict.
+    *
+    * Stops early when no pair reaches `minPairCount` (merging
+    * singleton pairs would memorize the tail). Returns the ordered
+    * merge list — the artifact a tokenizer ships. */
+  def trainBpe(docs: DataFrame, nMerges: Int, minPairCount: Long = 2L): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = bpeWordCounts(docs).collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .sortBy(_._1.mkString) // deterministic iteration order
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (continue && merges.size < nMerges) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val best = pairCounts.reduceOption { (x, y) =>
+        val ((xa, xb), xc) = x; val ((ya, yb), yc) = y
+        if (xc > yc) x
+        else if (yc > xc) y
+        else if (Ordering.Tuple2[String, String].lt((xa, xb), (ya, yb))) x
+        else y
+      }
+      best match {
+        case Some(((a, b), c)) if c >= minPairCount =>
+          merges += ((a, b))
+          val fused = a + b
+          words = words.map { case (syms, cnt) =>
+            (mergePair(syms, a, b, fused), cnt)
+          }
+        case _ => continue = false
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Leftmost-first fuse of adjacent (a, b) in a symbol sequence —
+    * the same scan order the encoder uses, so training and encoding
+    * see identical segmentations. */
+  private def mergePair(syms: Array[String], a: String, b: String,
+      fused: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += fused
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Apply a trained merge list to one word (the tokenizer's encode
+    * half, driver-side — used by the spec and by anything that ships
+    * the merge table). Merges apply in training order, each
+    * leftmost-first. */
+  def bpeEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach { case (a, b) => syms = mergePair(syms, a, b, a + b) }
+    syms.toSeq
+  }
 }

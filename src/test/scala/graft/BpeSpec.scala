@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** BPE merge-table training (the spec IS the oracle here — iterative
+  * training is not reasonably SQL-expressible, the k-means/IVF
+  * precedent): the distributed trainer must reproduce an INDEPENDENT
+  * textbook replay (Sennrich's algorithm run directly over the raw
+  * word list, no DataFrames) merge for merge, and hand-computed
+  * merges on a crafted corpus pin the exact count-then-lexicographic
+  * tie-break contract. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Independent reference: the published algorithm, straight off the
+    * raw words. Same tie-break contract (max count, then smallest
+    * (left, right)); leftmost-first fusing. */
+  private def referenceBpe(words: Seq[String], nMerges: Int,
+      minPair: Long): Seq[(String, String)] = {
+    var ws: Seq[(List[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var go = true
+    while (go && out.size < nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- ws; Seq(a, b) <- syms.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      val ranked = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      ranked.headOption match {
+        case Some(((a, b), c)) if c >= minPair =>
+          out += ((a, b))
+          def fuse(s: List[String]): List[String] = s match {
+            case x :: y :: rest if x == a && y == b => (a + b) :: fuse(rest)
+            case x :: rest => x :: fuse(rest)
+            case Nil => Nil
+          }
+          ws = ws.map { case (syms, c0) => (fuse(syms), c0) }
+        case _ => go = false
+      }
+    }
+    out.toSeq
+  }
+
+  test("crafted corpus: the first merges and the tie-break are exactly the " +
+      "hand-computed ones") {
+    import spark.implicits._
+    // low x5, lower x2, newest x6 — hand-computed:
+    //   (w,e):8 wins round 1; (l,o):7 round 2; round 3 is a 6-6-6-6 tie
+    //   among (e,we),(n,e),(s,t),(we,s) → lexicographic min (e,we)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(docs, nMerges = 3)
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("e", "we")),
+      s"hand-computed merge order violated: $merges")
+    // the encode half applies the same merges in order, leftmost-first
+    assert(TextAnalysis.bpeEncode("lowest", merges) == Seq("lo", "we", "s", "t"))
+    assert(TextAnalysis.bpeEncode("low", merges) == Seq("lo", "w"))
+    assert(TextAnalysis.bpeEncode("xyz", merges) == Seq("x", "y", "z"),
+      "symbols never seen in training stay single")
+  }
+
+  test("distributed trainer ≡ independent textbook replay on the fixture corpus " +
+      "(40 merges), and merges compress what they were trained on") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val rawWords = docsDf.collect()
+      .flatMap(_.getString(1).split(" ")).filter(_.nonEmpty).toSeq
+    val expected = referenceBpe(rawWords, nMerges = 40, minPair = 2L)
+    val got = TextAnalysis.trainBpe(docsDf, nMerges = 40)
+    assert(got == expected,
+      s"trainer diverged from the reference replay at merge " +
+        s"${got.zip(expected).indexWhere(p => p._1 != p._2)}: $got vs $expected")
+    // the merge table does its job: encoding the training vocabulary
+    // with it needs strictly fewer symbols than character splitting
+    val vocab = rawWords.distinct
+    val before = vocab.map(_.length).sum
+    val after = vocab.map(w => TextAnalysis.bpeEncode(w, got).size).sum
+    assert(after < before,
+      s"40 merges must compress the training vocab ($after vs $before symbols)")
+  }
+
+  test("early stop: a corpus whose pairs are all singletons learns nothing at " +
+      "minPairCount 2") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(TextAnalysis.trainBpe(docs, nMerges = 10).isEmpty)
+  }
+}
