@@ -39,7 +39,12 @@ object GraftFunctions {
     "dot" -> Spec(Seq(arrD, arrD), DoubleType,
       args => graft.functions.DotProduct(args.head, args(1))),
     "z_value" -> Spec(Seq(LongType, LongType), LongType,
-      args => graft.functions.ZValue(args.head, args(1), 21)))
+      args => graft.functions.ZValue(args.head, args(1), 21)),
+    "vec_dhash" -> Spec(Seq(ArrayType(FloatType), LongType), LongType,
+      args => graft.functions.VecDHash(args.head, args(1), 0)),
+    "pixel_dhash" -> Spec(
+      Seq(ArrayType(ArrayType(ArrayType(IntegerType)))), LongType,
+      args => graft.functions.PixelDHash(args.head)))
 
   def names: Seq[String] = specs.keys.toSeq.sorted
 

@@ -134,6 +134,56 @@ object Incremental {
       .agg(round(max(col("jaccard")), 4).as("jaccard"))
   }
 
+  /** Streaming PERCEPTUAL image near-dup ingest — q87's continuous
+    * twin, completing the multimodal dedup story the way
+    * [[nearDupStream]] completes q85's: each arriving image (decoded
+    * pixel cube) is dHashed by the codegen'd
+    * [[graft.functions.PixelDHash]] (a pure map — stream-legal),
+    * band-exploded with the same 4×14-bit literal-array banding as
+    * batch q87 (stateless, per-row), and probed into the STATIC
+    * corpus fingerprint band index — the stored artifact the batch
+    * pairing builds. Collisions verify by exact hamming and aggregate
+    * to one row per (doc_id, corpus_id) with the minimum distance.
+    * At scale: a new image never triggers a corpus self-join, only
+    * equi-probes into the index — the ingest gate for image data.
+    * Recall contract is batch q87's: pigeonhole-exact to hamming ≤
+    * `hamMax` (< nBands). */
+  def imageNearDupStream(
+      images: DataFrame,
+      corpusFp: DataFrame,
+      hamMax: Int = graft.operators.Dedup.DHashHamMax): DataFrame = {
+    val bb = graft.operators.Dedup.DHashBandBits
+    val nBands = graft.functions.ImageHash.Bits / bb
+    require(hamMax < nBands, s"hamming<=$hamMax needs > $hamMax bands (have $nBands)")
+    def banded(fp: DataFrame): DataFrame = fp
+      .select(col("doc_id"), col("dh"),
+        posexplode(array((0 until nBands).map(j =>
+          shiftright(col("dh"), j * bb).bitwiseAND(lit((1L << bb) - 1))): _*)))
+      .toDF("doc_id", "dh", "band", "bval")
+    val stream = banded(images
+      .select(col("doc_id"),
+        graft.functions.ImageHash.pixelDhash(col("pixels")).as("dh"))
+      .filter(col("dh").isNotNull))
+    val index = banded(corpusFp)
+      .toDF("corpus_id", "cdh", "band", "bval")
+    stream
+      .join(index, Seq("band", "bval")) // stream-static equi-probe
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(dh ^ cdh) AS INT)"))
+      .filter(col("hamming") <= hamMax)
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Static-side helper for [[imageNearDupStream]]: the corpus
+    * fingerprint table (doc_id, dh) from decoded pixel cubes — built
+    * once, persisted as the stored index. */
+  def imageFpTable(images: DataFrame): DataFrame =
+    images.select(col("doc_id"),
+      graft.functions.ImageHash.pixelDhash(col("pixels")).as("dh"))
+      .filter(col("dh").isNotNull)
+
   /** Static-side helper: the distinct gram hashes of an eval corpus
     * (same kernel, same n as the stream side). */
   def evalGramTable(evalDocs: DataFrame): DataFrame =

@@ -170,6 +170,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     // z_value from SQL matches the ZOrder helper
     assert(spark.sql("SELECT graft_test.db.z_value(5L, 3L) AS z").head().getLong(0) ===
       spark.range(1).select(graft.functions.ZOrder.zValue(lit(5L), lit(3L), 21)).head().getLong(0))
+    // the dHash kernels (r8): SQL catalog call ≡ Column API / driver replay
+    val emb = spark.sql(
+      "SELECT graft_test.db.vec_dhash(array_repeat(CAST(0.5 AS FLOAT), 64), 0L) AS h")
+      .head().getLong(0)
+    val embCol = spark.range(1)
+      .select(org.apache.spark.sql.functions.expr(
+        "array_repeat(CAST(0.5 AS FLOAT), 64)").as("e"))
+      .select(graft.functions.ImageHash.vecDhash(col("e"), lit(0L), 0))
+      .head().getLong(0)
+    assert(emb === embCol, "vec_dhash catalog call must equal the Column kernel")
+    val cube = Seq.tabulate(3, 7, 9)((c, y, x) => c + y * 31 + x * 11)
+    import spark.implicits._
+    Seq(Tuple1(cube)).toDF("px").createOrReplaceTempView("fn_px")
+    assert(spark.sql("SELECT graft_test.db.pixel_dhash(px) AS h FROM fn_px")
+      .head().getLong(0) === graft.functions.ImageHash.pixelDhashSeq(cube))
     // unknown function is a typed miss, and SHOW FUNCTIONS lists the kernels
     val err = intercept[Exception] {
       spark.sql("SELECT graft_test.db.nope(1)").collect()

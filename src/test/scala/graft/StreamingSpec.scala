@@ -81,6 +81,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IMAGE near-dup ingest: an arriving JPEG re-encode pairs with its " +
+      "stored original via the dhash band index; unrelated image emits nothing") {
+    import spark.implicits._
+    import graft.functions.{ImageHash, Raster}
+    implicit val ctx = spark.sqlContext
+    def img(fx: Double, fy: Double, phase: Double): Seq[Seq[Seq[Int]]] =
+      Seq.tabulate(3, 56, 72)((c, y, x) =>
+        math.max(0, math.min(255,
+          (128 + 110 * math.sin(x / fx + phase) * math.cos(y / fy)).toInt)))
+    val original = img(11.0, 9.0, 0.3)
+    val other = img(5.0, 13.0, 2.1)
+    // the stored index: fingerprints of the existing image corpus
+    val corpusFp = Incremental.imageFpTable(
+      Seq((101L, original), (102L, other)).toDF("doc_id", "pixels"))
+    val input = MemoryStream[(Long, Seq[Seq[Seq[Int]]])]
+    val stream = input.toDF().toDF("doc_id", "pixels")
+    val q = Incremental.imageNearDupStream(stream, corpusFp)
+      .writeStream.format("memory").queryName("imgdup_out").outputMode("complete").start()
+    try {
+      // arrival 201: the original, JPEG-re-encoded (lossy) — the
+      // resized/re-uploaded duplicate shape; 202: a fresh image
+      input.addData(
+        (201L, Raster.decodeImage(Raster.encodeJpeg(original, 0.85f))),
+        (202L, img(7.0, 17.0, 4.4)))
+      q.processAllAvailable()
+      val rows = spark.table("imgdup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.map(t => (t._1, t._2)).toSeq == Seq((201L, 101L)),
+        s"exactly the planted duplicate must pair: ${rows.mkString(",")}")
+      // the emitted distance equals the batch kernels' exact hamming
+      val expected = java.lang.Long.bitCount(
+        ImageHash.pixelDhashSeq(Raster.decodeImage(Raster.encodeJpeg(original, 0.85f)))
+          ^ ImageHash.pixelDhashSeq(original))
+      assert(rows.head._3 == expected && expected <= graft.operators.Dedup.DHashHamMax,
+        s"${rows.head._3} vs $expected")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest: band probe into the static corpus index ≡ batch jaccard") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
