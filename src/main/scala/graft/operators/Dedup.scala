@@ -467,7 +467,8 @@ object Dedup {
       bits: Int,
       bandBits: Int,
       hamMax: Int,
-      cacheKey: Option[String] = None): DataFrame = {
+      cacheKey: Option[String] = None,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(bits % bandBits == 0, s"bits=$bits not divisible by bandBits=$bandBits")
     val nBands = bits / bandBits
     require(hamMax < nBands,
@@ -480,8 +481,19 @@ object Dedup {
           shiftright(col("simhash"), j * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .toDF("doc_id", "simhash", "band", "bval")
-    val bands = cacheKey.fold(banded0)(key =>
+    val cached = cacheKey.fold(banded0)(key =>
       graft.CacheRegistry.getOrCache(fp.sparkSession, key)(banded0))
+    // the hamming family shares q18's viral exposure (a boilerplate
+    // template makes every copy's band values collide); the same
+    // broadcast left-anti guard applies — here keyed on (band, bval).
+    // Off by default: oracles are the uncapped semantics.
+    val bands = maxBucket.fold(cached) { m =>
+      require(m >= 1, s"maxBucket must be >= 1, got $m")
+      val hot = cached.groupBy(col("band"), col("bval"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > m)
+        .select(col("band"), col("bval"))
+      cached.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    }
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

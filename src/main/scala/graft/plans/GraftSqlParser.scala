@@ -23,23 +23,30 @@ import org.apache.spark.sql.Row
   * Installed via [[GraftExtensions]] (`injectParser`). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // target alternatives shared by every maintenance statement: a
+  // quoted path, or a catalog-qualified identifier resolved through
+  // the session CatalogManager (the Delta/Iceberg surface shape)
+  private val Target = """(?:'([^']+)'|([A-Za-z_][\w.]*))"""
+
   private val Optimize =
-    ("""(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+FILES\s+(\d+))?""" +
+    (s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Target(?:\\s+FILES\\s+(\\d+))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\))?\s*;?\s*""").r
   private val Vacuum =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$Target(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*""".r
   private val Merge =
-    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+(?:'([^']+)'|([A-Za-z_][\w.]*))\s+USING\s+(.+?)\s+KEY\s*\(([^)]+)\)\s*;?\s*""".r
+    s"""(?is)\\s*GRAFT\\s+MERGE\\s+INTO\\s+$Target\\s+USING\\s+(.+?)\\s+KEY\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Optimize(path, files, zx, zy) =>
-      GraftOptimizeCommand(path, Option(files).map(_.toInt).getOrElse(1),
-        Option(zx).map(x => (x, zy)))
-    case Vacuum(path, retain) =>
+    case Optimize(path, ident, files, zx, zy) =>
+      GraftOptimizeCommand(Option(path).getOrElse(ident),
+        Option(files).map(_.toInt).getOrElse(1),
+        Option(zx).map(x => (x, zy)), targetIsPath = path != null)
+    case Vacuum(path, ident, retain) =>
       // Delta-style retention override; default 1 h protects files a
       // concurrent commit moved into the root before its manifest write
-      GraftVacuumCommand(path,
-        Option(retain).map(_.toLong * 3600000L).getOrElse(3600000L))
+      GraftVacuumCommand(Option(path).getOrElse(ident),
+        Option(retain).map(_.toLong * 3600000L).getOrElse(3600000L),
+        targetIsPath = path != null)
     case Merge(path, ident, source, keys) =>
       GraftMergeCommand(Option(path).getOrElse(ident), source.trim,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
@@ -65,25 +72,57 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
-/** `GRAFT OPTIMIZE '<path>' [FILES n] [ZORDER BY (x, y)]` — file
-  * compaction, optionally multi-dimensionally clustered (see
+/** Shared target resolution for the maintenance statements: a quoted
+  * path passes through; a catalog identifier resolves through the
+  * session CatalogManager and must be a manifest table (a non-manifest
+  * table is a loud error — maintenance must not guess a storage
+  * location). */
+private[plans] object GraftTarget {
+  def resolvePath(spark: SparkSession, target: String, targetIsPath: Boolean,
+      stmt: String): String =
+    if (targetIsPath) target
+    else {
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+      require(parts.length >= 2,
+        s"$stmt <ident> needs a catalog-qualified name, got '$target'")
+      val catalog = spark.sessionState.catalogManager.catalog(parts.head)
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init.toArray, parts.last)
+      catalog.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(ident) match {
+          case mt: graft.sources.ManifestTable => mt.tablePath
+          case other => throw new IllegalArgumentException(
+            s"$stmt supports manifest tables only; " +
+              s"'$target' resolved to ${other.getClass.getSimpleName}")
+        }
+    }
+}
+
+/** `GRAFT OPTIMIZE <'path'|catalog.db.table> [FILES n]
+  * [ZORDER BY (x, y)]` — file compaction, optionally
+  * multi-dimensionally clustered (see
   * [[graft.sources.ManifestOptimize.compactFiles]]). */
-case class GraftOptimizeCommand(path: String, nFiles: Int,
-    zorderBy: Option[(String, String)] = None)
+case class GraftOptimizeCommand(target: String, nFiles: Int,
+    zorderBy: Option[(String, String)] = None, targetIsPath: Boolean = true)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftTarget.resolvePath(spark, target, targetIsPath, "GRAFT OPTIMIZE")
     graft.sources.ManifestOptimize.compactFiles(spark, path, nFiles, zorderBy)
     Seq.empty
   }
 }
 
-case class GraftVacuumCommand(path: String, graceMs: Long = 3600000L)
+/** `GRAFT VACUUM <'path'|catalog.db.table> [RETAIN n HOURS]`. */
+case class GraftVacuumCommand(target: String, graceMs: Long = 3600000L,
+    targetIsPath: Boolean = true)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("reclaimed", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftTarget.resolvePath(spark, target, targetIsPath, "GRAFT VACUUM")
     Seq(Row(graft.sources.ManifestOptimize.vacuum(path, graceMs).toLong))
+  }
 }
 
 /** `GRAFT MERGE INTO <'path'|catalog.db.table> USING <source>
@@ -106,22 +145,7 @@ case class GraftMergeCommand(target: String, source: String, keys: Seq[String],
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   private def resolvePath(spark: SparkSession): String =
-    if (targetIsPath) target
-    else {
-      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
-      require(parts.length >= 2,
-        s"GRAFT MERGE INTO <ident> needs a catalog-qualified name, got '$target'")
-      val catalog = spark.sessionState.catalogManager.catalog(parts.head)
-      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-        parts.tail.init.toArray, parts.last)
-      catalog.asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-        .loadTable(ident) match {
-          case mt: graft.sources.ManifestTable => mt.tablePath
-          case other => throw new IllegalArgumentException(
-            s"GRAFT MERGE INTO supports manifest tables only; " +
-              s"'$target' resolved to ${other.getClass.getSimpleName}")
-        }
-    }
+    GraftTarget.resolvePath(spark, target, targetIsPath, "GRAFT MERGE INTO")
 
   /** True iff the leading '(' matches the trailing ')' — i.e. the
     * outer parens wrap the WHOLE source. `(SELECT 1) UNION ALL

@@ -398,6 +398,25 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDir == viaFrame)
   }
 
+  test("hamming-family hot-bucket cap: a viral simhash template bucket is dropped, " +
+      "non-viral pairs survive, cap off ≡ original") {
+    import spark.implicits._
+    // two genuine near-dup fingerprints (hamming 1) + 30 byte-identical
+    // template fingerprints — every template band collides
+    val viral = (0 until 30).map(i => (9000L + i, 0x15a5a5aaL))
+    val fp = (Seq((1L, 0x2aaa5111L), (2L, 0x2aaa5110L)) ++ viral).toDF("doc_id", "simhash")
+    def pairs(maxBucket: Option[Int]) =
+      Dedup.simhashNearDupWith(fp, 30, 10, 2, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.count { case (a, b) => a >= 9000L && b >= 9000L } == 30 * 29 / 2,
+      "the template must pair n² uncapped")
+    assert(uncapped.contains((1L, 2L)))
+    val capped = pairs(Some(10))
+    assert(capped == Set((1L, 2L)),
+      s"cap must keep exactly the non-viral pair, got $capped")
+  }
+
   test("q87 planted-copy recall: every (vector, perturbed copy) pair is recovered " +
       "exactly — recall AND precision 1.0 on the fixture margins") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")

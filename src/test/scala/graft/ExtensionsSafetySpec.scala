@@ -132,6 +132,16 @@ class ExtensionsSafetySpec extends AnyFunSuite {
       assert(v2 == 2L, s"catalog-form merge must advance the version, got $v2")
       assert(ext.sql("SELECT s FROM graft_sqlx.db.mergetgt WHERE id = 2").head().getString(0) == "Y2")
       assert(ext.sql("SELECT count(*) FROM graft_sqlx.db.mergetgt").head().getLong(0) == 2L)
+      // OPTIMIZE/VACUUM take the catalog-identifier form too (resolved
+      // through the same CatalogManager path as MERGE): the merge
+      // above left CTAS + COW files — compact then reclaim by NAME
+      ext.sql("GRAFT OPTIMIZE graft_sqlx.db.mergetgt FILES 1")
+      val reclaimedByName = ext.sql(
+        "GRAFT VACUUM graft_sqlx.db.mergetgt RETAIN 0 HOURS").head().getLong(0)
+      assert(reclaimedByName >= 1L,
+        s"identifier-form VACUUM must reclaim the pre-optimize files, got $reclaimedByName")
+      assert(ext.sql("SELECT count(*) FROM graft_sqlx.db.mergetgt").head().getLong(0) == 2L,
+        "contents untouched by identifier-form maintenance")
       // GRAFT OPTIMIZE ... ZORDER BY (x, y): the rewrite lands through
       // the same optimistic manifest swap, and the new files are
       // 2-D-clustered — footer min/max boxes prune a box predicate
