@@ -36,7 +36,11 @@ object Media {
       media_id: Long, kind: String, n_bytes: Long,
       meanLuminance: Double, // real for images, stub-derived for a/v
       nFrames: Int,
-      partitionTag: Int) // test observability: which partition built it
+      partitionTag: Int, // test observability: which partition built it
+      // perceptual fingerprint (q87's dHash) for image rows large
+      // enough for the 7x9 grid; None for a/v and tiny images — the
+      // column the near-dup ingest gate (imageNearDupStream) probes on
+      dhash: Option[Long] = None)
 
   case class FrameRow(media_id: Long, frameIdx: Int, framePayload: Array[Byte])
 
@@ -230,7 +234,12 @@ object Media {
               else Raster.decodeImage(r.payload)
             val lum = px.head.flatten.map(_.toLong).sum.toDouble /
               (px.head.length * px.head.head.length)
-            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, lum, 1, pid)
+            val dh =
+              if (px.head.length >= graft.functions.ImageHash.GridRows &&
+                  px.head.head.length >= graft.functions.ImageHash.GridCols)
+                Some(graft.functions.ImageHash.pixelDhashSeq(px))
+              else None
+            MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, lum, 1, pid, dh)
           case "audio" if WavCodec.isWav(r.payload) =>
             val a = WavCodec.decode(r.payload) // REAL decode
             MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,

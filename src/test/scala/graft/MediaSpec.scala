@@ -37,6 +37,20 @@ class MediaSpec extends AnyFunSuite {
     assert(inits <= 2, s"codec must initialize per PARTITION, not per row (saw $inits)")
   }
 
+  test("image features carry the q87 perceptual fingerprint; sub-grid images and a/v rows don't") {
+    import Media._
+    val big = Seq.tabulate(3, 14, 18)((c, y, x) => (c * 40 + y * 9 + x * 5) % 256)
+    val tiny = Seq.fill(3)(Seq.fill(4)(Seq.fill(4)(50)))
+    val rows = Seq(
+      MediaRow(20L, "image", Raster.encodePng(big), MediaMeta("image/png", 18, 14, 0L)),
+      MediaRow(21L, "image", Raster.encodePng(tiny), MediaMeta("image/png", 4, 4, 0L)))
+    val feats = Media.extractFeatures(spark.createDataset(rows)(mediaRowEnc))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(20L).dhash.contains(graft.functions.ImageHash.pixelDhashSeq(big)),
+      "image dhash must equal the kernel replay (PNG roundtrip is lossless)")
+    assert(feats(21L).dhash.isEmpty, "below the 7x9 grid there is no fingerprint")
+  }
+
   test("image path spans all real containers: JPEG and zip-of-band-TIFFs extract features") {
     import Media._
     val cube = Seq.fill(3)(Seq.fill(8)(Seq.fill(8)(120)))
