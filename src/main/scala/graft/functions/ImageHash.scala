@@ -67,8 +67,10 @@ object ImageHash {
   /** Vector-raster dHash worker (called from interpreted eval AND
     * generated code): m float dims → quantize floor(x·1024) → add the
     * (key, dim)-keyed noise when amp > 0 → 7 row segments → 9 block
-    * means each (floorDiv: sums can be negative, and DuckDB's `//`
-    * floors) → 56 gradient bits. Returns Long.MinValue when
+    * means each (floorDiv: sums can be negative; NOTE DuckDB's `//`
+    * truncates toward zero, so the oracle emulates floor division
+    * via the non-negative remainder — see imageNearDupSql) → 56
+    * gradient bits. Returns Long.MinValue when
     * m < [[MinDims]] (unreachable as a real hash — only the low 56
     * bits can be set — the caller maps it to SQL null). */
   def vecDhashOrMin(emb: ArrayData, key: Long, amp: Int): Long = {

@@ -943,15 +943,23 @@ object Dedup {
     val amp = graft.functions.ImageHash.NoiseAmp // 8
     val bb = DHashBandBits
     // block mean for flat grid index k (0..62): r = k//9, c = k%9;
-    // row segment [r0,r1) of the n values, block [s,e) inside it —
-    // identical floor arithmetic to ImageHash.vecDhashOrMin (DuckDB's
-    // `//` floors like Java's floorDiv; sums can be negative)
+    // row segment [r0,r1) of the n values, block [bs,be) inside it.
+    // CAUTION: the kernel floor-divides the block sum (Math.floorDiv)
+    // and sums CAN be negative (quantized embeddings), but DuckDB's
+    // integer `//` TRUNCATES toward zero (-201 // 2 = -100, not
+    // -101) — discovered as a 1-bit q87 divergence at sf0.001. Floor
+    // division is emulated via the non-negative remainder:
+    //   floorDiv(s, d) = (s - ((s % d + d) % d)) // d   (d > 0)
+    // where the adjusted numerator is exactly divisible, so the
+    // truncate-vs-floor distinction vanishes. All offsets (bs, be,
+    // row bounds) are non-negative, so their `//` uses are safe.
+    val bsE = s"((n * (k // $C) // $R) + ((k % $C) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C))"
+    val beE = s"((n * (k // $C) // $R) + (((k % $C) + 1) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C))"
+    val sumE = s"list_sum(v[$bsE + 1 : $beE])"
+    val divE = s"($beE - $bsE)"
     val gBlock =
       s"""list_transform(generate_series(0, ${R * C - 1}), k ->
-         |  list_sum(v[(n * (k // $C) // $R) + ((k % $C) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C) + 1
-         |              : (n * (k // $C) // $R) + (((k % $C) + 1) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C)])
-         |  // (((k % $C) + 1) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C
-         |     - ((k % $C) * ((n * ((k // $C) + 1) // $R) - (n * (k // $C) // $R)) // $C)))""".stripMargin
+         |  ($sumE - (($sumE % $divE + $divE) % $divE)) // $divE)""".stripMargin
     s"""WITH qv AS (
        |  SELECT vec_id,
        |         list_transform(embedding,

@@ -1073,6 +1073,90 @@ object TextAnalysis {
     out.toArray
   }
 
+  // ---------------------------------------------------------------- q89
+
+  /** q89: CORPUS HEALTH dashboard — the one query every data team runs
+    * on every ingest: per-source document/token volumes, exact-dup
+    * contamination rate (global dup membership counted per source —
+    * a source is unhealthy when its docs duplicate ANY source's, not
+    * just its own), language spread and the dominant language, mean
+    * document length. Everything integer (ppm / div) so the row set
+    * hash-matches the oracle.
+    *
+    * Scale shape: one md5 hash-aggregate finds dup contents (q17's
+    * exact-dedup shuffle), a semi-join flags members, then two small
+    * aggregates — per (source) and per (source, lang) — both on
+    * low-cardinality keys with map-side combine; the dominant
+    * language is a WindowGroupLimit over the tiny (source, lang)
+    * frame, tie broken to the smaller lang so the result is
+    * deterministic. No corpus-sized shuffle beyond q17's. */
+  def corpusHealth(spark: SparkSession, dir: String): DataFrame =
+    corpusHealthOf(Tables.documents(spark, dir))
+
+  /** Table-shape-agnostic core of [[corpusHealth]] (any frame with
+    * text/lang/source/n_chars), so the spec can plant cross-source
+    * duplicates and assert the contamination accounting directly. */
+  def corpusHealthOf(docs: DataFrame): DataFrame = {
+    val dupKeys = docs.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("nc")).filter(col("nc") >= 2).select(col("k"))
+    val flagged = docs
+      .withColumn("k", md5(col("text")))
+      .join(dupKeys, Seq("k"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("sum_chars"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("ln").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base
+      .join(flagged, Seq("source"), "left")
+      .join(topLang, Seq("source"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        expr("coalesce(dup_docs, 0L) * 1000000 div n_docs").as("dup_ppm"),
+        col("n_langs"), col("top_lang"),
+        expr("sum_chars div n_docs").as("avg_chars"))
+  }
+
+  val corpusHealthSql: String =
+    """WITH dupk AS (
+      |  SELECT k FROM (
+      |    SELECT md5(text) AS k, count(*) AS nc FROM documents GROUP BY 1)
+      |  WHERE nc >= 2),
+      |flags AS (
+      |  SELECT source, count(*) AS dup_docs
+      |  FROM documents d WHERE md5(d.text) IN (SELECT k FROM dupk)
+      |  GROUP BY source),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |         count(DISTINCT lang) AS n_langs,
+      |         sum(n_chars) AS sum_chars
+      |  FROM documents GROUP BY source),
+      |tl AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |           row_number() OVER (PARTITION BY source
+      |                              ORDER BY count(*) DESC, lang) AS rn
+      |    FROM documents GROUP BY source, lang)
+      |  WHERE rn = 1)
+      |SELECT base.source, n_docs, n_tokens,
+      |       coalesce(dup_docs, 0) AS dup_docs,
+      |       CAST(coalesce(dup_docs, 0) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+      |       n_langs, top_lang,
+      |       CAST(sum_chars // n_docs AS BIGINT) AS avg_chars
+      |FROM base
+      |LEFT JOIN flags ON base.source = flags.source
+      |JOIN tl ON base.source = tl.source""".stripMargin
+
   /** Apply a trained merge list to one word (the tokenizer's encode
     * half, driver-side — used by the spec and by anything that ships
     * the merge table). Merges apply in training order, each

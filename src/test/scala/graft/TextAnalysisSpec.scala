@@ -441,4 +441,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq == expected, "PMI top-50 must equal the driver replay")
     assert(got.nonEmpty)
   }
+
+  test("q89 corpusHealth: planted cross-source duplicates are counted in BOTH sources") {
+    import spark.implicits._
+    // srcA and srcB share one exact text ("dup dup dup"); srcB also
+    // self-duplicates "twin" — so dup membership is: srcA 1 of 2,
+    // srcB 3 of 4, srcC 0 of 1. Cross-source contamination must count
+    // in every source holding a copy, not just the origin.
+    val docs = Seq(
+      (1L, "dup dup dup", "en", "srcA"),
+      (2L, "unique alpha text", "en", "srcA"),
+      (3L, "dup dup dup", "fr", "srcB"),
+      (4L, "twin", "fr", "srcB"),
+      (5L, "twin", "en", "srcB"),
+      (6L, "unique beta words", "fr", "srcB"),
+      (7L, "solo gamma", "de", "srcC"),
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.corpusHealthOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Long]("dup_docs") == 1L)
+    assert(out("srcB").getAs[Long]("dup_docs") == 3L)
+    assert(out("srcC").getAs[Long]("dup_docs") == 0L)
+    assert(out("srcA").getAs[Long]("dup_ppm") == 500000L)
+    assert(out("srcB").getAs[Long]("dup_ppm") == 750000L)
+    // modal language per source: srcA en=2 → en; srcB fr=2, en=1 → fr
+    assert(out("srcA").getAs[String]("top_lang") == "en")
+    assert(out("srcB").getAs[String]("top_lang") == "fr")
+    assert(out("srcA").getAs[Long]("n_tokens") == 6L) // 3 + 3
+    assert(out("srcB").getAs[Long]("n_langs") == 2L)
+    assert(out("srcC").getAs[Long]("avg_chars") == 10L)
+  }
+
+  test("q89 corpusHealth: dashboard invariants hold on the fixture corpus") {
+    val rows = TextAnalysis.corpusHealth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val dup = r.getAs[Long]("dup_docs")
+      assert(n > 0 && dup >= 0 && dup <= n)
+      assert(r.getAs[Long]("dup_ppm") == dup * 1000000L / n)
+      assert(r.getAs[Long]("n_tokens") >= n, "every doc tokenizes to >= 1 token")
+      assert(r.getAs[Long]("n_langs") >= 1)
+      assert(r.getAs[Long]("avg_chars") > 0)
+      assert(r.getAs[String]("top_lang").nonEmpty)
+    }
+  }
 }
