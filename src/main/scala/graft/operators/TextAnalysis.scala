@@ -1157,6 +1157,96 @@ object TextAnalysis {
       |LEFT JOIN flags ON base.source = flags.source
       |JOIN tl ON base.source = tl.source""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+
+  /** q90: TRAINED classifier inference — the fastText/CCNet-style
+    * learned filter every curation pipeline runs (quality classifier,
+    * domain classifier, lang-id), here as multinomial Naive Bayes
+    * trained ON THE CORPUS'S OWN LABELS (the lang column) and then
+    * applied back to every document, emitting the confusion matrix a
+    * deployment dashboards. Unlike q43 (fixed trigram profiles), the
+    * model here is LEARNED in one distributed pass — the
+    * train-then-broadcast-inference shape.
+    *
+    * Integer-exact: per (token, class) weight = floor-log₂ of the
+    * Laplace-smoothed class-conditional probability, computed as
+    * BINARY-STRING LENGTH of `((c+1)·2⁴⁰) div (tot+V)` (the q79/q81
+    * trick; 2⁴⁰ keeps rare-token weights discriminative up to
+    * trillion-token classes where 2²⁰ would floor them all to 0;
+    * numerator in DECIMAL(38,0)/HUGEINT — the q54/q81 overflow
+    * precedent). Uniform prior (likelihood-only argmax); argmax tie
+    * breaks to the lexicographically smallest class so the row set is
+    * hash-stable.
+    *
+    * Scale shape: training = ONE corpus explode + (class, token) hash
+    * aggregate with map-side combine — the count table is
+    * vocab×classes = MODEL-sized, not corpus-sized; the dense
+    * smoothed grid (absent pairs get the c=0 weight) is built on the
+    * model table and BROADCAST into the scoring join, so the corpus
+    * token stream never shuffles for inference; per-doc scores
+    * aggregate on (doc, class) with map-side combine; the argmax
+    * window and the confusion aggregate touch docs×classes rows only.
+    * On the synthetic fixture the lang column is assigned
+    * independently of token content, so accuracy is ~prior — like
+    * q84, the spec pins the MECHANICS on a planted separable corpus
+    * and the oracle pins cross-engine exactness. */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassifyOf(Tables.documents(spark, dir))
+
+  /** Frame-agnostic core of [[nbClassify]]: any frame with
+    * (doc_id, text, lang) — lang is the training label. */
+  def nbClassifyOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val cnt = toks.groupBy(col("lang").as("l"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("l")).agg(sum(col("c")).as("tot"))
+    val vocab = cnt.select(col("w")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(tot))
+      .join(cnt, Seq("l", "w"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("l"), col("w"),
+        (length(conv(expr(
+          "(CAST(coalesce(c, 0) + 1 AS DECIMAL(38,0)) * 1099511627776) div (tot + v)"),
+          10, 2)) - lit(1)).cast("long").as("bits"))
+    val scored = toks.join(broadcast(grid), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("bits")).as("score"))
+    val pred = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("l"))))
+      .filter(col("rn") === 1)
+    pred.groupBy(col("lang").as("true_lang"), col("l").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val nbClassifySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (SELECT lang AS l, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT l, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY l),
+      |vocab AS (SELECT DISTINCT w FROM cnt),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |grid AS (
+      |  SELECT t.l, vb.w,
+      |         length(bin(CAST((CAST(coalesce(c.c, 0) + 1 AS HUGEINT) * 1099511627776)
+      |                         // (t.tot + (SELECT v FROM vs)) AS BIGINT))) - 1 AS bits
+      |  FROM vocab vb CROSS JOIN tot t
+      |  LEFT JOIN cnt c ON c.l = t.l AND c.w = vb.w),
+      |scored AS (
+      |  SELECT tok.doc_id, tok.lang, g.l, CAST(sum(g.bits) AS BIGINT) AS score
+      |  FROM tok JOIN grid g USING (w) GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, lang, l AS pred_lang FROM (
+      |    SELECT doc_id, lang, l,
+      |           row_number() OVER (PARTITION BY doc_id
+      |                              ORDER BY score DESC, l) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT lang AS true_lang, pred_lang, count(*) AS n_docs
+      |FROM pred GROUP BY 1, 2""".stripMargin
+
   /** Apply a trained merge list to one word (the tokenizer's encode
     * half, driver-side — used by the spec and by anything that ships
     * the merge table). Merges apply in training order, each

@@ -487,4 +487,57 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getAs[String]("top_lang").nonEmpty)
     }
   }
+
+  test("q90 nbClassify: separable vocabularies classify perfectly; ambiguity ties to smallest class") {
+    import spark.implicits._
+    // en-docs speak only {cat, dog}, fr-docs only {chat, chien} — a
+    // trained NB must recover the labels exactly. Doc 5 is one 'cat'
+    // one 'chat': symmetric likelihoods, tie must break to 'en'.
+    val docs = Seq(
+      (1L, "cat dog cat", "en"),
+      (2L, "dog dog cat dog", "en"),
+      (3L, "chat chien chat", "fr"),
+      (4L, "chien chien chat", "fr"),
+      (5L, "cat chat", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.nbClassifyOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    // docs 1-2 en→en, 3-4 fr→fr; doc 5: counts are symmetric under
+    // en↔fr + cat↔chat so both class scores are equal → pred 'en'
+    assert(got == Map(("en", "en") -> 3L, ("fr", "fr") -> 2L), s"confusion was $got")
+  }
+
+  test("q90 nbClassify: confusion matrix conserves the corpus; weights replay driver-side") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.nbClassifyOf(docs).collect()
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every doc must be classified exactly once")
+    out.foreach { r =>
+      assert(langs.contains(r.getAs[String]("true_lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+    // driver replay of the full NB on the fixture: same counts, same
+    // floor-log2 weights, same argmax + tie-break → same confusion
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    rows.foreach { case (_, l, ws) => ws.foreach { w =>
+      cnt((l, w)) = cnt.getOrElse((l, w), 0L) + 1 } }
+    val tot = cnt.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val vocab = cnt.keys.map(_._2).toSet
+    val v = vocab.size.toLong
+    def bits(l: String, w: String): Long =
+      java.lang.Long.toBinaryString(
+        (BigInt(cnt.getOrElse((l, w), 0L) + 1) * BigInt(2).pow(40) /
+          (tot(l) + v)).toLong).length - 1L
+    val classes = tot.keys.toSeq.sorted
+    val expected = rows.groupBy { case (_, l, ws) =>
+      val pred = classes.map(c => (-ws.map(w => bits(c, w)).sum, c)).min._2
+      (l, pred)
+    }.map { case (k, xs) => k -> xs.length.toLong }
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+      == expected, "confusion must equal the driver-replayed NB")
+  }
 }
