@@ -157,6 +157,54 @@ object Components {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
   }
 
+  // ---------------------------------------------------------------- q91
+
+  /** q91: dedup SURVIVORSHIP — the policy step a curation pipeline
+    * runs after clustering: per near-dup cluster, keep ONE canonical
+    * document chosen by a QUALITY policy (here keep-the-longest,
+    * ties to the smaller doc_id — the classic heuristic: the longest
+    * member of a boilerplate/truncation cluster is the least-mangled
+    * copy), and account for what the policy drops. q60 exposes the
+    * clusters; the CorpusPipeline keeps the minimum-id member (an
+    * arbitrary but deterministic pick); THIS is the content-aware
+    * pick a production funnel actually ships, emitted per cluster:
+    * (rep, csize, survivor_id, survivor_chars, dropped_docs,
+    * dropped_chars) — the survivorship audit row.
+    *
+    * Scale shape: the cluster-membership table is bounded by the
+    * near-dup pair participants (≪ corpus — it's 2×|pairs| ids), so
+    * it BROADCASTS into the documents join and the corpus scan never
+    * shuffles; the per-cluster aggregate and the argmax window then
+    * touch cluster members only, shuffled once on `rep`. Shares q18's
+    * CacheRegistry band/shingle materializations with q60/q85. */
+  def dedupSurvivors(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val edges = Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    survivorsOf(docs, edges)
+  }
+
+  /** Frame-agnostic core of [[dedupSurvivors]]: `docs` with
+    * (doc_id, n_chars), `edges` with two id columns. Documents in no
+    * cluster are not survivorship rows — they pass the funnel
+    * untouched and are out of scope here. */
+  def survivorsOf(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val cl = connectedComponents(edges).select(col("id").as("doc_id"), col("rep"))
+    val j = docs.join(broadcast(cl), Seq("doc_id"))
+    val agg = j.groupBy(col("rep")).agg(
+      count(lit(1)).as("csize"),
+      sum(col("n_chars")).as("sum_chars"))
+    val surv = j.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("doc_id").as("survivor_id"),
+        col("n_chars").as("survivor_chars"))
+    agg.join(surv, Seq("rep"))
+      .select(col("rep"), col("csize"), col("survivor_id"), col("survivor_chars"),
+        (col("csize") - lit(1)).as("dropped_docs"),
+        (col("sum_chars") - col("survivor_chars")).as("dropped_chars"))
+  }
+
   /** Exact oracle: symmetric closure of the q18 pair set, transitive
     * reachability as a recursive CTE (UNION dedup guarantees the
     * fixpoint terminates), rep = least(self, min reachable). */
@@ -176,4 +224,30 @@ object Components {
        |lab AS (
        |  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u)
        |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM lab""".stripMargin
+
+  /** q91 oracle: q60's recursive-CTE closure nested as the cluster
+    * source, then the same argmax-by-(n_chars desc, doc_id) pick.
+    * (Declared after [[componentsQuerySql]] — vals initialize in
+    * declaration order.) */
+  val dedupSurvivorsSql: String =
+    s"""WITH cl AS (
+       |  SELECT doc_id, rep FROM (
+       |$componentsQuerySql
+       |  ) c),
+       |j AS (
+       |  SELECT cl.rep, d.doc_id, d.n_chars
+       |  FROM cl JOIN documents d USING (doc_id)),
+       |agg AS (
+       |  SELECT rep, count(*) AS csize, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM j GROUP BY rep),
+       |surv AS (
+       |  SELECT rep, doc_id AS survivor_id, n_chars AS survivor_chars FROM (
+       |    SELECT rep, doc_id, n_chars,
+       |           row_number() OVER (PARTITION BY rep
+       |                              ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT agg.rep, agg.csize, surv.survivor_id, surv.survivor_chars,
+       |       agg.csize - 1 AS dropped_docs,
+       |       agg.sum_chars - surv.survivor_chars AS dropped_chars
+       |FROM agg JOIN surv USING (rep)""".stripMargin
 }

@@ -34,4 +34,45 @@ class ComponentsSpec extends AnyFunSuite {
     }
     CacheRegistry.releaseAll()
   }
+
+  test("q91 survivorsOf: longest member survives each cluster, ties to smaller id; singletons out of scope") {
+    import spark.implicits._
+    // cluster {1,2,3} via middleman 3: survivor must be 2 (longest,
+    // NOT the min-id rep); cluster {6,7} ties on length → 6; docs 4
+    // and 5 touch no pair → no survivorship row.
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 30L), (4L, 7L), (5L, 99L),
+      (6L, 20L), (7L, 20L)).toDF("doc_id", "n_chars")
+    val edges = Seq((1L, 3L), (2L, 3L), (6L, 7L)).toDF("a", "b")
+    val got = Components.survivorsOf(docs, edges).collect()
+      .map(r => r.getAs[Long]("rep") -> ((r.getAs[Long]("csize"),
+        r.getAs[Long]("survivor_id"), r.getAs[Long]("survivor_chars"),
+        r.getAs[Long]("dropped_docs"), r.getAs[Long]("dropped_chars")))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 50L, 2L, 40L)),
+      6L -> ((2L, 6L, 20L, 1L, 20L))), s"survivorship was $got")
+  }
+
+  test("q91 dedupSurvivors: one row per q60 cluster; survivor is the argmax member; drop accounting conserves") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Components.componentsQuery(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rep")))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = Components.dedupSurvivors(spark, sf).collect()
+      .map(r => r.getAs[Long]("rep") -> r).toMap
+    assert(got.keySet == clusters.keySet, "one survivorship row per cluster")
+    got.foreach { case (rep, r) =>
+      val members = clusters(rep)
+      val best = members.toSeq.map(id => (-docs(id), id)).min._2
+      assert(r.getAs[Long]("survivor_id") == best,
+        s"cluster $rep survivor should be $best")
+      assert(r.getAs[Long]("csize") == members.size)
+      assert(r.getAs[Long]("dropped_docs") == members.size - 1)
+      assert(r.getAs[Long]("survivor_chars") == docs(best))
+      assert(r.getAs[Long]("dropped_chars") ==
+        members.toSeq.map(docs).sum - docs(best))
+    }
+    CacheRegistry.releaseAll()
+  }
 }
