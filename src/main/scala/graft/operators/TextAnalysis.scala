@@ -1247,6 +1247,98 @@ object TextAnalysis {
       |SELECT lang AS true_lang, pred_lang, count(*) AS n_docs
       |FROM pred GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+
+  /** q92: SPARSE retrieval — BM25 top-k, the term-based complement of
+    * the dense ANN stack (q21/q22/q44/q82): RAG retrieval, dedup
+    * candidate generation and decontamination probes all run exactly
+    * this shape. Probe queries are drawn from the corpus itself (the
+    * first 8 tokens of the 5 smallest doc_ids) so the operator is
+    * self-contained. (On the synthetic fixture the leading tokens are
+    * corpus-common words, so the probe's own long source doc does NOT
+    * win — BM25's length normalization favors short docs dense in the
+    * same terms; the spec pins the RANKING SEMANTICS on a planted
+    * corpus — rarity dominance, tf saturation, deterministic ties —
+    * and a full driver replay pins cross-engine exactness.)
+    *
+    * Integer-exact BM25 (k1=1, b=1/2), so ranks hash cross-engine:
+    *   idf_bits(t) = floor-log₂((N·2²⁰) div df)   (the q79/q90 trick —
+    *     ≈ 20 + log₂(N/df), strictly positive, monotone in 1/df)
+    *   sat(tf,dl)  = (tf·2²¹) div (tf·2¹⁰ + (2¹⁰ + (dl·2¹⁰) div avgdl) div 2)
+    *     — the Robertson tf-saturation at fixed-point 2¹⁰; every
+    *     operand is positive so truncating division IS floor in both
+    *     engines (the q87 floor-vs-truncate lesson does not bite);
+    *     avgdl = Σdl div N, a defined integer contract.
+    *   score(q,d) = Σ_t idf_bits·sat, ties → smaller doc_id.
+    *
+    * Scale shape: ONE corpus explode feeds tf; dl/df are groupBys of
+    * the MODEL-sized tf table with map-side combine; the probe-term
+    * table (|queries|·8 rows) and the 1-row corpus stats BROADCAST
+    * into the posting join — the posting table is scanned once and
+    * never shuffles for the probe; scoring aggregates on (query, doc)
+    * and the top-k window runs per query with WindowGroupLimit
+    * heaps. A production query LOAD (millions of probes) would hash
+    * the probe terms instead of broadcasting — same plan minus the
+    * hint; the operator takes the probe frame via [[bm25Of]]. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    bm25Of(docs, probes)
+  }
+
+  /** Frame-agnostic core of [[bm25TopK]]: `docs` with (doc_id, text),
+    * `probes` with (query_id, w) — the distinct query-term pairs. */
+  def bm25Of(docs: DataFrame, probes: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("w"))
+      .join(broadcast(probes), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr("(length(conv((n * 1048576) div df, 10, 2)) - 1) * " +
+          "((tf * 2097152) div (tf * 1024 + (1024 + (dl * 1024) div (tot div n)) div 2))")
+          .as("s"))
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("score"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  val bm25TopKSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      |probes AS (
+      |  SELECT DISTINCT query_id, w FROM (
+      |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+      |    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5))),
+      |agg AS (
+      |  SELECT p.query_id, tf.doc_id, CAST(sum(
+      |    (length(bin((s.n * 1048576) // dfreq.df)) - 1) *
+      |    ((tf.tf * 2097152) //
+      |     (tf.tf * 1024 + (1024 + (dl.dl * 1024) // (s.tot // s.n)) // 2))
+      |  ) AS BIGINT) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w)
+      |  JOIN probes p USING (w) CROSS JOIN stats s
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score FROM (
+      |  SELECT query_id, doc_id, score,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM agg) WHERE rank <= 10""".stripMargin
+
   /** Apply a trained merge list to one word (the tokenizer's encode
     * half, driver-side — used by the spec and by anything that ships
     * the merge table). Merges apply in training order, each

@@ -37,11 +37,14 @@ class PlanAuditSpec extends AnyFunSuite {
     * (the voting half itself joins only by equi-key broadcast); q90
     * broadcasts the per-class total table (|classes| rows) and the
     * 1-row vocab size into the model grid — both keyless scalars; the
-    * corpus-sized token stream joins the grid by equi-key only. */
+    * corpus-sized token stream joins the grid by equi-key only; q92
+    * crossJoins the 1-row corpus stats into the posting join — the
+    * probe terms themselves broadcast by equi-key. */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
-      "q82_pq_adc", "q84_knn_classify", "q88_ann_recall", "q90_nb_classifier")
+      "q82_pq_adc", "q84_knn_classify", "q88_ann_recall", "q90_nb_classifier",
+      "q92_bm25_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

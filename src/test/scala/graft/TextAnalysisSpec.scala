@@ -540,4 +540,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
       == expected, "confusion must equal the driver-replayed NB")
   }
+
+  test("q92 bm25: identical docs tie to the smaller id; rarer term outranks commoner") {
+    import spark.implicits._
+    // docs 1,2 identical; 3 shares only the common term 'the'; the
+    // probe is doc 1's leading tokens. 'rare' appears in {1,2} only,
+    // so 1 and 2 outscore 3, and the 1-vs-2 tie breaks to 1.
+    val docs = Seq(
+      (1L, "rare the x y"), (2L, "rare the x y"), (3L, "the the the z w q"),
+      (4L, "z w q v u t"), (5L, "v u t z w q")).toDF("doc_id", "text")
+    val probes = Seq((1L, "rare"), (1L, "the")).toDF("query_id", "w")
+    val got = TextAnalysis.bm25Of(docs, probes).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+    assert(got.take(3).toSeq == Seq((1, 1L), (2, 2L), (3, 3L)), s"ranking was ${got.toSeq}")
+  }
+
+  test("q92 bm25: full driver replay ≡; every probe answered with a contiguous ranked list") {
+    val docsDf = Tables.documents(spark, sf)
+    val out = TextAnalysis.bm25TopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toMap
+
+    val corpus = docsDf.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val tf = corpus.iterator.flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (w, xs) => (d, w) -> xs.length.toLong }
+    }.toMap
+    val dl = corpus.view.mapValues(_.length.toLong).toMap
+    val dfreq = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = corpus.size.toLong
+    val avgdl = dl.values.sum / n
+    def bits(w: String): Long =
+      java.lang.Long.toBinaryString((n * 1048576L) / dfreq(w)).length - 1L
+    def sat(t: Long, d: Long): Long =
+      (t * 2097152L) / (t * 1024L + (1024L + (d * 1024L) / avgdl) / 2L)
+    val probes = corpus.keys.toSeq.sorted.take(5)
+      .map(q => q -> corpus(q).take(8).distinct)
+    val expected = probes.flatMap { case (q, terms) =>
+      corpus.keys.toSeq
+        .filter(d => terms.exists(w => tf.contains((d, w))))
+        .map(d => (d, terms.collect {
+          case w if tf.contains((d, w)) => bits(w) * sat(tf((d, w)), dl(d))
+        }.sum))
+        .sortBy { case (d, s) => (-s, d) }
+        .take(10).zipWithIndex
+        .map { case ((d, s), i) => (q, i + 1) -> (d, s) }
+    }.toMap
+    assert(out == expected, "top-k must equal the driver-replayed BM25")
+    probes.foreach { case (q, _) =>
+      val ranks = out.keys.collect { case (`q`, r) => r }.toSeq.sorted
+      assert(ranks == (1 to ranks.max), s"probe $q ranks not contiguous: $ranks")
+      assert(ranks.nonEmpty, s"probe $q retrieved nothing")
+    }
+  }
 }
