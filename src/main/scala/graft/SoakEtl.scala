@@ -82,13 +82,21 @@ object SoakDocs {
         "q79_lm_score" -> operators.TextAnalysis.lmScore _,
         // q83 is a linear pipeline (windows ∝ chars; the dup-hash set is
         // bounded by DISTINCT windows, which replication leaves fixed).
-        // The PAIR operators (q18/q85) are deliberately absent: N×
-        // replication makes every copy a near-dup of its N−1 siblings,
-        // so pair counts grow N² by construction of the soak data, not
-        // of the algorithm — the honest pair-scale evidence is the
-        // bucket-boundedness PlanAudit/DedupSpec assert, not a
-        // replicated-corpus wall clock.
-        "q83_substring_dedup" -> operators.Dedup.substringDedup _)
+        // The PAIR operators (q18/q85, and q91 which clusters their
+        // pairs) are deliberately absent: N× replication makes every
+        // copy a near-dup of its N−1 siblings, so pair counts grow N²
+        // by construction of the soak data, not of the algorithm —
+        // the honest pair-scale evidence is the bucket-boundedness
+        // PlanAudit/DedupSpec assert, not a replicated-corpus wall
+        // clock.
+        "q83_substring_dedup" -> operators.Dedup.substringDedup _,
+        // q89: per-source one-pass facets; q90: two corpus explodes
+        // (count + score) around a fixed-size model grid (vocab and
+        // classes don't grow under replication); q92: corpus-sized tf
+        // build + fixed-size probe join. All should grow ~linearly.
+        "q89_corpus_health" -> operators.TextAnalysis.corpusHealth _,
+        "q90_nb_classifier" -> operators.TextAnalysis.nbClassify _,
+        "q92_bm25_topk" -> operators.TextAnalysis.bm25TopK _)
 
     println(f"## Documents soak: sf0.1 x$n (docs x$n, same text distribution)")
     ops.foreach { case (name, fn) =>

@@ -1065,4 +1065,69 @@ object Similarity {
        |UNION ALL
        |${tierSel("pq_adc", "pq_t", 5)}""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q93
+
+  /** q93: HYBRID retrieval — reciprocal-rank fusion of the dense and
+    * sparse retrievers over the SAME query set (doc_id ≡ vec_id in
+    * the corpus), the production RAG search shape: embeddings catch
+    * paraphrase, BM25 catches exact terms, and RRF merges the two
+    * lists without score calibration. Dense leg = q21's exact cosine
+    * top-5 (self-excluded by construction); sparse leg = q92's BM25
+    * machinery top-10 probed with the query doc's leading 8 tokens,
+    * self-excluded to match. Fusion: integer RRF at the classic k=60
+    * — contribution 2²⁰ div (60 + rank) per list, summed; a doc on
+    * BOTH lists outranks single-list docs at comparable ranks (the
+    * spec pins it); ties → smaller doc_id, so the row set is
+    * hash-stable. Output: (query_id, rank, doc_id, rrf_score) top-10.
+    *
+    * Scale shape: both legs are the already-audited plans (q21's
+    * broadcast query-side scan; q92's posting join with broadcast
+    * probes + 1-row stats); fusion itself touches only
+    * |queries|·(5+10) candidate rows — a union, one (query, doc)
+    * aggregate, one per-query WindowGroupLimit top-k. */
+  def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
+    val dense = cosineTopK(spark, dir)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        expr("1048576 div (60 + rank)").as("c"))
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = TextAnalysis.bm25Of(docs, probes, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), expr("1048576 div (60 + rank)").as("c"))
+    dense.unionByName(sparse)
+      .groupBy(col("query_id"), col("doc_id")).agg(sum(col("c")).as("rrf_score"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+  }
+
+  val hybridTopKSql: String =
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id,
+       |         1048576 // (60 + rank) AS c
+       |  FROM (
+       |$cosineTopKSql
+       |  ) dq),
+       |sparse AS (
+       |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS c
+       |  FROM (
+       |${TextAnalysis.bm25Sql(
+      """  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+        |    FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
+      excludeSelf = true)}
+       |  ) sq),
+       |f AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+       |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, rrf_score FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |  FROM f) WHERE rank <= 10""".stripMargin
 }

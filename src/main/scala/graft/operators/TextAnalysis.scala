@@ -1290,8 +1290,12 @@ object TextAnalysis {
   }
 
   /** Frame-agnostic core of [[bm25TopK]]: `docs` with (doc_id, text),
-    * `probes` with (query_id, w) — the distinct query-term pairs. */
-  def bm25Of(docs: DataFrame, probes: DataFrame, k: Int = 10): DataFrame = {
+    * `probes` with (query_id, w) — the distinct query-term pairs.
+    * `excludeSelf` drops the probe's own source doc BEFORE ranking
+    * (the retrieval convention when the query is itself a corpus
+    * member — the hybrid fusion uses it to match q21's contract). */
+  def bm25Of(docs: DataFrame, probes: DataFrame, k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
@@ -1306,38 +1310,50 @@ object TextAnalysis {
           "((tf * 2097152) div (tf * 1024 + (1024 + (dl * 1024) div (tot div n)) div 2))")
           .as("s"))
       .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("score"))
-    scored.withColumn("rank", row_number().over(
+    val pool = if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
+               else scored
+    pool.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
-  val bm25TopKSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-      |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-      |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-      |probes AS (
-      |  SELECT DISTINCT query_id, w FROM (
+  /** Oracle-SQL template shared by q92 and the hybrid fusion (q93):
+    * `probesBody` is a CTE body yielding (query_id, w);
+    * `excludeSelf` mirrors [[bm25Of]]'s knob (excluding the whole
+    * (query, doc) group before aggregation ≡ excluding it after —
+    * the group is dropped either way). */
+  def bm25Sql(probesBody: String, excludeSelf: Boolean = false,
+      k: Int = 10): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+       |probes AS (
+       |$probesBody),
+       |agg AS (
+       |  SELECT p.query_id, tf.doc_id, CAST(sum(
+       |    (length(bin((s.n * 1048576) // dfreq.df)) - 1) *
+       |    ((tf.tf * 2097152) //
+       |     (tf.tf * 1024 + (1024 + (dl.dl * 1024) // (s.tot // s.n)) // 2))
+       |  ) AS BIGINT) AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w)
+       |  JOIN probes p USING (w) CROSS JOIN stats s
+       |  ${if (excludeSelf) "WHERE tf.doc_id <> p.query_id" else ""}
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM agg) WHERE rank <= $k""".stripMargin
+
+  val bm25TopKSql: String = bm25Sql(
+    """  SELECT DISTINCT query_id, w FROM (
       |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
-      |    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5))),
-      |agg AS (
-      |  SELECT p.query_id, tf.doc_id, CAST(sum(
-      |    (length(bin((s.n * 1048576) // dfreq.df)) - 1) *
-      |    ((tf.tf * 2097152) //
-      |     (tf.tf * 1024 + (1024 + (dl.dl * 1024) // (s.tot // s.n)) // 2))
-      |  ) AS BIGINT) AS score
-      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w)
-      |  JOIN probes p USING (w) CROSS JOIN stats s
-      |  GROUP BY 1, 2)
-      |SELECT query_id, rank, doc_id, score FROM (
-      |  SELECT query_id, doc_id, score,
-      |         CAST(row_number() OVER (PARTITION BY query_id
-      |                                 ORDER BY score DESC, doc_id) AS INT) AS rank
-      |  FROM agg) WHERE rank <= 10""".stripMargin
+      |    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5))""".stripMargin)
 
   /** Apply a trained merge list to one word (the tokenizer's encode
     * half, driver-side — used by the spec and by anything that ships

@@ -44,7 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
       "q82_pq_adc", "q84_knn_classify", "q88_ann_recall", "q90_nb_classifier",
-      "q92_bm25_topk")
+      "q92_bm25_topk", "q93_hybrid_rrf")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

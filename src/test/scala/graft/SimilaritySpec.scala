@@ -237,4 +237,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1) == nn.keySet)
     assert(got.forall { case (_, _, _, v, _) => v >= 1 && v <= 5 })
   }
+
+  test("q93 hybrid RRF: fusion replays exactly from the two legs; both-list docs outrank comparable single-list docs") {
+    val docs = Tables.documents(spark, sf)
+    val dense = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1).toLong).toMap
+    val probes = docs.filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = graft.operators.TextAnalysis
+      .bm25Of(docs, probes, excludeSelf = true).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    def c(rank: Long): Long = 1048576L / (60L + rank)
+    val expected = (dense.keySet ++ sparse.keySet).groupBy(_._1)
+      .flatMap { case (q, keys) =>
+        keys.toSeq
+          .map { k => (k._2,
+            dense.get(k).map(c).getOrElse(0L) + sparse.get(k).map(c).getOrElse(0L)) }
+          .sortBy { case (d, s) => (-s, d) }
+          .take(10).zipWithIndex
+          .map { case ((d, s), i) => (q, i + 1) -> (d, s) }
+      }
+    val got = Similarity.hybridTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toMap
+    assert(got == expected, "fusion must equal the driver-replayed RRF")
+    // the RRF property: a doc on BOTH lists beats any doc whose single
+    // list-rank is no better than both of its ranks
+    val both = dense.keySet.intersect(sparse.keySet)
+    assert(both.nonEmpty, "fixture should produce at least one both-list doc")
+    both.foreach { case (q, d) =>
+      val s2 = c(dense((q, d))) + c(sparse((q, d)))
+      val worstSingle = c(math.max(dense((q, d)), sparse((q, d))))
+      assert(s2 > worstSingle, s"RRF must reward list agreement for ($q,$d)")
+    }
+    CacheRegistry.releaseAll()
+  }
 }
