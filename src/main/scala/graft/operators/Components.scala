@@ -225,6 +225,66 @@ object Components {
        |  SELECT u AS doc_id, least(u, min(v)) AS rep FROM reach GROUP BY u)
        |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS csize FROM lab""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+
+  /** q94: LEAKAGE-SAFE dataset split — q42's deterministic hash split
+    * made near-dup-aware: a near-duplicate of a training document in
+    * the eval set is train/test CONTAMINATION, so the split key is
+    * the CLUSTER (grp = the q60 component rep, the doc's own id when
+    * unclustered), not the document — every cluster lands whole in
+    * one split. Output is the audit a pipeline dashboard wants, one
+    * row per split: n_docs, n_clustered_docs, pairs_within (near-dup
+    * pairs whose endpoints both land in this split — summing to ALL
+    * pairs proves containment by construction) and naive_pairs_within
+    * (the same count under q42's doc-keyed split — its shortfall vs
+    * pairs_within is exactly the leakage the cluster key closes).
+    *
+    * Scale shape: the cluster map and the pair list are both bounded
+    * by the near-dup pair participants (≪ corpus), so the cluster map
+    * BROADCASTS into the documents join (corpus never shuffles for
+    * assignment — the split itself is a pure map like q42's), and the
+    * pair audits BROADCAST the pair side into two equi-probes of the
+    * assignment; per-split aggregates are map-side combined. */
+  def leakageSplit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    leakageSplitOf(docs, edges)
+  }
+
+  /** Frame-agnostic core of [[leakageSplit]]: `docs` with doc_id,
+    * `edges0` with two id columns (any names — used positionally,
+    * like [[connectedComponents]]). */
+  def leakageSplitOf(docs: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(
+      col(edges0.columns(0)).as("a_id"), col(edges0.columns(1)).as("b_id"))
+    val cc = connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("rep"))
+    val assigned = docs.join(broadcast(cc), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("rep"), col("doc_id")))
+      .withColumn("bucket", expr(SplitFormulas.bucket.replace("doc_id", "grp")))
+      .withColumn("split", expr(SplitFormulas.assign))
+      .select(col("doc_id"), col("rep"), col("split"))
+    val base = assigned.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("rep").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"))
+    def withinCounts(asg: DataFrame, out: String): DataFrame =
+      broadcast(broadcast(edges)
+          .join(asg.select(col("doc_id").as("a_id"), col("split").as("sa")), Seq("a_id")))
+        .join(asg.select(col("doc_id").as("b_id"), col("split").as("sb")), Seq("b_id"))
+        .filter(col("sa") === col("sb"))
+        .groupBy(col("sa").as("split")).agg(count(lit(1)).as(out))
+    val naive = docs
+      .withColumn("bucket", expr(SplitFormulas.bucket))
+      .withColumn("split", expr(SplitFormulas.assign))
+      .select(col("doc_id"), col("split"))
+    base
+      .join(withinCounts(assigned, "pairs_within"), Seq("split"), "left")
+      .join(withinCounts(naive, "naive_pairs_within"), Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clustered_docs"),
+        coalesce(col("pairs_within"), lit(0L)).as("pairs_within"),
+        coalesce(col("naive_pairs_within"), lit(0L)).as("naive_pairs_within"))
+  }
+
   /** q91 oracle: q60's recursive-CTE closure nested as the cluster
     * source, then the same argmax-by-(n_chars desc, doc_id) pick.
     * (Declared after [[componentsQuerySql]] — vals initialize in
@@ -250,4 +310,50 @@ object Components {
        |       agg.csize - 1 AS dropped_docs,
        |       agg.sum_chars - surv.survivor_chars AS dropped_chars
        |FROM agg JOIN surv USING (rep)""".stripMargin
+
+  /** q94 oracle: the q60 closure gives the cluster key; both split
+    * variants replay q42's formulas verbatim ([[SplitFormulas]] —
+    * the cluster-keyed one textually substitutes grp for doc_id).
+    * Outer pair CTE is `pedges` so it cannot shadow the closure's
+    * nested `edges`. */
+  val leakageSplitSql: String = {
+    val grpBucket = SplitFormulas.bucket.replace("doc_id", "grp")
+    s"""WITH pedges AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.minhashLshSql}
+       |  ) mh),
+       |cl AS (
+       |  SELECT doc_id, rep FROM (
+       |$componentsQuerySql
+       |  ) c),
+       |assigned AS (
+       |  SELECT d.doc_id, cl.rep, coalesce(cl.rep, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN cl USING (doc_id)),
+       |asg AS (
+       |  SELECT doc_id, rep, ${SplitFormulas.assign} AS split
+       |  FROM (SELECT doc_id, rep, $grpBucket AS bucket FROM assigned)),
+       |base AS (
+       |  SELECT split, count(*) AS n_docs,
+       |         CAST(sum(CASE WHEN rep IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_clustered_docs
+       |  FROM asg GROUP BY 1),
+       |pw AS (
+       |  SELECT a.split AS split, count(*) AS pairs_within
+       |  FROM pedges e JOIN asg a ON e.a_id = a.doc_id
+       |                JOIN asg b ON e.b_id = b.doc_id AND b.split = a.split
+       |  GROUP BY 1),
+       |naive AS (
+       |  SELECT doc_id, ${SplitFormulas.assign} AS split
+       |  FROM (SELECT doc_id, ${SplitFormulas.bucket} AS bucket FROM documents)),
+       |npw AS (
+       |  SELECT a.split AS split, count(*) AS naive_pairs_within
+       |  FROM pedges e JOIN naive a ON e.a_id = a.doc_id
+       |                JOIN naive b ON e.b_id = b.doc_id AND b.split = a.split
+       |  GROUP BY 1)
+       |SELECT base.split, base.n_docs, base.n_clustered_docs,
+       |       CAST(coalesce(pw.pairs_within, 0) AS BIGINT) AS pairs_within,
+       |       CAST(coalesce(npw.naive_pairs_within, 0) AS BIGINT)
+       |         AS naive_pairs_within
+       |FROM base LEFT JOIN pw USING (split) LEFT JOIN npw USING (split)""".stripMargin
+  }
 }

@@ -75,4 +75,34 @@ class ComponentsSpec extends AnyFunSuite {
     }
     CacheRegistry.releaseAll()
   }
+
+  test("q94 leakageSplitOf: naive split leaks the planted straddling pair; cluster key contains it") {
+    import spark.implicits._
+    // naive buckets: 1→61(train) 2→26(train) 3→87(val) 5→17(train)
+    // 11→95(test) 35→19(train). Edge (1,3) straddles train/val under
+    // the naive split; the cluster key grp=1 pulls doc 3 into train.
+    // Edge (5,35) is train-internal either way. Doc 11 is an
+    // unclustered test singleton.
+    val docs = Seq(1L, 2L, 3L, 5L, 11L, 35L).toDF("doc_id")
+    val edges = Seq((1L, 3L), (5L, 35L)).toDF("a", "b")
+    val got = Components.leakageSplitOf(docs, edges).collect()
+      .map(r => r.getAs[String]("split") -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_clustered_docs"), r.getAs[Long]("pairs_within"),
+        r.getAs[Long]("naive_pairs_within")))).toMap
+    assert(got == Map(
+      "train" -> ((5L, 4L, 2L, 1L)),
+      "test" -> ((1L, 0L, 0L, 0L))), s"audit was $got")
+  }
+
+  test("q94 leakageSplit: every pair contained; splits partition the corpus; clustered docs co-locate") {
+    val docsN = Tables.documents(spark, sf).count()
+    val pairsN = Dedup.minhashLsh(spark, sf).count()
+    val rows = Components.leakageSplit(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docsN,
+      "splits must partition the corpus")
+    assert(rows.map(_.getAs[Long]("pairs_within")).sum == pairsN,
+      "every near-dup pair must be contained in one split")
+    assert(rows.map(_.getAs[Long]("naive_pairs_within")).sum <= pairsN)
+    CacheRegistry.releaseAll()
+  }
 }
