@@ -35,6 +35,25 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Event-time epoch conversion, robust to the fixture's `ts` type.
+    *
+    * The driver's testdata has shipped `ts` as TIMESTAMP(NANOS)-as-long,
+    * TIMESTAMP_LTZ, and (round 9) TIMESTAMP_NTZ (parquet timestamp[us]
+    * with isAdjustedToUTC=false). Range filters and ORDER BY work on any
+    * of them, but Spark refuses a direct NTZ→numeric cast, so every
+    * epoch conversion funnels through here: with the session time zone
+    * pinned to UTC the NTZ→LTZ cast is wall-clock identity, and the
+    * resulting epoch seconds match DuckDB's `epoch_ms(ts) // 1000` on
+    * the same parquet. Kept at the conversion sites (not folded into
+    * `events()`) so ts-range predicates still push down to the scan in
+    * the fixture's native type. */
+  def tsLtz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(org.apache.spark.sql.types.TimestampType)
+  def epochSec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    tsLtz(c).cast("long")
+  /** SQL-string form of [[epochSec]] for `expr(...)` sites. */
+  val epochSecSql: String = "CAST(CAST(ts AS TIMESTAMP_LTZ) AS LONG)"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -251,10 +251,10 @@ object Extended {
     val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val running = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
-      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(byTs)))
+      .withColumn("prev_ms", unix_millis(Tables.tsLtz(lag(col("ts"), 1).over(byTs))))
       .withColumn("new_session",
         when(col("prev_ms").isNull ||
-          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
+          unix_millis(Tables.tsLtz(col("ts"))) - col("prev_ms") > 30L * 60 * 1000, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(running))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
@@ -606,7 +606,7 @@ object Extended {
     * over each user's timeline (no self-join — the naive form is an
     * interval self-join, O(events²) per user). */
   def eventFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val sec = col("ts").cast("long")
+    val sec = Tables.epochSec(col("ts"))
     val w = Window.partitionBy(col("user_id")).orderBy(sec)
       .rangeBetween(-TrailSecs, Window.currentRow)
     Tables.events(spark, dir)
@@ -645,7 +645,7 @@ object Extended {
     * weeks², not events. No window over the global timeline. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("wk"))
+      .select(col("user_id"), expr(s"${Tables.epochSecSql} div 604800").as("wk"))
     val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_w"))
     ev.join(first, "user_id")
       .select(col("user_id"), col("cohort_w"), (col("wk") - col("cohort_w")).as("offset_w"))
@@ -724,7 +724,7 @@ object Extended {
       .orderBy(col("sec").desc, col("event_id").desc)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts").cast("long").as("sec"), expr(StatsFormulas.cents).as("cents"))
+        Tables.epochSec(col("ts")).as("sec"), expr(StatsFormulas.cents).as("cents"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("event_type") =!= "error")
       .select(col("user_id"), col("event_type").as("last_op"),
@@ -761,7 +761,7 @@ object Extended {
     Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"),
-        col("ts").cast("long").as("sec"), expr(StatsFormulas.cents).as("cents"))
+        Tables.epochSec(col("ts")).as("sec"), expr(StatsFormulas.cents).as("cents"))
       .withColumn("ver", row_number().over(w))
       .withColumn("valid_to_sec", lead(col("sec"), 1).over(w))
       .select(col("user_id"), col("ver"), col("sec").as("valid_from_sec"),
@@ -800,7 +800,7 @@ object Extended {
     * one ancient user cannot explode every user's range. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
-      .select(col("user_id"), expr("CAST(ts AS LONG) div 86400").as("day"),
+      .select(col("user_id"), expr(s"${Tables.epochSecSql} div 86400").as("day"),
         expr(StatsFormulas.cents).as("cents"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("day_cents"))
@@ -852,7 +852,7 @@ object Extended {
     val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        col("ts").cast("long").as("sec"), col("event_type"))
+        Tables.epochSec(col("ts")).as("sec"), col("event_type"))
       .withColumn("to_state", lead(col("event_type"), 1).over(w))
       .filter(col("to_state").isNotNull)
       .groupBy(col("event_type").as("from_state"), col("to_state"))
@@ -934,7 +934,7 @@ object Extended {
         lit(null).cast("long").as("event_id"))
     val fact = Tables.events(spark, dir)
       .filter(col("event_type") =!= "purchase")
-      .select(col("user_id").as("key"), col("ts").cast("long").as("sec"),
+      .select(col("user_id").as("key"), Tables.epochSec(col("ts")).as("sec"),
         lit(1).as("tag"), lit(null).cast("int").as("ver"),
         lit(null).cast("long").as("price_cents"), col("event_id"))
     val w = Window.partitionBy(col("key"))
@@ -989,7 +989,7 @@ object Extended {
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     def partial(pred: org.apache.spark.sql.Column): DataFrame =
       Tables.events(spark, dir)
-        .withColumn("sec", col("ts").cast("long"))
+        .withColumn("sec", Tables.epochSec(col("ts")))
         .filter(pred)
         .withColumn("cents", expr(StatsFormulas.cents))
         .groupBy(col("user_id"))
@@ -1023,7 +1023,7 @@ object Extended {
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     def profile(pred: org.apache.spark.sql.Column, tag: String): DataFrame =
       Tables.events(spark, dir)
-        .withColumn("sec", col("ts").cast("long"))
+        .withColumn("sec", Tables.epochSec(col("ts")))
         .filter(pred)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as(s"n_$tag"))

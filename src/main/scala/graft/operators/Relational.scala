@@ -397,7 +397,7 @@ object Relational {
     * per-day tumbling count (the batch shape of §2.9 streaming). */
   def timeOps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("ts_millis", unix_millis(col("ts")))
+      .withColumn("ts_millis", unix_millis(Tables.tsLtz(col("ts"))))
       .withColumn("ts_rt", timestamp_millis(col("ts_millis")))
       .groupBy(date_trunc("day", col("ts_rt")).as("day"))
       .agg(count(lit(1)).as("n_events"),

@@ -16,7 +16,7 @@ class EtlOpsSpec extends AnyFunSuite {
 
   private lazy val rawEvents: Array[(Long, Long, Long, String, Long)] =
     Tables.events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("ts").cast("long"),
+      .select(col("event_id"), col("user_id"), Tables.epochSec(col("ts")),
         col("event_type"), expr("CAST(round(value * 100) AS BIGINT)"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))

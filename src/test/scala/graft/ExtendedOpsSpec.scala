@@ -87,19 +87,27 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val total = Tables.events(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_events")).sum == total, "sessions partition the events")
+    // session bounds come back as java.sql.Timestamp (LTZ fixtures) or
+    // java.time.LocalDateTime (the round-9 TIMESTAMP_NTZ fixtures) —
+    // the contract below is type-agnostic epoch arithmetic
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail(s"unexpected session-bound type: ${other.getClass}")
+    }
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
-      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      val sorted = rs.sortBy(r => ms(r.getAs[Any]("session_start")))
       sorted.foreach { r =>
-        val s = r.getAs[java.sql.Timestamp]("session_start").getTime
-        val e = r.getAs[java.sql.Timestamp]("session_end").getTime
+        val s = ms(r.getAs[Any]("session_start"))
+        val e = ms(r.getAs[Any]("session_end"))
         assert(e > s, s"end after start for user $u")
       }
       // gap-session contract: the next session must start at or after
       // the previous end, else the operator would have merged them
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          assert(b.getAs[java.sql.Timestamp]("session_start").getTime >=
-            a.getAs[java.sql.Timestamp]("session_end").getTime,
+          assert(ms(b.getAs[Any]("session_start")) >=
+            ms(a.getAs[Any]("session_end")),
             s"overlapping sessions for user $u")
         case _ =>
       }
@@ -165,7 +173,7 @@ class ExtendedOpsSpec extends AnyFunSuite {
 
   test("q63 event features: trailing range frame ≡ brute-force per-user interval scan") {
     val raw = graft.Tables.events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"),
+      .select(col("event_id"), col("user_id"), graft.Tables.epochSec(col("ts")).as("sec"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -187,7 +195,7 @@ class ExtendedOpsSpec extends AnyFunSuite {
       .toMap
     assert(cells.nonEmpty)
     val cohortSize = graft.Tables.events(spark, sf)
-      .select(col("user_id"), expr("CAST(ts AS LONG) div 604800").as("wk"))
+      .select(col("user_id"), expr(s"${graft.Tables.epochSecSql} div 604800").as("wk"))
       .groupBy(col("user_id")).agg(min(col("wk")).as("c"))
       .groupBy(col("c")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -64,7 +64,7 @@ class SketchSpec extends AnyFunSuite {
     // with the delta's sketch. Register updates are max() per slot, so
     // the union is order-insensitive and the merged ESTIMATE equals
     // the full-table estimate exactly, not approximately.
-    val ev = Tables.events(spark, sf).withColumn("sec", col("ts").cast("long"))
+    val ev = Tables.events(spark, sf).withColumn("sec", Tables.epochSec(col("ts")))
     val cutoff = 1705276800L
     def sketch(pred: org.apache.spark.sql.Column) = ev.filter(pred)
       .groupBy(col("event_type"))

@@ -299,7 +299,7 @@ class StreamingSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
-        org.apache.spark.sql.functions.expr("CAST(ts AS LONG)").as("sec"),
+        graft.Tables.epochSec(col("ts")).as("sec"),
         org.apache.spark.sql.functions.floor(
           col("value") * org.apache.spark.sql.functions.lit(100.0) +
             org.apache.spark.sql.functions.lit(0.5)).cast("long").as("cents"))
@@ -340,7 +340,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val ops = Tables.events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"),
+      .select(col("event_id"), col("user_id"), graft.Tables.epochSec(col("ts")).as("sec"),
         col("event_type").as("op"),
         org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .as[graft.streaming.CdcOp].collect()
