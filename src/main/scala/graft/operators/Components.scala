@@ -356,4 +356,132 @@ object Components {
        |         AS naive_pairs_within
        |FROM base LEFT JOIN pw USING (split) LEFT JOIN npw USING (split)""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q95
+
+  /** Per-node starting mass. 10¹² keeps three digits of damping
+    * precision through the integer floor divisions while the global
+    * mass (n·10¹²) stays far under the BIGINT range even at 1000×
+    * this node count. */
+  private[graft] val PrScale = 1000000000000L
+  private[graft] val PrBase = (15L * PrScale) / 100 // (1−d) teleport mass
+  private[graft] val PrIters = 3
+  private[graft] val PrTopK = 20
+
+  /** q95: LINK RANK — fixed-iteration integer PageRank over the
+    * customer↔supplier trade graph (an edge joins a customer to every
+    * supplier whose parts they ordered). The graph-centrality
+    * companion to q60's connectivity: dedup clusters tell you WHAT is
+    * connected, rank tells you WHICH nodes matter — the web-crawl
+    * curation signal (seed/frontier prioritization, domain authority
+    * weighting) re-expressed on the fixture's join graph.
+    *
+    * Integer-exact contract so the driver can hash-compare a
+    * cross-engine replay of an ITERATIVE graph algorithm (q60's
+    * precedent, but value-valued instead of label-valued):
+    *   r₀(v)   = 10¹²
+    *   rₜ₊₁(v) = (15·10¹²) div 100
+    *             + Σ_{u→v} (85·(rₜ(u) div deg(u))) div 100
+    * over the SYMMETRIZED edge set, 3 iterations — every operand is a
+    * positive BIGINT, truncating division IS floor in both engines,
+    * and integer addition commutes so the Σ is partition-order-free
+    * (the reason the classic double-valued PR cannot hash-match).
+    * Symmetrization means no dangling mass sinks; damping still makes
+    * the walk contract, so 3 iterations already separate hubs.
+    * Output: top-20 nodes as (pos, kind, entity_id, rank_score),
+    * ties → smaller node id.
+    *
+    * Scale shape: the trade edge list is ONE orders⋈lineitem
+    * equi-join collapsed by distinct; (edge, degree) is materialized
+    * ONCE via CacheRegistry and each iteration is exactly one
+    * fan-out equi-join on the source id plus one groupBy-sum on the
+    * destination id with map-side combine — the published
+    * join-based PR shape, cost = iterations × (1 join + 1 shuffle on
+    * a node-sized frame). The rank frame never exceeds |nodes| rows,
+    * so the final ranked top-k (a global row_number window — needed
+    * because `pos` is part of the hashed output) sorts a frame that
+    * is already orders of magnitude smaller than the edge data; at a
+    * scale where even |nodes| is too big for one task, the standard
+    * rewrite is a per-partition TopK pre-prune feeding the window. A
+    * power-law in-degree hub fattens one reduce key at worst —
+    * AQE skew splitting applies because the sum is a plain
+    * partial-aggregated groupBy. */
+  def linkRank(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val trade = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      // one shared id space: even = customer, odd = supplier
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("t"))
+      .distinct()
+    linkRankOf(spark, trade)
+  }
+
+  /** Frame-agnostic core of [[linkRank]]: `edges0` with two Long id
+    * columns (any names, used positionally; directed input pairs are
+    * symmetrized and deduped here). */
+  def linkRankOf(spark: org.apache.spark.sql.SparkSession, edges0: DataFrame,
+      iters: Int = PrIters, topK: Int = PrTopK): DataFrame = {
+    val e0 = edges0.select(
+      col(edges0.columns(0)).as("s"), col(edges0.columns(1)).as("t"))
+    val sym = e0.union(e0.select(col("t").as("s"), col("s").as("t"))).distinct()
+    // (s, t, d): the per-source out-degree rides along each edge so an
+    // iteration is ONE join — materialized once, reused every round
+    // keyed on the INPUT frame's identity, not a constant: the core is
+    // frame-agnostic, and a constant key would hand a second caller
+    // (different graph, same session) the first graph's cached edges
+    val src = graft.CacheRegistry.getOrCache(spark,
+        s"q95_link_edges_${System.identityHashCode(edges0)}") {
+      sym.join(sym.groupBy(col("s")).agg(count(lit(1)).as("d")), "s")
+    }
+    var ranks = src.select(col("s").as("id")).distinct()
+      .select(col("id"), lit(PrScale).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = src.join(ranks, src("s") === ranks("id"))
+        .select(col("t"),
+          expr(s"(85 * (r div d)) div 100").as("c"))
+        .groupBy(col("t"))
+        .agg((lit(PrBase) + sum(col("c"))).as("r"))
+        .select(col("t").as("id"), col("r"))
+    }
+    ranks
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("r").desc, col("id"))))
+      .filter(col("pos") <= topK)
+      .select(col("pos"),
+        when(col("id") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        expr("id div 2").as("entity_id"),
+        col("r").as("rank_score"))
+  }
+
+  /** q95 oracle: the same three iterations unrolled as CTEs — DuckDB's
+    * `//` is floor division and every operand is positive, matching
+    * Spark's truncating `div` exactly; the iteration sum is integer so
+    * accumulation order cannot matter. */
+  val linkRankSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.t AS id,
+         |         $PrBase + CAST(sum((85 * (r.r // e.d)) // 100) AS BIGINT) AS r
+         |  FROM src e JOIN $prev r ON e.s = r.id GROUP BY e.t)"""
+    s"""WITH trade AS (
+       |  SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS t
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |sym AS (SELECT s, t FROM trade UNION SELECT t AS s, s AS t FROM trade),
+       |deg AS (SELECT s, count(*) AS d FROM sym GROUP BY s),
+       |src AS (SELECT sym.s, sym.t, deg.d FROM sym JOIN deg USING (s)),
+       |r0 AS (SELECT DISTINCT s AS id, CAST($PrScale AS BIGINT) AS r FROM src),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |ranked AS (
+       |  SELECT id, r, CAST(row_number() OVER (ORDER BY r DESC, id) AS INT) AS pos
+       |  FROM r3)
+       |SELECT pos,
+       |       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       id // 2 AS entity_id, r AS rank_score
+       |FROM ranked WHERE pos <= $PrTopK""".stripMargin
+  }
 }

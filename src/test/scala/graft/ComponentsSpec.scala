@@ -105,4 +105,70 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("naive_pairs_within")).sum <= pairsN)
     CacheRegistry.releaseAll()
   }
+
+  /** Driver replay of q95's integer PR contract — same floor
+    * divisions, same symmetrization, plain Scala maps. */
+  private def replayPr(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (es ++ es.map(e => (e._2, e._1))).distinct
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = sym.map(_._1).distinct.map(_ -> Components.PrScale).toMap
+    for (_ <- 1 to iters)
+      r = sym.map { case (s, t) => t -> (85L * (r(s) / deg(s))) / 100 }
+        .groupBy(_._1).map { case (t, cs) =>
+          t -> (Components.PrBase + cs.map(_._2).sum) }
+    r
+  }
+
+  test("q95 linkRankOf: crafted hub graph ≡ exact driver replay; hub ranks first, pendant pair last") {
+    import spark.implicits._
+    // hub 0 ↔ four leaves; a separate pendant pair 10-12 that only
+    // exchanges mass with itself
+    val es = Seq((0L, 2L), (0L, 4L), (0L, 6L), (0L, 8L), (10L, 12L))
+    val out = Components.linkRankOf(spark, es.toDF("s", "t"), topK = 10).collect()
+      .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("entity_id") * 2, // all even ids here
+        r.getAs[Long]("rank_score")))
+    val want = replayPr(es, Components.PrIters)
+    assert(out.length == 7, "all seven nodes rank")
+    out.foreach { case (_, id, score) =>
+      assert(score == want(id), s"node $id: got $score, replay ${want(id)}")
+    }
+    assert(out.find(_._1 == 1).get._2 == 0L, "the hub collects the most mass")
+    // structure the scores must reflect: the hub aggregates all four
+    // leaf shares (top); a pendant bounces its FULL share back and
+    // forth (≈ starting mass); a star leaf receives only a quarter of
+    // the hub's share — so hub > pendants > leaves
+    val hubScore = out.find(_._2 == 0L).get._3
+    val pendantScores = out.filter(o => o._2 == 10L || o._2 == 12L).map(_._3)
+    val leafScores = out.filter(o => o._2 >= 2L && o._2 <= 8L).map(_._3)
+    assert(hubScore > pendantScores.max, "hub outranks the pendant pair")
+    assert(pendantScores.min > leafScores.max, "pendants outrank quarter-share leaves")
+    CacheRegistry.releaseAll()
+  }
+
+  test("q95 linkRank: fixture graph ≡ driver replay; positions dense; kinds consistent with id parity") {
+    val trade = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .select(org.apache.spark.sql.functions.expr("o_custkey * 2").as("s"),
+        org.apache.spark.sql.functions.expr("l_suppkey * 2 + 1").as("t"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = replayPr(trade, Components.PrIters)
+    val out = Components.linkRank(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("pos")).toSeq == (1 to out.length),
+      "positions are dense from 1")
+    out.foreach { r =>
+      val id = r.getAs[Long]("entity_id") * 2 +
+        (if (r.getAs[String]("kind") == "supplier") 1 else 0)
+      assert(r.getAs[Long]("rank_score") == want(id),
+        s"${r.getAs[String]("kind")} ${r.getAs[Long]("entity_id")}")
+    }
+    // top-k must be the replay's global top-k (ties → smaller id)
+    val wantTop = want.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(out.length).map(_._1)
+    val gotTop = out.sortBy(_.getAs[Int]("pos")).map { r =>
+      r.getAs[Long]("entity_id") * 2 +
+        (if (r.getAs[String]("kind") == "supplier") 1 else 0) }
+    assert(gotTop.toSeq == wantTop, "top-k set and order match the replay")
+    CacheRegistry.releaseAll()
+  }
 }
