@@ -332,6 +332,59 @@ case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "hash_embed"
 }
 
+/** Per-element integer quantization of a double array: element x →
+  * floor(x·scale), emitted as DOUBLE so the result feeds [[DotProduct]]
+  * directly. The point is CROSS-ENGINE EXACT similarity arithmetic
+  * (q96): quantized elements are integers, so dot products and norms
+  * over them are exact integer values carried in doubles (|x|·scale up
+  * to ~2²³ ⇒ 64-dim dot ≤ 2⁵² < 2⁵³, below the double mantissa), and
+  * the downstream sqrt/divide/floor are correctly-rounded IEEE ops on
+  * IDENTICAL inputs in both engines — so floor(1e6·sim) hash-matches
+  * where raw float cosine cannot (sum order varies). Same role as
+  * [[graft.functions.ImageHash]]'s floor(x·1024) leg, exposed as a
+  * general kernel. */
+case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(scale >= 1, "scale must be >= 1")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      out(i) = math.floor(a.getDouble(i) * scale)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  $out[$i] = java.lang.Math.floor($a.getDouble($i) * ${scale}L);
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): QuantizeVec = copy(child = c)
+  override def prettyName: String = "quantize_vec"
+}
+
 /** Product-quantization encoder: splits the input vector into
   * `m = codebooks.length` contiguous subspaces of `dsub =
   * codebooks(0)(0).length` dims and emits, per subspace, the index of
@@ -498,6 +551,9 @@ object VectorOps {
 
   def hashEmbed(hashes: Column, dim: Int): Column =
     GraftSqlBridge.column(HashEmbed(GraftSqlBridge.expression(hashes), dim))
+
+  def quantizeVec(e: Column, scale: Long): Column =
+    GraftSqlBridge.column(QuantizeVec(GraftSqlBridge.expression(e), scale))
 
   /** `cents` = (id, vector, norm) in ascending-id order (the tie-break
     * contract of [[NearestCell]]). */

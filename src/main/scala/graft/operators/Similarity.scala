@@ -1130,4 +1130,123 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
        |  FROM f) WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+
+  /** Quantization scale for q96's exact similarity arithmetic: 2²⁰
+    * keeps six decimal digits of embedding precision while every
+    * product and 64-dim sum stays an exact integer inside a double
+    * (see [[graft.functions.QuantizeVec]]). */
+  private val OutlierScale = 1048576L
+  private val OutlierBottomK = 5
+
+  /** q96: EMBEDDING-SPACE OUTLIER PRUNING — per label (the fixture's
+    * class column; per SOURCE in a curation deployment), compute the
+    * centroid of the label's embeddings and score every member by
+    * cosine to its own centroid; emit the bottom-k per label. This is
+    * the prototype-distance prune every embedding-curated corpus runs
+    * (mislabeled/off-topic documents sit far from their cluster's
+    * center — the complement of q57's SemDeDup, which prunes points
+    * TOO CLOSE together; q74 is the same idea over scalar columns).
+    *
+    * Integer-exact contract: embeddings quantize per-element to
+    * floor(x·2²⁰) via the codegen'd [[graft.functions.QuantizeVec]];
+    * the centroid is the per-dimension INTEGER mean (sum div n — sums
+    * are exact longs, so the mean is engine-independent); dots and
+    * norms over integer-valued doubles are exact; the final
+    * floor(1e6·sim) is a correctly-rounded IEEE chain on identical
+    * inputs, so rows hash cross-engine. Ordering and the bottom-k cut
+    * use (sim_ppm, vec_id) — fully integer.
+    *
+    * Scale shape: the centroid pass is ONE posexplode + (label, dim)
+    * hash aggregate with map-side combine — 64·|labels| output rows,
+    * MODEL-sized — then a |labels|-row collect_list rebuild; the
+    * centroid table BROADCASTS into the scoring join, so the corpus
+    * scan is ONE pass, never shuffled; per-label bottom-k runs as a
+    * WindowGroupLimit heap (k rows per label survive the partial
+    * rank). At 100 TB the only corpus-sized work is the two narrow
+    * passes — the explode feeds a combiner, not a shuffle of 64×
+    * corpus rows. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersOf(Tables.embeddings(spark, dir))
+
+  /** Frame-agnostic core of [[embedOutliers]]: `emb` with
+    * (vec_id, label, embedding: array<float|double>). */
+  def embedOutliersOf(emb: DataFrame, bottomK: Int = OutlierBottomK): DataFrame = {
+    val qv = emb
+      .select(col("vec_id"), col("label"),
+        VectorOps.quantizeVec(col("embedding").cast("array<double>"), OutlierScale).as("q"))
+    val cent = qv
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x").cast("long")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("d"), expr("sx div n").as("m"))
+      .groupBy(col("label"))
+      // sort_array on (d, m) structs rebuilds dimension order — the
+      // collect_list arrival order is partition-dependent; the HOF
+      // transform runs on |labels| rows only
+      .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> CAST(s.m AS DOUBLE))")
+        .as("ce"))
+    val scored = qv.join(broadcast(cent), "label")
+      .withColumn("dqc", VectorOps.dot(col("q"), col("ce")))
+      .withColumn("dqq", VectorOps.dot(col("q"), col("q")))
+      .withColumn("dcc", VectorOps.dot(col("ce"), col("ce")))
+      .filter(col("dqq") > 0 && col("dcc") > 0)
+      .withColumn("sim_ppm",
+        floor(lit(1000000.0) * col("dqc") / (sqrt(col("dqq")) * sqrt(col("dcc"))))
+          .cast("long"))
+    scored
+      .withColumn("pos", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("sim_ppm").asc, col("vec_id"))))
+      .filter(col("pos") <= bottomK)
+      .select(col("label"), col("pos"), col("vec_id"), col("sim_ppm"))
+  }
+
+  /** q96 oracle: same quantization (floor(x·2²⁰)), same integer
+    * centroid (sum // n over exact BIGINT sums), same IEEE tail.
+    * Centroid sums go NEGATIVE on real embedding dims, so the
+    * division semantics matter: DuckDB's BIGINT `//` truncates toward
+    * zero (-7 // 2 = -3, verified), exactly like Spark's `div` — the
+    * two sides agree on every sign. Dimension index via a
+    * scalar-context struct unnest (generate_series cannot lateral-join
+    * a column in DuckDB). */
+  val embedOutliersSql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> floor(CAST(x AS DOUBLE) * $OutlierScale.0)) AS q
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT label, u.d AS d, CAST(u.x AS BIGINT) AS x
+       |  FROM (SELECT label, unnest(list_transform(generate_series(1, len(q)),
+       |          i -> struct_pack(d := i, x := q[i]))) AS u
+       |        FROM qv)),
+       |cx AS (
+       |  SELECT label, d, CAST(sum(x) AS BIGINT) // count(*) AS m
+       |  FROM ex GROUP BY label, d),
+       |cents AS (
+       |  SELECT label, list(CAST(m AS DOUBLE) ORDER BY d) AS ce
+       |  FROM cx GROUP BY label),
+       |scored AS (
+       |  SELECT v.vec_id, v.label,
+       |         list_reduce(list_prepend(0.0, list_transform(
+       |           generate_series(1, len(q)), i -> q[i] * ce[i])),
+       |           (a, x) -> a + x) AS dqc,
+       |         list_reduce(list_prepend(0.0, list_transform(
+       |           generate_series(1, len(q)), i -> q[i] * q[i])),
+       |           (a, x) -> a + x) AS dqq,
+       |         list_reduce(list_prepend(0.0, list_transform(
+       |           generate_series(1, len(ce)), i -> ce[i] * ce[i])),
+       |           (a, x) -> a + x) AS dcc
+       |  FROM qv v JOIN cents USING (label)),
+       |ppm AS (
+       |  SELECT vec_id, label,
+       |         CAST(floor(1000000.0 * dqc / (sqrt(dqq) * sqrt(dcc))) AS BIGINT)
+       |           AS sim_ppm
+       |  FROM scored WHERE dqq > 0 AND dcc > 0)
+       |SELECT label, pos, vec_id, sim_ppm FROM (
+       |  SELECT label, vec_id, sim_ppm,
+       |         CAST(row_number() OVER (PARTITION BY label
+       |                                 ORDER BY sim_ppm, vec_id) AS INT) AS pos
+       |  FROM ppm) WHERE pos <= $OutlierBottomK""".stripMargin
 }

@@ -100,6 +100,20 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantizeVec dual-mode (scales 1, 1024, 2^20; negatives, empties, null elements)") {
+    import spark.implicits._
+    val vecGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(-8.0, 8.0), Gen.const(0.0), Gen.const(-0.0))))
+    val rows = (Gen.listOfN(60, vecGen).sample.get ++
+      Seq(Nil, List(1.9999999, -1.9999999), List(1e9, -1e9)))
+      .map(Tuple1(_)).toDF("e")
+    for (scale <- Seq(1L, 1024L, 1048576L)) dualMode {
+      rows.select(VectorOps.quantizeVec(col("e"), scale).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
   test("VecDHash dual-mode (amp 0 and 8; sub-grid and negative dims)") {
     import spark.implicits._
     import graft.functions.ImageHash

@@ -275,4 +275,62 @@ class SimilaritySpec extends AnyFunSuite {
     }
     CacheRegistry.releaseAll()
   }
+
+  /** Driver replay of q96's full integer contract: floor(x·2²⁰)
+    * quantize, truncating-div integer centroid (Spark `div` ≡ DuckDB
+    * `//` ≡ Scala `/` on Longs — all toward zero), exact integer
+    * dots in doubles, IEEE sqrt/divide/floor tail. */
+  private def outlierReplay(rows: Seq[(Long, Int, Seq[Double])]): Map[Long, Long] = {
+    val scale = 1048576L
+    def quant(v: Seq[Double]): Seq[Double] = v.map(x => math.floor(x * scale))
+    val cent: Map[Int, Seq[Double]] = rows.groupBy(_._2).map { case (l, vs) =>
+      val qs = vs.map(v => quant(v._3))
+      l -> qs.transpose.map(c => (c.map(_.toLong).sum / qs.size).toDouble).toSeq
+    }
+    rows.map { case (id, l, v) =>
+      val q = quant(v); val c = cent(l)
+      val dqc = q.zip(c).map { case (a, b) => a * b }.sum
+      val dqq = q.map(x => x * x).sum
+      val dcc = c.map(x => x * x).sum
+      id -> math.floor(1000000.0 * dqc / (math.sqrt(dqq) * math.sqrt(dcc))).toLong
+    }.toMap
+  }
+
+  test("q96 embedOutliersOf: planted inverted vector is its label's top outlier; sims replay exactly") {
+    import spark.implicits._
+    val rows: Seq[(Long, Int, Seq[Double])] =
+      (0 until 9).map(i => (i.toLong, 0, Seq.fill(8)(0.5 + 0.001 * i))) ++
+        Seq((9L, 0, Seq.fill(8)(-0.5))) ++ // anti-parallel to its cohort
+        (10 until 14).map(i =>
+          (i.toLong, 1, Seq.tabulate(8)(j => (if (j % 2 == 0) 1.0 else -1.0) * (1.0 + 0.01 * i))))
+    val out = Similarity.embedOutliersOf(rows.toDF("vec_id", "label", "embedding"),
+      bottomK = 2).collect()
+    val want = outlierReplay(rows)
+    assert(out.length == 4, "two labels × bottom-2")
+    out.foreach { r =>
+      assert(r.getAs[Long]("sim_ppm") == want(r.getAs[Long]("vec_id")),
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+    val l0 = out.filter(_.getAs[Int]("label") == 0).sortBy(_.getAs[Int]("pos"))
+    assert(l0.head.getAs[Long]("vec_id") == 9L, "the inverted vector is pos 1")
+    assert(want(9L) < -900000L, "anti-parallel ⇒ cosine near −1")
+  }
+
+  test("q96 fixture: positions dense per label; every sim_ppm replays; flagged rows are the true minima") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+      r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble))).toSeq
+    val want = outlierReplay(rows)
+    val out = Similarity.embedOutliers(spark, sf).collect()
+    out.groupBy(_.getAs[Int]("label")).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rs.length),
+        s"label $l positions dense")
+      // flagged rows are exactly the label's bottom-k under (ppm, id)
+      val ids = rows.filter(_._2 == l).map(_._1)
+      val wantBottom = ids.sortBy(id => (want(id), id)).take(rs.length)
+      assert(rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("vec_id")).toSeq == wantBottom,
+        s"label $l bottom-k")
+      rs.foreach(r => assert(r.getAs[Long]("sim_ppm") == want(r.getAs[Long]("vec_id"))))
+    }
+  }
 }
