@@ -1249,4 +1249,165 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY label
        |                                 ORDER BY sim_ppm, vec_id) AS INT) AS pos
        |  FROM ppm) WHERE pos <= $OutlierBottomK""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+
+  private val MmrShortlist = 8
+  private val MmrK = 5
+
+  /** One pair row of a query's candidate matrix: candidate `a` (with
+    * its query relevance) against candidate `b` (with their mutual
+    * similarity) — the greedy kernel reconstructs the full matrix
+    * from a query's ≤ k² pair rows. */
+  private[graft] case class MmrPair(
+    query_id: Long, a: Long, rel_a: Long, b: Long, sim_ab: Long)
+  private[graft] case class MmrPick(
+    query_id: Long, pos: Int, doc_id: Long, mmr_score: Long)
+
+  /** q97: MMR-DIVERSIFIED top-k — maximal marginal relevance over an
+    * exact-cosine shortlist: pick the most relevant candidate, then
+    * repeatedly the candidate maximizing rel − max-sim-to-selected
+    * (λ = 1/2 MMR; halving both terms rescales every score equally,
+    * so the λ = 1/2 selection ORDER is exactly this integer one).
+    * The RAG retrieval finisher: a near-dup-heavy shortlist wastes
+    * its context window on repeats, MMR trades marginal relevance
+    * for coverage (Carbonell & Goldstein's published formulation).
+    *
+    * Integer-exact contract: relevance and pairwise sims are cosines
+    * over floor(x·2²⁰)-quantized embeddings (the q96 kernel) in
+    * integer ppm, so the greedy argmax chain — which compares score
+    * DIFFERENCES, the fragile part — is pure BIGINT arithmetic with
+    * (score desc, id asc) ties; an iterative selection becomes
+    * hash-comparable cross-engine.
+    *
+    * Scale shape: the only corpus-sized work is q21's audited
+    * candidate plan (broadcast query side, ONE corpus pass, top-8
+    * WindowGroupLimit); the pair matrix is |Q|·k² rows built by a
+    * shortlist self-join; the greedy runs as mapGroups over ≤ k²-row
+    * groups — O(k²) state per query, embarrassingly parallel, no
+    * driver loop (the unrolled-join alternative costs k shuffles of
+    * the candidate frame; a bounded per-group heap is the Spark-first
+    * shape for per-key iterative selection). */
+  def mmrDiverse(spark: SparkSession, dir: String): DataFrame =
+    mmrDiverseOf(spark, Tables.embeddings(spark, dir))
+
+  /** Frame-agnostic core of [[mmrDiverse]]: `emb` with
+    * (vec_id, embedding); queries are the [[QueryFilter]] subset. */
+  def mmrDiverseOf(spark: SparkSession, emb: DataFrame,
+      shortlist: Int = MmrShortlist, k: Int = MmrK): DataFrame = {
+    import spark.implicits._
+    val qv = emb
+      .select(col("vec_id"),
+        VectorOps.quantizeVec(col("embedding").cast("array<double>"), OutlierScale).as("q"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("q"), col("q"))))
+    val queries = qv.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val cand = qv.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("rel", floor(lit(1000000.0) *
+        VectorOps.dot(col("qq"), col("q")) / (col("qn") * col("nrm"))).cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rk") <= shortlist)
+      .select(col("q_id"), col("vec_id").as("cid"), col("rel"), col("q"), col("nrm"))
+    val a = cand.select(col("q_id"), col("cid").as("a"), col("rel").as("rel_a"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = cand.select(col("q_id"), col("cid").as("b"), col("q").as("qb"),
+      col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("q_id")).filter(col("a") =!= col("b"))
+      .withColumn("sim_ab", floor(lit(1000000.0) *
+        VectorOps.dot(col("qa"), col("qb")) / (col("na") * col("nb"))).cast("long"))
+      .select(col("q_id").as("query_id"), col("a"), col("rel_a"), col("b"), col("sim_ab"))
+      .as[MmrPair]
+    pairs.groupByKey(_.query_id)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+        val rel = rows.map(r => r.a -> r.rel_a).toMap
+        val sim = rows.map(r => (r.a, r.b) -> r.sim_ab).toMap
+        val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+        while (picks.length < k && remaining.nonEmpty) {
+          val scored = remaining.iterator.map { c =>
+            val div = if (picks.isEmpty) 0L
+              else picks.iterator.map(p => sim((c, p.doc_id))).max
+            (c, rel(c) - (if (picks.isEmpty) 0L else div))
+          }.toSeq
+          val (best, score) = scored.maxBy { case (c, s) => (s, -c) }
+          picks += MmrPick(qid, picks.length + 1, best, score)
+          remaining -= best
+        }
+        picks
+      }
+      .toDF()
+      .select(col("query_id"), col("pos"), col("doc_id"), col("mmr_score"))
+  }
+
+  /** q97 oracle: the same shortlist + pair matrix in SQL, then the
+    * greedy chain UNROLLED — step t scores every unselected candidate
+    * as rel − max(sim to the selected set so far) and takes the
+    * (score desc, id) argmax; sel_t accumulates. Every score is
+    * BIGINT, so the chain replays the mapGroups kernel exactly. */
+  val mmrDiverseSql: String = {
+    def step(t: Int): String = {
+      val prevSel = s"sel${t - 1}"
+      s"""sc$t AS (
+         |  SELECT c.query_id, c.id, c.rel - max(p.sim_ab) AS score
+         |  FROM cand c
+         |  JOIN mpairs p ON p.query_id = c.query_id AND p.a = c.id
+         |  JOIN $prevSel s ON s.query_id = p.query_id AND s.id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevSel x
+         |                    WHERE x.query_id = c.query_id AND x.id = c.id)
+         |  GROUP BY c.query_id, c.id, c.rel),
+         |s$t AS (
+         |  SELECT query_id, id, score, $t AS pos FROM (
+         |    SELECT query_id, id, score,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, id) AS rn
+         |    FROM sc$t) WHERE rn = 1),
+         |sel$t AS (SELECT query_id, id FROM $prevSel
+         |          UNION ALL SELECT query_id, id FROM s$t)"""
+    }
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> floor(CAST(x AS DOUBLE) * $OutlierScale.0)) AS q
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, q,
+       |         sqrt(list_reduce(list_prepend(0.0, list_transform(
+       |           generate_series(1, len(q)), i -> q[i] * q[i])),
+       |           (a, x) -> a + x)) AS nrm
+       |  FROM qv),
+       |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS qn FROM n WHERE $QueryFilter),
+       |scoredc AS (
+       |  SELECT q_id, vec_id AS id, q, nrm,
+       |         CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(qq)), i -> qq[i] * q[i])),
+       |           (a, x) -> a + x) / (qn * nrm)) AS BIGINT) AS rel
+       |  FROM n JOIN qs ON vec_id != q_id),
+       |cand AS (
+       |  SELECT query_id, id, rel, q, nrm FROM (
+       |    SELECT q_id AS query_id, id, rel, q, nrm,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY rel DESC, id) AS rk
+       |    FROM scoredc) WHERE rk <= $MmrShortlist),
+       |mpairs AS (
+       |  SELECT a.query_id, a.id AS a, b.id AS b,
+       |         CAST(floor(1000000.0 * list_reduce(list_prepend(0.0,
+       |           list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])),
+       |           (x, y) -> x + y) / (a.nrm * b.nrm)) AS BIGINT) AS sim_ab
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id != b.id),
+       |s1 AS (
+       |  SELECT query_id, id, rel AS score, 1 AS pos FROM (
+       |    SELECT query_id, id, rel,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY rel DESC, id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT query_id, id FROM s1),
+       |${(2 to MmrK).map(step).mkString(",\n")},
+       |allpicks AS (
+       |  ${(1 to MmrK).map(t => s"SELECT query_id, id, score, pos FROM s$t")
+            .mkString("\n  UNION ALL ")})
+       |SELECT query_id, CAST(pos AS INT) AS pos, id AS doc_id, score AS mmr_score
+       |FROM allpicks""".stripMargin
+  }
 }

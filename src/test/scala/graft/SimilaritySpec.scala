@@ -296,6 +296,79 @@ class SimilaritySpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** Driver replay of q97's greedy chain over quantized-cosine ppm:
+    * shortlist by (rel desc, id), then repeatedly argmax of
+    * rel − max-sim-to-selected with (score desc, id) ties. */
+  private def mmrReplay(rows: Seq[(Long, Seq[Double])], queryIds: Seq[Long],
+      shortlist: Int, k: Int): Map[Long, Seq[(Int, Long, Long)]] = {
+    val scale = 1048576L
+    val q = rows.map { case (id, v) => id -> v.map(x => math.floor(x * scale)) }.toMap
+    def ppm(a: Seq[Double], b: Seq[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      math.floor(1000000.0 * dot /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))).toLong
+    }
+    queryIds.map { qid =>
+      val rel = rows.collect { case (id, _) if id != qid => id -> ppm(q(qid), q(id)) }.toMap
+      val cands = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(shortlist).map(_._1)
+      var selected = List.empty[Long]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      while (picks.length < k && picks.length < cands.length) {
+        val scored = cands.filterNot(selected.contains).map { c =>
+          val div = if (selected.isEmpty) 0L else selected.map(s => ppm(q(c), q(s))).max
+          c -> (rel(c) - div)
+        }
+        val (best, score) = scored.maxBy { case (c, s) => (s, -c) }
+        picks += ((picks.length + 1, best, score))
+        selected ::= best
+      }
+      qid -> picks.toSeq
+    }.toMap
+  }
+
+  test("q97 mmrDiverseOf: a clone-flooded shortlist diversifies — MMR demotes the clones pure relevance keeps") {
+    import spark.implicits._
+    // query 0 (QueryFilter: vec_id % 25 == 0); three near-clones of the
+    // query direction (top relevance), two orthogonal-ish moderates
+    def mix(w: Double, a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      a.zip(b).map { case (x, y) => w * x + (1 - w) * y }
+    val e1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val e2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val e3 = Seq(0.0, 0.0, 1.0, 0.0)
+    val rows: Seq[(Long, Seq[Double])] = Seq(
+      0L -> e1,
+      1L -> mix(0.99, e1, e2), 2L -> mix(0.98, e1, e2), 3L -> mix(0.97, e1, e2),
+      4L -> mix(0.60, e1, e2), 5L -> mix(0.60, e1, e3))
+    val out = Similarity.mmrDiverseOf(spark, rows.toDF("vec_id", "embedding"),
+      shortlist = 5, k = 3).collect()
+      .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id"), r.getAs[Long]("mmr_score")))
+      .sortBy(_._1)
+    val want = mmrReplay(rows, Seq(0L), 5, 3)(0L)
+    assert(out.toSeq == want, s"greedy chain must replay exactly: $out vs $want")
+    // pure relevance would take clones 1,2,3; MMR must break the block
+    assert(out.head._2 == 1L, "pos 1 is the most relevant clone")
+    assert(out.map(_._2).toSet != Set(1L, 2L, 3L),
+      "diversification must displace at least one clone")
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq,
+      "greedy marginal scores are non-increasing")
+  }
+
+  test("q97 fixture: full driver replay; positions dense; picks distinct; scores non-increasing") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble))).toSeq
+    val qids = rows.map(_._1).filter(_ % 25 == 0)
+    val want = mmrReplay(rows, qids, 8, 5)
+    val out = Similarity.mmrDiverse(spark, sf).collect()
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val got = rs.map(r => (r.getAs[Int]("pos"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_score"))).sortBy(_._1)
+      assert(got.toSeq == want(qid), s"query $qid")
+      assert(got.map(_._2).distinct.length == got.length, s"query $qid picks distinct")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("q96 embedOutliersOf: planted inverted vector is its label's top outlier; sims replay exactly") {
     import spark.implicits._
     val rows: Seq[(Long, Int, Seq[Double])] =
