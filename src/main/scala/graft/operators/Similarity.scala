@@ -1410,4 +1410,75 @@ object Similarity {
        |SELECT query_id, CAST(pos AS INT) AS pos, id AS doc_id, score AS mmr_score
        |FROM allpicks""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q98
+
+  /** q98: RETRIEVAL RANKING QUALITY — mean reciprocal rank of the
+    * dense retriever against the label column, per class: for each
+    * query, the first rank among its q21 top-5 whose neighbor shares
+    * the query's label gives RR = 1/rank; aggregated per label as
+    * (n_queries, mrr_ppm, hits_at_1, hits_at_5). q88 audits the
+    * approximate tiers against the EXACT top-k (index quality); this
+    * audits the exact top-k against GROUND TRUTH (embedding quality)
+    * — the two dashboard rows a vector deployment actually watches,
+    * now both oracled. RR is integer-exact by construction
+    * (10⁶ div rank, then an integer mean), so the iterative-free
+    * metric hashes cross-engine without float calibration.
+    *
+    * Scale shape: reuses q21's audited candidate plan (the one corpus
+    * pass); everything after operates on the |Q|·k neighbor frame —
+    * two BROADCAST label joins (the label table is corpus-sized in
+    * general, but only the |Q|·k slice survives the join; at 100 TB
+    * the neighbor frame joins label shards by equi-key instead, same
+    * plan minus the hint), a per-query aggregate, a |labels|-row
+    * rollup with map-side combine. */
+  def retrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val j = cosineTopK(spark, dir)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))),
+        "q_id")
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))),
+        "neighbor_id")
+    j.groupBy(col("q_id"), col("q_label"))
+      .agg(min(when(col("n_label") === col("q_label"), col("rank"))).as("first_hit"))
+      .select(col("q_label"),
+        when(col("first_hit").isNotNull, expr("CAST(1000000 div first_hit AS BIGINT)"))
+          .otherwise(lit(0L)).as("rr_ppm"),
+        when(col("first_hit") === 1, lit(1L)).otherwise(lit(0L)).as("hit1"),
+        when(col("first_hit").isNotNull, lit(1L)).otherwise(lit(0L)).as("hit5"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(rr_ppm) div count(1)").as("mrr_ppm"),
+        sum(col("hit1")).as("hits_at_1"),
+        sum(col("hit5")).as("hits_at_5"))
+  }
+
+  /** q98 oracle: q21's oracle nested as the neighbor source, label
+    * joins, the same integer RR and integer mean. */
+  val retrievalMrrSql: String =
+    s"""WITH topk AS (
+       |$cosineTopKSql
+       |),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |j AS (
+       |  SELECT t.q_id, ql.label AS q_label, t.rank, nl.label AS n_label
+       |  FROM topk t
+       |  JOIN lab ql ON ql.vec_id = t.q_id
+       |  JOIN lab nl ON nl.vec_id = t.neighbor_id),
+       |perq AS (
+       |  SELECT q_id, q_label,
+       |         min(CASE WHEN n_label = q_label THEN rank END) AS first_hit
+       |  FROM j GROUP BY q_id, q_label),
+       |rr AS (
+       |  SELECT q_label,
+       |         CASE WHEN first_hit IS NULL THEN 0
+       |              ELSE 1000000 // first_hit END AS rr_ppm,
+       |         CASE WHEN first_hit = 1 THEN 1 ELSE 0 END AS hit1,
+       |         CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END AS hit5
+       |  FROM perq)
+       |SELECT q_label AS label, count(*) AS n_queries,
+       |       CAST(CAST(sum(rr_ppm) AS BIGINT) // count(*) AS BIGINT) AS mrr_ppm,
+       |       CAST(sum(hit1) AS BIGINT) AS hits_at_1,
+       |       CAST(sum(hit5) AS BIGINT) AS hits_at_5
+       |FROM rr GROUP BY q_label""".stripMargin
 }

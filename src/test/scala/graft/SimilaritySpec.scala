@@ -369,6 +369,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("q98 retrieval MRR: replays exactly from q21's neighbors + labels; bounds hold") {
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val topk = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    val perQ = topk.groupBy(_._1).map { case (q, ns) =>
+      val firstHit = ns.filter(n => labels(n._3) == labels(q)).map(_._2)
+        .minOption
+      (q, labels(q), firstHit)
+    }
+    val want = perQ.groupBy(_._2).map { case (l, qs) =>
+      l -> (qs.size.toLong,
+        qs.map(_._3.map(1000000L / _).getOrElse(0L)).sum / qs.size,
+        qs.count(_._3.contains(1)).toLong,
+        qs.count(_._3.isDefined).toLong)
+    }
+    val out = Similarity.retrievalMrr(spark, sf).collect()
+    assert(out.length == want.size, "one row per label with queries")
+    out.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val (n, mrr, h1, h5) = want(l)
+      assert(r.getAs[Long]("n_queries") == n, s"label $l n")
+      assert(r.getAs[Long]("mrr_ppm") == mrr, s"label $l mrr")
+      assert(r.getAs[Long]("hits_at_1") == h1, s"label $l h1")
+      assert(r.getAs[Long]("hits_at_5") == h5, s"label $l h5")
+      // mrr is bounded by the hit structure: every hit contributes at
+      // most 1e6 (rank 1) and at least 2e5 (rank 5)
+      assert(r.getAs[Long]("mrr_ppm") <= 1000000L * h5 / n)
+      assert(r.getAs[Long]("mrr_ppm") >= 200000L * h5 / n - 1)
+    }
+  }
+
   test("q96 embedOutliersOf: planted inverted vector is its label's top outlier; sims replay exactly") {
     import spark.implicits._
     val rows: Seq[(Long, Int, Seq[Double])] =
