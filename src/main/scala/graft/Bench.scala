@@ -65,7 +65,14 @@ object Bench {
         (summaryJson() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
 
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated allowlist for targeted micro-benching
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q92_bm25_topk,q93_hybrid_rrf) — the
+    // driver never sets it, so round artifacts always cover every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t =
         try {
           runOnce(fn) // warmup (not recorded)

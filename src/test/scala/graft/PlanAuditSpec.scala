@@ -39,12 +39,17 @@ class PlanAuditSpec extends AnyFunSuite {
     * 1-row vocab size into the model grid — both keyless scalars; the
     * corpus-sized token stream joins the grid by equi-key only; q92
     * crossJoins the 1-row corpus stats into the posting join — the
-    * probe terms themselves broadcast by equi-key. */
+    * probe terms themselves broadcast by equi-key; q97/q98 compose
+    * q21's exact-cosine candidate subtree verbatim (the broadcast
+    * query-side probe — their scale path is swapping in q22/q44's
+    * bucketed candidates); everything DOWNSTREAM of the shortlist in
+    * both is equi-key only (q97's pair self-join on q_id, q98's label
+    * joins). */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
       "q82_pq_adc", "q84_knn_classify", "q88_ann_recall", "q90_nb_classifier",
-      "q92_bm25_topk", "q93_hybrid_rrf")
+      "q92_bm25_topk", "q93_hybrid_rrf", "q97_mmr_diverse", "q98_retrieval_mrr")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
