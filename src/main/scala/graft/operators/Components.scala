@@ -484,4 +484,110 @@ object Components {
        |       id // 2 AS entity_id, r AS rank_score
        |FROM ranked WHERE pos <= $PrTopK""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q99
+
+  /** q99: TRIANGLE AUDIT — per-node triangle count and local
+    * clustering coefficient over the near-dup graph (q18's verified
+    * pairs). The dedup-QA query the cluster policy needs: a TRUE
+    * duplicate group is near-clique (every copy pairs with every
+    * copy, coefficient → 1), while a CHAIN-merged cluster — A~B~C
+    * where A and C only met through B — is triangle-free
+    * (coefficient 0); q60 collapses both identically, this query
+    * tells them apart before the survivorship policy (q91) trusts the
+    * cluster. Output per participating node: (doc_id, degree, n_tri,
+    * coeff_ppm = (2·t·10⁶) div (deg·(deg−1)), 0 when deg < 2) — all
+    * integer, hash-exact.
+    *
+    * Algorithm: the published degree-ordered triangle enumeration —
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger; every triangle then has EXACTLY ONE wedge a→b, b→c with
+    * a→c closing it, so one wedge equi-join + one closing equi-join
+    * counts each triangle once, and no node builds a wedge list
+    * larger than its ORIENTED out-degree — bounded by √(2m) on any
+    * graph, the reason this beats the naive neighbor-intersection on
+    * power-law graphs (a hub's wedge count collapses from deg² to
+    * out-deg²).
+    *
+    * Scale shape: degree = one groupBy on the symmetrized edges;
+    * orientation is a map; the wedge join and the closing join are
+    * hash equi-joins (composite key for the close); corner counting
+    * is an explode of the TRIANGLE set (≪ edges on sparse graphs) +
+    * one groupBy. Everything shuffles on node/edge keys only; the
+    * near-dup edge list is bounded by q18's pair mass. */
+  def triangleAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    triangleAuditOf(Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id")))
+
+  /** Frame-agnostic core of [[triangleAudit]]: `edges0` with two Long
+    * id columns (any names, used positionally; direction ignored,
+    * dups and self-loops dropped). */
+  def triangleAuditOf(edges0: DataFrame): DataFrame = {
+    val a = edges0.columns(0)
+    val b = edges0.columns(1)
+    val e = edges0
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // orient from the (degree, id)-smaller endpoint to the larger
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("s"),
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        col("v")).otherwise(col("u")).as("t"))
+    val wedges = oriented.select(col("s").as("x"), col("t").as("y"))
+      .join(oriented.select(col("s").as("y"), col("t").as("z")), "y")
+    val tri = wedges.join(
+      oriented.select(col("s").as("x"), col("t").as("z")), Seq("x", "z"))
+    val corners = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        when(col("degree") >= 2,
+          expr("(2 * n_tri * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** q99 oracle: the same orientation + two equi-joins over the q18
+    * pair SQL — no recursion needed; triangle enumeration is plain
+    * relational algebra once the orientation is fixed. */
+  val triangleAuditSql: String =
+    s"""WITH pe AS (
+       |  SELECT a_id, b_id FROM (
+       |${Dedup.minhashLshSql}
+       |  ) mh),
+       |e AS (
+       |  SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v
+       |  FROM pe WHERE a_id <> b_id),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+       |  GROUP BY id),
+       |o AS (
+       |  SELECT CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v END AS s,
+       |         CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u END AS t
+       |  FROM (SELECT e.u, e.v, a.deg AS du, b.deg AS dv
+       |        FROM e JOIN deg a ON a.id = e.u JOIN deg b ON b.id = e.v)),
+       |tri AS (
+       |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+       |  FROM o e1 JOIN o e2 ON e2.s = e1.t
+       |            JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+       |corners AS (
+       |  SELECT id, count(*) AS n_tri FROM (
+       |    SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+       |    UNION ALL SELECT z AS id FROM tri)
+       |  GROUP BY id)
+       |SELECT deg.id AS doc_id, deg.deg AS degree,
+       |       CAST(coalesce(corners.n_tri, 0) AS BIGINT) AS n_tri,
+       |       CASE WHEN deg.deg >= 2
+       |            THEN (2 * coalesce(corners.n_tri, 0) * 1000000)
+       |                 // (deg.deg * (deg.deg - 1))
+       |            ELSE 0 END AS coeff_ppm
+       |FROM deg LEFT JOIN corners ON corners.id = deg.id""".stripMargin
 }

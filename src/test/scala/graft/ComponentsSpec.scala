@@ -145,6 +145,45 @@ class ComponentsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  /** Brute-force per-node triangle counts from an edge list. */
+  private def triReplay(es: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val adj = (es ++ es.map(e => (e._2, e._1))).filter(e => e._1 != e._2)
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    adj.map { case (n, nb) =>
+      val t = nb.toSeq.combinations(2).count { case Seq(a, b) => adj(a)(b) }.toLong
+      val d = nb.size.toLong
+      n -> (d, t, if (d >= 2) (2 * t * 1000000L) / (d * (d - 1)) else 0L)
+    }
+  }
+
+  test("q99 triangleAuditOf: clique is coeff 1e6, chain middle is 0, K4 counts 3 per corner; replay exact") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 4-5-6 + K4 {7,8,9,10}
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L)) ++
+      Seq((7L, 8L), (7L, 9L), (7L, 10L), (8L, 9L), (8L, 10L), (9L, 10L))
+    val out = Components.triangleAuditOf(es.toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Long]("coeff_ppm"))).toMap
+    assert(out == triReplay(es))
+    assert(out(1L) == ((2L, 1L, 1000000L)), "triangle corner is a perfect clique locally")
+    assert(out(5L) == ((2L, 0L, 0L)), "chain middle has the wedge but no closure")
+    assert(out(4L) == ((1L, 0L, 0L)), "degree-1 endpoint")
+    assert(out(7L) == ((3L, 3L, 1000000L)), "K4 corner sits on 3 triangles, coeff 1")
+    assert(out.values.map(_._2).sum % 3 == 0, "every triangle has exactly 3 corners")
+  }
+
+  test("q99 fixture: per-node counts ≡ brute-force over the q18 pair graph; chain-merged clusters expose coeff 0") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSeq
+    val want = triReplay(pairs)
+    val out = Components.triangleAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"), r.getAs[Long]("coeff_ppm"))).toMap
+    assert(out == want, "distributed enumeration ≡ brute force")
+    assert(out.nonEmpty)
+    CacheRegistry.releaseAll()
+  }
+
   test("q95 linkRank: fixture graph ≡ driver replay; positions dense; kinds consistent with id parity") {
     val trade = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
