@@ -1074,4 +1074,76 @@ object Extended {
        |FROM c JOIN s USING (event_type)
        |WHERE (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
        |      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""".stripMargin
+
+  // --------------------------------------------------------------- q100
+
+  private val BasketMinSupport = 2
+  private val BasketTopK = 50
+
+  /** q100: BASKET LIFT — within-order part co-occurrence scored by
+    * integer lift: lift(a,b) = P(a,b)/(P(a)·P(b)) over order baskets,
+    * emitted as (pos, part_a, part_b, n_ab, lift_ppm) for the top-50
+    * supported pairs. The association-rule complement to q81's PMI:
+    * PMI scores ADJACENT token bigrams inside documents, lift scores
+    * SET co-occurrence inside a transaction group — the shape every
+    * co-occurrence recommender/feature miner runs (and, corpus-side,
+    * doc-level tag/entity co-occurrence). lift_ppm =
+    * (n_ab·N·10⁶) div (n_a·n_b) is all-BIGINT (counts ≤ 2²⁰ here;
+    * at larger scale the numerator widens through DECIMAL(38,0) — the
+    * q79/q90 precedent), so ranking hashes cross-engine.
+    *
+    * Scale shape: the pair generator is the classic basket self-join
+    * — an equi-join on the ORDER key where each side is the order's
+    * basket, so a group's output is C(basket,2), bounded by basket
+    * size squared, NEVER corpus²; item and pair counts are map-side-
+    * combined aggregates; the support filter prunes BEFORE the lift
+    * join (the apriori downward-closure trick: an unsupported pair
+    * never reaches the per-item join); the final top-k window runs on
+    * the support-filtered pair table (3.4k rows at sf0.01), not the
+    * pair stream. A mega-basket (one order with thousands of parts)
+    * is the q18 hot-bucket shape — cap or salt the basket key; the
+    * fixture's baskets are ≤ 7 items. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = baskets.select(col("o"), col("p").as("pa"))
+      .join(baskets.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinSupport)
+    val items = baskets.groupBy(col("p")).agg(count(lit(1)).as("n_i"))
+    val total = baskets.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(items.select(col("p").as("pa"), col("n_i").as("n_a")), "pa")
+      .join(items.select(col("p").as("pb"), col("n_i").as("n_b")), "pb")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("(n_ab * n_orders * 1000000) div (n_a * n_b)"))
+      .withColumn("pos", row_number().over(Window.orderBy(
+        col("lift_ppm").desc, col("pa"), col("pb"))))
+      .filter(col("pos") <= BasketTopK)
+      .select(col("pos"), col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_ab"), col("lift_ppm"))
+  }
+
+  val basketLiftSql: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT a.p AS pa, b2.p AS pb, count(*) AS n_ab
+       |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
+       |items AS (SELECT p, count(*) AS n_i FROM b GROUP BY p),
+       |tot AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+       |scored AS (
+       |  SELECT pa, pb, n_ab,
+       |         (n_ab * n_orders * 1000000) // (ia.n_i * ib.n_i) AS lift_ppm
+       |  FROM pairs JOIN items ia ON ia.p = pa
+       |             JOIN items ib ON ib.p = pb
+       |             CROSS JOIN tot)
+       |SELECT pos, pa AS part_a, pb AS part_b, n_ab, CAST(lift_ppm AS BIGINT) AS lift_ppm FROM (
+       |  SELECT pa, pb, n_ab, lift_ppm,
+       |         CAST(row_number() OVER (ORDER BY lift_ppm DESC, pa, pb) AS INT) AS pos
+       |  FROM scored) WHERE pos <= $BasketTopK""".stripMargin
 }

@@ -224,4 +224,31 @@ class ExtendedOpsSpec extends AnyFunSuite {
     val plan = Extended.unpivotProfile(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), s"q68 must melt via stack/Expand, not self-union:\n$plan")
   }
+
+  test("q100 basket lift: fixture top-k ≡ brute-force replay; supported pairs only; lift formula exact") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = byOrder.size.toLong
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      ps.toSeq.sorted.combinations(2).foreach { case Seq(a, b) =>
+        pairN((a, b)) = pairN.getOrElse((a, b), 0L) + 1 }
+    }
+    val want = pairN.toSeq.filter(_._2 >= 2).map { case ((a, b), nab) =>
+      (a, b, nab, (nab * nOrders * 1000000L) / (itemN(a) * itemN(b)))
+    }.sortBy { case (a, b, _, l) => (-l, a, b) }.take(50)
+    val out = Extended.basketLift(spark, sf).collect()
+      .sortBy(_.getAs[Int]("pos"))
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_ab"), r.getAs[Long]("lift_ppm")))
+    assert(out.nonEmpty, "fixture must contain supported pairs")
+    assert(out.toSeq == want, "top-k order and values replay the lift definition")
+    out.foreach { case (a, b, nab, _) =>
+      assert(a < b, "canonical pair order")
+      assert(nab >= 2, "support filter")
+    }
+  }
 }

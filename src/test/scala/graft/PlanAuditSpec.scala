@@ -44,12 +44,15 @@ class PlanAuditSpec extends AnyFunSuite {
     * query-side probe — their scale path is swapping in q22/q44's
     * bucketed candidates); everything DOWNSTREAM of the shortlist in
     * both is equi-key only (q97's pair self-join on q_id, q98's label
-    * joins). */
+    * joins); q100 crossJoins the ONE-row order total onto the
+    * support-filtered pair table (pair-bounded, never the basket
+    * stream) — the q54/q81 keyless-scalar shape. */
   private val nestedLoopAllowed =
     Set("q09_config_cross", "q21_cosine_topk", "q44_ivf_ann", "q54_tfidf_topk",
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
       "q82_pq_adc", "q84_knn_classify", "q88_ann_recall", "q90_nb_classifier",
-      "q92_bm25_topk", "q93_hybrid_rrf", "q97_mmr_diverse", "q98_retrieval_mrr")
+      "q92_bm25_topk", "q93_hybrid_rrf", "q97_mmr_diverse", "q98_retrieval_mrr",
+      "q100_basket_lift")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
