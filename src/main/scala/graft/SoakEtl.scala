@@ -230,3 +230,53 @@ object SoakAnn {
     spark.stop()
   }
 }
+
+/** Graph-operator scale soak: q95 (integer PR) and q99 (triangle
+  * audit) on synthetic hash-derived graphs at 1× and 10× edge counts
+  * — honest scaling evidence for the iterative-join family, since
+  * replicating the FIXTURE near-dup graph would only clone disjoint
+  * components (embarrassing parallelism by construction). The
+  * synthetic graph keeps avg degree fixed while nodes×10, the shape a
+  * growing corpus' near-dup graph actually takes. Run:
+  * `sbt "runMain graft.SoakGraph"` */
+object SoakGraph {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = GraftSession.local()
+    def graph(nodes: Long, avgDeg: Int): org.apache.spark.sql.DataFrame =
+      spark.range(nodes * avgDeg)
+        .select((col("id") % nodes).as("s"),
+          // Knuth-hash endpoint: deterministic, well-spread
+          expr(s"(id * 2654435761) % $nodes").as("t"))
+        .filter(col("s") =!= col("t"))
+    def time(body: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println("## Graph soak: synthetic Knuth-hash graph, avg degree 8")
+    val results = Seq(100000L, 1000000L).map { nodes =>
+      val edges = graph(nodes, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count() // materialize the input outside the timings
+      operators.Components.linkRankOf(spark, edges)
+        .write.format("noop").mode("overwrite").save() // warm
+      CacheRegistry.releaseAll()
+      val tPr = time(operators.Components.linkRankOf(spark, edges))
+      CacheRegistry.releaseAll()
+      operators.Components.triangleAuditOf(edges)
+        .write.format("noop").mode("overwrite").save() // warm
+      CacheRegistry.releaseAll()
+      val tTri = time(operators.Components.triangleAuditOf(edges))
+      CacheRegistry.releaseAll()
+      edges.unpersist()
+      (nodes, tPr, tTri)
+    }
+    val Seq((n1, pr1, tri1), (n2, pr2, tri2)) = results
+    println(f"q95_link_rank            ${n1 / 1000}k nodes: $pr1%6.2f s   " +
+      f"${n2 / 1000}k nodes: $pr2%6.2f s   growth ${pr2 / pr1}%4.1fx")
+    println(f"q99_triangle_audit       ${n1 / 1000}k nodes: $tri1%6.2f s   " +
+      f"${n2 / 1000}k nodes: $tri2%6.2f s   growth ${tri2 / tri1}%4.1fx")
+    spark.stop()
+  }
+}

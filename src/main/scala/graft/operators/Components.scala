@@ -528,17 +528,29 @@ object Components {
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // deg feeds three consumers (both orientation joins + the final
+    // output) and oriented feeds three (two wedge sides + the closing
+    // join) — both are materialization points, or the upstream edge
+    // derivation (q18's whole pair pipeline when called from the
+    // fixture query) re-executes per consumer. Keyed on the input
+    // frame's identity (the q95 precedent).
+    val deg = graft.CacheRegistry.getOrCache(edges0.sparkSession,
+        s"q99_deg_${System.identityHashCode(edges0)}") {
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    }
     val withDeg = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
     // orient from the (degree, id)-smaller endpoint to the larger
-    val oriented = withDeg.select(
-      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-        col("u")).otherwise(col("v")).as("s"),
-      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-        col("v")).otherwise(col("u")).as("t"))
+    val oriented = graft.CacheRegistry.getOrCache(edges0.sparkSession,
+        s"q99_oriented_${System.identityHashCode(edges0)}") {
+      withDeg.select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+    }
     val wedges = oriented.select(col("s").as("x"), col("t").as("y"))
       .join(oriented.select(col("s").as("y"), col("t").as("z")), "y")
     val tri = wedges.join(
