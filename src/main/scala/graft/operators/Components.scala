@@ -485,6 +485,90 @@ object Components {
        |FROM ranked WHERE pos <= $PrTopK""".stripMargin
   }
 
+  // --------------------------------------------------------------- q102
+
+  private[graft] val HitsTopK = 10
+
+  /** q102: HITS hubs & authorities — the naturally-BIPARTITE rank
+    * (q95 had to symmetrize the trade graph for PageRank; HITS is the
+    * rank that fits its directed customer→supplier form as-is): a
+    * good hub is a customer buying from good suppliers, a good
+    * authority is a supplier serving good hubs. Two full mutual-
+    * reinforcement rounds from h₀ = 1, UNNORMALIZED — the classic
+    * formulation normalizes by L2, which no integer contract can
+    * hash, but the RANKING is invariant to positive scaling, so the
+    * unnormalized integer iterates (a₁ = in-degree, h₁ = Σ a₁,
+    * a₂ = Σ h₁) carry exactly the normalized ordering:
+    * magnitudes ≤ |E|·maxdeg² stay far inside BIGINT (widen through
+    * DECIMAL(38,0) for more rounds — the q101 precedent). Output:
+    * top-10 hubs and top-10 authorities as (role, pos, entity_id,
+    * score), ties → smaller id.
+    *
+    * Scale shape: same iteration algebra as q95 — each half-round is
+    * one equi-join (edge × rank on the source side) + one map-side-
+    * combined groupBy-sum on the destination side, on node-sized
+    * frames; the edge list is cached once (the q95 key-by-identity
+    * pattern); the final two top-k windows run over node-sized rank
+    * frames. */
+  def hits(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val trade = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    hitsOf(spark, trade)
+  }
+
+  /** Frame-agnostic core of [[hits]]: `edges0` with (hub id,
+    * authority id) — any names, used positionally. */
+  def hitsOf(spark: org.apache.spark.sql.SparkSession, edges0: DataFrame,
+      topK: Int = HitsTopK): DataFrame = {
+    val e = graft.CacheRegistry.getOrCache(spark,
+        s"q102_edges_${System.identityHashCode(edges0)}") {
+      edges0.select(
+        col(edges0.columns(0)).as("c"), col(edges0.columns(1)).as("s")).distinct()
+    }
+    // a1(s) = Σ_{c→s} 1 (in-degree); h1(c) = Σ_{c→s} a1(s);
+    // a2(s) = Σ_{c→s} h1(c)
+    val a1 = e.groupBy(col("s")).agg(count(lit(1)).as("a"))
+    val h1 = e.join(a1, "s").groupBy(col("c")).agg(sum(col("a")).as("h"))
+    val a2 = e.join(h1, "c").groupBy(col("s")).agg(sum(col("h")).as("a"))
+    def ranked(df: DataFrame, idCol: String, scoreCol: String, role: String) =
+      df.withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(scoreCol).desc, col(idCol))))
+        .filter(col("pos") <= topK)
+        .select(lit(role).as("role"), col("pos"),
+          col(idCol).as("entity_id"), col(scoreCol).as("score"))
+    ranked(h1, "c", "h", "hub").unionByName(ranked(a2, "s", "a", "authority"))
+  }
+
+  /** q102 oracle: the same two unnormalized rounds as CTEs. */
+  val hitsSql: String =
+    s"""WITH trade AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |a1 AS (SELECT s, count(*) AS a FROM trade GROUP BY s),
+       |h1 AS (
+       |  SELECT c, CAST(sum(a) AS BIGINT) AS h
+       |  FROM trade JOIN a1 USING (s) GROUP BY c),
+       |a2 AS (
+       |  SELECT s, CAST(sum(h) AS BIGINT) AS a
+       |  FROM trade JOIN h1 USING (c) GROUP BY s),
+       |hr AS (
+       |  SELECT 'hub' AS role, CAST(row_number() OVER (ORDER BY h DESC, c) AS INT) AS pos,
+       |         c AS entity_id, h AS score
+       |  FROM h1),
+       |ar AS (
+       |  SELECT 'authority' AS role, CAST(row_number() OVER (ORDER BY a DESC, s) AS INT) AS pos,
+       |         s AS entity_id, a AS score
+       |  FROM a2)
+       |SELECT role, pos, entity_id, score FROM hr WHERE pos <= $HitsTopK
+       |UNION ALL
+       |SELECT role, pos, entity_id, score FROM ar WHERE pos <= $HitsTopK""".stripMargin
+
   // ---------------------------------------------------------------- q99
 
   /** q99: TRIANGLE AUDIT — per-node triangle count and local

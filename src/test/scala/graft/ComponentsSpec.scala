@@ -184,6 +184,66 @@ class ComponentsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  /** Driver replay of q102's two unnormalized HITS rounds. */
+  private def hitsReplay(es: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+    val e = es.distinct
+    val a1 = e.groupBy(_._2).map { case (s, v) => s -> v.size.toLong }
+    val h1 = e.groupBy(_._1).map { case (c, v) => c -> v.map(x => a1(x._2)).sum }
+    val a2 = e.groupBy(_._2).map { case (s, v) => s -> v.map(x => h1(x._1)).sum }
+    (h1, a2)
+  }
+
+  test("q102 hitsOf: crafted bipartite graph ≡ replay; a hub of popular authorities beats a wider hub of unpopular ones") {
+    import spark.implicits._
+    // supplier 100 serves customers 1,2,3 (popular, a1=3); suppliers
+    // 101/102 serve only customer 4. Customer 1 buys from {100} only;
+    // customer 4 buys from {101,102} — wider, but both unpopular, so
+    // h(1)=3 strictly beats h(4)=2: depth of endorsement wins over
+    // breadth, the defining HITS behavior.
+    val es = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (4L, 101L), (4L, 102L))
+    val out = Components.hitsOf(spark, es.toDF("c", "s"), topK = 10).collect()
+    val (h1, a2) = hitsReplay(es)
+    out.foreach { r =>
+      val id = r.getAs[Long]("entity_id")
+      val want = if (r.getAs[String]("role") == "hub") h1(id) else a2(id)
+      assert(r.getAs[Long]("score") == want, s"${r.getAs[String]("role")} $id")
+    }
+    assert(h1(1L) == 3L && h1(4L) == 2L, "the planted inequality is real")
+    val hubs = out.filter(_.getAs[String]("role") == "hub")
+      .sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("entity_id"))
+    assert(hubs.take(3).toSeq == Seq(1L, 2L, 3L),
+      "single-popular-supplier hubs strictly outrank the wider unpopular hub")
+    assert(hubs(3) == 4L)
+    val auths = out.filter(_.getAs[String]("role") == "authority")
+      .sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("entity_id"))
+    assert(auths.head == 100L, "the popular supplier is the top authority")
+    CacheRegistry.releaseAll()
+  }
+
+  test("q102 hits: fixture ≡ replay over the collected trade edges; both roles present, positions dense") {
+    val trade = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (h1, a2) = hitsReplay(trade)
+    val out = Components.hits(spark, sf).collect()
+    val byRole = out.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("hub", "authority"))
+    byRole.foreach { case (role, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rs.length))
+      val m = if (role == "hub") h1 else a2
+      // the emitted top-k IS the replay's top-k, in order
+      val wantTop = m.toSeq.sortBy { case (id, sc) => (-sc, id) }
+        .take(rs.length).map(_._1)
+      assert(rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("entity_id")).toSeq
+        == wantTop, s"$role top-k")
+      rs.foreach(r => assert(r.getAs[Long]("score") == m(r.getAs[Long]("entity_id"))))
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("q95 linkRank: fixture graph ≡ driver replay; positions dense; kinds consistent with id parity") {
     val trade = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
