@@ -1294,6 +1294,13 @@ object TextAnalysis {
     * `excludeSelf` drops the probe's own source doc BEFORE ranking
     * (the retrieval convention when the query is itself a corpus
     * member — the hybrid fusion uses it to match q21's contract). */
+  /** The per-(term, doc) BM25 contribution over columns
+    * (tf, dl, df, n, tot) — shared verbatim by the batch probe and the
+    * streaming ingest twin so their scores are bit-identical. */
+  val Bm25TermScore: String =
+    "(length(conv((n * 1048576) div df, 10, 2)) - 1) * " +
+      "((tf * 2097152) div (tf * 1024 + (1024 + (dl * 1024) div (tot div n)) div 2))"
+
   def bm25Of(docs: DataFrame, probes: DataFrame, k: Int = 10,
       excludeSelf: Boolean = false): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -1316,10 +1323,7 @@ object TextAnalysis {
     val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("w"))
       .join(broadcast(probes), Seq("w"))
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
-        expr("(length(conv((n * 1048576) div df, 10, 2)) - 1) * " +
-          "((tf * 2097152) div (tf * 1024 + (1024 + (dl * 1024) div (tot div n)) div 2))")
-          .as("s"))
+      .select(col("query_id"), col("doc_id"), expr(Bm25TermScore).as("s"))
       .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("score"))
     val pool = if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id"))
                else scored

@@ -184,6 +184,44 @@ object Incremental {
       graft.functions.ImageHash.pixelDhash(col("pixels")).as("dh"))
       .filter(col("dh").isNotNull)
 
+  /** Streaming RETRIEVAL probe — q92's continuous twin, the serving
+    * half of the sparse-retrieval story: arriving queries are split
+    * into distinct probe terms (per-row array ops — stateless,
+    * stream-legal), equi-joined into the STATIC posting index (the
+    * stored artifact [[postingTable]] builds once per corpus), scored
+    * with the SAME [[graft.operators.TextAnalysis.Bm25TermScore]]
+    * expression the batch operator uses — scores are bit-identical by
+    * construction — and aggregated to one row per (query, doc) in the
+    * micro-batch (each query's terms arrive in one event, so the
+    * groupBy is micro-batch-scoped like [[nearDupStream]]'s). Top-k
+    * selection stays at the consumer (a window is not stream-legal in
+    * append mode; the candidate set per query is df-bounded). A query
+    * never triggers a corpus scan — only posting-list equi-probes:
+    * the continuous-serving shape of a 100 TB index. */
+  def retrievalStream(queries: DataFrame, postings: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .join(postings, "w") // stream-static equi-join on the term
+      .select(col("query_id"), col("doc_id"),
+        expr(graft.operators.TextAnalysis.Bm25TermScore).as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+
+  /** Static-side helper for [[retrievalStream]]: the denormalized
+    * posting index (w, doc_id, tf, dl, df, n, tot) — the per-term
+    * stats pre-joined so the stream side needs ONE equi-join. Built
+    * once per corpus, persisted as the stored index. */
+  def postingTable(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    tf.join(dl, Seq("doc_id")).join(dfreq, Seq("w")).crossJoin(stats)
+  }
+
   /** Static-side helper: the distinct gram hashes of an eval corpus
     * (same kernel, same n as the stream side). */
   def evalGramTable(evalDocs: DataFrame): DataFrame =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.{array_distinct, col, explode, max, split}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Incremental
@@ -154,6 +154,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.head._3 == expected, s"${rows.head._3} vs $expected")
       assert(rows.head._3 >= 0.8)
     } finally q.stop()
+  }
+
+  test("streaming retrieval probe: arriving queries score bit-identically to batch BM25 over the static posting index") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val postings = Incremental.postingTable(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // queries = the q92 probe shape: leading 8 tokens of 3 corpus docs
+    val probeDocs = corpus.orderBy(col("doc_id")).limit(3).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(8).mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = Incremental.retrievalStream(
+        input.toDF().toDF("query_id", "text"), postings)
+      .writeStream.format("memory").queryName("retrieval_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(probeDocs.take(2).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(probeDocs.drop(2).toSeq: _*) // second micro-batch
+      q.processAllAvailable()
+      val got = spark.table("retrieval_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // batch twin: same probe terms through bm25Of, k wide open so the
+      // whole scored candidate set comes back
+      val probes = probeDocs.toSeq.toDF("query_id", "text")
+        .select(col("query_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val want = graft.operators.TextAnalysis.bm25Of(corpus, probes, k = Int.MaxValue)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Long]("score")).toMap
+      assert(got.nonEmpty && got == want,
+        s"stream scores must equal batch scores (got ${got.size}, want ${want.size})")
+    } finally { q.stop(); postings.unpersist(); CacheRegistry.releaseAll() }
   }
 
   test("streaming session_window: sessions merge across batches, close past the watermark") {
