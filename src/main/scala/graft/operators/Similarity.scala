@@ -1313,7 +1313,11 @@ object Similarity {
       col("q").as("qa"), col("nrm").as("na"))
     val b = cand.select(col("q_id"), col("cid").as("b"), col("q").as("qb"),
       col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("q_id")).filter(col("a") =!= col("b"))
+    // self-pairs are KEPT (filtered out of the sim matrix in the
+    // kernel): a query whose shortlist has exactly one candidate has
+    // no a≠b pair rows, and filtering here would drop that query's
+    // group entirely while the oracle's step-1 argmax still emits it
+    val pairs = a.join(b, Seq("q_id"))
       .withColumn("sim_ab", floor(lit(1000000.0) *
         VectorOps.dot(col("qa"), col("qb")) / (col("na") * col("nb"))).cast("long"))
       .select(col("q_id").as("query_id"), col("a"), col("rel_a"), col("b"), col("sim_ab"))
@@ -1322,7 +1326,7 @@ object Similarity {
       .flatMapGroups { (qid, it) =>
         val rows = it.toArray
         val rel = rows.map(r => r.a -> r.rel_a).toMap
-        val sim = rows.map(r => (r.a, r.b) -> r.sim_ab).toMap
+        val sim = rows.filter(r => r.a != r.b).map(r => (r.a, r.b) -> r.sim_ab).toMap
         val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
         val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
         while (picks.length < k && remaining.nonEmpty) {

@@ -353,6 +353,18 @@ class SimilaritySpec extends AnyFunSuite {
       "greedy marginal scores are non-increasing")
   }
 
+  test("q97 singleton shortlist: a query with ONE candidate still emits its pick (self-pairs carry the group)") {
+    import spark.implicits._
+    val rows = Seq(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0), // the query (vec_id % 25 == 0)
+      7L -> Seq(0.6, 0.8, 0.0, 0.0)) // the only other vector
+    val out = Similarity.mmrDiverseOf(spark, rows.toDF("vec_id", "embedding"),
+      shortlist = 5, k = 3).collect()
+    assert(out.length == 1, s"exactly one pick, got ${out.length}")
+    assert(out.head.getAs[Long]("doc_id") == 7L)
+    assert(out.head.getAs[Int]("pos") == 1)
+  }
+
   test("q97 fixture: full driver replay; positions dense; picks distinct; scores non-increasing") {
     val emb = Tables.embeddings(spark, sf)
     val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"),
