@@ -331,6 +331,51 @@ object TextAnalysis {
       |ORDER BY freq DESC, token
       |LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------- q103
+
+  /** q103: VOCAB COVERAGE / OOV RATE per source — how well the q50
+    * top-V vocabulary fits each domain: per source, total tokens,
+    * out-of-vocabulary tokens, and oov_ppm = (10⁶·n_oov) div
+    * n_tokens. The tokenizer-fit dashboard a multi-domain corpus
+    * needs before committing a vocab — a domain with a high OOV rate
+    * fragments into byte-fallback tokens and inflates its effective
+    * sequence lengths (the q45/BPE story's acceptance metric).
+    *
+    * Scale shape: the vocabulary is MODEL-sized (top-V of the q50
+    * histogram — TakeOrdered, never a global sort) and BROADCASTS
+    * into a left-anti-shaped membership probe: the corpus token
+    * stream is ONE explode feeding a per-source aggregate with
+    * map-side combine; no corpus shuffle at all (the aggregate's
+    * output is |sources| rows). Membership via a broadcast left join
+    * + null test keeps one pass (an anti-join would need a second
+    * pass for the totals). */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopK(spark, dir).select(col("token"), lit(1).as("in_v"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(1000000 * n_oov) div n_tokens"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH vocab AS (
+       |$vocabTopKSql
+       |),
+       |toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |t AS (SELECT source, token FROM toks WHERE length(token) > 0)
+       |SELECT source, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_oov,
+       |       (1000000 * CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |         // count(*) AS oov_ppm
+       |FROM t LEFT JOIN vocab v USING (token)
+       |GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- q51
 
   /** Deterministic stratified subsampling — the data-mixing op of a

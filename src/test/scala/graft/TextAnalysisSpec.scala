@@ -594,4 +594,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(ranks.nonEmpty, s"probe $q retrieved nothing")
     }
   }
+
+  test("q103 OOV rate: per-source counts replay from the q50 vocab; ppm bounded; totals conserve") {
+    import org.apache.spark.sql.functions.{col => c}
+    val vocab = graft.operators.TextAnalysis.vocabTopK(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    val docs = Tables.documents(spark, sf).select(c("source"), c("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      val oov = toks.count(t => !vocab(t)).toLong
+      src -> (toks.length.toLong, oov, (1000000L * oov) / toks.length)
+    }
+    val out = graft.operators.TextAnalysis.oovRate(spark, sf).collect()
+    assert(out.length == want.size, "one row per source")
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("oov_ppm"))
+        == want(s), s"source $s")
+      assert(r.getAs[Long]("oov_ppm") <= 1000000L && r.getAs[Long]("oov_ppm") >= 0L)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+    // the top-100 vocab must actually cover something — the metric is
+    // vacuous if everything is OOV
+    assert(out.exists(r => r.getAs[Long]("oov_ppm") < 1000000L))
+  }
 }
