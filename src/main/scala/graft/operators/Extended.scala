@@ -1087,10 +1087,13 @@ object Extended {
     * ONE shuffle of |groups| rows.
     *
     * Integer-exact contract: x = quantity (integral in the fixture),
-    * y = round(price·100) cents; the sufficient statistics are exact
-    * BIGINT sums, widened through DECIMAL(38,0) (the q79/q90
-    * precedent — n·Σxy overflows BIGINT beyond ~sf1) for the
-    * normal-equation combinations:
+    * y = round(price·100) cents; the first moments (n, Σx, Σy) are
+    * exact BIGINT sums, while the SECOND moments (Σxy, Σx², Σy²)
+    * accumulate in DECIMAL(38,0) — per-brand Σy² alone passes 2⁶³
+    * near sf1, and non-ANSI BIGINT sum would wrap silently where
+    * DuckDB's HUGEINT accumulator does not (round-9 advisor). The
+    * same widening carries the normal-equation combinations
+    * (n·Σxy overflows BIGINT beyond ~sf1):
     *   num  = n·Σxy − Σx·Σy,  den = n·Σx² − Σx²,
     *   slope_ppm = (10⁶·num) div den,
     *   r2_ppm    = (slope_ppm · num) div (n·Σy² − Σy²)
@@ -1110,8 +1113,9 @@ object Extended {
         col("p_brand")), "l_partkey")
     j.groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
       .select(col("p_brand"), col("n"),
         expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
         expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("den"),
@@ -1131,9 +1135,9 @@ object Extended {
       |s AS (
       |  SELECT p_brand, count(*) AS n,
       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |         CAST(sum(x * y) AS BIGINT) AS sxy,
-      |         CAST(sum(x * x) AS BIGINT) AS sxx,
-      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |         CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |         CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |         CAST(sum(y * y) AS HUGEINT) AS syy
       |  FROM j GROUP BY p_brand),
       |c AS (
       |  SELECT p_brand, n,

@@ -191,13 +191,19 @@ object Incremental {
     * stored artifact [[postingTable]] builds once per corpus), scored
     * with the SAME [[graft.operators.TextAnalysis.Bm25TermScore]]
     * expression the batch operator uses — scores are bit-identical by
-    * construction — and aggregated to one row per (query, doc) in the
-    * micro-batch (each query's terms arrive in one event, so the
-    * groupBy is micro-batch-scoped like [[nearDupStream]]'s). Top-k
-    * selection stays at the consumer (a window is not stream-legal in
-    * append mode; the candidate set per query is df-bounded). A query
-    * never triggers a corpus scan — only posting-list equi-probes:
-    * the continuous-serving shape of a 100 TB index. */
+    * construction — and aggregated to one row per (query, doc). The
+    * groupBy here is a GLOBAL stateful aggregation, NOT micro-batch-
+    * scoped: unwatermarked, Spark rejects it in append mode, so this
+    * form runs in complete/update mode and (query_id, doc_id) state
+    * grows with every query ever seen — correct for a bounded replay
+    * or an interactive dashboard session, wrong for continuous
+    * serving (round-9 advisor; StreamingSpec runs it in complete
+    * mode). The continuous-serving deployment uses
+    * [[retrievalStreamWindowed]], whose event-time watermark evicts
+    * closed query windows. Top-k selection stays at the consumer (a
+    * rank window is not stream-legal; the candidate set per query is
+    * df-bounded). A query never triggers a corpus scan — only
+    * posting-list equi-probes: the serving shape of a 100 TB index. */
   def retrievalStream(queries: DataFrame, postings: DataFrame): DataFrame =
     queries
       .select(col("query_id"),
@@ -207,6 +213,29 @@ object Incremental {
         expr(graft.operators.TextAnalysis.Bm25TermScore).as("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score"))
+
+  /** Continuous-serving form of [[retrievalStream]]: `queries` carries
+    * an event-time column (query_id, text, event_ts), the aggregation
+    * groups by a tumbling event-time window alongside (query_id,
+    * doc_id), and the watermark lets Spark EVICT each window's state
+    * once event time passes window.end + delay — bounded state, append-
+    * legal, the deployment shape the plain form's scaladoc rules out.
+    * A query's terms all carry its single event_ts, so the window
+    * never splits a query; scores remain bit-identical to batch BM25
+    * (same [[graft.operators.TextAnalysis.Bm25TermScore]] expression,
+    * same posting index). */
+  def retrievalStreamWindowed(queries: DataFrame, postings: DataFrame,
+      windowLen: String = "1 minute", delay: String = "5 minutes"): DataFrame =
+    queries
+      .withWatermark("event_ts", delay)
+      .select(col("query_id"), col("event_ts"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .join(postings, "w") // stream-static equi-join on the term
+      .select(col("query_id"), col("event_ts"), col("doc_id"),
+        expr(graft.operators.TextAnalysis.Bm25TermScore).as("s"))
+      .groupBy(window(col("event_ts"), windowLen), col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score"))
+      .select(col("query_id"), col("doc_id"), col("score"))
 
   /** Static-side helper for [[retrievalStream]]: the denormalized
     * posting index (w, doc_id, tf, dl, df, n, tot) — the per-term

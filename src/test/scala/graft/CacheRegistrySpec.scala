@@ -55,6 +55,33 @@ class CacheRegistrySpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("semanticHash keying: identical graphs share one entry, distinct graphs do not") {
+    import graft.operators.Components
+    CacheRegistry.releaseAll()
+    import spark.implicits._
+    // two STRUCTURALLY IDENTICAL but distinct DataFrame objects — an
+    // identity key would register two entries (the round-9 advisor
+    // finding: every bench rep re-built the q95 edge cache); the
+    // semanticHash key must dedupe them
+    val g1 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val g2 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    Components.linkRankOf(spark, g1).write.format("noop").mode("overwrite").save()
+    val afterFirst = CacheRegistry.size
+    Components.linkRankOf(spark, g2).write.format("noop").mode("overwrite").save()
+    assert(CacheRegistry.size == afterFirst,
+      "structurally identical input frames must share one cached edge entry")
+    // a DIFFERENT graph must get its own entry — a shared constant key
+    // would serve the first graph's cached edges here
+    val g3 = Seq((10L, 20L), (20L, 30L)).toDF("s", "t")
+    val r3 = Components.linkRankOf(spark, g3)
+    assert(CacheRegistry.size == afterFirst + 1,
+      "a different graph must register a distinct cache entry")
+    // and its results must be the new graph's, not the cached old one's
+    val ids = r3.select(col("entity_id")).as[Long].collect().toSet
+    assert(ids.subsetOf(Set(5L, 10L, 15L)), s"wrong graph served: $ids")
+    CacheRegistry.releaseAll()
+  }
+
   test("released cache does not change results: q18 identical before/after release") {
     CacheRegistry.releaseAll()
     val before = Dedup.minhashLsh(spark, sf).orderBy(col("a_id"), col("b_id")).collect().toSeq

@@ -190,6 +190,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); postings.unpersist(); CacheRegistry.releaseAll() }
   }
 
+  test("windowed retrieval probe is append-legal: watermark closes query windows, scores match batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val postings = Incremental.postingTable(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeDocs = corpus.orderBy(col("doc_id")).limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(8).mkString(" ")))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    // append mode — the whole point: the unwatermarked form is
+    // REJECTED here, the windowed form is not, and emission happens
+    // only when the watermark passes a query window's end
+    val q = Incremental.retrievalStreamWindowed(
+        input.toDF().toDF("query_id", "text", "event_ts"), postings)
+      .writeStream.format("memory").queryName("retrieval_w_out")
+      .outputMode("append").start()
+    try {
+      input.addData(probeDocs.toSeq.map(p => (p._1, p._2, ts("2024-06-01 10:00:10"))): _*)
+      q.processAllAvailable()
+      assert(spark.table("retrieval_w_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      // watermark driver: event at 10:07 moves watermark past
+      // 10:00-10:01 window end + 5 min delay → both queries emit
+      input.addData((999L, "zzzz_no_such_term", ts("2024-06-01 10:07:00")))
+      q.processAllAvailable()
+      input.addData((998L, "zzzz_no_such_term", ts("2024-06-01 10:08:00")))
+      q.processAllAvailable()
+      val got = spark.table("retrieval_w_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val probes = probeDocs.toSeq.map(p => (p._1, p._2)).toDF("query_id", "text")
+        .select(col("query_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val want = graft.operators.TextAnalysis.bm25Of(corpus, probes, k = Int.MaxValue)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Long]("score")).toMap
+      assert(got.nonEmpty && got == want,
+        s"windowed stream scores must equal batch scores (got ${got.size}, want ${want.size})")
+    } finally { q.stop(); postings.unpersist(); CacheRegistry.releaseAll() }
+  }
+
   test("streaming session_window: sessions merge across batches, close past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
