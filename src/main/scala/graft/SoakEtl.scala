@@ -227,6 +227,31 @@ object SoakAnn {
       fn().write.format("noop").mode("overwrite").save()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    // stored-index lifecycle (round-9 judge ask): train+persist ONCE,
+    // then serve from the manifest tables in a fresh session — the
+    // serve rows pay no training scan and (q82) no corpus encode
+    println(s"## Stored-index lifecycle (AnnIndex via ManifestSink)")
+    CacheRegistry.releaseAll()
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val tBuild = timed {
+      operators.Similarity.buildIvfIndex(spark, sfDir, idx)
+      operators.Similarity.buildPqIndex(spark, sfDir, idx)
+    }
+    println(f"build (train+persist q44+q82) ${tBuild}%6.2f s  → $idx")
+    CacheRegistry.releaseAll() // serve must not inherit the build's cache
+    val serve = spark.newSession() // fresh session state: nothing trained
+    def serveRow(name: String, fn: => org.apache.spark.sql.DataFrame): Unit = {
+      fn.write.format("noop").mode("overwrite").save() // warm
+      println(f"$name%-28s ${timed(fn.write.format("noop").mode("overwrite").save())}%6.2f s")
+      CacheRegistry.releaseAll()
+    }
+    serveRow("q44 serve (stored quantizer)",
+      operators.Similarity.ivfTopKServe(serve, sfDir, idx))
+    serveRow("q82 serve (stored code table)",
+      operators.Similarity.pqAdcTopKServe(serve, sfDir, idx))
     spark.stop()
   }
 }
@@ -269,14 +294,31 @@ object SoakGraph {
       CacheRegistry.releaseAll()
       val tTri = time(operators.Components.triangleAuditOf(edges))
       CacheRegistry.releaseAll()
+      // q102 HITS: same iteration algebra as q95, directed form
+      operators.Components.hitsOf(spark, edges)
+        .write.format("noop").mode("overwrite").save() // warm
+      CacheRegistry.releaseAll()
+      val tHits = time(operators.Components.hitsOf(spark, edges))
+      CacheRegistry.releaseAll()
+      // q94 leakage split: CC contraction + split containment counts
+      // over the same graph, docs = the node universe
+      val docs = spark.range(nodes).select(col("id").as("doc_id"))
+      operators.Components.leakageSplitOf(docs, edges)
+        .write.format("noop").mode("overwrite").save() // warm
+      CacheRegistry.releaseAll()
+      val tSplit = time(operators.Components.leakageSplitOf(docs, edges))
+      CacheRegistry.releaseAll()
       edges.unpersist()
-      (nodes, tPr, tTri)
+      (nodes, tPr, tTri, tHits, tSplit)
     }
-    val Seq((n1, pr1, tri1), (n2, pr2, tri2)) = results
-    println(f"q95_link_rank            ${n1 / 1000}k nodes: $pr1%6.2f s   " +
-      f"${n2 / 1000}k nodes: $pr2%6.2f s   growth ${pr2 / pr1}%4.1fx")
-    println(f"q99_triangle_audit       ${n1 / 1000}k nodes: $tri1%6.2f s   " +
-      f"${n2 / 1000}k nodes: $tri2%6.2f s   growth ${tri2 / tri1}%4.1fx")
+    val Seq((n1, pr1, tri1, h1, s1), (n2, pr2, tri2, h2, s2)) = results
+    def row(name: String, a: Double, b: Double): Unit =
+      println(f"$name%-24s ${n1 / 1000}k nodes: $a%6.2f s   " +
+        f"${n2 / 1000}k nodes: $b%6.2f s   growth ${b / a}%4.1fx")
+    row("q95_link_rank", pr1, pr2)
+    row("q99_triangle_audit", tri1, tri2)
+    row("q102_hits", h1, h2)
+    row("q94_leakage_split", s1, s2)
     spark.stop()
   }
 }

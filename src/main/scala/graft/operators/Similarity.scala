@@ -312,13 +312,21 @@ object Similarity {
     corpus.withColumn("cell",
       coalesce(VectorOps.nearestCell(col("e"), col("nrm"), cents), lit(-1L)))
 
+  /** Public train entry for the IVF quantizer — what
+    * [[graft.operators.AnnIndex.saveQuantizer]] persists. The sampled
+    * rule (q44's oracle contract) as-is; compose [[refineCentroids]]
+    * on the result for Lloyd-trained production quantizers. */
+  def trainIvfQuantizer(
+      corpus: DataFrame,
+      centroidPred: org.apache.spark.sql.Column): Seq[(Long, Array[Double], Double)] =
+    collectCentroids(corpus, centroidPred)
+
   private def ivfAssignAndProbe(
       corpus: DataFrame,
       queryPred: org.apache.spark.sql.Column,
-      centroidPred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double], Double)],
       nprobe: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val cents = collectCentroids(corpus, centroidPred)
     val assigned = assignCells(corpus, cents)
     // centroid table for query probing — rebuilt from the collected
     // quantizer (no second corpus scan)
@@ -343,8 +351,22 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column,
       centroidPred: org.apache.spark.sql.Column,
       nprobe: Int,
+      k: Int): DataFrame =
+    ivfTopKWithQuantizer(corpus, queryPred,
+      collectCentroids(corpus, centroidPred), nprobe, k)
+
+  /** IVF serve path: same plan as [[ivfTopKWith]] but against a
+    * PRE-TRAINED quantizer (in-session or reloaded via
+    * [[graft.operators.AnnIndex.loadQuantizer]]) — no training scan.
+    * Byte-identical to training in-session: the quantizer round-trips
+    * exactly and the assignment/probe/scan plan is shared. */
+  def ivfTopKWithQuantizer(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double], Double)],
+      nprobe: Int,
       k: Int): DataFrame = {
-    val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred, centroidPred, nprobe)
+    val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred, cents, nprobe)
     // the probe join: equi-join on the cell id — candidates are the
     // nprobe cells' inverted lists, not the corpus
     val cand = assigned.join(broadcast(probes),
@@ -365,7 +387,8 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column,
       centroidPred: org.apache.spark.sql.Column,
       nprobe: Int): DataFrame = {
-    val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred, centroidPred, nprobe)
+    val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred,
+      collectCentroids(corpus, centroidPred), nprobe)
     assigned.join(broadcast(probes.select(col("q_id"), col("probe"))),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
@@ -779,8 +802,8 @@ object Similarity {
       topK: Int = 5): DataFrame = {
     val v = vectors(spark, dir)
     val cb = trainPq(v, m, k, iters)
-    val (assigned, probes) =
-      ivfAssignAndProbe(v, expr(QueryFilter), expr(IvfCentroidFilter), nprobe)
+    val (assigned, probes) = ivfAssignAndProbe(v, expr(QueryFilter),
+      collectCentroids(v, expr(IvfCentroidFilter)), nprobe)
     // the stored index: cell id + PQ codes, nothing else.
     // Materialized (see pqAdcTopK) so NearestCell + PqEncode run once
     // per vector, not once per (vector, probe) join pair.
@@ -840,35 +863,105 @@ object Similarity {
     * ([[ivfPqTopK]]): cells prune candidates in front of this exact
     * scan shape. */
   def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
-    val m = PqOracleM; val k = PqOracleK
-    val raw = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
-    val d = raw.select(size(col("e0"))).head().getInt(0)
-    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
-    // codegen'd per-element integer scale (d floor exprs, no HOF
-    // lambda in the hot path — the q61 quantize pattern)
-    val eInt = array((0 until d).map(i =>
-      floor(element_at(col("e0"), i + 1) * lit(1024.0)).cast("double")): _*)
-    val v = raw.select(col("vec_id"), eInt.as("e"))
-    val cb = trainPq(v, m, k, iters = 0) // seed rule only — deterministic
+    val v = pqIntVectors(spark, dir)
+    val cb = trainPq(v, PqOracleM, PqOracleK, iters = 0) // seed rule only — deterministic
     // MATERIALIZATION POINT, not an optimization nicety: without it,
     // projection collapse inlines the 64-expr integer scale + PqEncode
     // into the join's per-PAIR projection — encoding every vector once
     // per query (80× redundant work here; measured 20 s vs 0.3 s at
     // sf0.1). In a real deployment the codes ARE the stored index (the
-    // whole point of PQ), so the cache stands in for the code table a
-    // 100 TB corpus would read directly.
+    // whole point of PQ) — [[buildPqIndex]]/[[pqAdcTopKServe]] persist
+    // and read exactly this table; the cache stands in for it here.
     val coded = graft.CacheRegistry.getOrCache(spark, s"similarity.pqCoded:$dir")(
       v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes")))
-    val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
+    adcRank(spark, coded, pqQueryVectors(v), cb)
+  }
+
+  /** The q82 corpus in its integer-scaled form (floor(x·1024) — see
+    * [[pqAdcTopK]]'s determinism note): codegen'd per-element scale,
+    * no HOF lambda in the hot path (the q61 quantize pattern). */
+  private def pqIntVectors(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+    val d = raw.select(size(col("e0"))).head().getInt(0)
+    require(d % PqOracleM == 0, s"dim $d not divisible by m=$PqOracleM subspaces")
+    val eInt = array((0 until d).map(i =>
+      floor(element_at(col("e0"), i + 1) * lit(1024.0)).cast("double")): _*)
+    raw.select(col("vec_id"), eInt.as("e"))
+  }
+
+  /** Driver-side query set (the declared-small side, q21/q22
+    * contract). */
+  private def pqQueryVectors(v: DataFrame): Array[(Long, Array[Double])] =
+    v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** The shared q82 ADC scan tail: stored codes × broadcast per-query
+    * distance tables → integer ADC sums → per-query top-5. */
+  private def adcRank(spark: SparkSession, coded: DataFrame,
+      qs: Array[(Long, Array[Double])], cb: Array[Array[Array[Double]]]): DataFrame = {
     val tdf = adcTables(spark, qs, cb)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
     coded.join(broadcast(tdf), col("vec_id") =!= col("q_id"))
-      .withColumn("adist", VectorOps.adcScore(col("codes"), col("qtable"), k).cast("long"))
+      .withColumn("adist",
+        VectorOps.adcScore(col("codes"), col("qtable"), PqOracleK).cast("long"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
+  // ------------------------------------------- stored-index lifecycle
+
+  /** Train-once half of the q44 IVF lifecycle: derive the quantizer
+    * (q44's sampled oracle rule; `lloydIters` > 0 composes
+    * [[refineCentroids]] for the production Lloyd-trained variant) and
+    * persist it via [[graft.operators.AnnIndex]] as a manifest table.
+    * One training scan per corpus version, ever. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      lloydIters: Int = 0): Unit = {
+    val v = vectors(spark, dir)
+    val cents0 = collectCentroids(v, expr(IvfCentroidFilter))
+    val cents = if (lloydIters > 0) refineCentroids(v, cents0, lloydIters) else cents0
+    AnnIndex.saveQuantizer(spark, s"$indexPath/quantizer", cents)
+  }
+
+  /** Serve-only half of the q44 lifecycle: reload the stored quantizer
+    * and run the q44 plan against it — no training, results
+    * byte-identical to in-session training (AnnIndexSpec pins it;
+    * exact double round-trip, see [[graft.operators.AnnIndex]]). */
+  def ivfTopKServe(spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    ivfTopKWithQuantizer(vectors(spark, dir), expr(QueryFilter),
+      AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer"), IvfNprobe, IvfK)
+
+  /** Train-once half of the q82 PQ lifecycle: derive the deterministic
+    * seed codebook, ENCODE THE CORPUS, and persist both — the code
+    * table is the index (m small ints per vector), written
+    * distributed, never collected. */
+  def buildPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val v = pqIntVectors(spark, dir)
+    val cb = trainPq(v, PqOracleM, PqOracleK, iters = 0)
+    AnnIndex.saveCodebook(spark, s"$indexPath/codebook", cb)
+    // same materialization point (and cache key) as [[pqAdcTopK]]: the
+    // write's posexplode otherwise collapses INTO the encode projection
+    // and its not-null generator filter evaluates PqEncode a second
+    // time per row; sharing the entry also means a build in a session
+    // that already ran q82 encodes nothing at all
+    val coded = graft.CacheRegistry.getOrCache(spark, s"similarity.pqCoded:$dir")(
+      v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes")))
+    AnnIndex.saveCodes(s"$indexPath/codes", coded.withColumn("cell", lit(-1L)))
+  }
+
+  /** Serve-only half of the q82 lifecycle: the ADC scan against the
+    * STORED code table — the corpus is neither re-scaled nor
+    * re-encoded (only the query rows are, to build their distance
+    * tables), which is the whole serve-time win the PERF.md row
+    * measures. Byte-identical to [[pqAdcTopK]]: integer codes and
+    * shortest-repr doubles round-trip exactly. */
+  def pqAdcTopKServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val cb = AnnIndex.loadCodebook(spark, s"$indexPath/codebook")
+    val coded = AnnIndex.loadCodes(spark, s"$indexPath/codes")
+      .select(col("vec_id"), col("codes"))
+    adcRank(spark, coded, pqQueryVectors(pqIntVectors(spark, dir)), cb)
   }
 
   /** Self-contained SQL replay of the whole q82 pipeline: integer
