@@ -993,4 +993,106 @@ object Dedup {
        |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $DHashHamMax""".stripMargin
   }
+
+  // --------------------------------------------------------------- q104
+
+  /** q104's pairing radius: 56-bit envelope, 4 bands of 14 bits →
+    * pigeonhole-EXACT recall for hamming ≤ 3, same geometry as q87. */
+  val AudioHamMax = 3
+
+  /** q104: PERCEPTUAL AUDIO near-dup — the second multimodal dedup leg
+    * (q87 covered images). A gain-shifted or re-encoded recording is
+    * the same training example; the energy-envelope difference hash
+    * ([[graft.functions.AudioHash]] — 57 frame mean-|energies|,
+    * adjacent-frame gradient signs) sees that where content hashes
+    * cannot, and pairs within a small hamming radius through the SAME
+    * banded pigeonhole join as q56/q87 ([[simhashNearDupWith]] — so
+    * the pairing stage inherits the proven scale shape: map-side
+    * fingerprint, band explode, equi-join, verify, no n²).
+    *
+    * Oracle strategy (the q87 playbook on the audio axis): DuckDB
+    * cannot decode WAV, so the ORACLED query treats each embedding as
+    * a signal and PLANTS its own duplicates — every vector is hashed
+    * twice, as-is and as a ×[[graft.functions.AudioHash.GainNum]]
+    * gain-shifted copy with deterministic ±NoiseAmp "re-encode" noise
+    * (integer-exact in both engines). The banded join must then
+    * recover exactly the planted copy-pairs, so recall AND precision
+    * of the pipeline are oracle-checked end-to-end. The REAL PCM leg —
+    * WAV decode → [[graft.functions.PcmEnvHash]] →
+    * [[audioNearDupSamples]] — is the same expression family and the
+    * same join, proven in MediaSpec with planted gain-shifted +
+    * encode-round-tripped duplicates ([[graft.multimodal.Media.WavCodec]]
+    * supplies the sample arrays). */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AudioHash
+    val e = Tables.embeddings(spark, dir)
+    // ids interleave like q87: original 2·vec_id, planted copy
+    // 2·vec_id+1 — a_id < b_id keeps orientation deterministic
+    val orig = e.select((col("vec_id") * 2).as("doc_id"),
+      AudioHash.vecEnvHash(col("embedding"), lit(0L), 0, 1).as("simhash"))
+    val shifted = e.select((col("vec_id") * 2 + 1).as("doc_id"),
+      AudioHash.vecEnvHash(col("embedding"), col("vec_id"),
+        AudioHash.NoiseAmp, AudioHash.GainNum).as("simhash"))
+    simhashNearDupWith(orig.unionAll(shifted), AudioHash.Bits, DHashBandBits,
+      AudioHamMax, cacheKey = Some(s"dedup.envBands:$dir"))
+  }
+
+  /** The real-audio form of q104: `audio` carries (doc_id, samples
+    * array<int>) — decoded PCM from [[graft.multimodal.Media.WavCodec]]
+    * (or any decoder). Same banded pairing core as the oracled vector
+    * form. */
+  def audioNearDupSamples(audio: DataFrame, hamMax: Int = AudioHamMax): DataFrame =
+    simhashNearDupWith(
+      audio.select(col("doc_id"),
+        graft.functions.AudioHash.pcmEnvHash(col("samples")).as("simhash")),
+      graft.functions.AudioHash.Bits, DHashBandBits, hamMax)
+
+  val audioNearDupSql: String = {
+    val F = graft.functions.AudioHash.Frames    // 57
+    val bits = graft.functions.AudioHash.Bits   // 56
+    val minS = graft.functions.AudioHash.MinSamples
+    val q = graft.functions.AudioHash.Quant     // 1024
+    val g = graft.functions.AudioHash.GainNum   // 3
+    val amp = graft.functions.AudioHash.NoiseAmp
+    val bb = DHashBandBits
+    // frame f (0-based): samples [n*f//F, n*(f+1)//F); mean |x| per
+    // frame — abs sums are non-negative so DuckDB's truncating `//`
+    // equals the kernel's floor division (no q87-style emulation)
+    val bsE = s"(n * f // $F)"
+    val beE = s"(n * (f + 1) // $F)"
+    val envE =
+      s"""list_transform(generate_series(0, ${F - 1}), f ->
+         |  list_sum(list_transform(v[$bsE + 1 : $beE], x -> abs(x))) // ($beE - $bsE))""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $q) AS BIGINT)) AS v0
+       |  FROM embeddings WHERE len(embedding) >= $minS),
+       |sig AS (
+       |  SELECT vec_id * 2 AS doc_id, v0 AS v, CAST(len(v0) AS BIGINT) AS n FROM qv
+       |  UNION ALL
+       |  SELECT vec_id * 2 + 1,
+       |         list_transform(generate_series(0, len(v0) - 1),
+       |           k -> v0[k + 1] * $g + ((vec_id * 31 + k) * 2654435761 % 4294967296)
+       |                                % ${2 * amp + 1} - $amp),
+       |         CAST(len(v0) AS BIGINT)
+       |  FROM qv),
+       |env AS (
+       |  SELECT doc_id, $envE AS e FROM sig),
+       |fp AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), k ->
+       |           CASE WHEN e[k + 1] > e[k + 2]
+       |                THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS eh
+       |  FROM env),
+       |bands AS (
+       |  SELECT doc_id, eh, j.j AS band, (eh >> (j.j * $bb)) & ${(1L << bb) - 1} AS bval
+       |  FROM fp, (SELECT unnest(generate_series(0, ${bits / bb - 1})) AS j) j),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.eh AS ha, b.eh AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $AudioHamMax""".stripMargin
+  }
 }

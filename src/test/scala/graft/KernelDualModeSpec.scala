@@ -128,6 +128,34 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("VecEnvHash dual-mode (amp 0/4, gain 1/3; sub-envelope and negative dims)") {
+    import spark.implicits._
+    import graft.functions.AudioHash
+    val vecGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1.5f, 1.5f)))
+    val rows = (Gen.listOfN(60, vecGen).sample.get ++
+      Seq(Nil, List.fill(56)(-0.25f), List.fill(64)(1.0f)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "emb")
+    for ((amp, gain) <- Seq((0, 1), (4, 3))) dualMode {
+      rows.select(AudioHash.vecEnvHash(col("emb"), col("id"), amp, gain).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
+  test("PcmEnvHash dual-mode (incl. short arrays → null, negative samples)") {
+    import spark.implicits._
+    import graft.functions.AudioHash
+    val pcmGen = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-32768, 32767)))
+    val rows = (Gen.listOfN(60, pcmGen).sample.get ++
+      Seq(Nil, List.fill(56)(100), List.fill(57)(-7)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "samples")
+    dualMode {
+      rows.select(AudioHash.pcmEnvHash(col("samples")).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
   test("PixelDHash dual-mode (incl. sub-grid images → null)") {
     import spark.implicits._
     import graft.functions.ImageHash

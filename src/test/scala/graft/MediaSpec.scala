@@ -136,6 +136,51 @@ class MediaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode("RIFFxxxxWAVE".getBytes))
   }
 
+  test("q104 real-PCM leg: gain-shifted + re-encoded audio pairs with its original; distinct audio does not") {
+    import Media.WavCodec
+    import graft.functions.AudioHash
+    val perFrame = 100
+    // amplitude-modulated tone: independent per-envelope-frame random
+    // amplitudes (seeded — deterministic test) make the energy
+    // envelope distinctive; two seeds → uncorrelated gradient signs
+    def tone(seed: Int): Array[Short] = {
+      val rnd = new scala.util.Random(seed)
+      val amps = Array.fill(AudioHash.Frames)(2000 + rnd.nextInt(8000))
+      Array.tabulate(AudioHash.Frames * perFrame) { i =>
+        (amps(i / perFrame) * math.sin(2 * math.Pi * 440.0 * i / 8000.0)).toShort
+      }
+    }
+    val orig = tone(1)
+    // the planted duplicate: gain ×0.8 (integer truncation IS the
+    // re-encode noise), then a full WAV encode → decode round-trip —
+    // the dup arrives the way a re-uploaded file would
+    val dup = WavCodec.decode(WavCodec.encode(
+      orig.map(s => (s * 4 / 5).toShort), 8000, channels = 1)).samples
+    val other = tone(2)
+    import spark.implicits._
+    val audio = Seq(
+      (1L, orig.map(_.toInt).toSeq),
+      (2L, dup.map(_.toInt).toSeq),
+      (3L, other.map(_.toInt).toSeq)).toDF("doc_id", "samples")
+    val pairs = graft.operators.Dedup.audioNearDupSamples(audio).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"exactly the planted pair must survive: ${pairs.mkString(",")}")
+    assert(pairs.head._3 <= graft.operators.Dedup.AudioHamMax)
+    // the distributed kernel ≡ the driver replay on the same samples
+    val viaSpark = audio.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select(AudioHash.pcmEnvHash(org.apache.spark.sql.functions.col("samples")))
+      .head().getLong(0)
+    assert(viaSpark == AudioHash.pcmEnvHashSeq(orig.map(_.toInt).toSeq))
+    // gain invariance is the perceptual claim: the planted pair's
+    // fingerprints differ by at most the pairing radius
+    val hDup = AudioHash.pcmEnvHashSeq(dup.map(_.toInt).toSeq)
+    assert(java.lang.Long.bitCount(viaSpark ^ hDup) <= graft.operators.Dedup.AudioHamMax)
+    // while the distinct tone sits far outside it
+    val hOther = AudioHash.pcmEnvHashSeq(other.map(_.toInt).toSeq)
+    assert(java.lang.Long.bitCount(viaSpark ^ hOther) > 2 * graft.operators.Dedup.AudioHamMax)
+  }
+
   test("Y4M codec: real video frames round-trip; sampling and features use decoded luma") {
     import Media.Y4mCodec
     val w = 16; val h = 8
