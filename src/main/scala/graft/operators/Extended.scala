@@ -1176,11 +1176,37 @@ object Extended {
     * never reaches the per-item join); the final top-k window runs on
     * the support-filtered pair table (3.4k rows at sf0.01), not the
     * pair stream. A mega-basket (one order with thousands of parts)
-    * is the q18 hot-bucket shape — cap or salt the basket key; the
-    * fixture's baskets are ≤ 7 items. */
-  def basketLift(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    * is the q18 hot-bucket shape — [[basketLiftOf]]'s `maxBasket` knob
+    * drops it whole (the q18 broadcast left-anti guard on the basket
+    * key), with [[megaBasketReport]] auditing the dropped mass before
+    * a deployment engages the cap; OFF by default — the q100 oracle is
+    * the uncapped semantics, and the fixture's baskets are ≤ 7 items. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame =
+    basketLiftOf(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+
+  /** Frame-agnostic core of [[basketLift]]: `baskets0` carries
+    * distinct (o = group key, p = item) rows. `maxBasket` (off by
+    * default) excises baskets larger than the cap WHOLE — from pair
+    * generation AND the item/total supports, so lift stays internally
+    * consistent within the capped universe (a half-dropped basket
+    * would deflate P(a,b) against intact P(a)·P(b)). The mega set is
+    * tiny by construction (a handful of pathological group keys), so
+    * it broadcasts into a left-anti probe and the basket table never
+    * gains a shuffle — the q18/q56 hot-key guard, applied to the
+    * transaction axis. Recall contract (the knob's honest price): all
+    * C(n,2) pairs of a dropped basket vanish, so size the cap above
+    * the expected legitimate basket and audit [[megaBasketReport]]
+    * first. */
+  def basketLiftOf(baskets0: DataFrame, maxBasket: Option[Int] = None): DataFrame = {
+    val baskets = maxBasket.fold(baskets0) { m =>
+      require(m >= 2, s"maxBasket must be >= 2, got $m")
+      val mega = baskets0.groupBy(col("o"))
+        .agg(count(lit(1)).as("basket_n"))
+        .filter(col("basket_n") > m)
+        .select(col("o"))
+      baskets0.join(broadcast(mega), Seq("o"), "left_anti")
+    }
     val pairs = baskets.select(col("o"), col("p").as("pa"))
       .join(baskets.select(col("o"), col("p").as("pb")), "o")
       .filter(col("pa") < col("pb"))
@@ -1201,6 +1227,25 @@ object Extended {
       .select(col("pos"), col("pa").as("part_a"), col("pb").as("part_b"),
         col("n_ab"), col("lift_ppm"))
   }
+
+  /** Dropped-mass audit for [[basketLiftOf]]'s cap — the q18
+    * `hotBucketReport` pattern on the transaction axis: one row of
+    * (n_baskets, n_mega_baskets, rows_dropped, pairs_dropped,
+    * max_basket). `pairs_dropped` = Σ C(nᵢ,2) over the mega baskets —
+    * the candidate-pair mass the cap removes, the number a deployment
+    * compares against its expected legitimate co-occurrence before
+    * engaging. */
+  def megaBasketReport(baskets0: DataFrame, maxBasket: Int): DataFrame =
+    baskets0.groupBy(col("o")).agg(count(lit(1)).as("basket_n"))
+      .agg(
+        count(lit(1)).as("n_baskets"),
+        sum(when(col("basket_n") > maxBasket, 1L).otherwise(0L)).as("n_mega_baskets"),
+        sum(when(col("basket_n") > maxBasket, col("basket_n")).otherwise(0L))
+          .as("rows_dropped"),
+        sum(when(col("basket_n") > maxBasket,
+          expr("basket_n * (basket_n - 1) div 2")).otherwise(0L))
+          .as("pairs_dropped"),
+        max(col("basket_n")).as("max_basket"))
 
   val basketLiftSql: String =
     s"""WITH b AS (

@@ -287,4 +287,34 @@ class ExtendedOpsSpec extends AnyFunSuite {
       assert(nab >= 2, "support filter")
     }
   }
+
+  test("q100 mega-basket cap: the pathological basket is excised whole, normal pairs survive, report audits the dropped mass") {
+    import spark.implicits._
+    // 2 copies of a normal 3-item basket (so its pairs are supported)
+    // + one 40-item mega basket sharing item 1
+    val normal = Seq(101L, 102L).flatMap(o => Seq(1L, 2L, 3L).map(p => (o, p)))
+    val mega = (1L to 40L).map(p => (999L, p))
+    val baskets = (normal ++ mega).toDF("o", "p")
+    val uncapped = Extended.basketLiftOf(baskets).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSet
+    // uncapped: the mega basket pushes pairs like (1,2),(1,3),(2,3) to
+    // support 3 and adds nothing else supported — but its C(40,2)
+    // candidates were all generated
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Extended.basketLiftOf(baskets, maxBasket = Some(10)).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_ab"), r.getAs[Long]("lift_ppm"))).toSet
+    // capped: the mega basket is gone WHOLE — supports, totals, and
+    // pairs all reflect only the 2 normal baskets (n_ab = 2,
+    // n_orders = 2, n_a = n_b = 2 → lift = 2·2·10⁶/4 = 10⁶ exactly,
+    // the internally-consistent-universe property)
+    assert(capped == Set((1L, 2L, 2L, 1000000L), (1L, 3L, 2L, 1000000L),
+      (2L, 3L, 2L, 1000000L)), s"got $capped")
+    val rep = Extended.megaBasketReport(baskets, 10).head()
+    assert(rep.getAs[Long]("n_baskets") == 3)
+    assert(rep.getAs[Long]("n_mega_baskets") == 1)
+    assert(rep.getAs[Long]("rows_dropped") == 40)
+    assert(rep.getAs[Long]("pairs_dropped") == 40L * 39 / 2)
+    assert(rep.getAs[Long]("max_basket") == 40)
+  }
 }
