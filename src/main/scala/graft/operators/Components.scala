@@ -444,17 +444,23 @@ object Components {
     var ranks = src.select(col("s").as("id")).distinct()
       .select(col("id"), lit(PrScale).as("r"))
     for (_ <- 1 to iters) {
-      // the per-edge contribution widens through DECIMAL(38,0): r is
-      // bounded only by the GLOBAL mass (n·10¹²), so on a pathological
+      // overflow-hardened contribution (round-9 advisor): r is bounded
+      // only by the GLOBAL mass (n·10¹²), so on a pathological
       // topology (a degree-1 neighbor of a node holding most mass)
-      // 85·(r div d) alone can pass 2⁶³ past ~10⁵ nodes even though
-      // the quotient (≤ 0.85·r) and the per-node sum (≤ 0.85·mass)
-      // both fit BIGINT — the q101 widening precedent (round-9
-      // advisor). DuckDB needs no twin change: its BIGINT multiply
-      // raises on overflow instead of wrapping.
+      // the naive 85·(r div d) intermediate can pass 2⁶³ past ~10⁵
+      // nodes even though the final quotient (≤ 0.85·r) and the
+      // per-node sum (≤ 0.85·mass) both fit BIGINT. Instead of
+      // widening through decimal (correct but drops the hot join
+      // projection out of long arithmetic), decompose q = r div d as
+      // 100·(q div 100) + (q mod 100):
+      //   (85·q) div 100 = 85·(q div 100) + (85·(q mod 100)) div 100
+      // — exact for the non-negative q here, every intermediate
+      // ≤ 0.85·r + 85·99, all in BIGINT codegen. The DuckDB oracle
+      // keeps the direct form: its BIGINT multiply raises on overflow
+      // instead of wrapping, and fixture values are far inside range.
       ranks = src.join(ranks, src("s") === ranks("id"))
         .select(col("t"),
-          expr(s"CAST((85 * CAST(r div d AS DECIMAL(38,0))) div 100 AS BIGINT)").as("c"))
+          expr("85 * ((r div d) div 100) + (85 * ((r div d) % 100)) div 100").as("c"))
         .groupBy(col("t"))
         .agg((lit(PrBase) + sum(col("c"))).as("r"))
         .select(col("t").as("id"), col("r"))
