@@ -325,23 +325,32 @@ object Similarity {
       corpus: DataFrame,
       queryPred: org.apache.spark.sql.Column,
       cents: Seq[(Long, Array[Double], Double)],
-      nprobe: Int): (DataFrame, DataFrame) = {
+      nprobe: Int): (DataFrame, DataFrame) =
+    (assignCells(corpus, cents), probeCells(corpus, queryPred, cents, nprobe))
+
+  /** Query-side half of the IVF probe: each query ranks the quantizer
+    * cells by exact cosine and keeps its `nprobe` nearest — (q_id, qe,
+    * qn, probe). The centroid table is rebuilt from the collected (or
+    * reloaded) quantizer: no corpus scan. Factored from the assign
+    * half so the SERVE paths (stored cell assignments) can probe
+    * without re-assigning. */
+  private def probeCells(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double], Double)],
+      nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val assigned = assignCells(corpus, cents)
-    // centroid table for query probing — rebuilt from the collected
-    // quantizer (no second corpus scan)
     import spark.implicits._
     val centDf = cents.map { case (id, v, nm) => (id, v.toSeq, nm) }
       .toDF("c_id", "ce", "cn")
     val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    val probes = corpus.filter(queryPred)
+    corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
       .crossJoin(broadcast(centDf))
       .withColumn("sim", VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
-    (assigned, probes)
   }
 
   /** Parameterized IVF core. `corpus` needs (vec_id, e[double], nrm)
@@ -802,16 +811,35 @@ object Similarity {
       topK: Int = 5): DataFrame = {
     val v = vectors(spark, dir)
     val cb = trainPq(v, m, k, iters)
-    val (assigned, probes) = ivfAssignAndProbe(v, expr(QueryFilter),
-      collectCentroids(v, expr(IvfCentroidFilter)), nprobe)
+    val cents = collectCentroids(v, expr(IvfCentroidFilter))
     // the stored index: cell id + PQ codes, nothing else.
     // Materialized (see pqAdcTopK) so NearestCell + PqEncode run once
     // per vector, not once per (vector, probe) join pair.
     val coded = graft.CacheRegistry.getOrCache(spark,
       s"similarity.ivfPqCoded:$dir:$m:$k:$iters")(
-      assigned.select(col("vec_id"), col("cell"),
+      assignCells(v, cents).select(col("vec_id"), col("cell"),
         VectorOps.pqEncode(col("e"), cb).as("codes")))
-    val qs = v.filter(expr(QueryFilter)).select(col("vec_id"), col("e"))
+    ivfPqScan(v, coded, cents, cb, expr(QueryFilter), nprobe, shortlist, topK)
+  }
+
+  /** The composed-tier scan shared by [[ivfPqTopK]] (in-session index)
+    * and [[ivfPqTopKServe]] (stored index): probe cells → ADC
+    * shortlist over the code table → exact rerank. Only the QUERY rows
+    * and the shortlist's fetched vectors touch floats; the corpus side
+    * reads `coded` (cell + m codes per vector) alone. */
+  private def ivfPqScan(
+      v: DataFrame,
+      coded: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      cb: Array[Array[Array[Double]]],
+      queryPred: org.apache.spark.sql.Column,
+      nprobe: Int,
+      shortlist: Int,
+      topK: Int): DataFrame = {
+    val spark = v.sparkSession
+    val k = cb(0).length
+    val probes = probeCells(v, queryPred, cents, nprobe)
+    val qs = v.filter(queryPred).select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probeT = probes.select(col("q_id"), col("probe"))
       .join(adcTables(spark, qs, cb), "q_id")
@@ -822,7 +850,7 @@ object Similarity {
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    val qvecs = v.filter(expr(QueryFilter))
+    val qvecs = v.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val wR = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     short.join(v.select(col("vec_id"), col("e"), col("nrm")), "vec_id")
@@ -832,6 +860,40 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Train-once half of the COMPOSED production tier ([[ivfPqTopK]]):
+    * persist quantizer, codebook, AND the cell-aware code table — the
+    * full stored index of a deployed vector-search system. The code
+    * table write is distributed; training collects only model-sized
+    * artifacts. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+      m: Int = 16, k: Int = 128, iters: Int = 2): Unit = {
+    val v = vectors(spark, dir)
+    val cb = trainPq(v, m, k, iters)
+    val cents = collectCentroids(v, expr(IvfCentroidFilter))
+    AnnIndex.saveQuantizer(spark, s"$indexPath/quantizer", cents)
+    AnnIndex.saveCodebook(spark, s"$indexPath/codebook", cb)
+    val coded = graft.CacheRegistry.getOrCache(spark,
+      s"similarity.ivfPqCoded:$dir:$m:$k:$iters")(
+      assignCells(v, cents).select(col("vec_id"), col("cell"),
+        VectorOps.pqEncode(col("e"), cb).as("codes")))
+    AnnIndex.saveCodes(s"$indexPath/codes", coded)
+  }
+
+  /** Serve-only half of the composed tier: reload all three artifacts
+    * and run [[ivfPqScan]] against the stored code table — the corpus
+    * is neither re-assigned nor re-encoded; only the exact-rerank
+    * shortlist fetches vectors (the bounded random-read every PQ
+    * system pays). Byte-identical to a scan over the in-session index
+    * (AnnIndexSpec pins it — exact artifact round-trip, shared scan). */
+  def ivfPqTopKServe(spark: SparkSession, dir: String, indexPath: String,
+      nprobe: Int = 3, shortlist: Int = 20, topK: Int = 5): DataFrame = {
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val cb = AnnIndex.loadCodebook(spark, s"$indexPath/codebook")
+    val coded = AnnIndex.loadCodes(spark, s"$indexPath/codes")
+    ivfPqScan(vectors(spark, dir), coded, cents, cb,
+      expr(QueryFilter), nprobe, shortlist, topK)
   }
 
   // ---------------------------------------------------------------- q82

@@ -184,6 +184,55 @@ object Incremental {
       graft.functions.ImageHash.pixelDhash(col("pixels")).as("dh"))
       .filter(col("dh").isNotNull)
 
+  /** Streaming PERCEPTUAL audio near-dup ingest — q104's continuous
+    * twin, the audio sibling of [[imageNearDupStream]] (every
+    * multimodal batch leg gets its ingest gate): each arriving
+    * recording (decoded PCM sample array) is envelope-hashed by the
+    * codegen'd [[graft.functions.PcmEnvHash]] (a pure map —
+    * stream-legal), band-exploded with batch q104's 4×14-bit
+    * literal-array banding (stateless, per-row), and probed into the
+    * STATIC corpus fingerprint band index from [[audioFpTable]].
+    * Collisions verify by exact hamming and aggregate to one row per
+    * (doc_id, corpus_id) with the minimum distance. A new recording
+    * never triggers a corpus self-join — only equi-probes. Recall
+    * contract is batch q104's: pigeonhole-exact to hamming ≤
+    * `hamMax` (< nBands). */
+  def audioNearDupStream(
+      audio: DataFrame,
+      corpusFp: DataFrame,
+      hamMax: Int = graft.operators.Dedup.AudioHamMax): DataFrame = {
+    val bb = graft.operators.Dedup.DHashBandBits
+    val nBands = graft.functions.AudioHash.Bits / bb
+    require(hamMax < nBands, s"hamming<=$hamMax needs > $hamMax bands (have $nBands)")
+    def banded(fp: DataFrame): DataFrame = fp
+      .select(col("doc_id"), col("eh"),
+        posexplode(array((0 until nBands).map(j =>
+          shiftright(col("eh"), j * bb).bitwiseAND(lit((1L << bb) - 1))): _*)))
+      .toDF("doc_id", "eh", "band", "bval")
+    val stream = banded(audio
+      .select(col("doc_id"),
+        graft.functions.AudioHash.pcmEnvHash(col("samples")).as("eh"))
+      .filter(col("eh").isNotNull))
+    val index = banded(corpusFp)
+      .toDF("corpus_id", "ceh", "band", "bval")
+    stream
+      .join(index, Seq("band", "bval")) // stream-static equi-probe
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(eh ^ ceh) AS INT)"))
+      .filter(col("hamming") <= hamMax)
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Static-side helper for [[audioNearDupStream]]: the corpus
+    * fingerprint table (doc_id, eh) from decoded PCM sample arrays —
+    * built once, persisted as the stored index. */
+  def audioFpTable(audio: DataFrame): DataFrame =
+    audio.select(col("doc_id"),
+      graft.functions.AudioHash.pcmEnvHash(col("samples")).as("eh"))
+      .filter(col("eh").isNotNull)
+
   /** Streaming RETRIEVAL probe — q92's continuous twin, the serving
     * half of the sparse-retrieval story: arriving queries are split
     * into distinct probe terms (per-row array ops — stateless,

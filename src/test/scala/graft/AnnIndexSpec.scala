@@ -74,6 +74,25 @@ class AnnIndexSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("composed IVF+PQ lifecycle: build (quantizer + codebook + cell-aware codes) → NEW session serves byte-identically") {
+    CacheRegistry.releaseAll()
+    val path = tmpIndex("ivfpq")
+    Similarity.buildIvfPqIndex(spark, sf, path)
+    // same session, artifacts reloaded — establishes the expected rows
+    val want = sortedRows(Similarity.ivfPqTopKServe(spark, sf, path).collect())
+    assert(want.nonEmpty)
+    CacheRegistry.releaseAll()
+    val serveSession = spark.newSession()
+    val got = sortedRows(Similarity.ivfPqTopKServe(serveSession, sf, path).collect())
+    assert(got == want, s"cross-session served rows must match (${got.size} vs ${want.size})")
+    // the stored code table carries REAL cell assignments (not the
+    // flat-index sentinel): serving prunes by cell
+    val cells = AnnIndex.loadCodes(spark, s"$path/codes")
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.size > 1 && !cells.contains(-1L), s"expected real IVF cells, got $cells")
+    CacheRegistry.releaseAll()
+  }
+
   test("rebuild lifecycle: TRUNCATE + re-append swaps the index atomically at the manifest level") {
     val path = tmpIndex("swap")
     val cb0 = AnnIndexSpecFixtures.codebook

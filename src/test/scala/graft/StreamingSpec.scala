@@ -119,6 +119,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming AUDIO near-dup ingest: an arriving gain-shifted re-encode pairs with its " +
+      "stored original via the envelope band index; unrelated audio emits nothing") {
+    import spark.implicits._
+    import graft.functions.AudioHash
+    import graft.multimodal.Media.WavCodec
+    implicit val ctx = spark.sqlContext
+    def tone(seed: Int): Array[Short] = {
+      val rnd = new scala.util.Random(seed)
+      val amps = Array.fill(AudioHash.Frames)(2000 + rnd.nextInt(8000))
+      Array.tabulate(AudioHash.Frames * 100) { i =>
+        (amps(i / 100) * math.sin(2 * math.Pi * 440.0 * i / 8000.0)).toShort
+      }
+    }
+    val original = tone(11)
+    val other = tone(12)
+    // the stored index: envelope fingerprints of the existing corpus
+    val corpusFp = Incremental.audioFpTable(
+      Seq((101L, original.map(_.toInt).toSeq), (102L, other.map(_.toInt).toSeq))
+        .toDF("doc_id", "samples"))
+    val input = MemoryStream[(Long, Seq[Int])]
+    val stream = input.toDF().toDF("doc_id", "samples")
+    val q = Incremental.audioNearDupStream(stream, corpusFp)
+      .writeStream.format("memory").queryName("auddup_out").outputMode("complete").start()
+    try {
+      // arrival 201: the original, gain ×0.8 + WAV round-trip (the
+      // re-uploaded duplicate shape); 202: a fresh recording
+      val dup = WavCodec.decode(WavCodec.encode(
+        original.map(s => (s * 4 / 5).toShort), 8000, channels = 1)).samples
+      input.addData(
+        (201L, dup.map(_.toInt).toSeq),
+        (202L, tone(13).map(_.toInt).toSeq))
+      q.processAllAvailable()
+      val rows = spark.table("auddup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.map(t => (t._1, t._2)).toSeq == Seq((201L, 101L)),
+        s"exactly the planted duplicate must pair: ${rows.mkString(",")}")
+      // the emitted distance equals the batch kernels' exact hamming
+      val expected = java.lang.Long.bitCount(
+        AudioHash.pcmEnvHashSeq(dup.map(_.toInt).toSeq)
+          ^ AudioHash.pcmEnvHashSeq(original.map(_.toInt).toSeq))
+      assert(rows.head._3 == expected && expected <= graft.operators.Dedup.AudioHamMax,
+        s"${rows.head._3} vs $expected")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest: band probe into the static corpus index ≡ batch jaccard") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
