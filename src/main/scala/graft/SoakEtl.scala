@@ -239,8 +239,9 @@ object SoakAnn {
     val tBuild = timed {
       operators.Similarity.buildIvfIndex(spark, sfDir, idx)
       operators.Similarity.buildPqIndex(spark, sfDir, idx)
+      operators.Similarity.buildIvfPqIndex(spark, sfDir, s"$idx/composed")
     }
-    println(f"build (train+persist q44+q82) ${tBuild}%6.2f s  → $idx")
+    println(f"build (train+persist q44+q82+composed) ${tBuild}%6.2f s  → $idx")
     CacheRegistry.releaseAll() // serve must not inherit the build's cache
     val serve = spark.newSession() // fresh session state: nothing trained
     def serveRow(name: String, fn: => org.apache.spark.sql.DataFrame): Unit = {
@@ -252,6 +253,8 @@ object SoakAnn {
       operators.Similarity.ivfTopKServe(serve, sfDir, idx))
     serveRow("q82 serve (stored code table)",
       operators.Similarity.pqAdcTopKServe(serve, sfDir, idx))
+    serveRow("IVF+PQ+rerank serve (composed)",
+      operators.Similarity.ivfPqTopKServe(serve, sfDir, s"$idx/composed"))
     spark.stop()
   }
 }
