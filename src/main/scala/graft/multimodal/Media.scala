@@ -273,6 +273,23 @@ object Media {
       }
     }
 
+  /** Per-frame perceptual hashes for q105's real video leg: sample
+    * every `everyN`-th frame ([[sampleFrames]] — real Y4M luma
+    * planes), then the codegen'd 7×9 gray dHash
+    * ([[graft.functions.VideoHash.grayDhash]]). Frame dims ride in on
+    * an equi-join with the per-video metadata projection (one row per
+    * VIDEO vs one per frame — AQE broadcasts when it fits). Output
+    * (doc_id, fh) feeds [[graft.operators.Dedup.videoNearDupFrames]]. */
+  def videoFrameHashes(ds: Dataset[MediaRow], everyN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dims = ds.toDF().select(
+      col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"))
+    sampleFrames(ds, everyN).toDF()
+      .join(dims, "media_id")
+      .select(col("media_id").as("doc_id"),
+        graft.functions.VideoHash.grayDhash(col("framePayload"), col("w"), col("h")).as("fh"))
+  }
+
   /** Resize: real bicubic via Raster for image payloads. */
   def resizeImages(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] =
     ds.map { r =>

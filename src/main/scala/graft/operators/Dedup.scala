@@ -1095,4 +1095,136 @@ object Dedup {
        |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $AudioHamMax""".stripMargin
   }
+
+  // --------------------------------------------------------------- q105
+
+  /** q105's vote threshold: a pair is a near-dup when ≥ this many
+    * DISTINCT frame hashes agree. Fixture videos carry 63 frame
+    * hashes; the planted copy shares 60 − ⌈60/7⌉ ≈ 51 after trim +
+    * corruption, so 24 leaves a 2× margin on both sides. */
+  val VideoMinVotes = 24
+
+  /** Hub-frame guard: frame hashes shared by more than this many
+    * videos (black frames, title cards) are dropped before the vote
+    * self-join — q18's viral-band cap on the frame axis. A frame that
+    * common carries no pairing evidence; what it DOES carry is an
+    * O(df²) bucket in the join. */
+  val VideoDfCap = 16
+
+  /** q105: PERCEPTUAL VIDEO near-dup — the third multimodal dedup leg
+    * (q87 images, q104 audio). A re-uploaded video is TRIMMED and
+    * re-encoded, so whole-file fingerprints (q17) and whole-signal
+    * envelopes (q104) both shift; the published copy-detection shape
+    * is per-FRAME fingerprints + a FRAME-VOTE join (see
+    * [[graft.functions.VideoHash]]): hash frames independently,
+    * equi-join videos on shared frame hashes, pair when ≥
+    * [[VideoMinVotes]] distinct frames agree. Trimming removes votes
+    * but cannot move the survivors; corrupted frames are outvoted.
+    *
+    * This oracled form needs NO custom expression — pure built-in
+    * higher-order functions (the brief's preference order): quantize
+    * floor(x·1024), rolling-pair mix h_k = q_k·2^21 + pmod(q_{k+1},
+    * 2^21) (injective on the pair), then each embedding is planted
+    * twice — as-is (id 2·vec_id) and as a copy (2·vec_id+1) with the
+    * first [[graft.functions.VideoHash.Trim]] frames cut and every
+    * 7th surviving frame corrupted. The vote join must recover
+    * exactly the planted pairs: recall AND precision oracle-checked
+    * end-to-end, the q87/q104 strategy on the video axis. The REAL
+    * frame leg — Y4M decode → [[graft.multimodal.Media.videoFrameHashes]]
+    * → [[videoNearDupFrames]] — shares this vote core and is proven
+    * in MediaSpec with a planted trimmed + frame-noised re-encode.
+    *
+    * Scale shape: one narrow map builds frame hashes (no shuffle);
+    * per-video `distinct` is a map-side-combinable aggregate; the
+    * [[VideoDfCap]] guard bounds every join bucket (the hot set is
+    * the tiny head of the df distribution → broadcast left-anti,
+    * q18's pattern); the vote is an equi-join + count — O(Σ df²) over
+    * CAPPED dfs, never n². No driver-side state anywhere. */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VideoHash._
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) >= MinDims)
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(Quant)).cast("long"))
+    val fhs = zip_with(
+      slice(q, lit(1), size(q) - 1),
+      slice(q, lit(2), size(q) - 1),
+      (a, b) => a * lit(PairMod) + pmod(b, lit(PairMod)))
+    val hashed = e.select(col("vec_id"), fhs.as("fhs"))
+    val orig = hashed.select((col("vec_id") * 2).as("doc_id"), col("fhs"))
+    val copy = hashed.select((col("vec_id") * 2 + 1).as("doc_id"),
+      transform(
+        slice(col("fhs"), lit(Trim + 1), size(col("fhs")) - Trim),
+        (h, i) => when((i + lit(Trim)) % CorruptEvery === CorruptPhase, h + 1)
+          .otherwise(h)).as("fhs"))
+    videoNearDupFrames(
+      orig.unionAll(copy).select(col("doc_id"), explode(col("fhs")).as("fh")))
+  }
+
+  /** The vote core of q105: `frames` carries (doc_id, fh) — one row
+    * per (sampled) frame, from any fingerprinter ([[videoNearDup]]'s
+    * vector form, or [[graft.multimodal.Media.videoFrameHashes]] for
+    * real Y4M). Dedups frames per video, drops hub hashes past
+    * `dfCap`, equi-joins on the frame hash, and keeps pairs with ≥
+    * `minVotes` distinct shared frames. Output: (a_id, b_id, matched),
+    * a_id < b_id. */
+  def videoNearDupFrames(
+      frames: DataFrame,
+      minVotes: Int = VideoMinVotes,
+      dfCap: Int = VideoDfCap): DataFrame = {
+    // multi-consumer materialization point (the q93/bm25 lesson): the
+    // deduped frame set feeds the hot-set aggregate AND both sides of
+    // the vote self-join — without it the fingerprint map runs 4×.
+    // Keyed on the analyzed plan's semanticHash (collision-resistant,
+    // dedupes bench reps) like bm25_tf.
+    val uniq = graft.CacheRegistry.getOrCache(frames.sparkSession,
+      s"video_frames_${frames.queryExecution.analyzed.semanticHash()}") {
+      frames.select(col("doc_id"), col("fh")).distinct()
+    }
+    // hub-frame guard: df counts are exact post-distinct; the hot set
+    // is the df-distribution head (≤ total_frames/dfCap entries, tiny
+    // in practice) — the q18 broadcast left-anti pattern
+    val hot = uniq.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("fh"))
+    val kept = uniq.join(broadcast(hot), Seq("fh"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= minVotes)
+  }
+
+  val videoNearDupSql: String = {
+    import graft.functions.VideoHash._
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $Quant) AS BIGINT)) AS q
+       |  FROM embeddings WHERE len(embedding) >= $MinDims),
+       |fh AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, len(q) - 1), k ->
+       |           q[k] * $PairMod + ((q[k + 1] % $PairMod) + $PairMod) % $PairMod) AS fhs
+       |  FROM qv),
+       |docs AS (
+       |  SELECT vec_id * 2 AS doc_id, fhs FROM fh
+       |  UNION ALL
+       |  SELECT vec_id * 2 + 1,
+       |         list_transform(generate_series($Trim + 1, len(fhs)), k ->
+       |           CASE WHEN (k - 1) % $CorruptEvery = $CorruptPhase
+       |                THEN fhs[k] + 1 ELSE fhs[k] END)
+       |  FROM fh),
+       |frames AS (
+       |  SELECT DISTINCT doc_id, fh
+       |  FROM (SELECT doc_id, unnest(fhs) AS fh FROM docs)),
+       |hot AS (
+       |  SELECT fh FROM frames GROUP BY fh HAVING count(*) > $VideoDfCap),
+       |kept AS (
+       |  SELECT doc_id, fh FROM frames
+       |  WHERE fh NOT IN (SELECT fh FROM hot))
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS matched
+       |FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $VideoMinVotes""".stripMargin
+  }
 }

@@ -233,6 +233,54 @@ object Incremental {
       graft.functions.AudioHash.pcmEnvHash(col("samples")).as("eh"))
       .filter(col("eh").isNotNull)
 
+  /** Streaming PERCEPTUAL video near-dup ingest — q105's continuous
+    * twin, completing the multimodal ingest symmetry (images
+    * [[imageNearDupStream]], audio [[audioNearDupStream]], video
+    * here). The batch leg's frame-vote pairing is an AGGREGATION, so
+    * unlike the hamming probes this stream needs state: `frames`
+    * carries (doc_id, fh, event_ts) — one row per sampled frame of an
+    * arriving video, all frames of one video sharing its single
+    * ingest event_ts (the retrievalStreamWindowed contract, so a
+    * window never splits a video) — deduped per (video, hash, ts)
+    * with watermark-evicted state, equi-probed into the STATIC
+    * [[videoFrameIndex]], and vote-counted per (arrival, corpus
+    * video) inside a tumbling event-time window. Watermark eviction
+    * makes it append-legal with bounded state. The index is hub-
+    * capped at BUILD time, so a title-card frame costs nothing per
+    * arrival — an arriving video only ever equi-probes, never joins
+    * the corpus to itself. Vote semantics are batch q105's:
+    * `matched` ≥ `minVotes` distinct shared frame hashes. */
+  def videoNearDupStream(
+      frames: DataFrame,
+      corpusIdx: DataFrame,
+      minVotes: Int = graft.operators.Dedup.VideoMinVotes,
+      windowLen: String = "1 minute", delay: String = "5 minutes"): DataFrame =
+    frames
+      .withWatermark("event_ts", delay)
+      .dropDuplicates("doc_id", "fh", "event_ts")
+      .join(corpusIdx, "fh") // stream-static equi-probe into the stored index
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .groupBy(window(col("event_ts"), windowLen),
+        col("doc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("matched"))
+      .filter(col("matched") >= minVotes)
+      .select(col("doc_id"), col("corpus_id"), col("matched"))
+
+  /** Static-side helper for [[videoNearDupStream]]: the corpus frame-
+    * hash index (corpus_id, fh) — per-video distinct frames with the
+    * q105 hub-frame cap applied ONCE at build time (a frame hash in >
+    * `dfCap` videos carries no pairing evidence, only an O(df) probe
+    * fan-out per arrival). Built once, persisted as the stored
+    * index. */
+  def videoFrameIndex(frames: DataFrame,
+      dfCap: Int = graft.operators.Dedup.VideoDfCap): DataFrame = {
+    val uniq = frames.select(col("doc_id").as("corpus_id"), col("fh"))
+      .filter(col("fh").isNotNull).distinct()
+    val hot = uniq.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("fh"))
+    uniq.join(broadcast(hot), Seq("fh"), "left_anti")
+  }
+
   /** Streaming RETRIEVAL probe — q92's continuous twin, the serving
     * half of the sparse-retrieval story: arriving queries are split
     * into distinct probe terms (per-row array ops — stateless,

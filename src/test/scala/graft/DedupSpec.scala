@@ -428,6 +428,46 @@ class DedupSpec extends AnyFunSuite {
       s"missing: ${(expected -- got).take(3)}, spurious: ${(got -- expected).take(3)}")
   }
 
+  test("q105 planted-copy recall: every (video, trimmed+corrupted copy) pair is " +
+      "recovered through the frame vote — recall AND precision 1.0") {
+    import graft.functions.VideoHash
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size(col("embedding")) >= VideoHash.MinDims)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = vecs.map(i => (i * 2, i * 2 + 1))
+    val rows = Dedup.videoNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = rows.map(p => (p._1, p._2)).toSet
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(3)}, spurious: ${(got -- expected).take(3)}")
+    // vote-count contract: 63 frames − Trim − ⌈surviving/7⌉ corrupted
+    // leaves ~51 shared; every pair must clear the threshold with the
+    // documented 2× margin band, never ride the boundary
+    rows.foreach { case (a, _, m) =>
+      assert(m >= 45 && m <= 63, s"pair of $a matched $m — outside the planted band")
+    }
+  }
+
+  test("q105 hub-frame cap: a title-card hash shared by 20 videos is dropped at " +
+      "dfCap 16, and with it every 1-vote pair it manufactured") {
+    import spark.implicits._
+    // videos 1,2 genuinely share 30 frames; videos 1..20 all contain
+    // the same title card (hub hash 999); no other overlap
+    val genuine = (1 to 30).flatMap(k => Seq((1L, 1000L + k), (2L, 1000L + k)))
+    val hub = (1 to 20).map(v => (v.toLong, 999L))
+    val solo = (3 to 20).flatMap(v => (1 to 20).map(k => (v.toLong, v * 10000L + k)))
+    val frames = (genuine ++ hub ++ solo).toDF("doc_id", "fh")
+    // uncapped, minVotes=1: the hub manufactures C(20,2)=190 pairs
+    val uncapped = Dedup.videoNearDupFrames(frames, minVotes = 1, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 190, s"hub must touch every pair: ${uncapped.size}")
+    // capped: only the genuine pair survives, its vote count untouched
+    val capped = Dedup.videoNearDupFrames(frames, minVotes = 1, dfCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 30L)),
+      s"cap must keep exactly the genuine pair at full vote: ${capped.mkString(",")}")
+  }
+
   test("q85 incremental near-dup ≡ q18's cross-split subset (ingest loses nothing vs full recompute)") {
     // q18's unordered pairs where exactly one side is in the delta
     val full = Dedup.minhashLsh(spark, sf).collect()

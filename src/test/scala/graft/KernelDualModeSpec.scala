@@ -156,6 +156,27 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("GrayDHash dual-mode (incl. sub-grid frames → null, short payloads → null)") {
+    import spark.implicits._
+    import graft.functions.VideoHash
+    val frameGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      bytes <- Gen.listOfN(w * h, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, bytes.toArray)
+    val rows = (Gen.listOfN(60, frameGen).sample.get ++ Seq(
+      (9, 7, Array.fill[Byte](63)(5)),   // exactly grid-sized
+      (8, 7, Array.fill[Byte](56)(5)),   // sub-grid width → null
+      (20, 10, Array.fill[Byte](50)(1)), // short payload → null
+      (0, 0, Array.empty[Byte])))
+      .zipWithIndex.map { case ((w, h, p), i) => (i.toLong, p, w, h) }
+      .toDF("id", "payload", "w", "h")
+    dualMode {
+      rows.select(VideoHash.grayDhash(col("payload"), col("w"), col("h")).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
   test("PixelDHash dual-mode (incl. sub-grid images → null)") {
     import spark.implicits._
     import graft.functions.ImageHash

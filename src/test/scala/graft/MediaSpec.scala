@@ -181,6 +181,48 @@ class MediaSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(viaSpark ^ hOther) > 2 * graft.operators.Dedup.AudioHamMax)
   }
 
+  test("q105 real-video leg: trimmed + frame-noised Y4M re-encode pairs with its " +
+      "original through the frame vote; distinct video does not") {
+    import Media.Y4mCodec
+    import graft.functions.VideoHash
+    val w = 48; val h = 28
+    def vid(seed: Int, n: Int): IndexedSeq[Array[Byte]] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(_ => Array.fill[Byte](w * h)((rnd.nextInt(256) - 128).toByte))
+    }
+    val orig = vid(1, 40)
+    // the planted duplicate arrives the way a re-upload would: intro
+    // trimmed (first 4 frames cut), every 5th surviving frame carries
+    // mild luma noise (the re-encode), then a full Y4M encode→decode
+    // round-trip
+    val rnd = new scala.util.Random(99)
+    val dupFrames = orig.drop(4).zipWithIndex.map { case (f, i) =>
+      if (i % 5 == 0)
+        f.map(b => (((b & 0xff) + rnd.nextInt(7) - 3).max(0).min(255)).toByte)
+      else f.clone
+    }
+    val other = vid(2, 40)
+    import spark.implicits._
+    def row(id: Long, frames: Seq[Array[Byte]]) = MediaRow(
+      id, "video", Y4mCodec.encode(frames, w, h, 25, 1),
+      MediaMeta("video/y4m", w, h, frames.size * 40L))
+    val ds = Seq(row(1L, orig), row(2L, dupFrames), row(3L, other)).toDS()
+    val pairs = graft.operators.Dedup.videoNearDupFrames(
+        Media.videoFrameHashes(ds, everyN = 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"exactly the planted pair must survive the vote: ${pairs.mkString(",")}")
+    // vote arithmetic: 36 surviving frames, ≤ 8 noised — at least 28
+    // bit-identical luma planes vote, comfortably over the 24 threshold
+    assert(pairs.head._3 >= 28 && pairs.head._3 <= 36,
+      s"vote count ${pairs.head._3} outside the planted band")
+    // the distributed kernel ≡ the driver replay on frame 0
+    val viaSpark = Media.videoFrameHashes(
+        Seq(row(1L, orig.take(1))).toDS(), everyN = 1)
+      .head().getLong(1)
+    assert(viaSpark == VideoHash.grayDhashOrMin(orig.head, w, h))
+  }
+
   test("Y4M codec: real video frames round-trip; sampling and features use decoded luma") {
     import Media.Y4mCodec
     val w = 16; val h = 8

@@ -164,6 +164,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming VIDEO near-dup ingest: an arriving trimmed + frame-noised re-encode " +
+      "out-votes its corruption against the stored frame index, append-legal") {
+    import spark.implicits._
+    import graft.functions.VideoHash
+    import graft.multimodal.Media
+    import graft.multimodal.Media.{MediaMeta, MediaRow, Y4mCodec}
+    implicit val ctx = spark.sqlContext
+    val w = 48; val h = 28
+    def vid(seed: Int, n: Int): IndexedSeq[Array[Byte]] = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(_ => Array.fill[Byte](w * h)((rnd.nextInt(256) - 128).toByte))
+    }
+    val orig = vid(21, 40)
+    val other = vid(22, 40)
+    def row(id: Long, fs: Seq[Array[Byte]]) = MediaRow(
+      id, "video", Y4mCodec.encode(fs, w, h, 25, 1), MediaMeta("video/y4m", w, h, fs.size * 40L))
+    // the stored index: per-frame dHashes of the existing corpus,
+    // hub-capped at build time
+    val corpusIdx = Incremental.videoFrameIndex(
+      Media.videoFrameHashes(Seq(row(101L, orig), row(102L, other)).toDS(), everyN = 1))
+      .persist()
+    // the arrival: intro trimmed, every 5th surviving frame noised
+    val rnd = new scala.util.Random(77)
+    val dupFrames = orig.drop(4).zipWithIndex.map { case (f, i) =>
+      if (i % 5 == 0)
+        f.map(b => (((b & 0xff) + rnd.nextInt(7) - 3).max(0).min(255)).toByte)
+      else f
+    }
+    val freshFrames = vid(23, 40)
+    def fhRows(id: Long, fs: Seq[Array[Byte]], t: Timestamp) =
+      fs.map(f => (id, VideoHash.grayDhashOrMin(f, w, h), t))
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val q = Incremental.videoNearDupStream(
+        input.toDF().toDF("doc_id", "fh", "event_ts"), corpusIdx)
+      .writeStream.format("memory").queryName("viddup_out").outputMode("append").start()
+    try {
+      input.addData(fhRows(201L, dupFrames, ts("2024-06-01 10:00:10")) ++
+        fhRows(202L, freshFrames, ts("2024-06-01 10:00:20")): _*)
+      q.processAllAvailable()
+      assert(spark.table("viddup_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      // watermark drivers: two late no-match frames close the window
+      input.addData((999L, 1L, ts("2024-06-01 10:07:00")))
+      q.processAllAvailable()
+      input.addData((998L, 2L, ts("2024-06-01 10:08:00")))
+      q.processAllAvailable()
+      val rows = spark.table("viddup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(t => (t._1, t._2)).toSeq == Seq((201L, 101L)),
+        s"exactly the planted duplicate must out-vote: ${rows.mkString(",")}")
+      // the emitted vote count equals the batch q105 core on the same frames
+      val batch = graft.operators.Dedup.videoNearDupFrames(
+          corpusIdx.toDF("fh", "doc_id").unionByName(
+            dupFrames.map(f => (201L, VideoHash.grayDhashOrMin(f, w, h)))
+              .toDF("doc_id", "fh")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(batch.map(t => (t._1, t._2)).toSeq == Seq((101L, 201L)))
+      assert(rows.head._3 == batch.head._3,
+        s"stream vote ${rows.head._3} must equal batch vote ${batch.head._3}")
+    } finally { q.stop(); corpusIdx.unpersist() }
+  }
+
   test("streaming near-dup ingest: band probe into the static corpus index ≡ batch jaccard") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
