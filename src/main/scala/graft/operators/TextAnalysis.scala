@@ -1424,4 +1424,108 @@ object TextAnalysis {
     merges.foreach { case (a, b) => syms = mergePair(syms, a, b, a + b) }
     syms.toSeq
   }
+
+  // --------------------------------------------------------------- q106
+
+  /** q106's chunk width in words: non-overlapping word windows are
+    * the removal unit (the passage, not the document). */
+  val BoilerChunkWords = 6
+  /** A chunk in ≥ this many DISTINCT documents is boilerplate. */
+  val BoilerDf = 3
+
+  /** q106: BOILERPLATE REMOVAL — the corpus-cleaning stage every web-
+    * scale training pipeline runs between crawl and dedup (the C4 /
+    * RefinedWeb "repeated passage" cut): nav bars, cookie banners and
+    * licence footers repeat VERBATIM across thousands of pages, and
+    * document-level dedup (q17-q20) never sees them because each HOST
+    * page is unique. The published recipe removes the repeated
+    * passage and keeps the page. This operator differs from q83/q86
+    * (which REPORT cross-doc duplicate spans as pairs) in both unit
+    * and output: the removal unit is the non-overlapping
+    * [[BoilerChunkWords]]-word chunk scored by corpus-wide document
+    * frequency, and the output is the TRANSFORMED corpus — each doc's
+    * cleaned text reassembled in order plus a dropped-mass audit
+    * (kept/dropped chunk counts), so the caller can both feed the
+    * cleaned text downstream and see exactly what the cut cost, the
+    * q100-cap reporting discipline.
+    *
+    * Scale shape: chunking is a narrow per-row transform (no
+    * shuffle); the df score is one map-side-combinable groupBy on the
+    * chunk; the boilerplate set is the df-distribution head (≥
+    * [[BoilerDf]] docs) — small, so the membership join is left
+    * UNHINTED and AQE broadcasts when the runtime size fits (the
+    * round-9 hint lesson: at a pathological boilerplate fraction the
+    * hot set is NOT broadcastable and the join must degrade to
+    * shuffle); reassembly is one groupBy on doc_id with an in-group
+    * sort by position. Two shuffles total, both inherent (corpus-wide
+    * df; per-doc regroup). No driver-side state. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOf(Tables.documents(spark, dir))
+
+  /** Corpus-parameterized core of q106 (the bm25Of pattern): `docs`
+    * needs (doc_id, text); `boilerDf` is the corpus-frequency cut. */
+  def boilerplateStripOf(docs: DataFrame, boilerDf: Int = BoilerDf): DataFrame = {
+    val W = BoilerChunkWords
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // non-overlapping W-word chunks, tail partial chunk included:
+    // chunk i covers tokens [iW, min((i+1)W, n))
+    // multi-consumer materialization point (the q93/bm25 lesson): the
+    // chunk frame feeds the df aggregate AND the membership join
+    val chunks = graft.CacheRegistry.getOrCache(docs.sparkSession,
+      s"boiler_chunks_${docs.queryExecution.analyzed.semanticHash()}") {
+      toks.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("t")) - 1) / W).cast("int")),
+            i => array_join(slice(col("t"), i * W + 1, lit(W)), " "))))
+        .toDF("doc_id", "pos", "chunk")
+    }
+    val hot = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= boilerDf)
+      .select(col("chunk"), lit(1).as("is_hot"))
+    chunks.join(hot, Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(col("is_hot").isNull, 1)).as("kept_chunks"),
+        count(when(col("is_hot").isNotNull, 1)).as("dropped_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_hot").isNull, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")))
+  }
+
+  val boilerplateStripSql: String = {
+    val W = BoilerChunkWords
+    // bounded chunk-index series + WHERE i*W < len(t) ≡ the Spark
+    // side's sequence(0, floor((n-1)/W)); string_agg FILTER keeps
+    // reassembly order by pos, coalesced to '' for all-dropped docs
+    // like array_join over an empty array
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |idx AS (
+       |  SELECT unnest(generate_series(0,
+       |    (SELECT CAST(max(len(t)) AS BIGINT) FROM toks) // $W)) AS i),
+       |chunks AS (
+       |  SELECT doc_id, i AS pos,
+       |         array_to_string(t[i * $W + 1 : i * $W + $W], ' ') AS chunk
+       |  FROM toks, idx WHERE i * $W < len(t)),
+       |hot AS (
+       |  SELECT chunk FROM (
+       |    SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1)
+       |  WHERE df >= $BoilerDf),
+       |marked AS (
+       |  SELECT c.doc_id, c.pos, c.chunk, h.chunk IS NOT NULL AS is_hot
+       |  FROM chunks c LEFT JOIN hot h ON c.chunk = h.chunk)
+       |SELECT doc_id,
+       |       count(*) FILTER (WHERE NOT is_hot) AS kept_chunks,
+       |       count(*) FILTER (WHERE is_hot) AS dropped_chunks,
+       |       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+       |                FILTER (WHERE NOT is_hot), '') AS clean_text,
+       |       CAST(length(coalesce(string_agg(chunk, ' ' ORDER BY pos)
+       |                            FILTER (WHERE NOT is_hot), '')) AS INT) AS clean_len
+       |FROM marked GROUP BY doc_id""".stripMargin
+  }
 }

@@ -619,4 +619,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     // vacuous if everything is OOV
     assert(out.exists(r => r.getAs[Long]("oov_ppm") < 1000000L))
   }
+
+  test("q106 boilerplate strip: a planted footer chunk is cut from every carrier, " +
+      "order-preserving reassembly, audit conserves the chunk count") {
+    import spark.implicits._
+    // the footer is one exact 6-word chunk; bodies are unique per doc.
+    // Doc layout: [body0][FOOTER][body1] — 3 chunks of 6 words each;
+    // doc 9 is footer-free; docs 10,11 share a chunk BELOW the df cut
+    val footer = "all rights reserved cookie policy accept"
+    def body(d: Long, i: Int) = (0 until 6).map(k => s"w${d}_${i}_$k").mkString(" ")
+    val rare = "this chunk appears only two times"
+    val docs = ((0L until 9L).map(d => (d, s"${body(d, 0)} $footer ${body(d, 1)}")) ++
+      Seq((9L, s"${body(9, 0)} ${body(9, 1)}"),
+        (10L, s"${body(10, 0)} $rare"), (11L, s"$rare ${body(11, 0)}")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStripOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("kept_chunks"), r.getAs[Long]("dropped_chunks"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out.size == 12)
+    (0L until 9L).foreach { d =>
+      val (kept, dropped, clean) = out(d)
+      assert((kept, dropped) == (2L, 1L), s"doc $d audit ($kept,$dropped)")
+      // the footer is gone, the bodies survive IN ORDER
+      assert(clean == s"${body(d, 0)} ${body(d, 1)}", s"doc $d: $clean")
+    }
+    // a footer-free doc passes through untouched
+    assert(out(9L) == ((2L, 0L, s"${body(9, 0)} ${body(9, 1)}")))
+    // df=2 < BoilerDf=3: the rare shared chunk is NOT boilerplate
+    assert(out(10L)._3.contains(rare) && out(11L)._3.contains(rare),
+      "a chunk below the df cut must survive")
+    // kept+dropped conserves ⌈n/W⌉ for every doc
+    out.foreach { case (d, (k, dr, _)) =>
+      val n = docs.filter(col("doc_id") === d).head().getString(1).split(" ").length
+      assert(k + dr == (n + TextAnalysis.BoilerChunkWords - 1) / TextAnalysis.BoilerChunkWords,
+        s"doc $d chunk count not conserved")
+    }
+    // a doc that is ALL boilerplate reassembles to the empty string
+    val allBoiler = ((0L until 5L).map(d => (d, footer)) :+ (5L, body(5, 0)))
+      .toDF("doc_id", "text")
+    val wiped = TextAnalysis.boilerplateStripOf(allBoiler).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(wiped(0L) == "" && wiped(5L) == body(5, 0))
+  }
 }
