@@ -162,6 +162,30 @@ object SoakDocs {
         f"${n}x: $tn%6.2f s ($mn merges)   growth ${tn / t1}%4.1fx")
     }
 
+    // q106 boilerplate soak: replication multiplies every chunk's df
+    // by n, so the df cut scales with n (3 → 3n) to keep the
+    // boilerplate FRACTION — and with it the hot-set size and the
+    // reassembly mass — comparable across scales; otherwise the n×
+    // run degenerates (every chunk crosses the absolute cut and the
+    // whole corpus is "boilerplate").
+    {
+      def stripTime(dir: String, boilerDf: Int): Double = {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"))
+        graft.CacheRegistry.releaseAll() // one-shot cost incl. the chunk cache build
+        val t0 = System.nanoTime()
+        operators.TextAnalysis.boilerplateStripOf(docs, boilerDf)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      stripTime(sfDir, 3) // warm
+      val t1 = stripTime(sfDir, 3)
+      val tn = stripTime(soakDir, 3 * n)
+      println(f"q106_boilerplate_strip   1x: $t1%6.2f s (df 3)   " +
+        f"${n}x: $tn%6.2f s (df ${3 * n})   growth ${tn / t1}%4.1fx")
+      graft.CacheRegistry.releaseAll()
+    }
+
     // q85 delta-isolation soak: grow the CORPUS n×, keep the delta
     // batch FIXED — the daily-ingest claim is that per-batch cost is
     // O(delta) once the band index is stored (warm run builds/caches
@@ -322,6 +346,28 @@ object SoakGraph {
     row("q99_triangle_audit", tri1, tri2)
     row("q102_hits", h1, h2)
     row("q94_leakage_split", s1, s2)
+
+    // q105 frame-vote soak: n unique videos × 60 synthetic frame
+    // hashes, no overlap — replicating REAL videos would be dishonest
+    // the same way the q18 pair soak would be (every replica pairs
+    // with its n−1 siblings until the df-cap deletes them all), so
+    // the scale probe measures the common case instead: the distinct
+    // + df-count + capped equi-join pipeline over disjoint corpora,
+    // where pair output is empty by construction and the cost is the
+    // aggregate/join shape, not pair volume.
+    val voteTimes = Seq(100000L, 1000000L).map { nVids =>
+      def frames = spark.range(nVids * 60)
+        .select((col("id") % nVids).as("doc_id"), expr("xxhash64(id)").as("fh"))
+      operators.Dedup.videoNearDupFrames(frames)
+        .write.format("noop").mode("overwrite").save() // warm
+      CacheRegistry.releaseAll()
+      val t = time(operators.Dedup.videoNearDupFrames(frames))
+      CacheRegistry.releaseAll()
+      (nVids, t)
+    }
+    println(f"q105_frame_vote          ${voteTimes(0)._1 / 1000}k videos: ${voteTimes(0)._2}%6.2f s   " +
+      f"${voteTimes(1)._1 / 1000}k videos: ${voteTimes(1)._2}%6.2f s   " +
+      f"growth ${voteTimes(1)._2 / voteTimes(0)._2}%4.1fx")
     spark.stop()
   }
 }
