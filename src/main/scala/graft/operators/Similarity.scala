@@ -1642,4 +1642,83 @@ object Similarity {
        |       CAST(sum(hit1) AS BIGINT) AS hits_at_1,
        |       CAST(sum(hit5) AS BIGINT) AS hits_at_5
        |FROM rr GROUP BY q_label""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+
+  /** q107's negatives-per-anchor (matches q21's k). */
+  val HardNegK = 5
+
+  /** q107: HARD-NEGATIVE MINING — the contrastive-training data-prep
+    * op (the DPR / sentence-transformers / CLIP recipe): random
+    * negatives are too easy to teach a decision boundary, so for each
+    * anchor the NEGATIVES worth training on are the top-K most
+    * similar vectors with a DIFFERENT label, and the anchor's best
+    * SAME-label similarity prices how hard each one is: margin =
+    * pos_sim − neg_sim, where margin < 0 means the negative currently
+    * OUTRANKS the positive — the pair the next epoch should fix
+    * first. Completes the retrieval-audit family: q88 audits index
+    * quality, q98 embedding quality, q107 EXTRACTS the training pairs
+    * that improve it.
+    *
+    * Scale shape: q21's audited candidate plan (anchors are the
+    * declared-small query set → broadcast; ONE corpus pass). The
+    * positive ceiling rides the SAME per-anchor partition as the
+    * negative ranking — a window max over the full pair frame, THEN
+    * the label≠ filter, THEN row_number — so both metrics price out
+    * of one Exchange on q_id instead of a second corpus join (filter
+    * preserves the partitioning; only the rank's in-partition sort is
+    * added). Per-anchor state is K rows; nothing driver-side. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+    val q = n.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val pairs = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+    val part = Window.partitionBy(col("q_id"))
+    val bySim = part.orderBy(col("sim").desc, col("vec_id"))
+    pairs
+      .withColumn("ps",
+        max(when(col("label") === col("q_label"), col("sim"))).over(part))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(bySim))
+      .filter(col("rank") <= HardNegK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
+        round(col("sim"), 6).as("neg_sim"),
+        round(col("ps"), 6).as("pos_sim"),
+        round(col("ps") - col("sim"), 6).as("margin"))
+  }
+
+  /** q107 oracle: same window-max-then-filter-then-rank construction. */
+  val hardNegativesSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |           (a, x) -> a + x)) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe, nrm AS qn
+       |      FROM n WHERE $QueryFilter),
+       |p AS (
+       |  SELECT q_id, q_label, vec_id, label,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i])),
+       |           (a, x) -> a + x) / (qn * nrm) AS sim
+       |  FROM n, q WHERE vec_id != q_id),
+       |w AS (
+       |  SELECT *, max(CASE WHEN label = q_label THEN sim END)
+       |              OVER (PARTITION BY q_id) AS ps
+       |  FROM p),
+       |r AS (
+       |  SELECT q_id, vec_id, sim, ps,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY sim DESC, vec_id) AS INT) AS rank
+       |  FROM w WHERE label != q_label)
+       |SELECT q_id, rank, vec_id AS neg_id, round(sim, 6) AS neg_sim,
+       |       round(ps, 6) AS pos_sim, round(ps - sim, 6) AS margin
+       |FROM r WHERE rank <= $HardNegK""".stripMargin
 }

@@ -413,6 +413,47 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q107 hard negatives: full driver replay — top-5 cross-label neighbors, " +
+      "positive ceiling, margins; labels never match the anchor") {
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val anchors = rows.filter(_._1 % 25 == 0)
+    val want = anchors.flatMap { case (q, ql, qe) =>
+      val sims = rows.filter(_._1 != q).map { case (v, l, e) => (v, l, cos(qe, e)) }
+      val ps = sims.filter(_._2 == ql).map(_._3).max
+      sims.filter(_._2 != ql).sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
+        .map { case ((v, _, s), i) =>
+          (q, i + 1) -> ((v, r6(s), r6(ps), r6(ps - s))) }
+    }.toMap
+    val got = Similarity.hardNegatives(spark, sf).collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neg_id"), r.getAs[Double]("neg_sim"),
+          r.getAs[Double]("pos_sim"), r.getAs[Double]("margin")))).toMap
+    assert(got.size == anchors.length * 5, s"5 negatives per anchor: ${got.size}")
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+      s"first diffs: ${bad.map(k => s"$k got ${got.get(k)} want ${want.get(k)}").mkString("; ")}"
+    })
+    // the mined pairs are the CONTRASTIVE training set: a negative
+    // margin flags an anchor whose hardest negative outranks its best
+    // positive — recompute that flag independently and cross-check
+    val labels = rows.map(t => t._1 -> t._2).toMap
+    val anchorLabel = anchors.map(t => t._1 -> t._2).toMap
+    got.foreach { case ((q, _), (negId, negSim, posSim, margin)) =>
+      assert(labels(negId) != anchorLabel(q), s"negative $negId shares label with $q")
+      assert(math.abs(margin - r6(posSim - negSim)) <= 1e-6 + 1e-9,
+        s"margin must price pos - neg for $q")
+    }
+  }
+
   test("q96 embedOutliersOf: planted inverted vector is its label's top outlier; sims replay exactly") {
     import spark.implicits._
     val rows: Seq[(Long, Int, Seq[Double])] =
