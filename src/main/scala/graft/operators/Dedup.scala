@@ -826,6 +826,22 @@ object Dedup {
     deltaNearDupFrom(dropHotBuckets(bandsOf(spark, dir), maxBucket),
       hashedShingles(spark, dir))
 
+  /** Public accessors for the q85 stored-index pair — what a nightly
+    * build job persists via [[FpIndex]] so later ingest sessions serve
+    * without rebuilding (the [[AnnIndex]] lifecycle on the dedup
+    * axis). */
+  def bandIndexOf(spark: SparkSession, dir: String): DataFrame = bandsOf(spark, dir)
+  def shingleIndexOf(spark: SparkSession, dir: String): DataFrame =
+    hashedShingles(spark, dir)
+
+  /** q85 served from STORED artifacts: `bands`/`sh` come from
+    * [[FpIndex.loadFlat]]/[[FpIndex.loadShingles]] — no shingling or
+    * banding map stage over the corpus in the serving session.
+    * StoredIndexSpec pins the served rows equal to the in-session
+    * build. */
+  def deltaNearDupServe(bands: DataFrame, sh: DataFrame): DataFrame =
+    deltaNearDupFrom(bands, sh)
+
   private def deltaNearDupFrom(bands: DataFrame, sh: DataFrame): DataFrame = {
     // the DELTA side is the small one by construction (a daily ingest
     // batch vs the corpus) — broadcast it so the stored index is only
