@@ -1721,4 +1721,70 @@ object Similarity {
        |SELECT q_id, rank, vec_id AS neg_id, round(sim, 6) AS neg_sim,
        |       round(ps, 6) AS pos_sim, round(ps - sim, 6) AS margin
        |FROM r WHERE rank <= $HardNegK""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+
+  /** q109: RETRIEVER AGREEMENT — overlap@k between the dense (q21
+    * exact-cosine) and sparse (q92 BM25) retrievers over the shared
+    * query set, at k ∈ {1, 3, 5}. q93 FUSES the two lists; this
+    * audits how much they actually agree — the diagnostic behind the
+    * fusion decision: near-total overlap means RRF buys nothing over
+    * the cheaper single retriever, near-zero overlap means each leg
+    * sees candidates the other misses (fusion's value) but also that
+    * neither can validate the other. Convention: agreement@k =
+    * |dense-top-k ∩ sparse-top-k| averaged over queries, reported as
+    * ppm of the k·|Q| ceiling. Both legs exclude the query's own
+    * document (q93's contract), doc_id ≡ vec_id in the fixture corpus.
+    *
+    * Integer-exact: both legs' rankings already hash cross-engine
+    * (q21's fold-ordered cosine, q92's integer BM25); the overlap is
+    * pure counting. Scale shape: both legs are the audited plans; the
+    * agreement itself joins two |Q|·k frames on (query, doc) — the
+    * k-sweep is a 3-row literal frame nested-loop-joined against
+    * ≤ |Q|·k matched rows, then a 3-row aggregate. Zero corpus cost
+    * beyond the legs themselves. */
+  def retrieverAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val dense = cosineTopK(spark, dir)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("drank"))
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = TextAnalysis.bm25Of(docs, probes, k = 5, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("srank"))
+    val matched = dense.join(sparse, Seq("query_id", "doc_id"))
+    val nq = dense.agg(countDistinct(col("query_id")).as("n_q"))
+    val ks = spark.range(1).select(explode(array(lit(1), lit(3), lit(5))).as("k"))
+    ks.join(matched, col("drank") <= col("k") && col("srank") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(sum(when(col("query_id").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_q"), col("n_overlap"),
+        expr("(1000000 * n_overlap) div (n_q * k)").as("agree_ppm"))
+  }
+
+  val retrieverAgreementSql: String =
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS drank FROM (
+       |$cosineTopKSql
+       |  ) d),
+       |sparse AS (
+       |  SELECT query_id, doc_id, rank AS srank FROM (
+       |${TextAnalysis.bm25Sql(
+      """  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+        |    FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
+      excludeSelf = true, k = 5)}
+       |  ) s),
+       |m AS (SELECT query_id, drank, srank FROM dense JOIN sparse USING (query_id, doc_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_q FROM dense),
+       |ks AS (SELECT unnest([1, 3, 5]) AS k),
+       |ov AS (
+       |  SELECT k, CAST(count(m.query_id) AS BIGINT) AS n_overlap
+       |  FROM ks LEFT JOIN m ON m.drank <= ks.k AND m.srank <= ks.k
+       |  GROUP BY k)
+       |SELECT k, n_q, n_overlap, (1000000 * n_overlap) // (n_q * k) AS agree_ppm
+       |FROM ov, nq""".stripMargin
 }

@@ -1238,9 +1238,13 @@ object TextAnalysis {
   def nbClassify(spark: SparkSession, dir: String): DataFrame =
     nbClassifyOf(Tables.documents(spark, dir))
 
-  /** Frame-agnostic core of [[nbClassify]]: any frame with
-    * (doc_id, text, lang) — lang is the training label. */
-  def nbClassifyOf(docs: DataFrame): DataFrame = {
+  /** Per-(doc, class) NB integer scores — the shared head of q90's
+    * confusion matrix and q110's calibration audit. Returns
+    * (doc_id, lang, l, score): `lang` is the true label, `l` the
+    * candidate class, `score` the summed Laplace-smoothed floor-log₂
+    * likelihood bits (every doc scores against EVERY class — the grid
+    * carries a smoothed entry for each (class, vocab-word) pair). */
+  def nbScoresOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("w"))
     val cnt = toks.groupBy(col("lang").as("l"), col("w"))
@@ -1255,10 +1259,15 @@ object TextAnalysis {
         (length(conv(expr(
           "(CAST(coalesce(c, 0) + 1 AS DECIMAL(38,0)) * 1099511627776) div (tot + v)"),
           10, 2)) - lit(1)).cast("long").as("bits"))
-    val scored = toks.join(broadcast(grid), Seq("w"))
+    toks.join(broadcast(grid), Seq("w"))
       .groupBy(col("doc_id"), col("lang"), col("l"))
       .agg(sum(col("bits")).as("score"))
-    val pred = scored
+  }
+
+  /** Frame-agnostic core of [[nbClassify]]: any frame with
+    * (doc_id, text, lang) — lang is the training label. */
+  def nbClassifyOf(docs: DataFrame): DataFrame = {
+    val pred = nbScoresOf(docs)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("l"))))
@@ -1267,7 +1276,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  val nbClassifySql: String =
+  /** The q90 NB score-grid CTE chain up through `scored` (doc_id,
+    * lang, l, score) — shared by [[nbClassifySql]] and q110's
+    * calibration oracle so both replay the identical model. */
+  private val nbScoredSqlCtes: String =
     """WITH tok AS (
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
       |cnt AS (SELECT lang AS l, w, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -1282,7 +1294,10 @@ object TextAnalysis {
       |  LEFT JOIN cnt c ON c.l = t.l AND c.w = vb.w),
       |scored AS (
       |  SELECT tok.doc_id, tok.lang, g.l, CAST(sum(g.bits) AS BIGINT) AS score
-      |  FROM tok JOIN grid g USING (w) GROUP BY 1, 2, 3),
+      |  FROM tok JOIN grid g USING (w) GROUP BY 1, 2, 3)""".stripMargin
+
+  val nbClassifySql: String =
+    s"""$nbScoredSqlCtes,
       |pred AS (
       |  SELECT doc_id, lang, l AS pred_lang FROM (
       |    SELECT doc_id, lang, l,
@@ -1528,4 +1543,276 @@ object TextAnalysis {
        |                            FILTER (WHERE NOT is_hot), '')) AS INT) AS clean_len
        |FROM marked GROUP BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q108
+
+  /** CMS geometry: depth×width cells is the WHOLE sketch — fixed
+    * size regardless of corpus scale (the point of the sketch). The
+    * row-hash family is the q18 minhash affine family over the shared
+    * [[graft.functions.PolyHash]] base hash, so both engines derive
+    * identical cells. */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** q108: COUNT-MIN SKETCH heavy hitters with an exact-count audit —
+    * the mergeable fixed-size frequency sketch (Cormode–Muthukrishnan)
+    * that a streaming/federated token-frequency deployment keeps
+    * instead of the exact q50 histogram: d·w counters total, each
+    * token incrementing one counter per row via an independent hash,
+    * point estimate = min over rows (one-sided: never an undercount).
+    * The query BUILDS the sketch over the corpus token stream and then
+    * AUDITS it against the exact q50 top-100 counts — est ≥ exact
+    * always (the audit's invariant), and the overcount column is the
+    * collision noise a production deployment sizes w against
+    * (E[err] ≤ 2·N/w per the published bound).
+    *
+    * Integer-exact: the base hash is the codegen'd PolyHash fold
+    * (mod 10⁹+7); row i's cell = ((2i+1)·h + 7919·i) mod P mod w —
+    * the q18 minhash affine family, identical arithmetic both
+    * engines; counts and mins are integers throughout.
+    *
+    * Scale shape: ONE corpus token pass — the d-way cell explode
+    * feeds a (i, cell) hash aggregate whose map-side combine collapses
+    * each task to ≤ d·w partial rows, so the shuffle moves
+    * O(d·w·tasks) counters, never corpus rows (THE sketch property:
+    * partial sketches merge by cell-wise add). The audit joins the
+    * d·w-row sketch (broadcast) against the MODEL-sized q50 vocab —
+    * corpus-free. At 100 TB this is scan + a kilobyte-scale exchange,
+    * and the same cell table is what an incremental deployment stores
+    * per batch and merges by addition (the q76 partial-state story). */
+  /** The d packed cell ids of one already-polyhashed token: row i's
+    * counter lives at cell·d + i with cell = ((2i+1)·h + 7919·i)
+    * mod P mod w — the q18 minhash affine family. Shared by the
+    * batch sketch, the probe side, and the streaming twin so every
+    * consumer derives bit-identical cells. */
+  private def cmsCellArray(h: org.apache.spark.sql.Column) =
+    array((0 until CmsDepth).map(i =>
+      ((h * lit(2 * i + 1L) + lit(7919L * i)) % lit(1000000007L)
+        % lit(CmsWidth.toLong)) * lit(CmsDepth.toLong) + lit(i.toLong)): _*)
+
+  /** Stateless cell stream of a documents frame (one row per token ×
+    * depth) — legal on a structured stream as-is; the aggregation
+    * that turns it into the sketch is the caller's (batch groupBy
+    * here, update-mode streaming groupBy in
+    * [[graft.streaming.Incremental.cmsStream]]). */
+  def cmsCellsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(explode(cmsCellArray(TextHash.polyhash(col("token")))).as("rc"))
+
+  /** The CMS itself: (rc, cnt) — at most d·w rows regardless of
+    * corpus size. Partial sketches over disjoint corpus slices merge
+    * by cell-wise ADDITION into exactly the whole-corpus sketch
+    * ([[cmsMerge]]; the mergeability that makes the sketch the right
+    * shape for incremental/stored maintenance — StoredIndexSpec pins
+    * the bit-equality). */
+  def cmsSketchOf(docs: DataFrame): DataFrame =
+    cmsCellsOf(docs).groupBy(col("rc")).agg(count(lit(1)).as("cnt"))
+
+  /** Cell-wise sum of partial sketches — CMS mergeability. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("rc")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a probe frame (token, …carried cols) against
+    * a built sketch: min over the token's d counters. The sketch
+    * (≤ d·w rows) broadcasts; absent cells cannot occur for tokens
+    * the sketch counted. */
+  def cmsEstimateOf(sketch: DataFrame, probe: DataFrame): DataFrame = {
+    val carried = probe.columns.filter(_ != "token").map(col)
+    probe
+      .select(col("token") +: carried :+
+        explode(cmsCellArray(TextHash.polyhash(col("token")))).as("rc"): _*)
+      .join(broadcast(sketch), Seq("rc"))
+      .groupBy(col("token") +: carried: _*)
+      .agg(min(col("cnt")).as("est_freq"))
+  }
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val cms = cmsSketchOf(Tables.documents(spark, dir))
+    cmsEstimateOf(cms, vocabTopK(spark, dir).select(col("token"), col("freq").as("exact_freq")))
+      .withColumn("overcount", col("est_freq") - col("exact_freq"))
+  }
+
+  /** DuckDB mirror of the PolyHash character fold (the q18 oracle's
+    * form). */
+  private def duckPoly(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, length($v)), i -> CAST(ascii(substr($v, i, 1)) AS BIGINT))),
+       |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  val cmsHeavyHittersSql: String =
+    s"""WITH tok AS (
+       |  SELECT token FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) > 0),
+       |th AS (SELECT ${duckPoly("token")} AS h FROM tok),
+       |cells AS (
+       |  SELECT (((2*i+1) * h + 7919*i) % 1000000007 % $CmsWidth) * $CmsDepth + i AS rc
+       |  FROM th, generate_series(0, ${CmsDepth - 1}) g(i)),
+       |cms AS (SELECT rc, count(*) AS cnt FROM cells GROUP BY 1),
+       |vocab AS (
+       |$vocabTopKSql
+       |),
+       |probe AS (
+       |  SELECT token, freq AS exact_freq,
+       |         (((2*i+1) * ${duckPoly("token")} + 7919*i) % 1000000007 % $CmsWidth) * $CmsDepth + i AS rc
+       |  FROM vocab, generate_series(0, ${CmsDepth - 1}) g(i))
+       |SELECT token, exact_freq, CAST(min(cnt) AS BIGINT) AS est_freq,
+       |       CAST(min(cnt) AS BIGINT) - exact_freq AS overcount
+       |FROM probe JOIN cms USING (rc)
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q110
+
+  /** q110: CLASSIFIER CALIBRATION AUDIT — the reliability table for
+    * q90's trained NB filter: bucket every prediction by its
+    * CONFIDENCE (the integer score margin between the top-2 classes)
+    * and report accuracy per bucket. A well-calibrated filter's
+    * accuracy rises monotonically with margin; a flat table means the
+    * scores carry no confidence signal and any margin-based keep
+    * threshold (the CCNet-style "keep only confident docs" cut) is
+    * noise. This is the audit a curation deployment runs BEFORE
+    * trusting q90's labels to gate data.
+    *
+    * Integer-exact: scores are q90's summed floor-log₂ bits; margin =
+    * s1 − s2 ≥ 0 by construction; bucket = floor-log₂(margin + 1) via
+    * the binary-string-length trick (the q67/q79 family) — NOT a
+    * global ntile, so bucketing needs no corpus-wide sort.
+    *
+    * Scale shape: reuses q90's model grid (vocab×classes, broadcast)
+    * and per-doc scoring pass; the top-2-per-doc window partitions by
+    * doc_id (WindowGroupLimit prunes to 2 rows per doc before the
+    * full sort) over a frame of |docs|·|classes| rows; the final
+    * bucket aggregate is map-side combined to ≤ ~40 rows. No stage
+    * touches more than the scoring frame q90 already pays for. */
+  def calibrationAudit(spark: SparkSession, dir: String): DataFrame =
+    calibrationAuditOf(Tables.documents(spark, dir))
+
+  /** Frame-agnostic core of [[calibrationAudit]]: any frame with
+    * (doc_id, text, lang). */
+  def calibrationAuditOf(docs: DataFrame): DataFrame = {
+    val top2 = nbScoresOf(docs)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("l"))))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(when(col("rn") === 1, col("l"))).as("pred_lang"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        coalesce(max(when(col("rn") === 2, col("score"))), lit(0L)).as("s2"))
+    top2
+      .select((col("pred_lang") === col("lang")).as("ok"),
+        (length(conv(col("s1") - col("s2") + lit(1L), 10, 2)) - lit(1))
+          .cast("long").as("margin_bucket"))
+      .groupBy(col("margin_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("(1000000 * n_correct) div n_docs"))
+  }
+
+  val calibrationAuditSql: String =
+    s"""$nbScoredSqlCtes,
+       |top2 AS (
+       |  SELECT doc_id, lang,
+       |         max(CASE WHEN rn = 1 THEN l END) AS pred_lang,
+       |         max(CASE WHEN rn = 1 THEN score END) AS s1,
+       |         coalesce(max(CASE WHEN rn = 2 THEN score END), 0) AS s2
+       |  FROM (SELECT doc_id, lang, l, score,
+       |               row_number() OVER (PARTITION BY doc_id
+       |                                  ORDER BY score DESC, l) AS rn
+       |        FROM scored) r WHERE rn <= 2
+       |  GROUP BY 1, 2),
+       |b AS (SELECT (pred_lang = lang) AS ok,
+       |             length(bin(s1 - s2 + 1)) - 1 AS margin_bucket
+       |      FROM top2)
+       |SELECT margin_bucket, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       (1000000 * CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT))
+       |         // count(*) AS acc_ppm
+       |FROM b GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q111
+
+  /** q111: PAIRWISE SOURCE SIMILARITY — the mixture-design matrix:
+    * for every pair of sources, the L1 distance between their token
+    * distributions restricted to the corpus top-100 vocabulary (ppm,
+    * integer). q66 scores each source against the CORPUS average
+    * (drift per source); this scores sources against EACH OTHER —
+    * the signal a data-mixing decision actually needs (two
+    * near-identical sources are redundant budget; a far pair adds
+    * diversity — the DoReMi/SlimPajama domain-weighting prep view).
+    *
+    * Integer contract: per-source weight = (10⁶·c) div t over the
+    * source's vocab-restricted token total; the pair L1 over the
+    * UNION of supports decomposes as Σ_common|a−b| + (massA −
+    * Σ_common a) + (massB − Σ_common b), so an inner equi-join on
+    * token suffices — no full-outer per pair, and tokens one source
+    * never uses still contribute the other's full weight.
+    *
+    * Scale shape: the only corpus-sized work is ONE token pass
+    * (broadcast vocab membership join → (source, token) aggregate
+    * with map-side combine). Everything after operates on the
+    * |sources|·100-row distribution table: model-sized self-join,
+    * model-sized pair aggregate — at 100 TB the matrix costs a scan,
+    * like q66. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopK(spark, dir).select(col("token"))
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val dist = cnt.join(tot, "source")
+      .select(col("source"), col("token"), expr("(1000000 * c) div t").as("ppm"))
+    val vmass = dist.groupBy(col("source")).agg(sum(col("ppm")).as("vm"))
+    val common = dist.select(col("source").as("source_a"), col("token"), col("ppm").as("pa"))
+      .join(dist.select(col("source").as("source_b"), col("token"), col("ppm").as("pb")),
+        Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("pa") - col("pb"))).as("sabs"),
+        sum(col("pa")).as("ca"), sum(col("pb")).as("cb"))
+    val pairs = vmass.select(col("source").as("source_a"), col("vm").as("vma"))
+      .crossJoin(vmass.select(col("source").as("source_b"), col("vm").as("vmb")))
+      .filter(col("source_a") < col("source_b"))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("sabs"), lit(0L))
+          + (col("vma") - coalesce(col("ca"), lit(0L)))
+          + (col("vmb") - coalesce(col("cb"), lit(0L)))).as("l1_ppm"))
+  }
+
+  val sourceSimilaritySql: String =
+    s"""WITH vocab AS (
+       |$vocabTopKSql
+       |),
+       |tk AS (
+       |  SELECT source, token FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) > 0),
+       |cnt AS (
+       |  SELECT source, token, count(*) AS c
+       |  FROM tk JOIN vocab USING (token) GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |dist AS (
+       |  SELECT source, token, (1000000 * c) // t AS ppm
+       |  FROM cnt JOIN tot USING (source)),
+       |vmass AS (SELECT source, CAST(sum(ppm) AS BIGINT) AS vm FROM dist GROUP BY 1),
+       |common AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         count(*) AS n_common,
+       |         CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS sabs,
+       |         CAST(sum(a.ppm) AS BIGINT) AS ca,
+       |         CAST(sum(b.ppm) AS BIGINT) AS cb
+       |  FROM dist a JOIN dist b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.source AS source_a, a.vm AS vma, b.source AS source_b, b.vm AS vmb
+       |  FROM vmass a, vmass b WHERE a.source < b.source)
+       |SELECT source_a, source_b,
+       |       coalesce(n_common, 0) AS n_common,
+       |       coalesce(sabs, 0) + (vma - coalesce(ca, 0)) + (vmb - coalesce(cb, 0)) AS l1_ppm
+       |FROM pairs LEFT JOIN common USING (source_a, source_b)""".stripMargin
 }

@@ -52,7 +52,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "q64_temperature_mix", "q66_source_divergence", "q81_pmi_collocations",
       "q82_pq_adc", "q84_knn_classify", "q88_ann_recall", "q90_nb_classifier",
       "q92_bm25_topk", "q93_hybrid_rrf", "q97_mmr_diverse", "q98_retrieval_mrr",
-      "q100_basket_lift")
+      "q100_basket_lift",
+      // q107/q109: the q21 broadcast-anchors inequality join (scaladoc-
+      // documented one-corpus-pass design); q109 additionally nested-
+      // loops a 3-row k-literal frame against |Q|*k matched rows.
+      // q110: q90's broadcast model-grid cross joins. q111: the
+      // |sources|^2 pair cross over the model-sized mass table.
+      "q107_hard_negatives", "q109_retriever_agreement",
+      "q110_calibration_audit", "q111_source_similarity")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

@@ -491,4 +491,37 @@ class SimilaritySpec extends AnyFunSuite {
       rs.foreach(r => assert(r.getAs[Long]("sim_ppm") == want(r.getAs[Long]("vec_id"))))
     }
   }
+
+  test("q109 retriever agreement: overlap@k replays from the two legs; counts monotone in k") {
+    import graft.operators.TextAnalysis
+    val dense = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    val docs = Tables.documents(spark, sf)
+    val probes = docs.filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = TextAnalysis.bm25Of(docs, probes, k = 5, excludeSelf = true).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    val nq = dense.map(_._1).distinct.length.toLong
+    def topSet(rows: Array[(Long, Long, Int)], q: Long, k: Int): Set[Long] =
+      rows.collect { case (`q`, d, r) if r <= k => d }.toSet
+    val want = Seq(1, 3, 5).map { k =>
+      val ov = dense.map(_._1).distinct.map(q =>
+        topSet(dense, q, k).intersect(topSet(sparse, q, k)).size.toLong).sum
+      k -> (ov, 1000000L * ov / (nq * k))
+    }.toMap
+    val out = Similarity.retrieverAgreement(spark, sf).collect()
+    assert(out.length == 3, "one row per audited depth k")
+    out.foreach { r =>
+      val k = r.getAs[Int]("k")
+      assert(r.getAs[Long]("n_q") == nq)
+      assert(want(k) == (r.getAs[Long]("n_overlap"), r.getAs[Long]("agree_ppm")),
+        s"overlap@$k must equal the per-query set-intersection replay")
+      assert(r.getAs[Long]("n_overlap") <= nq * k, "overlap is capped by the k*|Q| ceiling")
+    }
+    val byK = out.map(r => r.getAs[Int]("k") -> r.getAs[Long]("n_overlap")).toMap
+    assert(byK(1) <= byK(3) && byK(3) <= byK(5),
+      "top-k sets nest, so overlap counts are non-decreasing in k")
+  }
 }

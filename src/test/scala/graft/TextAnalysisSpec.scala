@@ -662,4 +662,131 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
     assert(wiped(0L) == "" && wiped(5L) == body(5, 0))
   }
+
+  test("q108 CMS heavy hitters: estimates replay driver-side; the sketch never undercounts") {
+    def poly(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    def cell(h: Long, i: Int): Long =
+      ((2 * i + 1) * h + 7919L * i) % 1000000007L % 256L
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    toks.foreach { t =>
+      val h = poly(t)
+      (0 until 4).foreach { i =>
+        cells((i, cell(h, i))) = cells.getOrElse((i, cell(h, i)), 0L) + 1
+      }
+    }
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val out = TextAnalysis.cmsHeavyHitters(spark, sf).collect()
+    assert(out.length == math.min(100, exact.size),
+      "one audited row per q50 vocab token (the fixture vocab is smaller than the top-100 cut)")
+    out.foreach { r =>
+      val t = r.getAs[String]("token")
+      val h = poly(t)
+      val want = (0 until 4).map(i => cells((i, cell(h, i)))).min
+      assert(r.getAs[Long]("exact_freq") == exact(t), s"exact count for '$t'")
+      assert(r.getAs[Long]("est_freq") == want, s"CMS point estimate for '$t'")
+      assert(r.getAs[Long]("overcount") == want - exact(t))
+      assert(r.getAs[Long]("est_freq") >= r.getAs[Long]("exact_freq"),
+        "count-min is one-sided: never an undercount")
+    }
+  }
+
+  test("q110 calibration audit: buckets and accuracy replay the full NB driver-side; corpus conserved") {
+    val rows = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    rows.foreach { case (_, l, ws) => ws.foreach { w =>
+      cnt((l, w)) = cnt.getOrElse((l, w), 0L) + 1 } }
+    val tot = cnt.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val v = cnt.keys.map(_._2).toSet.size.toLong
+    def bits(l: String, w: String): Long =
+      java.lang.Long.toBinaryString(
+        (BigInt(cnt.getOrElse((l, w), 0L) + 1) * BigInt(2).pow(40) /
+          (tot(l) + v)).toLong).length - 1L
+    val classes = tot.keys.toSeq.sorted
+    val perDoc = rows.map { case (_, lang, ws) =>
+      // (score desc, class asc) ordering — the operator's window order
+      val ranked = classes.map(c => (ws.map(w => bits(c, w)).sum, c))
+        .sortBy { case (s, c) => (-s, c) }
+      val (s1, pred) = ranked.head
+      val s2 = if (ranked.length > 1) ranked(1)._1 else 0L
+      val bucket = java.lang.Long.toBinaryString(s1 - s2 + 1).length - 1L
+      (bucket, pred == lang)
+    }
+    val want = perDoc.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.length.toLong
+      val ok = xs.count(_._2).toLong
+      b -> (n, ok, 1000000L * ok / n)
+    }
+    val out = TextAnalysis.calibrationAudit(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == rows.length,
+      "every document lands in exactly one margin bucket")
+    assert(out.map(r => r.getAs[Long]("margin_bucket") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"), r.getAs[Long]("acc_ppm"))).toMap
+      == want, "reliability table must equal the driver-replayed NB margins")
+    out.foreach { r =>
+      assert(r.getAs[Long]("acc_ppm") >= 0L && r.getAs[Long]("acc_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q110 calibration: an ambiguous doc lands in margin bucket 0; separable docs rank higher") {
+    import spark.implicits._
+    // docs 1-2: pure single-class vocab (confident). Docs 3-4 are the
+    // SAME ambiguous text, one per label — training counts stay fully
+    // symmetric under en<->fr + cat<->chat (the ambiguous docs train
+    // the model too, so symmetry must hold INCLUDING them), hence
+    // s1 == s2 for both -> margin bucket floor-log2(0+1) = 0. The tie
+    // predicts the smaller class 'en': right for doc 3, wrong for
+    // doc 4 — bucket 0 accuracy is exactly 1/2, the calibration
+    // signal the audit exists to expose.
+    val docs = Seq(
+      (1L, "cat cat cat", "en"),
+      (2L, "chat chat chat", "fr"),
+      (3L, "cat chat", "en"),
+      (4L, "cat chat", "fr"),
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.calibrationAuditOf(docs).collect()
+      .map(r => r.getAs[Long]("margin_bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))).toMap
+    assert(out.keySet.contains(0L), "the symmetric docs must land in bucket 0")
+    assert(out(0L) == (2L, 1L), "tie predicts 'en': right for doc 3, wrong for doc 4")
+    val confident = out.filter(_._1 > 0L)
+    assert(confident.values.map(_._1).sum == 2L &&
+      confident.values.map(_._2).sum == 2L,
+      "both separable docs are high-margin and correctly classified")
+  }
+
+  test("q111 source similarity: pairwise L1 over the union support replays driver-side") {
+    val vocab = TextAnalysis.vocabTopK(spark, sf).collect().map(_.getString(0)).toSet
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ppm = docs.groupBy(_._1).map { case (src, ds) =>
+      val ts = ds.flatMap(_._2.split(" ", -1)).filter(t => t.nonEmpty && vocab(t))
+      val t = ts.length.toLong
+      src -> ts.groupBy(identity).map { case (w, xs) =>
+        w -> 1000000L * xs.length / t }
+    }
+    val sources = ppm.keys.toSeq.sorted
+    val want = (for {
+      a <- sources; b <- sources if a < b
+      da = ppm(a); db = ppm(b)
+    } yield {
+      val union = da.keySet ++ db.keySet
+      val l1 = union.toSeq.map(w =>
+        math.abs(da.getOrElse(w, 0L) - db.getOrElse(w, 0L))).sum
+      (a, b) -> (da.keySet.intersect(db.keySet).size.toLong, l1)
+    }).toMap
+    val out = TextAnalysis.sourceSimilarity(spark, sf).collect()
+    assert(out.length == sources.combinations(2).length, "one row per unordered source pair")
+    out.foreach { r =>
+      val k = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(want(k) == (r.getAs[Long]("n_common"), r.getAs[Long]("l1_ppm")),
+        s"pair $k must equal the union-support replay")
+      assert(r.getAs[Long]("l1_ppm") >= 0L && r.getAs[Long]("l1_ppm") <= 2000000L,
+        "L1 between two sub-probability ppm vectors is bounded by 2e6")
+    }
+  }
 }
