@@ -99,6 +99,25 @@ object Incremental {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Streaming count-min sketch — q108's continuous twin: arriving
+    * documents fold into the SAME d·w counter table the batch sketch
+    * builds (`TextAnalysis.cmsCellsOf` — the cell derivation is a
+    * stateless per-row map, legal on a stream; the groupBy(rc) is the
+    * stateful half). Unlike every other stateful aggregation here,
+    * this one's state CANNOT grow: the key domain is the d·w cell ids
+    * by construction, so no watermark is needed and update/complete
+    * modes are both safe indefinitely — the sketch bounds its own
+    * state, which is exactly why a 100 TB ingest keeps a CMS instead
+    * of the exact q50 histogram. Micro-batch increments merge into
+    * the running counters by cell-wise addition — the same
+    * mergeability `TextAnalysis.cmsMerge` gives stored partial
+    * sketches (StreamingSpec pins stream ≡ batch on the union of the
+    * batches; estimates served from the streamed sketch are therefore
+    * bit-identical to batch estimates). */
+  def cmsStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.cmsCellsOf(docs)
+      .groupBy(col("rc")).agg(count(lit(1)).as("cnt"))
+
   /** Streaming near-dup ingest — q85's incremental delta-vs-corpus
     * dedup as a CONTINUOUS flow: each arriving document is shingled,
     * minhash-signed, and banded with the SAME codegen'd kernels the

@@ -588,4 +588,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(state() === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
     } finally q.stop()
   }
+
+  test("streaming CMS: counters after two micro-batches equal the batch sketch " +
+      "over the union; state is bounded by the d*w cell domain") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Incremental.cmsStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, "alpha beta alpha"), (2L, "gamma beta"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha delta epsilon zeta"))
+      q.processAllAvailable()
+      val got = spark.table("cms_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.TextAnalysis.cmsSketchOf(
+        Seq((1L, "alpha beta alpha"), (2L, "gamma beta"),
+          (3L, "alpha delta epsilon zeta")).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == batch,
+        "streamed counters must equal the batch sketch over the same corpus")
+      // the sketch's self-bounding state contract: every key is a
+      // packed (cell, row) id inside the fixed d*w domain, and the
+      // total count is tokens * depth
+      assert(got.keys.forall(rc => rc >= 0L && rc < 256L * 4))
+      assert(got.values.sum == 9L * 4, "9 tokens x depth-4 counter increments")
+    } finally q.stop()
+  }
 }
