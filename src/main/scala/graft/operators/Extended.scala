@@ -1266,4 +1266,152 @@ object Extended {
        |  SELECT pa, pb, n_ab, lift_ppm,
        |         CAST(row_number() OVER (ORDER BY lift_ppm DESC, pa, pb) AS INT) AS pos
        |  FROM scored) WHERE pos <= $BasketTopK""".stripMargin
+
+  // --------------------------------------------------------------- q112
+
+  /** KMV sample size. The estimator's relative error concentrates
+    * around 1/√(k−2) ≈ 13% at k=64 (Beyer et al., the published KMV
+    * bound) — the fixture audit's err_ppm column shows where the
+    * groups actually land. */
+  private val KmvK = 64
+
+  /** q112: K-MINIMUM-VALUES distinct-count sketch with an exact audit
+    * — the ENGINE-PORTABLE mergeable distinct sketch. q41/q76 use
+    * DataSketches HLL, whose serialized registers are
+    * engine-specific (q41 is the suite's one oracle-exempt row for
+    * exactly that reason); KMV is the alternative a cross-engine
+    * deployment can replay bit-for-bit: hash every value with the
+    * q42 Knuth multiplicative hash (odd multiplier mod 2³² — a
+    * BIJECTION on the 32-bit domain, so distinct keys give distinct
+    * hashes and the sketch is deterministic), keep the k smallest
+    * hashes per group, estimate distinct = (k−1)·2³² div h₍ₖ₎. Per
+    * group: exact distinct count, the k-th minimum hash, the
+    * estimate, and |err| ppm — the audit a deployment runs before
+    * trusting the sketch at a cardinality the exact count can no
+    * longer afford.
+    *
+    * Mergeability (why this shape survives 100 TB): the k smallest
+    * of a union is computable from the k smallest of each part, so
+    * partial per-partition top-k heaps ARE partial sketches — the
+    * plan below is distinct → per-group bottom-k window, where
+    * WindowGroupLimit prunes each task to k rows before the single
+    * per-group sort; the only corpus-sized stage is the distinct's
+    * one shuffle on (group, value), which the exact audit column
+    * needs anyway (a production sketch-only run drops it and keeps
+    * a per-partition k-heap — state k·|groups| hashes, driver-free).
+    *
+    * Fixture: distinct order keys per lineitem return flag. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .withColumn("h", expr("(l_orderkey * 2654435761) % 4294967296"))
+    val exact = d.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"))
+    val kth = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("h"))))
+      .filter(col("rk") === KmvK)
+      .select(col("l_returnflag"), col("h").as("kth_hash"))
+    exact.join(kth, "l_returnflag")
+      .withColumn("est_distinct",
+        expr(s"(${KmvK - 1}L * 4294967296) div kth_hash"))
+      .withColumn("err_ppm",
+        expr("(1000000 * abs(est_distinct - n_exact)) div n_exact"))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+       |h AS (
+       |  SELECT l_returnflag, (l_orderkey * 2654435761) % 4294967296 AS h FROM d),
+       |exact AS (
+       |  SELECT l_returnflag, count(*) AS n_exact FROM d GROUP BY 1),
+       |kth AS (
+       |  SELECT l_returnflag, h AS kth_hash FROM (
+       |    SELECT l_returnflag, h,
+       |           row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+       |    FROM h) WHERE rk = $KmvK)
+       |SELECT l_returnflag, n_exact, kth_hash,
+       |       (${KmvK - 1} * 4294967296) // kth_hash AS est_distinct,
+       |       (1000000 * abs((${KmvK - 1} * 4294967296) // kth_hash - n_exact))
+       |         // n_exact AS err_ppm
+       |FROM exact JOIN kth USING (l_returnflag)""".stripMargin
+
+  // --------------------------------------------------------------- q113
+
+  /** Priority-sampling size (per group). */
+  private val PriK = 32
+
+  /** q113: PRIORITY SAMPLING with a Horvitz–Thompson audit — the
+    * weighted bottom-k sketch (Duffield–Lund–Thorup) that answers
+    * "estimate subset sums from a fixed-size weighted sample": each
+    * item draws priority q = w div u (u deterministic-uniform from
+    * the q42 Knuth hash, scaled to 2³²), a group keeps its k highest
+    * priorities, and the (k+1)-th priority τ prices every kept item
+    * as max(w, τ) — the published estimator whose subset-sum
+    * expectation is exact. The query audits the estimator against
+    * the true group total: per order priority class, n kept, the
+    * threshold, Σmax(w,τ) vs Σw, err ppm. This is the sampling a
+    * 100 TB event pipeline keeps per key when exact totals are only
+    * affordable for the audit slice — and unlike uniform sampling
+    * (q42/q51) it is weight-aware: a heavy order is near-certain to
+    * be kept, so heavy-tailed totals do not explode the variance.
+    *
+    * Integer-exact: weights are price cents (the q33/q101 contract);
+    * u_scaled = knuth(o_orderkey)+1 ∈ [1, 2³²]; q = (w·2³²) div
+    * u_scaled ≥ w stays far inside BIGINT (w ≤ ~10⁸ cents);
+    * ties in q break by order key. Deterministic on both engines.
+    *
+    * Scale shape: ONE shuffle on the group key; the top-(k+1) rank
+    * is a WindowGroupLimit per-task heap prune; the exact total
+    * rides the same aggregate the audit needs anyway (a production
+    * sketch-only run keeps per-partition (k+1)-heaps — mergeable
+    * exactly like q112's, state (k+1)·|groups|). */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("w"))
+      .withColumn("pri",
+        expr("(w * 4294967296) div (((o_orderkey * 2654435761) % 4294967296) + 1)"))
+    val ranked = base.withColumn("rk", row_number().over(
+      Window.partitionBy(col("grp")).orderBy(col("pri").desc, col("o_orderkey"))))
+    val tau = ranked.filter(col("rk") === PriK + 1)
+      .select(col("grp"), col("pri").as("tau"))
+    val est = ranked.filter(col("rk") <= PriK)
+      .join(tau, "grp")
+      .groupBy(col("grp"))
+      .agg(sum(greatest(col("w"), col("tau"))).as("est_total"),
+        max(col("tau")).as("tau_out"))
+    val exact = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_items"), sum(col("w")).as("exact_total"))
+    exact.join(est, "grp")
+      .select(col("grp").as("o_orderpriority"), col("n_items"),
+        col("exact_total"), col("tau_out").as("tau"), col("est_total"),
+        expr("(1000000 * abs(est_total - exact_total)) div exact_total").as("err_ppm"))
+  }
+
+  val prioritySampleSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS grp, o_orderkey,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+       |         (CAST(round(o_totalprice * 100) AS BIGINT) * 4294967296)
+       |           // (((o_orderkey * 2654435761) % 4294967296) + 1) AS pri
+       |  FROM orders),
+       |ranked AS (
+       |  SELECT grp, o_orderkey, w, pri,
+       |         row_number() OVER (PARTITION BY grp
+       |                            ORDER BY pri DESC, o_orderkey) AS rk
+       |  FROM base),
+       |tau AS (SELECT grp, pri AS tau FROM ranked WHERE rk = ${PriK + 1}),
+       |est AS (
+       |  SELECT grp, CAST(sum(greatest(w, tau)) AS BIGINT) AS est_total,
+       |         CAST(max(tau) AS BIGINT) AS tau
+       |  FROM ranked JOIN tau USING (grp) WHERE rk <= $PriK
+       |  GROUP BY grp),
+       |exact AS (
+       |  SELECT grp, count(*) AS n_items, CAST(sum(w) AS BIGINT) AS exact_total
+       |  FROM base GROUP BY grp)
+       |SELECT grp AS o_orderpriority, n_items, exact_total, tau, est_total,
+       |       (1000000 * abs(est_total - exact_total)) // exact_total AS err_ppm
+       |FROM exact JOIN est USING (grp)""".stripMargin
 }

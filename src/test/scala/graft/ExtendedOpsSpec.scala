@@ -317,4 +317,64 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("pairs_dropped") == 40L * 39 / 2)
     assert(rep.getAs[Long]("max_basket") == 40)
   }
+
+  test("q112 KMV distinct sketch: estimate replays driver-side; k-min-of-union mergeability holds") {
+    def knuth(x: Long): Long = (x * 2654435761L) % 4294967296L
+    val d = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = d.groupBy(_._1).map { case (flag, xs) =>
+      val hs = xs.map(t => knuth(t._2)).sorted
+      val kth = hs(63) // k = 64, 1-indexed k-th minimum
+      val est = 63L * 4294967296L / kth
+      val exact = xs.length.toLong
+      flag -> (exact, kth, est, 1000000L * math.abs(est - exact) / exact)
+    }
+    val out = Extended.kmvDistinct(spark, sf).collect()
+    assert(out.length == want.size, "one row per return flag")
+    out.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      assert(want(f) == (r.getAs[Long]("n_exact"), r.getAs[Long]("kth_hash"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("err_ppm")), s"flag $f")
+      assert(r.getAs[Long]("kth_hash") > 0L)
+    }
+    // mergeability: the k smallest hashes of a union are recoverable
+    // from the k smallest of each part — the property that lets
+    // per-partition heaps act as partial sketches
+    val (flag, xs) = d.groupBy(_._1).head
+    val hs = xs.map(t => knuth(t._2)).distinct
+    val (p1, p2) = hs.partition(_ % 2 == 0)
+    val mergedTopK = (p1.sorted.take(64) ++ p2.sorted.take(64)).sorted.take(64).toSeq
+    assert(mergedTopK == hs.sorted.take(64).toSeq, s"k-min merge identity for $flag")
+  }
+
+  test("q113 priority sampling: HT estimate replays driver-side; heavy items are always kept") {
+    def knuth(x: Long): Long = (x * 2654435761L) % 4294967296L
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (grp, xs) =>
+      val pri = xs.map { case (_, k, w) => (w * 4294967296L / (knuth(k) + 1), k, w) }
+      val ranked = pri.sortBy { case (q, k, _) => (-q, k) }
+      val tau = ranked(32)._1 // (k+1)-th priority, k = 32
+      val kept = ranked.take(32)
+      val est = kept.map { case (_, _, w) => math.max(w, tau) }.sum
+      val exact = xs.map(_._3).sum
+      // every item whose weight reaches the threshold must be sampled
+      // (q = w/u >= w >= tau, and priorities above tau are the kept set)
+      assert(xs.filter(_._3 >= tau).forall(x => kept.exists(_._2 == x._2)),
+        s"$grp: heavy item escaped the sample")
+      grp -> (xs.length.toLong, exact, tau, est,
+        1000000L * math.abs(est - exact) / exact)
+    }
+    val out = Extended.prioritySample(spark, sf).collect()
+    assert(out.length == want.size, "one row per order priority class")
+    out.foreach { r =>
+      val g = r.getAs[String]("o_orderpriority")
+      assert(want(g) == (r.getAs[Long]("n_items"), r.getAs[Long]("exact_total"),
+        r.getAs[Long]("tau"), r.getAs[Long]("est_total"), r.getAs[Long]("err_ppm")),
+        s"group $g must equal the driver-replayed priority sample")
+    }
+  }
 }
