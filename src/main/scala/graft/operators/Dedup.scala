@@ -1243,4 +1243,248 @@ object Dedup {
        |FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $VideoMinVotes""".stripMargin
   }
+
+  // --------------------------------------------------------------- q116
+
+  /** q116: CORPUS NOVELTY CURVE — the diminishing-returns audit of
+    * data collection. Order the corpus by ingest order (doc_id — the
+    * fixture's arrival proxy), split it into ten equal-width
+    * cohorts, and measure what fraction of each cohort's shingles is
+    * NOVEL (first seen in that document): early cohorts are nearly
+    * all novel, later cohorts decay toward the corpus's repetition
+    * floor. The curve is the quantitative answer to "is crawling
+    * more of this source still buying diversity?" — the
+    * data-mixing/stop-crawling decision input, complementing q111
+    * (which sources overlap) and q114 (how much two sources share):
+    * this one is WITHIN-corpus marginal novelty over time.
+    *
+    * First-seen attribution is exact, not sketched: first(h) =
+    * min(doc_id) over the corpus — an order-independent aggregate,
+    * so the result is partition-invariant (the q42 determinism
+    * contract) and hash-matches DuckDB.
+    *
+    * Scale shape: the shingle pass reuses q18/q19's cached
+    * hashed-shingle frame (one WordNGramHashes kernel pass per
+    * session). first-seen is ONE map-side-combined min aggregate on
+    * the shingle hash; attribution is an equi-join back on the same
+    * key (same partitioning — AQE reuses the exchange); the doc
+    * aggregate and the 10-row cohort aggregate follow. Cohort
+    * assignment is a broadcast scalar max (`(doc_id·10) div
+    * (max_id+1)`) — deliberately NOT `ntile(10)`, whose global sort
+    * would single-partition a corpus-sized doc list at 100 TB. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ex = hashedShingles(spark, dir)
+      .select(col("doc_id"), explode(col("hh")).as("h"))
+    val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = ex.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+    val maxId = Tables.documents(spark, dir).agg(max(col("doc_id")).as("max_id"))
+    perDoc.crossJoin(broadcast(maxId))
+      .withColumn("cohort",
+        expr("CAST((doc_id * 10) div (max_id + 1) AS INT)"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_shingles"))
+  }
+
+  val noveltyCurveSql: String =
+    s"""WITH sh0 AS (
+       |$shinglesDuck),
+       |ex AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(shingles,
+       |    s -> ${duckPolyhash("s")}))) AS h
+       |  FROM sh0),
+       |fs AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+       |perdoc AS (
+       |  SELECT e.doc_id, count(*) AS n_sh,
+       |         sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM ex e JOIN fs f USING (h) GROUP BY 1),
+       |mx AS (SELECT max(doc_id) AS max_id FROM documents)
+       |SELECT CAST((doc_id * 10) // (max_id + 1) AS INT) AS cohort,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       |       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       |       (1000000 * CAST(sum(n_novel) AS BIGINT))
+       |         // CAST(sum(n_sh) AS BIGINT) AS novelty_ppm
+       |FROM perdoc, mx GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q114
+
+  /** KMV sketch size for the cross-source overlap estimate. Same
+    * Beyer-et-al error regime as q112's k (≈ 1/√(k−2) ≈ 13% on the
+    * union cardinality); the Jaccard leg concentrates as ρ/k over the
+    * k union samples. */
+  private val OvK = 64
+
+  /** q114: CROSS-SOURCE SET-OVERLAP ESTIMATION via KMV sketch SET
+    * OPERATIONS — the capability tier q111 and q112 each stop short
+    * of. q111's source-similarity matrix compares token
+    * DISTRIBUTIONS restricted to a model-sized vocab; q112's KMV
+    * estimates one group's distinct COUNT. The question a corpus
+    * curator actually asks before merging two crawls is set-valued:
+    * "how many distinct shingles do source A and source B SHARE?" —
+    * exact answer = a corpus-sized distinct self-join per pair. The
+    * published KMV set-operation estimators (Beyer et al. 2007; the
+    * theta-sketch intersection rule) answer it from k-sized sketches:
+    *
+    *   - union:        τ = k-th smallest scrambled hash of
+    *                   KMV_A ∪ KMV_B; |A∪B| ≈ (k−1)·2³² div τ
+    *   - Jaccard:      ρ = |{v ∈ KMV_A ∩ KMV_B : v ≤ τ}|; J ≈ ρ/k
+    *   - intersection: |A∩B| ≈ ρ·|A∪B|est div k
+    *
+    * Engine-portable by the q112 argument: shingle → q18 polyhash
+    * (mod 1e9+7) → Knuth scramble (odd multiplier mod 2³², a
+    * bijection, so distinct shingle hashes stay distinct and the
+    * k-minima are deterministic) — DuckDB replays every step
+    * bit-for-bit, so this row hash-matches where HLL/theta registers
+    * cannot (q41's exemption). Output per source pair: both exact
+    * audit legs (cardinalities, intersection, union, Jaccard ppm)
+    * beside the sketch estimates and the union-estimate error ppm —
+    * the audit a deployment runs at a scale where the exact legs are
+    * still affordable, before trusting sketches alone.
+    *
+    * Scale shape: ONE corpus pass builds the distinct (source,
+    * scrambled-hash) set — the WordNGramHashes kernel runs once
+    * (CacheRegistry materialization point: the frame feeds the
+    * sketch, the cardinality audit, and the exact-intersection
+    * audit; uncached the shingle hashing would run 3×). The
+    * per-source bottom-k is a WindowGroupLimit (per-task k-heap
+    * prune before the per-source sort — the same mergeable-partial
+    * argument as q112: k smallest of a union is computable from k
+    * smallest of each part). Everything downstream of the sketch is
+    * |sources|·k rows — model-sized joins a 1000-executor cluster
+    * never shuffles corpus data for. The exact-audit legs (per-source
+    * distinct counts + pair intersection via hash equi-join) are the
+    * only other corpus-sized work and are exactly what a production
+    * sketch-only run drops. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (source, scrambled-hash) — the one corpus pass, shared
+    // by all three consumers below.
+    val sh = graft.CacheRegistry.getOrCache(spark, s"dedup.kmvOverlap.sh:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(TextHash.wordNGramHashes(col("t"), 3)).as("h"))
+        .distinct()
+        .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
+        .select(col("source"), col("hv"))
+    }
+    val wS = Window.partitionBy(col("source")).orderBy(col("hv"))
+    val sk = sh.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= OvK).select(col("source"), col("hv"))
+    val card = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = card.select(col("source").as("source_a"), col("n").as("n_a"))
+      .join(card.select(col("source").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+    // merged sketch per pair → union threshold τ (k-th smallest)
+    val ska = sk.select(col("source").as("source_a"), col("hv"))
+    val skb = sk.select(col("source").as("source_b"), col("hv"))
+    val mg = pairs.select(col("source_a"), col("source_b"))
+      .join(ska, "source_a")
+      .select(col("source_a"), col("source_b"), col("hv"))
+      .union(pairs.select(col("source_a"), col("source_b"))
+        .join(skb, "source_b")
+        .select(col("source_a"), col("source_b"), col("hv")))
+      .distinct()
+    val wP = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("hv"))
+    val tau = mg.withColumn("rk", row_number().over(wP))
+      .filter(col("rk") === OvK)
+      .select(col("source_a"), col("source_b"), col("hv").as("tau"))
+    // ρ: sketch values present in BOTH sketches at or below τ
+    val rho = ska.join(skb, "hv")
+      .filter(col("source_a") < col("source_b"))
+      .join(tau, Seq("source_a", "source_b"))
+      .filter(col("hv") <= col("tau"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("rho"))
+    // exact audit leg: pair intersection over the full distinct sets
+    val exact = sh.select(col("source").as("source_a"), col("hv"))
+      .join(sh.select(col("source").as("source_b"), col("hv")), "hv")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs
+      .join(tau, Seq("source_a", "source_b"))
+      .join(rho, Seq("source_a", "source_b"), "left")
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .withColumn("rho", coalesce(col("rho"), lit(0L)))
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
+      .withColumn("union_est", expr(s"(${OvK - 1}L * 4294967296L) div tau"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("exact_inter"), col("exact_union"),
+        expr("(1000000 * exact_inter) div exact_union").as("exact_jacc_ppm"),
+        col("tau"), col("rho"), col("union_est"),
+        expr(s"(1000000 * rho) div $OvK").as("jacc_est_ppm"),
+        expr(s"(rho * union_est) div $OvK").as("inter_est"),
+        expr("(1000000 * abs(union_est - exact_union)) div exact_union")
+          .as("err_union_ppm"))
+  }
+
+  val kmvOverlapSql: String =
+    s"""WITH sh0 AS (
+       |  SELECT source, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT source, (h * 2654435761) % 4294967296 AS hv
+       |  FROM (SELECT source, unnest(list_transform(shingles,
+       |          s -> ${duckPolyhash("s")})) AS h
+       |        FROM sh0)),
+       |sk AS (
+       |  SELECT source, hv FROM (
+       |    SELECT source, hv,
+       |           row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+       |    FROM sh) WHERE rk <= $OvK),
+       |card AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, a.n AS n_a, b.source AS source_b, b.n AS n_b
+       |  FROM card a JOIN card b ON a.source < b.source),
+       |mg AS (
+       |  SELECT DISTINCT source_a, source_b, hv FROM (
+       |    SELECT p.source_a, p.source_b, s.hv
+       |    FROM pairs p JOIN sk s ON s.source = p.source_a
+       |    UNION ALL
+       |    SELECT p.source_a, p.source_b, s.hv
+       |    FROM pairs p JOIN sk s ON s.source = p.source_b)),
+       |tau AS (
+       |  SELECT source_a, source_b, hv AS tau FROM (
+       |    SELECT source_a, source_b, hv,
+       |           row_number() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rk
+       |    FROM mg) WHERE rk = $OvK),
+       |rho AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS rho
+       |  FROM sk a JOIN sk b ON a.hv = b.hv AND a.source < b.source
+       |  JOIN tau t ON t.source_a = a.source AND t.source_b = b.source
+       |  WHERE a.hv <= t.tau
+       |  GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS exact_inter
+       |  FROM sh a JOIN sh b ON a.hv = b.hv AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+       |       coalesce(ex.exact_inter, 0) AS exact_inter,
+       |       p.n_a + p.n_b - coalesce(ex.exact_inter, 0) AS exact_union,
+       |       (1000000 * coalesce(ex.exact_inter, 0))
+       |         // (p.n_a + p.n_b - coalesce(ex.exact_inter, 0)) AS exact_jacc_ppm,
+       |       t.tau,
+       |       coalesce(rho.rho, 0) AS rho,
+       |       (${OvK - 1} * 4294967296) // t.tau AS union_est,
+       |       (1000000 * coalesce(rho.rho, 0)) // $OvK AS jacc_est_ppm,
+       |       (coalesce(rho.rho, 0) * ((${OvK - 1} * 4294967296) // t.tau))
+       |         // $OvK AS inter_est,
+       |       (1000000 * abs((${OvK - 1} * 4294967296) // t.tau
+       |                      - (p.n_a + p.n_b - coalesce(ex.exact_inter, 0))))
+       |         // (p.n_a + p.n_b - coalesce(ex.exact_inter, 0)) AS err_union_ppm
+       |FROM pairs p
+       |JOIN tau t USING (source_a, source_b)
+       |LEFT JOIN rho USING (source_a, source_b)
+       |LEFT JOIN ex USING (source_a, source_b)""".stripMargin
 }

@@ -1414,4 +1414,117 @@ object Extended {
        |SELECT grp AS o_orderpriority, n_items, exact_total, tau, est_total,
        |       (1000000 * abs(est_total - exact_total)) // exact_total AS err_ppm
        |FROM exact JOIN est USING (grp)""".stripMargin
+
+  // --------------------------------------------------------------- q115
+
+  /** Days reported per event type (the top deviations, anomalous or
+    * not — the monitoring dashboard shows the worst days with their
+    * verdicts, so a quiet stream still renders). */
+  private val AnomTopDays = 3
+
+  /** q115: INGEST-VOLUME ANOMALY DETECTION — the per-key time-series
+    * drift monitor a 100 TB pipeline runs on its own intake before
+    * trusting a day's data. Per (event_type, UTC day): event count;
+    * per type: mean/variance sufficient statistics (n, Σc, Σc²); a
+    * day is anomalous when its squared deviation exceeds λ²·σ² at
+    * λ = 2 — evaluated WITHOUT sqrt or floats by cross-multiplying:
+    *
+    *   (n·c − S₁)² > λ² · (n·Σc² − S₁²)     [both sides ×n²]
+    *
+    * so the verdict is integer-exact and engine-portable (the q112
+    * determinism contract). Output: the top-[[AnomTopDays]] deviation
+    * days per type with n_events, mean×100, z²×100 and the verdict —
+    * the triage list, not just a boolean stream. z2_x100 is literally
+    * 100·z² (computed as 400·dev² div thr, the λ²=4 folded back out),
+    * so the flag reads as `z2_x100 > 400` — two sigmas.
+    *
+    * Overflow posture (the q101 precedent, applied at the exact
+    * intermediate that wraps): Σc² and both cross-multiplied sides
+    * accumulate through DECIMAL(38,0) — at 100 TB a hot key's daily
+    * count reaches ~10¹⁰, putting (n·c)² at ~10²⁵, past BIGINT but
+    * 13 orders inside DECIMAL(38,0). The OUTPUT columns stay BIGINT
+    * because they are bounded ratios, not raw squares: z²×100 ≤
+    * 100·(n_days−1) for any sample (the standardized-moment bound),
+    * and mean×100 ≤ 100·max daily count.
+    *
+    * Scale shape: one map-side-combined aggregate to (type, day)
+    * counts — the only corpus-sized stage; the per-type stats
+    * aggregate and the stats-to-days join operate on |types|·|days|
+    * rows; the top-deviation rank is a WindowGroupLimit per-task
+    * prune. No corpus row survives the first aggregate. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeAnomalyOf(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(s"${Tables.epochSecSql} div 86400").as("day_no")))
+
+  private def dailyOf(typed: DataFrame): DataFrame =
+    typed.groupBy(col("event_type"), col("day_no"))
+      .agg(count(lit(1)).as("n_events"))
+
+  private def statsOf(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("s1"),
+        sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).as("s2"))
+
+  /** The TRAINED per-type volume baseline (event_type, n_days, s1,
+    * s2) — sufficient statistics only, so the artifact is mergeable
+    * (two training windows combine by summing columns) and
+    * model-sized (one row per event type). This is the static side
+    * of [[graft.streaming.Incremental.volumeAnomalyStream]]: batch
+    * q115 trains it, ManifestSink stores it (the stored-index
+    * lifecycle every other served artifact follows), and the serving
+    * stream probes it per window. */
+  def volumeStatsOf(typed: DataFrame): DataFrame = statsOf(dailyOf(typed))
+
+  /** [[volumeAnomaly]] over an arbitrary (event_type, day_no) frame —
+    * the planted-anomaly testability seam (ExtendedOpsSpec feeds a
+    * synthetic spike and asserts the verdict flips). */
+  def volumeAnomalyOf(typed: DataFrame): DataFrame = {
+    val daily = dailyOf(typed)
+    val stats = statsOf(daily)
+    val scored = daily.join(stats, "event_type")
+      .withColumn("dev",
+        expr("CAST(n_days * n_events - s1 AS DECIMAL(38,0))"))
+      .withColumn("dev2", col("dev") * col("dev"))
+      .withColumn("thr",
+        expr("4 * (CAST(n_days AS DECIMAL(38,0)) * s2 " +
+          "- CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("dev2").desc, col("day_no").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnomTopDays)
+      .select(col("event_type"), col("day_no"), col("n_events"),
+        expr("(100 * s1) div n_days").as("mean_x100"),
+        expr("CAST((400 * dev2) div greatest(thr, 1) AS BIGINT)").as("z2_x100"),
+        expr("CAST(dev2 > thr AS INT)").as("is_anomaly"),
+        col("rk"))
+  }
+
+  val volumeAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, (epoch_ms(ts) // 1000) // 86400 AS day_no,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |         CAST(sum(n_events) AS BIGINT) AS s1,
+       |         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+       |  FROM daily GROUP BY 1),
+       |scored AS (
+       |  SELECT d.event_type, d.day_no, d.n_events, s.n_days, s.s1,
+       |         (s.n_days * d.n_events - s.s1)
+       |           * (s.n_days * d.n_events - s.s1) AS dev2,
+       |         4 * (s.n_days * s.s2 - s.s1 * s.s1) AS thr
+       |  FROM daily d JOIN stats s USING (event_type)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |                               ORDER BY dev2 DESC, day_no ASC) AS rk
+       |  FROM scored)
+       |SELECT event_type, day_no, n_events,
+       |       (100 * s1) // n_days AS mean_x100,
+       |       (400 * dev2) // greatest(thr, 1) AS z2_x100,
+       |       CAST(dev2 > thr AS INT) AS is_anomaly,
+       |       CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $AnomTopDays""".stripMargin
 }

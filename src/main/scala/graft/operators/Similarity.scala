@@ -1120,6 +1120,126 @@ object Similarity {
        |       CAST(p.pred_label = e.label AS INT) AS correct
        |FROM p JOIN embeddings e ON e.vec_id = p.q_id""".stripMargin
 
+  // --------------------------------------------------------------- q117
+
+  /** q117: LABEL CONFUSION MATRIX over the embedding-space kNN
+    * classifier — the audit that turns q84's per-item verdicts into
+    * the dataset-level diagnosis a curation pass acts on: which label
+    * PAIRS does the embedding space conflate? A heavy off-diagonal
+    * cell means the two classes overlap in embedding space — the
+    * signature of label noise, near-duplicate classes, or an encoder
+    * that cannot separate them; the per-true-label diagonal share is
+    * class-conditional accuracy (recall). This is the standard
+    * error-analysis artifact (confusion matrix + per-class recall)
+    * expressed as a query, and it composes directly with q98 (MRR)
+    * and q110 (calibration): three views of the same retrieval
+    * quality question.
+    *
+    * Scale shape: inherits q84's plan (the kNN vote — the only
+    * corpus-sized work, and cosineTopK's block-bucketed join); the
+    * matrix itself is two aggregates over |items| rows down to
+    * ≤|labels|² cells, the second over an already-|labels|²-sized
+    * frame. Nothing here adds a corpus-scale stage. */
+  def confusionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pred = knnClassify(spark, dir)
+      .select(col("true_label"), col("pred_label"))
+    val cells = pred.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("true_label"))
+      .agg(sum(col("n")).as("row_total"))
+    cells.join(rowTot, "true_label")
+      .select(col("true_label"), col("pred_label"), col("n"), col("row_total"),
+        expr("(1000000 * n) div row_total").as("share_ppm"),
+        (col("true_label") === col("pred_label")).cast("int").as("is_diag"))
+  }
+
+  val confusionAuditSql: String =
+    s"""WITH pred AS (
+       |$knnClassifySql),
+       |cells AS (
+       |  SELECT true_label, pred_label, count(*) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT true_label, CAST(sum(n) AS BIGINT) AS row_total
+       |  FROM cells GROUP BY 1)
+       |SELECT c.true_label, c.pred_label, c.n, rt.row_total,
+       |       (1000000 * c.n) // rt.row_total AS share_ppm,
+       |       CAST(c.true_label = c.pred_label AS INT) AS is_diag
+       |FROM cells c JOIN rt USING (true_label)""".stripMargin
+
+  // --------------------------------------------------------------- q118
+
+  /** Dead-dimension threshold: a coordinate is "dead" when its
+    * quantized value is 0 or −1, i.e. |x| < 2⁻¹⁰ — below the q61
+    * quantizer's resolution, so the dimension carries no signal a
+    * serving-side int8 pipeline could keep. */
+  private val DimDeadPpm = 990000L
+
+  /** q118: EMBEDDING DIMENSION HEALTH — the per-coordinate audit an
+    * embedding pipeline runs before building indexes on a new
+    * encoder: per dimension, mean and variance of the
+    * floor(x·1024)-quantized coordinate (integer sufficient
+    * statistics — the q115 cross-multiplied contract, Σq² widened
+    * through DECIMAL(38,0)) and the fraction of vectors where the
+    * coordinate is numerically DEAD (|x| < 2⁻¹⁰). A dimension that is
+    * dead across the corpus wastes index width and ANN distance
+    * budget; a near-zero-variance dimension is collapsed (the
+    * embedding-collapse failure mode) — both are flagged
+    * (`dead_ppm ≥ [[DimDeadPpm]]`, variance = 0) so the curation
+    * decision (drop the dim, retrain the encoder) reads directly off
+    * the 64-row table. Complements q96 (per-VECTOR outliers) and q61
+    * (per-vector quantization error) with the per-DIMENSION view.
+    *
+    * Scale shape: ONE corpus pass (posexplode → map-side-combined
+    * aggregate on the 64-value dim key); output is |dims| rows. The
+    * dim key's tiny cardinality makes the shuffle 64 rows per task —
+    * partial aggregation does all the work. Deterministic: integer
+    * sums are order-free. */
+  def dimHealth(spark: SparkSession, dir: String): DataFrame =
+    dimHealthOf(Tables.embeddings(spark, dir))
+
+  /** [[dimHealth]] over an arbitrary embeddings frame — the planted
+    * dead/collapsed-dimension testability seam. */
+  def dimHealthOf(vecs: DataFrame): DataFrame =
+    vecs
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)").as("qv"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qv")).as("s1"),
+        sum((col("qv") * col("qv")).cast("decimal(38,0)")).as("s2"),
+        sum((col("qv") === 0 || col("qv") === -1).cast("long")).as("n_dead"))
+      .select(col("dim"), col("n_vecs"),
+        expr("s1 div n_vecs").as("mean_q"),
+        expr("CAST((n_vecs * s2 - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))" +
+          " div (n_vecs * n_vecs) AS BIGINT)").as("var_q"),
+        expr("(1000000 * n_dead) div n_vecs").as("dead_ppm"))
+      .withColumn("is_dead",
+        (col("dead_ppm") >= DimDeadPpm).cast("int"))
+      .withColumn("is_collapsed",
+        (col("var_q") === 0L && col("dead_ppm") < DimDeadPpm).cast("int"))
+
+  val dimHealthSql: String =
+    s"""WITH xs AS (
+       |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |agg AS (
+       |  SELECT dim, count(*) AS n_vecs,
+       |         CAST(sum(qv) AS BIGINT) AS s1,
+       |         CAST(sum(qv * qv) AS BIGINT) AS s2,
+       |         CAST(sum(CASE WHEN qv IN (0, -1) THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+       |  FROM xs GROUP BY dim)
+       |SELECT dim, n_vecs,
+       |       s1 // n_vecs AS mean_q,
+       |       (n_vecs * s2 - s1 * s1) // (n_vecs * n_vecs) AS var_q,
+       |       (1000000 * n_dead) // n_vecs AS dead_ppm,
+       |       CAST((1000000 * n_dead) // n_vecs >= $DimDeadPpm AS INT) AS is_dead,
+       |       CAST((n_vecs * s2 - s1 * s1) // (n_vecs * n_vecs) = 0
+       |            AND (1000000 * n_dead) // n_vecs < $DimDeadPpm AS INT) AS is_collapsed
+       |FROM agg""".stripMargin
+
   /** Self-contained oracle: derives the same per-dimension codebook in
     * SQL (zipped unnest with subscripts), then applies the identical
     * double-precision affine formulas. floor() makes every CAST land

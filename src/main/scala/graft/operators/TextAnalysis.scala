@@ -1815,4 +1815,90 @@ object TextAnalysis {
        |       coalesce(n_common, 0) AS n_common,
        |       coalesce(sabs, 0) + (vma - coalesce(ca, 0)) + (vmb - coalesce(cb, 0)) AS l1_ppm
        |FROM pairs LEFT JOIN common USING (source_a, source_b)""".stripMargin
+
+  // --------------------------------------------------------------- q119
+
+  /** q119: COHORT DRIFT — distribution shift along INGEST ORDER, the
+    * axis q111's source matrix cannot see: a crawler that slowly
+    * drifts into a different content mix changes no source label,
+    * but its token distribution moves. Documents are cohorted by
+    * ingest order (q116's broadcast-scalar-max bucketing — no global
+    * sort), each cohort's token distribution over the corpus top-100
+    * vocab is compared to COHORT 0's baseline as integer ppm L1,
+    * using q111's union-support decomposition (Σ_common|p−p₀| + both
+    * residual masses — an inner equi-join on token suffices). A flat
+    * curve means the collection process is stationary; a rising one
+    * is dataset shift — the retrain/reweight trigger. Completes the
+    * temporal-audit pair with q116: novelty says NEW shingles keep
+    * arriving, drift says the MIXTURE changed; either alone can be
+    * silent while the other fires. Cohort 0's own row is the l1=0
+    * anchor (a built-in self-test the oracle also checks).
+    *
+    * Scale shape: ONE corpus token pass (broadcast vocab membership
+    * join → map-side-combined (cohort, token) aggregate); everything
+    * after runs on the ≤ 10·100-row distribution table — model-sized
+    * joins, broadcast scalar baseline mass. Same 100 TB posture as
+    * q111: the drift matrix costs a scan. */
+  def cohortDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopK(spark, dir).select(col("token"))
+    val maxId = Tables.documents(spark, dir).agg(max(col("doc_id")).as("max_id"))
+    val cnt = Tables.documents(spark, dir)
+      .crossJoin(broadcast(maxId))
+      .select(expr("CAST((doc_id * 10) div (max_id + 1) AS INT)").as("cohort"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("cohort"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("cohort")).agg(sum(col("c")).as("t"))
+    val dist = cnt.join(tot, "cohort")
+      .select(col("cohort"), col("token"), expr("(1000000 * c) div t").as("ppm"))
+    val vmass = dist.groupBy(col("cohort")).agg(sum(col("ppm")).as("vm"))
+    val base = dist.filter(col("cohort") === 0)
+      .select(col("token"), col("ppm").as("p0"))
+    val baseMass = vmass.filter(col("cohort") === 0).select(col("vm").as("vm0"))
+    val common = dist.join(base, Seq("token"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("ppm") - col("p0"))).as("sabs"),
+        sum(col("ppm")).as("cc"),
+        sum(col("p0")).as("c0"))
+    vmass.join(common, Seq("cohort"), "left")
+      .crossJoin(broadcast(baseMass))
+      .select(col("cohort"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("sabs"), lit(0L))
+          + (col("vm") - coalesce(col("cc"), lit(0L)))
+          + (col("vm0") - coalesce(col("c0"), lit(0L)))).as("l1_ppm"))
+  }
+
+  val cohortDriftSql: String =
+    s"""WITH vocab AS (
+       |$vocabTopKSql
+       |),
+       |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |tk AS (
+       |  SELECT CAST((doc_id * 10) // (max_id + 1) AS INT) AS cohort, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), mx
+       |  WHERE length(token) > 0),
+       |cnt AS (
+       |  SELECT cohort, token, count(*) AS c
+       |  FROM tk JOIN vocab USING (token) GROUP BY 1, 2),
+       |tot AS (SELECT cohort, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |dist AS (
+       |  SELECT cohort, token, (1000000 * c) // t AS ppm
+       |  FROM cnt JOIN tot USING (cohort)),
+       |vmass AS (SELECT cohort, CAST(sum(ppm) AS BIGINT) AS vm FROM dist GROUP BY 1),
+       |base AS (SELECT token, ppm AS p0 FROM dist WHERE cohort = 0),
+       |bm AS (SELECT vm AS vm0 FROM vmass WHERE cohort = 0),
+       |common AS (
+       |  SELECT d.cohort, count(*) AS n_common,
+       |         CAST(sum(abs(d.ppm - b.p0)) AS BIGINT) AS sabs,
+       |         CAST(sum(d.ppm) AS BIGINT) AS cc,
+       |         CAST(sum(b.p0) AS BIGINT) AS c0
+       |  FROM dist d JOIN base b USING (token) GROUP BY 1)
+       |SELECT v.cohort,
+       |       coalesce(n_common, 0) AS n_common,
+       |       coalesce(sabs, 0) + (v.vm - coalesce(cc, 0))
+       |         + (bm.vm0 - coalesce(c0, 0)) AS l1_ppm
+       |FROM vmass v LEFT JOIN common USING (cohort) CROSS JOIN bm""".stripMargin
 }

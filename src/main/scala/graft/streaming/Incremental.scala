@@ -300,6 +300,76 @@ object Incremental {
     uniq.join(broadcast(hot), Seq("fh"), "left_anti")
   }
 
+  /** Streaming NOVELTY gate — batch q116's serving form, the
+    * data-value question asked PER ARRIVING DOCUMENT instead of per
+    * historical cohort: how many of this document's shingles are
+    * absent from the stored corpus? A crawl frontier that keeps
+    * returning near-zero-novelty documents is spending budget on
+    * redundancy (q116's decayed tail, observed live). The arriving
+    * document is shingle-hashed by the same codegen'd
+    * [[graft.functions.TextHash.WordNGramHashes]] kernel as batch
+    * (stateless per-row map, stream-legal), LEFT-joined against the
+    * STATIC distinct corpus shingle-hash set
+    * ([[corpusShingleSet]] — built once, stored via ManifestSink
+    * like the band/posting indexes), and aggregated to one
+    * (doc_id, n_sh, n_novel, novelty_ppm) row — the groupBy is
+    * micro-batch-scoped (a doc's shingles arrive in one event, the
+    * decontaminateStream contract). An arriving document only ever
+    * equi-probes the index — never a corpus self-join. */
+  def noveltyStream(docs: DataFrame, corpusShingles: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextHash.wordNGramHashes(col("t"), 3))).as("h"))
+      .join(corpusShingles.select(col("h"), lit(1).as("seen")), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_sh"))
+
+  /** Static-side helper for [[noveltyStream]]: the distinct corpus
+    * shingle-hash set — a one-column flat table, stored/served via
+    * the same FpIndex lifecycle as the shingle table it derives
+    * from. */
+  def corpusShingleSet(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.shingleTable(docs)
+      .select(explode(col("hh")).as("h")).distinct()
+
+  /** Streaming INGEST-VOLUME ANOMALY monitor — batch q115's
+    * continuous twin, the drift alarm a pipeline runs on its own
+    * intake. Stream side: tumbling event-time window count per
+    * event_type, watermark-evicted so state is |types|·|open windows|
+    * and the query is append-legal. Static side: the TRAINED
+    * baseline [[graft.operators.Extended.volumeStatsOf]] — per-type
+    * sufficient statistics (n, Σc, Σc²), model-sized, stored via
+    * ManifestSink like every other served artifact, joined per
+    * emitted window (AQE broadcasts it; the join is |types|-sized).
+    * The verdict is the SAME cross-multiplied integer z² as batch
+    * q115 — λ = 2, DECIMAL(38,0) intermediates — so a stream window
+    * over exactly one baseline day's events produces the batch
+    * verdict bit-for-bit (StreamingSpec pins this). A window of a
+    * different length than the training unit shifts the comparison
+    * scale; deployments match `windowLen` to the baseline's day
+    * granularity. */
+  def volumeAnomalyStream(events: DataFrame, stats: DataFrame,
+      windowLen: String = "1 day", delay: String = "1 day"): DataFrame =
+    events
+      .withWatermark("event_ts", delay)
+      .groupBy(window(col("event_ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(stats, "event_type") // stream-static, model-sized right side
+      .withColumn("dev", expr("CAST(n_days * n_events - s1 AS DECIMAL(38,0))"))
+      .withColumn("dev2", col("dev") * col("dev"))
+      .withColumn("thr",
+        expr("4 * (CAST(n_days AS DECIMAL(38,0)) * s2 " +
+          "- CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))"))
+      .select(col("window").getField("start").as("window_start"),
+        col("event_type"), col("n_events"),
+        expr("CAST((400 * dev2) div greatest(thr, 1) AS BIGINT)").as("z2_x100"),
+        expr("CAST(dev2 > thr AS INT)").as("is_anomaly"))
+
   /** Streaming RETRIEVAL probe — q92's continuous twin, the serving
     * half of the sparse-retrieval story: arriving queries are split
     * into distinct probe terms (per-row array ops — stateless,

@@ -517,4 +517,105 @@ class DedupSpec extends AnyFunSuite {
     assert(coarse <= fine,
       s"non-overlapping windows ($coarse dup) cannot exceed stride-$S recall ($fine)")
   }
+
+  test("q114 KMV overlap: full driver replay — sketch set-ops and exact audit legs " +
+      "agree for every source pair") {
+    def polyhash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    def knuth(x: Long): Long = (x * 2654435761L) % 4294967296L
+    val K = 64
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // distinct scrambled shingle hashes per source (Spark split keeps
+    // trailing empties at limit -1 — mirror with split(" ", -1))
+    val bySource: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap { case (_, text) =>
+        val t = text.split(" ", -1)
+        if (t.length >= 3)
+          t.sliding(3).filter(_.length == 3)
+            .map(w => knuth(polyhash(w.mkString(" ")))).toSeq
+        else Seq.empty[Long]
+      }.toSet
+    }
+    val sk: Map[String, Seq[Long]] =
+      bySource.view.mapValues(_.toSeq.sorted.take(K)).toMap
+    val want = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+    } yield {
+      val merged = (sk(a) ++ sk(b)).distinct.sorted
+      val tau = merged(K - 1)
+      val rho = sk(a).toSet.intersect(sk(b).toSet).count(_ <= tau).toLong
+      val unionEst = 63L * 4294967296L / tau
+      val exactInter = bySource(a).intersect(bySource(b)).size.toLong
+      val na = bySource(a).size.toLong; val nb = bySource(b).size.toLong
+      val exactUnion = na + nb - exactInter
+      (a, b) -> (na, nb, exactInter, exactUnion,
+        1000000L * exactInter / exactUnion, tau, rho, unionEst,
+        1000000L * rho / K, rho * unionEst / K,
+        1000000L * math.abs(unionEst - exactUnion) / exactUnion)
+    }).toMap
+    val out = Dedup.kmvOverlap(spark, sf).collect()
+    assert(out.length == want.size, "one row per unordered source pair")
+    out.foreach { r =>
+      val key = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val got = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("exact_inter"), r.getAs[Long]("exact_union"),
+        r.getAs[Long]("exact_jacc_ppm"), r.getAs[Long]("tau"),
+        r.getAs[Long]("rho"), r.getAs[Long]("union_est"),
+        r.getAs[Long]("jacc_est_ppm"), r.getAs[Long]("inter_est"),
+        r.getAs[Long]("err_union_ppm"))
+      assert(want(key) == got, s"pair $key must equal the driver-replayed sketch")
+      // the Beyer et al. concentration at k=64 (~13% std). With 190
+      // pairs a 4-sigma straggler is expected occasionally (sf0.001
+      // showed one at 52.4%), so the envelope pins SANITY at ~6 sigma
+      // — a wildly-off estimator, not tail luck, is what must fail
+      assert(r.getAs[Long]("err_union_ppm") < 800000L,
+        s"pair $key union estimate strayed past the sanity envelope")
+    }
+    // the fixture's template corpus must actually share shingles
+    assert(out.map(_.getAs[Long]("exact_inter")).sum > 0L,
+      "fixture sources should overlap — otherwise the estimator legs are vacuous")
+  }
+
+  test("q116 novelty curve: full driver replay; novel mass sums to the corpus's " +
+      "distinct shingle count; curve starts at its maximum") {
+    def polyhash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDocH: Map[Long, Set[Long]] = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length >= 3)
+        Some(id -> t.sliding(3).filter(_.length == 3)
+          .map(w => polyhash(w.mkString(" "))).toSet)
+      else None
+    }.toMap
+    val firstSeen: Map[Long, Long] = perDocH.toSeq
+      .flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val maxId = docs.map(_._1).max
+    val want = perDocH.toSeq.map { case (id, hs) =>
+      val cohort = (id * 10 / (maxId + 1)).toInt
+      (cohort, hs.size.toLong, hs.count(h => firstSeen(h) == id).toLong)
+    }.groupBy(_._1).map { case (c, xs) =>
+      val nSh = xs.map(_._2).sum; val nNov = xs.map(_._3).sum
+      c -> (xs.length.toLong, nSh, nNov, 1000000L * nNov / nSh)
+    }
+    val out = Dedup.noveltyCurve(spark, sf).collect()
+    assert(out.length == want.size)
+    out.foreach { r =>
+      val c = r.getAs[Int]("cohort")
+      assert(want(c) == (r.getAs[Long]("n_docs"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_ppm")), s"cohort $c")
+    }
+    // conservation: every distinct shingle is novel exactly once
+    assert(out.map(_.getAs[Long]("n_novel")).sum == firstSeen.size.toLong,
+      "novel mass must equal the corpus's distinct shingle count")
+    // the first cohort carries the corpus's highest marginal novelty
+    val byCohort = out.map(r => r.getAs[Int]("cohort") -> r.getAs[Long]("novelty_ppm")).toMap
+    assert(byCohort(0) == byCohort.values.max,
+      "cohort 0 should set the novelty ceiling on a template corpus")
+  }
 }

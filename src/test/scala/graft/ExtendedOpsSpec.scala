@@ -377,4 +377,50 @@ class ExtendedOpsSpec extends AnyFunSuite {
         s"group $g must equal the driver-replayed priority sample")
     }
   }
+
+  test("q115 volume anomaly: full driver replay of the cross-multiplied z² verdict") {
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", s"${Tables.epochSecSql} div 86400 AS day_no")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, d), c) => (d, c) }.toSeq).toMap
+    val want = daily.flatMap { case (et, days) =>
+      val n = days.length.toLong
+      val s1 = days.map(_._2).sum
+      val s2 = days.map(d => d._2 * d._2).sum
+      val thr = 4L * (n * s2 - s1 * s1)
+      days.map { case (d, c) =>
+        val dev = n * c - s1
+        (et, d, c, dev * dev)
+      }.sortBy { case (_, d, _, dev2) => (-dev2, d) }.take(3).zipWithIndex
+        .map { case ((_, d, c, dev2), i) =>
+          (et, d) -> (c, 100L * s1 / n, 400L * dev2 / math.max(thr, 1L),
+            if (dev2 > thr) 1 else 0, i + 1)
+        }
+    }
+    val out = Extended.volumeAnomaly(spark, sf).collect()
+    assert(out.length == want.size, "top-3 deviation days per event type")
+    out.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[Long]("day_no"))
+      assert(want(key) == (r.getAs[Long]("n_events"), r.getAs[Long]("mean_x100"),
+        r.getAs[Long]("z2_x100"), r.getAs[Int]("is_anomaly"), r.getAs[Int]("rk")),
+        s"day $key must equal the driver-replayed verdict")
+    }
+  }
+
+  test("q115 planted spike: a 10x day is flagged, steady days are not") {
+    import spark.implicits._
+    val steady = for {
+      d <- 1L to 29L; i <- 1L to 50L
+    } yield ("click", d)
+    val spike = (1L to 500L).map(_ => ("click", 30L))
+    val out = Extended.volumeAnomalyOf(
+        (steady ++ spike).toDF("event_type", "day_no")).collect()
+      .map(r => r.getAs[Long]("day_no") ->
+        (r.getAs[Int]("is_anomaly"), r.getAs[Int]("rk"))).toMap
+    assert(out(30L) == (1, 1), "the spike day must rank first and be flagged")
+    assert(out.filterNot(_._1 == 30L).values.forall(_._1 == 0),
+      "steady days must not be flagged")
+  }
 }

@@ -59,7 +59,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // q110: q90's broadcast model-grid cross joins. q111: the
       // |sources|^2 pair cross over the model-sized mass table.
       "q107_hard_negatives", "q109_retriever_agreement",
-      "q110_calibration_audit", "q111_source_similarity")
+      "q110_calibration_audit", "q111_source_similarity",
+      // q114: the |sources|^2 pair cross over the model-sized per-
+      // source cardinality table (the q111 precedent); everything
+      // downstream of it is |sources|*k sketch rows. q116/q119: the
+      // 1-row broadcast scalar (max doc_id / baseline mass) cross —
+      // deliberately replacing a corpus-wide ntile sort. q117:
+      // inherits q84's documented broadcast-anchors design.
+      "q114_kmv_overlap", "q116_novelty_curve", "q117_confusion_audit",
+      "q119_cohort_drift")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

@@ -524,4 +524,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byK(1) <= byK(3) && byK(3) <= byK(5),
       "top-k sets nest, so overlap counts are non-decreasing in k")
   }
+
+  test("q117 confusion audit: matrix replays from q84's verdicts; rows conserve mass; " +
+      "diagonal share equals accuracy") {
+    val pred = Similarity.knnClassify(spark, sf).collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")))
+    val cells = pred.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = pred.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val out = Similarity.confusionAudit(spark, sf).collect()
+    assert(out.length == cells.size, "one row per populated matrix cell")
+    out.foreach { r =>
+      val key = (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label"))
+      assert(r.getAs[Long]("n") == cells(key), s"cell $key count")
+      assert(r.getAs[Long]("row_total") == rowTot(key._1), s"cell $key row total")
+      assert(r.getAs[Long]("share_ppm") == 1000000L * cells(key) / rowTot(key._1),
+        s"cell $key share")
+      assert(r.getAs[Int]("is_diag") == (if (key._1 == key._2) 1 else 0))
+    }
+    // mass conservation: the matrix repartitions exactly the classified items
+    assert(out.map(_.getAs[Long]("n")).sum == pred.length.toLong)
+    // diagonal mass == q84's own correct count (two views, one truth)
+    val diag = out.filter(_.getAs[Int]("is_diag") == 1).map(_.getAs[Long]("n")).sum
+    assert(diag == pred.count { case (t, p) => t == p }.toLong)
+  }
+
+  test("q118 dim health: full driver replay of the quantized moments; fixture dims healthy") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val nDims = vecs.head.length
+    val want = (0 until nDims).map { d =>
+      val qs = vecs.map(v => math.floor(v(d).toDouble * 1024).toLong)
+      val n = qs.length.toLong
+      val s1 = qs.sum; val s2 = qs.map(q => q * q).sum
+      val nDead = qs.count(q => q == 0L || q == -1L).toLong
+      d.toLong -> (n, s1 / n, (n * s2 - s1 * s1) / (n * n), 1000000L * nDead / n)
+    }.toMap
+    val out = graft.operators.Similarity.dimHealth(spark, sf).collect()
+    assert(out.length == nDims)
+    out.foreach { r =>
+      val d = r.getAs[Long]("dim")
+      assert(want(d) == (r.getAs[Long]("n_vecs"), r.getAs[Long]("mean_q"),
+        r.getAs[Long]("var_q"), r.getAs[Long]("dead_ppm")), s"dim $d")
+      assert(r.getAs[Int]("is_dead") == 0 && r.getAs[Int]("is_collapsed") == 0,
+        s"fixture dim $d should be healthy")
+    }
+  }
+
+  test("q118 planted pathologies: a dead dim and a collapsed dim are flagged, " +
+      "a healthy dim is not") {
+    import spark.implicits._
+    // dim 0 healthy, dim 1 dead (|x| < 2^-10), dim 2 collapsed
+    // (constant 0.5 — zero variance but live)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Seq(i.toFloat / 100f, 0.0001f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.dimHealthOf(vecs).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Int]("is_dead"), r.getAs[Int]("is_collapsed"))).toMap
+    assert(out(0L) == ((0, 0)), "live varying dim is healthy")
+    assert(out(1L) == ((1, 0)), "sub-resolution dim is dead")
+    assert(out(2L) == ((0, 1)), "constant live dim is collapsed")
+  }
 }

@@ -617,4 +617,78 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.values.sum == 9L * 4, "9 tokens x depth-4 counter increments")
     } finally q.stop()
   }
+
+  test("streaming novelty gate: replayed, half-novel, and fully-novel arrivals " +
+      "score exactly against the stored corpus shingle set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq((1L, "a b c d"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val idx = Incremental.corpusShingleSet(corpus).persist()
+    idx.count()
+    val input = MemoryStream[(Long, String)]
+    val q = Incremental.noveltyStream(
+        input.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("novelty_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((10L, "a b c d"), (11L, "x y z w"), (12L, "a b c x"))
+      q.processAllAvailable()
+      val got = spark.table("novelty_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_sh"), r.getAs[Long]("n_novel"),
+            r.getAs[Long]("novelty_ppm"))).toMap
+      assert(got(10L) == ((2L, 0L, 0L)), "an exact replay adds nothing")
+      assert(got(11L) == ((2L, 2L, 1000000L)), "unseen text is fully novel")
+      assert(got(12L) == ((2L, 1L, 500000L)),
+        "'a b c' is stored, 'b c x' is new — exactly half novel")
+    } finally { q.stop(); idx.unpersist() }
+  }
+
+  test("streaming volume anomaly: windows close past the watermark; verdict is " +
+      "bit-identical to batch q115 on a replayed baseline day") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // trained baseline: 29 steady days of 50 + one 80-event day
+    val baseline = ((1L to 29L).flatMap(d => Seq.fill(50)(("click", d)))
+      ++ Seq.fill(80)(("click", 30L))).toDF("event_type", "day_no")
+    val stats = graft.operators.Extended.volumeStatsOf(baseline)
+    val input = MemoryStream[(String, Timestamp)]
+    val q = Incremental.volumeAnomalyStream(
+        input.toDF().toDF("event_type", "event_ts"), stats,
+        windowLen = "1 day", delay = "1 hour")
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    try {
+      // day 1: exact replay of the 80-event baseline day. After this
+      // batch the watermark sits at 06-01 09:00 — before the day-1
+      // window's end, so nothing may emit yet.
+      input.addData(Seq.fill(80)(("click", ts("2024-06-01 10:00:00"))): _*)
+      q.processAllAvailable()
+      assert(spark.table("anomaly_out").count() == 0,
+        "no window may emit before the watermark passes its end")
+      // day 2: a 500-event spike; day 3: a steady 50-event day; plus a
+      // far-future watermark driver that closes all three windows
+      input.addData(Seq.fill(500)(("click", ts("2024-06-02 10:00:00")))
+        ++ Seq.fill(50)(("click", ts("2024-06-03 10:00:00")))
+        :+ (("click", ts("2024-06-05 12:00:00"))): _*)
+      q.processAllAvailable()
+      val got = spark.table("anomaly_out").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString.take(10) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("z2_x100"),
+            r.getAs[Int]("is_anomaly"))).toMap
+      assert(got.keySet == Set("2024-06-01", "2024-06-02", "2024-06-03"))
+      // batch q115 on the baseline ranks its own 80-event day first;
+      // the stream's replay of that day must produce the same verdict
+      val batch = graft.operators.Extended.volumeAnomalyOf(baseline).collect()
+        .find(r => r.getAs[Long]("day_no") == 30L).get
+      assert(got("2024-06-01") == (80L, batch.getAs[Long]("z2_x100"),
+        batch.getAs[Int]("is_anomaly")),
+        "stream verdict must equal the batch verdict for the same count and baseline")
+      assert(got("2024-06-01")._3 == 1 && got("2024-06-02")._3 == 1,
+        "the 80-event tail day and the 500-event spike are both anomalous here")
+      assert(got("2024-06-03") == ((50L, 400L * 900L / 104400L, 0)),
+        "a steady day scores z2 well under the 400 threshold and is not flagged")
+    } finally q.stop()
+  }
 }

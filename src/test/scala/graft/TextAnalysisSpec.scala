@@ -789,4 +789,34 @@ class TextAnalysisSpec extends AnyFunSuite {
         "L1 between two sub-probability ppm vectors is bounded by 2e6")
     }
   }
+
+  test("q119 cohort drift: full driver replay vs cohort-0 baseline; anchor row is zero") {
+    val vocab = TextAnalysis.vocabTopK(spark, sf).collect().map(_.getString(0)).toSet
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val maxId = docs.map(_._1).max
+    val ppm = docs.groupBy { case (id, _) => (id * 10 / (maxId + 1)).toInt }
+      .map { case (c, ds) =>
+        val ts = ds.flatMap(_._2.split(" ", -1)).filter(t => t.nonEmpty && vocab(t))
+        val t = ts.length.toLong
+        c -> ts.groupBy(identity).map { case (w, xs) =>
+          w -> 1000000L * xs.length / t }
+      }
+    val p0 = ppm(0)
+    val want = ppm.map { case (c, pc) =>
+      val union = pc.keySet ++ p0.keySet
+      val l1 = union.toSeq.map(w =>
+        math.abs(pc.getOrElse(w, 0L) - p0.getOrElse(w, 0L))).sum
+      c -> (pc.keySet.intersect(p0.keySet).size.toLong, l1)
+    }
+    val out = TextAnalysis.cohortDrift(spark, sf).collect()
+    assert(out.length == want.size, "one row per populated cohort")
+    out.foreach { r =>
+      val c = r.getAs[Int]("cohort")
+      assert(want(c) == (r.getAs[Long]("n_common"), r.getAs[Long]("l1_ppm")),
+        s"cohort $c must equal the union-support replay")
+    }
+    assert(out.find(_.getAs[Int]("cohort") == 0).get.getAs[Long]("l1_ppm") == 0L,
+      "the baseline cohort's own drift is the zero anchor")
+  }
 }
