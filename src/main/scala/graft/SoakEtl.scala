@@ -36,7 +36,10 @@ object SoakEtl {
         "q73_transition_profile" -> operators.Extended.transitionProfile _,
         "q74_outliers" -> operators.Extended.outliers _,
         "q76_incremental_agg" -> operators.Extended.incrementalAgg _,
-        "q77_temporal_join" -> operators.Extended.temporalJoin _)
+        "q77_temporal_join" -> operators.Extended.temporalJoin _,
+        // q115: one (type, day) count aggregate is the only corpus-
+        // sized stage — the soak checks the corpus pass is the cost
+        "q115_volume_anomaly" -> operators.Extended.volumeAnomaly _)
 
     def time(dir: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -96,7 +99,15 @@ object SoakDocs {
         // build + fixed-size probe join. All should grow ~linearly.
         "q89_corpus_health" -> operators.TextAnalysis.corpusHealth _,
         "q90_nb_classifier" -> operators.TextAnalysis.nbClassify _,
-        "q92_bm25_topk" -> operators.TextAnalysis.bm25TopK _)
+        "q92_bm25_topk" -> operators.TextAnalysis.bm25TopK _,
+        // q114/q116/q119: replication leaves the DISTINCT shingle/
+        // vocab tables fixed (copies add no new shingles), so the
+        // soak isolates exactly what should grow — the one corpus
+        // pass each op's scaladoc claims is its only corpus-sized
+        // stage; sketch/cohort tails stay model-sized by construction
+        "q114_kmv_overlap" -> operators.Dedup.kmvOverlap _,
+        "q116_novelty_curve" -> operators.Dedup.noveltyCurve _,
+        "q119_cohort_drift" -> operators.TextAnalysis.cohortDrift _)
 
     println(f"## Documents soak: sf0.1 x$n (docs x$n, same text distribution)")
     ops.foreach { case (name, fn) =>

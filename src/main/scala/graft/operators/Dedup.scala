@@ -1244,6 +1244,112 @@ object Dedup {
        |GROUP BY 1, 2 HAVING count(*) >= $VideoMinVotes""".stripMargin
   }
 
+  // --------------------------------------------------------------- q120
+
+  /** Containment report threshold (0.9 in ppm). */
+  private val ContainMinPpm = 900000L
+
+  /** q120: CONTAINMENT DEDUP — the asymmetric duplicate semantics
+    * Jaccard misses by construction: a document fully CONTAINED in a
+    * longer one (a quoted article inside a commentary page, a
+    * truncated re-crawl, a chapter inside its book) has containment
+    * |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| — arbitrarily
+    * low, so q18/q19's symmetric thresholds never fire. Broder's
+    * containment is the published metric for exactly this case, and
+    * it needs the INVERTED-INDEX candidate generator (q19's), not
+    * minhash bands: band collision probability equals Jaccard, so a
+    * low-Jaccard subset pair rarely collides — but it shares ALL of
+    * the small side's shingles, so the shared-shingle join finds it
+    * with certainty. Both metrics are reported per pair; `is_subset`
+    * = high containment AND sub-threshold Jaccard — the signature
+    * that separates subset pairs from ordinary near-dups.
+    *
+    * Metric universe: containment is computed over the PAIRABLE
+    * shingle universe (df ∈ [2, maxDf]) — the same df-cap that
+    * bounds the join also makes the metric well-defined under it: a
+    * boilerplate shingle dropped by the cap vanishes from BOTH
+    * sides' denominators, so a true prefix copy still scores exactly
+    * 10⁶ (the planted oracle below proves recall AND precision
+    * live, the q104/q105 pattern: every doc is planted alongside its
+    * own half-length prefix truncation — prefix shingles are a
+    * strict subset, so each of the 500 planted pairs must surface at
+    * containment 10⁶; nothing else may claim to be a subset that is
+    * not).
+    *
+    * Scale shape: q19's exactly — explode → df-capped inverted index
+    * (the skew guard bounds pair fan-out to O(Σ df²), df ≤ maxDf) →
+    * shared-shingle count aggregate; the kept index is the
+    * CacheRegistry materialization point (the self-join would run
+    * the explode + df pass on both sides). */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val trunc = base
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "CAST(greatest(size(split(text, ' ')) div 2, 3) AS INT)), ' ')")
+          .as("text"))
+      .filter(size(split(col("text"), " ")) >= 3)
+    val sh = shingleTable(base.unionAll(trunc))
+    val exk = graft.CacheRegistry.getOrCache(spark, s"dedup.containExk:$dir") {
+      val ex = sh.select(col("doc_id"), explode(col("hh")).as("h"))
+      val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+        .select(col("h"))
+      ex.join(keep, "h")
+    }
+    val nk = exk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    val pairs = exk.as("a")
+      .join(exk.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(nk.select(col("doc_id").as("a_id"), col("n_kept").as("nk_a")), "a_id")
+      .join(nk.select(col("doc_id").as("b_id"), col("n_kept").as("nk_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        expr("(1000000 * inter) div least(nk_a, nk_b)").as("containment_ppm"),
+        expr("(1000000 * inter) div (nk_a + nk_b - inter)").as("jaccard_ppm"))
+      .filter(col("containment_ppm") >= ContainMinPpm)
+      .withColumn("is_subset",
+        (col("jaccard_ppm") < ContainMinPpm).cast("int"))
+  }
+
+  val containmentDedupSql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id + 10000000 AS doc_id,
+       |         array_to_string(list_slice(string_split(text, ' '), 1,
+       |           greatest(len(string_split(text, ' ')) // 2, 3)), ' ') AS text
+       |  FROM documents),
+       |docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text FROM tr WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+       |  WHERE len(t) >= 3),
+       |ex AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(shingles,
+       |    s -> ${duckPolyhash("s")}))) AS h
+       |  FROM sh0),
+       |keep AS (
+       |  SELECT h FROM ex GROUP BY h HAVING count(*) >= 2 AND count(*) <= 50),
+       |exk AS (SELECT doc_id, h FROM ex JOIN keep USING (h)),
+       |nk AS (SELECT doc_id, count(*) AS n_kept FROM exk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a_id, b_id, inter,
+       |         (1000000 * inter) // least(na.n_kept, nb.n_kept) AS containment_ppm,
+       |         (1000000 * inter) // (na.n_kept + nb.n_kept - inter) AS jaccard_ppm
+       |  FROM pairs JOIN nk na ON na.doc_id = a_id JOIN nk nb ON nb.doc_id = b_id)
+       |SELECT a_id, b_id, inter, containment_ppm, jaccard_ppm,
+       |       CAST(jaccard_ppm < $ContainMinPpm AS INT) AS is_subset
+       |FROM scored WHERE containment_ppm >= $ContainMinPpm""".stripMargin
+
   // --------------------------------------------------------------- q116
 
   /** q116: CORPUS NOVELTY CURVE — the diminishing-returns audit of

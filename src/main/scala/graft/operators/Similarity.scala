@@ -1167,6 +1167,63 @@ object Similarity {
        |       CAST(c.true_label = c.pred_label AS INT) AS is_diag
        |FROM cells c JOIN rt USING (true_label)""".stripMargin
 
+  // --------------------------------------------------------------- q121
+
+  /** Hubs reported by the audit. */
+  private val HubTopK = 20
+
+  /** q121: HUBNESS AUDIT — the high-dimensional retrieval pathology
+    * the rest of the ANN family assumes away: in high dimensions a
+    * few "hub" points appear in a disproportionate share of
+    * EVERYONE's top-k lists (Radovanović et al.'s hubness effect),
+    * silently dominating retrieval results, kNN votes (q84), and
+    * MMR shortlists (q97). The audit counts, per corpus vector, how
+    * many of the q21 top-k slots it occupies and reports the top
+    * [[HubTopK]] occupiers with their slot share in ppm — under a
+    * uniform neighbor distribution every vector's expected share is
+    * 1/|corpus| (`expected_ppm`, emitted for in-row comparison), so
+    * a hub reads directly as share ≫ expected. Composes with q88/
+    * q98/q109 as the fourth retrieval-quality view: index recall,
+    * label quality, retriever agreement — and now result
+    * concentration.
+    *
+    * Scale shape: inherits q21's audited plan (the only corpus-sized
+    * work); the hub count is one map-side-combined aggregate over
+    * |Q|·k candidate rows, the share join is against a 1-row scalar
+    * frame, and the final rank is TakeOrderedAndProject-sized
+    * ([[HubTopK]]). */
+  def hubAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nn = cosineTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val slots = nn.agg(count(lit(1)).as("n_slots"))
+    val corpus = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_corpus"))
+    val hubs = nn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("n_hits"))
+    val w = Window.orderBy(col("n_hits").desc, col("neighbor_id").asc)
+    hubs.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= HubTopK)
+      .crossJoin(broadcast(slots))
+      .crossJoin(broadcast(corpus))
+      .select(col("pos"), col("neighbor_id"), col("n_hits"),
+        expr("(1000000 * n_hits) div n_slots").as("share_ppm"),
+        expr("1000000 div n_corpus").as("expected_ppm"))
+  }
+
+  val hubAuditSql: String =
+    s"""WITH nn AS (
+       |$cosineTopKSql),
+       |slots AS (SELECT count(*) AS n_slots FROM nn),
+       |corpus AS (SELECT count(*) AS n_corpus FROM embeddings),
+       |hubs AS (
+       |  SELECT neighbor_id, count(*) AS n_hits
+       |  FROM nn GROUP BY 1),
+       |ranked AS (
+       |  SELECT neighbor_id, n_hits,
+       |         CAST(row_number() OVER (ORDER BY n_hits DESC, neighbor_id ASC) AS INT) AS pos
+       |  FROM hubs)
+       |SELECT pos, neighbor_id, n_hits,
+       |       (1000000 * n_hits) // n_slots AS share_ppm,
+       |       1000000 // n_corpus AS expected_ppm
+       |FROM ranked, slots, corpus WHERE pos <= $HubTopK""".stripMargin
+
   // --------------------------------------------------------------- q118
 
   /** Dead-dimension threshold: a coordinate is "dead" when its

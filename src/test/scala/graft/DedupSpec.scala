@@ -618,4 +618,58 @@ class DedupSpec extends AnyFunSuite {
     assert(byCohort(0) == byCohort.values.max,
       "cohort 0 should set the novelty ceiling on a template corpus")
   }
+
+  test("q120 containment dedup: full driver replay; every planted prefix truncation " +
+      "surfaces at containment 1e6 with the subset signature") {
+    def polyhash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val trunc = base.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      val cut = t.take(math.max(t.length / 2, 3))
+      if (cut.length >= 3) Some((id + 10000000L, cut.mkString(" "))) else None
+    }
+    val hashes: Map[Long, Set[Long]] = (base ++ trunc).flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      if (t.length >= 3)
+        Some(id -> t.sliding(3).filter(_.length == 3)
+          .map(w => polyhash(w.mkString(" "))).toSet)
+      else None
+    }.toMap
+    val df = hashes.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val kept: Map[Long, Set[Long]] = hashes.view
+      .mapValues(_.filter(h => df(h) >= 2 && df(h) <= 50)).toMap
+    val ids = kept.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = kept(a).intersect(kept(b)).size.toLong if inter > 0
+      nkA = kept(a).size.toLong; nkB = kept(b).size.toLong
+      cont = 1000000L * inter / math.min(nkA, nkB) if cont >= 900000L
+    } yield {
+      val jac = 1000000L * inter / (nkA + nkB - inter)
+      (a, b) -> (inter, cont, jac, if (jac < 900000L) 1 else 0)
+    }).toMap
+    val out = Dedup.containmentDedup(spark, sf).collect()
+    assert(out.length == want.size, "reported pair set must equal the replay")
+    out.foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(want(key) == (r.getAs[Long]("inter"), r.getAs[Long]("containment_ppm"),
+        r.getAs[Long]("jaccard_ppm"), r.getAs[Int]("is_subset")), s"pair $key")
+    }
+    // recall: every planted (doc, half-prefix copy) pair surfaces at
+    // exactly full containment — prefix shingles are a strict subset
+    val planted = out.filter(r =>
+      r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 10000000L).map(r =>
+      (r.getAs[Long]("a_id"), r.getAs[Long]("containment_ppm")))
+    assert(planted.length == trunc.length,
+      s"all ${trunc.length} planted truncations must be recovered")
+    assert(planted.forall(_._2 == 1000000L), "planted containment is exactly 1e6")
+    // the subset signature separates them from symmetric near-dups:
+    // a long-enough doc's half-prefix cannot also pass the Jaccard bar
+    assert(out.count(_.getAs[Int]("is_subset") == 1) > 0)
+  }
 }

@@ -67,7 +67,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // deliberately replacing a corpus-wide ntile sort. q117:
       // inherits q84's documented broadcast-anchors design.
       "q114_kmv_overlap", "q116_novelty_curve", "q117_confusion_audit",
-      "q119_cohort_drift")
+      "q119_cohort_drift",
+      // q121: inherits q21's documented broadcast-anchors design
+      "q121_hub_audit")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

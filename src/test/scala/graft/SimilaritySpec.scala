@@ -586,4 +586,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1L) == ((1, 0)), "sub-resolution dim is dead")
     assert(out(2L) == ((0, 1)), "constant live dim is collapsed")
   }
+
+  test("q121 hub audit: slot counts replay from q21's lists; positions dense; " +
+      "shares conserve against the slot total") {
+    val nn = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val nSlots = nn.length.toLong
+    val nCorpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val hits = nn.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wantTop = hits.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    val out = Similarity.hubAudit(spark, sf).collect().sortBy(_.getAs[Int]("pos"))
+    assert(out.length == math.min(20, hits.size))
+    assert(out.map(_.getAs[Int]("pos")).toSeq == (1 to out.length),
+      "positions are dense from 1")
+    out.zip(wantTop).foreach { case (r, (id, n)) =>
+      assert(r.getAs[Long]("neighbor_id") == id && r.getAs[Long]("n_hits") == n,
+        s"pos ${r.getAs[Int]("pos")}")
+      assert(r.getAs[Long]("share_ppm") == 1000000L * n / nSlots)
+      assert(r.getAs[Long]("expected_ppm") == 1000000L / nCorpus)
+    }
+    // concentration sanity: the top hub must out-occupy the uniform
+    // expectation, or the audit has nothing to rank
+    assert(out.head.getAs[Long]("share_ppm") > out.head.getAs[Long]("expected_ppm"))
+  }
 }
