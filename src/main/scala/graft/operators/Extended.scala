@@ -1477,6 +1477,29 @@ object Extended {
     * stream probes it per window. */
   def volumeStatsOf(typed: DataFrame): DataFrame = statsOf(dailyOf(typed))
 
+  /** Stored-artifact adapters for [[volumeStatsOf]] (the FpIndex
+    * lifecycle): s2 is DECIMAL(38,0) for overflow headroom, which the
+    * flat codec carries as its exact decimal string — the
+    * decimal→string→decimal round-trip is lossless, so the stored
+    * baseline serves bit-identically (StoredIndexSpec). */
+  def saveVolumeStats(path: String, stats: DataFrame): Unit =
+    FpIndex.saveFlat(path, stats.withColumn("s2", col("s2").cast("string")))
+
+  def loadVolumeStats(spark: SparkSession, path: String): DataFrame =
+    FpIndex.loadFlat(spark, path)
+      .withColumn("s2", col("s2").cast("decimal(38,0)"))
+
+  /** Merge per-window volume baselines by summing sufficient
+    * statistics — two training windows' stored artifacts combine
+    * into EXACTLY the whole-window baseline (the CMS cell-wise-merge
+    * property on the anomaly family; disjoint day windows, so day
+    * counts add). */
+  def mergeVolumeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("event_type"))
+      .agg(sum(col("n_days")).as("n_days"),
+        sum(col("s1")).as("s1"),
+        sum(col("s2")).cast("decimal(38,0)").as("s2"))
+
   /** [[volumeAnomaly]] over an arbitrary (event_type, day_no) frame —
     * the planted-anomaly testability seam (ExtendedOpsSpec feeds a
     * synthetic spike and asserts the verdict flips). */
@@ -1527,4 +1550,96 @@ object Extended {
        |       CAST(dev2 > thr AS INT) AS is_anomaly,
        |       CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= $AnomTopDays""".stripMargin
+
+  // --------------------------------------------------------------- q122
+
+  /** Candidate split points, as percent of the observed day range. */
+  private val SplitPcts = Seq(50, 70, 90)
+
+  /** q122: TEMPORAL-SPLIT LEAKAGE AUDIT — the time-axis complement of
+    * q94's cluster-keyed split: q94 proves near-dup pairs cannot
+    * straddle a random split; this measures what a TEMPORAL split
+    * (train on the past, evaluate on the future — the standard
+    * recommender/forecasting protocol) leaks at the USER level. For
+    * each candidate boundary (at [[SplitPcts]] percent of the
+    * observed day range): how many test-side users were already seen
+    * in training (their eval events are personalization leakage /
+    * not cold-start), and what fraction of test EVENTS belongs to
+    * seen users. overlap=10⁶ says the eval measures returning-user
+    * behavior only; overlap≈0 says the eval is all cold-start — the
+    * boundary choice IS this tradeoff, and the audit prices it
+    * before anyone trains. (The fixture's users are all long-lived,
+    * so it reports total overlap at every boundary — the honest
+    * answer there; ExtendedOpsSpec plants churned users to pin the
+    * discriminating case.)
+    *
+    * Scale shape: ONE corpus pass to the (user, day) count table —
+    * map-side combined, the only corpus-sized stage (the q115
+    * contract); boundaries derive from a 1-row min/max aggregate
+    * crossed with the |SplitPcts|-literal frame (broadcast); the
+    * per-(boundary, user) reaggregation runs on |users|·|days|·|p|
+    * bounded rows. Integer-exact throughout. */
+  def timeSplitAudit(spark: SparkSession, dir: String): DataFrame =
+    timeSplitAuditOf(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"${Tables.epochSecSql} div 86400").as("day_no")))
+
+  /** [[timeSplitAudit]] over an arbitrary (user_id, day_no) frame —
+    * the planted-churn testability seam. */
+  def timeSplitAuditOf(typed: DataFrame): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    val ud = typed.groupBy(col("user_id"), col("day_no"))
+      .agg(count(lit(1)).as("c"))
+    val mm = ud.agg(min(col("day_no")).as("mn"), max(col("day_no")).as("mx"))
+    val bounds = mm.crossJoin(SplitPcts.toDF("p"))
+      .select(col("p"), expr("mn + ((mx - mn) * p) div 100").as("bday"))
+    val perUser = ud.crossJoin(broadcast(bounds))
+      .groupBy(col("p"), col("bday"), col("user_id"))
+      .agg(
+        sum(when(col("day_no") < col("bday"), col("c")).otherwise(0L)).as("c_train"),
+        sum(when(col("day_no") >= col("bday"), col("c")).otherwise(0L)).as("c_test"))
+    perUser.groupBy(col("p"), col("bday").as("boundary_day"))
+      .agg(
+        sum(when(col("c_train") > 0, 1L).otherwise(0L)).as("n_train_users"),
+        sum(when(col("c_test") > 0, 1L).otherwise(0L)).as("n_test_users"),
+        sum(when(col("c_train") > 0 && col("c_test") > 0, 1L).otherwise(0L))
+          .as("n_overlap_users"),
+        sum(col("c_test")).as("n_test_events"),
+        sum(when(col("c_train") > 0, col("c_test")).otherwise(0L))
+          .as("n_leaky_test_events"))
+      .select(col("p"), col("boundary_day"),
+        col("n_train_users"), col("n_test_users"), col("n_overlap_users"),
+        expr("(1000000 * n_overlap_users) div n_test_users").as("user_overlap_ppm"),
+        col("n_test_events"), col("n_leaky_test_events"),
+        expr("(1000000 * n_leaky_test_events) div n_test_events").as("leaky_ppm"))
+  }
+
+  val timeSplitAuditSql: String =
+    s"""WITH ud AS (
+       |  SELECT user_id, (epoch_ms(ts) // 1000) // 86400 AS day_no, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT p, mn + ((mx - mn) * p) // 100 AS bday
+       |  FROM (SELECT min(day_no) AS mn, max(day_no) AS mx FROM ud),
+       |       (SELECT unnest([${SplitPcts.mkString(", ")}]) AS p)),
+       |per_user AS (
+       |  SELECT b.p, b.bday, u.user_id,
+       |         sum(CASE WHEN u.day_no < b.bday THEN u.c ELSE 0 END) AS c_train,
+       |         sum(CASE WHEN u.day_no >= b.bday THEN u.c ELSE 0 END) AS c_test
+       |  FROM ud u CROSS JOIN bounds b
+       |  GROUP BY 1, 2, 3)
+       |SELECT p, bday AS boundary_day,
+       |       CAST(sum(CASE WHEN c_train > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_users,
+       |       CAST(sum(CASE WHEN c_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_users,
+       |       CAST(sum(CASE WHEN c_train > 0 AND c_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_overlap_users,
+       |       CAST((1000000 * sum(CASE WHEN c_train > 0 AND c_test > 0 THEN 1 ELSE 0 END))
+       |         // sum(CASE WHEN c_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS user_overlap_ppm,
+       |       CAST(sum(c_test) AS BIGINT) AS n_test_events,
+       |       CAST(sum(CASE WHEN c_train > 0 THEN c_test ELSE 0 END) AS BIGINT)
+       |         AS n_leaky_test_events,
+       |       CAST((1000000 * sum(CASE WHEN c_train > 0 THEN c_test ELSE 0 END))
+       |         // sum(c_test) AS BIGINT) AS leaky_ppm
+       |FROM per_user GROUP BY 1, 2""".stripMargin
 }

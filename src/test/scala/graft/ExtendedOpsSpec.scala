@@ -423,4 +423,54 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(out.filterNot(_._1 == 30L).values.forall(_._1 == 0),
       "steady days must not be flagged")
   }
+
+  test("q122 time-split audit: full driver replay of every boundary's leakage row") {
+    val ud = Tables.events(spark, sf)
+      .selectExpr("user_id", s"${Tables.epochSecSql} div 86400 AS day_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mn = ud.map(_._2).min; val mx = ud.map(_._2).max
+    val want = Seq(50, 70, 90).map { p =>
+      val bday = mn + (mx - mn) * p / 100
+      val byUser = ud.groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._2 < bday).toLong, xs.count(_._2 >= bday).toLong)
+      }.toMap
+      val trainU = byUser.values.count(_._1 > 0).toLong
+      val testU = byUser.values.count(_._2 > 0).toLong
+      val overlap = byUser.values.count(v => v._1 > 0 && v._2 > 0).toLong
+      val testE = byUser.values.map(_._2).sum
+      val leakyE = byUser.values.collect { case (tr, te) if tr > 0 => te }.sum
+      p -> (bday, trainU, testU, overlap, 1000000L * overlap / testU,
+        testE, leakyE, 1000000L * leakyE / testE)
+    }.toMap
+    val out = Extended.timeSplitAudit(spark, sf).collect()
+    assert(out.length == 3, "one row per candidate boundary")
+    out.foreach { r =>
+      val p = r.getAs[Int]("p")
+      assert(want(p) == (r.getAs[Long]("boundary_day"), r.getAs[Long]("n_train_users"),
+        r.getAs[Long]("n_test_users"), r.getAs[Long]("n_overlap_users"),
+        r.getAs[Long]("user_overlap_ppm"), r.getAs[Long]("n_test_events"),
+        r.getAs[Long]("n_leaky_test_events"), r.getAs[Long]("leaky_ppm")),
+        s"boundary p=$p must equal the driver replay")
+    }
+  }
+
+  test("q122 planted churn: churned, persistent, and cold-start users split the " +
+      "overlap exactly") {
+    import spark.implicits._
+    // users 1-10 churn before day 15; 11-20 span the whole window;
+    // 21-25 appear only from day 25 (cold-start at every boundary)
+    val rows = (for { u <- 1L to 10L; d <- 1L to 10L } yield (u, d)) ++
+      (for { u <- 11L to 20L; d <- 1L to 30L by 5 } yield (u, d)) ++
+      (for { u <- 21L to 25L; d <- 25L to 30L } yield (u, d))
+    val out = Extended.timeSplitAuditOf(rows.toDF("user_id", "day_no"))
+      .collect().map(r => r.getAs[Int]("p") -> r).toMap
+    val b50 = out(50) // boundary day 15: churned users are train-only,
+                      // cold-start users are test-only, persistents leak
+    assert(b50.getAs[Long]("boundary_day") == 15L)
+    assert(b50.getAs[Long]("n_train_users") == 20L, "churned + persistent")
+    assert(b50.getAs[Long]("n_test_users") == 15L, "persistent + cold-start")
+    assert(b50.getAs[Long]("n_overlap_users") == 10L, "persistent only")
+    assert(b50.getAs[Long]("user_overlap_ppm") == 666666L,
+      "overlap must price strictly between all-leak and all-cold")
+  }
 }

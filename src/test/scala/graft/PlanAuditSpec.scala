@@ -69,7 +69,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q114_kmv_overlap", "q116_novelty_curve", "q117_confusion_audit",
       "q119_cohort_drift",
       // q121: inherits q21's documented broadcast-anchors design
-      "q121_hub_audit")
+      "q121_hub_audit",
+      // q122: the 3-literal boundary frame crossed with the 1-row
+      // min/max scalar and the bounded (user, day) table
+      "q122_time_split_audit")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
