@@ -108,4 +108,100 @@ object CorpusPipeline {
       FunnelStage("exact_dedup", observed(oExact)),
       FunnelStage("near_dedup", observed(oDedup)))
   }
+
+  // --------------------------------------------------------------- q123
+
+  /** q123: the CURATION FUNNEL as an ORACLED REPORT — the
+    * RefinedWeb/FineWeb-style ablation table that justifies a data
+    * recipe: per stage (input → quality gate → exact dedup → near-dup
+    * removal), document count, token mass, and retention ppm against
+    * the input. [[run]] is the production form of the same dataflow
+    * (ONE write action, stage counts via `observe` metrics so the
+    * corpus streams through once); THIS is its audit twin — the
+    * table a curation decision is argued from, hash-checked against
+    * the DuckDB oracle by composing the already-oracled fragments
+    * (q23 quality, q17 keepers, q18 pairs, q60's recursive-CTE
+    * closure). The query form recomputes the funnel prefix per stage
+    * aggregate; the shared base and q18's band/shingle
+    * materialization points bound that to cheap re-aggregates — the
+    * one-pass Observation form remains the deployment shape.
+    *
+    * Gate thresholds are [[run]]'s defaults (minTokens 5, stop-ratio
+    * ≤ 8000 bp). Documents too short for a quality row enter the
+    * funnel with n_tokens 0 (and fail the gate), so the input stage
+    * counts the WHOLE corpus. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val quality = TextAnalysis.tokenQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"))
+    val base = graft.CacheRegistry.getOrCache(spark, s"pipeline.funnelBase:$dir") {
+      docs.join(quality, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("stop_ratio_bp"), lit(10001L)).as("srb"))
+    }
+    val gated = base.filter(col("n_tokens") >= 5 && col("srb") <= 8000)
+    val keepers = Dedup.exactDedup(spark, dir).select(col("keeper_id").as("doc_id"))
+    val exact = gated.join(keepers, "doc_id")
+    // no broadcast hint: the loser list is pair-participant-bounded at
+    // fixture scale but not broadcastable on a near-dup-heavy 100 TB
+    // corpus — AQE broadcasts when it fits (the round-9 hint policy)
+    val losers = Components.nonRepresentatives(
+        Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"))
+    val near = exact.join(losers, Seq("doc_id"), "left_anti")
+    def stageRow(id: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_toks"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), coalesce(col("n_toks"), lit(0L)).as("n_tokens"))
+    val stages = stageRow(0, "input", base)
+      .unionAll(stageRow(1, "quality_gate", gated))
+      .unionAll(stageRow(2, "exact_dedup", exact))
+      .unionAll(stageRow(3, "near_dedup", near))
+    val inp = base.agg(count(lit(1)).as("in_docs"),
+      sum(col("n_tokens")).as("in_tokens"))
+    stages.crossJoin(broadcast(inp))
+      .select(col("stage_id"), col("stage"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_docs) div in_docs").as("doc_retention_ppm"),
+        expr("(1000000 * n_tokens) div in_tokens").as("token_retention_ppm"))
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH tq AS (
+       |${TextAnalysis.tokenQualitySql}
+       |),
+       |fbase AS (
+       |  SELECT d.doc_id, coalesce(tq.n_tokens, 0) AS n_tokens,
+       |         coalesce(tq.stop_ratio_bp, 10001) AS srb
+       |  FROM documents d LEFT JOIN tq USING (doc_id)),
+       |gated AS (SELECT * FROM fbase WHERE n_tokens >= 5 AND srb <= 8000),
+       |keep AS (
+       |  SELECT keeper_id AS doc_id FROM (
+       |${Dedup.exactDedupSql}
+       |  ) x),
+       |fexact AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+       |cc AS (
+       |  SELECT doc_id, rep FROM (
+       |${Components.componentsQuerySql}
+       |  ) c),
+       |nearkeep AS (
+       |  SELECT e.* FROM fexact e
+       |  WHERE NOT EXISTS (SELECT 1 FROM cc
+       |                    WHERE cc.doc_id = e.doc_id AND cc.doc_id <> cc.rep)),
+       |inp AS (
+       |  SELECT count(*) AS in_docs, CAST(sum(n_tokens) AS BIGINT) AS in_tokens
+       |  FROM fbase),
+       |st AS (
+       |  SELECT 0 AS stage_id, 'input' AS stage, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM fbase
+       |  UNION ALL
+       |  SELECT 1, 'quality_gate', count(*), CAST(sum(n_tokens) AS BIGINT) FROM gated
+       |  UNION ALL
+       |  SELECT 2, 'exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM fexact
+       |  UNION ALL
+       |  SELECT 3, 'near_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM nearkeep)
+       |SELECT stage_id, stage, n_docs, n_tokens,
+       |       (1000000 * n_docs) // in_docs AS doc_retention_ppm,
+       |       (1000000 * n_tokens) // in_tokens AS token_retention_ppm
+       |FROM st, inp""".stripMargin
 }

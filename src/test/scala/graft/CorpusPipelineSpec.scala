@@ -151,4 +151,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val perDoc = cured.groupBy("doc_id").count().select("count").distinct().collect()
     assert(perDoc.map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("q123 report ≡ run(): the oracled funnel table and the Observation-metric " +
+      "pipeline agree stage by stage; retention is monotone") {
+    CacheRegistry.releaseAll()
+    val out = java.nio.file.Files.createTempDirectory("graft-funnel-q123").toString
+    val fromRun = CorpusPipeline.run(spark, sf, s"$out/corpus")
+      .map(s => s.stage -> s.rows).toMap
+    val report = CorpusPipeline.curationFunnel(spark, sf).collect()
+      .sortBy(_.getAs[Int]("stage_id"))
+    assert(report.map(_.getAs[String]("stage")).toSeq ==
+      Seq("input", "quality_gate", "exact_dedup", "near_dedup"))
+    report.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == fromRun(r.getAs[String]("stage")),
+        s"stage ${r.getAs[String]("stage")}: the report and the Observation " +
+          "metrics are two implementations of one funnel")
+    }
+    val docs = report.map(_.getAs[Long]("n_docs"))
+    val toks = report.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, "docs monotone")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, "tokens monotone")
+    assert(report.head.getAs[Long]("doc_retention_ppm") == 1000000L)
+    assert(report.last.getAs[Long]("token_retention_ppm") < 1000000L,
+      "the fixture corpus must actually lose mass through the funnel")
+  }
 }

@@ -72,7 +72,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q121_hub_audit",
       // q122: the 3-literal boundary frame crossed with the 1-row
       // min/max scalar and the bounded (user, day) table
-      "q122_time_split_audit")
+      "q122_time_split_audit",
+      // q123: the 1-row input-totals scalar crossed into the 4-row
+      // stage table for the retention denominators
+      "q123_curation_funnel")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
