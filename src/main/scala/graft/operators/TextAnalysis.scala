@@ -32,6 +32,29 @@ object TextAnalysis {
     * round(0.78575, 4) is 0.7858 in Spark and 0.7857 in DuckDB. This
     * surfaced as a real one-row hash mismatch at sf0.1. Integer
     * arithmetic has no such boundary. */
+  /** Per-row quality stats over an arbitrary (doc_id, text) frame —
+    * the stream-legal HEAD of [[tokenQuality]]: the same codegen'd
+    * TokenStats kernel and stop list, a pure map, so it runs
+    * identically on a micro-batch (the streaming curation gate's
+    * stage-1 kernel). Zero-token documents — which [[tokenQuality]]
+    * drops and the q123 funnel re-enters as (0, 10001) — keep exactly
+    * that convention here, so a gate verdict computed from these
+    * columns matches the batch funnel's quality stage bit-for-bit.
+    * `text` rides through for the downstream content-hash / shingle
+    * stages. */
+  def qualityStatsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    docs
+      .select(col("doc_id"), col("text"),
+        GraftSqlBridge.column(graft.functions.TokenStats(
+          GraftSqlBridge.expression(col("text")), Seq(stopEn))).as("s"))
+      .select(col("doc_id"), col("text"),
+        col("s.n_tokens").as("n_tokens"),
+        when(col("s.n_tokens") >= 1,
+          expr("(10000 * element_at(s.counts, 1)) div s.n_tokens"))
+          .otherwise(lit(10001L)).as("stop_ratio_bp"))
+  }
+
   /** Engine form: ONE codegen'd scan per document (`TokenStats`) —
     * the split/distinct/filter HOF chain is the spec (TextAnalysisSpec
     * pins ≡) and the oracle keeps the declarative form. */

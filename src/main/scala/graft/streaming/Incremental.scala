@@ -337,6 +337,104 @@ object Incremental {
     graft.operators.Dedup.shingleTable(docs)
       .select(explode(col("hh")).as("h")).distinct()
 
+  /** Static-side helper for [[curationGateStream]]: the stored
+    * exact-content key set — q17's md5 key as a one-column flat
+    * table, persisted/served under the same FpIndex stored lifecycle
+    * as the band and shingle indexes it sits beside. */
+  def corpusKeySet(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("content_hash")).distinct()
+
+  /** Streaming CURATION GATE — batch q123's ingest-time twin: the
+    * admit/reject decision whose aggregate consequences the funnel
+    * report audits, applied per ARRIVING document against STORED
+    * corpus artifacts. One verdict row per arrival, with each stage's
+    * outcome and the first rejecting stage:
+    *
+    *  - `quality_gate`: the q23 TokenStats kernel via
+    *    [[graft.operators.TextAnalysis.qualityStatsOf]] (pure map,
+    *    stream-legal); thresholds are `CorpusPipeline.run`'s defaults,
+    *    and the zero-token convention (n_tokens 0, stop 10001) is the
+    *    batch funnel's, so the stage verdict matches q123 bit-for-bit.
+    *  - `exact_dedup`: md5(text) equi-probe into [[corpusKeySet]] —
+    *    any arrival whose content already exists in the stored corpus
+    *    is a duplicate (the ingest-time reading of q17's keeper rule).
+    *  - `near_dedup`: the q85/q18 stored band-index probe — band
+    *    explosion is stateless per row, collisions verify by exact
+    *    hashed-shingle Jaccard at the batch pair threshold (0.8).
+    *    Semantics note: the batch funnel drops CC non-representatives
+    *    WITHIN a batch; the gate rejects on any stored-corpus match —
+    *    the serving approximation every incremental dedup deployment
+    *    makes (the q85 O(delta) contract), exact when the store holds
+    *    the admitted corpus.
+    *
+    * Stages short-circuit like the batch funnel: a document rejected
+    * earlier skips the near-dup probe (`is_near_dup` NULL — not
+    * evaluated), so probe cost is paid only by survivors. Shape: all
+    * stream-static equi-joins plus ONE aggregation keyed by doc_id
+    * (collapsing a survivor's ≤6 band probes with its base row);
+    * unwatermarked, that aggregation is global state — per-doc rows
+    * retained — so THIS form requires update/complete mode
+    * (StreamingSpec runs complete). A continuous deployment carries
+    * an ingest-time column, watermarks it, and adds it to the
+    * groupBy, making the query append-legal with state bounded by
+    * the watermark horizon (the q115-stream precedent). At scale an
+    * arrival only equi-probes stored indexes — the corpus never
+    * self-joins. */
+  def curationGateStream(
+      docs: DataFrame,
+      corpusKeys: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      minTokens: Long = 5L,
+      maxStopBp: Long = 8000L,
+      tau: Double = 0.8): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val keyed = TextAnalysis.qualityStatsOf(docs)
+      .withColumn("content_hash", md5(col("text")))
+      .join(corpusKeys.select(col("content_hash"), lit(1).as("dup")),
+        Seq("content_hash"), "left")
+      .withColumn("quality_pass",
+        col("n_tokens") >= minTokens && col("stop_ratio_bp") <= maxStopBp)
+      .withColumn("is_exact_dup", col("dup").isNotNull)
+      .withColumn("t", split(col("text"), " "))
+    // base leg: exactly one row per arrival (jaccard NULL) — guarantees
+    // a verdict even for docs with no band collisions or no shingles
+    val base = keyed.select(col("doc_id"), col("n_tokens"),
+      col("stop_ratio_bp"), col("quality_pass"), col("is_exact_dup"),
+      lit(null).cast("double").as("jaccard"))
+    // probe leg: survivors only (short-circuit); inner joins — a band
+    // with no collision contributes nothing the base row doesn't
+    val surv = keyed
+      .filter(col("quality_pass") && !col("is_exact_dup") && size(col("t")) >= 3)
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
+        array_distinct(
+          graft.functions.TextHash.wordNGramHashes(col("t"), 3)).as("hh"))
+    val inter = size(array_intersect(col("hh"), col("hc")))
+    val probes = Dedup
+      .bandTable(surv, carry = Seq("n_tokens", "stop_ratio_bp", "hh"))
+      .join(corpusBands.select(col("doc_id").as("corpus_id"), col("bkey")), "bkey")
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
+        col("hh").as("hc")), "corpus_id")
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
+        lit(true).as("quality_pass"), lit(false).as("is_exact_dup"),
+        (inter.cast("double") / (size(col("hh")) + size(col("hc")) - inter))
+          .as("jaccard"))
+    base.unionByName(probes)
+      .groupBy(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
+        col("quality_pass"), col("is_exact_dup"))
+      .agg(max(col("jaccard")).as("max_jaccard"))
+      .withColumn("is_near_dup",
+        when(col("quality_pass") && !col("is_exact_dup"),
+          coalesce(col("max_jaccard") >= tau, lit(false)))
+          .otherwise(lit(null).cast("boolean")))
+      .withColumn("admitted",
+        col("quality_pass") && !col("is_exact_dup") && !col("is_near_dup"))
+      .withColumn("reject_stage",
+        when(!col("quality_pass"), "quality_gate")
+          .when(col("is_exact_dup"), "exact_dedup")
+          .when(col("is_near_dup"), "near_dedup"))
+  }
+
   /** Streaming INGEST-VOLUME ANOMALY monitor — batch q115's
     * continuous twin, the drift alarm a pipeline runs on its own
     * intake. Stream side: tumbling event-time window count per

@@ -691,4 +691,87 @@ class StreamingSpec extends AnyFunSuite {
         "a steady day scores z2 well under the 400 threshold and is not flagged")
     } finally q.stop()
   }
+
+  test("streaming curation gate: arrivals are admitted or rejected per stage " +
+      "against the stored key/band/shingle indexes; stages short-circuit") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val foxText =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (101L, foxText),
+      (102L, "completely different content about satellite imagery and water bodies"))
+      .toDF("doc_id", "text")
+    val keys = Incremental.corpusKeySet(corpus).persist()
+    val corpusSh = graft.operators.Dedup.shingleTable(corpus).persist()
+    val corpusBands = graft.operators.Dedup.bandTable(corpusSh).persist()
+    Seq(keys, corpusSh, corpusBands).foreach(_.count())
+    val nearText =
+      "the quick brown fox jumps over the lazy dog near the river bank now"
+    val input = MemoryStream[(Long, String)]
+    val q = Incremental.curationGateStream(
+        input.toDF().toDF("doc_id", "text"), keys, corpusBands, corpusSh)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (201L, foxText),                      // exact copy of stored 101
+        (202L, nearText),                     // near-dup of 101 (1 token off)
+        (203L, "entirely novel text sharing no shingles with anything stored here at all"),
+        (204L, "hi there"),                   // 2 tokens < minTokens
+        (205L, "the a and of to in is on"))   // all stopwords: 10000 bp
+      q.processAllAvailable()
+      val rows = spark.table("gate_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows.size == 5, "exactly one verdict row per arrival")
+      def verdict(id: Long) = {
+        val r = rows(id)
+        (r.getAs[Boolean]("quality_pass"), r.getAs[Boolean]("is_exact_dup"),
+          Option(r.getAs[java.lang.Boolean]("is_near_dup")).map(_.booleanValue()),
+          r.getAs[Boolean]("admitted"), Option(r.getAs[String]("reject_stage")))
+      }
+      assert(verdict(201L) == ((true, true, None, false, Some("exact_dedup"))),
+        "an exact replay fails stage 2; the near-dup probe never ran (NULL)")
+      assert(verdict(202L) == ((true, false, Some(true), false, Some("near_dedup"))))
+      assert(verdict(203L) == ((true, false, Some(false), true, None)),
+        "novel text passing every stage is admitted")
+      assert(verdict(204L) == ((false, false, None, false, Some("quality_gate"))))
+      assert(verdict(205L) == ((false, false, None, false, Some("quality_gate"))),
+        "a stopword-soup doc fails on stop ratio despite having enough tokens")
+      // the near-dup verdict's jaccard is the batch kernels' exact value
+      val hh = corpusSh.unionByName(graft.operators.Dedup.shingleTable(
+          Seq((202L, nearText)).toDF("doc_id", "text")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val inter = (hh(202L) & hh(101L)).size.toDouble
+      val expect = inter / (hh(202L).size + hh(101L).size - inter)
+      assert(math.abs(rows(202L).getAs[Double]("max_jaccard") - expect) < 1e-12)
+      assert(expect >= 0.8, "the planted pair must actually clear tau")
+    } finally { q.stop(); Seq(keys, corpusSh, corpusBands).foreach(_.unpersist()) }
+  }
+
+  test("streaming curation gate: a shingle-free survivor (minTokens=1) is " +
+      "admitted through the base leg — the probe has nothing to say") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq((101L, "p q r s t")).toDF("doc_id", "text")
+    val keys = Incremental.corpusKeySet(corpus)
+    val corpusSh = graft.operators.Dedup.shingleTable(corpus)
+    val corpusBands = graft.operators.Dedup.bandTable(corpusSh)
+    val input = MemoryStream[(Long, String)]
+    val q = Incremental.curationGateStream(
+        input.toDF().toDF("doc_id", "text"), keys, corpusBands, corpusSh,
+        minTokens = 1L)
+      .writeStream.format("memory").queryName("gate_tiny_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((301L, "x y"))
+      q.processAllAvailable()
+      val r = spark.table("gate_tiny_out").collect().head
+      assert(r.getAs[Long]("doc_id") == 301L)
+      assert(r.getAs[Boolean]("quality_pass") && !r.getAs[Boolean]("is_exact_dup"))
+      assert(r.getAs[java.lang.Boolean]("is_near_dup") == false,
+        "too short to shingle means vacuously not a near-dup — evaluated, false")
+      assert(r.getAs[Boolean]("admitted"))
+    } finally q.stop()
+  }
 }
