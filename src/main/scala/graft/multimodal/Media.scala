@@ -42,7 +42,12 @@ object Media {
       // column the near-dup ingest gate (imageNearDupStream) probes on
       dhash: Option[Long] = None)
 
-  case class FrameRow(media_id: Long, frameIdx: Int, framePayload: Array[Byte])
+  /** One sampled frame. `frameW`/`frameH` are the DECODER-reported
+    * dims of `framePayload` — not the catalog metadata's: a re-encode
+    * that changed resolution without a catalog update would otherwise
+    * hash a misaligned plane silently (round-10 review finding). */
+  case class FrameRow(media_id: Long, frameIdx: Int,
+      frameW: Int, frameH: Int, framePayload: Array[Byte])
 
   implicit val mediaRowEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -265,10 +270,13 @@ object Media {
         if (Y4mCodec.isY4m(r.payload)) {
           val v = Y4mCodec.decode(r.payload)
           (0 until v.nFrames by everyN).map(i =>
-            FrameRow(r.media_id, i, v.lumaFrames(i)))
+            FrameRow(r.media_id, i, v.width, v.height, v.lumaFrames(i)))
         } else {
+          // the stub codec synthesizes frames AT the meta dims, so
+          // meta is the decoder-reported truth on this leg
           (0 until codec.frameCount(r.meta) by everyN).map(i =>
-            FrameRow(r.media_id, i, codec.decodeFrame(r.payload, i, r.meta)))
+            FrameRow(r.media_id, i, r.meta.width, r.meta.height,
+              codec.decodeFrame(r.payload, i, r.meta)))
         }
       }
     }
@@ -276,18 +284,16 @@ object Media {
   /** Per-frame perceptual hashes for q105's real video leg: sample
     * every `everyN`-th frame ([[sampleFrames]] — real Y4M luma
     * planes), then the codegen'd 7×9 gray dHash
-    * ([[graft.functions.VideoHash.grayDhash]]). Frame dims ride in on
-    * an equi-join with the per-video metadata projection (one row per
-    * VIDEO vs one per frame — AQE broadcasts when it fits). Output
+    * ([[graft.functions.VideoHash.grayDhash]]). Frame dims are the
+    * DECODER'S, carried on each [[FrameRow]] — no metadata join, and
+    * no way for a stale catalog row to misalign the hash grid. Output
     * (doc_id, fh) feeds [[graft.operators.Dedup.videoNearDupFrames]]. */
   def videoFrameHashes(ds: Dataset[MediaRow], everyN: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dims = ds.toDF().select(
-      col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"))
     sampleFrames(ds, everyN).toDF()
-      .join(dims, "media_id")
       .select(col("media_id").as("doc_id"),
-        graft.functions.VideoHash.grayDhash(col("framePayload"), col("w"), col("h")).as("fh"))
+        graft.functions.VideoHash.grayDhash(
+          col("framePayload"), col("frameW"), col("frameH")).as("fh"))
   }
 
   /** Resize: real bicubic via Raster for image payloads. */

@@ -76,6 +76,12 @@ object AnnIndex {
     val rows = spark.read.format(Format).option("path", path).load()
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     require(rows.nonEmpty, s"no quantizer stored at $path")
+    // fail fast on a rebuild-in-place: saves are APPEND, so a second
+    // training run against a live path would double every (c_id, idx)
+    // row and the reassembled vectors would interleave silently
+    require(rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      s"quantizer $path has duplicate (c_id, idx) rows — a rebuild " +
+        "appended over a live index; TRUNCATE the table before retraining")
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, elems) =>
       val nrm = elems.find(_._2 == -1)
         .getOrElse(sys.error(s"quantizer $path: centroid $id missing norm row"))._3
@@ -105,6 +111,11 @@ object AnnIndex {
     val rows = spark.read.format(Format).option("path", path).load()
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     require(rows.nonEmpty, s"no codebook stored at $path")
+    // same rebuild-in-place guard as loadQuantizer: a retrain append
+    // would let last-write-wins mix two codebooks undetected
+    require(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length,
+      s"codebook $path has duplicate (j, c, i) rows — a rebuild appended " +
+        "over a live index; TRUNCATE the table before retraining")
     val m = rows.map(_._1).max + 1
     val k = rows.map(_._2).max + 1
     val dsub = rows.map(_._3).max + 1
@@ -134,6 +145,16 @@ object AnnIndex {
   def loadCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.format(Format).option("path", path).load()
       .groupBy(col("vec_id"), col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
-        s => s.getField("code")).as("codes"))
+      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
+      // rebuild-in-place guard, distributed form: duplicate j within a
+      // vector means an append over a live code table — the doubled
+      // array would feed ADC with garbage, so raise instead
+      .select(col("vec_id"), col("cell"),
+        when(size(array_distinct(expr("transform(jc, s -> s.j)"))) === size(col("jc")),
+          expr("transform(jc, s -> s.code)"))
+          .otherwise(raise_error(concat(
+            lit("stored code table has duplicate subspace rows for vec_id "),
+            col("vec_id"),
+            lit(" — a rebuild appended over a live index; TRUNCATE before rebuilding"))))
+          .as("codes"))
 }

@@ -53,8 +53,18 @@ object FpIndex {
     saveFlat(path, sh.select(col("doc_id"), explode(col("hh")).as("h")))
 
   /** Reassemble a stored shingle-set table — one groupBy(doc_id),
-    * sets rebuilt sorted (order-invariant downstream). */
+    * sets rebuilt sorted (order-invariant downstream). Stored sets
+    * are distinct by construction, so a duplicate hash here means an
+    * APPEND over a live index (saves never overwrite) — the doubled
+    * sets would silently shrink every Jaccard, so raise instead. */
   def loadShingles(spark: SparkSession, path: String): DataFrame =
     loadFlat(spark, path).groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("h"))).as("hh"))
+      .select(col("doc_id"),
+        when(size(array_distinct(col("hh"))) === size(col("hh")), col("hh"))
+          .otherwise(raise_error(concat(
+            lit("stored shingle set has duplicate hashes for doc_id "),
+            col("doc_id"),
+            lit(" — a rebuild appended over a live index; TRUNCATE before rebuilding"))))
+          .as("hh"))
 }

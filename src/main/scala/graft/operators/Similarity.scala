@@ -1269,8 +1269,12 @@ object Similarity {
         sum((col("qv") === 0 || col("qv") === -1).cast("long")).as("n_dead"))
       .select(col("dim"), col("n_vecs"),
         expr("s1 div n_vecs").as("mean_q"),
+        // the denominator goes through decimal too: long n_vecs² wraps
+        // at ~3e9 rows-per-dim — before the deliberately-widened s2
+        // numerator would (~9e12) — and a wrapped denominator flips
+        // var_q's sign silently (round-10 review finding)
         expr("CAST((n_vecs * s2 - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))" +
-          " div (n_vecs * n_vecs) AS BIGINT)").as("var_q"),
+          " div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)").as("var_q"),
         expr("(1000000 * n_dead) div n_vecs").as("dead_ppm"))
       .withColumn("is_dead",
         (col("dead_ppm") >= DimDeadPpm).cast("int"))
@@ -1863,10 +1867,18 @@ object Similarity {
       .filter(col("label") =!= col("q_label"))
       .withColumn("rank", row_number().over(bySim))
       .filter(col("rank") <= HardNegK)
+      // ×1e6 floor, not round(_, 6): a derived double on a .xxxxx5
+      // boundary rounds half-even in one engine and half-up in the
+      // other (the file-header determinism note — it cost a real
+      // one-row hash mismatch once); floor on the identical binary
+      // double is engine-exact, and the margin is a DIFFERENCE OF
+      // FLOORS so all three columns stay pure integer arithmetic
+      // (round-10 review finding; q96's sim_ppm convention)
       .select(col("q_id"), col("rank"), col("vec_id").as("neg_id"),
-        round(col("sim"), 6).as("neg_sim"),
-        round(col("ps"), 6).as("pos_sim"),
-        round(col("ps") - col("sim"), 6).as("margin"))
+        floor(col("sim") * lit(1000000d)).cast("long").as("neg_sim_ppm"),
+        floor(col("ps") * lit(1000000d)).cast("long").as("pos_sim_ppm"),
+        (floor(col("ps") * lit(1000000d)).cast("long") -
+          floor(col("sim") * lit(1000000d)).cast("long")).as("margin_ppm"))
   }
 
   /** q107 oracle: same window-max-then-filter-then-rank construction. */
@@ -1895,8 +1907,11 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY q_id
        |                                 ORDER BY sim DESC, vec_id) AS INT) AS rank
        |  FROM w WHERE label != q_label)
-       |SELECT q_id, rank, vec_id AS neg_id, round(sim, 6) AS neg_sim,
-       |       round(ps, 6) AS pos_sim, round(ps - sim, 6) AS margin
+       |SELECT q_id, rank, vec_id AS neg_id,
+       |       CAST(floor(sim * 1000000) AS BIGINT) AS neg_sim_ppm,
+       |       CAST(floor(ps * 1000000) AS BIGINT) AS pos_sim_ppm,
+       |       CAST(floor(ps * 1000000) AS BIGINT)
+       |         - CAST(floor(sim * 1000000) AS BIGINT) AS margin_ppm
        |FROM r WHERE rank <= $HardNegK""".stripMargin
 
   // ---------------------------------------------------------------- q109

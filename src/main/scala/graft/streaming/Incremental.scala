@@ -115,8 +115,10 @@ object Incremental {
     * batches; estimates served from the streamed sketch are therefore
     * bit-identical to batch estimates). */
   def cmsStream(docs: DataFrame): DataFrame =
-    graft.operators.TextAnalysis.cmsCellsOf(docs)
-      .groupBy(col("rc")).agg(count(lit(1)).as("cnt"))
+    // literally the batch plan applied to the stream frame — ONE
+    // definition, so the stream ≡ batch bit-equality StreamingSpec
+    // pins cannot drift out from under a future edit to either side
+    graft.operators.TextAnalysis.cmsSketchOf(docs)
 
   /** Streaming near-dup ingest — q85's incremental delta-vs-corpus
     * dedup as a CONTINUOUS flow: each arriving document is shingled,

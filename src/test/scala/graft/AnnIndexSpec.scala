@@ -108,6 +108,24 @@ class AnnIndexSpec extends AnyFunSuite {
     for (j <- cb1.indices; c <- cb1(j).indices)
       assert(java.util.Arrays.equals(cb1(j)(c), back(j)(c)), s"post-swap codeword ($j,$c)")
   }
+
+  test("rebuild-in-place WITHOUT truncate fails fast at load — appended " +
+      "duplicates are detected, never served as interleaved garbage") {
+    val path = tmpIndex("dupe")
+    val cb = AnnIndexSpecFixtures.codebook
+    AnnIndex.saveCodebook(spark, s"$path/codebook", cb)
+    AnnIndex.saveCodebook(spark, s"$path/codebook", cb) // forgot TRUNCATE
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.loadCodebook(spark, s"$path/codebook"))
+    assert(e.getMessage.contains("TRUNCATE"), e.getMessage)
+    val v = Similarity.vectorsForSpec(spark, sf)
+    val cents = Similarity.trainIvfQuantizer(v, expr("vec_id % 31 = 7"))
+    AnnIndex.saveQuantizer(spark, s"$path/quantizer", cents)
+    AnnIndex.saveQuantizer(spark, s"$path/quantizer", cents)
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.loadQuantizer(spark, s"$path/quantizer"))
+    assert(e2.getMessage.contains("TRUNCATE"), e2.getMessage)
+  }
 }
 
 object AnnIndexSpecFixtures {

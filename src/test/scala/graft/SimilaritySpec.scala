@@ -423,20 +423,19 @@ class SimilaritySpec extends AnyFunSuite {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    def r6(x: Double): Double = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ppm(x: Double): Long = math.floor(x * 1000000d).toLong
     val anchors = rows.filter(_._1 % 25 == 0)
     val want = anchors.flatMap { case (q, ql, qe) =>
       val sims = rows.filter(_._1 != q).map { case (v, l, e) => (v, l, cos(qe, e)) }
       val ps = sims.filter(_._2 == ql).map(_._3).max
       sims.filter(_._2 != ql).sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
         .map { case ((v, _, s), i) =>
-          (q, i + 1) -> ((v, r6(s), r6(ps), r6(ps - s))) }
+          (q, i + 1) -> ((v, ppm(s), ppm(ps), ppm(ps) - ppm(s))) }
     }.toMap
     val got = Similarity.hardNegatives(spark, sf).collect().map(r =>
       (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
-        ((r.getAs[Long]("neg_id"), r.getAs[Double]("neg_sim"),
-          r.getAs[Double]("pos_sim"), r.getAs[Double]("margin")))).toMap
+        ((r.getAs[Long]("neg_id"), r.getAs[Long]("neg_sim_ppm"),
+          r.getAs[Long]("pos_sim_ppm"), r.getAs[Long]("margin_ppm")))).toMap
     assert(got.size == anchors.length * 5, s"5 negatives per anchor: ${got.size}")
     assert(got == want, {
       val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
@@ -449,8 +448,8 @@ class SimilaritySpec extends AnyFunSuite {
     val anchorLabel = anchors.map(t => t._1 -> t._2).toMap
     got.foreach { case ((q, _), (negId, negSim, posSim, margin)) =>
       assert(labels(negId) != anchorLabel(q), s"negative $negId shares label with $q")
-      assert(math.abs(margin - r6(posSim - negSim)) <= 1e-6 + 1e-9,
-        s"margin must price pos - neg for $q")
+      assert(margin == posSim - negSim,
+        s"margin is the exact difference of the floored ppm legs for $q")
     }
   }
 
