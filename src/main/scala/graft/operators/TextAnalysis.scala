@@ -42,17 +42,17 @@ object TextAnalysis {
     * columns matches the batch funnel's quality stage bit-for-bit.
     * `text` rides through for the downstream content-hash / shingle
     * stages. */
-  def qualityStatsOf(docs: DataFrame): DataFrame = {
+  def qualityStatsOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     docs
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id") +: col("text") +: carry.map(col) :+
         GraftSqlBridge.column(graft.functions.TokenStats(
-          GraftSqlBridge.expression(col("text")), Seq(stopEn))).as("s"))
-      .select(col("doc_id"), col("text"),
-        col("s.n_tokens").as("n_tokens"),
+          GraftSqlBridge.expression(col("text")), Seq(stopEn))).as("s"): _*)
+      .select(col("doc_id") +: col("text") +: carry.map(col) :+
+        col("s.n_tokens").as("n_tokens") :+
         when(col("s.n_tokens") >= 1,
           expr("(10000 * element_at(s.counts, 1)) div s.n_tokens"))
-          .otherwise(lit(10001L)).as("stop_ratio_bp"))
+          .otherwise(lit(10001L)).as("stop_ratio_bp"): _*)
   }
 
   /** Engine form: ONE codegen'd scan per document (`TokenStats`) —

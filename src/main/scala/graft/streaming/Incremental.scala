@@ -376,12 +376,12 @@ object Incremental {
     * (collapsing a survivor's ≤6 band probes with its base row);
     * unwatermarked, that aggregation is global state — per-doc rows
     * retained — so THIS form requires update/complete mode
-    * (StreamingSpec runs complete). A continuous deployment carries
-    * an ingest-time column, watermarks it, and adds it to the
-    * groupBy, making the query append-legal with state bounded by
-    * the watermark horizon (the q115-stream precedent). At scale an
-    * arrival only equi-probes stored indexes — the corpus never
-    * self-joins. */
+    * (StreamingSpec runs complete). The continuous deployment is
+    * [[curationGateStreamWindowed]] — the same shared core with a
+    * watermarked ingest-time window in the aggregation keys:
+    * append-legal, state bounded by the watermark horizon (the
+    * q115-stream precedent). At scale an arrival only equi-probes
+    * stored indexes — the corpus never self-joins. */
   def curationGateStream(
       docs: DataFrame,
       corpusKeys: DataFrame,
@@ -389,9 +389,53 @@ object Incremental {
       corpusShingles: DataFrame,
       minTokens: Long = 5L,
       maxStopBp: Long = 8000L,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8): DataFrame =
+    gateVerdicts(docs, corpusKeys, corpusBands, corpusShingles,
+      minTokens, maxStopBp, tau, ts = None, windowLen = "")
+
+  /** Continuous-deployment form of [[curationGateStream]] — the
+    * append-legal recipe its scaladoc names, implemented (the
+    * [[retrievalStreamWindowed]] precedent): `docs` carries an
+    * ingest-time column (doc_id, text, ingest_ts), the verdict
+    * aggregation groups by a tumbling event-time window alongside the
+    * per-doc keys, and the watermark evicts each window's state once
+    * event time passes window.end + delay — state is bounded by the
+    * watermark horizon instead of the total docs seen. A document's
+    * base row and band probes all carry its single ingest_ts, so a
+    * window never splits a verdict; stage semantics, thresholds, and
+    * jaccard arithmetic are IDENTICAL to the global form (one shared
+    * core — StreamingSpec pins the windowed verdicts row-equal to
+    * the global form's on the same arrivals). */
+  def curationGateStreamWindowed(
+      docs: DataFrame,
+      corpusKeys: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      minTokens: Long = 5L,
+      maxStopBp: Long = 8000L,
+      tau: Double = 0.8,
+      windowLen: String = "1 minute",
+      delay: String = "5 minutes"): DataFrame =
+    gateVerdicts(docs.withWatermark("ingest_ts", delay),
+      corpusKeys, corpusBands, corpusShingles,
+      minTokens, maxStopBp, tau, ts = Some("ingest_ts"), windowLen = windowLen)
+
+  /** One shared pipeline for both gate forms; `ts` threads the
+    * ingest-time column through every leg and adds the tumbling
+    * window to the verdict aggregation's keys. */
+  private def gateVerdicts(
+      docs: DataFrame,
+      corpusKeys: DataFrame,
+      corpusBands: DataFrame,
+      corpusShingles: DataFrame,
+      minTokens: Long,
+      maxStopBp: Long,
+      tau: Double,
+      ts: Option[String],
+      windowLen: String): DataFrame = {
     import graft.operators.{Dedup, TextAnalysis}
-    val keyed = TextAnalysis.qualityStatsOf(docs)
+    val tsCols = ts.toSeq.map(col)
+    val keyed = TextAnalysis.qualityStatsOf(docs, carry = ts.toSeq)
       .withColumn("content_hash", md5(col("text")))
       .join(corpusKeys.select(col("content_hash"), lit(1).as("dup")),
         Seq("content_hash"), "left")
@@ -401,29 +445,30 @@ object Incremental {
       .withColumn("t", split(col("text"), " "))
     // base leg: exactly one row per arrival (jaccard NULL) — guarantees
     // a verdict even for docs with no band collisions or no shingles
-    val base = keyed.select(col("doc_id"), col("n_tokens"),
-      col("stop_ratio_bp"), col("quality_pass"), col("is_exact_dup"),
-      lit(null).cast("double").as("jaccard"))
+    val base = keyed.select(col("doc_id") +: tsCols :+ col("n_tokens") :+
+      col("stop_ratio_bp") :+ col("quality_pass") :+ col("is_exact_dup") :+
+      lit(null).cast("double").as("jaccard"): _*)
     // probe leg: survivors only (short-circuit); inner joins — a band
     // with no collision contributes nothing the base row doesn't
     val surv = keyed
       .filter(col("quality_pass") && !col("is_exact_dup") && size(col("t")) >= 3)
-      .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
+      .select(col("doc_id") +: tsCols :+ col("n_tokens") :+ col("stop_ratio_bp") :+
         array_distinct(
-          graft.functions.TextHash.wordNGramHashes(col("t"), 3)).as("hh"))
+          graft.functions.TextHash.wordNGramHashes(col("t"), 3)).as("hh"): _*)
     val inter = size(array_intersect(col("hh"), col("hc")))
     val probes = Dedup
-      .bandTable(surv, carry = Seq("n_tokens", "stop_ratio_bp", "hh"))
+      .bandTable(surv, carry = ts.toSeq ++ Seq("n_tokens", "stop_ratio_bp", "hh"))
       .join(corpusBands.select(col("doc_id").as("corpus_id"), col("bkey")), "bkey")
       .join(corpusShingles.select(col("doc_id").as("corpus_id"),
         col("hh").as("hc")), "corpus_id")
-      .select(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
-        lit(true).as("quality_pass"), lit(false).as("is_exact_dup"),
+      .select(col("doc_id") +: tsCols :+ col("n_tokens") :+ col("stop_ratio_bp") :+
+        lit(true).as("quality_pass") :+ lit(false).as("is_exact_dup") :+
         (inter.cast("double") / (size(col("hh")) + size(col("hc")) - inter))
-          .as("jaccard"))
+          .as("jaccard"): _*)
     base.unionByName(probes)
-      .groupBy(col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
-        col("quality_pass"), col("is_exact_dup"))
+      .groupBy(ts.map(t => window(col(t), windowLen)).toSeq ++ Seq(
+        col("doc_id"), col("n_tokens"), col("stop_ratio_bp"),
+        col("quality_pass"), col("is_exact_dup")): _*)
       .agg(max(col("jaccard")).as("max_jaccard"))
       .withColumn("is_near_dup",
         when(col("quality_pass") && !col("is_exact_dup"),
@@ -435,6 +480,7 @@ object Incremental {
         when(!col("quality_pass"), "quality_gate")
           .when(col("is_exact_dup"), "exact_dedup")
           .when(col("is_near_dup"), "near_dedup"))
+      .drop("window") // windowed form: eviction key only, not a verdict column
   }
 
   /** Streaming INGEST-VOLUME ANOMALY monitor — batch q115's

@@ -749,6 +749,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); Seq(keys, corpusSh, corpusBands).foreach(_.unpersist()) }
   }
 
+  test("streaming curation gate, windowed form: verdicts emit in append mode " +
+      "once the watermark closes the window, and equal the global form's") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val foxText =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (101L, foxText),
+      (102L, "completely different content about satellite imagery and water bodies"))
+      .toDF("doc_id", "text")
+    val keys = Incremental.corpusKeySet(corpus).persist()
+    val corpusSh = graft.operators.Dedup.shingleTable(corpus).persist()
+    val corpusBands = graft.operators.Dedup.bandTable(corpusSh).persist()
+    Seq(keys, corpusSh, corpusBands).foreach(_.count())
+    val arrivals = Seq(
+      (201L, foxText),
+      (202L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (203L, "entirely novel text sharing no shingles with anything stored here at all"),
+      (204L, "hi there"))
+    val t0 = Timestamp.valueOf("2024-06-01 10:00:00")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Incremental.curationGateStreamWindowed(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"),
+        keys, corpusBands, corpusSh,
+        windowLen = "1 minute", delay = "1 minute")
+      .writeStream.format("memory").queryName("gate_win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.map { case (id, tx) => (id, tx, t0) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("gate_win_out").isEmpty,
+        "watermark still inside the window — append must hold the verdicts")
+      // a later arrival pushes the watermark past 10:01 + 1 min
+      input.addData((301L, "late watermark advancer text entirely unrelated",
+        Timestamp.valueOf("2024-06-01 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("gate_win_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("admitted"), Option(r.getAs[String]("reject_stage"))))
+        .toMap
+      assert(got.keySet == Set(201L, 202L, 203L, 204L),
+        s"exactly the closed window's verdicts emit: ${got.keySet}")
+      // the windowed core's verdicts are the global form's, column-equal
+      val globalRows = Incremental.curationGateStream(
+          arrivals.toDF("doc_id", "text"), keys, corpusBands, corpusSh)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("admitted"), Option(r.getAs[String]("reject_stage"))))
+        .toMap
+      assert(got == globalRows,
+        "one shared core: windowed and global verdicts must be identical")
+    } finally { q.stop(); Seq(keys, corpusSh, corpusBands).foreach(_.unpersist()) }
+  }
+
   test("streaming curation gate: a shingle-free survivor (minTokens=1) is " +
       "admitted through the base leg — the probe has nothing to say") {
     import spark.implicits._
