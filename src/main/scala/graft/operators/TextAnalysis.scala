@@ -1141,6 +1141,48 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** DISTRIBUTED corpus tokenization under a TRAINED merge table —
+    * the encode half of the BPE story at corpus scale, closing the
+    * train → encode → count loop ([[trainBpe]] learns the merges,
+    * this prices the corpus under them). Exact per-document token
+    * counts are the input every mixture/budget decision actually
+    * wants; [[tokenQuality]]'s `est_bpe_tokens` (chars div 4) is the
+    * scan-time heuristic, THIS is the true number for the tokenizer
+    * you trained.
+    *
+    * Scale shape — the word-TYPE shortcut every production pipeline
+    * uses (encode each distinct word once, never re-segment repeated
+    * tokens): the corpus-sized work is ONE (doc_id, word) hash
+    * aggregate with map-side combine; the distinct type table is
+    * VOCABULARY-bounded (the [[bpeWordCounts]]/[[trainBpe]] residency
+    * contract — the same dict the trainer already holds driver-side),
+    * encoded once on the driver and broadcast-joined back; the final
+    * per-doc rollup aggregates |doc|·|types-per-doc| rows. Word
+    * tokenization is [[bpeWordCounts]]'s exactly (split on space,
+    * drop empties), so training and encoding segment the same words.
+    *
+    * Spec-only surface like [[trainBpe]] (a trained artifact is not
+    * oracle-expressible); BpeSpec pins the distributed counts against
+    * a word-by-word driver replay of [[bpeEncode]] over every doc. */
+  def bpeTokenCountsOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    val pieces = perDoc.select(col("w")).distinct().collect()
+      .map(r => r.getString(0))
+      .map(w => (w, bpeEncode(w, merges).length.toLong))
+      .toSeq.toDF("w", "n_pieces")
+    perDoc.join(broadcast(pieces), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_pieces")).as("bpe_tokens"))
+      .withColumn("pieces_per_word_x100",
+        expr("(100 * bpe_tokens) div n_words"))
+  }
+
   // ---------------------------------------------------------------- q89
 
   /** q89: CORPUS HEALTH dashboard — the one query every data team runs

@@ -90,4 +90,38 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     assert(TextAnalysis.trainBpe(docs, nMerges = 10).isEmpty)
   }
+
+  test("distributed encode: per-doc token counts under the trained merges equal " +
+      "a word-by-word driver replay; zero merges degenerate to char counts") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val merges = TextAnalysis.trainBpe(docs, nMerges = 40)
+    assert(merges.nonEmpty, "fixture must actually learn merges")
+    val got = TextAnalysis.bpeTokenCountsOf(docs, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"),
+          r.getAs[Long]("pieces_per_word_x100"))).toMap
+    val want = docs.collect().map { r =>
+      val words = r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+      val pieces = words.map(w => TextAnalysis.bpeEncode(w, merges).length.toLong).sum
+      r.getAs[Long]("doc_id") -> ((words.length.toLong, pieces,
+        100L * pieces / words.length))
+    }.toMap
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(3)
+      s"first diffs: ${bad.map(k => s"$k got ${got.get(k)} want ${want.get(k)}")}"
+    })
+    // merges only ever REDUCE the piece count; zero merges = chars
+    val noMerge = TextAnalysis.bpeTokenCountsOf(docs, Nil).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bpe_tokens")).toMap
+    want.foreach { case (id, (_, pieces, _)) =>
+      assert(pieces <= noMerge(id), s"doc $id: merges must not add pieces")
+    }
+    val chars = docs.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).map(_.length.toLong).sum
+    }.toMap
+    assert(noMerge == chars, "the un-merged encode is exactly the character count")
+  }
 }
