@@ -173,6 +173,29 @@ object SoakDocs {
         f"${n}x: $tn%6.2f s ($mn merges)   growth ${tn / t1}%4.1fx")
     }
 
+    // BPE ENCODE soak — the serving shape: train ONCE on the base
+    // corpus, price the encode at 1x and nx under the same merges.
+    // Replication adds no word TYPES, so the driver-encoded broadcast
+    // side is scale-invariant and the growth isolates the one
+    // (doc, word) aggregate the scaladoc claims is the corpus pass.
+    {
+      val merges = operators.TextAnalysis.trainBpe(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        nMerges = 50)
+      def encTime(dir: String): Double = {
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        operators.TextAnalysis.bpeTokenCountsOf(docs, merges)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      encTime(sfDir) // warm
+      val t1 = encTime(sfDir)
+      val tn = encTime(soakDir)
+      println(f"bpe_encode_counts        1x: $t1%6.2f s   ${n}x: $tn%6.2f s   " +
+        f"growth ${tn / t1}%4.1fx")
+    }
+
     // q106 boilerplate soak: replication multiplies every chunk's df
     // by n, so the df cut scales with n (3 → 3n) to keep the
     // boilerplate FRACTION — and with it the hot-set size and the
