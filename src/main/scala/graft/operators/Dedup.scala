@@ -1283,8 +1283,14 @@ object Dedup {
     * the explode + df pass on both sides). */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val trunc = base
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+    // synthetic truncation ids start at max(doc_id)+1, NOT a fixed
+    // constant — a fixed 1e7 offset aliases genuine documents the
+    // moment real doc_ids reach 1e7 (trivially true on a web-scale
+    // corpus), making planted and real pairs indistinguishable. The
+    // offset frame is one row, broadcast by the cross join.
+    val off = base.agg((max(col("doc_id")) + lit(1L)).as("off"))
+    val trunc = base.crossJoin(broadcast(off))
+      .select((col("doc_id") + col("off")).as("doc_id"),
         expr("array_join(slice(split(text, ' '), 1, " +
           "CAST(greatest(size(split(text, ' ')) div 2, 3) AS INT)), ' ')")
           .as("text"))
@@ -1316,7 +1322,7 @@ object Dedup {
 
   val containmentDedupSql: String =
     s"""WITH tr AS (
-       |  SELECT doc_id + 10000000 AS doc_id,
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
        |         array_to_string(list_slice(string_split(text, ' '), 1,
        |           greatest(len(string_split(text, ' ')) // 2, 3)), ' ') AS text
        |  FROM documents),
@@ -1375,9 +1381,11 @@ object Dedup {
     * the shingle hash; attribution is an equi-join back on the same
     * key (same partitioning — AQE reuses the exchange); the doc
     * aggregate and the 10-row cohort aggregate follow. Cohort
-    * assignment is a broadcast scalar max (`(doc_id·10) div
-    * (max_id+1)`) — deliberately NOT `ntile(10)`, whose global sort
-    * would single-partition a corpus-sized doc list at 100 TB. */
+    * assignment is a broadcast scalar id-range decile
+    * (`((doc_id−min_id)·10) div (max−min+1)` — the observed range,
+    * so an id space anchored away from 0 still fills cohort 0) —
+    * deliberately NOT `ntile(10)`, whose global sort would
+    * single-partition a corpus-sized doc list at 100 TB. */
   def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     val ex = hashedShingles(spark, dir)
       .select(col("doc_id"), explode(col("hh")).as("h"))
@@ -1386,10 +1394,11 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"),
         sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
-    val maxId = Tables.documents(spark, dir).agg(max(col("doc_id")).as("max_id"))
-    perDoc.crossJoin(broadcast(maxId))
+    val idRange = Tables.documents(spark, dir)
+      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    perDoc.crossJoin(broadcast(idRange))
       .withColumn("cohort",
-        expr("CAST((doc_id * 10) div (max_id + 1) AS INT)"))
+        expr("CAST(((doc_id - min_id) * 10) div (max_id - min_id + 1) AS INT)"))
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_sh")).as("n_shingles"),
@@ -1409,8 +1418,8 @@ object Dedup {
        |  SELECT e.doc_id, count(*) AS n_sh,
        |         sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
        |  FROM ex e JOIN fs f USING (h) GROUP BY 1),
-       |mx AS (SELECT max(doc_id) AS max_id FROM documents)
-       |SELECT CAST((doc_id * 10) // (max_id + 1) AS INT) AS cohort,
+       |mx AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents)
+       |SELECT CAST(((doc_id - min_id) * 10) // (max_id - min_id + 1) AS INT) AS cohort,
        |       count(*) AS n_docs,
        |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
        |       CAST(sum(n_novel) AS BIGINT) AS n_novel,
@@ -1502,11 +1511,21 @@ object Dedup {
     val tau = mg.withColumn("rk", row_number().over(wP))
       .filter(col("rk") === OvK)
       .select(col("source_a"), col("source_b"), col("hv").as("tau"))
+    // merged-sketch size per pair — the small-set fallback's exact union:
+    // if the merged sketch holds fewer than k values, each source sketch
+    // held fewer than k values, which means each sketch is the COMPLETE
+    // distinct set of its source and the merged sketch is the exact union
+    // (the standard KMV small-set rule). τ does not exist for such a pair
+    // (row_number never reaches k), so τ joins below are LEFT joins —
+    // an inner join would silently drop every small pair from the report.
+    val msz = mg.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("msz"))
     // ρ: sketch values present in BOTH sketches at or below τ
+    // (no τ → sketches are complete sets → count every common value)
     val rho = ska.join(skb, "hv")
       .filter(col("source_a") < col("source_b"))
-      .join(tau, Seq("source_a", "source_b"))
-      .filter(col("hv") <= col("tau"))
+      .join(tau, Seq("source_a", "source_b"), "left")
+      .filter(col("tau").isNull || col("hv") <= col("tau"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("rho"))
     // exact audit leg: pair intersection over the full distinct sets
@@ -1516,19 +1535,34 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("exact_inter"))
     pairs
-      .join(tau, Seq("source_a", "source_b"))
+      .join(msz, Seq("source_a", "source_b"))
+      .join(tau, Seq("source_a", "source_b"), "left")
       .join(rho, Seq("source_a", "source_b"), "left")
       .join(exact, Seq("source_a", "source_b"), "left")
       .withColumn("rho", coalesce(col("rho"), lit(0L)))
       .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
       .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
-      .withColumn("union_est", expr(s"(${OvK - 1}L * 4294967296L) div tau"))
+      // τ present → usual KMV estimator (greatest guards the legal hv=0
+      // minimum from dividing by zero); τ absent → merged sketch is the
+      // exact union, so the "estimate" IS the exact count
+      .withColumn("union_est",
+        when(col("tau").isNotNull,
+          expr(s"(${OvK - 1}L * 4294967296L) div greatest(tau, 1)"))
+          .otherwise(col("msz")))
+      .withColumn("jacc_est_ppm",
+        when(col("tau").isNotNull, expr(s"(1000000 * rho) div $OvK"))
+          .otherwise(expr("(1000000 * rho) div msz")))
+      .withColumn("inter_est",
+        when(col("tau").isNotNull, expr(s"(rho * union_est) div $OvK"))
+          .otherwise(col("rho")))
+      // tau=0 in the output marks exact small-set mode (hv values are
+      // scrambled and a real τ of 0 is guarded above, so 0 is unambiguous)
+      .withColumn("tau", coalesce(col("tau"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("exact_inter"), col("exact_union"),
         expr("(1000000 * exact_inter) div exact_union").as("exact_jacc_ppm"),
         col("tau"), col("rho"), col("union_est"),
-        expr(s"(1000000 * rho) div $OvK").as("jacc_est_ppm"),
-        expr(s"(rho * union_est) div $OvK").as("inter_est"),
+        col("jacc_est_ppm"), col("inter_est"),
         expr("(1000000 * abs(union_est - exact_union)) div exact_union")
           .as("err_union_ppm"))
   }
@@ -1565,11 +1599,12 @@ object Dedup {
        |    SELECT source_a, source_b, hv,
        |           row_number() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rk
        |    FROM mg) WHERE rk = $OvK),
+       |msz AS (SELECT source_a, source_b, count(*) AS msz FROM mg GROUP BY 1, 2),
        |rho AS (
        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS rho
        |  FROM sk a JOIN sk b ON a.hv = b.hv AND a.source < b.source
-       |  JOIN tau t ON t.source_a = a.source AND t.source_b = b.source
-       |  WHERE a.hv <= t.tau
+       |  LEFT JOIN tau t ON t.source_a = a.source AND t.source_b = b.source
+       |  WHERE t.tau IS NULL OR a.hv <= t.tau
        |  GROUP BY 1, 2),
        |ex AS (
        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS exact_inter
@@ -1580,17 +1615,26 @@ object Dedup {
        |       p.n_a + p.n_b - coalesce(ex.exact_inter, 0) AS exact_union,
        |       (1000000 * coalesce(ex.exact_inter, 0))
        |         // (p.n_a + p.n_b - coalesce(ex.exact_inter, 0)) AS exact_jacc_ppm,
-       |       t.tau,
+       |       coalesce(t.tau, 0) AS tau,
        |       coalesce(rho.rho, 0) AS rho,
-       |       (${OvK - 1} * 4294967296) // t.tau AS union_est,
-       |       (1000000 * coalesce(rho.rho, 0)) // $OvK AS jacc_est_ppm,
-       |       (coalesce(rho.rho, 0) * ((${OvK - 1} * 4294967296) // t.tau))
-       |         // $OvK AS inter_est,
-       |       (1000000 * abs((${OvK - 1} * 4294967296) // t.tau
+       |       CASE WHEN t.tau IS NOT NULL
+       |            THEN (${OvK - 1} * 4294967296) // greatest(t.tau, 1)
+       |            ELSE m.msz END AS union_est,
+       |       CASE WHEN t.tau IS NOT NULL
+       |            THEN (1000000 * coalesce(rho.rho, 0)) // $OvK
+       |            ELSE (1000000 * coalesce(rho.rho, 0)) // m.msz END AS jacc_est_ppm,
+       |       CASE WHEN t.tau IS NOT NULL
+       |            THEN (coalesce(rho.rho, 0)
+       |                  * ((${OvK - 1} * 4294967296) // greatest(t.tau, 1))) // $OvK
+       |            ELSE coalesce(rho.rho, 0) END AS inter_est,
+       |       (1000000 * abs((CASE WHEN t.tau IS NOT NULL
+       |                       THEN (${OvK - 1} * 4294967296) // greatest(t.tau, 1)
+       |                       ELSE m.msz END)
        |                      - (p.n_a + p.n_b - coalesce(ex.exact_inter, 0))))
        |         // (p.n_a + p.n_b - coalesce(ex.exact_inter, 0)) AS err_union_ppm
        |FROM pairs p
-       |JOIN tau t USING (source_a, source_b)
+       |JOIN msz m USING (source_a, source_b)
+       |LEFT JOIN tau t USING (source_a, source_b)
        |LEFT JOIN rho USING (source_a, source_b)
        |LEFT JOIN ex USING (source_a, source_b)""".stripMargin
 }

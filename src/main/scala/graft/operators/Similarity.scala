@@ -1181,8 +1181,14 @@ object Similarity {
     * many of the q21 top-k slots it occupies and reports the top
     * [[HubTopK]] occupiers with their slot share in ppm — under a
     * uniform neighbor distribution every vector's expected share is
-    * 1/|corpus| (`expected_ppm`, emitted for in-row comparison), so
-    * a hub reads directly as share ≫ expected. Composes with q88/
+    * 1/|corpus|, so the emitted `hub_score_x1000` = 1000 × share ÷
+    * expected = (share_ppm · n_corpus) div 1000 reads directly as
+    * "how many times over-represented" (1000 = exactly uniform). A
+    * ratio — not an absolute expected-ppm column — because 10⁶/n
+    * floors to 0 once the corpus exceeds 10⁶ vectors, which is
+    * precisely the 100 TB regime this audit exists for; the ratio
+    * survives any corpus size (share_ppm ≤ 10⁶ keeps the product
+    * inside int64 up to ~9·10¹² vectors). Composes with q88/
     * q98/q109 as the fourth retrieval-quality view: index recall,
     * label quality, retriever agreement — and now result
     * concentration.
@@ -1204,7 +1210,8 @@ object Similarity {
       .crossJoin(broadcast(corpus))
       .select(col("pos"), col("neighbor_id"), col("n_hits"),
         expr("(1000000 * n_hits) div n_slots").as("share_ppm"),
-        expr("1000000 div n_corpus").as("expected_ppm"))
+        expr("(((1000000 * n_hits) div n_slots) * n_corpus) div 1000")
+          .as("hub_score_x1000"))
   }
 
   val hubAuditSql: String =
@@ -1221,7 +1228,7 @@ object Similarity {
        |  FROM hubs)
        |SELECT pos, neighbor_id, n_hits,
        |       (1000000 * n_hits) // n_slots AS share_ppm,
-       |       1000000 // n_corpus AS expected_ppm
+       |       (((1000000 * n_hits) // n_slots) * n_corpus) // 1000 AS hub_score_x1000
        |FROM ranked, slots, corpus WHERE pos <= $HubTopK""".stripMargin
 
   // --------------------------------------------------------------- q118

@@ -1904,12 +1904,26 @@ object TextAnalysis {
     * after runs on the ≤ 10·100-row distribution table — model-sized
     * joins, broadcast scalar baseline mass. Same 100 TB posture as
     * q111: the drift matrix costs a scan. */
-  def cohortDrift(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = vocabTopK(spark, dir).select(col("token"))
-    val maxId = Tables.documents(spark, dir).agg(max(col("doc_id")).as("max_id"))
-    val cnt = Tables.documents(spark, dir)
-      .crossJoin(broadcast(maxId))
-      .select(expr("CAST((doc_id * 10) div (max_id + 1) AS INT)").as("cohort"),
+  def cohortDrift(spark: SparkSession, dir: String): DataFrame =
+    cohortDriftOf(Tables.documents(spark, dir),
+      vocabTopK(spark, dir).select(col("token")))
+
+  /** [[cohortDrift]] over arbitrary documents/vocab frames — the
+    * offset-id-space testability seam. */
+  def cohortDriftOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    // cohort = decile of the OBSERVED id range (doc_id - min_id over
+    // max - min + 1), not of doc_id itself: an id space anchored away
+    // from 0 (snapshot offsets, sharded allocators) would otherwise
+    // leave cohort 0 empty and the whole drift report would silently
+    // compare against an empty baseline and return zero rows. The
+    // observed-range form guarantees cohort 0 is non-empty (the min-id
+    // document lands there by construction).
+    val idRange = docs
+      .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    val cnt = docs
+      .crossJoin(broadcast(idRange))
+      .select(expr("CAST(((doc_id - min_id) * 10) div (max_id - min_id + 1) AS INT)")
+        .as("cohort"),
         explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .join(broadcast(vocab), Seq("token"))
@@ -1940,9 +1954,10 @@ object TextAnalysis {
     s"""WITH vocab AS (
        |$vocabTopKSql
        |),
-       |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+       |mx AS (SELECT min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents),
        |tk AS (
-       |  SELECT CAST((doc_id * 10) // (max_id + 1) AS INT) AS cohort, token FROM (
+       |  SELECT CAST(((doc_id - min_id) * 10) // (max_id - min_id + 1) AS INT)
+       |           AS cohort, token FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), mx
        |  WHERE length(token) > 0),
        |cnt AS (

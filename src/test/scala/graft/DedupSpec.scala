@@ -596,8 +596,9 @@ class DedupSpec extends AnyFunSuite {
       .flatMap { case (id, hs) => hs.map(_ -> id) }
       .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
     val maxId = docs.map(_._1).max
+    val minId = docs.map(_._1).min
     val want = perDocH.toSeq.map { case (id, hs) =>
-      val cohort = (id * 10 / (maxId + 1)).toInt
+      val cohort = ((id - minId) * 10 / (maxId - minId + 1)).toInt
       (cohort, hs.size.toLong, hs.count(h => firstSeen(h) == id).toLong)
     }.groupBy(_._1).map { case (c, xs) =>
       val nSh = xs.map(_._2).sum; val nNov = xs.map(_._3).sum
@@ -626,10 +627,14 @@ class DedupSpec extends AnyFunSuite {
     val base = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    // the synthetic-id offset mirrors the operator: max(doc_id)+1, so
+    // planted ids can never alias genuine documents regardless of the
+    // corpus's id space (the fixed-1e7 hazard the r10 advisor flagged)
+    val off = base.map(_._1).max + 1L
     val trunc = base.flatMap { case (id, text) =>
       val t = text.split(" ", -1)
       val cut = t.take(math.max(t.length / 2, 3))
-      if (cut.length >= 3) Some((id + 10000000L, cut.mkString(" "))) else None
+      if (cut.length >= 3) Some((id + off, cut.mkString(" "))) else None
     }
     val hashes: Map[Long, Set[Long]] = (base ++ trunc).flatMap { case (id, text) =>
       val t = text.split(" ", -1)
@@ -663,7 +668,7 @@ class DedupSpec extends AnyFunSuite {
     // recall: every planted (doc, half-prefix copy) pair surfaces at
     // exactly full containment — prefix shingles are a strict subset
     val planted = out.filter(r =>
-      r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == 10000000L).map(r =>
+      r.getAs[Long]("b_id") - r.getAs[Long]("a_id") == off).map(r =>
       (r.getAs[Long]("a_id"), r.getAs[Long]("containment_ppm")))
     assert(planted.length == trunc.length,
       s"all ${trunc.length} planted truncations must be recovered")

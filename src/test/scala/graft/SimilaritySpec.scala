@@ -602,10 +602,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Long]("neighbor_id") == id && r.getAs[Long]("n_hits") == n,
         s"pos ${r.getAs[Int]("pos")}")
       assert(r.getAs[Long]("share_ppm") == 1000000L * n / nSlots)
-      assert(r.getAs[Long]("expected_ppm") == 1000000L / nCorpus)
+      assert(r.getAs[Long]("hub_score_x1000") ==
+        (1000000L * n / nSlots) * nCorpus / 1000L)
     }
     // concentration sanity: the top hub must out-occupy the uniform
-    // expectation, or the audit has nothing to rank
-    assert(out.head.getAs[Long]("share_ppm") > out.head.getAs[Long]("expected_ppm"))
+    // expectation (score 1000 = exactly uniform share), or the audit
+    // has nothing to rank — and the ratio form must survive corpora
+    // beyond 1e6 vectors where an absolute expected-ppm floors to 0
+    assert(out.head.getAs[Long]("hub_score_x1000") > 1000L)
   }
 }

@@ -795,7 +795,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val maxId = docs.map(_._1).max
-    val ppm = docs.groupBy { case (id, _) => (id * 10 / (maxId + 1)).toInt }
+    val minId = docs.map(_._1).min
+    val ppm = docs.groupBy { case (id, _) =>
+      ((id - minId) * 10 / (maxId - minId + 1)).toInt }
       .map { case (c, ds) =>
         val ts = ds.flatMap(_._2.split(" ", -1)).filter(t => t.nonEmpty && vocab(t))
         val t = ts.length.toLong
@@ -818,5 +820,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(out.find(_.getAs[Int]("cohort") == 0).get.getAs[Long]("l1_ppm") == 0L,
       "the baseline cohort's own drift is the zero anchor")
+  }
+
+  test("q119 cohort drift: an id space anchored away from 0 still yields a " +
+      "populated cohort-0 baseline (observed-range bucketing)") {
+    import spark.implicits._
+    // doc_ids start at 5e9 — under absolute bucketing every document
+    // would land in a high cohort, cohort 0 would be empty, and the
+    // report would silently return zero rows (the r10 advisor finding)
+    val docs = (0 until 40).map { i =>
+      (5000000000L + i, if (i < 20) "alpha beta gamma" else "delta epsilon zeta")
+    }.toDF("doc_id", "text")
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      .toDF("token")
+    val out = TextAnalysis.cohortDriftOf(docs, vocab).collect()
+    assert(out.nonEmpty, "offset id space must not empty the report")
+    val cohorts = out.map(_.getAs[Int]("cohort")).sorted
+    assert(cohorts.head == 0, "min-id documents anchor cohort 0")
+    assert(cohorts.toSeq == (0 to 9), "all ten deciles populated on a dense range")
+    val byC = out.map(r => r.getAs[Int]("cohort") -> r.getAs[Long]("l1_ppm")).toMap
+    assert(byC(0) == 0L, "anchor row is zero")
+    // the vocabulary flips halfway: late cohorts carry total drift —
+    // no common support, both vocab masses residual. Each side's mass
+    // is 3 × ((1e6·c) div 3c) = 999999 (integer floor), so full L1
+    // reads 1999998 ppm.
+    assert(byC(9) == 1999998L, "disjoint-vocab cohort reads full L1 mass")
   }
 }
