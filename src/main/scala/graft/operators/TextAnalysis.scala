@@ -1152,30 +1152,58 @@ object TextAnalysis {
     *
     * Scale shape — the word-TYPE shortcut every production pipeline
     * uses (encode each distinct word once, never re-segment repeated
-    * tokens): the corpus-sized work is ONE (doc_id, word) hash
-    * aggregate with map-side combine; the distinct type table is
-    * VOCABULARY-bounded (the [[bpeWordCounts]]/[[trainBpe]] residency
-    * contract — the same dict the trainer already holds driver-side),
-    * encoded once on the driver and broadcast-joined back; the final
-    * per-doc rollup aggregates |doc|·|types-per-doc| rows. Word
-    * tokenization is [[bpeWordCounts]]'s exactly (split on space,
-    * drop empties), so training and encoding segment the same words.
+    * tokens), BOUNDED for web-scale type cardinality: the corpus-
+    * sized work is ONE (doc_id, word) hash aggregate with map-side
+    * combine; the `maxDriverTypes` HIGHEST-MASS types (TakeOrdered on
+    * total occurrences — under any Zipf-like distribution they carry
+    * ~all token mass) are encoded once on the driver and broadcast-
+    * joined back; every remaining TAIL type is encoded DISTRIBUTED,
+    * in place, by the same [[bpeEncode]] running as a UDF on the
+    * executors. On a bounded vocabulary (the trainer-dict residency
+    * contract) the head covers everything and the plan is exactly
+    * the classic broadcast form; on 100 TB of noisy web text —
+    * where distinct "words" (typos, URLs, hex ids) run to hundreds
+    * of millions and a collect-all-types would OOM the driver — the
+    * driver holds at most `maxDriverTypes` strings and the unbounded
+    * tail never leaves the executors. The tail re-encodes per
+    * (doc, type) row rather than once per type; that is the right
+    * trade because any type frequent enough for re-encoding to
+    * matter is, by the TakeOrdered construction, in the head. (A UDF
+    * rather than a codegen Expression: the merge loop is iterative
+    * over a trained table — not expressible with built-ins — and it
+    * runs only on tail-type rows, off the hot path by design.)
+    * Word tokenization is [[bpeWordCounts]]'s exactly (split on
+    * space, drop empties), so training and encoding segment the
+    * same words.
     *
     * Spec-only surface like [[trainBpe]] (a trained artifact is not
     * oracle-expressible); BpeSpec pins the distributed counts against
-    * a word-by-word driver replay of [[bpeEncode]] over every doc. */
-  def bpeTokenCountsOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    * a word-by-word driver replay of [[bpeEncode]] over every doc,
+    * and re-proves equality on a 10⁵-type corpus under a head cap
+    * small enough to force the distributed-tail path. */
+  def bpeTokenCountsOf(docs: DataFrame, merges: Seq[(String, String)],
+      maxDriverTypes: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val perDoc = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-    val pieces = perDoc.select(col("w")).distinct().collect()
-      .map(r => r.getString(0))
-      .map(w => (w, bpeEncode(w, merges).length.toLong))
+    // head: the maxDriverTypes highest-mass types, deterministically
+    // chosen (count desc, word asc) — TakeOrderedAndProject, so the
+    // driver never materializes more than the cap
+    val head = perDoc.groupBy(col("w")).agg(sum(col("n")).as("tn"))
+      .orderBy(col("tn").desc, col("w").asc)
+      .limit(maxDriverTypes)
+      .select(col("w")).collect().map(_.getString(0))
+    val headDf = head.map(w => (w, bpeEncode(w, merges).length.toLong))
       .toSeq.toDF("w", "n_pieces")
-    perDoc.join(broadcast(pieces), "w")
+    // tail: any type outside the head encodes on the executors under
+    // the closure-captured merge table (vocab-bounded, serialized once
+    // per task via the closure — the broadcast-variable pattern)
+    val encLen = udf((w: String) => bpeEncode(w, merges).length.toLong)
+    perDoc.join(broadcast(headDf), Seq("w"), "left")
+      .withColumn("n_pieces", coalesce(col("n_pieces"), encLen(col("w"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_pieces")).as("bpe_tokens"))
