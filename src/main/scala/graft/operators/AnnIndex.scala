@@ -44,11 +44,15 @@ import org.apache.spark.sql.functions._
   * write, load reassembles per-vector code arrays with one
   * groupBy(vec_id) whose payload is m ints per row.
   *
-  * Writes APPEND a manifest commit (the sink's contract); an index
-  * rebuild targets a fresh path or runs `TRUNCATE TABLE` first —
-  * retrain-in-place is a truncate + append, atomic at the manifest
-  * level, and `asOfManifest` time travel keeps the previous index
-  * readable during the swap.
+  * Writes APPEND a manifest commit (the sink's contract). Retrain-in-
+  * place goes through [[rebuildQuantizer]]/[[rebuildCodebook]]/
+  * [[rebuildCodes]] — [[FpIndex.rebuildFlat]]'s atomic generation-
+  * append, under which a reader pinned to its load-time
+  * `asOfManifest` version keeps serving the previous index unchanged
+  * and a racing rebuild aborts cleanly (the round-10 interleaved-
+  * reader ask; the older TRUNCATE+append sequence had an empty-index
+  * window between the two commits and its checkpoint swap expired
+  * pinned snapshots).
   */
 object AnnIndex {
 
@@ -59,21 +63,37 @@ object AnnIndex {
   /** Persist an IVF coarse quantizer (the `collectCentroids` /
     * [[Similarity.trainIvfQuantizer]] shape: id, vector, norm). */
   def saveQuantizer(spark: SparkSession, path: String,
-      cents: Seq[(Long, Array[Double], Double)]): Unit = {
-    import spark.implicits._
-    val rows = cents.flatMap { case (id, v, nrm) =>
-      (id, -1, nrm) +: v.toSeq.zipWithIndex.map { case (x, i) => (id, i, x) }
-    }
-    rows.toDF("c_id", "idx", "x")
+      cents: Seq[(Long, Array[Double], Double)]): Unit =
+    quantizerRows(spark, cents)
       .write.format(Format).option("path", path).mode(SaveMode.Append).save()
+
+  /** Retrain-in-place for a live quantizer: [[FpIndex.rebuildFlat]]'s
+    * atomic generation-append — pinned readers keep serving the old
+    * quantizer, un-pinned loads serve the new one, a racing rebuild
+    * aborts cleanly. Replaces the TRUNCATE+append sequence (which had
+    * an empty-index window and expired pinned snapshots). */
+  def rebuildQuantizer(spark: SparkSession, path: String,
+      cents: Seq[(Long, Array[Double], Double)],
+      buildId: String = java.util.UUID.randomUUID().toString): Unit =
+    FpIndex.rebuildFlat(spark, path, quantizerRows(spark, cents), buildId)
+
+  private[graft] def quantizerRows(spark: SparkSession,
+      cents: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    cents.flatMap { case (id, v, nrm) =>
+      (id, -1, nrm) +: v.toSeq.zipWithIndex.map { case (x, i) => (id, i, x) }
+    }.toDF("c_id", "idx", "x")
   }
 
   /** Load a stored quantizer, sorted ascending by centroid id — the
     * same order [[Similarity]]'s NearestCell tie-break contract
     * requires of a freshly collected one. Driver-resident like the
-    * training collect it replaces (quantizer-sized, ~√n). */
-  def loadQuantizer(spark: SparkSession, path: String): Seq[(Long, Array[Double], Double)] = {
-    val rows = spark.read.format(Format).option("path", path).load()
+    * training collect it replaces (quantizer-sized, ~√n). `asOf` pins
+    * the scan to a table version ([[FpIndex.loadFlat]]'s interleaved-
+    * reader contract). */
+  def loadQuantizer(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): Seq[(Long, Array[Double], Double)] = {
+    val rows = FpIndex.loadFlat(spark, path, asOf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     require(rows.nonEmpty, s"no quantizer stored at $path")
     // fail fast on a rebuild-in-place: saves are APPEND, so a second
@@ -94,21 +114,31 @@ object AnnIndex {
 
   /** Persist a PQ codebook ([[Similarity.trainPq]]'s m×k×dsub shape). */
   def saveCodebook(spark: SparkSession, path: String,
-      cb: Array[Array[Array[Double]]]): Unit = {
+      cb: Array[Array[Array[Double]]]): Unit =
+    codebookRows(spark, cb)
+      .write.format(Format).option("path", path).mode(SaveMode.Append).save()
+
+  /** Retrain-in-place for a live codebook — see [[rebuildQuantizer]]. */
+  def rebuildCodebook(spark: SparkSession, path: String,
+      cb: Array[Array[Array[Double]]],
+      buildId: String = java.util.UUID.randomUUID().toString): Unit =
+    FpIndex.rebuildFlat(spark, path, codebookRows(spark, cb), buildId)
+
+  private def codebookRows(spark: SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
-    val rows = for {
+    (for {
       j <- cb.indices
       c <- cb(j).indices
       i <- cb(j)(c).indices
-    } yield (j, c, i, cb(j)(c)(i))
-    rows.toDF("j", "c", "i", "x")
-      .write.format(Format).option("path", path).mode(SaveMode.Append).save()
+    } yield (j, c, i, cb(j)(c)(i))).toDF("j", "c", "i", "x")
   }
 
   /** Load a stored codebook back into the dense m×k×dsub array the
     * ADC table builder and PqEncode take. */
-  def loadCodebook(spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.format(Format).option("path", path).load()
+  def loadCodebook(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): Array[Array[Array[Double]]] = {
+    val rows = FpIndex.loadFlat(spark, path, asOf)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     require(rows.nonEmpty, s"no codebook stored at $path")
     // same rebuild-in-place guard as loadQuantizer: a retrain append
@@ -133,17 +163,26 @@ object AnnIndex {
     * Distributed end to end: one posexplode map stage into the
     * manifest write, corpus never collected. */
   def saveCodes(path: String, coded: DataFrame): Unit =
-    coded
-      .select(col("vec_id"), col("cell"),
-        posexplode(col("codes")).as(Seq("j", "code")))
+    codeRows(coded)
       .write.format(Format).option("path", path).mode(SaveMode.Append).save()
+
+  /** Re-encode-in-place for a live code table — see
+    * [[rebuildQuantizer]]. Still distributed end to end: the new
+    * encoding is one posexplode append commit, never collected. */
+  def rebuildCodes(spark: SparkSession, path: String, coded: DataFrame,
+      buildId: String = java.util.UUID.randomUUID().toString): Unit =
+    FpIndex.rebuildFlat(spark, path, codeRows(coded), buildId)
+
+  private def codeRows(coded: DataFrame): DataFrame =
+    coded.select(col("vec_id"), col("cell"),
+      posexplode(col("codes")).as(Seq("j", "code")))
 
   /** Load a stored code table back to (vec_id, cell, codes) — ONE
     * groupBy(vec_id) reassembly; `array_sort` on (j, code) structs
     * restores subspace order (struct ordering is field-by-field, j
     * first). */
-  def loadCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.format(Format).option("path", path).load()
+  def loadCodes(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
+    FpIndex.loadFlat(spark, path, asOf)
       .groupBy(col("vec_id"), col("cell"))
       .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("jc"))
       // rebuild-in-place guard, distributed form: duplicate j within a

@@ -126,6 +126,47 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.loadQuantizer(spark, s"$path/quantizer"))
     assert(e2.getMessage.contains("TRUNCATE"), e2.getMessage)
   }
+
+  test("generation rebuild: a serve session pinned via asOfManifest keeps " +
+      "serving the OLD quantizer bit-for-bit across a retrain-in-place; fresh " +
+      "loads serve the new one; a racing retrain aborts cleanly") {
+    import graft.operators.FpIndex
+    val v = Similarity.vectorsForSpec(spark, sf)
+    val cents0 = Similarity.trainIvfQuantizer(v, expr("vec_id % 31 = 7"))
+    val path = s"${tmpIndex("genq")}/quantizer"
+    AnnIndex.saveQuantizer(spark, path, cents0)
+    // the serving session pins the version it opened against
+    val pin = Some(FpIndex.tableVersion(path))
+    assert(AnnIndex.loadQuantizer(spark, path, pin).map(_._1) == cents0.map(_._1))
+    // nightly retrain lands mid-session (different centroid sample)
+    val cents1 = Similarity.trainIvfQuantizer(v, expr("vec_id % 29 = 3"))
+    assert(cents1.map(_._1) != cents0.map(_._1), "retrain must actually differ")
+    AnnIndex.rebuildQuantizer(spark, path, cents1)
+    // pinned session: bit-identical to what it loaded at open
+    val pinnedBack = AnnIndex.loadQuantizer(spark, path, pin)
+    assert(pinnedBack.map(_._1) == cents0.map(_._1), "pinned centroid ids")
+    cents0.zip(pinnedBack).foreach { case ((_, v0, n0), (_, v1, n1)) =>
+      assert(java.util.Arrays.equals(v0, v1) && n0 == n1, "pinned quantizer bits")
+    }
+    // a fresh un-pinned session serves the retrained quantizer, whole
+    val serveBack = AnnIndex.loadQuantizer(spark.newSession(), path)
+    assert(serveBack.map(_._1) == cents1.map(_._1), "fresh load serves the retrain")
+    // racing retrains: both read the same version; the second lander
+    // loses the (gen, build) tiebreak and aborts instead of serving
+    val cents2 = Similarity.trainIvfQuantizer(v, expr("vec_id % 23 = 5"))
+    val gen = FpIndex.tableVersion(path).toLong
+    FpIndex.rebuildFlatAt(spark, path,
+      AnnIndex.quantizerRows(spark, cents2), gen, "zzz-winner")
+    val e = intercept[java.util.ConcurrentModificationException](
+      FpIndex.rebuildFlatAt(spark, path,
+        AnnIndex.quantizerRows(spark, cents0), gen, "aaa-loser"))
+    assert(e.getMessage.contains("lost the race"), e.getMessage)
+    // loser rows are inert: fresh loads serve the winner's quantizer
+    assert(AnnIndex.loadQuantizer(spark.newSession(), path).map(_._1) ==
+      cents2.map(_._1), "post-race loads must serve the winning retrain")
+    // and the pinned session STILL serves its open-time quantizer
+    assert(AnnIndex.loadQuantizer(spark, path, pin).map(_._1) == cents0.map(_._1))
+  }
 }
 
 object AnnIndexSpecFixtures {

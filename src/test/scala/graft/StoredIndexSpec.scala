@@ -224,4 +224,67 @@ class StoredIndexSpec extends AnyFunSuite {
     val e2 = intercept[Exception](AnnIndex.loadCodes(spark, s"$cdPath/codes").collect())
     assert(chainHas(e2, "TRUNCATE"), e2.toString)
   }
+
+  test("generation rebuild: a reader pinned via asOfManifest serves identical " +
+      "rows across a concurrent rebuild; un-pinned loads serve the new build " +
+      "atomically — never empty, never a mix") {
+    import spark.implicits._
+    val path = s"${tmp("genreb")}/bands"
+    val v1 = Seq((1L, 100L), (2L, 200L)).toDF("doc_id", "bkey")
+    FpIndex.saveFlat(path, v1)
+    // the serving session opens and PINS the version it loaded against
+    val pin = Some(FpIndex.tableVersion(path))
+    val pinned = FpIndex.loadFlat(spark, path, pin)
+    val before = sortedRows(pinned.collect())
+    assert(before == sortedRows(v1.collect()))
+    // nightly rebuild lands mid-session — ONE atomic commit
+    val v2 = Seq((1L, 111L), (3L, 333L), (4L, 444L)).toDF("doc_id", "bkey")
+    FpIndex.rebuildFlat(spark, path, v2)
+    // the pinned reader RE-PLANS (new action) and still serves v1 —
+    // the TRUNCATE+append sequence this replaces would either error
+    // (snapshot expired by the checkpoint swap) or serve an empty index
+    assert(sortedRows(FpIndex.loadFlat(spark, path, pin).collect()) == before,
+      "pinned reader must keep serving the build it loaded against")
+    assert(sortedRows(pinned.collect()) == before,
+      "the already-constructed pinned frame must re-plan to the same rows")
+    // a fresh un-pinned session serves the new build, whole and alone
+    val serve = spark.newSession()
+    assert(sortedRows(FpIndex.loadFlat(serve, path).collect()) == sortedRows(v2.collect()),
+      "un-pinned load must serve exactly the rebuilt rows — no v1 remnants")
+    // a second rebuild keeps generations monotone
+    val v3 = Seq((9L, 999L)).toDF("doc_id", "bkey")
+    FpIndex.rebuildFlat(spark, path, v3)
+    assert(sortedRows(FpIndex.loadFlat(serve, path).collect()) == sortedRows(v3.collect()))
+    assert(sortedRows(FpIndex.loadFlat(spark, path, pin).collect()) == before,
+      "two rebuilds later the pinned snapshot is still addressable")
+  }
+
+  test("racing rebuilds: both read the same table version; exactly one wins " +
+      "deterministically, the loser aborts with ConcurrentModificationException " +
+      "and its rows never serve") {
+    import spark.implicits._
+    val path = s"${tmp("race")}/bands"
+    FpIndex.saveFlat(path, Seq((1L, 100L)).toDF("doc_id", "bkey"))
+    val gen = FpIndex.tableVersion(path).toLong // both racers read this
+    val winnerRows = Seq((2L, 222L)).toDF("doc_id", "bkey")
+    val loserRows = Seq((3L, 333L)).toDF("doc_id", "bkey")
+    // racer A lands first and wins (its build id sorts higher)
+    FpIndex.rebuildFlatAt(spark, path, winnerRows, gen, "zzz-winner")
+    // racer B read the same pre-rebuild version, lands second, LOSES the
+    // (gen, build) tiebreak, and must abort instead of silently serving
+    val e = intercept[java.util.ConcurrentModificationException](
+      FpIndex.rebuildFlatAt(spark, path, loserRows, gen, "aaa-loser"))
+    assert(e.getMessage.contains("lost the race"), e.getMessage)
+    // the loser's rows are inert: every load serves the winner, whole
+    assert(sortedRows(FpIndex.loadFlat(spark, path).collect()) ==
+      sortedRows(winnerRows.collect()),
+      "served rows must be exactly the winning build — never a mix")
+    // and the winner ordering is by (gen, build), not arrival: a racer
+    // that lands second but sorts higher wins, so the FIRST caller's
+    // post-append validation would have flagged it had it still been
+    // running — either way exactly one build serves
+    val serve = spark.newSession()
+    assert(sortedRows(FpIndex.loadFlat(serve, path).collect()) ==
+      sortedRows(winnerRows.collect()))
+  }
 }
