@@ -124,7 +124,7 @@ object AnnIndex {
       buildId: String = java.util.UUID.randomUUID().toString): Unit =
     FpIndex.rebuildFlat(spark, path, codebookRows(spark, cb), buildId)
 
-  private def codebookRows(spark: SparkSession,
+  private[graft] def codebookRows(spark: SparkSession,
       cb: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     (for {
@@ -173,9 +173,31 @@ object AnnIndex {
       buildId: String = java.util.UUID.randomUUID().toString): Unit =
     FpIndex.rebuildFlat(spark, path, codeRows(coded), buildId)
 
-  private def codeRows(coded: DataFrame): DataFrame =
+  private[graft] def codeRows(coded: DataFrame): DataFrame =
     coded.select(col("vec_id"), col("cell"),
       posexplode(col("codes")).as(Seq("j", "code")))
+
+  // ----------------------------------------- re-runnable build entry
+
+  /** Save-or-rebuild dispatch: a fresh path takes the initial save, a
+    * live table takes the atomic generation-append rebuild — what
+    * makes ONE nightly build job ([[graft.pipeline.IndexBuild]])
+    * re-runnable in place without a TRUNCATE window. */
+  def saveOrRebuildQuantizer(spark: SparkSession, path: String,
+      cents: Seq[(Long, Array[Double], Double)]): Unit =
+    if (FpIndex.tableVersion(path) > 0) rebuildQuantizer(spark, path, cents)
+    else saveQuantizer(spark, path, cents)
+
+  /** See [[saveOrRebuildQuantizer]]. */
+  def saveOrRebuildCodebook(spark: SparkSession, path: String,
+      cb: Array[Array[Array[Double]]]): Unit =
+    if (FpIndex.tableVersion(path) > 0) rebuildCodebook(spark, path, cb)
+    else saveCodebook(spark, path, cb)
+
+  /** See [[saveOrRebuildQuantizer]]. */
+  def saveOrRebuildCodes(spark: SparkSession, path: String, coded: DataFrame): Unit =
+    if (FpIndex.tableVersion(path) > 0) rebuildCodes(spark, path, coded)
+    else saveCodes(path, coded)
 
   /** Load a stored code table back to (vec_id, cell, codes) — ONE
     * groupBy(vec_id) reassembly; `array_sort` on (j, code) structs

@@ -149,10 +149,22 @@ object FpIndex {
     }
   }
 
+  /** Save-or-rebuild dispatch: a fresh path takes the initial save, a
+    * live table takes the atomic [[rebuildFlat]] — what makes one
+    * nightly build job ([[graft.pipeline.IndexBuild]]) re-runnable in
+    * place. */
+  def saveOrRebuildFlat(spark: SparkSession, path: String, df: DataFrame): Unit =
+    if (tableVersion(path) > 0) rebuildFlat(spark, path, df) else saveFlat(path, df)
+
   /** Persist the shingle-set table (doc_id, hh array<long>) in first
     * normal form. */
   def saveShingles(path: String, sh: DataFrame): Unit =
     saveFlat(path, shingleRows(sh))
+
+  /** [[saveOrRebuildFlat]] for the shingle-set table. */
+  def saveOrRebuildShingles(spark: SparkSession, path: String, sh: DataFrame): Unit =
+    if (tableVersion(path) > 0) rebuildShingles(spark, path, sh)
+    else saveShingles(path, sh)
 
   /** [[rebuildFlat]] for the shingle-set table — same first-normal-form
     * encoding, same atomic generation-append contract. */

@@ -872,13 +872,13 @@ object Similarity {
     val v = vectors(spark, dir)
     val cb = trainPq(v, m, k, iters)
     val cents = collectCentroids(v, expr(IvfCentroidFilter))
-    AnnIndex.saveQuantizer(spark, s"$indexPath/quantizer", cents)
-    AnnIndex.saveCodebook(spark, s"$indexPath/codebook", cb)
+    AnnIndex.saveOrRebuildQuantizer(spark, s"$indexPath/quantizer", cents)
+    AnnIndex.saveOrRebuildCodebook(spark, s"$indexPath/codebook", cb)
     val coded = graft.CacheRegistry.getOrCache(spark,
       s"similarity.ivfPqCoded:$dir:$m:$k:$iters")(
       assignCells(v, cents).select(col("vec_id"), col("cell"),
         VectorOps.pqEncode(col("e"), cb).as("codes")))
-    AnnIndex.saveCodes(s"$indexPath/codes", coded)
+    AnnIndex.saveOrRebuildCodes(spark, s"$indexPath/codes", coded)
   }
 
   /** Serve-only half of the composed tier: reload all three artifacts
@@ -984,7 +984,7 @@ object Similarity {
     val v = vectors(spark, dir)
     val cents0 = collectCentroids(v, expr(IvfCentroidFilter))
     val cents = if (lloydIters > 0) refineCentroids(v, cents0, lloydIters) else cents0
-    AnnIndex.saveQuantizer(spark, s"$indexPath/quantizer", cents)
+    AnnIndex.saveOrRebuildQuantizer(spark, s"$indexPath/quantizer", cents)
   }
 
   /** Serve-only half of the q44 lifecycle: reload the stored quantizer
@@ -1002,7 +1002,7 @@ object Similarity {
   def buildPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
     val v = pqIntVectors(spark, dir)
     val cb = trainPq(v, PqOracleM, PqOracleK, iters = 0)
-    AnnIndex.saveCodebook(spark, s"$indexPath/codebook", cb)
+    AnnIndex.saveOrRebuildCodebook(spark, s"$indexPath/codebook", cb)
     // same materialization point (and cache key) as [[pqAdcTopK]]: the
     // write's posexplode otherwise collapses INTO the encode projection
     // and its not-null generator filter evaluates PqEncode a second
@@ -1010,7 +1010,7 @@ object Similarity {
     // that already ran q82 encodes nothing at all
     val coded = graft.CacheRegistry.getOrCache(spark, s"similarity.pqCoded:$dir")(
       v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes")))
-    AnnIndex.saveCodes(s"$indexPath/codes", coded.withColumn("cell", lit(-1L)))
+    AnnIndex.saveOrRebuildCodes(spark, s"$indexPath/codes", coded.withColumn("cell", lit(-1L)))
   }
 
   /** Serve-only half of the q82 lifecycle: the ADC scan against the
