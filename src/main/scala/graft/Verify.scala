@@ -20,7 +20,12 @@ object Verify {
     s"SELECT * FROM (\n$sql\n) graft_q ORDER BY ALL NULLS FIRST"
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional third arg: comma-separated query subset — the sf1
+    // overflow-proof capture runs only the overflow-sensitive queries
+    // (full runs at sf1 would mostly re-prove sf0.1 facts at 10x cost)
+    val subset = args.lift(2).map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +35,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir)
+    run(spark, sfDir, outDir, subset)
     spark.stop()
   }
 
@@ -39,9 +44,11 @@ object Verify {
     * recorded and skipped — the oracle_sql.json the driver needs is
     * ALWAYS written, so one broken query costs one red row, not the
     * whole round's correctness artifact. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      subset: Option[Set[String]] = None): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    def keep(name: String): Boolean = subset.forall(_.contains(name))
+    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.orderBy(df.columns.map(c => col(c).asc): _*)
@@ -63,7 +70,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(wrapOracle(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
