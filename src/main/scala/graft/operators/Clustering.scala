@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding-space CLUSTERING for corpus curation — the family the
+  * ladder was missing between per-pair dedup (q35/q57) and global
+  * monitors (q89/q118): partition the corpus into k geometric cells
+  * once, then use the cells as the blocking structure for
+  * cluster-local work (SemDeDup-style pruning, diversity sampling,
+  * per-cluster profiling).
+  *
+  * Everything here is ENGINE-PORTABLE by construction, the same
+  * discipline as the KMV/CMS sketches (Extended.scala): embeddings
+  * are quantized to FIXED-POINT BIGINT (`floor(x · 2^20)` — float→
+  * double widening is exact and `floor` of an exact double is
+  * deterministic on any IEEE engine), so every distance, centroid
+  * sum, and floor-divided centroid component is integer arithmetic
+  * with identical results in Spark and DuckDB — k-means, normally
+  * hopeless to oracle across engines (float summation order), becomes
+  * hash-matchable. Integer `div`/`%` truncate toward zero in both
+  * engines (verified: DuckDB `-7 // 2 = -3`, Spark `-7 div 2 = -3`),
+  * so the quantized-centroid update `s div n` is portable too.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - ASSIGNMENT is map-only: the k centroids ride the plan as an
+  *    array literal (model-sized, the driver-resident-quantizer
+  *    pattern of [[Similarity]]'s IVF tier), so each Lloyd pass is
+  *    one projection over the corpus — no join, no shuffle.
+  *  - The UPDATE step shuffles only k·d partially-aggregated rows
+  *    per partition (groupBy(cluster, dim) with map-side combine),
+  *    then collects k·d values (512 here) to the driver — the
+  *    model-sized collect every published distributed Lloyd uses.
+  *  - Cluster-local pairing (SemDeDup) is an equi-join on the cluster
+  *    id — the blocked candidate generator, same family as LSH
+  *    banding: k scales with n (k ≈ n / target cell size) so the
+  *    per-cell pair count stays bounded; no all-pairs join exists.
+  *
+  * Literature: Lloyd's algorithm; SemDeDup (Abbas et al. 2023,
+  * arXiv:2303.09540) prunes semantic duplicates inside k-means
+  * clusters of embedding space exactly this way.
+  */
+object Clustering {
+
+  /** Fixed-point scale: 2^20. Components are |x| ≲ 0.53, so scaled
+    * values are ≲ 6e5, squared ≲ 4e11, and a 64-dim squared distance
+    * ≲ 3e13 — comfortably BIGINT at any corpus size (distances are
+    * per-pair, not summed over the corpus). */
+  val Scale: Long = 1L << 20
+
+  val K = 8
+  val Iters = 2
+
+  /** SemDeDup prune threshold in fixed-point squared-L2 units.
+    * Calibrated on the fixture distance distribution: the closest
+    * 0.1% of all pairs sit below ~1.37e12 (min 1.07e12, median
+    * 2.2e12), so 1.3e12 isolates the genuinely-duplicate tail. */
+  val PruneT: Long = 1300000000000L
+
+  /** DuckDB spells the HOF `list_transform`; Spark spells it
+    * `transform`. Same lambda body — float→double is exact, floor of
+    * an exact double is deterministic — so both produce identical
+    * BIGINT vectors. */
+  private def fixDuck(inner: String): String =
+    s"list_transform($inner, v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT))"
+
+  /** (vec_id, x array<bigint>, label) — the quantized corpus. */
+  def fixedPoint(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT))").as("x"),
+        col("label"))
+
+  /** Map-only nearest-centroid assignment: the k centroid vectors are
+    * an array-of-arrays literal, and the argmin is
+    * `array_min(transform(...))` over (dist, cid) structs — min dist,
+    * ties to the smaller cid, one projection, zero shuffle. */
+  def assignWith(v: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val cc = typedLit(cents.map(_.toSeq))
+    v.withColumn("asg",
+        array_min(transform(cc, (cv, ci) =>
+          struct(
+            aggregate(zip_with(col("x"), cv, (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, p) => acc + p).as("dist"),
+            ci.as("cid")))))
+      .withColumn("cluster", col("asg.cid"))
+      .withColumn("dist", col("asg.dist"))
+      .drop("asg")
+  }
+
+  /** One Lloyd update: element-wise centroid sums via posexplode →
+    * groupBy(cluster, dim) (map-side combined; k·d rows reach the
+    * driver), floor-divided to quantized integer centroids; a cluster
+    * that lost every member keeps its previous centroid. */
+  private def updateCentroids(
+      assigned: DataFrame, prev: Seq[Array[Long]]): Seq[Array[Long]] = {
+    val rows = assigned.select(col("cluster"), posexplode(col("x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    prev.indices.map { cid =>
+      if (rows.contains((cid, 0)))
+        prev(cid).indices.map { d =>
+          val (s, n) = rows((cid, d))
+          s / n // Long division truncates toward zero == div == //
+        }.toArray
+      else prev(cid)
+    }
+  }
+
+  /** Train the k-centroid model: k smallest vec_ids seed (the
+    * deterministic init an oracle can reproduce; production swaps in
+    * k-means|| seeding — the iteration structure is identical), then
+    * `iters` quantized Lloyd passes. Each pass = one map-only
+    * assignment + one k·d-row update; the model is k·d longs. */
+  def trainCentroids(
+      v: DataFrame, k: Int = K, iters: Int = Iters): Seq[Array[Long]] = {
+    val seeds = v.orderBy(col("vec_id")).limit(k)
+      .select(col("x")).collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+    require(seeds.nonEmpty, "empty corpus: no k-means seeds")
+    // iters-1 update rounds; the final assignment is the caller's
+    (1 until iters).foldLeft(seeds) { (c, _) => updateCentroids(assignWith(v, c), c) }
+  }
+
+  // --------------------------------------------------------------- q124
+
+  /** q124: K-MEANS ASSIGNMENT — 2-iteration fixed-point Lloyd, k=8,
+    * seeded by the k smallest vec_ids. Output is the per-vector
+    * (cluster, squared-distance) map the downstream cluster-local
+    * operators (q125, diversity sampling, per-cluster health) key on.
+    * Integer-exact end to end, so the DuckDB oracle hash-matches the
+    * full unrolled iteration. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val cents = trainCentroids(v)
+    assignWith(v, cents).select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  /** Shared CTE prefix: quantize → seed → assign → update → assign,
+    * the same unrolled iteration the Spark side runs. */
+  private val kmeansCte: String =
+    s"""v AS (
+       |  SELECT vec_id, ${fixDuck("embedding")} AS x FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cv
+       |  FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT $K)),
+       |d1 AS (
+       |  SELECT v.vec_id, v.x, s.cid,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(generate_series(1, 64),
+       |             i -> (v.x[i] - s.cv[i]) * (v.x[i] - s.cv[i]))),
+       |           (a, b) -> a + b) AS dist
+       |  FROM v CROSS JOIN seeds s),
+       |a1 AS (
+       |  SELECT vec_id, x, cid, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |u1 AS (
+       |  SELECT cid, i, sum(x[i]) AS s, count(*) AS n
+       |  FROM a1 CROSS JOIN generate_series(1, 64) AS t(i)
+       |  GROUP BY cid, i),
+       |c1 AS (
+       |  SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS cv
+       |  FROM u1 GROUP BY cid),
+       |cf AS (
+       |  SELECT s.cid, coalesce(c1.cv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN c1 ON s.cid = c1.cid),
+       |d2 AS (
+       |  SELECT v.vec_id, v.x, c.cid,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(generate_series(1, 64),
+       |             i -> (v.x[i] - c.cv[i]) * (v.x[i] - c.cv[i]))),
+       |           (a, b) -> a + b) AS dist
+       |  FROM v CROSS JOIN cf c),
+       |a2 AS (
+       |  SELECT vec_id, x, cid, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  val kmeansAssignSql: String =
+    s"""WITH $kmeansCte
+       |SELECT vec_id, cid AS cluster, dist FROM a2""".stripMargin
+
+  // --------------------------------------------------------------- q125
+
+  /** q125: SEMDEDUP PRUNE — semantic near-duplicate pruning INSIDE
+    * k-means cells (Abbas et al. 2023): a vector is pruned when a
+    * smaller-id vector in the SAME cluster sits within [[PruneT]]
+    * squared-L2. The cluster id is the blocking key — the pair join
+    * is an equi-join on `cluster`, so the candidate count is
+    * Σ|cell|², bounded by choosing k ≈ n / target cell size, never
+    * all-pairs. Output: per-vector verdict (kept + how many
+    * smaller-id near-dups were found), so rows are corpus-sized and
+    * threshold-independent. */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir)
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    semdedupPruneOf(asg.join(v.select(col("vec_id"), col("x")), Seq("vec_id")))
+  }
+
+  /** The prune core over an assigned frame (vec_id, x, cluster) —
+    * the seam ClusteringSpec drives with planted duplicates. */
+  def semdedupPruneOf(withVec: DataFrame, pruneT: Long = PruneT): DataFrame = {
+    val a = withVec.select(col("vec_id").as("a_id"), col("x").as("ax"),
+      col("cluster").as("a_cl"))
+    val b = withVec.select(col("vec_id").as("b_id"), col("x").as("bx"),
+      col("cluster").as("b_cl"))
+    val d2 = aggregate(zip_with(col("ax"), col("bx"), (p, q) => (p - q) * (p - q)),
+      lit(0L), (acc, p) => acc + p)
+    b.join(a,
+        col("a_cl") === col("b_cl") && col("a_id") < col("b_id") && d2 < lit(pruneT),
+        "left")
+      .groupBy(col("b_id").as("vec_id"), col("b_cl").as("cluster"))
+      .agg(count(col("a_id")).as("n_close_smaller"))
+      .select(col("vec_id"), col("cluster"),
+        col("n_close_smaller"),
+        (col("n_close_smaller") === 0).cast("int").as("kept"))
+  }
+
+  val semdedupPruneSql: String =
+    s"""WITH $kmeansCte,
+       |pr AS (
+       |  SELECT b.vec_id, b.cid AS cluster, count(a.vec_id) AS n_close_smaller
+       |  FROM a2 b LEFT JOIN a2 a
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |   AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(generate_series(1, 64),
+       |           i -> (a.x[i] - b.x[i]) * (a.x[i] - b.x[i]))),
+       |         (p, q) -> p + q) < $PruneT
+       |  GROUP BY b.vec_id, b.cid)
+       |SELECT vec_id, cluster, n_close_smaller,
+       |       CAST(n_close_smaller = 0 AS INT) AS kept
+       |FROM pr""".stripMargin
+
+  // --------------------------------------------------------------- q126
+
+  /** q126: EXACT GRAM / COVARIANCE MATRIX of the embedding corpus —
+    * the d×d sufficient statistic behind PCA whitening, dim-reduction
+    * for cheaper ANN, and redundant-dimension detection (q118 looks
+    * at dims one at a time; this is the pairwise view). Fixed-point
+    * BIGINT products summed in DECIMAL(38,0) — exact in any summation
+    * order, so the one cross-engine hazard of a Gram matrix (float
+    * accumulation order) is gone by construction; DECIMAL(38,0)
+    * because at 1e9+ rows the Σxᵢxⱼ entries overflow BIGINT
+    * (~3e11/row·n), same widening rule as q101's OLS moments.
+    *
+    * Scale shape: each row expands to its d(d+1)/2 = 2080
+    * upper-triangle products inside ONE projection (nested transform
+    * over a slice — no self-join, no explode-join), and the groupBy
+    * (i, j) partial-aggregates map-side, so the shuffle is
+    * #partitions · 2080 rows regardless of corpus size. The
+    * covariance numerator n·G − sᵢsⱼ composes from the same pass plus
+    * a 64-row per-dim sum frame. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val pairs = v.select(posexplode(expr(
+      """flatten(transform(x, (xi, i) ->
+        |  transform(slice(x, i + 1, size(x) - i),
+        |    (xj, jj) -> named_struct('i', i, 'j', i + jj, 'p', xi * xj))))""".stripMargin)))
+      .select(col("col.i").as("i"), col("col.j").as("j"),
+        col("col.p").cast("decimal(38,0)").as("p"))
+    val g = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+    val dims = v.select(posexplode(col("x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
+    val n = v.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    g.crossJoin(broadcast(n))
+      .join(broadcast(dims.select(col("pos").as("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(dims.select(col("pos").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("g").cast("decimal(38,0)").as("g"),
+        (col("n") * col("g") - col("si") * col("sj"))
+          .cast("decimal(38,0)").as("cov_num"))
+  }
+
+  val gramMatrixSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, ${fixDuck("embedding")} AS x FROM embeddings),
+       |g AS (
+       |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |         CAST(sum(CAST(v.x[i + 1] AS HUGEINT) * v.x[j + 1]) AS DECIMAL(38,0)) AS g
+       |  FROM v
+       |  CROSS JOIN generate_series(0, 63) AS ti(i)
+       |  CROSS JOIN generate_series(0, 63) AS tj(j)
+       |  WHERE j >= i GROUP BY i, j),
+       |m AS (
+       |  SELECT CAST(i AS INT) AS i, CAST(sum(CAST(x[i + 1] AS HUGEINT)) AS HUGEINT) AS s
+       |  FROM v CROSS JOIN generate_series(0, 63) AS ti(i) GROUP BY i),
+       |c AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v)
+       |SELECT g.i, g.j, g.g,
+       |       CAST(c.n * CAST(g.g AS HUGEINT) - mi.s * mj.s AS DECIMAL(38,0)) AS cov_num
+       |FROM g CROSS JOIN c
+       |JOIN m mi ON mi.i = g.i
+       |JOIN m mj ON mj.i = g.j""".stripMargin
+
+  // ------------------------------------------------- stored lifecycle
+
+  /** Persist the trained centroid model as a [[FpIndex]] flat table
+    * (cid, pos, v) — 1NF longs, so the round-trip is bit-exact and
+    * the generation-append rebuild/pinned-reader contract applies
+    * unchanged. k·d rows: model-sized, like the IVF quantizer. */
+  def saveCentroids(spark: SparkSession, path: String, cents: Seq[Array[Long]]): Unit = {
+    import spark.implicits._
+    val rows = cents.zipWithIndex.flatMap { case (cv, cid) =>
+      cv.zipWithIndex.map { case (v, pos) => (cid, pos, v) }
+    }
+    FpIndex.saveOrRebuildFlat(spark, path,
+      rows.toDF("cid", "pos", "v").repartition(1))
+  }
+
+  /** Reload the centroid model (optionally pinned `asOf` a manifest
+    * version). Reassembled in (cid, pos) order — exactly the arrays
+    * [[saveCentroids]] wrote. */
+  def loadCentroids(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): Seq[Array[Long]] = {
+    val rows = FpIndex.loadFlat(spark, path, asOf)
+      .select(col("cid"), col("pos"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    require(rows.nonEmpty, s"no centroids stored at $path")
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, dims) => dims.sortBy(_._2).map(_._3) }
+  }
+
+  /** Serve-side assignment: quantize the ARRIVAL batch and assign it
+    * against the stored model — zero corpus-sized work (the nightly
+    * [[graft.pipeline.IndexBuild]] job paid the training pass). The
+    * per-arrival cost is one map-only k·d dot-distance argmin, the
+    * same O(delta) contract as the curation-gate probes. */
+  def assignStored(spark: SparkSession, path: String, arrivals: DataFrame,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = arrivals.select(col("vec_id"),
+      expr(s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT))").as("x"))
+    assignWith(v, loadCentroids(spark, path, asOf))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PCA over the embedding corpus — the dim-reduction leg of the
+  * embedding-ops ladder (q61 int8-quantizes, q82/q44 PQ/IVF-code;
+  * this ROTATES): train a d×d orthonormal basis from the exact
+  * covariance sufficient statistic (q126's Gram pass), then project
+  * the corpus onto the top-r components as a map-only pass. The
+  * standard uses in a training-data pipeline: cheaper ANN (project
+  * then index — r·4 bytes/vec instead of d·4), whitening before
+  * cosine, and redundant-dimension diagnosis (q118 per-dim; this is
+  * the rotated view where redundancy concentrates in trailing
+  * eigenvalues).
+  *
+  * Scale split — the same train/serve contract as the IVF/PQ tiers:
+  *  - FIT is driver-sized: the only corpus-sized work is q126's
+  *    single Gram pass (shuffle = #partitions · d²/2 rows); the d×d
+  *    eigensolve (cyclic Jacobi, the textbook symmetric-matrix
+  *    routine) runs on 64×64 doubles on the driver — model-sized,
+  *    like the PQ codebook k-means.
+  *  - PROJECT is map-only: means and basis ride the plan as literals;
+  *    each row costs r dot products; no shuffle, no join
+  *    (ClusteringSpec pins the Exchange-free plan).
+  *
+  * Floats (eigvecs) are engine-specific, so PCA is spec-verified
+  * (ClusteringSpec: orthonormality, eigval/trace identity, component
+  * variances ≈ eigvals, reconstruction-error ladder), not oracled —
+  * the q41 sketch rule. The exact INPUT statistic (q126) is the
+  * hash-matched part.
+  */
+object Pca {
+
+  /** means/eigvals in original (un-fixed-point) units; `basis` rows
+    * are the top-d principal axes, descending eigenvalue. */
+  final case class PcaModel(
+      n: Long,
+      means: Array[Double],
+      eigvals: Array[Double],
+      basis: Array[Array[Double]]) {
+    def varianceExplained(r: Int): Double = {
+      val tot = eigvals.sum
+      if (tot == 0.0) 0.0 else eigvals.take(r).sum / tot
+    }
+  }
+
+  /** Fit from q126's exact covariance numerators: cov = (n·G − SᵢSⱼ)
+    * / (n·(n−1)) descaled by Scale². The d²/2-row collect is the
+    * model-sized driver load (2080 rows at d=64). */
+  def fit(spark: SparkSession, dir: String): PcaModel = {
+    val gm = Clustering.gramMatrix(spark, dir).collect()
+    val d = gm.iterator.map(_.getInt(1)).max + 1
+    val n = Clustering.fixedPoint(spark, dir).count()
+    val s2 = Clustering.Scale.toDouble * Clustering.Scale.toDouble
+    val cov = Array.ofDim[Double](d, d)
+    gm.foreach { r =>
+      val (i, j) = (r.getInt(1), r.getInt(0)) match {
+        case (a, b) => (math.min(a, b), math.max(a, b))
+      }
+      val c = r.getDecimal(3).doubleValue() / (n.toDouble * (n - 1.0)) / s2
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val means = dimMeans(spark, dir, d)
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.zipWithIndex.sortBy(-_._1).map(_._2)
+    PcaModel(n, means,
+      order.map(vals(_)),
+      order.map(k => Array.tabulate(d)(i => vecs(i)(k))))
+  }
+
+  private def dimMeans(spark: SparkSession, dir: String, d: Int): Array[Double] = {
+    val rows = Clustering.fixedPoint(spark, dir)
+      .select(posexplode(col("x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val out = Array.ofDim[Double](d)
+    rows.foreach(r => out(r.getInt(0)) =
+      r.getLong(1).toDouble / r.getLong(2) / Clustering.Scale)
+    out
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (Golub & Van
+    * Loan §8.5) — rotations zero each off-diagonal pair until the
+    * off-diagonal Frobenius mass is negligible. O(d³) per sweep,
+    * ~8 sweeps at d=64: microseconds of driver time. Returns
+    * (eigenvalues, eigenvector columns). */
+  def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val tol = 1e-22 * (0 until d).map(i => a(i)(i) * a(i)(i)).sum.max(1e-300)
+    while (off() > tol && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Map-only projection: (vec_id, y array<double> of length r).
+    * Means and basis are plan literals; the fold order inside each
+    * dot product is fixed left-to-right (`aggregate`), the
+    * [[Similarity]] determinism contract. */
+  def project(emb: DataFrame, model: PcaModel, r: Int): DataFrame = {
+    val meansLit = typedLit(model.means.toSeq)
+    val basisLit = typedLit(model.basis.take(r).map(_.toSeq).toSeq)
+    emb
+      .withColumn("xd", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("cx", zip_with(col("xd"), meansLit, (a, b) => a - b))
+      .withColumn("y", transform(basisLit, bv =>
+        aggregate(zip_with(col("cx"), bv, (a, b) => a * b),
+          lit(0.0), (acc, p) => acc + p)))
+      .select(col("vec_id"), col("y"))
+  }
+
+  /** Distributed reconstruction MSE at rank r — the end-to-end audit
+    * that the basis really is the least-squares-optimal rank-r
+    * subspace: mean over the corpus of ‖x − (μ + Vᵀy)‖². One
+    * map-only pass (project + reconstruct fused), one scalar agg. */
+  def reconstructionMse(emb: DataFrame, model: PcaModel, r: Int): Double = {
+    val meansLit = typedLit(model.means.toSeq)
+    val basisLit = typedLit(model.basis.take(r).map(_.toSeq).toSeq)
+    emb
+      .withColumn("basis_l", basisLit)
+      .withColumn("xd", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("cx", zip_with(col("xd"), meansLit, (a, b) => a - b))
+      .withColumn("y", transform(col("basis_l"), bv =>
+        aggregate(zip_with(col("cx"), bv, (a, b) => a * b),
+          lit(0.0), (acc, p) => acc + p)))
+      // residual = cx - Σ_c y_c · basis_c, accumulated component-wise
+      .withColumn("res", expr(
+        """aggregate(
+          |  zip_with(y, basis_l, (yc, bv) -> transform(bv, e -> yc * e)),
+          |  cx,
+          |  (acc, contrib) -> zip_with(acc, contrib, (a, b) -> a - b))""".stripMargin))
+      .withColumn("err", aggregate(col("res"), lit(0.0), (acc, e) => acc + e * e))
+      .agg(avg(col("err")).as("mse"))
+      .collect()(0).getDouble(0)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
-import graft.operators.{Dedup, Extended, FpIndex, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Extended, FpIndex, Similarity, TextAnalysis}
 import graft.streaming.Incremental
 
 /** ONE-SHOT NIGHTLY INDEX BUILD + STORED-ONLY SERVE (round-10 verdict
@@ -51,7 +51,7 @@ object IndexBuild {
   /** Sub-table layout under the index root. */
   val KeysT = "keys"; val BandsT = "bands"; val ShinglesT = "shingles"
   val PostingsT = "postings"; val CmsT = "cms"; val NoveltyT = "novelty"
-  val VolStatsT = "volstats"; val AnnT = "ann"
+  val VolStatsT = "volstats"; val AnnT = "ann"; val CentroidsT = "centroids"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -79,6 +79,10 @@ object IndexBuild {
     // q82 serving tiers; the composed IVF+PQ tier builds its own root)
     Similarity.buildIvfIndex(spark, dir, s"$root/$AnnT")
     Similarity.buildPqIndex(spark, dir, s"$root/$AnnT")
+    // k-means centroid model — the cluster-assignment serve side
+    // (SemDeDup cells, cluster-balanced sampling) trained by q124's rule
+    Clustering.saveCentroids(spark, s"$root/$CentroidsT",
+      Clustering.trainCentroids(Clustering.fixedPoint(spark, dir)))
   }
 
   /** The loaded serving surface: every stored frame a session probes,
@@ -92,6 +96,7 @@ object IndexBuild {
       novelty: DataFrame,
       volumeStats: DataFrame,
       annPath: String,
+      centroidsPath: String,
       pins: Map[String, Int])
 
   /** Open the stored index root for a serving session. `pinned=true`
@@ -102,7 +107,7 @@ object IndexBuild {
     def pinOf(p: String): Option[Int] =
       if (pinned) Some(FpIndex.tableVersion(p)) else None
     def path(t: String): String = s"$root/$t"
-    val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT)
+    val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT, CentroidsT)
       .flatMap(t => pinOf(path(t)).map(t -> _)).toMap
     def flat(t: String): DataFrame = FpIndex.loadFlat(spark, path(t), pins.get(t))
     ServingIndexes(
@@ -114,6 +119,7 @@ object IndexBuild {
       novelty = flat(NoveltyT),
       volumeStats = flat(VolStatsT).withColumn("s2", col("s2").cast("decimal(38,0)")),
       annPath = path(AnnT),
+      centroidsPath = path(CentroidsT),
       pins = pins)
   }
 
@@ -156,9 +162,15 @@ object IndexBuild {
       Similarity.pqAdcTopKServe(serve, dir, idx.annPath)
         .write.format("noop").mode("overwrite").save()
     }
+    val clusterSec = timed(
+      Clustering.assignStored(serve, idx.centroidsPath,
+          Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0),
+          idx.pins.get(CentroidsT))
+        .write.format("noop").mode("overwrite").save())
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +
       f""""serve_retrieval_sec": $retrSec%.3f, "serve_novelty_sec": $novSec%.3f, """ +
-      f""""serve_ann_sec": $annSec%.3f, "sf": "$dir", "root": "$root"}""")
+      f""""serve_ann_sec": $annSec%.3f, "serve_cluster_sec": $clusterSec%.3f, """ +
+      f""""sf": "$dir", "root": "$root"}""")
     spark.stop()
   }
 }

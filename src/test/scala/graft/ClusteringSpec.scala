@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Clustering, Pca}
+
+/** Clustering + PCA invariants (q124–q126): Lloyd mechanics
+  * (coverage, monotone inertia, partition invariance), the SemDeDup
+  * prune seam on planted duplicates, the stored-centroid serve
+  * lifecycle, the Gram matrix's algebraic identities, and the PCA
+  * ladder (orthonormality, eigval/trace identity, component
+  * variances, reconstruction error) plus the Exchange-free
+  * projection plan.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
+
+  private def assignments(dir: String) = {
+    CacheRegistry.releaseAll()
+    Clustering.kmeansAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1)
+  }
+
+  test("kmeans: every vector assigned to a valid cluster with nonneg dist") {
+    val rows = assignments(sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "one row per vector")
+    assert(rows.map(_._1).distinct.length == n, "vec_ids unique")
+    rows.foreach { case (id, cl, d) =>
+      assert(cl >= 0 && cl < Clustering.K, s"cluster of $id in range")
+      assert(d >= 0L, s"nonneg dist for $id")
+    }
+    assert(rows.map(_._2).distinct.length > 1, "more than one non-empty cluster")
+  }
+
+  test("kmeans: one quantized Lloyd update strictly reduces fixture inertia") {
+    val v = Clustering.fixedPoint(spark, sf)
+    val seeds = Clustering.trainCentroids(v, iters = 1)
+    val trained = Clustering.trainCentroids(v, iters = 2)
+    def inertia(c: Seq[Array[Long]]): Long =
+      Clustering.assignWith(v, c).agg(sum(col("dist"))).collect()(0).getLong(0)
+    val (i1, i2) = (inertia(seeds), inertia(trained))
+    assert(i2 < i1, s"inertia must drop: seed=$i1 trained=$i2")
+  }
+
+  test("kmeans: partition-invariant (repartition(7) reproduces every row)") {
+    val v = Clustering.fixedPoint(spark, sf)
+    val base = Clustering.assignWith(v, Clustering.trainCentroids(v))
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    val v7 = v.repartition(7)
+    val re = Clustering.assignWith(v7, Clustering.trainCentroids(v7))
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    assert(base.sameElements(re), "assignment independent of partitioning")
+  }
+
+  test("semdedup seam: planted duplicate pruned, its original kept") {
+    import spark.implicits._
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val asg = Clustering.assignWith(v, cents).select($"vec_id", $"x", $"cluster")
+    // plant: vec 0's exact vector under a larger id → same cluster,
+    // distance 0 → must be pruned; the original must stay kept
+    val maxId = asg.agg(max($"vec_id")).collect()(0).getLong(0)
+    val dup = asg.filter($"vec_id" === 0L)
+      .select(lit(maxId + 1L).as("vec_id"), $"x", $"cluster")
+    val verdicts = Clustering.semdedupPruneOf(asg.unionByName(dup)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(verdicts(maxId + 1L)._1 >= 1L, "planted dup sees a smaller-id near-dup")
+    assert(verdicts(maxId + 1L)._2 == 0, "planted dup pruned")
+    assert(verdicts(0L)._2 == 1, "original kept")
+    assert(verdicts.size == asg.count().toInt + 1, "verdict per vector")
+  }
+
+  test("stored centroids: bit-exact round-trip and fresh-session serve equality") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cent").toString
+    val v = Clustering.fixedPoint(spark, sf01)
+    val cents = Clustering.trainCentroids(v)
+    Clustering.saveCentroids(spark, root, cents)
+    val back = Clustering.loadCentroids(spark, root)
+    assert(back.length == cents.length)
+    cents.zip(back).foreach { case (a, b) => assert(a.sameElements(b), "centroid bits") }
+    // a fresh session serves assignments equal to the in-session model,
+    // touching only the stored table + the arrival batch
+    val serve = spark.newSession()
+    val arrivals = Tables.embeddings(serve, sf01).filter(col("vec_id") % 25 === 0)
+    val served = Clustering.assignStored(serve, root, arrivals)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serve assignment must be map-only:\n$plan")
+    val want = Clustering.assignWith(
+        Clustering.fixedPoint(spark, sf01).filter(col("vec_id") % 25 === 0), cents)
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    val got = served.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(want), "served == in-session")
+  }
+
+  test("gram matrix: upper triangle only, Cauchy-Schwarz diag, exact spot cell") {
+    CacheRegistry.releaseAll()
+    val byIj = Clustering.gramMatrix(spark, sf).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        (BigInt(r.getDecimal(r.fieldIndex("g")).toBigInteger),
+         BigInt(r.getDecimal(r.fieldIndex("cov_num")).toBigInteger))).toMap
+    val d = 64
+    assert(byIj.size == d * (d + 1) / 2, "one cell per unordered dim pair")
+    byIj.keys.foreach { case (i, j) => assert(i <= j, "upper triangle") }
+    (0 until d).foreach { i =>
+      assert(byIj((i, i))._1 >= 0, s"G($i,$i) >= 0")
+      assert(byIj((i, i))._2 >= 0, s"cov_num($i,$i) >= 0 (Cauchy-Schwarz)")
+    }
+    // exact spot check of one off-diagonal cell against a local fold
+    val vecs = Clustering.fixedPoint(spark, sf).select("x").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val n = BigInt(vecs.length)
+    def colSum(k: Int) = vecs.map(v => BigInt(v(k))).sum
+    val g03 = vecs.map(v => BigInt(v(0)) * BigInt(v(3))).sum
+    assert(byIj((0, 3))._1 == g03, "G(0,3) exact")
+    assert(byIj((0, 3))._2 == n * g03 - colSum(0) * colSum(3), "cov_num(0,3) exact")
+  }
+
+  test("pca: orthonormal basis, eigvals desc + trace identity, variances match") {
+    CacheRegistry.releaseAll()
+    val m = Pca.fit(spark, sf01)
+    val d = m.basis.head.length
+    // descending, essentially nonnegative
+    m.eigvals.sliding(2).foreach(w => assert(w(0) >= w(1) - 1e-12, "eigvals desc"))
+    assert(m.eigvals.forall(_ >= -1e-9), "eigvals nonneg")
+    // orthonormal rows
+    for (a <- 0 until 8; b <- a until 8) {
+      val dot = (0 until d).map(i => m.basis(a)(i) * m.basis(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"orthonormality ($a,$b): $dot")
+    }
+    // trace identity: Σ eigvals == Σ per-dim variances (both from cov)
+    val gm = Clustering.gramMatrix(spark, sf01).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getDecimal(r.fieldIndex("cov_num")))
+      .toMap
+    val n = m.n.toDouble
+    val s2 = Clustering.Scale.toDouble * Clustering.Scale.toDouble
+    val trace = (0 until d).map(i => gm((i, i)).doubleValue() / (n * (n - 1)) / s2).sum
+    assert(math.abs(m.eigvals.sum - trace) < 1e-9 * math.abs(trace).max(1.0),
+      s"trace ${trace} vs eigval sum ${m.eigvals.sum}")
+    // empirical variance of projected component c ≈ eigval c
+    val proj = Pca.project(Tables.embeddings(spark, sf01), m, 4).collect()
+      .map(_.getSeq[Double](1).toArray)
+    (0 until 4).foreach { c =>
+      val xs = proj.map(_(c))
+      val mean = xs.sum / xs.length
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      // fixed-point quantization + float input → loose relative band
+      assert(math.abs(varc - m.eigvals(c)) < 0.02 * m.eigvals(c).max(1e-9),
+        s"component $c variance $varc vs eigval ${m.eigvals(c)}")
+    }
+  }
+
+  test("pca: reconstruction error falls with rank and matches residual eigvals") {
+    CacheRegistry.releaseAll()
+    val m = Pca.fit(spark, sf01)
+    val emb = Tables.embeddings(spark, sf01)
+    val mse = Seq(0, 2, 8, 16).map(r => r -> Pca.reconstructionMse(emb, m, r)).toMap
+    assert(mse(2) < mse(0), "rank 2 beats rank 0")
+    assert(mse(8) < mse(2), "rank 8 beats rank 2")
+    assert(mse(16) < mse(8), "rank 16 beats rank 8")
+    // analytic check: MSE at rank r ≈ ((n-1)/n)·Σ_{c>r} eigvals
+    val n = m.n.toDouble
+    val want8 = m.eigvals.drop(8).sum * (n - 1) / n
+    assert(math.abs(mse(8) - want8) < 0.02 * want8.max(1e-12),
+      s"rank-8 MSE ${mse(8)} vs residual eigval mass $want8")
+    // projection plan is map-only
+    val plan = Pca.project(emb, m, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+}
