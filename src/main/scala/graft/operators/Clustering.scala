@@ -65,12 +65,16 @@ object Clustering {
   private def fixDuck(inner: String): String =
     s"list_transform($inner, v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT))"
 
+  /** Column-level fixed-point quantizer — the one definition every
+    * entry point (batch, serve, streaming) shares so the integer
+    * vectors can never drift between surfaces. */
+  def quantize(c: Column): Column =
+    transform(c, v => floor(v.cast("double") * lit(Scale.toDouble)).cast("long"))
+
   /** (vec_id, x array<bigint>, label) — the quantized corpus. */
   def fixedPoint(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        expr(s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT))").as("x"),
-        col("label"))
+      .select(col("vec_id"), quantize(col("embedding")).as("x"), col("label"))
 
   /** Map-only nearest-centroid assignment: the k centroid vectors are
     * an array-of-arrays literal, and the argmin is
@@ -299,6 +303,45 @@ object Clustering {
        |JOIN m mi ON mi.i = g.i
        |JOIN m mj ON mj.i = g.j""".stripMargin
 
+  // --------------------------------------------------------------- q127
+
+  /** Per-cluster sample size for q127. */
+  val SampleM = 10
+
+  /** q127: CLUSTER-BALANCED DIVERSITY SAMPLE — the subsampling rule a
+    * curation pass applies AFTER clustering: keep the m vectors per
+    * cluster FARTHEST from their centroid (ties to the smaller id).
+    * Equal-per-cell quota preserves coverage of embedding space
+    * (cluster-balanced stratification), and ranking by distance keeps
+    * the hard/diverse examples while dropping the most prototypical —
+    * the SSL-prototypes pruning rule (Sorscher et al. 2022,
+    * arXiv:2206.14486: pruning EASY/prototypical examples beats
+    * random subsampling when data is abundant).
+    *
+    * Scale shape: the per-cluster top-m is `row_number ≤ m` over a
+    * (cluster) window — Spark's WindowGroupLimit prunes it to a
+    * per-partition m-heap before the shuffle (the q112 pattern), so
+    * the exchange carries ≤ k·m·#partitions rows. k grows with the
+    * corpus (k ≈ n / target cell size), so the window key fans out —
+    * this is not a single-partition sort. */
+  def diversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist").desc, col("vec_id"))
+    kmeansAssign(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SampleM)
+      .select(col("cluster"), col("rank"), col("vec_id"), col("dist"))
+  }
+
+  val diversitySampleSql: String =
+    s"""WITH $kmeansCte,
+       |r AS (
+       |  SELECT cid AS cluster,
+       |         CAST(row_number() OVER (PARTITION BY cid ORDER BY dist DESC, vec_id) AS INT) AS rank,
+       |         vec_id, dist
+       |  FROM a2)
+       |SELECT cluster, rank, vec_id, dist FROM r WHERE rank <= $SampleM""".stripMargin
+
   // ------------------------------------------------- stored lifecycle
 
   /** Persist the trained centroid model as a [[FpIndex]] flat table
@@ -334,9 +377,32 @@ object Clustering {
     * same O(delta) contract as the curation-gate probes. */
   def assignStored(spark: SparkSession, path: String, arrivals: DataFrame,
       asOf: Option[Int] = None): DataFrame = {
-    val v = arrivals.select(col("vec_id"),
-      expr(s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $Scale) AS BIGINT))").as("x"))
+    val v = arrivals.select(col("vec_id"), quantize(col("embedding")).as("x"))
     assignWith(v, loadCentroids(spark, path, asOf))
       .select(col("vec_id"), col("cluster"), col("dist"))
   }
+
+  /** The semantic gate's stored corpus side: (corpus_id, x, cluster) —
+    * every corpus vector pre-assigned to its cell, so an arriving
+    * vector probes ONE cell by equi-join instead of the corpus. */
+  def assignedCorpus(v: DataFrame, cents: Seq[Array[Long]]): DataFrame =
+    assignWith(v, cents)
+      .select(col("vec_id").as("corpus_id"), col("x"), col("cluster"))
+
+  /** Persist the assigned corpus in 1NF (corpus_id, cluster, pos, v) —
+    * component ORDER matters for vectors (unlike the shingle sets),
+    * so reassembly sorts each row's struct list by pos rather than
+    * relying on storage order. */
+  def saveAssignedCorpus(spark: SparkSession, path: String, df: DataFrame): Unit =
+    FpIndex.saveOrRebuildFlat(spark, path,
+      df.select(col("corpus_id"), col("cluster"), posexplode(col("x")))
+        .toDF("corpus_id", "cluster", "pos", "v"))
+
+  def loadAssignedCorpus(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame =
+    FpIndex.loadFlat(spark, path, asOf)
+      .groupBy(col("corpus_id"), col("cluster"))
+      .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
+      .select(col("corpus_id"), col("cluster"),
+        expr("transform(array_sort(pv), s -> s.v)").as("x"))
 }

@@ -2009,4 +2009,50 @@ object TextAnalysis {
        |       coalesce(sabs, 0) + (v.vm - coalesce(cc, 0))
        |         + (bm.vm0 - coalesce(c0, 0)) AS l1_ppm
        |FROM vmass v LEFT JOIN common USING (cohort) CROSS JOIN bm""".stripMargin
+
+  // --------------------------------------------------------------- q128
+
+  /** q128: READABILITY PROFILE — Flesch-Kincaid grade level per
+    * document from three deterministic counts: whitespace words,
+    * sentence-terminator runs (`[.!?]+`, floored at 1 so headlines
+    * don't divide by zero), and vowel-group syllables (`[aeiouy]+`
+    * on the lowercased text — the standard cheap syllable estimator).
+    * The grade is emitted ×100 as ONE exact integer division over the
+    * common denominator s·w (FK×100 = 39·w/s + 1180·syl/w − 1559
+    * ⇒ (39·w² + 1180·syl·s − 1559·s·w) div (s·w)), so no float ever
+    * appears and both engines agree bit-for-bit — the q23
+    * basis-points discipline. Readability complements q23's quality
+    * score as a curation signal: a corpus skewed to very low or very
+    * high FK is a sampling-bias flag, and per-band quotas are a
+    * standard mixing knob.
+    *
+    * Scale: one map-only projection (three regexp counts per doc),
+    * no shuffle, no UDF. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+          .as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .withColumn("fk_grade_x100",
+        expr("""(39 * n_words * n_words + 1180 * n_syllables * n_sentences
+               | - 1559 * n_sentences * n_words) div (n_sentences * n_words)""".stripMargin))
+
+  val readabilitySql: String =
+    """SELECT doc_id, lang,
+      |       n_words, n_sentences, n_syllables,
+      |       (39 * n_words * n_words + 1180 * n_syllables * n_sentences
+      |        - 1559 * n_sentences * n_words) // (n_sentences * n_words) AS fk_grade_x100
+      |FROM (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |         greatest(CAST(1 AS BIGINT),
+      |           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |WHERE n_words >= 1""".stripMargin
 }

@@ -302,6 +302,46 @@ object Incremental {
     uniq.join(broadcast(hot), Seq("fh"), "left_anti")
   }
 
+  /** Streaming SEMANTIC near-dup ingest — q125's continuous twin,
+    * the EMBEDDING modality's gate (the fifth leg: text minhash,
+    * image/audio/video fingerprints, now semantic vectors): each
+    * arriving vector is fixed-point-quantized and centroid-assigned
+    * in one pure map ([[graft.operators.Clustering.assignWith]] —
+    * the stored k·d model rides the plan as a literal, stream-legal),
+    * then equi-probes the STATIC pre-assigned corpus table
+    * ([[graft.operators.Clustering.assignedCorpus]], persistable via
+    * saveAssignedCorpus) on its CLUSTER id — the SemDeDup blocking
+    * rule as an ingest probe: per-arrival work is O(|cell|), never a
+    * corpus scan or self-join. Collisions verify by exact integer
+    * squared-L2 (the same portable arithmetic as batch q125).
+    *
+    * Emits (vec_id, corpus_id, dist) near-dup pairs directly —
+    * APPEND-legal with no aggregation, because a vector lives in
+    * exactly one cell, so each (arrival, corpus) pair can occur at
+    * most once. Recall contract: an arrival whose nearest corpus
+    * near-dup lands in a DIFFERENT cell is missed (the SemDeDup
+    * trade, same as batch); StreamingSpec plants both cases. */
+  def semanticNearDupStream(
+      arrivals: DataFrame,
+      cents: Seq[Array[Long]],
+      corpusAssigned: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    val asg = Clustering.assignWith(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        cents)
+      .select(col("vec_id"), col("x"), col("cluster"))
+    asg
+      .join(corpusAssigned.select(col("corpus_id"), col("x").as("cx"), col("cluster")),
+        Seq("cluster")) // stream-static equi-probe on the cell id
+      .filter(col("vec_id") =!= col("corpus_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("x"), col("cx"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, p) => acc + p))
+      .filter(col("dist") < pruneT)
+      .select(col("vec_id"), col("corpus_id"), col("dist"))
+  }
+
   /** Streaming NOVELTY gate — batch q116's serving form, the
     * data-value question asked PER ARRIVING DOCUMENT instead of per
     * historical cohort: how many of this document's shingles are

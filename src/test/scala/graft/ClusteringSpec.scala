@@ -75,6 +75,33 @@ class ClusteringSpec extends AnyFunSuite {
     assert(verdicts.size == asg.count().toInt + 1, "verdict per vector")
   }
 
+  test("diversity sample: per-cluster quota, farthest-first, subset of assignment") {
+    CacheRegistry.releaseAll()
+    val asg = Clustering.kmeansAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val sample = Clustering.diversitySample(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("dist")))
+    assert(sample.nonEmpty)
+    sample.groupBy(_._1).foreach { case (cl, rs) =>
+      assert(rs.length <= Clustering.SampleM, s"quota in cluster $cl")
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rs.length), s"dense ranks in $cl")
+      // farthest-first: dist non-increasing with rank
+      byRank.map(_._4).sliding(2).foreach(w =>
+        if (w.length == 2) assert(w(0) >= w(1), s"dist ordering in $cl"))
+      rs.foreach { case (c, _, id, d) =>
+        assert(asg(id) == ((c, d)), s"sample row $id consistent with assignment") }
+    }
+    // every vector NOT sampled from a full cluster is nearer than the cut
+    val cut = sample.groupBy(_._1).map { case (cl, rs) => cl -> rs.map(_._4).min }
+    asg.foreach { case (id, (cl, d)) =>
+      if (!sample.exists(_._3 == id) &&
+          sample.count(_._1 == cl) == Clustering.SampleM)
+        assert(d <= cut(cl), s"unsampled $id cannot beat the cluster cut")
+    }
+  }
+
   test("stored centroids: bit-exact round-trip and fresh-session serve equality") {
     val root = java.nio.file.Files.createTempDirectory("graft-cent").toString
     val v = Clustering.fixedPoint(spark, sf01)

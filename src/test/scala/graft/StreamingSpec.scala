@@ -828,4 +828,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("admitted"))
     } finally q.stop()
   }
+  test("streaming SEMANTIC near-dup ingest: a replayed corpus vector is flagged at " +
+      "dist 0 through the stored assigned-corpus table, append-legal") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    // stored side: persist + reload the pre-assigned corpus and prove
+    // the round-trip is row-equal (component order preserved)
+    val root = java.nio.file.Files.createTempDirectory("graft-semidx").toString
+    val inSession = Clustering.assignedCorpus(v, cents)
+    Clustering.saveAssignedCorpus(spark, root, inSession)
+    val stored = Clustering.loadAssignedCorpus(spark, root)
+    val a = inSession.collect().map(r => (r.getLong(0), r.getInt(2), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val b = stored.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    assert(a.sameElements(b), "assigned-corpus round trip")
+    // the original float embedding of corpus vector 0 — the replayed dup
+    val e0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val arrivals = input.toDF().toDF("vec_id", "embedding")
+    val q = Incremental.semanticNearDupStream(arrivals, cents, stored.persist())
+      .writeStream.format("memory").queryName("semdup_out").outputMode("append").start()
+    try {
+      input.addData((901L, e0), (902L, Seq.fill(e0.length)(0.5f)))
+      q.processAllAvailable()
+      val rows = spark.table("semdup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.exists(t => t._1 == 901L && t._2 == 0L && t._3 == 0L),
+        s"replayed vector must pair with its original at dist 0: ${rows.toSeq}")
+      assert(rows.forall(_._1 != 902L), s"novel arrival must pass: ${rows.toSeq}")
+      assert(rows.forall(_._3 < Clustering.PruneT), "only sub-threshold pairs emitted")
+    } finally q.stop()
+  }
+
 }

@@ -846,4 +846,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     // reads 1999998 ppm.
     assert(byC(9) == 1999998L, "disjoint-vocab cohort reads full L1 mass")
   }
+  test("q128 readability: counts replay driver-side; FK x100 is the exact rational floor") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      // engine semantics: split('') yields [''] (len 1), so use .length,
+      // not a nonEmpty count — both Spark and DuckDB count that way
+      val w = t.trim.split("\\s+").length.toLong
+      val sents = math.max(1L, "[.!?]+".r.findAllIn(t).length.toLong)
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong
+      assert(r.getAs[Long]("n_words") == w, s"words of ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_sentences") == sents)
+      assert(r.getAs[Long]("n_syllables") == syl)
+      val want = (39L * w * w + 1180L * syl * sents - 1559L * sents * w) / (sents * w)
+      assert(r.getAs[Long]("fk_grade_x100") == want, s"fk of ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
 }
