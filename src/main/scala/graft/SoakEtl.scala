@@ -446,3 +446,76 @@ object SoakGraph {
     spark.stop()
   }
 }
+
+/** Clustering-family soak: the embedding corpus replicated ×n with
+  * fresh ids. q124's train+assign and q126's Gram pass should grow
+  * ~linearly (the only corpus-sized stages are map passes; the Lloyd
+  * update and the (i,j) aggregate both reduce to model-sized frames).
+  * The semantic ingest gate runs against a FIXED stored assigned
+  * corpus with the ARRIVAL batch growing ×n (each arrival an exact
+  * re-submission, the worst-case verify load): per-arrival cost must
+  * stay ~flat — the O(|cell|)-probe claim.
+  *
+  * The q125 pair op is deliberately NOT soaked under replication:
+  * every copy is an exact dup of its n−1 siblings, so pair output
+  * grows n² by construction of the soak data (the SoakDocs q18/q85
+  * caveat); its honest scale evidence is the per-cell boundedness the
+  * scaladoc + ClusteringSpec document. */
+object SoakCluster {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    val soakDir = "/tmp/graft_soak_cluster"
+    val reps = spark.range(n).toDF("r")
+    Tables.embeddings(spark, sfDir).crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("r") * lit(10000000L))
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$soakDir/embeddings.parquet")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"## Clustering soak: $sfDir x$n (vectors x$n, same distribution)")
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "q124_kmeans_assign" -> operators.Clustering.kmeansAssign _,
+      "q126_gram_matrix" -> operators.Clustering.gramMatrix _,
+      "q129_cluster_profile" -> operators.Clustering.clusterProfile _
+    ).foreach { case (name, fn) =>
+      def run(dir: String): Double = {
+        CacheRegistry.releaseAll()
+        time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+      }
+      run(sfDir) // warm: codegen + JIT, unmeasured (the Bench.scala rule)
+      val t1 = run(sfDir)
+      val tn = run(soakDir)
+      println(f"$name%-24s 1x: $t1%6.2f s   ${n}x: $tn%6.2f s   growth ${tn / t1}%4.1fx")
+    }
+
+    // Semantic-gate arrival soak: stored corpus FIXED (the nightly
+    // build's assigned-corpus table, cached), arrivals ×1 vs ×n —
+    // every arrival re-submits a stored vector under a fresh id, so
+    // each one pays the full cell probe + exact verify.
+    {
+      CacheRegistry.releaseAll()
+      val v = operators.Clustering.fixedPoint(spark, sfDir)
+      val cents = operators.Clustering.trainCentroids(v)
+      val stored = operators.Clustering.assignedCorpus(v, cents).persist()
+      stored.count() // materialize the stored side outside the timings
+      def arrivals(dir: String) = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 11 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L))
+      def gate(dir: String) = streaming.Incremental
+        .semanticNearDupStream(arrivals(dir), cents, stored)
+      gate(sfDir).write.format("noop").mode("overwrite").save() // warm
+      val c1 = arrivals(sfDir).count(); val cn = arrivals(soakDir).count()
+      val t1 = time(gate(sfDir).write.format("noop").mode("overwrite").save())
+      val tn = time(gate(soakDir).write.format("noop").mode("overwrite").save())
+      println(f"semantic_gate_arrivals   1x: $t1%6.2f s ($c1%6d vecs)   " +
+        f"${n}x: $tn%6.2f s ($cn%7d vecs)   growth ${tn / t1}%4.1fx   " +
+        f"per-vec ${1e6 * t1 / c1}%.0f -> ${1e6 * tn / cn}%.0f us")
+      stored.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -149,19 +149,19 @@ object Clustering {
     * the same unrolled iteration the Spark side runs. */
   private val kmeansCte: String =
     s"""v AS (
-       |  SELECT vec_id, ${fixDuck("embedding")} AS x FROM embeddings),
+       |  SELECT vec_id, ${fixDuck("embedding")} AS x, label FROM embeddings),
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cv
        |  FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT $K)),
        |d1 AS (
-       |  SELECT v.vec_id, v.x, s.cid,
+       |  SELECT v.vec_id, v.x, v.label, s.cid,
        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(generate_series(1, 64),
        |             i -> (v.x[i] - s.cv[i]) * (v.x[i] - s.cv[i]))),
        |           (a, b) -> a + b) AS dist
        |  FROM v CROSS JOIN seeds s),
        |a1 AS (
-       |  SELECT vec_id, x, cid, dist FROM (
+       |  SELECT vec_id, x, label, cid, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d1) WHERE rn = 1),
        |u1 AS (
@@ -175,14 +175,14 @@ object Clustering {
        |  SELECT s.cid, coalesce(c1.cv, s.cv) AS cv
        |  FROM seeds s LEFT JOIN c1 ON s.cid = c1.cid),
        |d2 AS (
-       |  SELECT v.vec_id, v.x, c.cid,
+       |  SELECT v.vec_id, v.x, v.label, c.cid,
        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(generate_series(1, 64),
        |             i -> (v.x[i] - c.cv[i]) * (v.x[i] - c.cv[i]))),
        |           (a, b) -> a + b) AS dist
        |  FROM v CROSS JOIN cf c),
        |a2 AS (
-       |  SELECT vec_id, x, cid, dist FROM (
+       |  SELECT vec_id, x, label, cid, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d2) WHERE rn = 1)""".stripMargin
 
@@ -341,6 +341,55 @@ object Clustering {
        |         vec_id, dist
        |  FROM a2)
        |SELECT cluster, rank, vec_id, dist FROM r WHERE rank <= $SampleM""".stripMargin
+
+  // --------------------------------------------------------------- q129
+
+  /** q129: CLUSTER PROFILE — the quality audit of the clustering
+    * itself: per cell, the member count, the inertia mass (sum of
+    * squared distances — which cells are tight vs diffuse), and the
+    * dominant ground-truth label with its purity in basis points.
+    * High-purity tight cells mean the embedding space (and hence
+    * every cell-blocked operator: q125's prune, q127's sample, the
+    * semantic ingest gate) respects the label structure; a diffuse
+    * low-purity cell is where SemDeDup blocking leaks near-dups
+    * across cells. The label contingency is the k-means sibling of
+    * q117's kNN confusion audit.
+    *
+    * Scale: two aggregates over the assignment (k·|labels| and k
+    * groups, both map-side combined), one broadcast-sized join. */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val asg = assignWith(v, trainCentroids(v))
+    val byLabel = asg.groupBy(col("cluster"), col("label")).count()
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("count").desc, col("label"))
+    val dom = byLabel.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("dom_label"), col("count").as("dom_n"))
+    asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(broadcast(dom), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("inertia"),
+        col("dom_label"), col("dom_n"),
+        expr("(10000 * dom_n) div n_members").as("purity_bp"))
+  }
+
+  val clusterProfileSql: String =
+    s"""WITH $kmeansCte,
+       |bl AS (
+       |  SELECT cid, label, count(*) AS c FROM a2 GROUP BY cid, label),
+       |dom AS (
+       |  SELECT cid, label AS dom_label, c AS dom_n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+       |    FROM bl) WHERE rn = 1),
+       |pr AS (
+       |  SELECT cid AS cluster, count(*) AS n_members,
+       |         CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM a2 GROUP BY cid)
+       |SELECT cluster, n_members, inertia, dom_label, dom_n,
+       |       (10000 * dom_n) // n_members AS purity_bp
+       |FROM pr JOIN dom ON dom.cid = pr.cluster""".stripMargin
 
   // ------------------------------------------------- stored lifecycle
 

@@ -102,6 +102,29 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster profile: totals conserve, purity replays from assignment + labels") {
+    CacheRegistry.releaseAll()
+    val prof = Clustering.clusterProfile(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("inertia"),
+         r.getAs[Int]("dom_label"), r.getAs[Long]("dom_n"), r.getAs[Long]("purity_bp")))
+      .toMap
+    val asg = Clustering.kmeansAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(prof.values.map(_._1).sum == asg.length, "members conserve")
+    assert(prof.values.map(_._2).sum == asg.map(_._3).sum, "inertia conserves")
+    prof.foreach { case (cl, (n, _, domL, domN, bp)) =>
+      val members = asg.filter(_._2 == cl)
+      assert(members.length == n.toInt)
+      val byLab = members.groupBy(m => labels(m._1)).map { case (l, ms) => (l, ms.length) }
+      val wantDom = byLab.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert((domL, domN.toInt) == wantDom, s"dominant label of $cl")
+      assert(bp == 10000L * domN / n && bp > 0 && bp <= 10000, s"purity of $cl")
+    }
+  }
+
   test("stored centroids: bit-exact round-trip and fresh-session serve equality") {
     val root = java.nio.file.Files.createTempDirectory("graft-cent").toString
     val v = Clustering.fixedPoint(spark, sf01)
