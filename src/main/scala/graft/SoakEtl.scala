@@ -516,6 +516,43 @@ object SoakCluster {
         f"per-vec ${1e6 * t1 / c1}%.0f -> ${1e6 * tn / cn}%.0f us")
       stored.unpersist()
     }
+
+    // Fixed-cell-size SemDeDup soak (q125's scale contract): FRESH
+    // deterministic vectors, NOT replicas — replicating the corpus
+    // plants exact duplicates, growing the pair OUTPUT n² by
+    // construction, which is why the replicated soak above skips
+    // q125. Here k scales with n (k = kForCorpus(n, cellSize)), so
+    // the blocked pair join is Σ|cell|² ≈ n · cellSize: the wall
+    // clock should grow ~linearly (~n×), not n²; and the join key
+    // has k distinct values, so the exchange fans out with the
+    // corpus instead of hot-spotting 8 partitions.
+    {
+      CacheRegistry.releaseAll()
+      val cellSize = 250
+      def fresh(m: Long) = spark.range(m).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> " +
+          "CAST(pmod(hash(id * 64 + d), 1048576) - 524288 AS BIGINT))").as("x"))
+      def prune(m: Long) = {
+        val v = fresh(m)
+        val k = operators.Clustering.kForCorpus(m, cellSize)
+        val cents = operators.Clustering.trainCentroids(v, k)
+        operators.Clustering.semdedupPruneOf(
+          operators.Clustering.assignWith(v, cents)
+            .select(col("vec_id"), col("x"), col("cluster")))
+      }
+      def run(m: Long): Double =
+        time(prune(m).write.format("noop").mode("overwrite").save())
+      val n1 = 5000L; val nn = n1 * n
+      run(n1) // warm
+      val t1 = run(n1)
+      val tn = run(nn)
+      println(f"semdedup_fixed_cell      1x: $t1%6.2f s ($n1%6d vecs, " +
+        f"k=${operators.Clustering.kForCorpus(n1, cellSize)})   " +
+        f"${n}x: $tn%6.2f s ($nn%7d vecs, " +
+        f"k=${operators.Clustering.kForCorpus(nn, cellSize)})   " +
+        f"growth ${tn / t1}%4.1fx")
+    }
     spark.stop()
   }
 }

@@ -52,6 +52,21 @@ object Clustering {
   val K = 8
   val Iters = 2
 
+  /** The SemDeDup operating point: k grows with the corpus so the
+    * mean cell size stays fixed (Abbas et al. 2023 run 50k clusters
+    * over LAION-440M for exactly this reason). With k ≈ n / cell the
+    * blocked pair join is Σ|cell|² ≈ n · cell — LINEAR in n at fixed
+    * cell size — and the join key has k distinct values, so the
+    * exchange fans out with the corpus instead of hot-spotting on a
+    * constant number of partitions. The fixtures keep K=8 for the
+    * oracle (the unrolled CTE is k-independent only in structure, not
+    * cost); scale deployments call the `k`-threaded entry points with
+    * this rule. */
+  val TargetCellSize = 1000
+
+  def kForCorpus(n: Long, targetCellSize: Int = TargetCellSize): Int =
+    math.max(1, math.min(n, n / math.max(1, targetCellSize)).toInt)
+
   /** SemDeDup prune threshold in fixed-point squared-L2 units.
     * Calibrated on the fixture distance distribution: the closest
     * 0.1% of all pairs sit below ~1.37e12 (min 1.07e12, median
@@ -138,10 +153,17 @@ object Clustering {
     * operators (q125, diversity sampling, per-cluster health) key on.
     * Integer-exact end to end, so the DuckDB oracle hash-matches the
     * full unrolled iteration. */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignK(spark, dir, K)
+
+  /** The k-threaded assignment entry point — scale deployments pass
+    * `k = kForCorpus(n)` so cells stay bounded as the corpus grows;
+    * the oracled q124 pins k = [[K]]. */
+  def kmeansAssignK(spark: SparkSession, dir: String, k: Int,
+      iters: Int = Iters): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val cents = trainCentroids(v)
+    val cents = trainCentroids(v, k, iters)
     assignWith(v, cents).select(col("vec_id"), col("cluster"), col("dist"))
   }
 
@@ -201,8 +223,15 @@ object Clustering {
     * all-pairs. Output: per-vector verdict (kept + how many
     * smaller-id near-dups were found), so rows are corpus-sized and
     * threshold-independent. */
-  def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
-    val asg = kmeansAssign(spark, dir)
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame =
+    semdedupPruneK(spark, dir, K)
+
+  /** The k-threaded prune — at scale pass `k = kForCorpus(n)` so the
+    * blocked pair join stays Σ|cell|² ≈ n · targetCellSize (linear in
+    * n; SoakCluster's fixed-cell-size row measures exactly this).
+    * The oracled q125 pins k = [[K]]. */
+  def semdedupPruneK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val asg = kmeansAssignK(spark, dir, k)
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
     semdedupPruneOf(asg.join(v.select(col("vec_id"), col("x")), Seq("vec_id")))
@@ -261,7 +290,29 @@ object Clustering {
     * #partitions · 2080 rows regardless of corpus size. The
     * covariance numerator n·G − sᵢsⱼ composes from the same pass plus
     * a 64-row per-dim sum frame. */
-  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-dim sufficient statistics (pos, s, n) — ONE posexplode
+    * aggregate over the cached corpus, shared by every consumer: the
+    * sᵢ/sⱼ joins in [[gramMatrixDecimal]] (aliased twice from this
+    * cache entry, computed once), [[Pca.fit]]'s means, and the corpus
+    * count n (every pos row carries it, so no separate count() pass
+    * exists anywhere in the q126/PCA path). d rows: model-sized. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.getOrCache(spark, s"clustering.dimstats:$dir") {
+      graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+          fixedPoint(spark, dir))
+        .select(posexplode(col("x")))
+        .groupBy(col("pos"))
+        .agg(sum(col("col").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+    }
+
+  /** The exact statistic with DECIMAL(38,0) columns — the frame
+    * [[Pca.fit]] consumes. Kept internal to the JVM surface: decimal
+    * OUTPUT columns defeat the driver's raw-value hash (the q115
+    * convention: DECIMAL for intermediates, strings/bounded BIGINT for
+    * result surfaces), so the oracled q126 wraps this in a VARCHAR
+    * cast ([[gramMatrix]]). */
+  def gramMatrixDecimal(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
     val pairs = v.select(posexplode(expr(
@@ -271,17 +322,26 @@ object Clustering {
       .select(col("col.i").as("i"), col("col.j").as("j"),
         col("col.p").cast("decimal(38,0)").as("p"))
     val g = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
-    val dims = v.select(posexplode(col("x")))
-      .groupBy(col("pos"))
-      .agg(sum(col("col").cast("decimal(38,0)")).as("s"))
-    val n = v.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
-    g.crossJoin(broadcast(n))
-      .join(broadcast(dims.select(col("pos").as("i"), col("s").as("si"))), Seq("i"))
+    // every dimStats row carries the corpus count, so the sᵢ join
+    // delivers n too — no 1-row scalar cross join exists in this plan
+    val dims = dimStats(spark, dir)
+    g.join(broadcast(dims.select(col("pos").as("i"), col("s").as("si"),
+        col("n").cast("decimal(38,0)").as("n"))), Seq("i"))
       .join(broadcast(dims.select(col("pos").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i"), col("j"), col("g").cast("decimal(38,0)").as("g"),
         (col("n") * col("g") - col("si") * col("sj"))
           .cast("decimal(38,0)").as("cov_num"))
   }
+
+  /** The oracled q126 surface: [[gramMatrixDecimal]] with the exact
+    * integers emitted as STRINGS — DECIMAL(38,0) and DuckDB HUGEINT
+    * render identical digit strings, so the values (already bit-exact)
+    * also hash identically in the driver's raw-value gate. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    gramMatrixDecimal(spark, dir)
+      .select(col("i"), col("j"),
+        col("g").cast("string").as("g"),
+        col("cov_num").cast("string").as("cov_num"))
 
   val gramMatrixSql: String =
     s"""WITH v AS (
@@ -297,8 +357,8 @@ object Clustering {
        |  SELECT CAST(i AS INT) AS i, CAST(sum(CAST(x[i + 1] AS HUGEINT)) AS HUGEINT) AS s
        |  FROM v CROSS JOIN generate_series(0, 63) AS ti(i) GROUP BY i),
        |c AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v)
-       |SELECT g.i, g.j, g.g,
-       |       CAST(c.n * CAST(g.g AS HUGEINT) - mi.s * mj.s AS DECIMAL(38,0)) AS cov_num
+       |SELECT g.i, g.j, CAST(g.g AS VARCHAR) AS g,
+       |       CAST(c.n * CAST(g.g AS HUGEINT) - mi.s * mj.s AS VARCHAR) AS cov_num
        |FROM g CROSS JOIN c
        |JOIN m mi ON mi.i = g.i
        |JOIN m mj ON mj.i = g.j""".stripMargin

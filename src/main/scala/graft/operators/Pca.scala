@@ -50,9 +50,14 @@ object Pca {
     * / (n·(n−1)) descaled by Scale². The d²/2-row collect is the
     * model-sized driver load (2080 rows at d=64). */
   def fit(spark: SparkSession, dir: String): PcaModel = {
-    val gm = Clustering.gramMatrix(spark, dir).collect()
-    val d = gm.iterator.map(_.getInt(1)).max + 1
-    val n = Clustering.fixedPoint(spark, dir).count()
+    val gm = Clustering.gramMatrixDecimal(spark, dir).collect()
+    require(gm.nonEmpty, "empty corpus: no Gram statistic to fit PCA from")
+    // the SAME cached per-dim (s, n) frame the Gram pass joined — the
+    // means and n here cost zero extra corpus passes
+    val ds = Clustering.dimStats(spark, dir).collect()
+    val d = ds.iterator.map(_.getInt(0)).max + 1
+    val n = ds.head.getLong(2)
+    require(n >= 2, s"PCA covariance needs n >= 2 vectors, got $n")
     val s2 = Clustering.Scale.toDouble * Clustering.Scale.toDouble
     val cov = Array.ofDim[Double](d, d)
     gm.foreach { r =>
@@ -62,24 +67,14 @@ object Pca {
       val c = r.getDecimal(3).doubleValue() / (n.toDouble * (n - 1.0)) / s2
       cov(i)(j) = c; cov(j)(i) = c
     }
-    val means = dimMeans(spark, dir, d)
+    val means = Array.ofDim[Double](d)
+    ds.foreach(r => means(r.getInt(0)) =
+      r.getDecimal(1).doubleValue() / n / Clustering.Scale)
     val (vals, vecs) = jacobiEigen(cov)
     val order = vals.zipWithIndex.sortBy(-_._1).map(_._2)
     PcaModel(n, means,
       order.map(vals(_)),
       order.map(k => Array.tabulate(d)(i => vecs(i)(k))))
-  }
-
-  private def dimMeans(spark: SparkSession, dir: String, d: Int): Array[Double] = {
-    val rows = Clustering.fixedPoint(spark, dir)
-      .select(posexplode(col("x")))
-      .groupBy(col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val out = Array.ofDim[Double](d)
-    rows.foreach(r => out(r.getInt(0)) =
-      r.getLong(1).toDouble / r.getLong(2) / Clustering.Scale)
-    out
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix (Golub & Van
@@ -157,6 +152,113 @@ object Pca {
         aggregate(zip_with(col("cx"), bv, (a, b) => a * b),
           lit(0.0), (acc, p) => acc + p)))
       .select(col("vec_id"), col("y"))
+  }
+
+  // ------------------------------------------------- stored lifecycle
+
+  /** Persist the fitted model as a [[FpIndex]] flat table — the same
+    * manifest/generation-append/pinned-reader contract as every other
+    * trained artifact (IVF quantizer, PQ codebook, centroids). Doubles
+    * are stored as their IEEE-754 bit patterns (`doubleToRawLongBits`)
+    * so the round-trip is BIT-exact — a served projection is therefore
+    * byte-identical to the in-session one, not merely close. Layout
+    * (kind, i, j, v): kind 0 = n; kind 1 = means (i=dim); kind 2 =
+    * eigvals (i=rank); kind 3 = basis (i=rank, j=dim). d² + 2d + 1
+    * rows at d=64: model-sized, like the PQ codebook. */
+  def saveModel(spark: SparkSession, path: String, m: PcaModel): Unit = {
+    import spark.implicits._
+    def bits(x: Double): Long = java.lang.Double.doubleToRawLongBits(x)
+    val rows =
+      Seq((0, 0, 0, m.n)) ++
+      m.means.indices.map(i => (1, i, 0, bits(m.means(i)))) ++
+      m.eigvals.indices.map(i => (2, i, 0, bits(m.eigvals(i)))) ++
+      m.basis.indices.flatMap(i =>
+        m.basis(i).indices.map(j => (3, i, j, bits(m.basis(i)(j)))))
+    FpIndex.saveOrRebuildFlat(spark, path,
+      rows.toDF("kind", "i", "j", "v").repartition(1))
+  }
+
+  /** Reload the stored model (optionally pinned `asOf` a manifest
+    * version — the interleaved-reader contract under a concurrent
+    * nightly rebuild). */
+  def loadModel(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): PcaModel = {
+    val rows = FpIndex.loadFlat(spark, path, asOf)
+      .select(col("kind"), col("i"), col("j"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    require(rows.nonEmpty, s"no PCA model stored at $path")
+    def of(kind: Int) = rows.filter(_._1 == kind)
+    def dbl(v: Long): Double = java.lang.Double.longBitsToDouble(v)
+    val n = of(0).head._4
+    val means = of(1).sortBy(_._2).map(r => dbl(r._4))
+    val eigvals = of(2).sortBy(_._2).map(r => dbl(r._4))
+    val basis = of(3).groupBy(_._2).toArray.sortBy(_._1)
+      .map { case (_, dims) => dims.sortBy(_._3).map(r => dbl(r._4)) }
+    PcaModel(n, means, eigvals, basis)
+  }
+
+  /** Serve-side projection: reload the stored model and project the
+    * ARRIVAL frame map-only (means/basis become plan literals, exactly
+    * the in-session [[project]] plan) — zero corpus-sized work; the
+    * nightly [[graft.pipeline.IndexBuild]] job paid the Gram pass. */
+  def projectStored(spark: SparkSession, path: String, emb: DataFrame,
+      r: Int, asOf: Option[Int] = None): DataFrame =
+    project(emb, loadModel(spark, path, asOf), r)
+
+  // ------------------------------------------------ the ANN consumer
+
+  /** The ROTATED corpus in [[Similarity]]'s (vec_id, e, nrm) vector
+    * shape — rank-r doubles instead of the 64 input dims. Deliberately
+    * NOT centered: an orthogonal rotation preserves dot products and
+    * norms exactly, so at r = d the rotated index reproduces full-dim
+    * cosine ranking bit-for-near-bit, and truncating to r < d
+    * approximates it with error bounded by the discarded spectral
+    * mass. (Centering — the [[project]] surface, right for
+    * MSE/whitening — SHIFTS cosine and would make the projected index
+    * chase different neighbors than the full-dim truth.) Zero-norm
+    * rows are dropped, [[graft.functions.NearestCell]]'s non-NaN
+    * precondition. */
+  def projectedVectors(emb: DataFrame, model: PcaModel, r: Int): DataFrame = {
+    val basisLit = typedLit(model.basis.take(r).map(_.toSeq).toSeq)
+    emb
+      .withColumn("xd", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+      .withColumn("e", transform(basisLit, bv =>
+        aggregate(zip_with(col("xd"), bv, (a, b) => a * b),
+          lit(0.0), (acc, p) => acc + p)))
+      .withColumn("nrm",
+        sqrt(aggregate(col("e"), lit(0.0), (a, v) => a + v * v)))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("e"), col("nrm"))
+  }
+
+  /** CHEAPER ANN, measured — the claim in this file's header made a
+    * number: project to rank r, then run the SAME IVF plan
+    * ([[Similarity.ivfTopKWith]]: quantizer from the projected
+    * corpus, cell-probed candidates, exact re-rank in r-dim space)
+    * and score its top-k against the FULL-dim exact top-k
+    * ([[Similarity.cosineTopK]]). Each row of the result is one rank:
+    * (r, n_hits, n_exact, recall_ppm). The serving win is linear in
+    * d/r — every distance in assignment, probe, and re-rank costs r
+    * multiplies instead of d — so recall vs r IS the cost/quality
+    * frontier of the projected index. */
+  def pcaIvfRecall(spark: SparkSession, dir: String, model: PcaModel,
+      ranks: Seq[Int], nprobe: Int = 3, k: Int = 3): DataFrame = {
+    val exact = graft.CacheRegistry.getOrCache(spark, s"similarity.exactTopk:$dir")(
+        Similarity.cosineTopK(spark, dir)
+          .select(col("q_id"), col("rank"), col("neighbor_id")))
+      .filter(col("rank") <= k).select(col("q_id"), col("neighbor_id"))
+    val emb = Tables.embeddings(spark, dir)
+    ranks.map { r =>
+      val tier = Similarity.ivfTopKWith(projectedVectors(emb, model, r),
+        expr("vec_id % 25 = 0"), expr("vec_id % 31 = 7"), nprobe, k)
+      val hits = tier.select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(denom).select(
+        lit(r).as("r"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionAll _)
   }
 
   /** Distributed reconstruction MSE at rank r — the end-to-end audit

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
-import graft.operators.{Clustering, Dedup, Extended, FpIndex, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Extended, FpIndex, Pca, Similarity, TextAnalysis}
 import graft.streaming.Incremental
 
 /** ONE-SHOT NIGHTLY INDEX BUILD + STORED-ONLY SERVE (round-10 verdict
@@ -52,6 +52,7 @@ object IndexBuild {
   val KeysT = "keys"; val BandsT = "bands"; val ShinglesT = "shingles"
   val PostingsT = "postings"; val CmsT = "cms"; val NoveltyT = "novelty"
   val VolStatsT = "volstats"; val AnnT = "ann"; val CentroidsT = "centroids"
+  val PcaT = "pca"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -83,6 +84,10 @@ object IndexBuild {
     // (SemDeDup cells, cluster-balanced sampling) trained by q124's rule
     Clustering.saveCentroids(spark, s"$root/$CentroidsT",
       Clustering.trainCentroids(Clustering.fixedPoint(spark, dir)))
+    // PCA basis — the dim-reduction serve side (projected arrivals,
+    // cheaper projected-IVF ANN); fit shares the centroid build's
+    // cached fixed-point corpus and the q126 Gram pass's dimStats
+    Pca.saveModel(spark, s"$root/$PcaT", Pca.fit(spark, dir))
   }
 
   /** The loaded serving surface: every stored frame a session probes,
@@ -97,6 +102,7 @@ object IndexBuild {
       volumeStats: DataFrame,
       annPath: String,
       centroidsPath: String,
+      pcaPath: String,
       pins: Map[String, Int])
 
   /** Open the stored index root for a serving session. `pinned=true`
@@ -107,7 +113,8 @@ object IndexBuild {
     def pinOf(p: String): Option[Int] =
       if (pinned) Some(FpIndex.tableVersion(p)) else None
     def path(t: String): String = s"$root/$t"
-    val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT, CentroidsT)
+    val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT,
+        CentroidsT, PcaT)
       .flatMap(t => pinOf(path(t)).map(t -> _)).toMap
     def flat(t: String): DataFrame = FpIndex.loadFlat(spark, path(t), pins.get(t))
     ServingIndexes(
@@ -120,6 +127,7 @@ object IndexBuild {
       volumeStats = flat(VolStatsT).withColumn("s2", col("s2").cast("decimal(38,0)")),
       annPath = path(AnnT),
       centroidsPath = path(CentroidsT),
+      pcaPath = path(PcaT),
       pins = pins)
   }
 
@@ -167,9 +175,15 @@ object IndexBuild {
           Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0),
           idx.pins.get(CentroidsT))
         .write.format("noop").mode("overwrite").save())
+    val pcaSec = timed(
+      Pca.projectStored(serve, idx.pcaPath,
+          Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0),
+          8, idx.pins.get(PcaT))
+        .write.format("noop").mode("overwrite").save())
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +
       f""""serve_retrieval_sec": $retrSec%.3f, "serve_novelty_sec": $novSec%.3f, """ +
       f""""serve_ann_sec": $annSec%.3f, "serve_cluster_sec": $clusterSec%.3f, """ +
+      f""""serve_pca_sec": $pcaSec%.3f, """ +
       f""""sf": "$dir", "root": "$root"}""")
     spark.stop()
   }

@@ -149,7 +149,7 @@ class ClusteringSpec extends AnyFunSuite {
 
   test("gram matrix: upper triangle only, Cauchy-Schwarz diag, exact spot cell") {
     CacheRegistry.releaseAll()
-    val byIj = Clustering.gramMatrix(spark, sf).collect()
+    val byIj = Clustering.gramMatrixDecimal(spark, sf).collect()
       .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
         (BigInt(r.getDecimal(r.fieldIndex("g")).toBigInteger),
          BigInt(r.getDecimal(r.fieldIndex("cov_num")).toBigInteger))).toMap
@@ -184,7 +184,7 @@ class ClusteringSpec extends AnyFunSuite {
       assert(math.abs(dot - want) < 1e-8, s"orthonormality ($a,$b): $dot")
     }
     // trace identity: Σ eigvals == Σ per-dim variances (both from cov)
-    val gm = Clustering.gramMatrix(spark, sf01).collect()
+    val gm = Clustering.gramMatrixDecimal(spark, sf01).collect()
       .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getDecimal(r.fieldIndex("cov_num")))
       .toMap
     val n = m.n.toDouble
@@ -221,5 +221,87 @@ class ClusteringSpec extends AnyFunSuite {
     // projection plan is map-only
     val plan = Pca.project(emb, m, 8).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
+  test("q126 surface: string columns are the decimal digits verbatim (hash-stable)") {
+    CacheRegistry.releaseAll()
+    val dec = Clustering.gramMatrixDecimal(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDecimal(2).toBigInteger.toString, r.getDecimal(3).toBigInteger.toString))
+      .toMap
+    val str = Clustering.gramMatrix(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
+    assert(str.length == dec.size)
+    str.foreach { case (ij, got) =>
+      assert(got == dec(ij), s"cell $ij: string surface must equal exact digits")
+    }
+  }
+
+  test("k knob: kForCorpus targets the cell size; k-threaded assign fans out") {
+    assert(Clustering.kForCorpus(0) == 1, "empty corpus still yields one cell")
+    assert(Clustering.kForCorpus(5, 1000) == 1, "tiny corpus: one cell")
+    assert(Clustering.kForCorpus(1000000, 1000) == 1000, "k = n / cell")
+    assert(Clustering.kForCorpus(100, 1) == 100, "k never exceeds n")
+    CacheRegistry.releaseAll()
+    val rows = Clustering.kmeansAssignK(spark, sf, 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.map(_._2).forall(c => c >= 0 && c < 16), "clusters in [0, k)")
+    assert(rows.map(_._2).distinct.length > Clustering.K,
+      "k=16 uses more cells than the oracle's k=8 — the pair join fans out")
+    // and the k-threaded prune agrees with pruning the k-threaded assignment
+    CacheRegistry.releaseAll()
+    val viaK = Clustering.semdedupPruneK(spark, sf, 16).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf)
+    val want = Clustering.semdedupPruneOf(
+        Clustering.assignWith(v, Clustering.trainCentroids(v, 16))
+          .select(col("vec_id"), col("x"), col("cluster")))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaK.sameElements(want), "semdedupPruneK == prune of assignK")
+  }
+
+  test("stored pca model: bit-exact round-trip and fresh-session served projection") {
+    CacheRegistry.releaseAll()
+    val root = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    val m = Pca.fit(spark, sf01)
+    Pca.saveModel(spark, root, m)
+    val back = Pca.loadModel(spark, root)
+    assert(back.n == m.n)
+    assert(back.means.sameElements(m.means), "means bits")
+    assert(back.eigvals.sameElements(m.eigvals), "eigval bits")
+    assert(back.basis.length == m.basis.length)
+    back.basis.zip(m.basis).foreach { case (a, b) =>
+      assert(a.sameElements(b), "basis bits") }
+    // a fresh session serves projections byte-equal to the in-session
+    // model, touching only the stored table + the arrival batch
+    val serve = spark.newSession()
+    val arrivals = Tables.embeddings(serve, sf01).filter(col("vec_id") % 25 === 0)
+    val served = Pca.projectStored(serve, root, arrivals, 8)
+    val want = Pca.project(
+        Tables.embeddings(spark, sf01).filter(col("vec_id") % 25 === 0), m, 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = served.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(want), "served projection == in-session")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"served projection must be map-only:\n$plan")
+  }
+
+  test("pca->ivf: recall rises with rank; full-rank rotation EQUALS original-space IVF") {
+    CacheRegistry.releaseAll()
+    val m = Pca.fit(spark, sf01)
+    val rec = Pca.pcaIvfRecall(spark, sf01, m, Seq(4, 16, 64)).collect()
+      .map(r => r.getAs[Int]("r") -> r.getAs[Long]("recall_ppm")).toMap
+    assert(rec(4) <= rec(16) && rec(16) <= rec(64),
+      s"recall ladder must rise with rank: $rec")
+    assert(rec.values.forall(p => p >= 0L && p <= 1000000L), "ppm in range")
+    // the lossless-rotation claim, measured: at r = d the rotated
+    // index reproduces the ORIGINAL-space IVF tier's recall exactly
+    // (orthogonal rotation preserves dot products and norms; same
+    // quantizer rows, same probes, same candidates)
+    val ivfPpm = operators.Similarity.recallAudit(spark, sf01).collect()
+      .find(_.getString(0) == "ivf").get.getAs[Long]("recall_ppm")
+    assert(rec(64) == ivfPpm,
+      s"full-rank rotated recall ${rec(64)} must equal original IVF $ivfPpm")
   }
 }

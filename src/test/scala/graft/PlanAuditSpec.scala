@@ -75,7 +75,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q122_time_split_audit",
       // q123: the 1-row input-totals scalar crossed into the 4-row
       // stage table for the retention denominators
-      "q123_curation_funnel")
+      "q123_curation_funnel",
+      // q120: the 1-row max(doc_id)+1 synthetic-offset scalar cross
+      // (Dedup.scala containmentDedup) — the q116/q119 keyless-scalar
+      // pattern, introduced when the fixed 1e7 offset literal was
+      // hardened to a computed bound
+      "q120_containment_dedup")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
