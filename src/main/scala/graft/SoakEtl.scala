@@ -533,25 +533,41 @@ object SoakCluster {
         col("id").as("vec_id"),
         expr("transform(sequence(1, 64), d -> " +
           "CAST(pmod(hash(id * 64 + d), 1048576) - 524288 AS BIGINT))").as("x"))
-      def prune(m: Long) = {
+      // Stage-separated: the verdict claim under test is that the
+      // PAIR JOIN is linear at fixed cell size (Σ|cell|² ≈ n·cell);
+      // the assignment stage has its own scaling story (flat Lloyd
+      // O(n·k) vs two-level O(n·√k), both measured).
+      def stages(m: Long): (Double, Double, Double) = {
         val v = fresh(m)
         val k = operators.Clustering.kForCorpus(m, cellSize)
-        val cents = operators.Clustering.trainCentroids(v, k)
-        operators.Clustering.semdedupPruneOf(
-          operators.Clustering.assignWith(v, cents)
-            .select(col("vec_id"), col("x"), col("cluster")))
+        var asgFlat: org.apache.spark.sql.DataFrame = null
+        val tFlat = time {
+          val cents = operators.Clustering.trainCentroids(v, k)
+          asgFlat = operators.Clustering.assignWith(v, cents)
+            .select(col("vec_id"), col("x"), col("cluster")).persist()
+          asgFlat.count()
+        }
+        val tHier = time {
+          val hm = operators.Clustering.trainHierarchical(v, k)
+          operators.Clustering.assignHierarchical(v, hm)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val tPrune = time(
+          operators.Clustering.semdedupPruneOf(asgFlat)
+            .write.format("noop").mode("overwrite").save())
+        asgFlat.unpersist()
+        (tFlat, tHier, tPrune)
       }
-      def run(m: Long): Double =
-        time(prune(m).write.format("noop").mode("overwrite").save())
       val n1 = 5000L; val nn = n1 * n
-      run(n1) // warm
-      val t1 = run(n1)
-      val tn = run(nn)
-      println(f"semdedup_fixed_cell      1x: $t1%6.2f s ($n1%6d vecs, " +
-        f"k=${operators.Clustering.kForCorpus(n1, cellSize)})   " +
-        f"${n}x: $tn%6.2f s ($nn%7d vecs, " +
-        f"k=${operators.Clustering.kForCorpus(nn, cellSize)})   " +
-        f"growth ${tn / t1}%4.1fx")
+      stages(n1) // warm
+      val (a1, h1, p1) = stages(n1)
+      val (an, hn, pn) = stages(nn)
+      val k1 = operators.Clustering.kForCorpus(n1, cellSize)
+      val kn = operators.Clustering.kForCorpus(nn, cellSize)
+      println(f"semdedup_fixed_cell ($n1%d vecs k=$k1%d -> $nn%d vecs k=$kn%d):")
+      println(f"  train_assign_flat      1x: $a1%6.2f s   ${n}x: $an%6.2f s   growth ${an / a1}%5.1fx  (O(n*k) = n^2/cell)")
+      println(f"  train_assign_twolevel  1x: $h1%6.2f s   ${n}x: $hn%6.2f s   growth ${hn / h1}%5.1fx  (O(n*sqrt(k)))")
+      println(f"  prune_pair_join        1x: $p1%6.2f s   ${n}x: $pn%6.2f s   growth ${pn / p1}%5.1fx  (O(n*cell) - the linear claim)")
     }
     spark.stop()
   }

@@ -384,12 +384,18 @@ object Clustering {
     * the exchange carries ≤ k·m·#partitions rows. k grows with the
     * corpus (k ≈ n / target cell size), so the window key fans out —
     * this is not a single-partition sort. */
-  def diversitySample(spark: SparkSession, dir: String): DataFrame = {
+  def diversitySample(spark: SparkSession, dir: String): DataFrame =
+    diversitySampleK(spark, dir, K)
+
+  /** k-threaded diversity sample (k = kForCorpus(n) at scale, m per
+    * cell) — the oracled q127 pins k = [[K]], m = [[SampleM]]. */
+  def diversitySampleK(spark: SparkSession, dir: String, k: Int,
+      m: Int = SampleM): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("dist").desc, col("vec_id"))
-    kmeansAssign(spark, dir)
+    kmeansAssignK(spark, dir, k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= SampleM)
+      .filter(col("rank") <= m)
       .select(col("cluster"), col("rank"), col("vec_id"), col("dist"))
   }
 
@@ -417,10 +423,14 @@ object Clustering {
     *
     * Scale: two aggregates over the assignment (k·|labels| and k
     * groups, both map-side combined), one broadcast-sized join. */
-  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame =
+    clusterProfileK(spark, dir, K)
+
+  /** k-threaded profile — the oracled q129 pins k = [[K]]. */
+  def clusterProfileK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val asg = assignWith(v, trainCentroids(v))
+    val asg = assignWith(v, trainCentroids(v, k))
     val byLabel = asg.groupBy(col("cluster"), col("label")).count()
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("count").desc, col("label"))
@@ -450,6 +460,116 @@ object Clustering {
        |SELECT cluster, n_members, inertia, dom_label, dom_n,
        |       (10000 * dom_n) // n_members AS purity_bp
        |FROM pr JOIN dom ON dom.cid = pr.cluster""".stripMargin
+
+  // ---------------------------------------- two-level (hierarchical)
+
+  /** Fixed-point squared L2 between a vector column and a centroid
+    * array — the one distance every assignment surface shares. */
+  private def d2(x: Column, cv: Column): Column =
+    aggregate(zip_with(x, cv, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, p) => acc + p)
+
+  /** Two-level k-means model: kc ≈ √k coarse centroids, and per
+    * coarse cell up to `kf` fine centroids trained on that cell's
+    * members alone. Global cell id = ccl · kf + fcl. */
+  final case class HierModel(
+      coarse: Seq[Array[Long]],
+      fine: Seq[Seq[Array[Long]]],
+      kf: Int)
+
+  /** TWO-LEVEL Lloyd — the assignment-stage scale path when k grows
+    * with the corpus. Flat nearest-centroid assignment costs O(n·k·d)
+    * per pass; at the SemDeDup operating point (k ≈ n / cell) that is
+    * QUADRATIC in n — the pair join the cells exist to bound stops
+    * being the bottleneck and the clustering itself becomes one
+    * (SoakCluster's train_assign_flat row measures exactly this).
+    * The standard fix (the IVF coarse-quantizer pattern; SemDeDup
+    * itself clusters with approximate GPU k-means at scale): train
+    * √k coarse centroids on the corpus (O(n·√k)), freeze the coarse
+    * partition, then train √k fine centroids INSIDE each coarse cell
+    * — one distributed pass per Lloyd round over ALL cells at once
+    * (the fine-centroid table rides the plan as a nested literal
+    * indexed by the coarse id), Σ|cell|·√k = O(n·√k) total. Probing
+    * is coarse-then-fine: 2√k distances per vector instead of k.
+    *
+    * The resulting cells approximate flat Lloyd (a vector near a
+    * coarse boundary may land elsewhere) — which is exactly what
+    * cell-BLOCKING consumers (SemDeDup prune, diversity sampling,
+    * the semantic gate) need: any geometrically-coherent partition
+    * of bounded cell size, not the Lloyd optimum. Everything stays
+    * fixed-point integer, so the model is as portable and the
+    * assignment as deterministic as the flat path's. */
+  def trainHierarchical(v: DataFrame, k: Int = K, iters: Int = Iters): HierModel = {
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    val coarse = trainCentroids(v, kc, iters)
+    // the coarse partition is FROZEN during fine training — the
+    // hierarchical contract that keeps every fine pass one job
+    val asgC = assignWith(v, coarse)
+      .select(col("vec_id"), col("x"), col("cluster").as("ccl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ccl")).orderBy(col("vec_id"))
+    val seedRows = asgC.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kf)
+      .select(col("ccl"), col("rn"), col("x")).collect()
+      .map(r => (r.getInt(0), r.getInt(1) - 1, r.getSeq[Long](2).toArray))
+    val fine0: Seq[Seq[Array[Long]]] = (0 until kc).map { c =>
+      val s = seedRows.filter(_._1 == c).sortBy(_._2).map(_._3).toSeq
+      // a coarse cell that captured no member seeds its one fine
+      // centroid from the coarse centroid itself
+      if (s.nonEmpty) s else Seq(coarse(c))
+    }
+    val fine = (1 until iters).foldLeft(fine0) { (f, _) => updateFine(asgC, f) }
+    HierModel(coarse, fine, kf)
+  }
+
+  /** One distributed fine-Lloyd round over every coarse cell at once:
+    * nested-literal probe (fines of OWN coarse cell only), then a
+    * (ccl, fcl, dim)-keyed map-side-combined update — k·d rows to the
+    * driver, the same model-sized collect as the flat update. */
+  private def updateFine(
+      asgC: DataFrame, fine: Seq[Seq[Array[Long]]]): Seq[Seq[Array[Long]]] = {
+    val finesLit = typedLit(fine.map(_.map(_.toSeq)))
+    val rows = asgC
+      .withColumn("fasg",
+        array_min(transform(element_at(finesLit, col("ccl") + 1), (fv, fi) =>
+          struct(d2(col("x"), fv).as("dist"), fi.as("fid")))))
+      .select(col("ccl"), col("fasg.fid").as("fcl"), posexplode(col("x")))
+      .groupBy(col("ccl"), col("fcl"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    fine.zipWithIndex.map { case (cents, c) =>
+      cents.indices.map { f =>
+        if (rows.contains((c, f, 0)))
+          cents(f).indices.map { d =>
+            val (s, n) = rows((c, f, d)); s / n
+          }.toArray
+        else cents(f)
+      }.toSeq
+    }
+  }
+
+  /** Coarse-then-fine assignment: 2√k distances per vector (vs k for
+    * flat), one projection, zero shuffle — the model rides the plan
+    * as two literals. Output matches [[assignWith]]'s shape so every
+    * blocking consumer ([[semdedupPruneOf]], the gate's assigned
+    * corpus) takes it unchanged. */
+  def assignHierarchical(v: DataFrame, m: HierModel): DataFrame = {
+    val coarseLit = typedLit(m.coarse.map(_.toSeq))
+    val finesLit = typedLit(m.fine.map(_.map(_.toSeq)))
+    v.withColumn("casg",
+        array_min(transform(coarseLit, (cv, ci) =>
+          struct(d2(col("x"), cv).as("dist"), ci.as("cid")))))
+      .withColumn("ccl", col("casg.cid"))
+      .withColumn("fasg",
+        array_min(transform(element_at(finesLit, col("ccl") + 1), (fv, fi) =>
+          struct(d2(col("x"), fv).as("dist"), fi.as("fid")))))
+      .withColumn("cluster", col("ccl") * lit(m.kf) + col("fasg.fid"))
+      .withColumn("dist", col("fasg.dist"))
+      .drop("casg", "ccl", "fasg")
+  }
 
   // ------------------------------------------------- stored lifecycle
 

@@ -261,6 +261,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(viaK.sameElements(want), "semdedupPruneK == prune of assignK")
   }
 
+  test("two-level kmeans: assignment replays exactly from the model, covers every " +
+      "vector, and refines the coarse partition") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf)
+    val m = Clustering.trainHierarchical(v, 16)
+    val kc = m.coarse.length
+    assert(kc == 4 && m.kf == 4, "k=16 -> 4 coarse x 4 fine")
+    m.fine.foreach(f => assert(f.nonEmpty && f.length <= m.kf, "fine cells bounded"))
+    val got = Clustering.assignHierarchical(v, m)
+      .select("vec_id", "cluster", "dist").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val vecs = v.select("vec_id", "x").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(got.size == vecs.size, "every vector assigned")
+    // full local replication: coarse argmin, then fine argmin within
+    // the chosen coarse cell, ties to the smaller id at both levels
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    vecs.foreach { case (id, x) =>
+      val ccl = m.coarse.zipWithIndex.map { case (cv, ci) => (d2(x, cv), ci) }.min._2
+      val (fd, fcl) = m.fine(ccl).zipWithIndex.map { case (fv, fi) => (d2(x, fv), fi) }.min
+      assert(got(id) == ((ccl * m.kf + fcl, fd)), s"replay of vec $id")
+    }
+    // the fine split genuinely refines: more distinct cells than coarse
+    assert(got.values.map(_._1).toSet.size > kc, "fine level adds granularity")
+    // and the blocking consumer takes the hierarchical frame unchanged
+    val pruned = Clustering.semdedupPruneOf(
+      Clustering.assignHierarchical(v, m).select(col("vec_id"), col("x"), col("cluster")))
+    assert(pruned.count() == vecs.size, "verdict per vector")
+  }
+
   test("stored pca model: bit-exact round-trip and fresh-session served projection") {
     CacheRegistry.releaseAll()
     val root = java.nio.file.Files.createTempDirectory("graft-pca").toString
