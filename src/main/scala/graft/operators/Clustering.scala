@@ -611,6 +611,53 @@ object Clustering {
       .select(col("vec_id"), col("cluster"), col("dist"))
   }
 
+  /** Persist a two-level model as a [[FpIndex]] flat table — the same
+    * manifest/generation/pinned-reader contract as the flat centroid
+    * table. 1NF longs (kind, ccl, fcl, pos, v): kind 0 = kf meta,
+    * kind 1 = coarse (ccl, pos), kind 2 = fine (ccl, fcl, pos).
+    * ~2·k·d rows: model-sized. */
+  def saveHierModel(spark: SparkSession, path: String, m: HierModel): Unit = {
+    import spark.implicits._
+    val rows =
+      Seq((0, 0, 0, 0, m.kf.toLong)) ++
+      m.coarse.indices.flatMap(c =>
+        m.coarse(c).indices.map(p => (1, c, 0, p, m.coarse(c)(p)))) ++
+      m.fine.indices.flatMap(c =>
+        m.fine(c).indices.flatMap(f =>
+          m.fine(c)(f).indices.map(p => (2, c, f, p, m.fine(c)(f)(p)))))
+    FpIndex.saveOrRebuildFlat(spark, path,
+      rows.toDF("kind", "ccl", "fcl", "pos", "v").repartition(1))
+  }
+
+  /** Reload the stored two-level model (optionally pinned `asOf`). */
+  def loadHierModel(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): HierModel = {
+    val rows = FpIndex.loadFlat(spark, path, asOf)
+      .select(col("kind"), col("ccl"), col("fcl"), col("pos"), col("v")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    require(rows.nonEmpty, s"no hierarchical model stored at $path")
+    val kf = rows.find(_._1 == 0).map(_._5.toInt)
+      .getOrElse(sys.error(s"stored model at $path has no kf meta row"))
+    def vecsOf(sub: Array[(Int, Int, Int, Int, Long)]): Array[Long] =
+      sub.sortBy(_._4).map(_._5)
+    val coarse = rows.filter(_._1 == 1).groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, sub) => vecsOf(sub) }
+    val fine = rows.filter(_._1 == 2).groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, byC) =>
+        byC.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, sub) => vecsOf(sub) }
+      }
+    HierModel(coarse, fine, kf)
+  }
+
+  /** Serve-side two-level assignment against the stored model — the
+    * O(√k)-per-arrival counterpart of [[assignStored]]. */
+  def assignStoredHier(spark: SparkSession, path: String, arrivals: DataFrame,
+      asOf: Option[Int] = None): DataFrame =
+    assignHierarchical(
+        arrivals.select(col("vec_id"), quantize(col("embedding")).as("x")),
+        loadHierModel(spark, path, asOf))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+
   /** The semantic gate's stored corpus side: (corpus_id, x, cluster) —
     * every corpus vector pre-assigned to its cell, so an arriving
     * vector probes ONE cell by equi-join instead of the corpus. */

@@ -327,10 +327,39 @@ object Incremental {
       corpusAssigned: DataFrame,
       pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
     import graft.operators.Clustering
-    val asg = Clustering.assignWith(
-        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
-        cents)
-      .select(col("vec_id"), col("x"), col("cluster"))
+    semanticNearDupProbe(
+      Clustering.assignWith(
+          arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+          cents)
+        .select(col("vec_id"), col("x"), col("cluster")),
+      corpusAssigned, pruneT)
+  }
+
+  /** The gate under a TWO-LEVEL model — the at-scale variant: when k
+    * grows with the corpus (kForCorpus), flat arrival assignment costs
+    * k distances per arrival; the hierarchical probe costs 2·√k. The
+    * stored corpus side must be assigned by the SAME model
+    * (`assignHierarchical` ids), which the probe half then equi-joins
+    * identically — cells are cells, whichever ladder produced them. */
+  def semanticNearDupStreamHier(
+      arrivals: DataFrame,
+      hm: graft.operators.Clustering.HierModel,
+      corpusAssigned: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    semanticNearDupProbe(
+      Clustering.assignHierarchical(
+          arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+          hm)
+        .select(col("vec_id"), col("x"), col("cluster")),
+      corpusAssigned, pruneT)
+  }
+
+  /** The probe half both gates share: stream-static equi-join on the
+    * cell id (an arrival compares against ITS cell's members, never
+    * the corpus), exact integer verify, verdict rows. */
+  private def semanticNearDupProbe(
+      asg: DataFrame, corpusAssigned: DataFrame, pruneT: Long): DataFrame =
     asg
       .join(corpusAssigned.select(col("corpus_id"), col("x").as("cx"), col("cluster")),
         Seq("cluster")) // stream-static equi-probe on the cell id
@@ -340,7 +369,6 @@ object Incremental {
           lit(0L), (acc, p) => acc + p))
       .filter(col("dist") < pruneT)
       .select(col("vec_id"), col("corpus_id"), col("dist"))
-  }
 
   /** Streaming NOVELTY gate — batch q116's serving form, the
     * data-value question asked PER ARRIVING DOCUMENT instead of per

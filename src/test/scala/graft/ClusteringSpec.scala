@@ -292,6 +292,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(pruned.count() == vecs.size, "verdict per vector")
   }
 
+  test("stored two-level model: bit-exact round-trip and fresh-session serve equality") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val hm = Clustering.trainHierarchical(v, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-hier").toString
+    Clustering.saveHierModel(spark, root, hm)
+    val back = Clustering.loadHierModel(spark, root)
+    assert(back.kf == hm.kf)
+    assert(back.coarse.length == hm.coarse.length)
+    back.coarse.zip(hm.coarse).foreach { case (a, b) =>
+      assert(a.sameElements(b), "coarse bits") }
+    assert(back.fine.length == hm.fine.length)
+    back.fine.zip(hm.fine).foreach { case (fa, fb) =>
+      assert(fa.length == fb.length)
+      fa.zip(fb).foreach { case (a, b) => assert(a.sameElements(b), "fine bits") }
+    }
+    // a fresh session serves two-level assignments equal to the
+    // in-session model, map-only
+    val serve = spark.newSession()
+    val served = Clustering.assignStoredHier(serve, root,
+      Tables.embeddings(serve, sf01).filter(col("vec_id") % 25 === 0))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hier serve must be map-only:\n$plan")
+    val want = Clustering.assignHierarchical(
+        Clustering.fixedPoint(spark, sf01).filter(col("vec_id") % 25 === 0), hm)
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    val got = served.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(want), "served == in-session")
+  }
+
   test("stored pca model: bit-exact round-trip and fresh-session served projection") {
     CacheRegistry.releaseAll()
     val root = java.nio.file.Files.createTempDirectory("graft-pca").toString

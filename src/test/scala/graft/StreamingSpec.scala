@@ -866,4 +866,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SEMANTIC gate under the TWO-LEVEL model: replayed corpus vector " +
+      "flagged at dist 0 through the 2·√k-cost hierarchical arrival assignment") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val v = Clustering.fixedPoint(spark, sf)
+    val hm = Clustering.trainHierarchical(v, 16)
+    // the stored corpus side assigned by the SAME two-level model —
+    // cells are cells, the probe half is model-agnostic
+    val stored = Clustering.assignHierarchical(v, hm)
+      .select(col("vec_id").as("corpus_id"), col("x"), col("cluster")).persist()
+    val e0 = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val arrivals = input.toDF().toDF("vec_id", "embedding")
+    val q = Incremental.semanticNearDupStreamHier(arrivals, hm, stored)
+      .writeStream.format("memory").queryName("semdup_hier_out")
+      .outputMode("append").start()
+    try {
+      input.addData((901L, e0), (902L, Seq.fill(e0.length)(0.5f)))
+      q.processAllAvailable()
+      val rows = spark.table("semdup_hier_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.exists(t => t._1 == 901L && t._2 == 0L && t._3 == 0L),
+        s"replayed vector must pair with its original at dist 0: ${rows.toSeq}")
+      assert(rows.forall(_._1 != 902L), s"novel arrival must pass: ${rows.toSeq}")
+    } finally { q.stop(); stored.unpersist() }
+  }
+
 }
