@@ -82,8 +82,15 @@ object Clustering {
 
   /** Column-level fixed-point quantizer — the one definition every
     * entry point (batch, serve, streaming) shares so the integer
-    * vectors can never drift between surfaces. */
+    * vectors can never drift between surfaces. Runs the codegen'd
+    * [[graft.functions.QuantizeFixed]] kernel; [[quantizeHof]] is the
+    * executable HOF spec ClusteringSpec pins it against. */
   def quantize(c: Column): Column =
+    graft.functions.FixedPointOps.quantizeFixed(c, Scale)
+
+  /** The declarative spec of [[quantize]] — per-element
+    * floor(double(v)·2^20), the formulation the DuckDB oracle runs. */
+  private[graft] def quantizeHof(c: Column): Column =
     transform(c, v => floor(v.cast("double") * lit(Scale.toDouble)).cast("long"))
 
   /** (vec_id, x array<bigint>, label) — the quantized corpus. */
@@ -92,17 +99,15 @@ object Clustering {
       .select(col("vec_id"), quantize(col("embedding")).as("x"), col("label"))
 
   /** Map-only nearest-centroid assignment: the k centroid vectors are
-    * an array-of-arrays literal, and the argmin is
-    * `array_min(transform(...))` over (dist, cid) structs — min dist,
-    * ties to the smaller cid, one projection, zero shuffle. */
+    * an array-of-arrays literal, and the argmin is the codegen'd
+    * [[graft.functions.NearestOfL2]] kernel — min dist, ties to the
+    * smaller cid, one projection, zero shuffle. (The HOF spec form —
+    * `array_min(transform(cents, struct(Σ(a−b)², cid)))` — lives in
+    * ClusteringSpec, which pins kernel ≡ HOF; the interpreted lambdas
+    * cost k·d calls per ROW, the q43/q52 trap.) */
   def assignWith(v: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
     val cc = typedLit(cents.map(_.toSeq))
-    v.withColumn("asg",
-        array_min(transform(cc, (cv, ci) =>
-          struct(
-            aggregate(zip_with(col("x"), cv, (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, p) => acc + p).as("dist"),
-            ci.as("cid")))))
+    v.withColumn("asg", graft.functions.FixedPointOps.nearestOfL2(col("x"), cc))
       .withColumn("cluster", col("asg.cid"))
       .withColumn("dist", col("asg.dist"))
       .drop("asg")
@@ -244,8 +249,7 @@ object Clustering {
       col("cluster").as("a_cl"))
     val b = withVec.select(col("vec_id").as("b_id"), col("x").as("bx"),
       col("cluster").as("b_cl"))
-    val d2 = aggregate(zip_with(col("ax"), col("bx"), (p, q) => (p - q) * (p - q)),
-      lit(0L), (acc, p) => acc + p)
+    val d2 = graft.functions.FixedPointOps.sqDistL2(col("ax"), col("bx"))
     b.join(a,
         col("a_cl") === col("b_cl") && col("a_id") < col("b_id") && d2 < lit(pruneT),
         "left")
@@ -315,10 +319,12 @@ object Clustering {
   def gramMatrixDecimal(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val pairs = v.select(posexplode(expr(
-      """flatten(transform(x, (xi, i) ->
-        |  transform(slice(x, i + 1, size(x) - i),
-        |    (xj, jj) -> named_struct('i', i, 'j', i + jj, 'p', xi * xj))))""".stripMargin)))
+    // the codegen'd UpperTriProducts kernel replaces the nested
+    // transform-of-slices HOF (O(d²) slice copies + interpreted
+    // lambdas per ROW — the q43/q52 trap); identical (i, j, p) triples
+    // in identical row-major order
+    val pairs = v.select(explode(
+        graft.functions.FixedPointOps.upperTriProducts(col("x"))))
       .select(col("col.i").as("i"), col("col.j").as("j"),
         col("col.p").cast("decimal(38,0)").as("p"))
     val g = pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
@@ -463,11 +469,11 @@ object Clustering {
 
   // ---------------------------------------- two-level (hierarchical)
 
-  /** Fixed-point squared L2 between a vector column and a centroid
-    * array — the one distance every assignment surface shares. */
+  /** Fixed-point squared L2 between two vector columns — the one
+    * distance every assignment surface shares (codegen'd
+    * [[graft.functions.SqDistL2]] kernel). */
   private def d2(x: Column, cv: Column): Column =
-    aggregate(zip_with(x, cv, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, p) => acc + p)
+    graft.functions.FixedPointOps.sqDistL2(x, cv)
 
   /** Two-level k-means model: kc ≈ √k coarse centroids, and per
     * coarse cell up to `kf` fine centroids trained on that cell's
@@ -531,10 +537,9 @@ object Clustering {
       asgC: DataFrame, fine: Seq[Seq[Array[Long]]]): Seq[Seq[Array[Long]]] = {
     val finesLit = typedLit(fine.map(_.map(_.toSeq)))
     val rows = asgC
-      .withColumn("fasg",
-        array_min(transform(element_at(finesLit, col("ccl") + 1), (fv, fi) =>
-          struct(d2(col("x"), fv).as("dist"), fi.as("fid")))))
-      .select(col("ccl"), col("fasg.fid").as("fcl"), posexplode(col("x")))
+      .withColumn("fasg", graft.functions.FixedPointOps.nearestOfL2(
+        col("x"), element_at(finesLit, col("ccl") + 1)))
+      .select(col("ccl"), col("fasg.cid").as("fcl"), posexplode(col("x")))
       .groupBy(col("ccl"), col("fcl"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
       .collect()
@@ -560,13 +565,11 @@ object Clustering {
     val coarseLit = typedLit(m.coarse.map(_.toSeq))
     val finesLit = typedLit(m.fine.map(_.map(_.toSeq)))
     v.withColumn("casg",
-        array_min(transform(coarseLit, (cv, ci) =>
-          struct(d2(col("x"), cv).as("dist"), ci.as("cid")))))
+        graft.functions.FixedPointOps.nearestOfL2(col("x"), coarseLit))
       .withColumn("ccl", col("casg.cid"))
-      .withColumn("fasg",
-        array_min(transform(element_at(finesLit, col("ccl") + 1), (fv, fi) =>
-          struct(d2(col("x"), fv).as("dist"), fi.as("fid")))))
-      .withColumn("cluster", col("ccl") * lit(m.kf) + col("fasg.fid"))
+      .withColumn("fasg", graft.functions.FixedPointOps.nearestOfL2(
+        col("x"), element_at(finesLit, col("ccl") + 1)))
+      .withColumn("cluster", col("ccl") * lit(m.kf) + col("fasg.cid"))
       .withColumn("dist", col("fasg.dist"))
       .drop("casg", "ccl", "fasg")
   }

@@ -365,8 +365,7 @@ object Incremental {
         Seq("cluster")) // stream-static equi-probe on the cell id
       .filter(col("vec_id") =!= col("corpus_id"))
       .withColumn("dist",
-        aggregate(zip_with(col("x"), col("cx"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, p) => acc + p))
+        graft.functions.FixedPointOps.sqDistL2(col("x"), col("cx")))
       .filter(col("dist") < pruneT)
       .select(col("vec_id"), col("corpus_id"), col("dist"))
 

@@ -223,6 +223,56 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
 
+  test("fixed-point kernels ≡ their HOF spec forms on the fixture (bit-exact)") {
+    CacheRegistry.releaseAll()
+    import graft.functions.FixedPointOps
+    val emb = Tables.embeddings(spark, sf)
+    // quantizer: kernel vs per-element floor lambda
+    val qk = emb.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val qh = emb.select(col("vec_id"), Clustering.quantizeHof(col("embedding")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(qk == qh, "QuantizeFixed ≡ transform(floor(double·scale))")
+    // distance + argmin: kernel vs zip_with fold + array_min(transform)
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val cc = typedLit(cents.map(_.toSeq))
+    val hof = v.withColumn("asg",
+        array_min(transform(cc, (cv, ci) =>
+          struct(
+            aggregate(zip_with(col("x"), cv, (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, p) => acc + p).as("dist"),
+            ci.as("cid")))))
+      .select(col("vec_id"), col("asg.cid"), col("asg.dist"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val kern = Clustering.assignWith(v, cents)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(kern.sameElements(hof), "NearestOfL2 ≡ array_min(transform(struct))")
+    // sqDistL2 on vector pairs vs the fold
+    val pairs = v.select(col("vec_id"), col("x")).limit(50)
+      .crossJoin(v.select(col("x").as("y")).limit(7))
+    val dk = pairs.select(FixedPointOps.sqDistL2(col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    val dh = pairs.select(
+        aggregate(zip_with(col("x"), col("y"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, p) => acc + p))
+      .collect().map(_.getLong(0))
+    assert(dk.sameElements(dh), "SqDistL2 ≡ aggregate(zip_with)")
+    // upper-triangle products vs the nested transform-of-slices
+    val tk = v.select(col("vec_id"), FixedPointOps.upperTriProducts(col("x")).as("u"))
+      .select(col("vec_id"), explode(col("u")))
+      .select(col("vec_id"), col("col.i"), col("col.j"), col("col.p"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val th = v.select(col("vec_id"), posexplode(expr(
+        """flatten(transform(x, (xi, i) ->
+          |  transform(slice(x, i + 1, size(x) - i),
+          |    (xj, jj) -> named_struct('i', i, 'j', i + jj, 'p', xi * xj))))""".stripMargin)))
+      .select(col("vec_id"), col("col.i"), col("col.j"), col("col.p"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(tk.sameElements(th), "UpperTriProducts ≡ nested transform-of-slices")
+  }
+
   test("q126 surface: string columns are the decimal digits verbatim (hash-stable)") {
     CacheRegistry.releaseAll()
     val dec = Clustering.gramMatrixDecimal(spark, sf).collect()

@@ -191,4 +191,50 @@ class KernelDualModeSpec extends AnyFunSuite {
         .collect().map(_.toString)
     }
   }
+
+  private lazy val longVecRows: DataFrame = {
+    import spark.implicits._
+    val vGen = Gen.listOfN(8, Gen.chooseNum(-600000L, 600000L))
+    (Gen.listOfN(60, Gen.zip(vGen, vGen)).sample.get ++
+      Seq((Nil, Nil),                       // empty vectors
+        (List(1L, 2L, 3L), List(4L, 5L)),   // length mismatch → null
+        (List(Long.MaxValue / 2048, 0L), List(0L, 0L))))
+      .toDF("a", "b")
+  }
+
+  test("SqDistL2 / NearestOfL2 / UpperTriProducts dual-mode (mismatch → null)") {
+    import graft.functions.FixedPointOps
+    dualMode {
+      longVecRows.select(FixedPointOps.sqDistL2(col("a"), col("b")).as("v"))
+        .collect().map(_.toString)
+    }
+    dualMode {
+      longVecRows.select(FixedPointOps.nearestOfL2(col("a"),
+          array(col("b"), col("a"), col("b"))).as("v"))
+        .collect().map(_.toString)
+    }
+    dualMode {
+      longVecRows.select(FixedPointOps.upperTriProducts(col("a")).as("v"))
+        .collect().map(_.toString)
+    }
+  }
+
+  test("QuantizeFixed dual-mode (float and double inputs; scales 1 and 2^20)") {
+    import spark.implicits._
+    import graft.functions.FixedPointOps
+    val fGen = Gen.listOfN(6, Gen.chooseNum(-0.6f, 0.6f))
+    val rows = (Gen.listOfN(60, fGen).sample.get ++ Seq(Nil, List(0.0f, -0.0f, 1e-9f)))
+      .toDF("f")
+    for (scale <- Seq(1L, 1L << 20)) {
+      dualMode {
+        rows.select(FixedPointOps.quantizeFixed(col("f"), scale).as("v"))
+          .collect().map(_.toString)
+      }
+      dualMode {
+        rows.select(FixedPointOps.quantizeFixed(
+            col("f").cast("array<double>"), scale).as("v"))
+          .collect().map(_.toString)
+      }
+    }
+  }
 }

@@ -183,7 +183,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q53_repetition", "q54_tfidf_topk", "q55_chunks", "q56_simhash_neardup",
       "q57_semantic_dedup", "q58_importance_sample", "q61_quantize",
       "q62_pack_bins", "q82_pq_adc", "q83_substring_dedup",
-      "q84_knn_classify", "q85_delta_neardup", "q86_winnow_dedup").foreach { name =>
+      "q84_knn_classify", "q85_delta_neardup", "q86_winnow_dedup",
+      // the clustering family joined in r12: QuantizeFixed replaces the
+      // per-element floor lambda, NearestOfL2 the k·d-lambda argmin,
+      // SqDistL2 the pair-join fold, UpperTriProducts q126's nested
+      // transform-of-slices
+      "q124_kmeans_assign", "q125_semdedup_prune", "q126_gram_matrix",
+      "q127_diversity_sample", "q129_cluster_profile").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
