@@ -52,7 +52,7 @@ object IndexBuild {
   val KeysT = "keys"; val BandsT = "bands"; val ShinglesT = "shingles"
   val PostingsT = "postings"; val CmsT = "cms"; val NoveltyT = "novelty"
   val VolStatsT = "volstats"; val AnnT = "ann"; val CentroidsT = "centroids"
-  val PcaT = "pca"
+  val PcaT = "pca"; val AssignedT = "assigned"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -82,8 +82,15 @@ object IndexBuild {
     Similarity.buildPqIndex(spark, dir, s"$root/$AnnT")
     // k-means centroid model — the cluster-assignment serve side
     // (SemDeDup cells, cluster-balanced sampling) trained by q124's rule
-    Clustering.saveCentroids(spark, s"$root/$CentroidsT",
-      Clustering.trainCentroids(Clustering.fixedPoint(spark, dir)))
+    val fixed = Clustering.fixedPoint(spark, dir)
+    val cents = Clustering.trainCentroids(fixed)
+    Clustering.saveCentroids(spark, s"$root/$CentroidsT", cents)
+    // the semantic gate's STORED side: the corpus pre-assigned to its
+    // cells, so a serving session probes one cell per arrival with
+    // zero corpus-sized recompute (previously the gate's stored table
+    // was built ad hoc outside the nightly job — a serving-surface gap)
+    Clustering.saveAssignedCorpus(spark, s"$root/$AssignedT",
+      Clustering.assignedCorpus(fixed, cents))
     // PCA basis — the dim-reduction serve side (projected arrivals,
     // cheaper projected-IVF ANN); fit shares the centroid build's
     // cached fixed-point corpus and the q126 Gram pass's dimStats
@@ -103,6 +110,7 @@ object IndexBuild {
       annPath: String,
       centroidsPath: String,
       pcaPath: String,
+      assignedCorpus: DataFrame,
       pins: Map[String, Int])
 
   /** Open the stored index root for a serving session. `pinned=true`
@@ -114,7 +122,7 @@ object IndexBuild {
       if (pinned) Some(FpIndex.tableVersion(p)) else None
     def path(t: String): String = s"$root/$t"
     val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT,
-        CentroidsT, PcaT)
+        CentroidsT, PcaT, AssignedT)
       .flatMap(t => pinOf(path(t)).map(t -> _)).toMap
     def flat(t: String): DataFrame = FpIndex.loadFlat(spark, path(t), pins.get(t))
     ServingIndexes(
@@ -128,6 +136,8 @@ object IndexBuild {
       annPath = path(AnnT),
       centroidsPath = path(CentroidsT),
       pcaPath = path(PcaT),
+      assignedCorpus = Clustering.loadAssignedCorpus(
+        spark, path(AssignedT), pins.get(AssignedT)),
       pins = pins)
   }
 
@@ -180,10 +190,19 @@ object IndexBuild {
           Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0),
           8, idx.pins.get(PcaT))
         .write.format("noop").mode("overwrite").save())
+    val semGateSec = timed {
+      val storedCents = Clustering.loadCentroids(
+        serve, idx.centroidsPath, idx.pins.get(CentroidsT))
+      Incremental.semanticNearDupStream(
+          Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + lit(900000000L)),
+          storedCents, idx.assignedCorpus)
+        .write.format("noop").mode("overwrite").save()
+    }
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +
       f""""serve_retrieval_sec": $retrSec%.3f, "serve_novelty_sec": $novSec%.3f, """ +
       f""""serve_ann_sec": $annSec%.3f, "serve_cluster_sec": $clusterSec%.3f, """ +
-      f""""serve_pca_sec": $pcaSec%.3f, """ +
+      f""""serve_pca_sec": $pcaSec%.3f, "serve_semgate_sec": $semGateSec%.3f, """ +
       f""""sf": "$dir", "root": "$root"}""")
     spark.stop()
   }

@@ -131,6 +131,31 @@ class IndexBuildSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("the same root serves the SEMANTIC gate: stored assigned-corpus verdicts equal " +
+      "the in-session build, with zero corpus recompute in the probe") {
+    val r = root
+    CacheRegistry.releaseAll()
+    import graft.operators.Clustering
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val arrivals = Tables.embeddings(spark, sf).filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(900000000L))
+    val want = sortedRows(graft.streaming.Incremental.semanticNearDupStream(
+      arrivals, cents, Clustering.assignedCorpus(v, cents)).collect())
+    assert(want.nonEmpty, "replayed corpus vectors must be flagged")
+    CacheRegistry.releaseAll()
+    val serve = spark.newSession()
+    val idx = IndexBuild.loadAll(serve, r)
+    val storedCents = Clustering.loadCentroids(
+      serve, idx.centroidsPath, idx.pins.get(IndexBuild.CentroidsT))
+    val servedArrivals = Tables.embeddings(serve, sf).filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(900000000L))
+    val served = graft.streaming.Incremental.semanticNearDupStream(
+      servedArrivals, storedCents, idx.assignedCorpus)
+    assert(sortedRows(served.collect()) == want, "served gate verdicts == in-session")
+    CacheRegistry.releaseAll()
+  }
+
   test("nightly re-run: buildAll over a live root cuts every table over " +
       "atomically; a session pinned at open is unaffected") {
     val r = root
