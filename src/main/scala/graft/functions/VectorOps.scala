@@ -261,6 +261,114 @@ case class NearestCell(
   override def prettyName: String = "nearest_cell"
 }
 
+/** PCA projection kernel: rank-r matrix-vector product against a
+  * driver-resident (means, basis) model — r·d multiplies per row as
+  * one tight loop instead of r·d interpreted lambda calls (the
+  * aggregate-over-zip_with-per-basis-row HOF ladder). Accepts
+  * array<float> (the fixture embedding schema — widened exactly) or
+  * array<double>. Null on length mismatch or null element, the
+  * [[DotProduct]] precedent. Fold order is ascending i per component,
+  * so results are bit-identical to the HOF form (ClusteringSpec pins
+  * it). */
+case class MatVecCentered(
+    child: Expression,
+    means: Array[Double],
+    basis: Array[Array[Double]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+  require(basis.forall(_.length == means.length),
+    "every basis row must have the means' dimensionality")
+
+  // deep equality for the array fields — the NearestCell plan-
+  // canonicalization lesson
+  override def equals(other: Any): Boolean = other match {
+    case m: MatVecCentered =>
+      child == m.child && java.util.Arrays.equals(means, m.means) &&
+        basis.length == m.basis.length &&
+        basis.indices.forall(i => java.util.Arrays.equals(basis(i), m.basis(i)))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(means)),
+      Integer.valueOf(basis.length))
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != means.length) return null
+    val cx = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val dv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      cx(i) = dv - means(i)
+      i += 1
+    }
+    val out = new Array[Double](basis.length)
+    var c = 0
+    while (c < basis.length) {
+      val bv = basis(c)
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += cx(i) * bv(i); i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meansRef = ctx.addReferenceObj("means", means, "double[]")
+    val basisRef = ctx.addReferenceObj("basis", basis, "double[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val cx = ctx.freshName("cx")
+      val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc")
+      val bv = ctx.freshName("bv")
+      val bad = ctx.freshName("bad")
+      val get = if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      s"""
+         |int $n = $x.numElements();
+         |boolean $bad = $n != $meansRef.length;
+         |double[] $cx = $bad ? null : new double[$n];
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { $bad = true; break; }
+         |  $cx[$i] = $get - $meansRef[$i];
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $out = new double[$basisRef.length];
+         |  for (int $c = 0; $c < $basisRef.length; $c++) {
+         |    double[] $bv = $basisRef[$c];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $acc += $cx[$i] * $bv[$i]; }
+         |    $out[$c] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVecCentered =
+    copy(child = c)
+  override def prettyName: String = "mat_vec_centered"
+}
+
 /** Feature-hashing embedder (the "hashing trick" of the public
   * literature): maps a bag of token hashes to a dense `dim`-vector by
   * summing one deterministic LCG-derived unit pattern per token —
@@ -545,6 +653,17 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** y[c] = Σᵢ (x[i] − means[i]) · basis[c][i] — the PCA
+    * projection's matrix-vector product as one codegen'd scan
+    * (means/basis ride as reference objects, the NearestCell model
+    * pattern). Pass all-zero `means` for the UNcentered rotation
+    * (the ANN leg). Ascending-i fold per component — bit-identical
+    * to the aggregate(zip_with(...)) HOF ladder it replaces. */
+  def matVecCentered(x: Column, means: Array[Double],
+      basis: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(MatVecCentered(
+      GraftSqlBridge.expression(x), means, basis))
 
   def hyperplaneBucket(e: Column, bits: Int, stride: Int): Column =
     GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(e), bits, stride))

@@ -139,10 +139,18 @@ object Pca {
   }
 
   /** Map-only projection: (vec_id, y array<double> of length r).
-    * Means and basis are plan literals; the fold order inside each
-    * dot product is fixed left-to-right (`aggregate`), the
-    * [[Similarity]] determinism contract. */
-  def project(emb: DataFrame, model: PcaModel, r: Int): DataFrame = {
+    * Means and basis ride as model references inside the codegen'd
+    * [[graft.functions.MatVecCentered]] kernel — one tight r·d loop
+    * per row instead of r·d interpreted lambda calls; the fold order
+    * is the same ascending i, so results are bit-identical to the
+    * HOF ladder ([[projectHof]], the spec form ClusteringSpec pins). */
+  def project(emb: DataFrame, model: PcaModel, r: Int): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.VectorOps.matVecCentered(
+        col("embedding"), model.means, model.basis.take(r)).as("y"))
+
+  /** The declarative HOF spec of [[project]]. */
+  private[graft] def projectHof(emb: DataFrame, model: PcaModel, r: Int): DataFrame = {
     val meansLit = typedLit(model.means.toSeq)
     val basisLit = typedLit(model.basis.take(r).map(_.toSeq).toSeq)
     emb
@@ -218,18 +226,14 @@ object Pca {
     * chase different neighbors than the full-dim truth.) Zero-norm
     * rows are dropped, [[graft.functions.NearestCell]]'s non-NaN
     * precondition. */
-  def projectedVectors(emb: DataFrame, model: PcaModel, r: Int): DataFrame = {
-    val basisLit = typedLit(model.basis.take(r).map(_.toSeq).toSeq)
-    emb
-      .withColumn("xd", expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
-      .withColumn("e", transform(basisLit, bv =>
-        aggregate(zip_with(col("xd"), bv, (a, b) => a * b),
-          lit(0.0), (acc, p) => acc + p)))
+  def projectedVectors(emb: DataFrame, model: PcaModel, r: Int): DataFrame =
+    emb.select(col("vec_id"),
+        graft.functions.VectorOps.matVecCentered(col("embedding"),
+          Array.fill(model.means.length)(0.0), model.basis.take(r)).as("e"))
       .withColumn("nrm",
-        sqrt(aggregate(col("e"), lit(0.0), (a, v) => a + v * v)))
+        sqrt(graft.functions.VectorOps.dot(col("e"), col("e"))))
       .filter(col("nrm") > 0)
       .select(col("vec_id"), col("e"), col("nrm"))
-  }
 
   /** CHEAPER ANN, measured — the claim in this file's header made a
     * number: project to rank r, then run the SAME IVF plan

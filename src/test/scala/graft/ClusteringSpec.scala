@@ -249,16 +249,18 @@ class ClusteringSpec extends AnyFunSuite {
       .select(col("vec_id"), col("cluster"), col("dist"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(kern.sameElements(hof), "NearestOfL2 ≡ array_min(transform(struct))")
-    // sqDistL2 on vector pairs vs the fold
+    // sqDistL2 on vector pairs vs the fold — both forms evaluated on
+    // the SAME row (limit order is nondeterministic across collects)
     val pairs = v.select(col("vec_id"), col("x")).limit(50)
       .crossJoin(v.select(col("x").as("y")).limit(7))
-    val dk = pairs.select(FixedPointOps.sqDistL2(col("x"), col("y")))
-      .collect().map(_.getLong(0))
-    val dh = pairs.select(
+      .select(
+        FixedPointOps.sqDistL2(col("x"), col("y")).as("k"),
         aggregate(zip_with(col("x"), col("y"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, p) => acc + p))
-      .collect().map(_.getLong(0))
-    assert(dk.sameElements(dh), "SqDistL2 ≡ aggregate(zip_with)")
+          lit(0L), (acc, p) => acc + p).as("h"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r =>
+      assert(r.getLong(0) == r.getLong(1), "SqDistL2 ≡ aggregate(zip_with)"))
     // upper-triangle products vs the nested transform-of-slices
     val tk = v.select(col("vec_id"), FixedPointOps.upperTriProducts(col("x")).as("u"))
       .select(col("vec_id"), explode(col("u")))
@@ -271,6 +273,13 @@ class ClusteringSpec extends AnyFunSuite {
       .select(col("vec_id"), col("col.i"), col("col.j"), col("col.p"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(tk.sameElements(th), "UpperTriProducts ≡ nested transform-of-slices")
+    // PCA projection: kernel vs the HOF ladder, bit-exact doubles
+    val m = Pca.fit(spark, sf)
+    val pk = Pca.project(emb, m, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ph = Pca.projectHof(emb, m, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(pk == ph, "MatVecCentered ≡ transform/aggregate HOF ladder")
   }
 
   test("q126 surface: string columns are the decimal digits verbatim (hash-stable)") {

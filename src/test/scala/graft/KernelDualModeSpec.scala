@@ -219,6 +219,31 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("MatVecCentered dual-mode (centered and zero-means; float and double inputs)") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val fGen = Gen.listOfN(6, Gen.chooseNum(-0.6f, 0.6f))
+    val rows = (Gen.listOfN(50, fGen).sample.get ++
+      Seq(Nil, List(1.0f, 2.0f)) /* length mismatch → null */)
+      .toDF("f")
+    val means = Array(0.1, -0.2, 0.0, 0.3, -0.1, 0.05)
+    val basis = Array(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.5, 0.5, 0.0, 0.0, 0.0),
+      Array(0.1, 0.1, 0.1, 0.1, 0.1, 0.1))
+    for (m <- Seq(means, Array.fill(6)(0.0))) {
+      dualMode {
+        rows.select(VectorOps.matVecCentered(col("f"), m, basis).as("v"))
+          .collect().map(_.toString)
+      }
+      dualMode {
+        rows.select(VectorOps.matVecCentered(
+            col("f").cast("array<double>"), m, basis).as("v"))
+          .collect().map(_.toString)
+      }
+    }
+  }
+
   test("QuantizeFixed dual-mode (float and double inputs; scales 1 and 2^20)") {
     import spark.implicits._
     import graft.functions.FixedPointOps
