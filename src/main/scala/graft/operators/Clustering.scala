@@ -260,6 +260,36 @@ object Clustering {
         (col("n_close_smaller") === 0).cast("int").as("kept"))
   }
 
+  /** HOT-CELL-capped prune — the mega-cell guard every other blocked
+    * candidate generator in this library carries (q18/q56's bucket
+    * caps, q19's maxDf): a degenerate cluster (all-zero embeddings, a
+    * template-collapsed crawl) makes one cell's |cell|² dominate the
+    * pair join no matter how k was chosen. Cells whose population
+    * exceeds `maxCell` are EXCLUDED from pairing — their members come
+    * back kept=1 / n_close_smaller=0 with `cell_capped = 1`, the
+    * retention-safe verdict (never false-prune on unadjudicated
+    * cells) plus the explicit flag the pipeline escalates on
+    * (sub-cluster that cell: train a finer model inside it, the
+    * [[trainHierarchical]] fine step applied locally). The cell-size
+    * frame is k rows, broadcast. The oracled q125 stays uncapped
+    * (fixture cells are bounded by construction); this is the
+    * deployment knob, spec-verified with a planted mega-cell. */
+  def semdedupPruneCapped(withVec: DataFrame, maxCell: Int,
+      pruneT: Long = PruneT): DataFrame = {
+    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
+    val sizes = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+    val flagged = withVec.join(broadcast(sizes), Seq("cluster"))
+    val ok = flagged.filter(col("cell_n") <= maxCell)
+      .select(col("vec_id"), col("x"), col("cluster"))
+    val capped = flagged.filter(col("cell_n") > maxCell)
+    semdedupPruneOf(ok, pruneT)
+      .withColumn("cell_capped", lit(0))
+      .unionByName(capped.select(
+        col("vec_id"), col("cluster"),
+        lit(0L).as("n_close_smaller"), lit(1).as("kept"),
+        lit(1).as("cell_capped")))
+  }
+
   val semdedupPruneSql: String =
     s"""WITH $kmeansCte,
        |pr AS (

@@ -75,6 +75,34 @@ class ClusteringSpec extends AnyFunSuite {
     assert(verdicts.size == asg.count().toInt + 1, "verdict per vector")
   }
 
+  test("semdedup hot-cell cap: mega-cell members flagged + kept, bounded cells " +
+      "identical to the uncapped prune") {
+    import spark.implicits._
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val asg = Clustering.assignWith(v, cents).select($"vec_id", $"x", $"cluster")
+    val sizes = asg.groupBy($"cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val biggest = sizes.maxBy(_._2)._1
+    val cap = (sizes.values.max - 1).toInt // caps exactly the biggest cell
+    require(sizes.values.count(_ > cap) == 1, "fixture must have a unique max cell")
+    val out = Clustering.semdedupPruneCapped(asg, cap).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out.size == asg.count().toInt, "verdict per vector, capped or not")
+    // capped cell: every member kept, zero pairs, flag set
+    out.filter(_._2._1 == biggest).values.foreach { case (_, n, kept, capped) =>
+      assert(n == 0L && kept == 1 && capped == 1, "mega-cell member flagged + kept")
+    }
+    // bounded cells: byte-equal to the uncapped prune restricted to them
+    val uncapped = Clustering.semdedupPruneOf(asg).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    out.filter(_._2._1 != biggest).foreach { case (id, (cl, n, kept, capped)) =>
+      assert(capped == 0)
+      assert(uncapped(id) == ((cl, n, kept)), s"bounded-cell verdict of $id unchanged")
+    }
+  }
+
   test("diversity sample: per-cluster quota, farthest-first, subset of assignment") {
     CacheRegistry.releaseAll()
     val asg = Clustering.kmeansAssign(spark, sf).collect()
