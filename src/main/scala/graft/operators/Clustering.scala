@@ -173,13 +173,14 @@ object Clustering {
   }
 
   /** Shared CTE prefix: quantize → seed → assign → update → assign,
-    * the same unrolled iteration the Spark side runs. */
-  private val kmeansCte: String =
+    * the same unrolled iteration the Spark side runs. `k`-threaded so
+    * the hierarchical oracle (q130) can reuse it as its coarse level. */
+  private def kmeansCteK(k: Int): String =
     s"""v AS (
        |  SELECT vec_id, ${fixDuck("embedding")} AS x, label FROM embeddings),
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x AS cv
-       |  FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT $K)),
+       |  FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT $k)),
        |d1 AS (
        |  SELECT v.vec_id, v.x, v.label, s.cid,
        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -212,6 +213,8 @@ object Clustering {
        |  SELECT vec_id, x, label, cid, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  private val kmeansCte: String = kmeansCteK(K)
 
   val kmeansAssignSql: String =
     s"""WITH $kmeansCte
@@ -603,6 +606,75 @@ object Clustering {
       .withColumn("dist", col("fasg.dist"))
       .drop("casg", "ccl", "fasg")
   }
+
+  // --------------------------------------------------------------- q130
+
+  /** q130 pins k=16 → kc=4 coarse × kf=4 fine. */
+  val HierK = 16
+
+  /** q130: TWO-LEVEL K-MEANS ASSIGNMENT, oracled — the hierarchical
+    * ladder ([[trainHierarchical]]/[[assignHierarchical]]) promoted
+    * from spec-verified to HASH-MATCHED: because every step is
+    * fixed-point integer arithmetic, the entire two-level pipeline —
+    * coarse 2-iteration Lloyd, frozen-coarse fine seeding, one
+    * distributed fine update with the keep-if-emptied rule, and the
+    * coarse-then-fine final argmin — unrolls into one DuckDB CTE that
+    * reproduces Spark bit-for-bit. This is the assignment the scale
+    * path actually serves (O(√k) per vector), so its verdicts deserve
+    * the same gate as flat q124's.
+    *
+    * Oracle caveat (spec-asserted): the engine's empty-COARSE-cell
+    * fallback (fine list = the coarse centroid) has no CTE mirror;
+    * the fixture trains 4 non-empty coarse cells at every driver sf,
+    * where both definitions coincide. The fine keep-if-emptied rule
+    * IS mirrored (the fcf coalesce). */
+  def hierAssign(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    assignHierarchical(v, trainHierarchical(v, HierK))
+      .select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  private def fdistDuck(x: String, fv: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(generate_series(1, 64),
+       |             i -> ($x[i] - $fv[i]) * ($x[i] - $fv[i]))),
+       |           (a, b) -> a + b)""".stripMargin
+
+  val hierAssignSql: String =
+    s"""WITH ${kmeansCteK(4)},
+       |fseed AS (
+       |  SELECT cid AS ccl,
+       |         CAST(row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS INT) AS fcl,
+       |         x AS fv
+       |  FROM a2 QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id) <= 4),
+       |fd1 AS (
+       |  SELECT a.vec_id, a.x, a.cid AS ccl, f.fcl,
+       |         ${fdistDuck("a.x", "f.fv")} AS fdist
+       |  FROM a2 a JOIN fseed f ON f.ccl = a.cid),
+       |fa1 AS (
+       |  SELECT vec_id, x, ccl, fcl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fdist, fcl) AS rn
+       |    FROM fd1) WHERE rn = 1),
+       |fu1 AS (
+       |  SELECT ccl, fcl, i, sum(x[i]) AS s, count(*) AS n
+       |  FROM fa1 CROSS JOIN generate_series(1, 64) AS t(i)
+       |  GROUP BY ccl, fcl, i),
+       |fc1 AS (
+       |  SELECT ccl, fcl, list(CAST(s // n AS BIGINT) ORDER BY i) AS fv
+       |  FROM fu1 GROUP BY ccl, fcl),
+       |fcf AS (
+       |  SELECT f.ccl, f.fcl, coalesce(c.fv, f.fv) AS fv
+       |  FROM fseed f LEFT JOIN fc1 c ON c.ccl = f.ccl AND c.fcl = f.fcl),
+       |fd2 AS (
+       |  SELECT a.vec_id, a.cid AS ccl, f.fcl,
+       |         ${fdistDuck("a.x", "f.fv")} AS fdist
+       |  FROM a2 a JOIN fcf f ON f.ccl = a.cid),
+       |fa2 AS (
+       |  SELECT vec_id, ccl, fcl, fdist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fdist, fcl) AS rn
+       |    FROM fd2) WHERE rn = 1)
+       |SELECT vec_id, ccl * 4 + fcl AS cluster, fdist AS dist FROM fa2""".stripMargin
 
   // ------------------------------------------------- stored lifecycle
 

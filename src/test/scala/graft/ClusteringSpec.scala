@@ -379,6 +379,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(pruned.count() == vecs.size, "verdict per vector")
   }
 
+  test("q130 oracle precondition: every coarse cell non-empty at both driver sfs " +
+      "(where the engine's empty-cell fallback and the CTE coincide)") {
+    for (dir <- Seq(sf, sf01)) {
+      CacheRegistry.releaseAll()
+      val v = Clustering.fixedPoint(spark, dir)
+      val kc = math.ceil(math.sqrt(Clustering.HierK.toDouble)).toInt
+      val coarse = Clustering.trainCentroids(v, kc)
+      val used = Clustering.assignWith(v, coarse)
+        .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+      assert(used == (0 until kc).toSet,
+        s"$dir: coarse cells $used must cover 0..${kc - 1} — the q130 CTE has no " +
+          "empty-cell fallback (Clustering.hierAssign scaladoc)")
+      // and q130's verdict frame is replay-consistent with the model path
+      val viaQuery = Clustering.hierAssign(spark, dir).collect()
+        .map(_.toSeq).sortBy(_.toString)
+      val m = Clustering.trainHierarchical(v, Clustering.HierK)
+      val viaModel = Clustering.assignHierarchical(v, m)
+        .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaQuery.sameElements(viaModel), s"$dir: q130 ≡ model-path assignment")
+    }
+  }
+
   test("stored two-level model: bit-exact round-trip and fresh-session serve equality") {
     CacheRegistry.releaseAll()
     val v = Clustering.fixedPoint(spark, sf01)

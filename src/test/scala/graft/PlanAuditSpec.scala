@@ -189,7 +189,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // SqDistL2 the pair-join fold, UpperTriProducts q126's nested
       // transform-of-slices
       "q124_kmeans_assign", "q125_semdedup_prune", "q126_gram_matrix",
-      "q127_diversity_sample", "q129_cluster_profile").foreach { name =>
+      "q127_diversity_sample", "q129_cluster_profile",
+      "q130_hier_assign").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
