@@ -641,8 +641,12 @@ object Clustering {
        |             i -> ($x[i] - $fv[i]) * ($x[i] - $fv[i]))),
        |           (a, b) -> a + b)""".stripMargin
 
-  val hierAssignSql: String =
-    s"""WITH ${kmeansCteK(4)},
+  /** The q130/q131 shared CTE: [[kmeansCteK]](4) coarse, then the
+    * unrolled fine level; `fa2` ends with (vec_id, x, ccl, fcl,
+    * fdist) — x retained so the q131 pair join can block on the
+    * two-level cells. */
+  private val hierCte: String =
+    s"""${kmeansCteK(4)},
        |fseed AS (
        |  SELECT cid AS ccl,
        |         CAST(row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS INT) AS fcl,
@@ -667,14 +671,49 @@ object Clustering {
        |  SELECT f.ccl, f.fcl, coalesce(c.fv, f.fv) AS fv
        |  FROM fseed f LEFT JOIN fc1 c ON c.ccl = f.ccl AND c.fcl = f.fcl),
        |fd2 AS (
-       |  SELECT a.vec_id, a.cid AS ccl, f.fcl,
+       |  SELECT a.vec_id, a.x, a.cid AS ccl, f.fcl,
        |         ${fdistDuck("a.x", "f.fv")} AS fdist
        |  FROM a2 a JOIN fcf f ON f.ccl = a.cid),
        |fa2 AS (
-       |  SELECT vec_id, ccl, fcl, fdist FROM (
+       |  SELECT vec_id, x, ccl, fcl, fdist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY fdist, fcl) AS rn
-       |    FROM fd2) WHERE rn = 1)
+       |    FROM fd2) WHERE rn = 1)""".stripMargin
+
+  val hierAssignSql: String =
+    s"""WITH $hierCte
        |SELECT vec_id, ccl * 4 + fcl AS cluster, fdist AS dist FROM fa2""".stripMargin
+
+  // --------------------------------------------------------------- q131
+
+  /** q131: SEMDEDUP PRUNE OVER THE TWO-LEVEL CELLS — the at-scale
+    * composition spelled out end to end and hash-matched: the
+    * hierarchical cells (trained O(n·√k), assigned O(√k)/vector,
+    * q130's pipeline) serve as the blocking key for the SemDeDup
+    * pair join, exactly how the family deploys when k grows with the
+    * corpus. Same per-vector verdict shape as flat q125; the prune
+    * seam ([[semdedupPruneOf]]) takes the hierarchical frame
+    * unchanged — cells are cells. k=16 cells vs q125's 8 also means
+    * finer blocking: candidate mass Σ|cell|² roughly halves. */
+  def hierSemdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    semdedupPruneOf(
+      assignHierarchical(v, trainHierarchical(v, HierK))
+        .select(col("vec_id"), col("x"), col("cluster")))
+  }
+
+  val hierSemdedupPruneSql: String =
+    s"""WITH $hierCte,
+       |hv AS (SELECT vec_id, x, ccl * 4 + fcl AS cluster FROM fa2),
+       |pr AS (
+       |  SELECT b.vec_id, b.cluster, count(a.vec_id) AS n_close_smaller
+       |  FROM hv b LEFT JOIN hv a
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |   AND ${fdistDuck("a.x", "b.x")} < $PruneT
+       |  GROUP BY b.vec_id, b.cluster)
+       |SELECT vec_id, cluster, n_close_smaller,
+       |       CAST(n_close_smaller = 0 AS INT) AS kept
+       |FROM pr""".stripMargin
 
   // ------------------------------------------------- stored lifecycle
 
