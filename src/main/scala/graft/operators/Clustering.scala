@@ -715,6 +715,70 @@ object Clustering {
        |       CAST(n_close_smaller = 0 AS INT) AS kept
        |FROM pr""".stripMargin
 
+  // --------------------------------------------------------------- q132
+
+  /** q132's "arriving batch" slice rule (deterministic, ~14% of the
+    * corpus — disjoint from the q21 query slice). */
+  val DriftMod = 7L; val DriftRes = 3L
+
+  /** q132: EMBEDDING-SPACE DRIFT MONITOR — the semantic sibling of
+    * q119's cohort drift: assign the ARRIVING batch to the stored
+    * k-means cells and compare its per-cell distribution against the
+    * corpus baseline. A batch whose cell mix diverges (a cell's share
+    * jumping or collapsing) signals the upstream source shifted in
+    * EMBEDDING space — topic drift, a crawler stuck in one domain, a
+    * broken encoder — before any of it reaches training. Integer
+    * ppm shares (10⁶·n div total), so the verdict is engine-portable.
+    *
+    * Scale shape: the baseline side is the stored assigned corpus
+    * (k counts — the nightly build's table aggregated once); the
+    * arrival side is one map-only assignment + a k-key count. The
+    * share totals come from a window over the k-ROW frame (no 1-row
+    * scalar cross join, no corpus-sized second pass). Serving twin:
+    * the same arithmetic over [[loadAssignedCorpus]] counts +
+    * [[assignStored]] arrivals — model-sized everything. */
+  def clusterDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val asg = assignWith(v, trainCentroids(v)).select(col("vec_id"), col("cluster"))
+    clusterDriftOf(
+      asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
+      asg.filter(col("vec_id") % DriftMod === DriftRes)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_new")))
+  }
+
+  /** The drift arithmetic over two k-row (cluster, count) frames —
+    * the seam the serving twin drives with stored-table counts. */
+  def clusterDriftOf(base: DataFrame, fresh: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    base.join(fresh, Seq("cluster"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("t_base", sum(col("n_base")).over(w))
+      .withColumn("t_new", sum(col("n_new")).over(w))
+      .select(col("cluster"), col("n_base"), col("n_new"),
+        expr("1000000 * n_base div t_base").as("base_ppm"),
+        expr("CASE WHEN t_new = 0 THEN 0 ELSE 1000000 * n_new div t_new END").as("new_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("new_ppm") - col("base_ppm")))
+  }
+
+  val clusterDriftSql: String =
+    s"""WITH $kmeansCte,
+       |b AS (SELECT cid AS cluster, count(*) AS n_base FROM a2 GROUP BY cid),
+       |f AS (SELECT cid AS cluster, count(*) AS n_new FROM a2
+       |      WHERE vec_id % $DriftMod = $DriftRes GROUP BY cid),
+       |j AS (
+       |  SELECT b.cluster, b.n_base, coalesce(f.n_new, 0) AS n_new,
+       |         CAST(sum(b.n_base) OVER () AS BIGINT) AS t_base,
+       |         CAST(sum(coalesce(f.n_new, 0)) OVER () AS BIGINT) AS t_new
+       |  FROM b LEFT JOIN f ON f.cluster = b.cluster)
+       |SELECT cluster, n_base, n_new,
+       |       1000000 * n_base // t_base AS base_ppm,
+       |       CASE WHEN t_new = 0 THEN 0 ELSE 1000000 * n_new // t_new END AS new_ppm,
+       |       abs((CASE WHEN t_new = 0 THEN 0 ELSE 1000000 * n_new // t_new END)
+       |           - (1000000 * n_base // t_base)) AS drift_ppm
+       |FROM j""".stripMargin
+
   // ------------------------------------------------- stored lifecycle
 
   /** Persist the trained centroid model as a [[FpIndex]] flat table

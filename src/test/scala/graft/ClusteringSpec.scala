@@ -401,6 +401,31 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster drift serving twin: stored assigned-corpus counts + stored-model " +
+      "arrival assignment reproduce the batch q132 rows exactly") {
+    CacheRegistry.releaseAll()
+    val want = Clustering.clusterDrift(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    // the serve path: counts from the stored assigned corpus, arrivals
+    // assigned against the stored centroid model — model-sized math only
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val root = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Clustering.saveCentroids(spark, s"$root/cents", cents)
+    Clustering.saveAssignedCorpus(spark, s"$root/asg",
+      Clustering.assignedCorpus(v, cents))
+    val serve = spark.newSession()
+    val base = Clustering.loadAssignedCorpus(serve, s"$root/asg")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val arrivals = Tables.embeddings(serve, sf)
+      .filter(col("vec_id") % Clustering.DriftMod === Clustering.DriftRes)
+    val fresh = Clustering.assignStored(serve, s"$root/cents", arrivals)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+    val got = Clustering.clusterDriftOf(base, fresh).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(want), "served drift == batch q132")
+  }
+
   test("stored two-level model: bit-exact round-trip and fresh-session serve equality") {
     CacheRegistry.releaseAll()
     val v = Clustering.fixedPoint(spark, sf01)
