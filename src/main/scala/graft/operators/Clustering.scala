@@ -779,6 +779,96 @@ object Clustering {
        |           - (1000000 * n_base // t_base)) AS drift_ppm
        |FROM j""".stripMargin
 
+  // --------------------------------------------------------------- q133
+
+  /** q133: EMBEDDING CURATION FUNNEL — the vector-side capstone
+    * mirroring q123's text funnel: one frame a curation run reports,
+    * with per-stage survivor mass and retention ppm for the embedding
+    * ladder — input → SemDeDup survivors (q125's verdicts) →
+    * cluster-balanced diversity quota (q127's rule applied to the
+    * SURVIVORS, the order a real pass runs: dedup first, then
+    * subsample what remains). Mass = vector count + inertia (Σ dist —
+    * how much geometric spread each stage keeps; a funnel that
+    * retains count but collapses inertia kept the prototypical core
+    * and threw away the diversity, the exact failure q127's
+    * farthest-first rule exists to avoid).
+    *
+    * Scale shape: the stages reuse the audited q124/q125 plans; the
+    * stage table is 3 rows and the input totals ride a window over
+    * it — no scalar cross join, no extra corpus pass. */
+  def embedCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.funnelAsg:$dir")(
+      assignWith(v, trainCentroids(v))
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    val surv = asg.join(
+      semdedupPruneOf(asg.select(col("vec_id"), col("x"), col("cluster")))
+        .filter(col("kept") === 1).select(col("vec_id")),
+      "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist").desc, col("vec_id"))
+    val sampled = surv.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= SampleM)
+    def stage(id: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_vecs"),
+          coalesce(sum(col("dist")), lit(0L)).as("inertia"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_vecs"), col("inertia"))
+    val stages = stage(0, "input", asg)
+      .unionAll(stage(1, "semdedup", surv))
+      .unionAll(stage(2, "diversity_quota", sampled))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    stages
+      .withColumn("in_vecs",
+        sum(when(col("stage_id") === 0, col("n_vecs")).otherwise(0L)).over(wAll))
+      .withColumn("in_inertia",
+        sum(when(col("stage_id") === 0, col("inertia")).otherwise(0L)).over(wAll))
+      .select(col("stage_id"), col("stage"), col("n_vecs"), col("inertia"),
+        expr("1000000 * n_vecs div in_vecs").as("vec_retention_ppm"),
+        // inertia · 10⁶ overflows BIGINT (Σ dist ≈ 1.5e16 at sf0.01
+        // already) — widen the ppm numerator to DECIMAL(38,0), the
+        // q101/q115 rule; the ppm itself is back in bounded BIGINT
+        expr("""CAST(CASE WHEN in_inertia = 0 THEN 0
+               |     ELSE (CAST(inertia AS DECIMAL(38,0)) * 1000000)
+               |          div CAST(in_inertia AS DECIMAL(38,0)) END AS BIGINT)"""
+          .stripMargin).as("inertia_retention_ppm"))
+  }
+
+  val embedCurationFunnelSql: String =
+    s"""WITH $kmeansCte,
+       |pr AS (
+       |  SELECT b.vec_id, count(a.vec_id) AS n_close_smaller
+       |  FROM a2 b LEFT JOIN a2 a
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |   AND ${fdistDuck("a.x", "b.x")} < $PruneT
+       |  GROUP BY b.vec_id),
+       |surv AS (
+       |  SELECT a2.vec_id, a2.cid, a2.dist FROM a2
+       |  JOIN pr ON pr.vec_id = a2.vec_id AND pr.n_close_smaller = 0),
+       |samp AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY dist DESC, vec_id) AS rn
+       |    FROM surv) WHERE rn <= $SampleM),
+       |stages AS (
+       |  SELECT 0 AS stage_id, 'input' AS stage, count(*) AS n_vecs,
+       |         CAST(coalesce(sum(dist), 0) AS BIGINT) AS inertia FROM a2
+       |  UNION ALL
+       |  SELECT 1, 'semdedup', count(*), CAST(coalesce(sum(dist), 0) AS BIGINT) FROM surv
+       |  UNION ALL
+       |  SELECT 2, 'diversity_quota', count(*), CAST(coalesce(sum(dist), 0) AS BIGINT) FROM samp),
+       |tot AS (
+       |  SELECT *,
+       |         CAST(sum(CASE WHEN stage_id = 0 THEN n_vecs ELSE 0 END) OVER () AS BIGINT) AS in_vecs,
+       |         CAST(sum(CASE WHEN stage_id = 0 THEN inertia ELSE 0 END) OVER () AS BIGINT) AS in_inertia
+       |  FROM stages)
+       |SELECT stage_id, stage, n_vecs, inertia,
+       |       1000000 * n_vecs // in_vecs AS vec_retention_ppm,
+       |       CAST(CASE WHEN in_inertia = 0 THEN 0
+       |            ELSE (CAST(inertia AS HUGEINT) * 1000000)
+       |                 // CAST(in_inertia AS HUGEINT) END AS BIGINT) AS inertia_retention_ppm
+       |FROM tot""".stripMargin
+
   // ------------------------------------------------- stored lifecycle
 
   /** Persist the trained centroid model as a [[FpIndex]] flat table

@@ -426,6 +426,25 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.sameElements(want), "served drift == batch q132")
   }
 
+  test("embed funnel: stages strictly nested, input ppm exact, quota bound holds") {
+    CacheRegistry.releaseAll()
+    val rows = Clustering.embedCurationFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.keySet == Set(0, 1, 2))
+    val (in, sd, dq) = (rows(0), rows(1), rows(2))
+    assert(in._1 == "input" && sd._1 == "semdedup" && dq._1 == "diversity_quota")
+    assert(in._4 == 1000000L && in._5 == 1000000L, "input retention is exactly 1e6 ppm")
+    assert(in._2 >= sd._2 && sd._2 >= dq._2, "vector counts nest")
+    assert(in._3 >= sd._3 && sd._3 >= dq._3, "inertia nests")
+    assert(dq._2 <= Clustering.K.toLong * Clustering.SampleM, "quota bound")
+    // survivors replay: stage-1 count equals the q125 kept count
+    val kept = Clustering.semdedupPrune(spark, sf)
+      .filter(col("kept") === 1).count()
+    assert(sd._2 == kept, "semdedup stage == q125 kept verdicts")
+  }
+
   test("stored two-level model: bit-exact round-trip and fresh-session serve equality") {
     CacheRegistry.releaseAll()
     val v = Clustering.fixedPoint(spark, sf01)
