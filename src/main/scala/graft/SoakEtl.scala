@@ -480,7 +480,13 @@ object SoakCluster {
     Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
       "q124_kmeans_assign" -> operators.Clustering.kmeansAssign _,
       "q126_gram_matrix" -> operators.Clustering.gramMatrix _,
-      "q129_cluster_profile" -> operators.Clustering.clusterProfile _
+      "q129_cluster_profile" -> operators.Clustering.clusterProfile _,
+      // q125/q131/q133 (the pair-join family) stay OUT of the
+      // replication soak — replicas are exact dups of their siblings,
+      // growing pair output n² by construction; their scaling row is
+      // the fresh-vector fixed-cell-size block below
+      "q130_hier_assign" -> operators.Clustering.hierAssign _,
+      "q132_cluster_drift" -> operators.Clustering.clusterDrift _
     ).foreach { case (name, fn) =>
       def run(dir: String): Double = {
         CacheRegistry.releaseAll()
