@@ -293,6 +293,56 @@ object Clustering {
         lit(1).as("cell_capped")))
   }
 
+  // --------------------------------------------------------------- q134
+
+  /** q134's corpus-relative cap: 112.5% of the MEAN cell (9n/8k,
+    * integer floor) — a cell is "hot" when it holds meaningfully more
+    * than its fair share, the definition that scales with the corpus
+    * instead of hard-coding a fixture size. */
+  val CapNum = 9L; val CapDen = 8L
+
+  /** q134: the HOT-CELL-CAPPED prune as an oracled query — the
+    * deployment shape of q125 gated end to end: cells above the
+    * corpus-relative cap skip pairing (members kept + flagged), cells
+    * below prune exactly as q125 does. On the fixture the cap lands
+    * between the mean and the top cells, so BOTH branches are
+    * exercised and hash-matched. */
+  def cappedSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val asg = assignWith(v, trainCentroids(v))
+      .select(col("vec_id"), col("x"), col("cluster"))
+    val n = v.count() // one count over the cached frame — model-sized
+    semdedupPruneCapped(asg, ((CapNum * n) / (CapDen * K)).toInt)
+  }
+
+  val cappedSemdedupSql: String =
+    s"""WITH $kmeansCte,
+       |tot AS (SELECT count(*) AS n FROM v),
+       |sz AS (SELECT cid, count(*) AS cell_n FROM a2 GROUP BY cid),
+       |ok AS (
+       |  SELECT a2.vec_id, a2.x, a2.cid FROM a2
+       |  JOIN sz ON sz.cid = a2.cid CROSS JOIN tot
+       |  WHERE sz.cell_n <= ($CapNum * tot.n) // ($CapDen * $K)),
+       |capped AS (
+       |  SELECT a2.vec_id, a2.cid FROM a2
+       |  JOIN sz ON sz.cid = a2.cid CROSS JOIN tot
+       |  WHERE sz.cell_n > ($CapNum * tot.n) // ($CapDen * $K)),
+       |pr AS (
+       |  SELECT b.vec_id, b.cid AS cluster, count(a.vec_id) AS n_close_smaller
+       |  FROM ok b LEFT JOIN ok a
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |   AND ${fdistDuck("a.x", "b.x")} < $PruneT
+       |  GROUP BY b.vec_id, b.cid)
+       |SELECT vec_id, cluster, n_close_smaller,
+       |       CAST(n_close_smaller = 0 AS INT) AS kept,
+       |       CAST(0 AS INT) AS cell_capped
+       |FROM pr
+       |UNION ALL
+       |SELECT vec_id, cid AS cluster, CAST(0 AS BIGINT) AS n_close_smaller,
+       |       CAST(1 AS INT) AS kept, CAST(1 AS INT) AS cell_capped
+       |FROM capped""".stripMargin
+
   val semdedupPruneSql: String =
     s"""WITH $kmeansCte,
        |pr AS (

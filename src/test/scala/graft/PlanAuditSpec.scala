@@ -191,7 +191,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q124_kmeans_assign", "q125_semdedup_prune", "q126_gram_matrix",
       "q127_diversity_sample", "q129_cluster_profile",
       "q130_hier_assign", "q131_hier_semdedup",
-      "q132_cluster_drift", "q133_embed_funnel").foreach { name =>
+      "q132_cluster_drift", "q133_embed_funnel",
+      "q134_capped_semdedup").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
