@@ -65,7 +65,11 @@ object Clustering {
   val TargetCellSize = 1000
 
   def kForCorpus(n: Long, targetCellSize: Int = TargetCellSize): Int =
-    math.max(1, math.min(n, n / math.max(1, targetCellSize)).toInt)
+    // clamp BEFORE the narrowing: n / cell can exceed Int.MaxValue at
+    // extreme corpus sizes, where a bare .toInt wraps negative and a
+    // downstream trainCentroids would see a nonsense k
+    math.max(1, math.min(math.min(n, n / math.max(1, targetCellSize)),
+      Int.MaxValue.toLong).toInt)
 
   /** SemDeDup prune threshold in fixed-point squared-L2 units.
     * Calibrated on the fixture distance distribution: the closest
@@ -116,20 +120,28 @@ object Clustering {
   /** One Lloyd update: element-wise centroid sums via posexplode →
     * groupBy(cluster, dim) (map-side combined; k·d rows reach the
     * driver), floor-divided to quantized integer centroids; a cluster
-    * that lost every member keeps its previous centroid. */
+    * that lost every member keeps its previous centroid.
+    *
+    * The component sums run in DECIMAL(38,0): a BIGINT Σxᵢ wraps
+    * silently once a cell holds ≳1.5e13 members (|x| ≲ 6e5 scaled) —
+    * far beyond tested scale but exactly where an engine must not
+    * diverge from an exact-arithmetic oracle (the q126/q101 widening
+    * rule). BigInt `/` truncates toward zero like Long `/`, DuckDB
+    * `//`, and Spark `div`, so the quantized quotient stays portable. */
   private def updateCentroids(
       assigned: DataFrame, prev: Seq[Array[Long]]): Seq[Array[Long]] = {
     val rows = assigned.select(col("cluster"), posexplode(col("x")))
       .groupBy(col("cluster"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
       .collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))))
       .toMap
     prev.indices.map { cid =>
       if (rows.contains((cid, 0)))
         prev(cid).indices.map { d =>
           val (s, n) = rows((cid, d))
-          s / n // Long division truncates toward zero == div == //
+          (s / n).toLong // BigInt division truncates toward zero == div == //
         }.toArray
       else prev(cid)
     }
@@ -276,10 +288,15 @@ object Clustering {
     * [[trainHierarchical]] fine step applied locally). The cell-size
     * frame is k rows, broadcast. The oracled q125 stays uncapped
     * (fixture cells are bounded by construction); this is the
-    * deployment knob, spec-verified with a planted mega-cell. */
+    * deployment knob, spec-verified with a planted mega-cell.
+    *
+    * A cap ≤ 0 means EVERY cell is over cap (all rows kept + flagged,
+    * nothing paired) — the same verdict the q134 oracle's relational
+    * form evaluates to on degenerate input (9n/8k floors to 0 for
+    * n < 8k/9), so the engines agree on ALL inputs instead of Spark
+    * throwing where DuckDB answers. */
   def semdedupPruneCapped(withVec: DataFrame, maxCell: Int,
       pruneT: Long = PruneT): DataFrame = {
-    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     val sizes = withVec.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
     val flagged = withVec.join(broadcast(sizes), Seq("cluster"))
     val ok = flagged.filter(col("cell_n") <= maxCell)
@@ -615,7 +632,8 @@ object Clustering {
   /** One distributed fine-Lloyd round over every coarse cell at once:
     * nested-literal probe (fines of OWN coarse cell only), then a
     * (ccl, fcl, dim)-keyed map-side-combined update — k·d rows to the
-    * driver, the same model-sized collect as the flat update. */
+    * driver, the same model-sized collect as the flat update (DECIMAL
+    * sums per [[updateCentroids]]'s widening rule). */
   private def updateFine(
       asgC: DataFrame, fine: Seq[Seq[Array[Long]]]): Seq[Seq[Array[Long]]] = {
     val finesLit = typedLit(fine.map(_.map(_.toSeq)))
@@ -624,15 +642,16 @@ object Clustering {
         col("x"), element_at(finesLit, col("ccl") + 1)))
       .select(col("ccl"), col("fasg.cid").as("fcl"), posexplode(col("x")))
       .groupBy(col("ccl"), col("fcl"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("col").cast("decimal(38,0)")).as("s"), count(lit(1)).as("n"))
       .collect()
-      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (BigInt(r.getDecimal(3).toBigInteger), r.getLong(4))))
       .toMap
     fine.zipWithIndex.map { case (cents, c) =>
       cents.indices.map { f =>
         if (rows.contains((c, f, 0)))
           cents(f).indices.map { d =>
-            val (s, n) = rows((c, f, d)); s / n
+            val (s, n) = rows((c, f, d)); (s / n).toLong
           }.toArray
         else cents(f)
       }.toSeq
@@ -860,9 +879,17 @@ object Clustering {
       .partitionBy(col("cluster")).orderBy(col("dist").desc, col("vec_id"))
     val sampled = surv.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= SampleM)
+    // inertia accumulates in DECIMAL(38,0) end to end: a BIGINT Σdist
+    // wraps silently a few orders of magnitude past sf0.01 (Σ ≈ 1.5e16
+    // there already, per-pair dist ≲ 3e13) while the oracle's HUGEINT
+    // is exact — so the SUM is widened, not just the ppm numerator
+    // (r12 form), and the result surface emits the exact digits as a
+    // STRING (the q126/q115 convention: DECIMAL output defeats the
+    // driver hash). The bounded ppm stays BIGINT.
     def stage(id: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_vecs"),
-          coalesce(sum(col("dist")), lit(0L)).as("inertia"))
+          coalesce(sum(col("dist").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("inertia"))
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
           col("n_vecs"), col("inertia"))
     val stages = stage(0, "input", asg)
@@ -873,12 +900,11 @@ object Clustering {
       .withColumn("in_vecs",
         sum(when(col("stage_id") === 0, col("n_vecs")).otherwise(0L)).over(wAll))
       .withColumn("in_inertia",
-        sum(when(col("stage_id") === 0, col("inertia")).otherwise(0L)).over(wAll))
-      .select(col("stage_id"), col("stage"), col("n_vecs"), col("inertia"),
+        sum(when(col("stage_id") === 0, col("inertia"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).over(wAll))
+      .select(col("stage_id"), col("stage"), col("n_vecs"),
+        col("inertia").cast("string").as("inertia"),
         expr("1000000 * n_vecs div in_vecs").as("vec_retention_ppm"),
-        // inertia · 10⁶ overflows BIGINT (Σ dist ≈ 1.5e16 at sf0.01
-        // already) — widen the ppm numerator to DECIMAL(38,0), the
-        // q101/q115 rule; the ppm itself is back in bounded BIGINT
         expr("""CAST(CASE WHEN in_inertia = 0 THEN 0
                |     ELSE (CAST(inertia AS DECIMAL(38,0)) * 1000000)
                |          div CAST(in_inertia AS DECIMAL(38,0)) END AS BIGINT)"""
@@ -902,21 +928,20 @@ object Clustering {
        |    FROM surv) WHERE rn <= $SampleM),
        |stages AS (
        |  SELECT 0 AS stage_id, 'input' AS stage, count(*) AS n_vecs,
-       |         CAST(coalesce(sum(dist), 0) AS BIGINT) AS inertia FROM a2
+       |         CAST(coalesce(sum(CAST(dist AS HUGEINT)), 0) AS HUGEINT) AS inertia FROM a2
        |  UNION ALL
-       |  SELECT 1, 'semdedup', count(*), CAST(coalesce(sum(dist), 0) AS BIGINT) FROM surv
+       |  SELECT 1, 'semdedup', count(*), CAST(coalesce(sum(CAST(dist AS HUGEINT)), 0) AS HUGEINT) FROM surv
        |  UNION ALL
-       |  SELECT 2, 'diversity_quota', count(*), CAST(coalesce(sum(dist), 0) AS BIGINT) FROM samp),
+       |  SELECT 2, 'diversity_quota', count(*), CAST(coalesce(sum(CAST(dist AS HUGEINT)), 0) AS HUGEINT) FROM samp),
        |tot AS (
        |  SELECT *,
        |         CAST(sum(CASE WHEN stage_id = 0 THEN n_vecs ELSE 0 END) OVER () AS BIGINT) AS in_vecs,
-       |         CAST(sum(CASE WHEN stage_id = 0 THEN inertia ELSE 0 END) OVER () AS BIGINT) AS in_inertia
+       |         CAST(sum(CASE WHEN stage_id = 0 THEN inertia ELSE 0 END) OVER () AS HUGEINT) AS in_inertia
        |  FROM stages)
-       |SELECT stage_id, stage, n_vecs, inertia,
+       |SELECT stage_id, stage, n_vecs, CAST(inertia AS VARCHAR) AS inertia,
        |       1000000 * n_vecs // in_vecs AS vec_retention_ppm,
        |       CAST(CASE WHEN in_inertia = 0 THEN 0
-       |            ELSE (CAST(inertia AS HUGEINT) * 1000000)
-       |                 // CAST(in_inertia AS HUGEINT) END AS BIGINT) AS inertia_retention_ppm
+       |            ELSE (inertia * 1000000) // in_inertia END AS BIGINT) AS inertia_retention_ppm
        |FROM tot""".stripMargin
 
   // ------------------------------------------------- stored lifecycle

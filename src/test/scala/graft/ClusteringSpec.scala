@@ -101,6 +101,15 @@ class ClusteringSpec extends AnyFunSuite {
       assert(capped == 0)
       assert(uncapped(id) == ((cl, n, kept)), s"bounded-cell verdict of $id unchanged")
     }
+    // degenerate cap (9n/8k floors to 0 on a tiny corpus): every cell
+    // over cap — all rows kept + flagged, zero pairs, no exception;
+    // matches the q134 oracle's relational reading of cap 0
+    val all0 = Clustering.semdedupPruneCapped(asg, 0).collect()
+      .map(r => (r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(all0.length == asg.count().toInt, "cap 0: verdict per vector")
+    all0.foreach { case (n, kept, capped) =>
+      assert(n == 0L && kept == 1 && capped == 1, "cap 0 == everything capped")
+    }
   }
 
   test("diversity sample: per-cluster quota, farthest-first, subset of assignment") {
@@ -430,7 +439,7 @@ class ClusteringSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
     val rows = Clustering.embedCurationFunnel(spark, sf).collect()
       .map(r => r.getInt(0) ->
-        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        (r.getString(1), r.getLong(2), BigInt(r.getString(3)), r.getLong(4), r.getLong(5)))
       .toMap
     assert(rows.keySet == Set(0, 1, 2))
     val (in, sd, dq) = (rows(0), rows(1), rows(2))
