@@ -484,6 +484,78 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.sameElements(want), "served == in-session")
   }
 
+  test("fine model as data: frames-trained ≡ literal-trained, joined assignment " +
+      "bit-exact vs the literal path, threshold dispatch agrees") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf)
+    val lit = Clustering.trainHierarchical(v, 16)
+    val frames = Clustering.trainHierarchicalFrames(v, 16)
+    assert(frames.kf == lit.kf && frames.kTotal == 16)
+    assert(frames.coarse.length == lit.coarse.length)
+    frames.coarse.zip(lit.coarse).foreach { case (a, b) =>
+      assert(a.sameElements(b), "coarse bits") }
+    // the fine FRAME holds exactly the literal model's centroids
+    val fineRows = frames.fine.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+    val want = lit.fine.indices.flatMap(c =>
+      lit.fine(c).indices.map(f => (c, f) -> lit.fine(c)(f))).toMap
+    assert(fineRows.keySet == want.keySet, "same fine cells")
+    want.foreach { case (k, w) =>
+      assert(fineRows(k).sameElements(w), s"fine cell $k bits") }
+    // joined assignment ≡ literal assignment, three ways: the frames
+    // model, the interop seam (frame FROM the literal model), and the
+    // threshold dispatch (collects back to literal at this k)
+    val viaLit = Clustering.assignHierarchical(v, lit)
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    def joined(m: Clustering.HierModelDf) =
+      Clustering.assignHierarchicalJoined(v, m)
+        .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    assert(joined(frames).sameElements(viaLit), "frames-trained joined ≡ literal")
+    assert(joined(Clustering.HierModelDf(
+        lit.coarse, Clustering.fineFrameOf(spark, lit), lit.kf, 16))
+      .sameElements(viaLit), "interop seam ≡ literal")
+    val viaAuto = Clustering.assignHier(v, frames)
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaAuto.sameElements(viaLit), "dispatch ≡ literal")
+    // the carried columns survive the joined argmin untouched
+    val cols = Clustering.assignHierarchicalJoined(v, frames).columns.toSeq
+    assert(cols == v.columns.toSeq ++ Seq("cluster", "dist"), s"schema: $cols")
+  }
+
+  test("stored frame model: distributed save/load round-trip, fresh-session joined " +
+      "serve ≡ literal serve, cross-path interop both directions") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val frames = Clustering.trainHierarchicalFrames(v, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-hierdf").toString
+    Clustering.saveHierModelDf(spark, s"$root/m", frames)
+    val serve = spark.newSession()
+    val arrivals = Tables.embeddings(serve, sf01).filter(col("vec_id") % 25 === 0)
+    val got = Clustering.assignStoredHierJoined(serve, s"$root/m", arrivals)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // the literal loader reads the frame save (cross-path): serve both
+    // ways, same verdicts
+    val wantLit = Clustering.assignStoredHier(serve, s"$root/m", arrivals)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(wantLit), "joined serve ≡ literal serve on the frame save")
+    // and a literal save loads as frames with k recovered from fine rows
+    val lit = Clustering.trainHierarchical(v, 16)
+    Clustering.saveHierModel(spark, s"$root/lit", lit)
+    val back = Clustering.loadHierModelFrames(serve, s"$root/lit")
+    assert(back.kf == lit.kf)
+    back.coarse.zip(lit.coarse).foreach { case (a, b) =>
+      assert(a.sameElements(b), "coarse bits via frames loader") }
+    assert(back.kTotal == lit.fine.map(_.length).sum,
+      "pre-r13 meta row: k falls back to the fine-row count")
+    val gotLitSave = Clustering.assignHierarchicalJoined(
+        Clustering.fixedPoint(serve, sf01).filter(col("vec_id") % 25 === 0), back)
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    val wantModel = Clustering.assignHierarchical(
+        Clustering.fixedPoint(spark, sf01).filter(col("vec_id") % 25 === 0), lit)
+      .select("vec_id", "cluster", "dist").collect().map(_.toSeq).sortBy(_.toString)
+    assert(gotLitSave.sameElements(wantModel), "literal save served via joined path")
+  }
+
   test("stored pca model: bit-exact round-trip and fresh-session served projection") {
     CacheRegistry.releaseAll()
     val root = java.nio.file.Files.createTempDirectory("graft-pca").toString
