@@ -1284,4 +1284,47 @@ object Clustering {
       .agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
       .select(col("corpus_id"), col("cluster"),
         expr("transform(array_sort(pv), s -> s.v)").as("x"))
+
+  /** BUILD-TIME hot-cell cap for the stored probe corpus — the
+    * streaming semantic gate's q134: a degenerate cell (all-zero
+    * embeddings, template collapse) makes every arrival landing in it
+    * probe |cell| corpus rows, unbounded by k. The cap is applied
+    * ONCE when the assigned-corpus table is built (the
+    * [[graft.streaming.Incremental.videoFrameIndex]] hub-cap
+    * precedent): members of over-cap cells are EXCLUDED from the
+    * probe table and the cells recorded in a k-row side table the
+    * gate flags verdicts from. Returns (probe, cappedCells) —
+    * cappedCells is (cluster, cell_n). A cap ≤ 0 caps everything
+    * (the [[semdedupPruneCapped]] degenerate-input convention). */
+  def capAssignedCorpus(df: DataFrame, maxCell: Long): (DataFrame, DataFrame) = {
+    val sizes = df.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+    val capped = sizes.filter(col("cell_n") > maxCell)
+    val probe = df
+      .join(broadcast(capped.select(col("cluster"))), Seq("cluster"), "left_anti")
+      .select(df.columns.map(col): _*)
+    (probe, capped)
+  }
+
+  /** q134's corpus-relative cap (112.5% of the mean cell, 9n/8k
+    * integer floor) clamped to ≥ 1 for a BUILD: a stored probe table
+    * with cap 0 would flag every arrival — retention-safe but
+    * useless, so the nightly job never writes one. */
+  def buildCapOf(n: Long, k: Int): Long =
+    math.max(1L, (CapNum * n) / (CapDen * math.max(1, k)))
+
+  /** Persist the capped-cells side table. A sentinel row (cluster −1,
+    * the id no assignment produces) keeps the stored table nonempty:
+    * the generation-append rebuild serves max-(gen, build) rows, so a
+    * zero-row rebuild would have nothing carrying its build id and
+    * the cutover could not win. [[loadCappedCells]] drops it. */
+  def saveCappedCells(spark: SparkSession, path: String, capped: DataFrame): Unit = {
+    import spark.implicits._
+    FpIndex.saveOrRebuildFlat(spark, path,
+      capped.select(col("cluster"), col("cell_n"))
+        .unionByName(Seq((-1, 0L)).toDF("cluster", "cell_n")))
+  }
+
+  def loadCappedCells(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame =
+    FpIndex.loadFlat(spark, path, asOf).filter(col("cluster") >= 0)
 }

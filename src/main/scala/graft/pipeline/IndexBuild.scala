@@ -52,7 +52,7 @@ object IndexBuild {
   val KeysT = "keys"; val BandsT = "bands"; val ShinglesT = "shingles"
   val PostingsT = "postings"; val CmsT = "cms"; val NoveltyT = "novelty"
   val VolStatsT = "volstats"; val AnnT = "ann"; val CentroidsT = "centroids"
-  val PcaT = "pca"; val AssignedT = "assigned"
+  val PcaT = "pca"; val AssignedT = "assigned"; val CappedT = "assigned_capped"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -86,11 +86,17 @@ object IndexBuild {
     val cents = Clustering.trainCentroids(fixed)
     Clustering.saveCentroids(spark, s"$root/$CentroidsT", cents)
     // the semantic gate's STORED side: the corpus pre-assigned to its
-    // cells, so a serving session probes one cell per arrival with
-    // zero corpus-sized recompute (previously the gate's stored table
-    // was built ad hoc outside the nightly job — a serving-surface gap)
-    Clustering.saveAssignedCorpus(spark, s"$root/$AssignedT",
-      Clustering.assignedCorpus(fixed, cents))
+    // cells, HOT-CELL-CAPPED at build time (q134's corpus-relative
+    // 9n/8k cap, the videoFrameIndex hub-cap precedent) — members of
+    // over-cap cells never enter the probe table, so a degenerate
+    // mega-cell costs an arrival ZERO probe rows; the capped cells
+    // land in a k-row side table the gate flags verdicts from
+    val assigned = Clustering.assignedCorpus(fixed, cents)
+    val nVecs = assigned.count() // one pass — build-job budget
+    val (probeCorpus, cappedCells) = Clustering.capAssignedCorpus(
+      assigned, Clustering.buildCapOf(nVecs, cents.length))
+    Clustering.saveAssignedCorpus(spark, s"$root/$AssignedT", probeCorpus)
+    Clustering.saveCappedCells(spark, s"$root/$CappedT", cappedCells)
     // PCA basis — the dim-reduction serve side (projected arrivals,
     // cheaper projected-IVF ANN); fit shares the centroid build's
     // cached fixed-point corpus and the q126 Gram pass's dimStats
@@ -111,6 +117,7 @@ object IndexBuild {
       centroidsPath: String,
       pcaPath: String,
       assignedCorpus: DataFrame,
+      cappedCells: DataFrame,
       pins: Map[String, Int])
 
   /** Open the stored index root for a serving session. `pinned=true`
@@ -122,7 +129,7 @@ object IndexBuild {
       if (pinned) Some(FpIndex.tableVersion(p)) else None
     def path(t: String): String = s"$root/$t"
     val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT,
-        CentroidsT, PcaT, AssignedT)
+        CentroidsT, PcaT, AssignedT, CappedT)
       .flatMap(t => pinOf(path(t)).map(t -> _)).toMap
     def flat(t: String): DataFrame = FpIndex.loadFlat(spark, path(t), pins.get(t))
     ServingIndexes(
@@ -138,6 +145,8 @@ object IndexBuild {
       pcaPath = path(PcaT),
       assignedCorpus = Clustering.loadAssignedCorpus(
         spark, path(AssignedT), pins.get(AssignedT)),
+      cappedCells = Clustering.loadCappedCells(
+        spark, path(CappedT), pins.get(CappedT)),
       pins = pins)
   }
 
@@ -193,10 +202,10 @@ object IndexBuild {
     val semGateSec = timed {
       val storedCents = Clustering.loadCentroids(
         serve, idx.centroidsPath, idx.pins.get(CentroidsT))
-      Incremental.semanticNearDupStream(
+      Incremental.semanticNearDupGate(
           Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0)
             .withColumn("vec_id", col("vec_id") + lit(900000000L)),
-          storedCents, idx.assignedCorpus)
+          storedCents, idx.assignedCorpus, idx.cappedCells)
         .write.format("noop").mode("overwrite").save()
     }
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +

@@ -355,6 +355,70 @@ object Incremental {
       corpusAssigned, pruneT)
   }
 
+  /** The HOT-CELL-CAPPED semantic gate — the deployment form (r12
+    * verdict ask #2): the stored probe table is capped at BUILD time
+    * ([[graft.operators.Clustering.capAssignedCorpus]], the
+    * [[videoFrameIndex]] hub-cap precedent), so an arrival landing in
+    * a degenerate mega-cell costs ZERO probe rows — it short-circuits
+    * to one flagged verdict (corpus_id/dist NULL, `cell_capped` 1,
+    * batch q134's retention-safe reading: never auto-prune on an
+    * unadjudicated cell, surface the flag for escalation). Arrivals
+    * in bounded cells probe exactly as [[semanticNearDupStream]] —
+    * pair rows with `cell_capped` 0. The capped-cell side is a k-row
+    * broadcast; both legs are stream-static joins (no aggregation),
+    * so the union stays append-legal. */
+  def semanticNearDupGate(
+      arrivals: DataFrame,
+      cents: Seq[Array[Long]],
+      probeCorpus: DataFrame,
+      cappedCells: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    semanticGateVerdicts(
+      Clustering.assignWith(
+          arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+          cents)
+        .select(col("vec_id"), col("x"), col("cluster")),
+      probeCorpus, cappedCells, pruneT)
+  }
+
+  /** The capped gate under a TWO-LEVEL model — [[semanticNearDupGate]]
+    * with the O(√k)-per-arrival hierarchical assignment; the stored
+    * probe/capped tables must be built from the SAME model's cells. */
+  def semanticNearDupGateHier(
+      arrivals: DataFrame,
+      hm: graft.operators.Clustering.HierModel,
+      probeCorpus: DataFrame,
+      cappedCells: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    semanticGateVerdicts(
+      Clustering.assignHierarchical(
+          arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+          hm)
+        .select(col("vec_id"), col("x"), col("cluster")),
+      probeCorpus, cappedCells, pruneT)
+  }
+
+  /** Shared verdict core of the capped gates: flag arrivals whose
+    * cell is in the capped table (broadcast, k rows), probe the rest. */
+  private def semanticGateVerdicts(
+      asg: DataFrame, probeCorpus: DataFrame, cappedCells: DataFrame,
+      pruneT: Long): DataFrame = {
+    val flagged = asg.join(
+      broadcast(cappedCells.select(col("cluster")).withColumn("capflag", lit(1))),
+      Seq("cluster"), "left")
+    val probed = semanticNearDupProbe(
+        flagged.filter(col("capflag").isNull)
+          .select(col("vec_id"), col("x"), col("cluster")),
+        probeCorpus, pruneT)
+      .withColumn("cell_capped", lit(0))
+    val inCapped = flagged.filter(col("capflag") === 1)
+      .select(col("vec_id"), lit(null).cast("long").as("corpus_id"),
+        lit(null).cast("long").as("dist"), lit(1).as("cell_capped"))
+    probed.unionByName(inCapped)
+  }
+
   /** The probe half both gates share: stream-static equi-join on the
     * cell id (an arrival compares against ITS cell's members, never
     * the corpus), exact integer verify, verdict rows. */

@@ -131,7 +131,7 @@ class IndexBuildSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
-  test("the same root serves the SEMANTIC gate: stored assigned-corpus verdicts equal " +
+  test("the same root serves the SEMANTIC gate: stored capped-corpus verdicts equal " +
       "the in-session build, with zero corpus recompute in the probe") {
     val r = root
     CacheRegistry.releaseAll()
@@ -140,9 +140,14 @@ class IndexBuildSpec extends AnyFunSuite {
     val cents = Clustering.trainCentroids(v)
     val arrivals = Tables.embeddings(spark, sf).filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + lit(900000000L))
-    val want = sortedRows(graft.streaming.Incremental.semanticNearDupStream(
-      arrivals, cents, Clustering.assignedCorpus(v, cents)).collect())
-    assert(want.nonEmpty, "replayed corpus vectors must be flagged")
+    // in-session twin of the nightly build: the same corpus-relative
+    // cap applied to the same assigned corpus, gated the same way
+    val assigned = Clustering.assignedCorpus(v, cents)
+    val (probe, capped) = Clustering.capAssignedCorpus(
+      assigned, Clustering.buildCapOf(assigned.count(), cents.length))
+    val want = sortedRows(graft.streaming.Incremental.semanticNearDupGate(
+      arrivals, cents, probe, capped).collect())
+    assert(want.nonEmpty, "replayed corpus vectors must produce verdicts")
     CacheRegistry.releaseAll()
     val serve = spark.newSession()
     val idx = IndexBuild.loadAll(serve, r)
@@ -150,8 +155,8 @@ class IndexBuildSpec extends AnyFunSuite {
       serve, idx.centroidsPath, idx.pins.get(IndexBuild.CentroidsT))
     val servedArrivals = Tables.embeddings(serve, sf).filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + lit(900000000L))
-    val served = graft.streaming.Incremental.semanticNearDupStream(
-      servedArrivals, storedCents, idx.assignedCorpus)
+    val served = graft.streaming.Incremental.semanticNearDupGate(
+      servedArrivals, storedCents, idx.assignedCorpus, idx.cappedCells)
     assert(sortedRows(served.collect()) == want, "served gate verdicts == in-session")
     CacheRegistry.releaseAll()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{array_distinct, col, explode, max, split}
+import org.apache.spark.sql.functions.{array_distinct, col, explode, max, min, split}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Incremental
@@ -864,6 +864,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.forall(_._1 != 902L), s"novel arrival must pass: ${rows.toSeq}")
       assert(rows.forall(_._3 < Clustering.PruneT), "only sub-threshold pairs emitted")
     } finally q.stop()
+  }
+
+  test("capped semantic gate: arrival in a build-time hot cell emits ONE flagged " +
+      "verdict (zero probe rows), uncapped cells probe exactly as before; both " +
+      "side tables round-trip the stored lifecycle") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val assigned = Clustering.assignedCorpus(v, cents)
+    val sizes = assigned.groupBy(col("cluster")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = sizes.maxBy(_._2)._1
+    val cap = sizes.values.max - 1 // plants exactly one hot cell
+    require(sizes.values.count(_ > cap) == 1, "fixture needs a unique max cell")
+    val (probe, capped) = Clustering.capAssignedCorpus(assigned, cap)
+    // stored round-trip for both halves (build-time artifacts)
+    val root = java.nio.file.Files.createTempDirectory("graft-capgate").toString
+    Clustering.saveAssignedCorpus(spark, s"$root/probe", probe)
+    Clustering.saveCappedCells(spark, s"$root/capped", capped)
+    val probeStored = Clustering.loadAssignedCorpus(spark, s"$root/probe")
+    val cappedStored = Clustering.loadCappedCells(spark, s"$root/capped")
+    assert(cappedStored.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+        == capped.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq,
+      "capped-cells round-trip (sentinel dropped)")
+    assert(probeStored.count() == probe.count(), "probe table round-trip")
+    assert(probeStored.filter(col("cluster") === hot).count() == 0,
+      "hot-cell members never enter the stored probe table")
+    // one corpus member of the hot cell, one of a bounded cell
+    val hotId = assigned.filter(col("cluster") === hot)
+      .agg(min(col("corpus_id"))).collect()(0).getLong(0)
+    val okId = assigned.filter(col("cluster") =!= hot)
+      .agg(min(col("corpus_id"))).collect()(0).getLong(0)
+    def embOf(id: Long) = Tables.embeddings(spark, sf).filter(col("vec_id") === id)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val arrivals = input.toDF().toDF("vec_id", "embedding")
+    val q = Incremental.semanticNearDupGate(
+        arrivals, cents, probeStored.persist(), cappedStored)
+      .writeStream.format("memory").queryName("capgate_out")
+      .outputMode("append").start()
+    try {
+      input.addData((901L, embOf(hotId)), (902L, embOf(okId)))
+      q.processAllAvailable()
+      val rows = spark.table("capgate_out").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3)))
+      // hot-cell arrival: exactly one flagged verdict, no pair rows —
+      // even though its exact duplicate sits in the corpus at dist 0
+      assert(rows.count(_._1 == 901L) == 1 &&
+        rows.contains((901L, -1L, -1L, 1)),
+        s"hot-cell arrival must short-circuit to one flagged verdict: ${rows.toSeq}")
+      // bounded-cell arrival: replays its original at dist 0, unflagged
+      assert(rows.exists(t => t._1 == 902L && t._2 == okId && t._3 == 0L && t._4 == 0),
+        s"bounded-cell replay must pair at dist 0: ${rows.toSeq}")
+    } finally { q.stop(); probeStored.unpersist() }
   }
 
   test("streaming SEMANTIC gate under the TWO-LEVEL model: replayed corpus vector " +
