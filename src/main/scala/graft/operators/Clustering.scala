@@ -147,19 +147,125 @@ object Clustering {
     }
   }
 
-  /** Train the k-centroid model: k smallest vec_ids seed (the
-    * deterministic init an oracle can reproduce; production swaps in
-    * k-means|| seeding — the iteration structure is identical), then
-    * `iters` quantized Lloyd passes. Each pass = one map-only
-    * assignment + one k·d-row update; the model is k·d longs. */
+  /** Train the k-centroid model with the ID-SEEDED init: the k
+    * smallest vec_ids seed — the deterministic init an oracle CTE can
+    * reproduce, which is why every oracled query (q124–q134) and the
+    * nightly build's stored model use it. It is geometry-blind;
+    * production deployments that want a better starting partition use
+    * [[trainCentroidsSeeded]] with [[seedsKmeansParallel]] — the
+    * derandomized k-means‖ init (identical iteration structure,
+    * spec-measured at-or-below this init's inertia on the fixture).
+    * Each pass = one map-only assignment + one k·d-row update; the
+    * model is k·d longs. */
   def trainCentroids(
       v: DataFrame, k: Int = K, iters: Int = Iters): Seq[Array[Long]] = {
     val seeds = v.orderBy(col("vec_id")).limit(k)
       .select(col("x")).collect()
       .map(_.getSeq[Long](0).toArray).toSeq
+    trainCentroidsSeeded(v, seeds, iters)
+  }
+
+  /** The Lloyd iteration structure with the init swapped out — the
+    * seam [[trainCentroids]] (id seeds, the oracle init) and the
+    * k-means‖ production init share, so changing the seeding can
+    * never change the update arithmetic. */
+  def trainCentroidsSeeded(
+      v: DataFrame, seeds: Seq[Array[Long]], iters: Int = Iters): Seq[Array[Long]] = {
     require(seeds.nonEmpty, "empty corpus: no k-means seeds")
     // iters-1 update rounds; the final assignment is the caller's
     (1 until iters).foldLeft(seeds) { (c, _) => updateCentroids(assignWith(v, c), c) }
+  }
+
+  /** Deterministic k-means‖ seeding — the PRODUCTION init (Bahmani et
+    * al. 2012, arXiv:1203.6402), derandomized: `rounds` oversampling
+    * passes each draw `l` candidates with probability ∝ d² to the
+    * current seed set, then the candidate set reduces to k on the
+    * driver under corpus-mass weights. Every stochastic choice uses
+    * the Knuth-hash uniform (the q42/q113 determinism precedent), so
+    * seeding is reproducible AND partition-invariant:
+    *
+    *  - the d²-weighted draw is PRIORITY SAMPLING (q113's estimator):
+    *    u = (pmod(hash(vec_id·φ + round), 2²⁰)+1)/2²⁰ ∈ (0,1],
+    *    priority = d²/u, take the l largest by (priority, vec_id) —
+    *    one TakeOrdered per round, driver-bounded at l rows;
+    *  - candidate weights = corpus members nearest each candidate
+    *    (one map-only assignment + k-key count — the standard
+    *    k-means‖ reduction weights);
+    *  - the driver reduction is greedy weighted farthest-first then
+    *    `reduceIters` weighted integer Lloyd rounds over the
+    *    ≤ 1+rounds·l candidates (BigInt scores — w·d² overflows
+    *    Long), truncate-toward-zero means like every other centroid
+    *    update here.
+    *
+    * Cost: rounds+1 map-only corpus passes over ≤ 1+rounds·l
+    * centroids — O(n·rounds·l·d), the published k-means‖ shape. The
+    * oracled queries keep id seeding ([[trainCentroids]] scaladoc). */
+  def seedsKmeansParallel(v: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Int = 0): Seq[Array[Long]] = {
+    val l = if (oversample > 0) oversample else 2 * k
+    val first = v.orderBy(col("vec_id")).limit(1)
+      .select(col("x")).collect()
+    require(first.nonEmpty, "empty corpus: no k-means|| seeds")
+    var cands: Seq[Array[Long]] = Seq(first(0).getSeq[Long](0).toArray)
+    for (r <- 1 to rounds) {
+      val drawn = assignWith(v, cands)
+        .withColumn("u",
+          (pmod(hash(col("vec_id") * lit(2654435761L) + lit(r)), lit(1048576)) + 1)
+            .cast("double") / lit(1048576.0))
+        .withColumn("priority", col("dist").cast("double") / col("u"))
+        .orderBy(col("priority").desc, col("vec_id"))
+        .limit(l)
+        .select(col("x")).collect().map(_.getSeq[Long](0).toArray)
+      cands = cands ++ drawn
+    }
+    // an already-chosen vector has d² = 0 → priority 0, so repeats only
+    // arise on degenerate all-duplicate cells — dedup by content
+    val uniq = cands.map(_.toSeq).distinct.map(_.toArray)
+    val wts = assignWith(v, uniq)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n")).collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    reduceWeighted(uniq, uniq.indices.map(i => wts.getOrElse(i, 0L)), k)
+  }
+
+  /** Driver-side weighted reduction of the k-means‖ candidate set to
+    * k: greedy farthest-first (weight-scaled, the k-center warm
+    * start) + weighted integer Lloyd over the candidates. All BigInt
+    * scoring; deterministic (ties to the smaller candidate index). */
+  private def reduceWeighted(cands: Seq[Array[Long]], w: Seq[Long], k: Int,
+      reduceIters: Int = 3): Seq[Array[Long]] = {
+    if (cands.length <= k) return cands
+    def d2l(a: Array[Long], b: Array[Long]): BigInt = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += BigInt(d) * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](
+      w.indices.minBy(i => (-w(i), i))) // heaviest candidate, ties to smaller
+    while (chosen.size < k) {
+      val next = cands.indices.filterNot(chosen.contains)
+        .minBy { i =>
+          val dmin = chosen.iterator.map(j => d2l(cands(i), cands(j))).min
+          (-(dmin * w(i)), i) // max weighted spread, ties to smaller
+        }
+      chosen += next
+    }
+    var centers: Seq[Array[Long]] = chosen.map(cands(_)).toSeq
+    for (_ <- 1 to reduceIters) {
+      val groups = cands.indices.groupBy { i =>
+        centers.indices.minBy(c => (d2l(cands(i), centers(c)), c))
+      }
+      centers = centers.indices.map { c =>
+        groups.get(c).filter(_.exists(i => w(i) > 0)) match {
+          case Some(members) =>
+            val tw = members.map(i => BigInt(w(i))).sum
+            cands.head.indices.map { d =>
+              (members.map(i => BigInt(w(i)) * cands(i)(d)).sum / tw).toLong
+            }.toArray
+          case None => centers(c) // keep-if-emptied, as everywhere else
+        }
+      }
+    }
+    centers
   }
 
   // --------------------------------------------------------------- q124

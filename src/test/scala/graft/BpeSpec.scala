@@ -164,4 +164,40 @@ class BpeSpec extends AnyFunSuite {
     assert(bounded.values.forall { case (nw, bt) => nw == nw0 && bt == bt0 },
       "uniform-shape corpus must yield uniform counts")
   }
+
+  test("bounded trainer: a 1.6e4-singleton-type tail is pruned before the collect " +
+      "and the merge table is EQUAL to the unbounded train; dropped mass audited") {
+    import spark.implicits._
+    // head: a small corpus whose merges are all the training can learn
+    val head = Seq.fill(8)("low lower lowest") ++ Seq.fill(5)("new newer newest")
+    val headDocs = head.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // tail: 128² = 16384 word TYPES, each occurring ONCE, each a
+    // unique 2-char word over the high-latin alphabet chr(128..255) —
+    // disjoint from the head's ascii, and every tail-only pair has
+    // weighted count 1 < minPairCount, so no tail pair can ever win a
+    // merge. (chr() wraps mod 256, so the alphabet must stay ≤ 255.)
+    // This is the planted long tail: under the floor these types
+    // never reach the driver; unbounded they ride along without
+    // changing any merge.
+    val nTail = 16384L
+    val tailDocs = spark.range(nTail).select(
+      (col("id") + 1000L).as("doc_id"),
+      concat(chr(lit(128) + floor(col("id") / 128)),
+        chr(lit(128) + col("id") % 128)).as("text"))
+    val docs = headDocs.toDF("doc_id", "text").unionByName(tailDocs)
+    // the floor prunes 5e4 types BEFORE the collect (distributed
+    // filter); the driver dict is head-sized
+    val keptTypes = TextAnalysis.bpeWordCounts(docs).filter(col("n") >= 2L).count()
+    assert(keptTypes <= 10, s"floored dict must be head-sized, got $keptTypes")
+    val bounded = TextAnalysis.trainBpe(docs, nMerges = 30, minTypeCount = 2L)
+    val unbounded = TextAnalysis.trainBpe(docs, nMerges = 30)
+    assert(bounded.nonEmpty, "head corpus must learn merges")
+    assert(bounded == unbounded,
+      s"floored merge table must equal the unbounded train:\n$bounded\n$unbounded")
+    // the audit: each dropped 2-char type carries exactly one pair
+    assert(TextAnalysis.bpeDroppedPairMass(docs, 2L) == nTail,
+      "dropped pair mass == one pair per singleton tail type")
+    assert(TextAnalysis.bpeDroppedPairMass(docs, 1L) == 0L,
+      "floor 1 drops nothing")
+  }
 }

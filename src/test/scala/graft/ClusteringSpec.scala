@@ -484,6 +484,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.sameElements(want), "served == in-session")
   }
 
+  test("k-means|| seeding: deterministic, partition-invariant, and the trained " +
+      "inertia is at or below the id-seeded init's on the fixture") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val s1 = Clustering.seedsKmeansParallel(v, 8)
+    assert(s1.length == 8, "reduces to exactly k seeds")
+    // Knuth-hash derandomization: same seeds from any partitioning
+    val s2 = Clustering.seedsKmeansParallel(v.repartition(7), 8)
+    assert(s1.map(_.toSeq) == s2.map(_.toSeq), "partition-invariant seeding")
+    // same Lloyd structure, better start: inertia after the same
+    // number of rounds must not lose to the geometry-blind id init
+    def inertia(c: Seq[Array[Long]]): Long =
+      Clustering.assignWith(v, c).agg(sum(col("dist"))).collect()(0).getLong(0)
+    val iKpp = inertia(Clustering.trainCentroidsSeeded(v, s1))
+    val iId = inertia(Clustering.trainCentroids(v))
+    assert(iKpp <= iId,
+      s"k-means|| init must not lose to id seeding: kpp=$iKpp id=$iId")
+    // and trainCentroidsSeeded with the id seeds IS trainCentroids —
+    // the init seam cannot drift from the oracle path
+    val idSeeds = v.orderBy(col("vec_id")).limit(8)
+      .select(col("x")).collect().map(_.getSeq[Long](0).toArray).toSeq
+    val a = Clustering.trainCentroidsSeeded(v, idSeeds)
+    val b = Clustering.trainCentroids(v)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y), "seam ≡ oracle init") }
+  }
+
   test("fine model as data: frames-trained ≡ literal-trained, joined assignment " +
       "bit-exact vs the literal path, threshold dispatch agrees") {
     CacheRegistry.releaseAll()
