@@ -466,6 +466,70 @@ object Clustering {
        |       CAST(1 AS INT) AS kept, CAST(1 AS INT) AS cell_capped
        |FROM capped""".stripMargin
 
+  // --------------------------------------------------------------- q135
+
+  /** q135's hot-cell rank: the cap is the ceil(3k/4)-smallest cell's
+    * size (the 75th-percentile cell, ties broken by cluster id). */
+  val PctRank: Int = (3 * K + 3) / 4
+
+  /** q135: PERCENTILE-CAPPED SEMDEDUP PRUNE — the fixture-independent
+    * companion of q134's mean-relative cap (round-12 verdict ask #4):
+    * 9n/8k is the right PRODUCTION rule (a balanced corpus caps
+    * nothing — exactly what happens at the sf1 mix, where q134's
+    * capped branch is vacuous), but a correctness gate also needs a
+    * rule whose BOTH branches run on any non-uniform fixture. The
+    * percentile cap delivers that by construction: cells strictly
+    * larger than the 75th-percentile cell are hot, so the top ≤ k/4
+    * cells are capped whenever cell sizes are not all tied — at every
+    * driver sf and at sf1. The cap derivation is a row_number over
+    * the k-ROW size frame (model-sized; the single-value collect is
+    * the same model-sized fetch as the centroid table). Prune
+    * semantics, verdict shape, and the retention-safe capped verdict
+    * are exactly q134's ([[semdedupPruneCapped]]). */
+  def percentileCappedSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val asg = assignWith(v, trainCentroids(v))
+      .select(col("vec_id"), col("x"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cell_n"), col("cluster"))
+    val cap = asg.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === PctRank)
+      .select(col("cell_n")).collect()(0).getLong(0)
+    semdedupPruneCapped(asg, cap.toInt)
+  }
+
+  val percentileCappedSemdedupSql: String =
+    s"""WITH $kmeansCte,
+       |sz AS (SELECT cid, count(*) AS cell_n FROM a2 GROUP BY cid),
+       |cap AS (
+       |  SELECT cell_n AS cap FROM (
+       |    SELECT cell_n, row_number() OVER (ORDER BY cell_n, cid) AS rn FROM sz)
+       |  WHERE rn = $PctRank),
+       |ok AS (
+       |  SELECT a2.vec_id, a2.x, a2.cid FROM a2
+       |  JOIN sz ON sz.cid = a2.cid CROSS JOIN cap
+       |  WHERE sz.cell_n <= cap.cap),
+       |capped AS (
+       |  SELECT a2.vec_id, a2.cid FROM a2
+       |  JOIN sz ON sz.cid = a2.cid CROSS JOIN cap
+       |  WHERE sz.cell_n > cap.cap),
+       |pr AS (
+       |  SELECT b.vec_id, b.cid AS cluster, count(a.vec_id) AS n_close_smaller
+       |  FROM ok b LEFT JOIN ok a
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |   AND ${fdistDuck("a.x", "b.x")} < $PruneT
+       |  GROUP BY b.vec_id, b.cid)
+       |SELECT vec_id, cluster, n_close_smaller,
+       |       CAST(n_close_smaller = 0 AS INT) AS kept,
+       |       CAST(0 AS INT) AS cell_capped
+       |FROM pr
+       |UNION ALL
+       |SELECT vec_id, cid AS cluster, CAST(0 AS BIGINT) AS n_close_smaller,
+       |       CAST(1 AS INT) AS kept, CAST(1 AS INT) AS cell_capped
+       |FROM capped""".stripMargin
+
   val semdedupPruneSql: String =
     s"""WITH $kmeansCte,
        |pr AS (
