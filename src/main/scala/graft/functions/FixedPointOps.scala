@@ -55,6 +55,14 @@ object FixedPointOps {
     GraftSqlBridge.column(NearestOfL2(
       GraftSqlBridge.expression(x), GraftSqlBridge.expression(cents)))
 
+  /** Top-2 nearest centroids by squared L2 in ONE codegen'd scan:
+    * struct(dist1, cid1, dist2, cid2) ordered by (dist, cid) — the
+    * multi-probe coarse step (IVF nprobe=2) without a second pass
+    * over the centroid list. Null when fewer than two centroids. */
+  def nearest2OfL2(x: Column, cents: Column): Column =
+    GraftSqlBridge.column(Nearest2OfL2(
+      GraftSqlBridge.expression(x), GraftSqlBridge.expression(cents)))
+
   /** q126's pair generator — the d(d+1)/2 upper-triangle products of
     * one vector as array<struct(i, j, p)>, row-major ascending (i, j):
     * the nested transform-of-slices flattened into one codegen'd
@@ -246,6 +254,99 @@ case class NearestOfL2(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestOfL2 =
     copy(left = l, right = r)
   override def prettyName: String = "nearest_of_l2"
+}
+
+/** Top-2 nearest centroids by squared L2 over a per-row centroid LIST
+  * column: struct(dist1, cid1, dist2, cid2), candidates ordered by
+  * (dist, cid) — strict `<` against each held slot keeps the
+  * smaller cid on equal distance, exactly the first two rows of
+  * `ORDER BY dist, cid` over the candidate set. Null when the list
+  * has fewer than two centroids (a one-cell model has no second
+  * probe) or any centroid's length mismatches the vector. */
+case class Nearest2OfL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist1", LongType, nullable = false),
+    StructField("cid1", IntegerType, nullable = false),
+    StructField("dist2", LongType, nullable = false),
+    StructField("cid2", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val cents = r.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val k = cents.numElements()
+    if (k < 2) return null
+    var d1 = Long.MaxValue
+    var c1 = -1
+    var d2 = Long.MaxValue
+    var c2 = -1
+    var j = 0
+    while (j < k) {
+      if (cents.isNullAt(j)) return null
+      val cv = cents.getArray(j)
+      if (cv.numElements() != n) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || cv.isNullAt(i)) return null
+        val d = x.getLong(i) - cv.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < d1) { d2 = d1; c2 = c1; d1 = acc; c1 = j }
+      else if (acc < d2) { d2 = acc; c2 = j }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](d1, c1, d2, c2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cents) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cv = ctx.freshName("cv")
+      val d1 = ctx.freshName("d1")
+      val c1 = ctx.freshName("c1")
+      val d2 = ctx.freshName("d2")
+      val c2 = ctx.freshName("c2")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $x.numElements();
+         |int $k = $cents.numElements();
+         |boolean $bad = $k < 2;
+         |long $d1 = Long.MAX_VALUE; int $c1 = -1;
+         |long $d2 = Long.MAX_VALUE; int $c2 = -1;
+         |for (int $j = 0; !$bad && $j < $k; $j++) {
+         |  if ($cents.isNullAt($j)) { $bad = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cents.getArray($j);
+         |  if ($cv.numElements() != $n) { $bad = true; break; }
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $cv.isNullAt($i)) { $bad = true; break; }
+         |    long $d = $x.getLong($i) - $cv.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($bad) break;
+         |  if ($acc < $d1) { $d2 = $d1; $c2 = $c1; $d1 = $acc; $c1 = $j; }
+         |  else if ($acc < $d2) { $d2 = $acc; $c2 = $j; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $d1, $c1, $d2, $c2 });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Nearest2OfL2 =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest2_of_l2"
 }
 
 /** All d(d+1)/2 upper-triangle products xᵢ·xⱼ (j ≥ i) of one bigint

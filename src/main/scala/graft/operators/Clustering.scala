@@ -1125,6 +1125,122 @@ object Clustering {
        |       CAST(n_close_smaller = 0 AS INT) AS kept
        |FROM pr""".stripMargin
 
+  // --------------------------------------------------------------- q136
+
+  /** q136: MULTI-PROBE TWO-LEVEL ASSIGNMENT (IVF nprobe = 2) — the
+    * quality knob the greedy hierarchical path lacks: coarse-argmin
+    * then fine-argmin (q130) can miss the globally nearest fine
+    * centroid when a vector sits near a coarse boundary (its true
+    * cell lives in the SECOND-nearest coarse partition — the exact
+    * error IVF systems bound by probing nprobe > 1 lists). This
+    * operator probes the TOP-2 coarse cells — one extra √k fine scan
+    * per vector, still O(√k) — takes the global argmin over both
+    * candidate sets (ties to the smaller global cluster id), and
+    * emits an `improved` audit flag: 1 when the second probe found a
+    * STRICTLY smaller distance than the greedy cell's best, i.e. the
+    * rows where nprobe=1 assigns wrong. Σ improved / n is the
+    * boundary-error rate — the measurement that tells a deployment
+    * whether nprobe=2 is worth the extra scan for its corpus.
+    *
+    * Scale shape: the top-2 coarse step is ONE codegen'd pass over
+    * the √k·d literal ([[graft.functions.FixedPointOps.nearest2OfL2]]
+    * — no second scan, no shuffle); both fine probes index the same
+    * nested literal map-side. Past [[FineLiteralMaxEntries]] the
+    * joined twin ([[multiProbeAssignJoined]]) explodes each vector to
+    * its two probe rows, equi-joins the fine FRAME on `ccl` (2·kf
+    * candidate rows per vector) and takes both the global and the
+    * greedy argmin in ONE aggregate — the q130 joined-path shape at
+    * exactly 2× the candidate mass. */
+  def hierAssignMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    multiProbeAssign(v, trainHierarchical(v, HierK))
+      .select(col("vec_id"), col("cluster"), col("dist"), col("improved"))
+  }
+
+  /** Literal-model multi-probe: requires ≥ 2 coarse cells (the
+    * top-2 kernel is null on a one-cell model — a model with no
+    * second list has no second probe). */
+  def multiProbeAssign(v: DataFrame, m: HierModel): DataFrame = {
+    val coarseLit = typedLit(m.coarse.map(_.toSeq))
+    val finesLit = typedLit(m.fine.map(_.map(_.toSeq)))
+    v.withColumn("p",
+        graft.functions.FixedPointOps.nearest2OfL2(col("x"), coarseLit))
+      .withColumn("f1", graft.functions.FixedPointOps.nearestOfL2(
+        col("x"), element_at(finesLit, col("p.cid1") + 1)))
+      .withColumn("f2", graft.functions.FixedPointOps.nearestOfL2(
+        col("x"), element_at(finesLit, col("p.cid2") + 1)))
+      .withColumn("cl1", col("p.cid1") * lit(m.kf) + col("f1.cid"))
+      .withColumn("cl2", col("p.cid2") * lit(m.kf) + col("f2.cid"))
+      .withColumn("take2",
+        col("f2.dist") < col("f1.dist") ||
+          (col("f2.dist") === col("f1.dist") && col("cl2") < col("cl1")))
+      .withColumn("cluster", when(col("take2"), col("cl2")).otherwise(col("cl1")))
+      .withColumn("dist",
+        when(col("take2"), col("f2.dist")).otherwise(col("f1.dist")))
+      .withColumn("improved",
+        when(col("f2.dist") < col("f1.dist"), lit(1)).otherwise(lit(0)))
+      .drop("p", "f1", "f2", "cl1", "cl2", "take2")
+  }
+
+  /** Frame-model multi-probe — [[assignHierarchicalJoined]] at
+    * nprobe = 2: explode each vector to its two coarse probes, join
+    * the fine frame on `ccl`, then ONE aggregate computes both the
+    * global argmin (struct min on (fdist, cluster) — cross-cell ties
+    * to the smaller global id, [[multiProbeAssign]]'s rule exactly)
+    * and the greedy argmin (the same min filtered to probe rank 1 —
+    * `min(when(...))` ignores the rank-2 nulls). Spec-pinned
+    * bit-exact against the literal path. */
+  def multiProbeAssignJoined(v: DataFrame, m: HierModelDf): DataFrame = {
+    val coarseLit = typedLit(m.coarse.map(_.toSeq))
+    val probes = v.withColumn("p",
+        graft.functions.FixedPointOps.nearest2OfL2(col("x"), coarseLit))
+      .select(col("vec_id"), col("x"),
+        explode(array(
+          struct(lit(1).as("pr"), col("p.cid1").as("ccl")),
+          struct(lit(2).as("pr"), col("p.cid2").as("ccl")))).as("pb"))
+      .select(col("vec_id"), col("x"),
+        col("pb.pr").as("pr"), col("pb.ccl").as("ccl"))
+    val f = if (m.kTotal.toLong <= FineBroadcastMaxRows) broadcast(m.fine)
+            else m.fine
+    probes.join(f, Seq("ccl"))
+      .withColumn("fdist", d2(col("x"), col("fv")))
+      .withColumn("cl", col("ccl") * lit(m.kf) + col("fcl"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct(col("fdist"), col("cl"))).as("b"),
+        min(when(col("pr") === 1, struct(col("fdist"), col("cl")))).as("g"))
+      .select(col("vec_id"), col("b.cl").as("cluster"),
+        col("b.fdist").as("dist"),
+        when(col("b.fdist") < col("g.fdist"), lit(1))
+          .otherwise(lit(0)).as("improved"))
+  }
+
+  val hierMultiProbeSql: String =
+    s"""WITH $hierCte,
+       |cp AS (
+       |  SELECT vec_id, x, cid AS pccl, pr FROM (
+       |    SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY dist, cid) AS INT) AS pr
+       |    FROM d2) WHERE pr <= 2),
+       |mp AS (
+       |  SELECT p.vec_id, p.pr, f.ccl * 4 + f.fcl AS cl,
+       |         ${fdistDuck("p.x", "f.fv")} AS fdist
+       |  FROM cp p JOIN fcf f ON f.ccl = p.pccl),
+       |b AS (
+       |  SELECT vec_id, cl, fdist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY fdist, cl) AS rn
+       |    FROM mp) WHERE rn = 1),
+       |g AS (
+       |  SELECT vec_id, cl, fdist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY fdist, cl) AS rn
+       |    FROM mp WHERE pr = 1) WHERE rn = 1)
+       |SELECT b.vec_id, b.cl AS cluster, b.fdist AS dist,
+       |       CASE WHEN b.fdist < g.fdist THEN 1 ELSE 0 END AS improved
+       |FROM b JOIN g USING (vec_id)""".stripMargin
+
   // --------------------------------------------------------------- q132
 
   /** q132's "arriving batch" slice rule (deterministic, ~14% of the

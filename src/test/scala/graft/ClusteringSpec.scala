@@ -548,6 +548,57 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cols == v.columns.toSeq ++ Seq("cluster", "dist"), s"schema: $cols")
   }
 
+  test("multi-probe: literal ≡ joined bit-exact; dist ≤ greedy everywhere; " +
+      "improved ⟺ strictly smaller than greedy; planted boundary vector recovered") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val m = Clustering.trainHierarchical(v, 16)
+    val mp = Clustering.multiProbeAssign(v, m)
+      .select("vec_id", "cluster", "dist", "improved").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    // joined twin bit-exact on the same model
+    val mpJ = Clustering.multiProbeAssignJoined(v, Clustering.HierModelDf(
+        m.coarse, Clustering.fineFrameOf(spark, m), m.kf, 16))
+      .select("vec_id", "cluster", "dist", "improved").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(mp == mpJ, "joined multi-probe ≡ literal multi-probe")
+    // vs the greedy (nprobe=1) assignment: never worse, improved is
+    // exactly the strict wins, and non-improved rows keep the greedy
+    // distance (cluster may differ only on a cross-cell distance tie)
+    val greedy = Clustering.assignHierarchical(v, m)
+      .select("vec_id", "cluster", "dist").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(mp.keySet == greedy.keySet)
+    var improved = 0
+    mp.foreach { case (id, (cl, d, imp)) =>
+      val (gcl, gd) = greedy(id)
+      assert(d <= gd, s"vec $id: multi-probe $d worse than greedy $gd")
+      assert((imp == 1) == (d < gd), s"vec $id: improved flag vs distances")
+      if (imp == 0) assert(d == gd, s"vec $id: non-improved keeps greedy dist")
+      if (imp == 0 && cl != gcl)
+        assert(d == gd && cl < gcl, s"vec $id: cluster swap needs a tie won by id")
+      improved += imp
+    }
+    assert(improved > 0, "fixture exercises the boundary-recovery branch")
+    // planted boundary geometry: x is coarse-closest to cell 0 but its
+    // true nearest fine centroid lives in cell 1 — nprobe=1 misses it,
+    // nprobe=2 recovers the exact flat argmin
+    import spark.implicits._
+    val pm = Clustering.HierModel(
+      coarse = Seq(Array(0L, 0L), Array(100L, 0L)),
+      fine = Seq(Seq(Array(0L, 0L), Array(40L, 0L)),
+                 Seq(Array(45L, 0L), Array(150L, 0L))),
+      kf = 2)
+    val pv = Seq((1L, Seq(44L, 0L))).toDF("vec_id", "x")
+    val got = Clustering.multiProbeAssign(pv, pm)
+      .select("vec_id", "cluster", "dist", "improved").collect().head
+    assert(got.getInt(1) == 2 && got.getLong(2) == 1L && got.getInt(3) == 1,
+      s"planted boundary vector: $got")
+    val flat = Clustering.assignWith(pv, pm.fine.flatten)
+      .select("cluster").collect().head.getInt(0)
+    assert(got.getInt(1) == flat, "multi-probe recovers the flat argmin here")
+  }
+
   test("stored frame model: distributed save/load round-trip, fresh-session joined " +
       "serve ≡ literal serve, cross-path interop both directions") {
     CacheRegistry.releaseAll()

@@ -219,6 +219,36 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("Nearest2OfL2 dual-mode (ties to smaller cid; < 2 centroids → null)") {
+    import graft.functions.FixedPointOps
+    // 4-candidate list incl. a duplicate (b twice → the tie lands on
+    // the smaller index) and the vector itself (dist 0 wins slot 1)
+    dualMode {
+      longVecRows.select(FixedPointOps.nearest2OfL2(col("a"),
+          array(col("b"), col("a"), col("b"), col("a"))).as("v"))
+        .collect().map(_.toString)
+    }
+    // one-candidate list: no second probe → null
+    dualMode {
+      longVecRows.select(FixedPointOps.nearest2OfL2(col("a"),
+          array(col("b"))).as("v"))
+        .collect().map(_.toString)
+    }
+    // agreement with the top-1 kernel on (dist1, cid1)
+    val both = longVecRows.filter(size(col("a")) === size(col("b")))
+      .select(
+        FixedPointOps.nearest2OfL2(col("a"),
+          array(col("b"), col("a"), col("b"))).as("p2"),
+        FixedPointOps.nearestOfL2(col("a"),
+          array(col("b"), col("a"), col("b"))).as("p1"))
+      .collect()
+    both.foreach { r =>
+      val p2 = r.getStruct(0); val p1 = r.getStruct(1)
+      assert(p2.getLong(0) == p1.getLong(0) && p2.getInt(1) == p1.getInt(1),
+        "top-2 kernel slot 1 must equal the top-1 kernel")
+    }
+  }
+
   test("MatVecCentered dual-mode (centered and zero-means; float and double inputs)") {
     import spark.implicits._
     import graft.functions.VectorOps
