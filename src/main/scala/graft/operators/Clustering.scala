@@ -1216,6 +1216,54 @@ object Clustering {
           .otherwise(lit(0)).as("improved"))
   }
 
+  /** The nprobe=2 PROBE CELLS of each vector, exploded one row per
+    * probe: (vec_id, x, probe, cluster) — probe 1 is the GREEDY cell
+    * (fine argmin inside the nearest coarse cell, q130's assignment),
+    * probe 2 the fine argmin inside the SECOND-nearest coarse cell.
+    * This is the BLOCKING form of [[multiProbeAssign]]: instead of
+    * reducing the two candidates to one argmin, both cells are kept
+    * as probe targets, so a cell-equi-join consumer (the streaming
+    * semantic gate) searches BOTH sides of the arrival's coarse
+    * boundary. The two cells are always DISTINCT (different coarse
+    * prefix), and a corpus vector lives in exactly one cell, so each
+    * (vec_id, corpus) pair downstream of the join occurs at most
+    * once — no dedup aggregation needed, append-mode stays legal. */
+  def multiProbeCells(v: DataFrame, m: HierModel): DataFrame = {
+    require(m.coarse.size >= 2, "nprobe=2 needs >= 2 coarse cells")
+    val coarseLit = typedLit(m.coarse.map(_.toSeq))
+    val finesLit = typedLit(m.fine.map(_.map(_.toSeq)))
+    v.withColumn("p",
+        graft.functions.FixedPointOps.nearest2OfL2(col("x"), coarseLit))
+      .withColumn("f1", graft.functions.FixedPointOps.nearestOfL2(
+        col("x"), element_at(finesLit, col("p.cid1") + 1)))
+      .withColumn("f2", graft.functions.FixedPointOps.nearestOfL2(
+        col("x"), element_at(finesLit, col("p.cid2") + 1)))
+      .select(col("vec_id"), col("x"),
+        explode(array(
+          struct(lit(1).as("probe"),
+            (col("p.cid1") * lit(m.kf) + col("f1.cid")).as("cluster")),
+          struct(lit(2).as("probe"),
+            (col("p.cid2") * lit(m.kf) + col("f2.cid")).as("cluster")))).as("pb"))
+      .select(col("vec_id"), col("x"),
+        col("pb.probe").as("probe"), col("pb.cluster").as("cluster"))
+  }
+
+  /** [[multiProbeCells]] for a FLAT centroid model: the top-2 nearest
+    * centroids ARE the two probe cells (one codegen'd pass over the
+    * k·d literal — no second scan). Same output shape and uniqueness
+    * contract. */
+  def multiProbeCellsFlat(v: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    require(cents.size >= 2, "nprobe=2 needs >= 2 cells")
+    val cc = typedLit(cents.map(_.toSeq))
+    v.withColumn("p", graft.functions.FixedPointOps.nearest2OfL2(col("x"), cc))
+      .select(col("vec_id"), col("x"),
+        explode(array(
+          struct(lit(1).as("probe"), col("p.cid1").as("cluster")),
+          struct(lit(2).as("probe"), col("p.cid2").as("cluster")))).as("pb"))
+      .select(col("vec_id"), col("x"),
+        col("pb.probe").as("probe"), col("pb.cluster").as("cluster"))
+  }
+
   val hierMultiProbeSql: String =
     s"""WITH $hierCte,
        |cp AS (
@@ -1240,6 +1288,73 @@ object Clustering {
        |SELECT b.vec_id, b.cl AS cluster, b.fdist AS dist,
        |       CASE WHEN b.fdist < g.fdist THEN 1 ELSE 0 END AS improved
        |FROM b JOIN g USING (vec_id)""".stripMargin
+
+  // --------------------------------------------------------------- q137
+
+  /** q137: PROBE-RECALL AUDIT for the hierarchical ladder — the
+    * measurement behind the nprobe knob: how often does each
+    * approximate assignment find a fine centroid AS NEAR AS the exact
+    * flat argmin over the same k centroids? Three distances per
+    * vector, all map-only literals chained in ONE projection (zero
+    * shuffle until the single-row aggregate): `tdist` the exact flat
+    * scan over all k fine centroids (the ground truth the hierarchy
+    * approximates — the audit's deliberate O(n·k) leg, q98/q121
+    * recall-audit precedent), `gdist` the greedy coarse-then-fine
+    * distance (q130), `pdist` the nprobe=2 distance (q136).
+    * tdist ≤ pdist ≤ gdist by construction; a "hit" is distance
+    * equality with the exact leg. Output: one row with n, both hit
+    * counts, and both miss rates in integer ppm — the
+    * boundary-error-rate table a deployment reads to decide whether
+    * the second probe pays for its extra √k scan. */
+  def hierProbeRecall(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val m = trainHierarchical(v, HierK)
+    val base = v.select(col("vec_id"), col("x"))
+    val t = assignWith(base, m.fine.flatten)
+      .select(col("vec_id"), col("x"), col("dist").as("tdist"))
+    val g = assignHierarchical(t, m)
+      .select(col("vec_id"), col("x"), col("tdist"), col("dist").as("gdist"))
+    val p = multiProbeAssign(g, m)
+      .select(col("vec_id"), col("tdist"), col("gdist"), col("dist").as("pdist"))
+    p.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("gdist") === col("tdist"), 1L).otherwise(0L))
+          .as("greedy_hits"),
+        sum(when(col("pdist") === col("tdist"), 1L).otherwise(0L))
+          .as("mp_hits"))
+      .select(col("n"), col("greedy_hits"), col("mp_hits"),
+        expr("(1000000 * (n - greedy_hits)) div n").as("greedy_miss_ppm"),
+        expr("(1000000 * (n - mp_hits)) div n").as("mp_miss_ppm"))
+  }
+
+  val hierProbeRecallSql: String =
+    s"""WITH $hierCte,
+       |ft AS (
+       |  SELECT a.vec_id, min(${fdistDuck("a.x", "f.fv")}) AS tdist
+       |  FROM a2 a CROSS JOIN fcf f GROUP BY a.vec_id),
+       |cp AS (
+       |  SELECT vec_id, x, cid AS pccl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cid) AS pr
+       |    FROM d2) WHERE pr <= 2),
+       |mp AS (
+       |  SELECT p.vec_id, min(${fdistDuck("p.x", "f.fv")}) AS pdist
+       |  FROM cp p JOIN fcf f ON f.ccl = p.pccl GROUP BY p.vec_id),
+       |j AS (
+       |  SELECT g.vec_id, g.fdist AS gdist, t.tdist, m.pdist
+       |  FROM fa2 g JOIN ft t USING (vec_id) JOIN mp m USING (vec_id)),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN gdist = tdist THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS greedy_hits,
+       |         CAST(sum(CASE WHEN pdist = tdist THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS mp_hits
+       |  FROM j)
+       |SELECT n, greedy_hits, mp_hits,
+       |       (1000000 * (n - greedy_hits)) // n AS greedy_miss_ppm,
+       |       (1000000 * (n - mp_hits)) // n AS mp_miss_ppm
+       |FROM s""".stripMargin
 
   // --------------------------------------------------------------- q132
 

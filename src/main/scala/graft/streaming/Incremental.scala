@@ -400,6 +400,79 @@ object Incremental {
       probeCorpus, cappedCells, pruneT)
   }
 
+  /** MULTI-PROBE capped gate (nprobe = 2, flat model) — closes half
+    * of the single-probe gate's recall hole: [[semanticNearDupGate]]
+    * misses an arrival whose nearest corpus near-dup lives in a
+    * DIFFERENT cell (the SemDeDup blocking trade, worst exactly at
+    * cell boundaries). Here each arrival probes its TOP-2 cells
+    * ([[graft.operators.Clustering.multiProbeCellsFlat]] — the top-2
+    * step is ONE codegen'd scan of the centroid literal), so a
+    * boundary arrival searches both sides of its boundary at 2·|cell|
+    * bounded probe cost. Verdict shape adds a `probe` rank column
+    * (1 = greedy cell, 2 = second probe): rows stay unique — the two
+    * probe cells are distinct and a corpus vector lives in exactly
+    * one cell — so there is still no aggregation and append mode
+    * stays legal. Cap semantics are PER PROBE LEG: an arrival whose
+    * second-nearest cell is capped gets one flagged (probe 2) verdict
+    * while its greedy leg probes normally — the escalation signal
+    * stays attributable to the leg that hit the hot cell. */
+  def semanticNearDupGate2(
+      arrivals: DataFrame,
+      cents: Seq[Array[Long]],
+      probeCorpus: DataFrame,
+      cappedCells: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    semanticGateVerdicts2(
+      Clustering.multiProbeCellsFlat(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        cents),
+      probeCorpus, cappedCells, pruneT)
+  }
+
+  /** [[semanticNearDupGate2]] under a TWO-LEVEL model: probe cells are
+    * the fine argmin inside each of the top-2 COARSE cells (3·√k
+    * distances per arrival — one top-2 coarse scan + two fine scans),
+    * the IVF nprobe=2 recall remedy at the gate's ingest seam. The
+    * stored probe/capped tables must be built from the SAME model. */
+  def semanticNearDupGateHier2(
+      arrivals: DataFrame,
+      hm: graft.operators.Clustering.HierModel,
+      probeCorpus: DataFrame,
+      cappedCells: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    semanticGateVerdicts2(
+      Clustering.multiProbeCells(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        hm),
+      probeCorpus, cappedCells, pruneT)
+  }
+
+  /** Verdict core of the multi-probe gates: per-LEG cap flagging and
+    * probing over the exploded (vec_id, x, probe, cluster) rows. */
+  private def semanticGateVerdicts2(
+      asg: DataFrame, probeCorpus: DataFrame, cappedCells: DataFrame,
+      pruneT: Long): DataFrame = {
+    val flagged = asg.join(
+      broadcast(cappedCells.select(col("cluster")).withColumn("capflag", lit(1))),
+      Seq("cluster"), "left")
+    val probed = flagged.filter(col("capflag").isNull)
+      .join(probeCorpus.select(col("corpus_id"), col("x").as("cx"), col("cluster")),
+        Seq("cluster")) // stream-static equi-probe, one leg per probe cell
+      .filter(col("vec_id") =!= col("corpus_id"))
+      .withColumn("dist",
+        graft.functions.FixedPointOps.sqDistL2(col("x"), col("cx")))
+      .filter(col("dist") < pruneT)
+      .select(col("vec_id"), col("probe"), col("corpus_id"), col("dist"),
+        lit(0).as("cell_capped"))
+    val inCapped = flagged.filter(col("capflag") === 1)
+      .select(col("vec_id"), col("probe"),
+        lit(null).cast("long").as("corpus_id"),
+        lit(null).cast("long").as("dist"), lit(1).as("cell_capped"))
+    probed.unionByName(inCapped)
+  }
+
   /** Shared verdict core of the capped gates: flag arrivals whose
     * cell is in the capped table (broadcast, k rows), probe the rest. */
   private def semanticGateVerdicts(

@@ -599,6 +599,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.getInt(1) == flat, "multi-probe recovers the flat argmin here")
   }
 
+  test("probe recall audit: tdist <= pdist <= gdist per row, aggregate matches " +
+      "per-row recomputation, mp hits >= greedy hits") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val m = Clustering.trainHierarchical(v, 16)
+    val t = Clustering.assignWith(v.select(col("vec_id"), col("x")), m.fine.flatten)
+      .select(col("vec_id"), col("dist").as("tdist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = Clustering.assignHierarchical(v, m)
+      .select(col("vec_id"), col("dist")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = Clustering.multiProbeAssign(v, m)
+      .select(col("vec_id"), col("dist")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.keySet.foreach { id =>
+      assert(t(id) <= p(id) && p(id) <= g(id),
+        s"vec $id: exact ${t(id)} <= nprobe2 ${p(id)} <= greedy ${g(id)}")
+    }
+    val row = Clustering.hierProbeRecall(spark, sf01).collect().head
+    val n = t.size.toLong
+    val gh = t.keySet.count(id => g(id) == t(id)).toLong
+    val ph = t.keySet.count(id => p(id) == t(id)).toLong
+    assert(row.getLong(0) == n && row.getLong(1) == gh && row.getLong(2) == ph,
+      s"aggregate row $row vs recomputed ($n, $gh, $ph)")
+    assert(row.getLong(3) == (1000000L * (n - gh)) / n)
+    assert(row.getLong(4) == (1000000L * (n - ph)) / n)
+    assert(ph >= gh, "the second probe can only add hits")
+    CacheRegistry.releaseAll()
+  }
+
   test("stored frame model: distributed save/load round-trip, fresh-session joined " +
       "serve ≡ literal serve, cross-path interop both directions") {
     CacheRegistry.releaseAll()

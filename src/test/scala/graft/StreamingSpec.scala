@@ -925,6 +925,116 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); probeStored.unpersist() }
   }
 
+  test("multi-probe semantic gate (nprobe=2): a boundary arrival's near-dup in the " +
+      "SECOND-nearest coarse cell is missed by nprobe=1 and caught by probe leg 2; " +
+      "a capped probe-2 cell flags that leg while leg 1 probes normally") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    // planted geometry (q136's boundary case, in gate form): arrival at
+    // x=44 sits in coarse cell 0 (boundary x=50) → greedy cell 1
+    // (fine (40,0)); its true near-dup (60,0) lives in cell 2 — the
+    // fine argmin of coarse cell 1. Cluster-1 corpus member (21,0) is
+    // 529 away, over pruneT=300; the cross-boundary dup is 256 under.
+    val pm = Clustering.HierModel(
+      coarse = Seq(Array(0L, 0L), Array(100L, 0L)),
+      fine = Seq(Seq(Array(0L, 0L), Array(40L, 0L)),
+                 Seq(Array(45L, 0L), Array(150L, 0L))),
+      kf = 2)
+    val corpus = Seq((10L, Seq(60L, 0L), 2), (11L, Seq(21L, 0L), 1))
+      .toDF("corpus_id", "x", "cluster")
+    val noCap = Seq.empty[(Int, Long)].toDF("cluster", "cell_n")
+    // integer/2^20 floats are exact, so quantize reproduces the longs
+    val s = Clustering.Scale.toFloat
+    val aEmb = Seq(44L / s, 0L / s)
+    val input1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = Incremental.semanticNearDupGateHier(
+        input1.toDF().toDF("vec_id", "embedding"), pm, corpus, noCap, pruneT = 300L)
+      .writeStream.format("memory").queryName("mp_gate1_out")
+      .outputMode("append").start()
+    try {
+      input1.addData((901L, aEmb)); q1.processAllAvailable()
+      assert(spark.table("mp_gate1_out").collect().isEmpty,
+        "nprobe=1 misses the cross-boundary near-dup (its greedy cell has none under T)")
+    } finally q1.stop()
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Incremental.semanticNearDupGateHier2(
+        input2.toDF().toDF("vec_id", "embedding"), pm, corpus, noCap, pruneT = 300L)
+      .writeStream.format("memory").queryName("mp_gate2_out")
+      .outputMode("append").start()
+    try {
+      input2.addData((901L, aEmb)); q2.processAllAvailable()
+      val rows = spark.table("mp_gate2_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      assert(rows.toSeq == Seq((901L, 2, 10L, 256L, 0)),
+        s"probe leg 2 must recover exactly the cross-boundary pair: ${rows.toSeq}")
+    } finally q2.stop()
+    // capped probe-2 cell: that LEG short-circuits flagged; leg 1 still
+    // probes (and stays silent here — its member is over threshold)
+    val capped = Seq((2, 99L)).toDF("cluster", "cell_n")
+    val input3 = MemoryStream[(Long, Seq[Float])]
+    val q3 = Incremental.semanticNearDupGateHier2(
+        input3.toDF().toDF("vec_id", "embedding"), pm, corpus, capped, pruneT = 300L)
+      .writeStream.format("memory").queryName("mp_gate3_out")
+      .outputMode("append").start()
+    try {
+      input3.addData((901L, aEmb)); q3.processAllAvailable()
+      val rows = spark.table("mp_gate3_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+      assert(rows.toSeq == Seq((901L, 2, -1L, -1L, 1)),
+        s"capped second probe must emit one flagged leg-2 verdict: ${rows.toSeq}")
+    } finally q3.stop()
+  }
+
+  test("multi-probe flat gate on the fixture: pair set is a SUPERSET of the " +
+      "single-probe gate's (probe 1 reproduces it exactly; extras are all probe 2)") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val stored = Clustering.assignedCorpus(v, cents).persist()
+    val noCap = Seq.empty[(Int, Long)].toDF("cluster", "cell_n")
+    val embs = Tables.embeddings(spark, sf).filter(col("vec_id") < 3L)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) + 900L, r.getSeq[Float](1)))
+    val in1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = Incremental.semanticNearDupStream(
+        in1.toDF().toDF("vec_id", "embedding"), cents, stored)
+      .writeStream.format("memory").queryName("mp_base_out")
+      .outputMode("append").start()
+    val base = try {
+      in1.addData(embs.toIndexedSeq: _*); q1.processAllAvailable()
+      spark.table("mp_base_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Incremental.semanticNearDupGate2(
+        in2.toDF().toDF("vec_id", "embedding"), cents, stored, noCap)
+      .writeStream.format("memory").queryName("mp_two_out")
+      .outputMode("append").start()
+    try {
+      in2.addData(embs.toIndexedSeq: _*); q2.processAllAvailable()
+      val rows = spark.table("mp_two_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      val p1 = rows.filter(_._2 == 1).map(t => (t._1, t._3, t._4)).toSet
+      assert(p1 == base,
+        "probe leg 1 must reproduce the single-probe gate's pair set exactly")
+      assert(rows.filter(_._2 == 2).forall(t => !base.contains((t._1, t._3, t._4))),
+        "probe-2 rows are cross-cell by construction — disjoint from leg 1")
+      assert(rows.forall(_._5 == 0), "no caps planted")
+      // each replayed corpus vector still pairs with its original at
+      // dist 0 through the greedy leg
+      embs.foreach { case (id, _) =>
+        assert(rows.contains((id, 1, id - 900L, 0L, 0)),
+          s"replayed $id must self-pair at dist 0 on probe 1")
+      }
+    } finally { q2.stop(); stored.unpersist() }
+  }
+
   test("streaming SEMANTIC gate under the TWO-LEVEL model: replayed corpus vector " +
       "flagged at dist 0 through the 2·√k-cost hierarchical arrival assignment") {
     import spark.implicits._
