@@ -208,10 +208,20 @@ object IndexBuild {
           storedCents, idx.assignedCorpus, idx.cappedCells)
         .write.format("noop").mode("overwrite").save()
     }
+    val semGate2Sec = timed {
+      val storedCents = Clustering.loadCentroids(
+        serve, idx.centroidsPath, idx.pins.get(CentroidsT))
+      Incremental.semanticNearDupGate2(
+          Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + lit(900000000L)),
+          storedCents, idx.assignedCorpus, idx.cappedCells)
+        .write.format("noop").mode("overwrite").save()
+    }
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +
       f""""serve_retrieval_sec": $retrSec%.3f, "serve_novelty_sec": $novSec%.3f, """ +
       f""""serve_ann_sec": $annSec%.3f, "serve_cluster_sec": $clusterSec%.3f, """ +
       f""""serve_pca_sec": $pcaSec%.3f, "serve_semgate_sec": $semGateSec%.3f, """ +
+      f""""serve_semgate2_sec": $semGate2Sec%.3f, """ +
       f""""sf": "$dir", "root": "$root"}""")
     spark.stop()
   }

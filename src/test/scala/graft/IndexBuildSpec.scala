@@ -158,6 +158,21 @@ class IndexBuildSpec extends AnyFunSuite {
     val served = graft.streaming.Incremental.semanticNearDupGate(
       servedArrivals, storedCents, idx.assignedCorpus, idx.cappedCells)
     assert(sortedRows(served.collect()) == want, "served gate verdicts == in-session")
+    // the MULTI-PROBE gate serves from the SAME stored artifacts: its
+    // probe-1 (greedy) leg must reproduce the single-probe gate's
+    // verdicts exactly — pairs and per-leg cap flags alike
+    val served2 = graft.streaming.Incremental.semanticNearDupGate2(
+      servedArrivals, storedCents, idx.assignedCorpus, idx.cappedCells)
+    val leg1 = served2.collect().filter(_.getInt(1) == 1)
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3), r.getInt(4))).toSet
+    val single = served.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getInt(3))).toSet
+    assert(leg1 == single,
+      "multi-probe leg 1 from the stored root == single-probe gate verdicts")
     CacheRegistry.releaseAll()
   }
 
