@@ -605,6 +605,31 @@ object SoakCluster {
         f"growth ${tn / t1}%4.1fx   per-vec ${1e6 * t1 / n1}%.0f -> ${1e6 * tn / nn}%.0f us  (k=$k5 both)")
     }
 
+    // Multi-probe (nprobe=2) priced against greedy on the SAME
+    // trained frame model, assignment stage only: the joined probe
+    // carries exactly 2x the candidate rows (2·kf per vector), so
+    // the overhead must stay ~<=2x greedy and per-vector cost ~flat
+    // at x10 corpus — what the q137 recall gain costs at scale.
+    {
+      CacheRegistry.releaseAll()
+      val k5 = 5000
+      def stage(m: Long): (Double, Double) = {
+        val v = fresh(m)
+        val hm = operators.Clustering.trainHierarchicalFrames(v, k5)
+        val tg = time(operators.Clustering.assignHierarchicalJoined(v, hm)
+          .write.format("noop").mode("overwrite").save())
+        val tp = time(operators.Clustering.multiProbeAssignJoined(v, hm)
+          .write.format("noop").mode("overwrite").save())
+        (tg, tp)
+      }
+      val n1 = 50000L; val nn = n1 * n
+      stage(n1) // warm
+      val (g1, p1) = stage(n1); val (gn, pn) = stage(nn)
+      println(f"multiprobe_joined        ${n1 / 1000}%dk: greedy $g1%5.2f s nprobe2 $p1%5.2f s   " +
+        f"${nn / 1000}%dk: greedy $gn%6.2f s nprobe2 $pn%6.2f s   " +
+        f"overhead ${p1 / g1}%4.2fx -> ${pn / gn}%4.2fx   per-vec ${1e6 * pn / nn}%.0f us (k=$k5)")
+    }
+
     // Flat-vs-two-level wall-clock contrast at 500k x k=2000 (r13):
     // post-kernels the 50k x 200 stage rows are overhead-dominated
     // (PERF.md's honest note); at this n·k the O(n·k) flat ladder is

@@ -1264,6 +1264,14 @@ object Clustering {
         col("pb.probe").as("probe"), col("pb.cluster").as("cluster"))
   }
 
+  /** Threshold-dispatched multi-probe over a frame model —
+    * [[assignHier]]'s twin at nprobe = 2: the zero-shuffle literal
+    * path while k·d fits task serialization, the joined path beyond. */
+  def multiProbeHier(v: DataFrame, m: HierModelDf): DataFrame =
+    if (m.kTotal.toLong * Dim <= FineLiteralMaxEntries)
+      multiProbeAssign(v, collectHierModel(m))
+    else multiProbeAssignJoined(v, m)
+
   val hierMultiProbeSql: String =
     s"""WITH $hierCte,
        |cp AS (

@@ -65,6 +65,36 @@ object EmbedPipeline {
     val asg = graft.CacheRegistry.getOrCache(spark, s"pipeline.embedAsg:$dir:$k")(
       Clustering.assignWith(v, cents)
         .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    runStages(asg, outDir, m, pruneT)
+  }
+
+  /** The AT-SCALE funnel: same stages, same observe seams, but the
+    * clustering is the TWO-LEVEL frame-model ladder — training
+    * O(n·√k) with the fine model as frames end to end
+    * ([[graft.operators.Clustering.trainHierarchicalFrames]], no k·d
+    * literal or driver collect), assignment threshold-dispatched
+    * ([[graft.operators.Clustering.assignHier]]). This is the entry
+    * point a deployment calls at k = kForCorpus(n), where [[run]]'s
+    * flat Lloyd is O(n·k) = n²/cell and its centroid literal is the
+    * r12-graded transport ceiling. The prune seam takes the
+    * hierarchical cells unchanged (q131's proof: cells are cells). */
+  def runHier(spark: SparkSession, dir: String, outDir: String,
+      k: Int = Clustering.HierK, m: Int = Clustering.SampleM,
+      pruneT: Long = Clustering.PruneT): Seq[VecStage] = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      Clustering.fixedPoint(spark, dir))
+    val hm = Clustering.trainHierarchicalFrames(v, k)
+    val asg = graft.CacheRegistry.getOrCache(spark, s"pipeline.embedAsgHier:$dir:$k")(
+      Clustering.assignHier(v, hm)
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    runStages(asg, outDir, m, pruneT)
+  }
+
+  /** Shared funnel core over a cached (vec_id, x, cluster, dist)
+    * assignment: observe input mass, SemDeDup prune, per-cell
+    * diversity quota, manifest publish, 3-row stage report. */
+  private def runStages(asg: DataFrame, outDir: String, m: Int,
+      pruneT: Long): Seq[VecStage] = {
     val keptIds = Clustering.semdedupPruneOf(
         asg.select(col("vec_id"), col("x"), col("cluster")), pruneT)
       .filter(col("kept") === 1).select(col("vec_id"))
@@ -105,10 +135,15 @@ object EmbedPipeline {
     val t0 = System.nanoTime()
     val stages = run(spark, dir, out)
     val sec = (System.nanoTime() - t0) / 1e9
-    val stageJson = stages.map(s =>
+    val t1 = System.nanoTime()
+    val stagesHier = runHier(spark, dir, s"$out-hier")
+    val hierSec = (System.nanoTime() - t1) / 1e9
+    def json(ss: Seq[VecStage]) = ss.map(s =>
       s""""${s.stage}": {"n_vecs": ${s.nVecs}, "inertia": "${s.inertia}"}""")
       .mkString(", ")
-    println(f"""{"run_sec": $sec%.3f, $stageJson, "sf": "$dir", "out": "$out"}""")
+    println(f"""{"run_sec": $sec%.3f, ${json(stages)}, """ +
+      f""""run_hier_sec": $hierSec%.3f, """ +
+      f""""hier": {${json(stagesHier)}}, "sf": "$dir", "out": "$out"}""")
     spark.stop()
   }
 }

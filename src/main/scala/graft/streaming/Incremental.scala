@@ -434,7 +434,16 @@ object Incremental {
     * the fine argmin inside each of the top-2 COARSE cells (3·√k
     * distances per arrival — one top-2 coarse scan + two fine scans),
     * the IVF nprobe=2 recall remedy at the gate's ingest seam. The
-    * stored probe/capped tables must be built from the SAME model. */
+    * stored probe/capped tables must be built from the SAME model.
+    *
+    * Model-transport note: the fine table rides the plan as a literal
+    * here (stream-legal, map-only) — fine while k·d is under
+    * [[graft.operators.Clustering.FineLiteralMaxEntries]]. Past it,
+    * run the gate per micro-batch via `foreachBatch` (the streaming
+    * MERGE precedent) with the FRAME-model paths
+    * ([[graft.operators.Clustering.multiProbeHier]] /
+    * [[graft.operators.Clustering.assignHier]]) producing the probe
+    * cells — the stored corpus/capped joins are batch joins there. */
   def semanticNearDupGateHier2(
       arrivals: DataFrame,
       hm: graft.operators.Clustering.HierModel,

@@ -562,6 +562,11 @@ class ClusteringSpec extends AnyFunSuite {
       .select("vec_id", "cluster", "dist", "improved").collect()
       .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
     assert(mp == mpJ, "joined multi-probe ≡ literal multi-probe")
+    val mpD = Clustering.multiProbeHier(v, Clustering.HierModelDf(
+        m.coarse, Clustering.fineFrameOf(spark, m), m.kf, 16))
+      .select("vec_id", "cluster", "dist", "improved").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(mp == mpD, "threshold dispatch ≡ literal multi-probe")
     // vs the greedy (nprobe=1) assignment: never worse, improved is
     // exactly the strict wins, and non-improved rows keep the greedy
     // distance (cluster may differ only on a cross-cell distance tie)

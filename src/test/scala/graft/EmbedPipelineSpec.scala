@@ -47,4 +47,46 @@ class EmbedPipelineSpec extends AnyFunSuite {
       .collect()(0).getDecimal(0).toBigInteger)
     assert(pubInertia == stages(2).inertia, "published inertia == reported")
   }
+
+  test("runHier (the at-scale two-level funnel): report ≡ recomputing the same " +
+      "stages over the literal hierarchical assignment; published == quota stage") {
+    CacheRegistry.releaseAll()
+    val out = java.nio.file.Files.createTempDirectory("graft-embedhier").toString
+    val k = Clustering.HierK
+    val stages = EmbedPipeline.runHier(spark, sf, out, k)
+    assert(stages.map(_.stage) == Seq("input", "semdedup", "diversity_quota"))
+    // expected masses from the LITERAL two-level path (assignHier
+    // dispatches to it at this k, and frames-training is spec-pinned
+    // bit-exact to literal training) — an independent recomputation,
+    // not the pipeline's own frames
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf)
+    val asg = Clustering.assignHierarchical(v, Clustering.trainHierarchical(v, k))
+      .select(col("vec_id"), col("x"), col("cluster"), col("dist")).persist()
+    def mass(df: org.apache.spark.sql.DataFrame): (Long, BigInt) = {
+      val r = df.agg(count(lit(1)), coalesce(
+        sum(col("dist").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger))
+    }
+    val kept = Clustering.semdedupPruneOf(
+        asg.select(col("vec_id"), col("x"), col("cluster")))
+      .filter(col("kept") === 1).select(col("vec_id"))
+    val surv = asg.join(kept, "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist").desc, col("vec_id"))
+    val quota = surv.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Clustering.SampleM)
+    val want = Map("input" -> mass(asg), "semdedup" -> mass(surv),
+      "diversity_quota" -> mass(quota))
+    stages.foreach { s =>
+      assert((s.nVecs, s.inertia) == want(s.stage),
+        s"stage ${s.stage}: runHier=${(s.nVecs, s.inertia)} expected=${want(s.stage)}")
+    }
+    val pub = spark.read.format("graft.sources.ManifestSink")
+      .option("path", out).load()
+    assert(pub.count() == stages(2).nVecs, "published rows == quota stage")
+    asg.unpersist()
+    CacheRegistry.releaseAll()
+  }
 }
