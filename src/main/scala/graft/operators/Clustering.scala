@@ -1364,6 +1364,61 @@ object Clustering {
        |       (1000000 * (n - mp_hits)) // n AS mp_miss_ppm
        |FROM s""".stripMargin
 
+  // --------------------------------------------------------------- q138
+
+  /** q138: BOUNDARY-PAIR RECOVERY — the near-dup pairs SemDeDup's
+    * blocking MISSES, recovered in batch. The prune (q125/q131) only
+    * compares vectors INSIDE a cell; a near-dup pair straddling a
+    * cell boundary is invisible to it (the documented SemDeDup recall
+    * trade, worst exactly where q137 measures the assignment error).
+    * This operator probes each vector's SECOND cell — the fine argmin
+    * inside its second-nearest coarse partition
+    * ([[multiProbeCells]]' probe-2 leg) — against the assigned
+    * corpus, emitting (vec_id, other_id, dist) for every cross-cell
+    * pair under the prune threshold. Strictly additive to the
+    * within-cell prune: probe-2 cells differ from the vector's own
+    * cell by construction, so no within-cell pair can reappear and
+    * no dedup aggregation is needed.
+    *
+    * Scale shape: the SAME blocked-join mass as the prune itself
+    * (Σ over vectors of |probe-2 cell| ≈ n·cell at the kForCorpus
+    * operating point, k distinct join keys fanning out with the
+    * corpus) — one extra prune-shaped pass buys back the boundary
+    * recall. A deployment caps the probed corpus side exactly like
+    * the gate does ([[capAssignedCorpus]] at build time); the oracle
+    * runs uncapped. */
+  def hierBoundaryPairs(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val m = trainHierarchical(v, HierK)
+    val asg = assignHierarchical(v, m)
+      .select(col("vec_id").as("other_id"), col("x").as("ox"), col("cluster"))
+    multiProbeCells(v.select(col("vec_id"), col("x")), m)
+      .filter(col("probe") === 2)
+      .join(asg, Seq("cluster"))
+      .withColumn("dist", graft.functions.FixedPointOps.sqDistL2(col("x"), col("ox")))
+      .filter(col("dist") < PruneT)
+      .select(col("vec_id"), col("other_id"), col("dist"))
+  }
+
+  val hierBoundaryPairsSql: String =
+    s"""WITH $hierCte,
+       |c2 AS (
+       |  SELECT vec_id, x, cid AS pccl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cid) AS pr
+       |    FROM d2) WHERE pr = 2),
+       |p2 AS (
+       |  SELECT vec_id, x, pccl * 4 + fcl AS pcell FROM (
+       |    SELECT c.vec_id, c.x, c.pccl, f.fcl,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY ${fdistDuck("c.x", "f.fv")}, f.fcl) AS rn
+       |    FROM c2 c JOIN fcf f ON f.ccl = c.pccl) WHERE rn = 1)
+       |SELECT a.vec_id, b.vec_id AS other_id,
+       |       ${fdistDuck("a.x", "b.x")} AS dist
+       |FROM p2 a JOIN fa2 b ON b.ccl * 4 + b.fcl = a.pcell
+       |WHERE ${fdistDuck("a.x", "b.x")} < $PruneT""".stripMargin
+
   // --------------------------------------------------------------- q132
 
   /** q132's "arriving batch" slice rule (deterministic, ~14% of the

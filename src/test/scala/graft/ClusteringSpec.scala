@@ -634,6 +634,36 @@ class ClusteringSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("boundary pairs: result == the brute-force under-threshold pairs whose " +
+      "partner sits in the probe-2 cell; disjoint from within-cell blocking; nonempty") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val m = Clustering.trainHierarchical(v, 16)
+    val cells = Clustering.assignHierarchical(v, m)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val p2 = Clustering.multiProbeCells(v.select(col("vec_id"), col("x")), m)
+      .filter(col("probe") === 2).select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val xs = v.select("vec_id", "x").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val want = (for {
+      a <- xs.keys; b <- xs.keys
+      if b != a && cells(b) == p2(a) && d2(xs(a), xs(b)) < Clustering.PruneT
+    } yield (a, b, d2(xs(a), xs(b)))).toSet
+    val got = Clustering.hierBoundaryPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"boundary pairs: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "fixture must exercise the cross-boundary branch")
+    // strictly additive to the within-cell prune: no pair here shares a cell
+    got.foreach { case (a, b, _) =>
+      assert(cells(a) != cells(b), s"pair ($a,$b) is within-cell — blocking covers it")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("stored frame model: distributed save/load round-trip, fresh-session joined " +
       "serve ≡ literal serve, cross-path interop both directions") {
     CacheRegistry.releaseAll()
