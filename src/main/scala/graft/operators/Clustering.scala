@@ -1264,6 +1264,38 @@ object Clustering {
         col("pb.probe").as("probe"), col("pb.cluster").as("cluster"))
   }
 
+  /** [[multiProbeCells]] over a FRAME model — the probe-cells path
+    * past [[FineLiteralMaxEntries]]: explode each vector to its two
+    * coarse probes (the coarse table stays a √k·d literal), equi-join
+    * the fine FRAME on `ccl`, one min-struct argmin per (vector,
+    * probe), then re-attach `x` by key. BATCH-only (the argmin is an
+    * aggregation) — this is what the streaming gate's `foreachBatch`
+    * form calls per micro-batch when the fine model outgrows the
+    * plan-literal ceiling. Spec-pinned row-equal to the literal
+    * [[multiProbeCells]]. */
+  def multiProbeCellsJoined(v: DataFrame, m: HierModelDf): DataFrame = {
+    val coarseLit = typedLit(m.coarse.map(_.toSeq))
+    val probes = v.withColumn("p",
+        graft.functions.FixedPointOps.nearest2OfL2(col("x"), coarseLit))
+      .select(col("vec_id"),
+        explode(array(
+          struct(lit(1).as("probe"), col("p.cid1").as("ccl")),
+          struct(lit(2).as("probe"), col("p.cid2").as("ccl")))).as("pb"),
+        col("x"))
+      .select(col("vec_id"), col("x"),
+        col("pb.probe").as("probe"), col("pb.ccl").as("ccl"))
+    val f = if (m.kTotal.toLong <= FineBroadcastMaxRows) broadcast(m.fine)
+            else m.fine
+    probes.join(f, Seq("ccl"))
+      .withColumn("fdist", d2(col("x"), col("fv")))
+      .withColumn("cl", col("ccl") * lit(m.kf) + col("fcl"))
+      .groupBy(col("vec_id"), col("probe"))
+      .agg(min(struct(col("fdist"), col("cl"))).as("b"))
+      .select(col("vec_id"), col("probe"), col("b.cl").as("cluster"))
+      .join(v.select(col("vec_id"), col("x")), Seq("vec_id"))
+      .select(col("vec_id"), col("x"), col("probe"), col("cluster"))
+  }
+
   /** Threshold-dispatched multi-probe over a frame model —
     * [[assignHier]]'s twin at nprobe = 2: the zero-shuffle literal
     * path while k·d fits task serialization, the joined path beyond. */

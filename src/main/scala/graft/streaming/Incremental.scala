@@ -439,11 +439,10 @@ object Incremental {
     * Model-transport note: the fine table rides the plan as a literal
     * here (stream-legal, map-only) — fine while k·d is under
     * [[graft.operators.Clustering.FineLiteralMaxEntries]]. Past it,
-    * run the gate per micro-batch via `foreachBatch` (the streaming
-    * MERGE precedent) with the FRAME-model paths
-    * ([[graft.operators.Clustering.multiProbeHier]] /
-    * [[graft.operators.Clustering.assignHier]]) producing the probe
-    * cells — the stored corpus/capped joins are batch joins there. */
+    * run [[semanticGateHier2Batch]] per micro-batch via `foreachBatch`
+    * (the streaming MERGE precedent) — the frame-model probe cells
+    * plus the same verdict core, StreamingSpec-proven equal to this
+    * literal form. */
   def semanticNearDupGateHier2(
       arrivals: DataFrame,
       hm: graft.operators.Clustering.HierModel,
@@ -455,6 +454,28 @@ object Incremental {
       Clustering.multiProbeCells(
         arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
         hm),
+      probeCorpus, cappedCells, pruneT)
+  }
+
+  /** The multi-probe gate's `foreachBatch` form — the FRAME-model
+    * path past the fine-literal ceiling: probe cells come from
+    * [[graft.operators.Clustering.multiProbeCellsJoined]] (coarse
+    * literal stays √k·d; the fine table is DATA, equi-joined on the
+    * coarse cell with one argmin aggregate — batch-legal inside
+    * foreachBatch), then the SAME verdict core. Use as
+    * `arrivals.writeStream.foreachBatch((b, _) =>
+    * semanticGateHier2Batch(b, m, probe, capped).write...)`. */
+  def semanticGateHier2Batch(
+      batch: DataFrame,
+      m: graft.operators.Clustering.HierModelDf,
+      probeCorpus: DataFrame,
+      cappedCells: DataFrame,
+      pruneT: Long = graft.operators.Clustering.PruneT): DataFrame = {
+    import graft.operators.Clustering
+    semanticGateVerdicts2(
+      Clustering.multiProbeCellsJoined(
+        batch.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        m),
       probeCorpus, cappedCells, pruneT)
   }
 

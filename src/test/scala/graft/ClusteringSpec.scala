@@ -567,6 +567,16 @@ class ClusteringSpec extends AnyFunSuite {
       .select("vec_id", "cluster", "dist", "improved").collect()
       .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
     assert(mp == mpD, "threshold dispatch ≡ literal multi-probe")
+    // the frame-model PROBE-CELLS path (the gate's foreachBatch form)
+    // produces the same (vec_id, probe, cluster) rows as the literal
+    val pcLit = Clustering.multiProbeCells(v.select(col("vec_id"), col("x")), m)
+      .select("vec_id", "probe", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val pcJ = Clustering.multiProbeCellsJoined(v.select(col("vec_id"), col("x")),
+        Clustering.HierModelDf(m.coarse, Clustering.fineFrameOf(spark, m), m.kf, 16))
+      .select("vec_id", "probe", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(pcLit == pcJ, "joined probe cells ≡ literal probe cells")
     // vs the greedy (nprobe=1) assignment: never worse, improved is
     // exactly the strict wins, and non-improved rows keep the greedy
     // distance (cluster may differ only on a cross-cell distance tie)

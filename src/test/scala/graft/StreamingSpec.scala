@@ -988,6 +988,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("foreachBatch FRAME-model multi-probe gate (the past-the-literal-ceiling " +
+      "form): micro-batch verdicts equal the literal streaming gate's") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    val pm = Clustering.HierModel(
+      coarse = Seq(Array(0L, 0L), Array(100L, 0L)),
+      fine = Seq(Seq(Array(0L, 0L), Array(40L, 0L)),
+                 Seq(Array(45L, 0L), Array(150L, 0L))),
+      kf = 2)
+    val fm = Clustering.HierModelDf(
+      pm.coarse, Clustering.fineFrameOf(spark, pm), pm.kf, 4)
+    val corpus = Seq((10L, Seq(60L, 0L), 2), (11L, Seq(21L, 0L), 1))
+      .toDF("corpus_id", "x", "cluster")
+    val capped = Seq((2, 99L)).toDF("cluster", "cell_n")
+    val s = Clustering.Scale.toFloat
+    val arrivals = Seq((901L, Seq(44L / s, 0L / s)), (902L, Seq(21L / s, 0L / s)))
+    // the frame-model form runs per micro-batch via foreachBatch,
+    // appending verdicts to a shared manifest table
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mp_fb").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Incremental.semanticGateHier2Batch(b, fm, corpus, capped, pruneT = 300L)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", outDir)
+          .mode(org.apache.spark.sql.SaveMode.Append).save()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_mp_fb_ckpt").toString)
+      .start()
+    val got = try {
+      input.addData(arrivals: _*); q.processAllAvailable()
+      spark.read.format("graft.sources.ManifestSink").option("path", outDir).load()
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+    } finally q.stop()
+    // the literal gate on the same arrivals/model is the reference
+    val input2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = Incremental.semanticNearDupGateHier2(
+        input2.toDF().toDF("vec_id", "embedding"), pm, corpus, capped, pruneT = 300L)
+      .writeStream.format("memory").queryName("mp_fb_ref_out")
+      .outputMode("append").start()
+    val want = try {
+      input2.addData(arrivals: _*); q2.processAllAvailable()
+      spark.table("mp_fb_ref_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+    } finally q2.stop()
+    assert(got == want, s"foreachBatch frame gate $got != literal gate $want")
+    assert(want.exists(_._5 == 1) && want.exists(_._5 == 0),
+      "fixture exercises both the capped leg and a probe pair")
+  }
+
   test("multi-probe flat gate on the fixture: pair set is a SUPERSET of the " +
       "single-probe gate's (probe 1 reproduces it exactly; extras are all probe 2)") {
     import spark.implicits._
