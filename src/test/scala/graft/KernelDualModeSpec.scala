@@ -249,6 +249,42 @@ class KernelDualModeSpec extends AnyFunSuite {
     }
   }
 
+  test("Nearest2OfL2 randomized: kernel == brute-force top-2 by (dist, cid) " +
+      "over 200 seeded cases, both codegen and interpreted") {
+    import spark.implicits._
+    import graft.functions.FixedPointOps
+    val rnd = new scala.util.Random(1337)
+    // dims 1..6, k 2..7, coords in a narrow band to force distance ties
+    val cases = (0 until 200).map { i =>
+      val d = 1 + rnd.nextInt(6)
+      val k = 2 + rnd.nextInt(6)
+      val x = Seq.fill(d)(rnd.nextInt(5).toLong - 2L)
+      val cents = Seq.fill(k)(Seq.fill(d)(rnd.nextInt(5).toLong - 2L))
+      (i.toLong, x, cents)
+    }
+    def brute(x: Seq[Long], cents: Seq[Seq[Long]]): (Long, Int, Long, Int) = {
+      val ds = cents.zipWithIndex.map { case (c, j) =>
+        (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.sortBy(identity)
+      (ds(0)._1, ds(0)._2, ds(1)._1, ds(1)._2)
+    }
+    val df = cases.toDF("id", "x", "cents")
+      .select(col("id"), FixedPointOps.nearest2OfL2(col("x"), col("cents")).as("p"))
+    Seq("true", "false").foreach { cg =>
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      try {
+        val got = df.collect().map(r => r.getLong(0) -> {
+          val p = r.getStruct(1)
+          (p.getLong(0), p.getInt(1), p.getLong(2), p.getInt(3))
+        }).toMap
+        cases.foreach { case (id, x, cents) =>
+          assert(got(id) == brute(x, cents),
+            s"case $id (codegen=$cg): ${got(id)} != ${brute(x, cents)}")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("MatVecCentered dual-mode (centered and zero-means; float and double inputs)") {
     import spark.implicits._
     import graft.functions.VectorOps
