@@ -630,6 +630,29 @@ object SoakCluster {
         f"overhead ${p1 / g1}%4.2fx -> ${pn / gn}%4.2fx   per-vec ${1e6 * pn / nn}%.0f us (k=$k5)")
     }
 
+    // nprobe FRONTIER (the q137 measurement generalized): miss rate
+    // vs the exact flat argmin and wall clock at nprobe 1,2,4,8 over
+    // 100k fresh vectors, k=64 (kc=8) — the tuning curve a deployment
+    // reads to pick its probe depth.
+    {
+      CacheRegistry.releaseAll()
+      val v = fresh(100000L).persist(); v.count()
+      val m = operators.Clustering.trainHierarchical(v, 64)
+      val exact = operators.Clustering.assignWith(
+          v.select(col("vec_id"), col("x")), m.fine.flatten)
+        .select(col("vec_id"), col("dist").as("tdist")).persist()
+      exact.count()
+      Seq(1, 2, 4, 8).foreach { np =>
+        val asg = operators.Clustering.multiProbeAssignN(v, m, np)
+        val t = time(asg.write.format("noop").mode("overwrite").save())
+        val miss = asg.select(col("vec_id"), col("dist")).join(exact, "vec_id")
+          .agg(sum(when(col("dist") > col("tdist"), 1L).otherwise(0L)),
+            count(org.apache.spark.sql.functions.lit(1))).collect()(0)
+        println(f"nprobe_frontier  np=$np%d  miss ${1000000L * miss.getLong(0) / miss.getLong(1)}%6d ppm   assign $t%5.2f s")
+      }
+      exact.unpersist(); v.unpersist()
+    }
+
     // Flat-vs-two-level wall-clock contrast at 500k x k=2000 (r13):
     // post-kernels the 50k x 200 stage rows are overhead-dominated
     // (PERF.md's honest note); at this n·k the O(n·k) flat ladder is

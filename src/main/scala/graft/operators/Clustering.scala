@@ -1264,6 +1264,40 @@ object Clustering {
         col("pb.probe").as("probe"), col("pb.cluster").as("cluster"))
   }
 
+  /** GENERAL-nprobe assignment — the tuning form behind the q136/q137
+    * pair: rank ALL coarse cells by (dist, cid) (the in-repo IVF
+    * probe-list pattern, `Similarity.ivfAssignAndProbe`), slice the
+    * top `nprobe`, fine-argmin inside each, global argmin over the
+    * candidates — all in ONE map-only projection (sort_array over the
+    * √k-sized struct list; zero shuffle). nprobe=1 IS the greedy
+    * assignment, nprobe=2 matches [[multiProbeAssign]], and
+    * nprobe=kc probes every cell — the EXACT flat argmin, so the
+    * ladder interpolates greedy → exact and a deployment picks its
+    * point on the q137-style miss/cost frontier. The per-row cost is
+    * O(√k·log √k + nprobe·√k) HOF evaluation — the top-2 KERNEL
+    * ([[graft.functions.FixedPointOps.nearest2OfL2]]) stays the hot
+    * path for the production nprobe=2 point; this form is for
+    * frontier measurement and nprobe>2 tuning. */
+  def multiProbeAssignN(v: DataFrame, m: HierModel, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= m.coarse.size,
+      s"nprobe $nprobe out of range 1..${m.coarse.size}")
+    val coarseLit = typedLit(m.coarse.map(_.toSeq))
+    val finesLit = typedLit(m.fine.map(_.map(_.toSeq)))
+    val ranked = slice(sort_array(
+      transform(coarseLit, (c, i) => struct(
+        graft.functions.FixedPointOps.sqDistL2(col("x"), c).as("d"),
+        i.as("cid")))), 1, nprobe)
+    v.withColumn("best", array_min(transform(ranked, p => {
+        val f = graft.functions.FixedPointOps.nearestOfL2(
+          col("x"), element_at(finesLit, p.getField("cid") + 1))
+        struct(f.getField("dist").as("dist"),
+          (p.getField("cid") * lit(m.kf) + f.getField("cid")).as("cluster"))
+      })))
+      .withColumn("cluster", col("best.cluster"))
+      .withColumn("dist", col("best.dist"))
+      .drop("best")
+  }
+
   /** [[multiProbeCells]] over a FRAME model — the probe-cells path
     * past [[FineLiteralMaxEntries]]: explode each vector to its two
     * coarse probes (the coarse table stays a √k·d literal), equi-join

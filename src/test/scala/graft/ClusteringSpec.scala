@@ -644,6 +644,37 @@ class ClusteringSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("nprobe ladder interpolates greedy -> exact: N=1 ≡ hierarchical greedy, " +
+      "N=2 ≡ the kernel multi-probe, N=kc ≡ the exact flat argmin; dist monotone in N") {
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val m = Clustering.trainHierarchical(v, 16)
+    val kc = m.coarse.size
+    def distsOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Int, Long)] =
+      df.select("vec_id", "cluster", "dist").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val n1 = distsOf(Clustering.multiProbeAssignN(v, m, 1))
+    val greedy = distsOf(Clustering.assignHierarchical(v, m))
+    assert(n1 == greedy, "nprobe=1 ≡ greedy coarse-then-fine")
+    val n2 = distsOf(Clustering.multiProbeAssignN(v, m, 2))
+    val kern = distsOf(Clustering.multiProbeAssign(v, m)
+      .select(col("vec_id"), col("cluster"), col("dist")))
+    assert(n2 == kern, "nprobe=2 ≡ the top-2 kernel path")
+    val nAll = distsOf(Clustering.multiProbeAssignN(v, m, kc))
+    val flat = Clustering.assignWith(v.select(col("vec_id"), col("x")), m.fine.flatten)
+      .select("vec_id", "dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nAll.foreach { case (id, (_, d)) =>
+      assert(d == flat(id), s"vec $id: probing every cell must be the exact argmin")
+    }
+    // monotone: more probes can only shrink the distance
+    (1 to kc).map(np => distsOf(Clustering.multiProbeAssignN(v, m, np)))
+      .sliding(2).foreach { case Seq(a, b) =>
+        a.keySet.foreach(id => assert(b(id)._2 <= a(id)._2, s"monotone at $id"))
+      }
+    CacheRegistry.releaseAll()
+  }
+
   test("boundary pairs: result == the brute-force under-threshold pairs whose " +
       "partner sits in the probe-2 cell; disjoint from within-cell blocking; nonempty") {
     CacheRegistry.releaseAll()
