@@ -53,6 +53,8 @@ object IndexBuild {
   val PostingsT = "postings"; val CmsT = "cms"; val NoveltyT = "novelty"
   val VolStatsT = "volstats"; val AnnT = "ann"; val CentroidsT = "centroids"
   val PcaT = "pca"; val AssignedT = "assigned"; val CappedT = "assigned_capped"
+  val HierModelT = "hier_model"; val AssignedHierT = "assigned_hier"
+  val CappedHierT = "assigned_hier_capped"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -101,6 +103,21 @@ object IndexBuild {
     // cheaper projected-IVF ANN); fit shares the centroid build's
     // cached fixed-point corpus and the q126 Gram pass's dimStats
     Pca.saveModel(spark, s"$root/$PcaT", Pca.fit(spark, dir))
+    // the AT-SCALE gate's stored side: the two-level FRAME model at
+    // the kForCorpus operating point (floored at 4 so kc >= 2 — the
+    // multi-probe gate needs a second coarse cell) plus the corpus
+    // assigned by it, hot-cell-capped by the same 9n/8k rule. The
+    // training and save paths never carry the fine table as a literal
+    // or driver collect (the r12-closed transport posture).
+    val hk = math.max(4, Clustering.kForCorpus(nVecs))
+    val hm = Clustering.trainHierarchicalFrames(fixed, hk)
+    Clustering.saveHierModelDf(spark, s"$root/$HierModelT", hm)
+    val assignedH = Clustering.assignHier(fixed, hm)
+      .select(col("vec_id").as("corpus_id"), col("x"), col("cluster"))
+    val (probeH, cappedH) = Clustering.capAssignedCorpus(
+      assignedH, Clustering.buildCapOf(nVecs, hm.kTotal))
+    Clustering.saveAssignedCorpus(spark, s"$root/$AssignedHierT", probeH)
+    Clustering.saveCappedCells(spark, s"$root/$CappedHierT", cappedH)
   }
 
   /** The loaded serving surface: every stored frame a session probes,
@@ -118,6 +135,9 @@ object IndexBuild {
       pcaPath: String,
       assignedCorpus: DataFrame,
       cappedCells: DataFrame,
+      hierModelPath: String,
+      assignedHierCorpus: DataFrame,
+      cappedHierCells: DataFrame,
       pins: Map[String, Int])
 
   /** Open the stored index root for a serving session. `pinned=true`
@@ -129,7 +149,8 @@ object IndexBuild {
       if (pinned) Some(FpIndex.tableVersion(p)) else None
     def path(t: String): String = s"$root/$t"
     val pins = Seq(KeysT, BandsT, ShinglesT, PostingsT, CmsT, NoveltyT, VolStatsT,
-        CentroidsT, PcaT, AssignedT, CappedT)
+        CentroidsT, PcaT, AssignedT, CappedT, HierModelT, AssignedHierT,
+        CappedHierT)
       .flatMap(t => pinOf(path(t)).map(t -> _)).toMap
     def flat(t: String): DataFrame = FpIndex.loadFlat(spark, path(t), pins.get(t))
     ServingIndexes(
@@ -147,6 +168,11 @@ object IndexBuild {
         spark, path(AssignedT), pins.get(AssignedT)),
       cappedCells = Clustering.loadCappedCells(
         spark, path(CappedT), pins.get(CappedT)),
+      hierModelPath = path(HierModelT),
+      assignedHierCorpus = Clustering.loadAssignedCorpus(
+        spark, path(AssignedHierT), pins.get(AssignedHierT)),
+      cappedHierCells = Clustering.loadCappedCells(
+        spark, path(CappedHierT), pins.get(CappedHierT)),
       pins = pins)
   }
 
@@ -217,11 +243,21 @@ object IndexBuild {
           storedCents, idx.assignedCorpus, idx.cappedCells)
         .write.format("noop").mode("overwrite").save()
     }
+    val semGateHier2Sec = timed {
+      val hm = Clustering.collectHierModel(Clustering.loadHierModelFrames(
+        serve, idx.hierModelPath, idx.pins.get(HierModelT)))
+      Incremental.semanticNearDupGateHier2(
+          Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + lit(900000000L)),
+          hm, idx.assignedHierCorpus, idx.cappedHierCells)
+        .write.format("noop").mode("overwrite").save()
+    }
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +
       f""""serve_retrieval_sec": $retrSec%.3f, "serve_novelty_sec": $novSec%.3f, """ +
       f""""serve_ann_sec": $annSec%.3f, "serve_cluster_sec": $clusterSec%.3f, """ +
       f""""serve_pca_sec": $pcaSec%.3f, "serve_semgate_sec": $semGateSec%.3f, """ +
       f""""serve_semgate2_sec": $semGate2Sec%.3f, """ +
+      f""""serve_semgate_hier2_sec": $semGateHier2Sec%.3f, """ +
       f""""sf": "$dir", "root": "$root"}""")
     spark.stop()
   }

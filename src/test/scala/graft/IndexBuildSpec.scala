@@ -176,6 +176,40 @@ class IndexBuildSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("the same root serves the TWO-LEVEL multi-probe gate: stored frame model + " +
+      "hier-capped corpus reproduce the in-session verdicts in a fresh session") {
+    val r = root
+    CacheRegistry.releaseAll()
+    import graft.operators.Clustering
+    val v = Clustering.fixedPoint(spark, sf)
+    val n = v.count()
+    val hk = math.max(4, Clustering.kForCorpus(n))
+    // in-session twin of the nightly hier leg (same deterministic
+    // id-seeded training, same cap rule)
+    val hm = Clustering.trainHierarchicalFrames(v, hk)
+    val assigned = Clustering.assignHier(v, hm)
+      .select(col("vec_id").as("corpus_id"), col("x"), col("cluster"))
+    val (probe, capped) = Clustering.capAssignedCorpus(
+      assigned, Clustering.buildCapOf(n, hm.kTotal))
+    val arrivals = Tables.embeddings(spark, sf).filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(900000000L))
+    val want = sortedRows(Incremental.semanticNearDupGateHier2(
+      arrivals, Clustering.collectHierModel(hm), probe, capped).collect())
+    assert(want.nonEmpty, "replayed corpus vectors must produce verdicts")
+    CacheRegistry.releaseAll()
+    val serve = spark.newSession()
+    val idx = IndexBuild.loadAll(serve, r)
+    val shm = Clustering.collectHierModel(Clustering.loadHierModelFrames(
+      serve, idx.hierModelPath, idx.pins.get(IndexBuild.HierModelT)))
+    val servedArrivals = Tables.embeddings(serve, sf).filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(900000000L))
+    val served = Incremental.semanticNearDupGateHier2(
+      servedArrivals, shm, idx.assignedHierCorpus, idx.cappedHierCells)
+    assert(sortedRows(served.collect()) == want,
+      "served two-level multi-probe gate == in-session twin")
+    CacheRegistry.releaseAll()
+  }
+
   test("nightly re-run: buildAll over a live root cuts every table over " +
       "atomically; a session pinned at open is unaffected") {
     val r = root
