@@ -1485,6 +1485,94 @@ object Clustering {
        |FROM p2 a JOIN fa2 b ON b.ccl * 4 + b.fcl = a.pcell
        |WHERE ${fdistDuck("a.x", "b.x")} < $PruneT""".stripMargin
 
+  // --------------------------------------------------------------- q139
+
+  /** q139: SEMANTIC DEDUP GROUPS — the near-dup graph's connected
+    * components over the UNION of within-cell pairs (q125/q131's
+    * candidate mass) and the cross-boundary pairs (q138): every
+    * vector participating in at least one near-dup pair mapped to its
+    * group representative (min vec_id) with the group size — the
+    * vector-side twin of q60's text components, with the boundary
+    * recall the plain blocked pass lacks. A keep-one-per-group policy
+    * over these groups is transitive-closure-safe: chains A~B~C that
+    * straddle a cell boundary collapse into ONE group here, where the
+    * within-cell prune would keep both endpoints.
+    *
+    * Scale shape: both edge generators are the prune-shaped blocked
+    * joins (Σ|cell|² and Σ|probe-2 cell| ≈ n·cell at the operating
+    * point); the CC loop is the q60 star-contraction (O(log n)
+    * rounds, nothing driver-side but convergence counts); the size
+    * annotation is one window over `rep`. */
+  def semanticDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val m = trainHierarchical(v, HierK)
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsg:$dir")(
+      assignHierarchical(v, m).select(col("vec_id"), col("x"), col("cluster")))
+    semanticDedupGroupsOf(asg,
+      multiProbeCells(v.select(col("vec_id"), col("x")), m)
+        .filter(col("probe") === 2))
+  }
+
+  /** Frame-level core of [[semanticDedupGroups]]: `asg` the assigned
+    * corpus (vec_id, x, cluster), `probe2` each vector's SECOND probe
+    * cell in the same shape. Exposed so the transitive-chain property
+    * (a boundary-straddling A~B~C collapses into ONE group) is
+    * testable on planted geometry. */
+  def semanticDedupGroupsOf(asg: DataFrame, probe2: DataFrame,
+      pruneT: Long = PruneT): DataFrame = {
+    val corpus = asg.select(col("vec_id").as("other_id"), col("x").as("ox"),
+      col("cluster"))
+    val within = asg.join(corpus, Seq("cluster"))
+      .filter(col("vec_id") < col("other_id"))
+      .filter(graft.functions.FixedPointOps.sqDistL2(col("x"), col("ox")) < pruneT)
+      .select(col("vec_id").as("u"), col("other_id").as("v"))
+    val boundary = probe2.join(corpus, Seq("cluster"))
+      .filter(graft.functions.FixedPointOps.sqDistL2(col("x"), col("ox")) < pruneT)
+      .select(least(col("vec_id"), col("other_id")).as("u"),
+        greatest(col("vec_id"), col("other_id")).as("v"))
+    val cc = Components.connectedComponents(within.unionByName(boundary))
+    cc.select(col("id").as("vec_id"), col("rep"))
+      .withColumn("gsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
+  }
+
+  val semanticDedupGroupsSql: String =
+    s"""WITH RECURSIVE $hierCte,
+       |c2 AS (
+       |  SELECT vec_id, x, cid AS pccl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY dist, cid) AS pr
+       |    FROM d2) WHERE pr = 2),
+       |p2 AS (
+       |  SELECT vec_id, x, pccl * 4 + fcl AS pcell FROM (
+       |    SELECT c.vec_id, c.x, c.pccl, f.fcl,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY ${fdistDuck("c.x", "f.fv")}, f.fcl) AS rn
+       |    FROM c2 c JOIN fcf f ON f.ccl = c.pccl) WHERE rn = 1),
+       |wp AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v
+       |  FROM fa2 a JOIN fa2 b
+       |    ON a.ccl = b.ccl AND a.fcl = b.fcl AND a.vec_id < b.vec_id
+       |  WHERE ${fdistDuck("a.x", "b.x")} < $PruneT),
+       |bp AS (
+       |  SELECT least(a.vec_id, b.vec_id) AS u,
+       |         greatest(a.vec_id, b.vec_id) AS v
+       |  FROM p2 a JOIN fa2 b ON b.ccl * 4 + b.fcl = a.pcell
+       |  WHERE ${fdistDuck("a.x", "b.x")} < $PruneT),
+       |uedges AS (SELECT u, v FROM wp UNION SELECT u, v FROM bp),
+       |sym AS (
+       |  SELECT u, v FROM uedges
+       |  UNION
+       |  SELECT v AS u, u AS v FROM uedges),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u),
+       |lab AS (
+       |  SELECT u AS vec_id, least(u, min(v)) AS rep FROM reach GROUP BY u)
+       |SELECT vec_id, rep, count(*) OVER (PARTITION BY rep) AS gsize FROM lab""".stripMargin
+
   // --------------------------------------------------------------- q132
 
   /** q132's "arriving batch" slice rule (deterministic, ~14% of the

@@ -705,6 +705,44 @@ class ClusteringSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("semantic dedup groups: a boundary-straddling A~B~C chain collapses into " +
+      "ONE group (within-cell-only blocking would split it); fixture groups are " +
+      "edge-consistent with the q125 candidate mass + q138 boundary pairs") {
+    CacheRegistry.releaseAll()
+    import spark.implicits._
+    // planted chain at pruneT=300: A=(40,0) and B=(48,0) share cell 1
+    // (d=64); C=(60,0) lives in cell 2 with B~C d=144 found ONLY via
+    // B's probe-2 cell; A~C d=400 is NOT an edge — the group exists
+    // through transitivity alone
+    val pm = Clustering.HierModel(
+      coarse = Seq(Array(0L, 0L), Array(100L, 0L)),
+      fine = Seq(Seq(Array(0L, 0L), Array(40L, 0L)),
+                 Seq(Array(45L, 0L), Array(150L, 0L))),
+      kf = 2)
+    val pv = Seq((1L, Seq(40L, 0L)), (2L, Seq(48L, 0L)), (3L, Seq(60L, 0L)),
+      (4L, Seq(150L, 0L))).toDF("vec_id", "x")
+    val asg = Clustering.assignHierarchical(pv, pm)
+      .select(col("vec_id"), col("x"), col("cluster"))
+    val p2 = Clustering.multiProbeCells(pv, pm).filter(col("probe") === 2)
+    val groups = Clustering.semanticDedupGroupsOf(asg, p2, pruneT = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)),
+      s"chain must collapse to one rep-1 group of 3; vec 4 unclustered: $groups")
+    // fixture-level edge consistency: both endpoints of every
+    // within-cell AND boundary pair land in the same group
+    CacheRegistry.releaseAll()
+    val grp = Clustering.semanticDedupGroups(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bp = Clustering.hierBoundaryPairs(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    bp.foreach { case (a, b) =>
+      assert(grp.get(a) == grp.get(b) && grp.contains(a),
+        s"boundary pair ($a,$b) must share a group")
+    }
+    assert(grp.nonEmpty && bp.nonEmpty)
+    CacheRegistry.releaseAll()
+  }
+
   test("stored frame model: distributed save/load round-trip, fresh-session joined " +
       "serve ≡ literal serve, cross-path interop both directions") {
     CacheRegistry.releaseAll()
