@@ -1537,8 +1537,11 @@ object Clustering {
         org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
   }
 
-  val semanticDedupGroupsSql: String =
-    s"""WITH RECURSIVE $hierCte,
+  /** Shared closure of the q139/q140 oracles: the hier ladder, both
+    * edge generators, the recursive transitive closure, and the
+    * labeled+sized group table `g`. */
+  private val semanticClosureCte: String =
+    s"""$hierCte,
        |c2 AS (
        |  SELECT vec_id, x, cid AS pccl FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1570,8 +1573,58 @@ object Clustering {
        |  UNION
        |  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u),
        |lab AS (
-       |  SELECT u AS vec_id, least(u, min(v)) AS rep FROM reach GROUP BY u)
-       |SELECT vec_id, rep, count(*) OVER (PARTITION BY rep) AS gsize FROM lab""".stripMargin
+       |  SELECT u AS vec_id, least(u, min(v)) AS rep FROM reach GROUP BY u),
+       |g AS (
+       |  SELECT vec_id, rep, count(*) OVER (PARTITION BY rep) AS gsize FROM lab)""".stripMargin
+
+  val semanticDedupGroupsSql: String =
+    s"""WITH RECURSIVE $semanticClosureCte
+       |SELECT vec_id, rep, gsize FROM g""".stripMargin
+
+  // --------------------------------------------------------------- q140
+
+  /** q140: SEMANTIC SURVIVORSHIP — the policy step after q139's
+    * groups, the vector twin of q91's text survivorship: per
+    * semantic near-dup group keep ONE canonical vector, chosen by
+    * the q127 diversity rule (the member FARTHEST from its cell
+    * centroid — the most informative copy of a redundant set; ties
+    * to the smaller vec_id), and account for what the policy drops.
+    * One row per group: (rep, gsize, survivor_id, survivor_dist,
+    * dropped).
+    *
+    * Scale shape: q139's group table is bounded by the pair
+    * participants (≪ corpus); the argmax is one window over `rep`.
+    * The dist column rides along from the SAME cached assignment the
+    * group pass used — no second corpus scan. */
+  def semanticSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val m = trainHierarchical(v, HierK)
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsgD:$dir")(
+      assignHierarchical(v, m)
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    val groups = semanticDedupGroupsOf(
+      asg.select(col("vec_id"), col("x"), col("cluster")),
+      multiProbeCells(v.select(col("vec_id"), col("x")), m)
+        .filter(col("probe") === 2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rep")).orderBy(col("dist").desc, col("vec_id"))
+    groups.join(asg.select(col("vec_id"), col("dist")), Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("gsize"), col("vec_id").as("survivor_id"),
+        col("dist").as("survivor_dist"), (col("gsize") - lit(1)).as("dropped"))
+  }
+
+  val semanticSurvivorsSql: String =
+    s"""WITH RECURSIVE $semanticClosureCte
+       |SELECT rep, gsize, vec_id AS survivor_id, fdist AS survivor_dist,
+       |       gsize - 1 AS dropped
+       |FROM (
+       |  SELECT g.*, f.fdist,
+       |         row_number() OVER (PARTITION BY g.rep
+       |                            ORDER BY f.fdist DESC, g.vec_id) AS rn
+       |  FROM g JOIN fa2 f USING (vec_id)) WHERE rn = 1""".stripMargin
 
   // --------------------------------------------------------------- q132
 

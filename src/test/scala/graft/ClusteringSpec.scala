@@ -743,6 +743,31 @@ class ClusteringSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("semantic survivors: one row per q139 group; survivor is the max-dist " +
+      "member (ties to smaller id, the q127 diversity rule); dropped = gsize-1") {
+    CacheRegistry.releaseAll()
+    val groups = Clustering.semanticDedupGroups(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    CacheRegistry.releaseAll()
+    val v = Clustering.fixedPoint(spark, sf01)
+    val dists = Clustering.assignHierarchical(v, Clustering.trainHierarchical(v, 16))
+      .select("vec_id", "dist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    val surv = Clustering.semanticSurvivors(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byRep = groups.groupBy(_._2)
+    assert(surv.map(_._1).toSet == byRep.keySet, "one survivor row per group")
+    surv.foreach { case (rep, gsize, sid, sdist, dropped) =>
+      val members = byRep(rep).map(_._1)
+      assert(gsize == members.size.toLong && dropped == gsize - 1)
+      val want = members.map(id => (-dists(id), id)).min._2
+      assert(sid == want && sdist == dists(sid),
+        s"group $rep: survivor $sid vs expected $want")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("stored frame model: distributed save/load round-trip, fresh-session joined " +
       "serve ≡ literal serve, cross-path interop both directions") {
     CacheRegistry.releaseAll()
