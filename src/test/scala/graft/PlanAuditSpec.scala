@@ -192,7 +192,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q127_diversity_sample", "q129_cluster_profile",
       "q130_hier_assign", "q131_hier_semdedup",
       "q132_cluster_drift", "q133_embed_funnel",
-      "q134_capped_semdedup").foreach { name =>
+      "q134_capped_semdedup",
+      // round-13: Nearest2OfL2 is the top-2 coarse scan (q136 and the
+      // multi-probe family); q137-q140 chain the same kernels through
+      // the recall audit, boundary pairs, groups, and survivorship
+      "q135_pct_capped_semdedup", "q136_multiprobe_assign",
+      "q137_probe_recall", "q138_boundary_pairs",
+      "q139_semantic_groups", "q140_semantic_survivors").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
