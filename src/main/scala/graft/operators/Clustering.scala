@@ -1690,6 +1690,45 @@ object Clustering {
        |           - (1000000 * n_base // t_base)) AS drift_ppm
        |FROM j""".stripMargin
 
+  // --------------------------------------------------------------- q141
+
+  /** q141: DRIFT MONITOR OVER THE TWO-LEVEL CELLS — q132's arithmetic
+    * on the at-scale ladder (the q131 composition rule: cells are
+    * cells). When k grows with the corpus the drift baseline is the
+    * hier-assigned stored table (the nightly build's AssignedHierT),
+    * and the arriving batch assigns at O(√k)/vector; the ppm
+    * comparison is unchanged — [[clusterDriftOf]] is the shared seam,
+    * so the monitor can never diverge between the flat and two-level
+    * deployments. */
+  def clusterDriftHier(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val asg = assignHierarchical(v, trainHierarchical(v, HierK))
+      .select(col("vec_id"), col("cluster"))
+    clusterDriftOf(
+      asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
+      asg.filter(col("vec_id") % DriftMod === DriftRes)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_new")))
+  }
+
+  val clusterDriftHierSql: String =
+    s"""WITH $hierCte,
+       |b AS (SELECT ccl * 4 + fcl AS cluster, count(*) AS n_base
+       |      FROM fa2 GROUP BY 1),
+       |f AS (SELECT ccl * 4 + fcl AS cluster, count(*) AS n_new FROM fa2
+       |      WHERE vec_id % $DriftMod = $DriftRes GROUP BY 1),
+       |j AS (
+       |  SELECT b.cluster, b.n_base, coalesce(f.n_new, 0) AS n_new,
+       |         CAST(sum(b.n_base) OVER () AS BIGINT) AS t_base,
+       |         CAST(sum(coalesce(f.n_new, 0)) OVER () AS BIGINT) AS t_new
+       |  FROM b LEFT JOIN f ON f.cluster = b.cluster)
+       |SELECT cluster, n_base, n_new,
+       |       1000000 * n_base // t_base AS base_ppm,
+       |       CASE WHEN t_new = 0 THEN 0 ELSE 1000000 * n_new // t_new END AS new_ppm,
+       |       abs((CASE WHEN t_new = 0 THEN 0 ELSE 1000000 * n_new // t_new END)
+       |           - (1000000 * n_base // t_base)) AS drift_ppm
+       |FROM j""".stripMargin
+
   // --------------------------------------------------------------- q133
 
   /** q133: EMBEDDING CURATION FUNNEL — the vector-side capstone

@@ -768,6 +768,27 @@ class ClusteringSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("hier drift (q141): totals cover the corpus and the batch slice; ppm " +
+      "arithmetic matches a per-cell recomputation; shares the q132 seam") {
+    CacheRegistry.releaseAll()
+    val rows = Clustering.clusterDriftHier(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = Clustering.fixedPoint(spark, sf01).count()
+    val tBase = rows.map(_._2).sum
+    val tNew = rows.map(_._3).sum
+    assert(tBase == n, "baseline counts cover the corpus")
+    assert(tNew == Clustering.fixedPoint(spark, sf01)
+      .filter(col("vec_id") % Clustering.DriftMod === Clustering.DriftRes).count(),
+      "batch counts cover the arriving slice")
+    rows.foreach { case (_, nb, nn, bppm, nppm, dppm) =>
+      assert(bppm == 1000000L * nb / tBase)
+      assert(nppm == (if (tNew == 0) 0L else 1000000L * nn / tNew))
+      assert(dppm == math.abs(nppm - bppm))
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("stored frame model: distributed save/load round-trip, fresh-session joined " +
       "serve ≡ literal serve, cross-path interop both directions") {
     CacheRegistry.releaseAll()
