@@ -198,7 +198,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // the recall audit, boundary pairs, groups, and survivorship
       "q135_pct_capped_semdedup", "q136_multiprobe_assign",
       "q137_probe_recall", "q138_boundary_pairs",
-      "q139_semantic_groups", "q140_semantic_survivors").foreach { name =>
+      "q139_semantic_groups", "q140_semantic_survivors",
+      "q141_hier_drift").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
