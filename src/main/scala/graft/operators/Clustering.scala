@@ -1673,6 +1673,28 @@ object Clustering {
         abs(col("new_ppm") - col("base_ppm")))
   }
 
+  /** [[clusterDriftOf]] generalized to PER-WINDOW batches — the
+    * streaming drift gate's arithmetic: `winCounts` is
+    * (window, cluster, n_new) for one or more closed windows; every
+    * window is compared against the SAME k-row baseline (replicated
+    * by a model-sized |windows|·k cross join), totals ride window
+    * functions partitioned by the window column. Bit-compatible with
+    * [[clusterDriftOf]] on a single window (spec-pinned). */
+  def clusterDriftWindowed(base: DataFrame, winCounts: DataFrame): DataFrame = {
+    val wins = winCounts.select(col("window")).distinct()
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy(col("window"))
+    wins.crossJoin(base) // |windows| x k rows — both sides model-sized
+      .join(winCounts, Seq("window", "cluster"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("t_base", sum(col("n_base")).over(wWin))
+      .withColumn("t_new", sum(col("n_new")).over(wWin))
+      .select(col("window"), col("cluster"), col("n_base"), col("n_new"),
+        expr("1000000 * n_base div t_base").as("base_ppm"),
+        expr("CASE WHEN t_new = 0 THEN 0 ELSE 1000000 * n_new div t_new END")
+          .as("new_ppm"))
+      .withColumn("drift_ppm", abs(col("new_ppm") - col("base_ppm")))
+  }
+
   val clusterDriftSql: String =
     s"""WITH $kmeansCte,
        |b AS (SELECT cid AS cluster, count(*) AS n_base FROM a2 GROUP BY cid),

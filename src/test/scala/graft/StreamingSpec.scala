@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{array_distinct, col, explode, max, min, split}
+import org.apache.spark.sql.functions.{array_distinct, col, count, explode, lit, max, min, split}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Incremental
@@ -923,6 +923,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.exists(t => t._1 == 902L && t._2 == okId && t._3 == 0L && t._4 == 0),
         s"bounded-cell replay must pair at dist 0: ${rows.toSeq}")
     } finally { q.stop(); probeStored.unpersist() }
+  }
+
+  test("streaming cluster drift: windows close past the watermark; per-window " +
+      "foreachBatch verdicts are bit-equal to batch clusterDriftOf on each slice") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val v = Clustering.fixedPoint(spark, sf)
+    val cents = Clustering.trainCentroids(v)
+    val base = Clustering.assignedCorpus(v, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base")).persist()
+    base.count()
+    def embOf(id: Long) = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === id).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    // window 1 replays corpus vectors 0-9; window 2 replays 10-14 —
+    // different mixes so the two windows' verdicts must differ
+    val w1 = (0L to 9L).map(i => (900L + i, embOf(i), ts("2024-06-01 10:00:00")))
+    val w2 = (10L to 14L).map(i => (900L + i, embOf(i), ts("2024-06-01 11:30:00")))
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Int, Long, Long, Long, Long, Long)]
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = Incremental.clusterDriftCountsStream(
+        input.toDF().toDF("vec_id", "embedding", "event_ts"), cents,
+        windowLen = "1 hour", delay = "1 minute")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Clustering.clusterDriftWindowed(base, b).collect().foreach { r =>
+          verdicts += ((r.getStruct(0).getTimestamp(0).toString.take(16),
+            r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_drift_ckpt").toString)
+      .start()
+    try {
+      input.addData(w1: _*); q.processAllAvailable()
+      assert(verdicts.isEmpty, "no window may emit before the watermark passes it")
+      // window-2 arrivals + a far-future watermark driver close both
+      input.addData(w2 :+ ((999L, embOf(0L), ts("2024-06-01 14:00:00"))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch reference: clusterDriftOf on each window's slice
+    def batchOf(ids: Seq[Long]): Map[Int, (Long, Long, Long, Long, Long)] = {
+      val fresh = Clustering.assignWith(
+          v.filter(col("vec_id").isin(ids: _*)), cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_new"))
+      Clustering.clusterDriftOf(base, fresh).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    }
+    val got1 = verdicts.filter(_._1 == "2024-06-01 10:00")
+      .map(t => t._2 -> ((t._3, t._4, t._5, t._6, t._7))).toMap
+    val got2 = verdicts.filter(_._1 == "2024-06-01 11:00")
+      .map(t => t._2 -> ((t._3, t._4, t._5, t._6, t._7))).toMap
+    assert(got1 == batchOf(0L to 9L), "window-1 verdicts == batch drift on its slice")
+    assert(got2 == batchOf(10L to 14L), "window-2 verdicts == batch drift on its slice")
+    assert(got1 != got2, "different mixes must produce different verdicts")
+    base.unpersist()
   }
 
   test("multi-probe semantic gate (nprobe=2): a boundary arrival's near-dup in the " +
