@@ -567,6 +567,25 @@ object Incremental {
       .agg(count(lit(1)).as("n_new"))
   }
 
+  /** [[clusterDriftCountsStream]] under a TWO-LEVEL model — the
+    * at-scale drift gate (2·√k distances per arrival); the baseline
+    * counts must come from the SAME model's cells (the nightly
+    * build's hier-assigned corpus). Same foreachBatch verdict seam. */
+  def clusterDriftCountsStreamHier(
+      arrivals: DataFrame,
+      hm: graft.operators.Clustering.HierModel,
+      windowLen: String = "1 hour",
+      delay: String = "1 hour"): DataFrame = {
+    import graft.operators.Clustering
+    Clustering.assignHierarchical(
+        arrivals.select(col("vec_id"),
+          Clustering.quantize(col("embedding")).as("x"), col("event_ts")),
+        hm)
+      .withWatermark("event_ts", delay)
+      .groupBy(window(col("event_ts"), windowLen), col("cluster"))
+      .agg(count(lit(1)).as("n_new"))
+  }
+
   /** Streaming NOVELTY gate — batch q116's serving form, the
     * data-value question asked PER ARRIVING DOCUMENT instead of per
     * historical cohort: how many of this document's shingles are

@@ -984,6 +984,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == batchOf(10L to 14L), "window-2 verdicts == batch drift on its slice")
     assert(got1 != got2, "different mixes must produce different verdicts")
     base.unpersist()
+    // the TWO-LEVEL variant: same windows, hier cells — streamed
+    // counts equal the batch hierarchical assignment per slice
+    val hm = Clustering.trainHierarchical(v, 16)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    val inputH = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val qh = Incremental.clusterDriftCountsStreamHier(
+        inputH.toDF().toDF("vec_id", "embedding", "event_ts"), hm,
+        windowLen = "1 hour", delay = "1 minute")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          counts += ((r.getStruct(0).getTimestamp(0).toString.take(16),
+            r.getInt(1), r.getLong(2)))
+        }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_drifth_ckpt").toString)
+      .start()
+    try {
+      inputH.addData(w1 ++ w2 :+ ((999L, embOf(0L), ts("2024-06-01 14:00:00"))): _*)
+      qh.processAllAvailable()
+    } finally qh.stop()
+    def hierBatchOf(ids: Seq[Long]): Map[Int, Long] =
+      Clustering.assignHierarchical(v.filter(col("vec_id").isin(ids: _*)), hm)
+        .groupBy(col("cluster")).agg(count(lit(1))).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.filter(_._1 == "2024-06-01 10:00")
+        .map(t => t._2 -> t._3).toMap == hierBatchOf(0L to 9L),
+      "hier window-1 streamed counts == batch hierarchical assignment")
+    assert(counts.filter(_._1 == "2024-06-01 11:00")
+        .map(t => t._2 -> t._3).toMap == hierBatchOf(10L to 14L),
+      "hier window-2 streamed counts == batch hierarchical assignment")
   }
 
   test("multi-probe semantic gate (nprobe=2): a boundary arrival's near-dup in the " +
