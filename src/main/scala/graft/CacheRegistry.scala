@@ -42,18 +42,59 @@ object CacheRegistry {
     }
 
   /** Unpersist everything registered. Non-blocking: the executors drop
-    * blocks asynchronously; correctness never depends on the cache. */
-  def releaseAll(): Unit = synchronized {
-    entries.values.foreach { df =>
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () } // session may already be stopped
+    * blocks asynchronously; correctness never depends on the cache.
+    * Driver-side models memoized in [[ModelRegistry]] share this
+    * lifecycle: one release point per query (Bench) / dump (Verify). */
+  def releaseAll(): Unit = {
+    synchronized {
+      entries.values.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () } // session may already be stopped
+      }
+      entries.clear()
     }
-    entries.clear()
+    ModelRegistry.clear()
   }
 
   /** Scope form: caches registered inside `body` are released on exit. */
   def withCaches[T](body: => T): T =
     try body finally releaseAll()
+
+  /** Registered-entry count (spec hook). */
+  def size: Int = synchronized(entries.size)
+}
+
+/** [[CacheRegistry]]'s sibling for DRIVER-SIDE models (k-means
+  * centroid seqs, two-level [[graft.operators.Clustering.HierModel]]s)
+  * — the model-sized artifacts whose TRAINING runs Spark jobs but
+  * whose value lives on the driver, so `persist` cannot memoize them.
+  * Before this registry, every clustering query re-ran the same
+  * 2-iteration Lloyd training per invocation (q130–q141 each trained
+  * the identical HierModel from the identical cached corpus —
+  * 8 redundant trainings per suite pass, and Bench re-trained on
+  * every rep because only frames survive between reps).
+  *
+  * Same lifecycle as CacheRegistry ([[CacheRegistry.releaseAll]]
+  * clears both): memoized per (session, key) for the duration of one
+  * query's warmup+reps or one verify dump, released between queries.
+  *
+  * LOCK-ORDER CONTRACT: a memoized build may call
+  * `CacheRegistry.getOrCache` (training reads the cached corpus
+  * frame), so the ordering is ModelRegistry → CacheRegistry. Never
+  * call `getOrCompute` from inside a `getOrCache` build lambda — that
+  * inverts the order and can deadlock two threads. */
+object ModelRegistry {
+
+  private val entries = mutable.HashMap[(Int, String), Any]()
+
+  /** Memoized driver-side compute per (session, key). */
+  def getOrCompute[T](spark: SparkSession, name: String)(build: => T): T =
+    synchronized {
+      entries.getOrElseUpdate((System.identityHashCode(spark), name), build)
+        .asInstanceOf[T]
+    }
+
+  def clear(): Unit = synchronized(entries.clear())
 
   /** Registered-entry count (spec hook). */
   def size: Int = synchronized(entries.size)

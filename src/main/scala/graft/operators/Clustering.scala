@@ -165,6 +165,34 @@ object Clustering {
     trainCentroidsSeeded(v, seeds, iters)
   }
 
+  /** [[trainCentroids]] over the dir-cached corpus, MEMOIZED per
+    * (session, dir, k, iters) in [[graft.ModelRegistry]] — the
+    * clustering queries' shared frozen model. Before this seam every
+    * flat-model query (q124/q125/q132/q133/q142-q144…) re-ran the
+    * identical Lloyd training per invocation; now one query family
+    * trains once per release scope. Bit-identical to calling
+    * [[trainCentroids]] directly (same corpus frame, same
+    * arithmetic) — memoization only removes repetition. Lock order:
+    * the corpus frame is fetched BEFORE entering the model memo, per
+    * ModelRegistry's contract. */
+  def centroidsFor(spark: SparkSession, dir: String,
+      k: Int = K, iters: Int = Iters): Seq[Array[Long]] = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    graft.ModelRegistry.getOrCompute(spark, s"clustering.cents:$dir:$k:$iters")(
+      trainCentroids(v, k, iters))
+  }
+
+  /** [[trainHierarchical]] over the dir-cached corpus, memoized like
+    * [[centroidsFor]] — q130–q141 all train this identical model. */
+  def hierModelFor(spark: SparkSession, dir: String,
+      k: Int = HierK, iters: Int = Iters): HierModel = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    graft.ModelRegistry.getOrCompute(spark, s"clustering.hier:$dir:$k:$iters")(
+      trainHierarchical(v, k, iters))
+  }
+
   /** The Lloyd iteration structure with the init swapped out — the
     * seam [[trainCentroids]] (id seeds, the oracle init) and the
     * k-means‖ production init share, so changing the seeding can
@@ -286,7 +314,7 @@ object Clustering {
       iters: Int = Iters): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val cents = trainCentroids(v, k, iters)
+    val cents = centroidsFor(spark, dir, k, iters)
     assignWith(v, cents).select(col("vec_id"), col("cluster"), col("dist"))
   }
 
@@ -433,7 +461,7 @@ object Clustering {
   def cappedSemdedup(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val asg = assignWith(v, trainCentroids(v))
+    val asg = assignWith(v, centroidsFor(spark, dir))
       .select(col("vec_id"), col("x"), col("cluster"))
     val n = v.count() // one count over the cached frame — model-sized
     semdedupPruneCapped(asg, ((CapNum * n) / (CapDen * K)).toInt)
@@ -489,7 +517,7 @@ object Clustering {
   def percentileCappedSemdedup(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val asg = assignWith(v, trainCentroids(v))
+    val asg = assignWith(v, centroidsFor(spark, dir))
       .select(col("vec_id"), col("x"), col("cluster"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cell_n"), col("cluster"))
@@ -706,7 +734,7 @@ object Clustering {
   def clusterProfileK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val asg = assignWith(v, trainCentroids(v, k))
+    val asg = assignWith(v, centroidsFor(spark, dir, k))
     val byLabel = asg.groupBy(col("cluster"), col("label")).count()
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("count").desc, col("label"))
@@ -1041,7 +1069,7 @@ object Clustering {
   def hierAssign(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    assignHierarchical(v, trainHierarchical(v, HierK))
+    assignHierarchical(v, hierModelFor(spark, dir))
       .select(col("vec_id"), col("cluster"), col("dist"))
   }
 
@@ -1108,7 +1136,7 @@ object Clustering {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
     semdedupPruneOf(
-      assignHierarchical(v, trainHierarchical(v, HierK))
+      assignHierarchical(v, hierModelFor(spark, dir))
         .select(col("vec_id"), col("x"), col("cluster")))
   }
 
@@ -1154,7 +1182,7 @@ object Clustering {
   def hierAssignMultiProbe(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    multiProbeAssign(v, trainHierarchical(v, HierK))
+    multiProbeAssign(v, hierModelFor(spark, dir))
       .select(col("vec_id"), col("cluster"), col("dist"), col("improved"))
   }
 
@@ -1383,7 +1411,7 @@ object Clustering {
   def hierProbeRecall(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val m = trainHierarchical(v, HierK)
+    val m = hierModelFor(spark, dir)
     val base = v.select(col("vec_id"), col("x"))
     val t = assignWith(base, m.fine.flatten)
       .select(col("vec_id"), col("x"), col("dist").as("tdist"))
@@ -1456,7 +1484,7 @@ object Clustering {
   def hierBoundaryPairs(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val m = trainHierarchical(v, HierK)
+    val m = hierModelFor(spark, dir)
     val asg = assignHierarchical(v, m)
       .select(col("vec_id").as("other_id"), col("x").as("ox"), col("cluster"))
     multiProbeCells(v.select(col("vec_id"), col("x")), m)
@@ -1506,12 +1534,20 @@ object Clustering {
   def semanticDedupGroups(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val m = trainHierarchical(v, HierK)
-    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsg:$dir")(
-      assignHierarchical(v, m).select(col("vec_id"), col("x"), col("cluster")))
-    semanticDedupGroupsOf(asg,
-      multiProbeCells(v.select(col("vec_id"), col("x")), m)
-        .filter(col("probe") === 2))
+    val m = hierModelFor(spark, dir)
+    // ONE assignment cache key (with dist) shared with q140 — the
+    // survivor pass rides this identical frame, so running q139 then
+    // q140 assigns the corpus once, not twice
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsgD:$dir")(
+      assignHierarchical(v, m)
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    // the group table (edge generators + CC contraction) is the
+    // expensive shared intermediate between q139 and q140 — memoized
+    // like every other shared materialization point
+    graft.CacheRegistry.getOrCache(spark, s"clustering.semGroups:$dir")(
+      semanticDedupGroupsOf(asg.select(col("vec_id"), col("x"), col("cluster")),
+        multiProbeCells(v.select(col("vec_id"), col("x")), m)
+          .filter(col("probe") === 2)))
   }
 
   /** Frame-level core of [[semanticDedupGroups]]: `asg` the assigned
@@ -1597,16 +1633,16 @@ object Clustering {
     * The dist column rides along from the SAME cached assignment the
     * group pass used — no second corpus scan. */
   def semanticSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    // rides q139's cached group table AND its cached assignment (one
+    // shared hierAsgD key): after q139 the survivor policy costs one
+    // model-sized join + one window, no second corpus pass or CC run
+    val groups = semanticDedupGroups(spark, dir)
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val m = trainHierarchical(v, HierK)
+    val m = hierModelFor(spark, dir)
     val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsgD:$dir")(
       assignHierarchical(v, m)
         .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
-    val groups = semanticDedupGroupsOf(
-      asg.select(col("vec_id"), col("x"), col("cluster")),
-      multiProbeCells(v.select(col("vec_id"), col("x")), m)
-        .filter(col("probe") === 2))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("rep")).orderBy(col("dist").desc, col("vec_id"))
     groups.join(asg.select(col("vec_id"), col("dist")), Seq("vec_id"))
@@ -1651,7 +1687,7 @@ object Clustering {
   def clusterDrift(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val asg = assignWith(v, trainCentroids(v)).select(col("vec_id"), col("cluster"))
+    val asg = assignWith(v, centroidsFor(spark, dir)).select(col("vec_id"), col("cluster"))
     clusterDriftOf(
       asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
       asg.filter(col("vec_id") % DriftMod === DriftRes)
@@ -1725,7 +1761,7 @@ object Clustering {
   def clusterDriftHier(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    val asg = assignHierarchical(v, trainHierarchical(v, HierK))
+    val asg = assignHierarchical(v, hierModelFor(spark, dir))
       .select(col("vec_id"), col("cluster"))
     clusterDriftOf(
       asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
@@ -1771,8 +1807,10 @@ object Clustering {
   def embedCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
+    // model fetched BEFORE the frame memo (ModelRegistry lock order)
+    val cents = centroidsFor(spark, dir)
     val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.funnelAsg:$dir")(
-      assignWith(v, trainCentroids(v))
+      assignWith(v, cents)
         .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
     val surv = asg.join(
       semdedupPruneOf(asg.select(col("vec_id"), col("x"), col("cluster")))
