@@ -1787,6 +1787,256 @@ object Clustering {
        |           - (1000000 * n_base // t_base)) AS drift_ppm
        |FROM j""".stripMargin
 
+  // --------------------------------------------------------------- q142
+
+  /** q142's replay-plant rule: arrivals are the q132 drift slice PLUS
+    * every vec_id % 37 == 0 row — the latter mostly live in the
+    * corpus side too, so the batch carries genuine REPLAYS (the
+    * at-least-once delivery case every admission path must absorb). */
+  val AdmitReplayMod = 37L
+
+  /** The delta-ADMISSION verdict core — the batch seam
+    * [[graft.pipeline.IndexDelta.admitVectors]] and the oracled q142
+    * share, so the production append path and the hash-gated batch
+    * twin can never diverge. Inputs: `arrivals` (vec_id, x, cluster,
+    * dist) already assigned under the FROZEN serving model, `corpus`
+    * (corpus_id, x, cluster) the stored probe table, `cappedCells`
+    * the build-time hot-cell side table. Stages short-circuit in the
+    * curation gate's order (later stages report 0 for rows a prior
+    * stage rejected — evaluated-and-clean and not-evaluated stay
+    * distinguishable through the earlier flags):
+    *
+    *  1. REPLAY — the arrival id already exists in the stored corpus
+    *     (at-least-once redelivery): rejected, never re-appended (the
+    *     reference's ON CONFLICT DO NOTHING contract, S6).
+    *  2. CELL_CAPPED — the arrival lands in a build-capped hot cell:
+    *     ADMITTED WITHOUT a near-dup probe but flagged (q134's
+    *     retention-safe reading), and the caller must NOT append it to
+    *     the probe table (over-cap cells' members never enter it — the
+    *     build-time invariant delta appends must preserve).
+    *  3. NEAR-DUP — a stored corpus vector in the same cell within
+    *     [[PruneT]]: rejected (the SemDeDup admission rule; n_close
+    *     counts the evidence).
+    *
+    * admitted = ¬replay ∧ (capped ∨ n_close = 0). Scale shape: one
+    * id anti-probe (equi-join), one broadcast k-row flag join, one
+    * cell-blocked probe join over NON-capped arrivals only — per
+    * arrival O(|cell|), the gate's O(delta) contract. */
+  def admitVerdictsOf(arrivals: DataFrame, corpus: DataFrame,
+      cappedCells: DataFrame, pruneT: Long = PruneT): DataFrame = {
+    val ids = corpus.select(col("corpus_id").as("vec_id"))
+      .withColumn("seen", lit(1))
+    val base = arrivals.join(ids, Seq("vec_id"), "left")
+      .withColumn("replay", when(col("seen").isNotNull, 1).otherwise(0))
+      .drop("seen")
+      .join(broadcast(cappedCells.select(col("cluster")).withColumn("capf", lit(1))),
+        Seq("cluster"), "left")
+      .withColumn("cell_capped",
+        when(col("replay") === 0 && col("capf").isNotNull, 1).otherwise(0))
+      .drop("capf")
+    val close = base.filter(col("replay") === 0 && col("cell_capped") === 0)
+      .select(col("vec_id"), col("x"), col("cluster"))
+      .join(corpus.select(col("corpus_id"), col("x").as("cx"), col("cluster")),
+        Seq("cluster"))
+      .filter(graft.functions.FixedPointOps.sqDistL2(col("x"), col("cx")) < pruneT)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("nc"))
+    base.join(close, Seq("vec_id"), "left")
+      .withColumn("n_close", coalesce(col("nc"), lit(0L)))
+      .withColumn("admitted",
+        when(col("replay") === 0 &&
+          (col("cell_capped") === 1 || col("n_close") === 0), 1).otherwise(0))
+      .select(col("vec_id"), col("cluster"), col("dist"), col("replay"),
+        col("cell_capped"), col("n_close"), col("admitted"))
+  }
+
+  /** q142: DELTA-ADMISSION VERDICTS, oracled — the batch twin of
+    * admitting an arrival batch into a LIVE index without a nightly
+    * rebuild ([[graft.pipeline.IndexDelta]]): per arrival, the frozen-
+    * model assignment plus the full admission decision
+    * ([[admitVerdictsOf]]). Fixture roles: the q132 drift slice plays
+    * the arrival batch (plus the [[AdmitReplayMod]] replay plant); the
+    * complement plays the stored corpus; the model is the q124 frozen
+    * model and the cap is the BUILD's corpus-relative rule
+    * ([[buildCapOf]] — 9n/8k over the CORPUS side, clamped ≥ 1).
+    * Oracle-fixture note: the frozen model trains on the full fixture
+    * (the q132 convention — production freezes whatever the nightly
+    * build trained; which corpus trained it is not part of the
+    * admission semantics under test). */
+  def deltaAdmission(spark: SparkSession, dir: String): DataFrame = {
+    // assignment fetched BEFORE the verdict memo: flatAsgD touches
+    // ModelRegistry, which must never run inside a CacheRegistry build
+    val asg = flatAsgD(spark, dir)
+    graft.CacheRegistry.getOrCache(spark, s"clustering.admitVerd:$dir") {
+      val arr = asg.filter(
+        col("vec_id") % DriftMod === DriftRes ||
+          col("vec_id") % AdmitReplayMod === 0)
+      val corp = asg.filter(col("vec_id") % DriftMod =!= DriftRes)
+        .select(col("vec_id").as("corpus_id"), col("x"), col("cluster"))
+      val nCorp = corp.count() // one count over the cached frame
+      val capped = corp.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") > buildCapOf(nCorp, K))
+        .select(col("cluster"))
+      admitVerdictsOf(arr, corp, capped)
+    }
+  }
+
+  /** The dir-cached FLAT assignment with dist — shared by q133's
+    * funnel and the q142-q144 admission family (one key, one
+    * materialization). Fetches the model BEFORE the frame memo
+    * (ModelRegistry lock order). */
+  private def flatAsgD(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val cents = centroidsFor(spark, dir)
+    graft.CacheRegistry.getOrCache(spark, s"clustering.flatAsgD:$dir")(
+      assignWith(v, cents)
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+  }
+
+  /** Shared CTE of the q142/q144 oracles: the frozen model, the
+    * arrival/corpus split, the build cap, and the per-arrival verdict
+    * table `verd` — the SQL mirror of [[admitVerdictsOf]]. */
+  private val admissionCte: String =
+    s"""$kmeansCte,
+       |arr AS (
+       |  SELECT vec_id, x, cid, dist FROM a2
+       |  WHERE vec_id % $DriftMod = $DriftRes OR vec_id % $AdmitReplayMod = 0),
+       |corp AS (SELECT vec_id, x, cid FROM a2 WHERE vec_id % $DriftMod <> $DriftRes),
+       |csz AS (SELECT cid, count(*) AS cell_n FROM corp GROUP BY cid),
+       |cap AS (SELECT greatest(1, ($CapNum * count(*)) // ($CapDen * $K)) AS maxcell
+       |        FROM corp),
+       |capc AS (SELECT cid FROM csz, cap WHERE cell_n > maxcell),
+       |abase AS (
+       |  SELECT a.vec_id, a.x, a.cid, a.dist,
+       |         CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END AS replay,
+       |         CASE WHEN c.vec_id IS NULL AND p.cid IS NOT NULL
+       |              THEN 1 ELSE 0 END AS cell_capped
+       |  FROM arr a
+       |  LEFT JOIN corp c ON c.vec_id = a.vec_id
+       |  LEFT JOIN capc p ON p.cid = a.cid),
+       |aclose AS (
+       |  SELECT b.vec_id, count(*) AS nc
+       |  FROM abase b JOIN corp k ON k.cid = b.cid
+       |  WHERE b.replay = 0 AND b.cell_capped = 0
+       |    AND ${fdistDuck("b.x", "k.x")} < $PruneT
+       |  GROUP BY b.vec_id),
+       |verd AS (
+       |  SELECT b.vec_id, b.cid AS cluster, b.dist, b.replay, b.cell_capped,
+       |         coalesce(nc, CAST(0 AS BIGINT)) AS n_close,
+       |         CASE WHEN b.replay = 0
+       |                AND (b.cell_capped = 1 OR coalesce(nc, 0) = 0)
+       |              THEN 1 ELSE 0 END AS admitted
+       |  FROM abase b LEFT JOIN aclose c2 ON c2.vec_id = b.vec_id)""".stripMargin
+
+  val deltaAdmissionSql: String =
+    s"""WITH $admissionCte
+       |SELECT vec_id, cluster, dist, replay, cell_capped, n_close, admitted
+       |FROM verd""".stripMargin
+
+  // --------------------------------------------------------------- q143
+
+  /** q143: MODEL-STALENESS MONITOR, oracled — the instrument that
+    * tells a delta-admitting deployment when its FROZEN model has
+    * gone stale and the nightly rebuild must retrain (the refresh
+    * trigger [[graft.pipeline.IndexDelta.refreshIfStale]] consumes).
+    * Per cell: the corpus-side p95 assignment radius (exact rank
+    * ceil(0.95·n) over (dist, vec_id) — integer-portable), the
+    * arriving batch's population, and the ppm of arrivals landing
+    * BEYOND the radius. A fresh model covers ~5% of arrivals past
+    * p95 by construction; a drifted source pushes whole cells' stale
+    * share toward 10⁶ — q132 sees the mix shift, this sees coverage
+    * collapse even when the mix is stable (a new topic that lands in
+    * an old cell but FAR from its centroid).
+    *
+    * Scale shape: the radius is one window over the stored
+    * assignment (corpus-sized pass, build-budget); arrivals join a
+    * k-row radius table and aggregate — O(delta) serving cost. */
+  def modelStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val asg = flatAsgD(spark, dir)
+    val arr = asg.filter(col("vec_id") % DriftMod === DriftRes)
+      .select(col("cluster"), col("vec_id"), col("dist"))
+    val corp = asg.filter(col("vec_id") % DriftMod =!= DriftRes)
+      .select(col("cluster"), col("vec_id"), col("dist"))
+    modelStalenessOf(corp, arr)
+  }
+
+  /** Frame-level core of [[modelStaleness]]: `corpus` and `arrivals`
+    * as (cluster, vec_id, dist) under ONE model. Exposed so the
+    * serving twin can run it over stored tables. */
+  def modelStalenessOf(corpus: DataFrame, arrivals: DataFrame): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val rad = corpus
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_base", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(19 * n_base + 19) div 20"))
+      .select(col("cluster"), col("n_base"), col("dist").as("radius"))
+    rad.join(arrivals.select(col("cluster"), col("vec_id"), col("dist")),
+        Seq("cluster"), "left")
+      .groupBy(col("cluster"), col("n_base"), col("radius"))
+      .agg(count(col("vec_id")).as("n_new"),
+        sum(when(col("dist") > col("radius"), 1L).otherwise(0L)).as("n_stale"))
+      .select(col("cluster"), col("n_base"), col("radius"), col("n_new"),
+        col("n_stale"),
+        expr("CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * n_stale) div n_new END").as("stale_ppm"))
+  }
+
+  val modelStalenessSql: String =
+    s"""WITH $kmeansCte,
+       |arr AS (SELECT cid, vec_id, dist FROM a2
+       |        WHERE vec_id % $DriftMod = $DriftRes),
+       |corp AS (SELECT cid, vec_id, dist FROM a2
+       |         WHERE vec_id % $DriftMod <> $DriftRes),
+       |rk AS (
+       |  SELECT cid, dist,
+       |         row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+       |         count(*) OVER (PARTITION BY cid) AS n_base
+       |  FROM corp),
+       |rad AS (
+       |  SELECT cid, n_base, dist AS radius
+       |  FROM rk WHERE rn = (19 * n_base + 19) // 20),
+       |st AS (
+       |  SELECT r.cid, r.n_base, r.radius,
+       |         count(a.vec_id) AS n_new,
+       |         CAST(sum(CASE WHEN a.dist > r.radius THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_stale
+       |  FROM rad r LEFT JOIN arr a ON a.cid = r.cid
+       |  GROUP BY r.cid, r.n_base, r.radius)
+       |SELECT cid AS cluster, n_base, radius, n_new,
+       |       coalesce(n_stale, CAST(0 AS BIGINT)) AS n_stale,
+       |       CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE (1000000 * coalesce(n_stale, 0)) // n_new END AS stale_ppm
+       |FROM st""".stripMargin
+
+  // --------------------------------------------------------------- q144
+
+  /** q144: ADMISSION FUNNEL, oracled — q142's verdict table reduced
+    * to the stage report a delta-ingest run publishes (the q123/q133
+    * funnel convention applied to the admission gate): arrivals →
+    * replays rejected → capped-flagged admissions → near-dup
+    * rejections → admitted. One row; all counts BIGINT in both
+    * engines (DuckDB sum(int) is HUGEINT — cast, the q115 rule). */
+  def admissionFunnel(spark: SparkSession, dir: String): DataFrame =
+    deltaAdmission(spark, dir).agg(
+      count(lit(1)).as("n_arrivals"),
+      sum(col("replay")).cast("long").as("n_replay"),
+      sum(col("cell_capped")).cast("long").as("n_capped"),
+      sum(when(col("replay") === 0 && col("cell_capped") === 0 &&
+        col("n_close") > 0, 1L).otherwise(0L)).as("n_neardup"),
+      sum(col("admitted")).cast("long").as("n_admitted"))
+
+  val admissionFunnelSql: String =
+    s"""WITH $admissionCte
+       |SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+       |       CAST(sum(replay) AS BIGINT) AS n_replay,
+       |       CAST(sum(cell_capped) AS BIGINT) AS n_capped,
+       |       CAST(sum(CASE WHEN replay = 0 AND cell_capped = 0 AND n_close > 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+       |       CAST(sum(admitted) AS BIGINT) AS n_admitted
+       |FROM verd""".stripMargin
+
   // --------------------------------------------------------------- q133
 
   /** q133: EMBEDDING CURATION FUNNEL — the vector-side capstone
@@ -1809,7 +2059,7 @@ object Clustering {
       fixedPoint(spark, dir))
     // model fetched BEFORE the frame memo (ModelRegistry lock order)
     val cents = centroidsFor(spark, dir)
-    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.funnelAsg:$dir")(
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.flatAsgD:$dir")(
       assignWith(v, cents)
         .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
     val surv = asg.join(
