@@ -156,6 +156,70 @@ object FpIndex {
   def saveOrRebuildFlat(spark: SparkSession, path: String, df: DataFrame): Unit =
     if (tableVersion(path) > 0) rebuildFlat(spark, path, df) else saveFlat(path, df)
 
+  /** DELTA-APPEND into a live serving index — the third lifecycle verb
+    * ([[saveFlat]] creates, [[rebuildFlat]] replaces, this EXTENDS): an
+    * admitted arrival batch joins the index WITHOUT a corpus-sized
+    * rebuild, the incremental-ingest path a 100 TB deployment runs
+    * between nightly builds (a full rebuild per ingest batch would pay
+    * the corpus pass per delta; this pays O(delta)).
+    *
+    * Mechanics: delta rows are stamped with the CURRENT winning
+    * ([[GenCol]], [[BuildCol]]) and appended as ONE manifest commit, so
+    *
+    *  - FRESH loads serve winner ∪ delta (the rows join the winning
+    *    build by construction);
+    *  - PINNED readers opened before the delta are untouched — their
+    *    `asOfManifest` horizon predates the delta commit;
+    *  - a RACING [[rebuildFlat]] that commits first changes the winner:
+    *    this delta's rows land inert (stamped with the losing build)
+    *    and the post-append validation raises
+    *    `ConcurrentModificationException` so the caller re-admits
+    *    against the new build — the same OCC contract as rebuild races.
+    *    A rebuild that commits AFTER this delta supersedes it wholesale,
+    *    which is correct: rebuilds recompute from the corpus of record,
+    *    so the admission job must also append its batch there.
+    *
+    * On a never-rebuilt table (no generation columns) the delta appends
+    * plain rows — every commit serves until the first rebuild widens
+    * the schema and supersedes all of them together.
+    *
+    * Concurrency contract: delta appends are serialized per index root
+    * (one admission job per corpus — the deployment shape); the OCC
+    * guard catches delta-vs-rebuild races, not two identical deltas
+    * racing each other (which would double-admit, exactly like two
+    * concurrent ON CONFLICT-free inserts). */
+  def deltaAppendFlat(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    require(tableVersion(path) > 0,
+      s"no index stored at $path — initial builds use saveFlat")
+    winningBuild(rawLoad(spark, path, None)) match {
+      case None => saveFlat(path, df)
+      case Some((g, b)) => deltaAppendFlatAt(spark, path, df, g, b)
+    }
+  }
+
+  /** Race seam: [[deltaAppendFlat]] with the winner read pinned by the
+    * caller — a delta stamped with a build a rebuild has since
+    * superseded is exactly the delta-vs-rebuild race. Spec-only entry;
+    * production goes through [[deltaAppendFlat]]. */
+  private[graft] def deltaAppendFlatAt(spark: SparkSession, path: String,
+      df: DataFrame, gen: Long, buildId: String): Unit = {
+    saveFlat(path,
+      df.withColumn(GenCol, lit(gen)).withColumn(BuildCol, lit(buildId)))
+    val w = winningBuild(rawLoad(spark, path, None))
+    if (!w.contains((gen, buildId)))
+      throw new java.util.ConcurrentModificationException(
+        s"index $path was rebuilt during the delta append (winning build " +
+          s"is $w, this delta stamped ($gen, $buildId)) — the delta's rows " +
+          "are inert; re-admit the batch against the new build")
+  }
+
+  /** [[deltaAppendFlat]] for the shingle-set table — same first-normal-
+    * form encoding. The caller must have replay-rejected `sh` against
+    * the stored doc_ids first: [[loadShingles]] raises on a doc whose
+    * set was appended twice (the doubled-set Jaccard hazard). */
+  def deltaAppendShingles(spark: SparkSession, path: String, sh: DataFrame): Unit =
+    deltaAppendFlat(spark, path, shingleRows(sh))
+
   /** Persist the shingle-set table (doc_id, hh array<long>) in first
     * normal form. */
   def saveShingles(path: String, sh: DataFrame): Unit =

@@ -82,23 +82,11 @@ object IndexBuild {
     // q82 serving tiers; the composed IVF+PQ tier builds its own root)
     Similarity.buildIvfIndex(spark, dir, s"$root/$AnnT")
     Similarity.buildPqIndex(spark, dir, s"$root/$AnnT")
-    // k-means centroid model — the cluster-assignment serve side
-    // (SemDeDup cells, cluster-balanced sampling) trained by q124's rule
+    // k-means centroid model + the semantic gate's stored side — also
+    // the REFRESH unit IndexDelta.refreshIfStale re-runs when the
+    // staleness monitor trips between nightly builds
     val fixed = Clustering.fixedPoint(spark, dir)
-    val cents = Clustering.trainCentroids(fixed)
-    Clustering.saveCentroids(spark, s"$root/$CentroidsT", cents)
-    // the semantic gate's STORED side: the corpus pre-assigned to its
-    // cells, HOT-CELL-CAPPED at build time (q134's corpus-relative
-    // 9n/8k cap, the videoFrameIndex hub-cap precedent) — members of
-    // over-cap cells never enter the probe table, so a degenerate
-    // mega-cell costs an arrival ZERO probe rows; the capped cells
-    // land in a k-row side table the gate flags verdicts from
-    val assigned = Clustering.assignedCorpus(fixed, cents)
-    val nVecs = assigned.count() // one pass — build-job budget
-    val (probeCorpus, cappedCells) = Clustering.capAssignedCorpus(
-      assigned, Clustering.buildCapOf(nVecs, cents.length))
-    Clustering.saveAssignedCorpus(spark, s"$root/$AssignedT", probeCorpus)
-    Clustering.saveCappedCells(spark, s"$root/$CappedT", cappedCells)
+    val nVecs = buildFlatVectorArtifacts(spark, fixed, root)
     // PCA basis — the dim-reduction serve side (projected arrivals,
     // cheaper projected-IVF ANN); fit shares the centroid build's
     // cached fixed-point corpus and the q126 Gram pass's dimStats
@@ -118,6 +106,30 @@ object IndexBuild {
       assignedH, Clustering.buildCapOf(nVecs, hm.kTotal))
     Clustering.saveAssignedCorpus(spark, s"$root/$AssignedHierT", probeH)
     Clustering.saveCappedCells(spark, s"$root/$CappedHierT", cappedH)
+  }
+
+  /** The FLAT vector serving artifacts as one rebuildable unit: the
+    * q124-rule centroid model, the corpus pre-assigned to its cells
+    * HOT-CELL-CAPPED at build time (q134's corpus-relative 9n/8k cap,
+    * the videoFrameIndex hub-cap precedent — members of over-cap
+    * cells never enter the probe table, so a degenerate mega-cell
+    * costs an arrival ZERO probe rows), and the k-row capped-cells
+    * side table the gate flags verdicts from. Extracted from
+    * [[buildAll]] so [[IndexDelta.refreshIfStale]] can retrain JUST
+    * this unit when the staleness monitor trips mid-cycle; each table
+    * cuts over atomically via the generation-append rebuild. Returns
+    * the corpus vector count (the one pass it already pays). */
+  def buildFlatVectorArtifacts(spark: SparkSession, fixed: DataFrame,
+      root: String): Long = {
+    val cents = Clustering.trainCentroids(fixed)
+    Clustering.saveCentroids(spark, s"$root/$CentroidsT", cents)
+    val assigned = Clustering.assignedCorpus(fixed, cents)
+    val nVecs = assigned.count() // one pass — build-job budget
+    val (probeCorpus, cappedCells) = Clustering.capAssignedCorpus(
+      assigned, Clustering.buildCapOf(nVecs, cents.length))
+    Clustering.saveAssignedCorpus(spark, s"$root/$AssignedT", probeCorpus)
+    Clustering.saveCappedCells(spark, s"$root/$CappedT", cappedCells)
+    nVecs
   }
 
   /** The loaded serving surface: every stored frame a session probes,

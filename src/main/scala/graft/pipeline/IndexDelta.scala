@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Dedup, FpIndex}
+import graft.streaming.Incremental
+
+/** INCREMENTAL INDEX MAINTENANCE — the ingest-batch half of the
+  * deployment loop [[IndexBuild]] opens. The nightly build pays the
+  * corpus passes once per corpus version; between builds, every
+  * arriving batch must still be (a) gated against the stored corpus
+  * and (b) ADMITTED INTO the serving indexes so the NEXT batch's gate
+  * sees it — otherwise two near-identical arrivals an hour apart both
+  * pass, and dedup quality decays until the next nightly rebuild.
+  * This object is step (b): the reference's incremental contract
+  * (`INSERT … ON CONFLICT DO NOTHING` on the sink PK,
+  * `/root/reference/src/app/main.py:453-457` — admit only what is not
+  * already present, idempotently) generalized to every delta-appendable
+  * serving artifact, at O(delta) cost per batch
+  * ([[FpIndex.deltaAppendFlat]]: one manifest commit stamped onto the
+  * winning build; pinned readers untouched; rebuild races raise).
+  *
+  * WHICH artifacts take deltas is a principled split:
+  *
+  *  - MEMBERSHIP artifacts (exact-key set, band index, shingle sets,
+  *    novelty shingle set, assigned probe corpus) are unions of
+  *    per-document/per-vector rows — a delta is just more rows, and
+  *    probing (winner ∪ delta) is exactly probing the bigger corpus.
+  *  - STATISTICS artifacts (BM25 postings' df/N/avgdl, CMS counts,
+  *    volume baselines, the centroid/PCA/PQ models themselves) bake
+  *    corpus-level aggregates into their rows; appending delta rows
+  *    under frozen stats serves a model that no longer matches its
+  *    own normalization. These REFRESH by rebuild only (the nightly
+  *    job, or [[refreshIfStale]] when the staleness monitor trips) —
+  *    the Lucene-segment trade made explicit instead of silently.
+  *
+  * Concurrency: one admission job per index root (the deployment
+  * shape); [[FpIndex.deltaAppendFlat]]'s OCC guard turns a
+  * delta-vs-nightly-rebuild race into a clean retry.
+  */
+object IndexDelta {
+
+  import IndexBuild._
+
+  /** Admit a document batch into the stored TEXT indexes: run the
+    * curation gate against the CURRENT stored artifacts (fresh loads —
+    * prior deltas are visible, so a batch is gated against everything
+    * admitted before it), then append the admitted documents' rows to
+    * the membership artifacts in one delta commit each:
+    *
+    *  - keys: the admitted batch's NEW distinct content hashes;
+    *  - bands/shingles: the admitted documents' band keys and shingle
+    *    sets (an id already holding stored shingles is excluded — the
+    *    doubled-set guard, belt to the exact-dup gate's suspenders);
+    *  - novelty: the admitted documents' shingle hashes not already in
+    *    the stored set.
+    *
+    * Idempotent under replay: a re-sent batch re-gates, every document
+    * rejects as an exact dup (its content hash is now stored), nothing
+    * appends — the ON CONFLICT DO NOTHING contract at batch grain.
+    * Returns the gate verdict frame (persisted for the duration of the
+    * appends; released by the caller's CacheRegistry scope). Postings/
+    * CMS/volume stay nightly-rebuild artifacts (stats-bearing — see
+    * the object scaladoc). */
+  def admitDocs(spark: SparkSession, root: String, arrivals: DataFrame,
+      batchId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val keys = FpIndex.loadFlat(spark, s"$root/$KeysT")
+    val bands = FpIndex.loadFlat(spark, s"$root/$BandsT")
+    val shingles = FpIndex.loadShingles(spark, s"$root/$ShinglesT")
+    val verdicts = graft.CacheRegistry.getOrCache(spark,
+      s"indexdelta.docs:$root:$batchId")(
+      Incremental.curationGateStream(arrivals, keys, bands, shingles))
+    val admitted = arrivals.join(
+      verdicts.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+    // ids that already hold stored shingle rows must not re-append
+    // (loadShingles raises on doubled sets); the exact-dup gate already
+    // rejects same-content replays, this guards same-ID-new-content
+    val sh = Dedup.shingleTable(admitted)
+      .join(shingles.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newKeys = Incremental.corpusKeySet(admitted)
+      .join(keys, Seq("content_hash"), "left_anti")
+    val novelty = FpIndex.loadFlat(spark, s"$root/$NoveltyT")
+    val newShingleHashes = sh.select(explode(col("hh")).as("h")).distinct()
+      .join(novelty, Seq("h"), "left_anti")
+    // fully-rejected (or replayed) batches append nothing — no empty
+    // commits polluting the version history (the isEmpty checks are
+    // delta-sized actions)
+    if (!newKeys.isEmpty)
+      FpIndex.deltaAppendFlat(spark, s"$root/$KeysT", newKeys)
+    if (!sh.isEmpty) {
+      FpIndex.deltaAppendFlat(spark, s"$root/$BandsT", Dedup.bandTable(sh))
+      FpIndex.deltaAppendShingles(spark, s"$root/$ShinglesT", sh)
+    }
+    if (!newShingleHashes.isEmpty)
+      FpIndex.deltaAppendFlat(spark, s"$root/$NoveltyT", newShingleHashes)
+    verdicts
+  }
+
+  /** Admit a vector batch into the stored FLAT vector index: assign
+    * under the FROZEN stored model, decide per arrival with the q142
+    * verdict core ([[Clustering.admitVerdictsOf]] — replay reject,
+    * capped-cell flag, same-cell near-dup reject), and append the
+    * admitted NON-capped arrivals to the assigned probe corpus in one
+    * delta commit. Capped-cell arrivals are admitted-but-flagged and
+    * NEVER appended — over-cap cells' members don't enter the probe
+    * table (the build-time invariant; it also makes their replay
+    * verdict stable: re-sent capped arrivals re-flag, never duplicate).
+    * Returns the per-arrival verdict frame.
+    *
+    * Idempotent under replay: admitted rows join the probe table, so a
+    * re-sent batch rejects wholesale as replays. O(delta) end to end:
+    * one map-only assignment, one id anti-probe, one cell-blocked
+    * probe join, one delta-sized append. */
+  def admitVectors(spark: SparkSession, root: String, arrivals: DataFrame,
+      batchId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val cents = Clustering.loadCentroids(spark, s"$root/$CentroidsT")
+    val probe = Clustering.loadAssignedCorpus(spark, s"$root/$AssignedT")
+    val capped = Clustering.loadCappedCells(spark, s"$root/$CappedT")
+    val asg = Clustering.assignWith(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        cents)
+      .select(col("vec_id"), col("x"), col("cluster"), col("dist"))
+    admitAssigned(spark, s"$root/$AssignedT", asg, probe, capped,
+      s"indexdelta.vec:$root:$batchId")
+  }
+
+  /** [[admitVectors]] under the stored TWO-LEVEL model — the at-scale
+    * form: arrivals assign through the FRAME-model dispatch
+    * ([[Clustering.assignHier]] — fine table as data past the literal
+    * ceiling, no k·d task literal), then the identical verdict core
+    * and append against the hier-assigned artifacts. */
+  def admitVectorsHier(spark: SparkSession, root: String, arrivals: DataFrame,
+      batchId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    val hm = Clustering.loadHierModelFrames(spark, s"$root/$HierModelT")
+    val probe = Clustering.loadAssignedCorpus(spark, s"$root/$AssignedHierT")
+    val capped = Clustering.loadCappedCells(spark, s"$root/$CappedHierT")
+    val asg = Clustering.assignHier(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        hm)
+      .select(col("vec_id"), col("x"), col("cluster"), col("dist"))
+    admitAssigned(spark, s"$root/$AssignedHierT", asg, probe, capped,
+      s"indexdelta.hier:$root:$batchId")
+  }
+
+  /** Shared verdict+append tail of both vector admission paths. */
+  private def admitAssigned(spark: SparkSession, assignedPath: String,
+      asg: DataFrame, probe: DataFrame, capped: DataFrame,
+      cacheKey: String): DataFrame = {
+    val verd = graft.CacheRegistry.getOrCache(spark, cacheKey)(
+      Clustering.admitVerdictsOf(asg,
+        probe.select(col("corpus_id"), col("x"), col("cluster")), capped))
+    val toAppend = verd
+      .filter(col("admitted") === 1 && col("cell_capped") === 0)
+      .select(col("vec_id"))
+      .join(asg, Seq("vec_id"))
+      .select(col("vec_id").as("corpus_id"), col("cluster"), posexplode(col("x")))
+      .toDF("corpus_id", "cluster", "pos", "v")
+    if (!toAppend.isEmpty) // replayed/rejected batches commit nothing
+      FpIndex.deltaAppendFlat(spark, assignedPath, toAppend)
+    verd
+  }
+
+  /** The q143 staleness monitor over the STORED artifacts — the
+    * serving twin: corpus-side distances are recomputed map-only
+    * against the stored centroid literal (the probe table stores
+    * (corpus_id, cluster, x); dist is one kernel call), arrivals
+    * assign the same way, and [[Clustering.modelStalenessOf]] does the
+    * portable arithmetic. Per-cell rows; feed [[refreshIfStale]]. */
+  def storedStaleness(spark: SparkSession, root: String,
+      arrivals: DataFrame): DataFrame = {
+    val cents = Clustering.loadCentroids(spark, s"$root/$CentroidsT")
+    val cl = typedLit(cents.map(_.toSeq))
+    val corp = Clustering.loadAssignedCorpus(spark, s"$root/$AssignedT")
+      .select(col("cluster"), col("corpus_id").as("vec_id"),
+        graft.functions.FixedPointOps.sqDistL2(col("x"),
+          element_at(cl, col("cluster") + 1)).as("dist"))
+    val arr = Clustering.assignWith(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        cents)
+      .select(col("cluster"), col("vec_id"), col("dist"))
+    Clustering.modelStalenessOf(corp, arr)
+  }
+
+  /** REFRESH POLICY: when the arriving batch's overall staleness
+    * (10⁶ · stale / arrivals, the q143 arithmetic totaled) exceeds
+    * `maxStalePpm`, retrain the flat vector serving unit from the
+    * corpus of record ([[IndexBuild.buildFlatVectorArtifacts]] —
+    * atomic generation-append cutover, pinned readers untouched) and
+    * return true; below threshold, change nothing and return false.
+    * A fresh model strands ~5% of arrivals past its p95 radii by
+    * construction, so thresholds live well above 50000 ppm; the
+    * default trips when stale coverage triples. */
+  def refreshIfStale(spark: SparkSession, dir: String, root: String,
+      arrivals: DataFrame, maxStalePpm: Long = 150000L): Boolean = {
+    val t = storedStaleness(spark, root, arrivals)
+      .agg(sum(col("n_new")).as("n"), sum(col("n_stale")).as("s"))
+      .head()
+    val n = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val stale = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val ppm = if (n == 0) 0L else 1000000L * stale / n
+    if (ppm > maxStalePpm) {
+      IndexBuild.buildFlatVectorArtifacts(spark,
+        Clustering.fixedPoint(spark, dir), root)
+      true
+    } else false
+  }
+}
