@@ -679,3 +679,127 @@ object SoakCluster {
     spark.stop()
   }
 }
+
+/** Delta-admission soak — the ingest-batch half of the deployment
+  * loop, measured: stored roots are built ONCE from the sf0.1 corpus
+  * (the nightly job's output), then [[graft.pipeline.IndexDelta]]
+  * admission batches run at 1× and n× arrival sizes against identical
+  * fresh roots. Claims under test:
+  *
+  *  - admission wall clock grows ≲ n× with per-item cost ~flat — the
+  *    probe side is fixed and the appends are delta-sized (O(delta));
+  *  - what batch 1 ADMITS, batch 2's gate sees: a re-submission of
+  *    batch 1 rejects wholesale and appends nothing (the idempotent
+  *    replay contract, timed — a replay batch costs gate-only);
+  *  - the same shape on the vector side (fresh deterministic vectors,
+  *    the SoakCluster discipline — replicas would plant exact dups).
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SoakDelta [N]"` */
+object SoakDelta {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    import org.apache.spark.sql.DataFrame
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def tmpRoot(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-soak-delta-$tag").toString
+    println(s"## Delta-admission soak at $sfDir (arrival batches x1 vs x$n; roots built once)")
+
+    // ---------------- text side ----------------
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def buildDocRoot(): String = {
+      val root = tmpRoot("docs")
+      operators.FpIndex.saveFlat(s"$root/${pipeline.IndexBuild.KeysT}",
+        streaming.Incremental.corpusKeySet(docs))
+      val sh = operators.Dedup.shingleTable(docs)
+      operators.FpIndex.saveFlat(s"$root/${pipeline.IndexBuild.BandsT}",
+        operators.Dedup.bandTable(sh))
+      operators.FpIndex.saveShingles(s"$root/${pipeline.IndexBuild.ShinglesT}", sh)
+      operators.FpIndex.saveFlat(s"$root/${pipeline.IndexBuild.NoveltyT}",
+        streaming.Incremental.corpusShingleSet(docs))
+      root
+    }
+    // fresh arrivals: every word suffixed with the arrival id — new
+    // shingles (admitted), quality-passing, distinct from each other
+    def freshDocs(mult: Int): DataFrame =
+      docs.filter(col("doc_id") % 11 === 0)
+        .crossJoin(broadcast(spark.range(mult).toDF("r")))
+        .withColumn("doc_id", col("doc_id") + lit(900000000L) + col("r") * lit(10000000L))
+        .select(col("doc_id"), expr(
+          "array_join(transform(split(text, ' '), w -> concat(w, '_', doc_id)), ' ')")
+          .as("text"))
+    locally {
+      val rootA = buildDocRoot(); val rootB = buildDocRoot()
+      val b1 = freshDocs(1).persist(); val bn = freshDocs(n).persist()
+      val (c1, cn) = (b1.count(), bn.count())
+      // warm (gate plans + codegen) on a throwaway root
+      val rootW = buildDocRoot()
+      pipeline.IndexDelta.admitDocs(spark, rootW, b1, batchId = "w").count()
+      CacheRegistry.releaseAll()
+      var a1 = 0L; var an = 0L
+      val t1 = time { a1 = pipeline.IndexDelta.admitDocs(spark, rootA, b1, "b1")
+        .filter(col("admitted")).count() }
+      CacheRegistry.releaseAll()
+      val tn = time { an = pipeline.IndexDelta.admitDocs(spark, rootB, bn, "bn")
+        .filter(col("admitted")).count() }
+      CacheRegistry.releaseAll()
+      println(f"admit_docs               1x: $t1%6.2f s ($c1%6d docs, $a1%6d admitted)   " +
+        f"${n}x: $tn%6.2f s ($cn%7d docs, $an%7d admitted)   growth ${tn / t1}%4.1fx   " +
+        f"per-doc ${1e6 * t1 / c1}%5.0f -> ${1e6 * tn / cn}%5.0f us")
+      // replay of batch 1 against rootA: batch-1 admissions now stored
+      var rAdm = 0L
+      val tr = time { rAdm = pipeline.IndexDelta.admitDocs(spark, rootA, b1, "b1r")
+        .filter(col("admitted")).count() }
+      CacheRegistry.releaseAll()
+      println(f"admit_docs_replay        $tr%6.2f s ($c1%6d docs, $rAdm admitted — " +
+        "batch-1 admissions gate their own replay)")
+      require(rAdm == 0, "replay must admit nothing")
+      Seq(b1, bn).foreach(_.unpersist())
+    }
+
+    // ---------------- vector side ----------------
+    def buildVecRoot(): String = {
+      val root = tmpRoot("vecs")
+      pipeline.IndexBuild.buildFlatVectorArtifacts(spark,
+        operators.Clustering.fixedPoint(spark, sfDir), root)
+      root
+    }
+    def freshVecs(m: Long, offset: Long): DataFrame =
+      spark.range(m).select(
+        (col("id") + lit(offset)).as("vec_id"),
+        expr("transform(sequence(1, 64), d -> " +
+          "CAST((pmod(hash((id + " + offset + ") * 64 + d), 1048576) - 524288) " +
+          "/ 1048576.0 AS FLOAT))").as("embedding"))
+    locally {
+      val rootA = buildVecRoot(); val rootB = buildVecRoot()
+      val m1 = 2000L
+      val b1 = freshVecs(m1, 900000000L).persist()
+      val bn = freshVecs(m1 * n, 900000000L).persist()
+      val (c1, cn) = (b1.count(), bn.count())
+      val rootW = buildVecRoot()
+      pipeline.IndexDelta.admitVectors(spark, rootW, b1, batchId = "w").count()
+      CacheRegistry.releaseAll()
+      var a1 = 0L; var an = 0L
+      val t1 = time { a1 = pipeline.IndexDelta.admitVectors(spark, rootA, b1, "v1")
+        .filter(col("admitted") === 1).count() }
+      CacheRegistry.releaseAll()
+      val tn = time { an = pipeline.IndexDelta.admitVectors(spark, rootB, bn, "vn")
+        .filter(col("admitted") === 1).count() }
+      CacheRegistry.releaseAll()
+      println(f"admit_vectors            1x: $t1%6.2f s ($c1%6d vecs, $a1%6d admitted)   " +
+        f"${n}x: $tn%6.2f s ($cn%7d vecs, $an%7d admitted)   growth ${tn / t1}%4.1fx   " +
+        f"per-vec ${1e6 * t1 / c1}%5.0f -> ${1e6 * tn / cn}%5.0f us")
+      var rAdm = 0L
+      val tr = time { rAdm = pipeline.IndexDelta.admitVectors(spark, rootA, b1, "v1r")
+        .filter(col("admitted") === 1).count() }
+      CacheRegistry.releaseAll()
+      println(f"admit_vectors_replay     $tr%6.2f s ($c1%6d vecs, $rAdm admitted)")
+      require(rAdm == 0, "replayed vector batch must admit nothing")
+      Seq(b1, bn).foreach(_.unpersist())
+    }
+    spark.stop()
+  }
+}
