@@ -199,7 +199,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q135_pct_capped_semdedup", "q136_multiprobe_assign",
       "q137_probe_recall", "q138_boundary_pairs",
       "q139_semantic_groups", "q140_semantic_survivors",
-      "q141_hier_drift").foreach { name =>
+      "q141_hier_drift",
+      // round-14: the admission family rides the same QuantizeFixed/
+      // SqDistL2/NearestOfL2 kernels through the verdict core, the
+      // staleness radius, and the funnel
+      "q142_delta_admission", "q143_model_staleness",
+      "q144_admission_funnel").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
