@@ -1013,6 +1013,43 @@ object Similarity {
     AnnIndex.saveOrRebuildCodes(spark, s"$indexPath/codes", coded.withColumn("cell", lit(-1L)))
   }
 
+  /** DELTA-ADMIT an arrival batch into the stored PQ code table — the
+    * ANN tier's freshness path ([[graft.pipeline.IndexDelta]]'s
+    * contract applied to the q82 index): encode the arrivals with the
+    * FROZEN stored codebook (no retrain — the PQ equivalent of the
+    * frozen-centroid admission model) and delta-append their code rows
+    * as one commit, so fresh vectors become FINDABLE by
+    * [[pqAdcTopKServe]] without waiting for the nightly rebuild.
+    * Replay-rejected on vec_id (the admission idempotence contract);
+    * re-sent batches append nothing, so [[graft.operators.AnnIndex]]'s
+    * doubled-subspace guard can never fire. Frozen-codebook quality
+    * note: arrivals quantize against centroids trained before they
+    * existed — exactly the staleness [[graft.pipeline.IndexDelta
+    * .refreshIfStale]]-style monitoring bounds; the rebuild re-encodes
+    * everything. Returns the admitted count. Per batch: one stored-id
+    * scan (the anti-probe), one delta-sized encode + append. */
+  def admitPqCodes(spark: SparkSession, indexPath: String,
+      arrivals: DataFrame): Long = {
+    val cb = AnnIndex.loadCodebook(spark, s"$indexPath/codebook")
+    val d = cb.length * cb(0)(0).length // m subspaces × dsub dims
+    val eInt = array((0 until d).map(i =>
+      floor(element_at(col("embedding").cast("array<double>"), i + 1)
+        * lit(1024.0)).cast("double")): _*)
+    val storedIds = graft.operators.FpIndex
+      .loadFlat(spark, s"$indexPath/codes").select(col("vec_id")).distinct()
+    val coded = arrivals.join(storedIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(-1L).as("cell"),
+        VectorOps.pqEncode(eInt, cb).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = coded.count()
+      if (n > 0)
+        graft.operators.FpIndex.deltaAppendFlat(spark, s"$indexPath/codes",
+          AnnIndex.codeRows(coded))
+      n
+    } finally coded.unpersist(blocking = false)
+  }
+
   /** Serve-only half of the q82 lifecycle: the ADC scan against the
     * STORED code table — the corpus is neither re-scaled nor
     * re-encoded (only the query rows are, to build their distance
