@@ -1960,19 +1960,34 @@ object Clustering {
     modelStalenessOf(corp, arr)
   }
 
-  /** Frame-level core of [[modelStaleness]]: `corpus` and `arrivals`
-    * as (cluster, vec_id, dist) under ONE model. Exposed so the
-    * serving twin can run it over stored tables. */
-  def modelStalenessOf(corpus: DataFrame, arrivals: DataFrame): DataFrame = {
+  /** The k-row per-cell p95 radius table from a corpus assignment
+    * (cluster, vec_id, dist) — q143's radius derivation factored out
+    * so the NIGHTLY BUILD can compute it once per corpus version (one
+    * window pass, build budget) and persist the k rows; the per-batch
+    * staleness monitor then joins arrivals against the stored table at
+    * O(delta) instead of re-scanning the probe corpus per batch. */
+  def cellRadiiOf(corpus: DataFrame): DataFrame = {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("dist"), col("vec_id"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
-    val rad = corpus
+    corpus
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("n_base", count(lit(1)).over(wAll))
       .filter(col("rn") === expr("(19 * n_base + 19) div 20"))
       .select(col("cluster"), col("n_base"), col("dist").as("radius"))
-    rad.join(arrivals.select(col("cluster"), col("vec_id"), col("dist")),
+  }
+
+  /** Frame-level core of [[modelStaleness]]: `corpus` and `arrivals`
+    * as (cluster, vec_id, dist) under ONE model. Exposed so the
+    * serving twin can run it over stored tables. */
+  def modelStalenessOf(corpus: DataFrame, arrivals: DataFrame): DataFrame =
+    stalenessAgainstRadii(cellRadiiOf(corpus), arrivals)
+
+  /** The arrival half of the staleness monitor against a PRE-BUILT
+    * radius table — the O(delta) serving form ([[cellRadiiOf]] is the
+    * stored side). */
+  def stalenessAgainstRadii(radii: DataFrame, arrivals: DataFrame): DataFrame =
+    radii.join(arrivals.select(col("cluster"), col("vec_id"), col("dist")),
         Seq("cluster"), "left")
       .groupBy(col("cluster"), col("n_base"), col("radius"))
       .agg(count(col("vec_id")).as("n_new"),
@@ -1981,7 +1996,6 @@ object Clustering {
         col("n_stale"),
         expr("CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE (1000000 * n_stale) div n_new END").as("stale_ppm"))
-  }
 
   val modelStalenessSql: String =
     s"""WITH $kmeansCte,

@@ -54,7 +54,7 @@ object IndexBuild {
   val VolStatsT = "volstats"; val AnnT = "ann"; val CentroidsT = "centroids"
   val PcaT = "pca"; val AssignedT = "assigned"; val CappedT = "assigned_capped"
   val HierModelT = "hier_model"; val AssignedHierT = "assigned_hier"
-  val CappedHierT = "assigned_hier_capped"
+  val CappedHierT = "assigned_hier_capped"; val RadiiT = "cell_radii"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -129,6 +129,12 @@ object IndexBuild {
       assigned, Clustering.buildCapOf(nVecs, cents.length))
     Clustering.saveAssignedCorpus(spark, s"$root/$AssignedT", probeCorpus)
     Clustering.saveCappedCells(spark, s"$root/$CappedT", cappedCells)
+    // per-cell p95 staleness radii (q143's stored side): k rows derived
+    // from the FULL assignment in one window pass — the per-batch
+    // staleness monitor then never re-scans the probe corpus
+    FpIndex.saveOrRebuildFlat(spark, s"$root/$RadiiT", Clustering.cellRadiiOf(
+      Clustering.assignWith(fixed, cents)
+        .select(col("cluster"), col("vec_id"), col("dist"))))
     nVecs
   }
 

@@ -162,24 +162,34 @@ object IndexDelta {
   }
 
   /** The q143 staleness monitor over the STORED artifacts — the
-    * serving twin: corpus-side distances are recomputed map-only
-    * against the stored centroid literal (the probe table stores
-    * (corpus_id, cluster, x); dist is one kernel call), arrivals
-    * assign the same way, and [[Clustering.modelStalenessOf]] does the
-    * portable arithmetic. Per-cell rows; feed [[refreshIfStale]]. */
+    * serving twin. Preferred path: the nightly build's k-row
+    * [[IndexBuild.RadiiT]] radius table joins the assigned arrivals
+    * directly — O(delta) per monitoring batch, no corpus-sized work.
+    * Roots built before the radii artifact existed fall back to
+    * recomputing corpus distances map-only against the stored centroid
+    * literal (one probe-table pass per batch — correct, just not the
+    * serving shape; and it cannot score arrivals landing in capped
+    * cells, whose members never entered the probe table — the stored
+    * radii, derived from the FULL assignment, can). Per-cell rows;
+    * feeds [[refreshIfStale]]. */
   def storedStaleness(spark: SparkSession, root: String,
       arrivals: DataFrame): DataFrame = {
     val cents = Clustering.loadCentroids(spark, s"$root/$CentroidsT")
-    val cl = typedLit(cents.map(_.toSeq))
-    val corp = Clustering.loadAssignedCorpus(spark, s"$root/$AssignedT")
-      .select(col("cluster"), col("corpus_id").as("vec_id"),
-        graft.functions.FixedPointOps.sqDistL2(col("x"),
-          element_at(cl, col("cluster") + 1)).as("dist"))
     val arr = Clustering.assignWith(
         arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
         cents)
       .select(col("cluster"), col("vec_id"), col("dist"))
-    Clustering.modelStalenessOf(corp, arr)
+    if (FpIndex.tableVersion(s"$root/${IndexBuild.RadiiT}") > 0)
+      Clustering.stalenessAgainstRadii(
+        FpIndex.loadFlat(spark, s"$root/${IndexBuild.RadiiT}"), arr)
+    else {
+      val cl = typedLit(cents.map(_.toSeq))
+      val corp = Clustering.loadAssignedCorpus(spark, s"$root/$AssignedT")
+        .select(col("cluster"), col("corpus_id").as("vec_id"),
+          graft.functions.FixedPointOps.sqDistL2(col("x"),
+            element_at(cl, col("cluster") + 1)).as("dist"))
+      Clustering.modelStalenessOf(corp, arr)
+    }
   }
 
   /** REFRESH POLICY: when the arriving batch's overall staleness
