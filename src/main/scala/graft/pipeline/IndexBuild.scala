@@ -270,12 +270,33 @@ object IndexBuild {
           hm, idx.assignedHierCorpus, idx.cappedHierCells)
         .write.format("noop").mode("overwrite").save()
     }
+    // the round-14 ingest-batch half: admit a doc batch and a vector
+    // batch into the stored root, then run the staleness monitor from
+    // the stored k-row radius table — the full deployment loop
+    // (build → serve → admit → monitor) in one capture
+    val admitDocsSec = timed(
+      IndexDelta.admitDocs(serve, root,
+          arrivals.withColumn("doc_id", col("doc_id") + lit(1000L)))
+        .write.format("noop").mode("overwrite").save())
+    val freshVecs = Tables.embeddings(serve, dir)
+      .filter(col("vec_id") % 25 === 7)
+      .withColumn("vec_id", col("vec_id") + lit(910000000L))
+    val admitVecSec = timed(
+      IndexDelta.admitVectors(serve, root, freshVecs)
+        .write.format("noop").mode("overwrite").save())
+    val staleSec = timed(
+      IndexDelta.storedStaleness(serve, root,
+          Tables.embeddings(serve, dir).filter(col("vec_id") % 25 === 9))
+        .write.format("noop").mode("overwrite").save())
     println(f"""{"build_sec": $buildSec%.3f, "serve_gate_sec": $gateSec%.3f, """ +
       f""""serve_retrieval_sec": $retrSec%.3f, "serve_novelty_sec": $novSec%.3f, """ +
       f""""serve_ann_sec": $annSec%.3f, "serve_cluster_sec": $clusterSec%.3f, """ +
       f""""serve_pca_sec": $pcaSec%.3f, "serve_semgate_sec": $semGateSec%.3f, """ +
       f""""serve_semgate2_sec": $semGate2Sec%.3f, """ +
       f""""serve_semgate_hier2_sec": $semGateHier2Sec%.3f, """ +
+      f""""admit_docs_sec": $admitDocsSec%.3f, """ +
+      f""""admit_vectors_sec": $admitVecSec%.3f, """ +
+      f""""staleness_sec": $staleSec%.3f, """ +
       f""""sf": "$dir", "root": "$root"}""")
     spark.stop()
   }
