@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -634,20 +634,36 @@ object Similarity {
     * of d literal-constant column expressions (no lambda, no shuffle,
     * whole-stage codegen intact — PlanAuditSpec-clean). Constant
     * dimensions (mx = mn) quantize to 0 and reconstruct exactly. */
-  def quantize(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+  /** Per-dimension (min, max) affine codebook — ONE narrow pass, 2·d
+    * driver doubles (the IVF-centroid plan-time-tiny-stats precedent).
+    * Shared by q61's encode and q145's SQ8 search. */
+  private def sq8Stats(v: DataFrame): Seq[(Int, Double, Double)] = {
     val stats = v.select(posexplode(col("e")).as(Seq("i", "x")))
       .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    require(stats.nonEmpty, s"embeddings at $dir produced no dimension stats")
+      .sortBy(_._1).toSeq
+    require(stats.nonEmpty, "embeddings produced no dimension stats")
+    stats
+  }
 
-    def qv(i: Int, mn: Double, mx: Double) =
-      if (mx == mn) lit(0)
-      else (floor((element_at(col("e"), i + 1) - lit(mn)) / lit(mx - mn) * lit(255.0) + lit(0.5))
-        .cast("int") - lit(128))
+  /** q61's per-dim int8 code expression (shared with q145). */
+  private def sq8Code(i: Int, mn: Double, mx: Double): Column =
+    if (mx == mn) lit(0)
+    else (floor((element_at(col("e"), i + 1) - lit(mn)) / lit(mx - mn) * lit(255.0) + lit(0.5))
+      .cast("int") - lit(128))
+
+  /** q61's per-dim reconstruction expression (shared with q145). */
+  private def sq8Rec(i: Int, mn: Double, mx: Double): Column =
+    if (mx == mn) lit(mn)
+    else lit(mn) + (sq8Code(i, mn, mx) + lit(128)).cast("double") / lit(255.0) * lit(mx - mn)
+
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = sq8Stats(v)
+
+    def qv(i: Int, mn: Double, mx: Double) = sq8Code(i, mn, mx)
 
     val errCols = stats.map { case (i, mn, mx) =>
       val rec =
@@ -1374,6 +1390,89 @@ object Similarity {
       |       array_to_string(list(qv ORDER BY i), ',') AS qvec,
       |       max(CAST(floor(1000000.0 * abs(x - rec)) AS BIGINT)) AS err_ppm
       |FROM r GROUP BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------- q145
+
+  /** q145: SQ8 ASYMMETRIC TOP-K — the SEARCH rung over q61's int8
+    * scalar quantization (the FAISS SQ-flat pattern), completing the
+    * ANN storage ladder between the exact scan and PQ: exact (q21) /
+    * LSH (q22) / IVF (q44) / **SQ8 (this)** / PQ-ADC (q82) / IVF+PQ
+    * rerank (q98 family). The CORPUS side is served from its 8-bit
+    * codes (4× smaller than float32) decoded on the fly through the
+    * per-dim affine codebook; QUERIES stay full-precision; distance
+    * is asymmetric squared-L2 against the reconstruction, computed as
+    * qq − 2·qr + rr where each dot is the pinned ascending fold
+    * ([[graft.functions.VectorOps.dot]] ≡ the oracle's list_reduce) —
+    * identical double arithmetic in both engines, the q21 fold-order
+    * contract.
+    *
+    * Scale shape: the codebook is 2·d driver doubles (one narrow
+    * q61 pass); reconstruction is d literal-constant column
+    * expressions fused into the scan projection (no lambda, no
+    * shuffle); the scan itself is q21's broadcast-anchors shape — at
+    * scale the corpus side reads stored codes instead of raw floats
+    * (the 4× I/O win IS the point of the tier) and the candidate set
+    * prunes through IVF cells exactly like the PQ tier's composed
+    * form. */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = sq8Stats(v)
+    val rec = array(stats.map { case (i, mn, mx) => sq8Rec(i, mn, mx) }.toIndexedSeq: _*)
+    val corp = v.select(col("vec_id"), rec.as("re"))
+      .withColumn("rr", VectorOps.dot(col("re"), col("re")))
+    val q = v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .withColumn("qq", VectorOps.dot(col("qe"), col("qe")))
+    val pairs = corp.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adist",
+        col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("re")) + col("rr"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("adist"), 6).as("adist"))
+  }
+
+  val sq8TopKSql: String = {
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |xs AS (
+       |  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v),
+       |s AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM xs GROUP BY i),
+       |r AS (
+       |  SELECT vec_id, xs.i,
+       |         CASE WHEN s.mx = s.mn THEN s.mn
+       |              ELSE s.mn + CAST((CASE WHEN s.mx = s.mn THEN 0
+       |                ELSE CAST(floor((xs.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) AS INT) - 128
+       |                END) + 128 AS DOUBLE) / 255.0 * (s.mx - s.mn)
+       |         END AS rec
+       |  FROM xs JOIN s ON xs.i = s.i),
+       |rc AS (
+       |  SELECT vec_id, list(rec ORDER BY i) AS re FROM r GROUP BY vec_id),
+       |rr AS (SELECT vec_id, re, ${fold("re", "re")} AS rr FROM rc),
+       |qs AS (
+       |  SELECT vec_id AS q_id, e AS qe, ${fold("e", "e")} AS qq
+       |  FROM v WHERE $QueryFilter),
+       |p AS (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         qq - 2.0 * ${fold("qe", "re")} + rr AS adist
+       |  FROM rr, qs WHERE vec_id != q_id),
+       |rk AS (
+       |  SELECT q_id, neighbor_id, adist,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY adist ASC, neighbor_id) AS INT) AS rank
+       |  FROM p)
+       |SELECT q_id, rank, neighbor_id, round(adist, 6) AS adist
+       |FROM rk WHERE rank <= 5""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q88
 

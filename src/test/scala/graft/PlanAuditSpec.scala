@@ -80,7 +80,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // (Dedup.scala containmentDedup) — the q116/q119 keyless-scalar
       // pattern, introduced when the fixed 1e7 offset literal was
       // hardened to a computed bound
-      "q120_containment_dedup")
+      "q120_containment_dedup",
+      // q145: inherits q21's documented broadcast-anchors design (the
+      // SQ8 scan ranks the decoded corpus against the broadcast query
+      // side; its scale path prunes candidates through IVF cells like
+      // the PQ tier's composed form)
+      "q145_sq8_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
@@ -202,9 +207,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q141_hier_drift",
       // round-14: the admission family rides the same QuantizeFixed/
       // SqDistL2/NearestOfL2 kernels through the verdict core, the
-      // staleness radius, and the funnel
+      // staleness radius, and the funnel; q145's SQ8 reconstruction is
+      // d literal-constant column expressions + the dot kernel
       "q142_delta_admission", "q143_model_staleness",
-      "q144_admission_funnel").foreach { name =>
+      "q144_admission_funnel", "q145_sq8_topk").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),

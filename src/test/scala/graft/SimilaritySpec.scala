@@ -611,4 +611,33 @@ class SimilaritySpec extends AnyFunSuite {
     // beyond 1e6 vectors where an absolute expected-ppm floors to 0
     assert(out.head.getAs[Long]("hub_score_x1000") > 1000L)
   }
+
+  test("q145 SQ8 asymmetric top-k: high recall against the exact L2 top-5 " +
+      "(the 4x-compression accuracy contract) and self-consistent ranks") {
+    import org.apache.spark.sql.expressions.Window
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = v.filter(expr("vec_id % 25 = 0"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // exact full-precision squared-L2 top-5 (the ground truth)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id"))
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qe, e, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val sq8 = Similarity.sq8TopK(spark, sf).collect()
+    val byQ = sq8.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty && byQ.forall(_._2.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5)),
+      "every query gets a dense top-5")
+    val (hit, tot) = byQ.foldLeft((0, 0)) { case ((h, t), (qid, rows)) =>
+      val got = rows.map(_.getAs[Long]("neighbor_id")).toSet
+      (h + got.intersect(exact(qid)).size, t + 5)
+    }
+    // int8 per-dim error is ~0.4% of the value range — the quantized
+    // ranking should reproduce nearly all of the exact top-5
+    assert(hit.toDouble / tot >= 0.9,
+      s"SQ8 recall@5 vs exact L2 = $hit/$tot — quantization broke the ranking")
+  }
 }
