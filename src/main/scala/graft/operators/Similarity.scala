@@ -1421,9 +1421,14 @@ object Similarity {
     val rec = array(stats.map { case (i, mn, mx) => sq8Rec(i, mn, mx) }.toIndexedSeq: _*)
     val corp = v.select(col("vec_id"), rec.as("re"))
       .withColumn("rr", VectorOps.dot(col("re"), col("re")))
-    val q = v.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .withColumn("qq", VectorOps.dot(col("qe"), col("qe")))
+    sq8Rank(corp, sq8Queries(v))
+  }
+
+  /** The SQ8 rank tail shared by the in-session query and the stored
+    * serve: corpus side (vec_id, re reconstructed, rr = dot(re, re)),
+    * query side full-precision — identical plan, so served results
+    * are bit-equal to in-session ones whenever the rec doubles are. */
+  private def sq8Rank(corp: DataFrame, q: DataFrame): DataFrame = {
     val pairs = corp.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("adist",
         col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("re")) + col("rr"))
@@ -1433,6 +1438,95 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("adist"), 6).as("adist"))
+  }
+
+  private def sq8Queries(v: DataFrame): DataFrame =
+    v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .withColumn("qq", VectorOps.dot(col("qe"), col("qe")))
+
+  /** Train-once half of the q145 SQ8 lifecycle: persist the per-dim
+    * affine codebook (2·d doubles — model-sized) and the ENCODED
+    * corpus (d int8 codes per vector, 4× smaller than float32) as
+    * manifest tables — the storage win IS the tier's point, so the
+    * stored artifact holds codes, not floats. Distributed end to end
+    * (the code write is one projection → posexplode; the stats
+    * collect is 2·d doubles). Re-runs cut over atomically. */
+  def buildSq8Index(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val stats = sq8Stats(v)
+    FpIndex.saveOrRebuildFlat(spark, s"$indexPath/sq8_stats",
+      stats.toDF("i", "mn", "mx").repartition(1))
+    val codeArr = array(stats.map { case (i, mn, mx) => sq8Code(i, mn, mx) }
+      .toIndexedSeq: _*)
+    FpIndex.saveOrRebuildFlat(spark, s"$indexPath/sq8_codes",
+      v.select(col("vec_id"), posexplode(codeArr).as(Seq("i", "code"))))
+  }
+
+  /** Serve-only half: reconstruct the corpus FROM THE STORED CODES
+    * through the stored codebook (the corpus floats are never read —
+    * the 4× I/O win) and run the q145 rank tail. Codes and codebook
+    * doubles round-trip exactly, and the decode is the same formula
+    * with the same literals, so served rows are bit-identical to
+    * [[sq8TopK]] (IndexDeltaSpec pins it); only the declared-small
+    * query rows are re-derived from the corpus table. */
+  def sq8TopKServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val stats = FpIndex.loadFlat(spark, s"$indexPath/sq8_stats")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, s"no SQ8 stats stored at $indexPath")
+    val codes = FpIndex.loadFlat(spark, s"$indexPath/sq8_codes")
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("code")))).as("ic"))
+      .select(col("vec_id"),
+        when(size(array_distinct(expr("transform(ic, s -> s.i)"))) === size(col("ic")),
+          expr("transform(ic, s -> s.code)"))
+          .otherwise(raise_error(concat(
+            lit("stored SQ8 code table has duplicate dim rows for vec_id "),
+            col("vec_id"),
+            lit(" — an append raced a live index"))))
+          .as("codes"))
+    // decode: d literal-constant expressions over the stored code array
+    val rec = array(stats.map { case (i, mn, mx) =>
+      if (mx == mn) lit(mn)
+      else lit(mn) + (element_at(col("codes"), i + 1) + lit(128)).cast("double") /
+        lit(255.0) * lit(mx - mn)
+    }.toIndexedSeq: _*)
+    val corp = codes.select(col("vec_id"), rec.as("re"))
+      .withColumn("rr", VectorOps.dot(col("re"), col("re")))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    sq8Rank(corp, sq8Queries(v))
+  }
+
+  /** DELTA-ADMIT arrivals into the stored SQ8 code table — the
+    * [[admitPqCodes]] contract for this tier: encode with the FROZEN
+    * stored codebook, replay-reject on vec_id, one delta commit;
+    * fresh vectors become findable by [[sq8TopKServe]] without a
+    * rebuild. Returns the admitted count. */
+  def admitSq8Codes(spark: SparkSession, indexPath: String,
+      arrivals: DataFrame): Long = {
+    val stats = FpIndex.loadFlat(spark, s"$indexPath/sq8_stats")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, s"no SQ8 stats stored at $indexPath")
+    val storedIds = FpIndex.loadFlat(spark, s"$indexPath/sq8_codes")
+      .select(col("vec_id")).distinct()
+    val codeArr = array(stats.map { case (i, mn, mx) => sq8Code(i, mn, mx) }
+      .toIndexedSeq: _*)
+    val fresh = arrivals
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .join(storedIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), posexplode(codeArr).as(Seq("i", "code")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.select(col("vec_id")).distinct().count()
+      if (n > 0)
+        FpIndex.deltaAppendFlat(spark, s"$indexPath/sq8_codes", fresh)
+      n
+    } finally fresh.unpersist(blocking = false)
   }
 
   val sq8TopKSql: String = {

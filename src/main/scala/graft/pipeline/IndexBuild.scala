@@ -78,10 +78,12 @@ object IndexBuild {
       .selectExpr("event_type", s"${Tables.epochSecSql} div 86400 AS day_no")
     FpIndex.saveOrRebuildFlat(spark, s"$root/$VolStatsT",
       Extended.volumeStatsOf(typed).withColumn("s2", col("s2").cast("string")))
-    // ANN artifacts: IVF quantizer + flat-PQ codebook/codes (the q44 and
-    // q82 serving tiers; the composed IVF+PQ tier builds its own root)
+    // ANN artifacts: IVF quantizer + flat-PQ codebook/codes + the SQ8
+    // codebook/codes (the q44/q82/q145 serving tiers; the composed
+    // IVF+PQ tier builds its own root)
     Similarity.buildIvfIndex(spark, dir, s"$root/$AnnT")
     Similarity.buildPqIndex(spark, dir, s"$root/$AnnT")
+    Similarity.buildSq8Index(spark, dir, s"$root/$AnnT")
     // k-means centroid model + the semantic gate's stored side — also
     // the REFRESH unit IndexDelta.refreshIfStale re-runs when the
     // staleness monitor trips between nightly builds
