@@ -55,6 +55,7 @@ object IndexBuild {
   val PcaT = "pca"; val AssignedT = "assigned"; val CappedT = "assigned_capped"
   val HierModelT = "hier_model"; val AssignedHierT = "assigned_hier"
   val CappedHierT = "assigned_hier_capped"; val RadiiT = "cell_radii"
+  val RadiiHierT = "cell_radii_hier"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -108,6 +109,11 @@ object IndexBuild {
       assignedH, Clustering.buildCapOf(nVecs, hm.kTotal))
     Clustering.saveAssignedCorpus(spark, s"$root/$AssignedHierT", probeH)
     Clustering.saveCappedCells(spark, s"$root/$CappedHierT", cappedH)
+    // hier staleness radii — the flat unit's RadiiT twin (one window
+    // pass over the two-level assignment, k rows)
+    FpIndex.saveOrRebuildFlat(spark, s"$root/$RadiiHierT",
+      Clustering.cellRadiiOf(Clustering.assignHier(fixed, hm)
+        .select(col("cluster"), col("vec_id"), col("dist"))))
   }
 
   /** The FLAT vector serving artifacts as one rebuildable unit: the

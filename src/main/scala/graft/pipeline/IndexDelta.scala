@@ -192,6 +192,21 @@ object IndexDelta {
     }
   }
 
+  /** [[storedStaleness]] under the stored TWO-LEVEL model: arrivals
+    * assign through the frame-model dispatch and join the hier radius
+    * artifact ([[IndexBuild.RadiiHierT]]) — the same O(delta) shape
+    * per monitoring batch over the two-level cells. */
+  def storedStalenessHier(spark: SparkSession, root: String,
+      arrivals: DataFrame): DataFrame = {
+    val hm = Clustering.loadHierModelFrames(spark, s"$root/$HierModelT")
+    val arr = Clustering.assignHier(
+        arrivals.select(col("vec_id"), Clustering.quantize(col("embedding")).as("x")),
+        hm)
+      .select(col("cluster"), col("vec_id"), col("dist"))
+    Clustering.stalenessAgainstRadii(
+      FpIndex.loadFlat(spark, s"$root/${IndexBuild.RadiiHierT}"), arr)
+  }
+
   /** REFRESH POLICY: when the arriving batch's overall staleness
     * (10⁶ · stale / arrivals, the q143 arithmetic totaled) exceeds
     * `maxStalePpm`, retrain the flat vector serving unit from the
