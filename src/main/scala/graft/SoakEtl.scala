@@ -318,6 +318,7 @@ object SoakAnn {
       "q22 multi-probe LSH" -> (() => operators.Similarity.annTopK(spark, sfDir)),
       "q44 IVF (coarse quantizer)" -> (() => operators.Similarity.ivfTopK(spark, sfDir)),
       "PQ-ADC full scan" -> (() => operators.Similarity.pqTopK(spark, sfDir)),
+      "q145 SQ8 asymmetric scan" -> (() => operators.Similarity.sq8TopK(spark, sfDir)),
       "IVF+PQ+exact rerank" -> (() => operators.Similarity.ivfPqTopK(spark, sfDir)))
     println(s"## ANN ladder at $sfDir (end-to-end incl. index build, warm 2nd run)")
     tiers.foreach { case (name, fn) =>
@@ -339,8 +340,9 @@ object SoakAnn {
       operators.Similarity.buildIvfIndex(spark, sfDir, idx)
       operators.Similarity.buildPqIndex(spark, sfDir, idx)
       operators.Similarity.buildIvfPqIndex(spark, sfDir, s"$idx/composed")
+      operators.Similarity.buildSq8Index(spark, sfDir, idx)
     }
-    println(f"build (train+persist q44+q82+composed) ${tBuild}%6.2f s  → $idx")
+    println(f"build (train+persist q44+q82+sq8+composed) ${tBuild}%6.2f s  → $idx")
     CacheRegistry.releaseAll() // serve must not inherit the build's cache
     val serve = spark.newSession() // fresh session state: nothing trained
     def serveRow(name: String, fn: => org.apache.spark.sql.DataFrame): Unit = {
@@ -354,6 +356,8 @@ object SoakAnn {
       operators.Similarity.pqAdcTopKServe(serve, sfDir, idx))
     serveRow("IVF+PQ+rerank serve (composed)",
       operators.Similarity.ivfPqTopKServe(serve, sfDir, s"$idx/composed"))
+    serveRow("q145 serve (stored SQ8 codes)",
+      operators.Similarity.sq8TopKServe(serve, sfDir, idx))
     spark.stop()
   }
 }

@@ -1419,8 +1419,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val stats = sq8Stats(v)
     val rec = array(stats.map { case (i, mn, mx) => sq8Rec(i, mn, mx) }.toIndexedSeq: _*)
-    val corp = v.select(col("vec_id"), rec.as("re"))
-      .withColumn("rr", VectorOps.dot(col("re"), col("re")))
+    // materialization point (the q82 projection-collapse lesson): the
+    // 64-expression decode + rr dot would otherwise inline PER PAIR
+    // into the rank join
+    val corp = graft.CacheRegistry.getOrCache(spark, s"similarity.sq8corp:$dir")(
+      v.select(col("vec_id"), rec.as("re"))
+        .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
     sq8Rank(corp, sq8Queries(v))
   }
 
@@ -1494,8 +1498,13 @@ object Similarity {
       else lit(mn) + (element_at(col("codes"), i + 1) + lit(128)).cast("double") /
         lit(255.0) * lit(mx - mn)
     }.toIndexedSeq: _*)
-    val corp = codes.select(col("vec_id"), rec.as("re"))
-      .withColumn("rr", VectorOps.dot(col("re"), col("re")))
+    // same materialization point as the in-session form: decode once,
+    // not per pair (keyed on the index path — a delta append between
+    // calls lands in a released registry scope, never a stale cache)
+    val corp = graft.CacheRegistry.getOrCache(spark,
+      s"similarity.sq8serve:$indexPath:${FpIndex.tableVersion(s"$indexPath/sq8_codes")}")(
+      codes.select(col("vec_id"), rec.as("re"))
+        .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     sq8Rank(corp, sq8Queries(v))
