@@ -2051,6 +2051,117 @@ object Clustering {
        |       CAST(sum(admitted) AS BIGINT) AS n_admitted
        |FROM verd""".stripMargin
 
+  // --------------------------------------------------------------- q146
+
+  /** q146: MODEL STALENESS UNDER THE TWO-LEVEL MODEL, oracled — q143's
+    * radius/ppm arithmetic over the hierarchical cells through the
+    * SAME [[modelStalenessOf]] seam, so the monitor a two-level
+    * deployment runs carries its own hash gate (the q141 pattern:
+    * every clustering-family consumer runs identically on flat and
+    * hier cells). Rides the q139/q140 cached assignment. */
+  def hierStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val m = hierModelFor(spark, dir)
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsgD:$dir")(
+      assignHierarchical(v, m)
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    modelStalenessOf(
+      asg.filter(col("vec_id") % DriftMod =!= DriftRes)
+        .select(col("cluster"), col("vec_id"), col("dist")),
+      asg.filter(col("vec_id") % DriftMod === DriftRes)
+        .select(col("cluster"), col("vec_id"), col("dist")))
+  }
+
+  val hierStalenessSql: String =
+    s"""WITH $hierCte,
+       |arr AS (SELECT ccl * 4 + fcl AS cid, vec_id, fdist AS dist FROM fa2
+       |        WHERE vec_id % $DriftMod = $DriftRes),
+       |corp AS (SELECT ccl * 4 + fcl AS cid, vec_id, fdist AS dist FROM fa2
+       |         WHERE vec_id % $DriftMod <> $DriftRes),
+       |rk AS (
+       |  SELECT cid, dist,
+       |         row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+       |         count(*) OVER (PARTITION BY cid) AS n_base
+       |  FROM corp),
+       |rad AS (
+       |  SELECT cid, n_base, dist AS radius
+       |  FROM rk WHERE rn = (19 * n_base + 19) // 20),
+       |st AS (
+       |  SELECT r.cid, r.n_base, r.radius,
+       |         count(a.vec_id) AS n_new,
+       |         CAST(sum(CASE WHEN a.dist > r.radius THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_stale
+       |  FROM rad r LEFT JOIN arr a ON a.cid = r.cid
+       |  GROUP BY r.cid, r.n_base, r.radius)
+       |SELECT cid AS cluster, n_base, radius, n_new,
+       |       coalesce(n_stale, CAST(0 AS BIGINT)) AS n_stale,
+       |       CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE (1000000 * coalesce(n_stale, 0)) // n_new END AS stale_ppm
+       |FROM st""".stripMargin
+
+  // --------------------------------------------------------------- q147
+
+  /** q147: DELTA ADMISSION UNDER THE TWO-LEVEL MODEL, oracled — the
+    * q142 verdict core over the hierarchical cells (the at-scale
+    * admission [[graft.pipeline.IndexDelta.admitVectorsHier]] runs),
+    * with the corpus-relative cap taken over the hier cell population
+    * (k = 16 cells on the fixture). Same seam, same four-branch
+    * semantics — the hash gate now pins the admission decision on
+    * BOTH model shapes. */
+  def hierDeltaAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
+      fixedPoint(spark, dir))
+    val m = hierModelFor(spark, dir)
+    val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.hierAsgD:$dir")(
+      assignHierarchical(v, m)
+        .select(col("vec_id"), col("x"), col("cluster"), col("dist")))
+    graft.CacheRegistry.getOrCache(spark, s"clustering.hierAdmitVerd:$dir") {
+      val arr = asg.filter(
+        col("vec_id") % DriftMod === DriftRes ||
+          col("vec_id") % AdmitReplayMod === 0)
+      val corp = asg.filter(col("vec_id") % DriftMod =!= DriftRes)
+        .select(col("vec_id").as("corpus_id"), col("x"), col("cluster"))
+      val nCorp = corp.count()
+      val capped = corp.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") > buildCapOf(nCorp, HierK))
+        .select(col("cluster"))
+      admitVerdictsOf(arr, corp, capped)
+    }
+  }
+
+  val hierDeltaAdmissionSql: String =
+    s"""WITH $hierCte,
+       |fv AS (SELECT vec_id, x, ccl * 4 + fcl AS cid, fdist AS dist FROM fa2),
+       |arr AS (
+       |  SELECT vec_id, x, cid, dist FROM fv
+       |  WHERE vec_id % $DriftMod = $DriftRes OR vec_id % $AdmitReplayMod = 0),
+       |corp AS (SELECT vec_id, x, cid FROM fv WHERE vec_id % $DriftMod <> $DriftRes),
+       |csz AS (SELECT cid, count(*) AS cell_n FROM corp GROUP BY cid),
+       |cap AS (SELECT greatest(1, ($CapNum * count(*)) // ($CapDen * $HierK)) AS maxcell
+       |        FROM corp),
+       |capc AS (SELECT cid FROM csz, cap WHERE cell_n > maxcell),
+       |abase AS (
+       |  SELECT a.vec_id, a.x, a.cid, a.dist,
+       |         CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END AS replay,
+       |         CASE WHEN c.vec_id IS NULL AND p.cid IS NOT NULL
+       |              THEN 1 ELSE 0 END AS cell_capped
+       |  FROM arr a
+       |  LEFT JOIN corp c ON c.vec_id = a.vec_id
+       |  LEFT JOIN capc p ON p.cid = a.cid),
+       |aclose AS (
+       |  SELECT b.vec_id, count(*) AS nc
+       |  FROM abase b JOIN corp k ON k.cid = b.cid
+       |  WHERE b.replay = 0 AND b.cell_capped = 0
+       |    AND ${fdistDuck("b.x", "k.x")} < $PruneT
+       |  GROUP BY b.vec_id)
+       |SELECT b.vec_id, b.cid AS cluster, b.dist, b.replay, b.cell_capped,
+       |       coalesce(nc, CAST(0 AS BIGINT)) AS n_close,
+       |       CASE WHEN b.replay = 0
+       |              AND (b.cell_capped = 1 OR coalesce(nc, 0) = 0)
+       |            THEN 1 ELSE 0 END AS admitted
+       |FROM abase b LEFT JOIN aclose c2 ON c2.vec_id = b.vec_id""".stripMargin
+
   // --------------------------------------------------------------- q133
 
   /** q133: EMBEDDING CURATION FUNNEL — the vector-side capstone

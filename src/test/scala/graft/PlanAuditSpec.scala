@@ -210,7 +210,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // staleness radius, and the funnel; q145's SQ8 reconstruction is
       // d literal-constant column expressions + the dot kernel
       "q142_delta_admission", "q143_model_staleness",
-      "q144_admission_funnel", "q145_sq8_topk").foreach { name =>
+      "q144_admission_funnel", "q145_sq8_topk",
+      "q146_hier_staleness", "q147_hier_admission").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
