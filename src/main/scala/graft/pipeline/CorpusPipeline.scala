@@ -85,9 +85,9 @@ object CorpusPipeline {
 
     // near-dup removal: connected components over the verified pair
     // edges; drop everything but each component's min-id representative
-    val pairs = nearDupPairs.getOrElse(
-      Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id")))
-    val nearDupLosers = Components.nonRepresentatives(pairs)
+    val nearDupLosers = nearDupPairs
+      .map(Components.nonRepresentatives)
+      .getOrElse(Components.fixtureNonRepresentatives(spark, dir))
       .select(col("id").as("doc_id"))
     val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .observe(oDedup, count(lit(1)).as("rows"))
@@ -146,8 +146,7 @@ object CorpusPipeline {
     // no broadcast hint: the loser list is pair-participant-bounded at
     // fixture scale but not broadcastable on a near-dup-heavy 100 TB
     // corpus — AQE broadcasts when it fits (the round-9 hint policy)
-    val losers = Components.nonRepresentatives(
-        Dedup.minhashLsh(spark, dir).select(col("a_id"), col("b_id")))
+    val losers = Components.fixtureNonRepresentatives(spark, dir)
       .select(col("id").as("doc_id"))
     val near = exact.join(losers, Seq("doc_id"), "left_anti")
     def stageRow(id: Int, name: String, df: DataFrame) =
