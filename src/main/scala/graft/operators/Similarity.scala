@@ -1538,6 +1538,85 @@ object Similarity {
     } finally fresh.unpersist(blocking = false)
   }
 
+  // --------------------------------------------------------------- q148
+
+  /** q148: SQ8 RECALL AUDIT, oracled — the q88 discipline applied to
+    * the new tier: per query, how many of the SQ8 top-5 survive in
+    * the EXACT full-precision squared-L2 top-5 (recall@5 in integer
+    * ppm). The exact leg runs the SAME rank tail with the identity
+    * "reconstruction" (re = e) so both legs share one plan shape and
+    * one fold contract — the recall number measures ONLY the int8
+    * quantization, not arithmetic drift. This is the dashboard row a
+    * deployment watches before switching its serving tier to the 4×
+    * cheaper codes. */
+  def sq8RecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpExact = graft.CacheRegistry.getOrCache(spark,
+      s"similarity.sq8exact:$dir")(
+      v.select(col("vec_id"), col("e").as("re"))
+        .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
+    val exact = sq8Rank(corpExact, sq8Queries(v))
+      .select(col("q_id"), col("neighbor_id")).withColumn("m", lit(1))
+    sq8TopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .join(exact, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("q_id"), col("hits"),
+        expr("(1000000 * hits) div 5").as("recall_ppm"))
+  }
+
+  val sq8RecallAuditSql: String = {
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |xs AS (
+       |  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v),
+       |s AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM xs GROUP BY i),
+       |r AS (
+       |  SELECT vec_id, xs.i,
+       |         CASE WHEN s.mx = s.mn THEN s.mn
+       |              ELSE s.mn + CAST((CASE WHEN s.mx = s.mn THEN 0
+       |                ELSE CAST(floor((xs.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) AS INT) - 128
+       |                END) + 128 AS DOUBLE) / 255.0 * (s.mx - s.mn)
+       |         END AS rec
+       |  FROM xs JOIN s ON xs.i = s.i),
+       |rc AS (
+       |  SELECT vec_id, list(rec ORDER BY i) AS re FROM r GROUP BY vec_id),
+       |rr AS (SELECT vec_id, re, ${fold("re", "re")} AS rr FROM rc),
+       |ex AS (SELECT vec_id, e, ${fold("e", "e")} AS ee FROM v),
+       |qs AS (
+       |  SELECT vec_id AS q_id, e AS qe, ${fold("e", "e")} AS qq
+       |  FROM v WHERE $QueryFilter),
+       |ap AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY qq - 2.0 * ${fold("qe", "re")} + rr ASC, vec_id) AS rk
+       |    FROM rr, qs WHERE vec_id != q_id) WHERE rk <= 5),
+       |et AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY qq - 2.0 * ${fold("qe", "e")} + ee ASC, vec_id) AS rk
+       |    FROM ex, qs WHERE vec_id != q_id) WHERE rk <= 5)
+       |SELECT a.q_id,
+       |       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS hits,
+       |       (1000000 * CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+       |                                THEN 1 ELSE 0 END) AS BIGINT)) // 5
+       |         AS recall_ppm
+       |FROM ap a LEFT JOIN et t
+       |  ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+       |GROUP BY a.q_id""".stripMargin
+  }
+
   val sq8TopKSql: String = {
     def fold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),

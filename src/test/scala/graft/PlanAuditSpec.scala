@@ -81,11 +81,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // pattern, introduced when the fixed 1e7 offset literal was
       // hardened to a computed bound
       "q120_containment_dedup",
-      // q145: inherits q21's documented broadcast-anchors design (the
-      // SQ8 scan ranks the decoded corpus against the broadcast query
-      // side; its scale path prunes candidates through IVF cells like
-      // the PQ tier's composed form)
-      "q145_sq8_topk")
+      // q145/q148: inherit q21's documented broadcast-anchors design
+      // (the SQ8 scan ranks the decoded corpus against the broadcast
+      // query side; q148 runs the exact leg through the same tail; the
+      // scale path prunes candidates through IVF cells like the PQ
+      // tier's composed form)
+      "q145_sq8_topk", "q148_sq8_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
@@ -211,7 +212,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // d literal-constant column expressions + the dot kernel
       "q142_delta_admission", "q143_model_staleness",
       "q144_admission_funnel", "q145_sq8_topk",
-      "q146_hier_staleness", "q147_hier_admission").foreach { name =>
+      "q146_hier_staleness", "q147_hier_admission",
+      "q148_sq8_recall").foreach { name =>
       val plan = planOf(name)
       assert(!plan.toLowerCase.contains("lambdafunction") &&
         !plan.contains("transform(") && !plan.contains("aggregate("),
