@@ -102,12 +102,33 @@ object FpIndex {
   private[graft] def rebuildFlatAt(spark: SparkSession, path: String,
       df: DataFrame, gen: Long, buildId: String): Unit = {
     saveFlat(path, df.withColumn(GenCol, lit(gen)).withColumn(BuildCol, lit(buildId)))
-    val w = winningBuild(rawLoad(spark, path, None))
+    val w = winningBuildAt(spark, path, tableVersion(path))
     if (!w.contains((gen, buildId)))
       throw new java.util.ConcurrentModificationException(
         s"index $path changed during the rebuild (winning build is $w, " +
           s"this rebuild wrote ($gen, $buildId)) — this rebuild lost the " +
           "race and aborted; the winner's rows serve, this build's rows are inert")
+  }
+
+  /** Winner memo: commits are append-only, so the winning build at a
+    * FIXED logical version is immutable — cacheable process-wide. The
+    * version read itself is manifest-metadata only, so a cache hit
+    * turns the per-batch winner lookup from a (column-pruned) index
+    * scan into a file-count check. Double-compute under a race is
+    * harmless (idempotent value). */
+  private val winnerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[(Long, String)]]()
+
+  private def winningBuildAt(spark: SparkSession, path: String,
+      ver: Int): Option[(Long, String)] = {
+    val k = (new java.io.File(path).getAbsolutePath, ver)
+    val hit = winnerCache.get(k)
+    if (hit != null) hit
+    else {
+      val w = winningBuild(rawLoad(spark, path, Some(ver)))
+      winnerCache.put(k, w)
+      w
+    }
   }
 
   private def rawLoad(spark: SparkSession, path: String, asOf: Option[Int]): DataFrame = {
@@ -118,7 +139,14 @@ object FpIndex {
   /** The (gen, build) whose rows [[loadFlat]] serves: max by (gen,
     * build id) — total order, so exactly one build wins no matter how
     * many rebuilds raced. None for tables never rebuilt (no gen
-    * column) or empty. Model-sized driver agg (one row). */
+    * column) or empty. Model-sized driver agg (one row).
+    *
+    * Cost: a cold lookup aggregates the index table's TWO bookkeeping
+    * columns (Catalyst prunes the rest — parquet reads only those
+    * column chunks); [[winningBuildAt]] memoizes the result per
+    * (path, version), so repeat lookups — every load in a serving
+    * session, the pre-read of every delta batch after the first — are
+    * a manifest file-count check, not a scan. */
   private def winningBuild(raw: DataFrame): Option[(Long, String)] =
     if (!raw.columns.contains(GenCol)) None
     else {
@@ -138,9 +166,12 @@ object FpIndex {
     * duplicate-row append-over-live guards) see the same shape an
     * initial build has. */
   def loadFlat(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame = {
-    val raw = rawLoad(spark, path, asOf)
+    // resolve the version ONCE: the winner lookup and the served scan
+    // address the same snapshot (and the winner memo key is sound)
+    val ver = asOf.getOrElse(tableVersion(path))
+    val raw = rawLoad(spark, path, Some(ver))
     if (!raw.columns.contains(GenCol)) raw
-    else winningBuild(raw) match {
+    else winningBuildAt(spark, path, ver) match {
       case None => raw.drop(GenCol, BuildCol)
       case Some((g, b)) =>
         raw.filter(coalesce(col(GenCol), lit(0L)) === g &&
@@ -191,7 +222,7 @@ object FpIndex {
   def deltaAppendFlat(spark: SparkSession, path: String, df: DataFrame): Unit = {
     require(tableVersion(path) > 0,
       s"no index stored at $path — initial builds use saveFlat")
-    winningBuild(rawLoad(spark, path, None)) match {
+    winningBuildAt(spark, path, tableVersion(path)) match {
       case None => saveFlat(path, df)
       case Some((g, b)) => deltaAppendFlatAt(spark, path, df, g, b)
     }
@@ -205,7 +236,7 @@ object FpIndex {
       df: DataFrame, gen: Long, buildId: String): Unit = {
     saveFlat(path,
       df.withColumn(GenCol, lit(gen)).withColumn(BuildCol, lit(buildId)))
-    val w = winningBuild(rawLoad(spark, path, None))
+    val w = winningBuildAt(spark, path, tableVersion(path))
     if (!w.contains((gen, buildId)))
       throw new java.util.ConcurrentModificationException(
         s"index $path was rebuilt during the delta append (winning build " +
