@@ -53,7 +53,7 @@ object Media {
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val frameEnc: Encoder[FrameRow] = Encoders.product[FrameRow]
 
-  /** PK local-file-header magic — a zip payload is a
+  /** PK\u0003\u0004 local-file-header magic — a zip payload is a
     * zip-of-band-TIFFs product ([[Raster.encodeBandZip]]). */
   def isZip(payload: Array[Byte]): Boolean =
     payload.length >= 4 && payload(0) == 'P' && payload(1) == 'K' &&

@@ -251,6 +251,34 @@ object FpIndex {
   def deltaAppendShingles(spark: SparkSession, path: String, sh: DataFrame): Unit =
     deltaAppendFlat(spark, path, shingleRows(sh))
 
+  /** VACUUM superseded rows — the maintenance verb the rebuild
+    * contract promises ("the loser's rows sit inert … reclaimed by an
+    * explicit DELETE, the retain-then-vacuum contract"): a
+    * copy-on-write DELETE of every row NOT belonging to the winning
+    * build (pre-rebuild originals with NULL generation, racing-loser
+    * builds, deltas stamped onto superseded builds). Served results
+    * are unchanged by construction — [[loadFlat]] never served those
+    * rows — but the stored bytes shrink to the live index.
+    *
+    * RETENTION CAVEAT (deliberate, the same trade as OPTIMIZE): the
+    * copy-on-write swap absorbs the pre-vacuum history into a
+    * checkpoint, so readers pinned to pre-vacuum versions EXPIRE
+    * (their snapshots are gone — that is what reclaiming space means).
+    * Run it when the retention window says no such reader exists; the
+    * generation-append rebuild itself never needs it for correctness.
+    * No-op (returns 0) on never-rebuilt tables. Returns rows removed. */
+  def vacuumSuperseded(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.{sources => v1}
+    winningBuildAt(spark, path, tableVersion(path)) match {
+      case None => 0L
+      case Some((g, b)) =>
+        val before = rawLoad(spark, path, None).count()
+        graft.sources.ManifestDelete.run(path, Array[v1.Filter](
+          v1.Not(v1.And(v1.EqualNullSafe(GenCol, g), v1.EqualNullSafe(BuildCol, b)))))
+        before - rawLoad(spark, path, None).count()
+    }
+  }
+
   /** Persist the shingle-set table (doc_id, hh array<long>) in first
     * normal form. */
   def saveShingles(path: String, sh: DataFrame): Unit =

@@ -20,7 +20,7 @@ class AnnIndexSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(s"graft-annindex-$tag").toString
 
   private def sortedRows(rows: Array[Row]): Seq[Seq[Any]] =
-    rows.map(_.toSeq).toSeq.sortBy(_.mkString(""))
+    rows.map(_.toSeq).toSeq.sortBy(_.mkString("\u0001"))
 
   test("IVF quantizer round-trips EXACTLY through the manifest table") {
     val v = Similarity.vectorsForSpec(spark, sf)
