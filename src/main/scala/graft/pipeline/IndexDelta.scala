@@ -109,9 +109,13 @@ object IndexDelta {
     * Returns the per-arrival verdict frame.
     *
     * Idempotent under replay: admitted rows join the probe table, so a
-    * re-sent batch rejects wholesale as replays. O(delta) end to end:
-    * one map-only assignment, one id anti-probe, one cell-blocked
-    * probe join, one delta-sized append. */
+    * re-sent batch rejects wholesale as replays. WITHIN-batch near-dups
+    * (two mutually-near arrivals, neither near the stored corpus) both
+    * admit — the same serving approximation the curation gate documents
+    * for documents; batches needing intra-batch dedup run the q125
+    * prune over the batch first. O(delta) end to end: one map-only
+    * assignment, one id anti-probe, one cell-blocked probe join, one
+    * delta-sized append. */
   def admitVectors(spark: SparkSession, root: String, arrivals: DataFrame,
       batchId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     val cents = Clustering.loadCentroids(spark, s"$root/$CentroidsT")
