@@ -1735,6 +1735,15 @@ object TextAnalysis {
     sketches.reduce(_ unionByName _)
       .groupBy(col("rc")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Load a stored CMS table with any delta-appended partial sketches
+    * MERGED ([[cmsMerge]]'s cell-wise sum applied at load): identity on
+    * delta-free tables; without it, duplicate rc rows would feed the
+    * estimate's min() and silently UNDERestimate. Sketch-sized agg. */
+  def cmsLoadMerged(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame =
+    graft.operators.FpIndex.loadFlat(spark, path, asOf)
+      .groupBy(col("rc")).agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates for a probe frame (token, …carried cols) against
     * a built sketch: min over the token's d counters. The sketch
     * (≤ d·w rows) broadcasts; absent cells cannot occur for tokens

@@ -184,7 +184,9 @@ object IndexBuild {
       bands = flat(BandsT),
       shingles = FpIndex.loadShingles(spark, path(ShinglesT), pins.get(ShinglesT)),
       postings = flat(PostingsT),
-      cms = flat(CmsT),
+      // delta-appended partial sketches merge by sum on load (identity
+      // when delta-free; see TextAnalysis.cmsLoadMerged)
+      cms = TextAnalysis.cmsLoadMerged(spark, path(CmsT), pins.get(CmsT)),
       novelty = flat(NoveltyT),
       volumeStats = flat(VolStatsT).withColumn("s2", col("s2").cast("decimal(38,0)")),
       annPath = path(AnnT),

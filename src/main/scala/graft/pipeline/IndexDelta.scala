@@ -27,7 +27,12 @@ import graft.streaming.Incremental
   *    novelty shingle set, assigned probe corpus) are unions of
   *    per-document/per-vector rows — a delta is just more rows, and
   *    probing (winner ∪ delta) is exactly probing the bigger corpus.
-  *  - STATISTICS artifacts (BM25 postings' df/N/avgdl, CMS counts,
+  *  - MERGEABLE-STATISTICS artifacts (the CMS sketch) are cell-wise
+  *    ADDITIVE: the admitted batch's partial sketch delta-appends and
+  *    the loader merges by sum ([[graft.operators.TextAnalysis
+  *    .cmsMerge]]'s rule applied at load) — counts stay exact under
+  *    deltas, no rebuild needed.
+  *  - NORMALIZED-STATISTICS artifacts (BM25 postings' df/N/avgdl,
   *    volume baselines, the centroid/PCA/PQ models themselves) bake
   *    corpus-level aggregates into their rows; appending delta rows
   *    under frozen stats serves a model that no longer matches its
@@ -60,9 +65,10 @@ object IndexDelta {
     * rejects as an exact dup (its content hash is now stored), nothing
     * appends — the ON CONFLICT DO NOTHING contract at batch grain.
     * Returns the gate verdict frame (persisted for the duration of the
-    * appends; released by the caller's CacheRegistry scope). Postings/
-    * CMS/volume stay nightly-rebuild artifacts (stats-bearing — see
-    * the object scaladoc). */
+    * appends; released by the caller's CacheRegistry scope). The CMS
+    * sketch delta-MERGES (cell-wise additive, summed on load);
+    * postings/volume stay nightly-rebuild artifacts (normalized
+    * stats — see the object scaladoc). */
   def admitDocs(spark: SparkSession, root: String, arrivals: DataFrame,
       batchId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     val keys = FpIndex.loadFlat(spark, s"$root/$KeysT")
@@ -86,8 +92,17 @@ object IndexDelta {
     // fully-rejected (or replayed) batches append nothing — no empty
     // commits polluting the version history (the isEmpty checks are
     // delta-sized actions)
-    if (!newKeys.isEmpty)
+    val anyAdmitted = !newKeys.isEmpty
+    if (anyAdmitted) {
       FpIndex.deltaAppendFlat(spark, s"$root/$KeysT", newKeys)
+      // CMS: the admitted batch's partial sketch MERGES by append —
+      // the loader sums cells (cmsMerge's rule), so estimates over the
+      // stored sketch count corpus ∪ admissions exactly. Roots without
+      // a CMS artifact (partial/older roots) skip it.
+      if (FpIndex.tableVersion(s"$root/$CmsT") > 0)
+        FpIndex.deltaAppendFlat(spark, s"$root/$CmsT",
+          graft.operators.TextAnalysis.cmsSketchOf(admitted))
+    }
     if (!sh.isEmpty) {
       FpIndex.deltaAppendFlat(spark, s"$root/$BandsT", Dedup.bandTable(sh))
       FpIndex.deltaAppendShingles(spark, s"$root/$ShinglesT", sh)

@@ -169,6 +169,35 @@ class IndexDeltaSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("CMS delta-merge: after admission the stored sketch estimates equal a " +
+      "fresh sketch over corpus ∪ admitted (cell-wise additive, summed on " +
+      "load); replays add nothing") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    CacheRegistry.releaseAll()
+    val corpus = Seq((1L, wordsB), (2L, wordsC)).toDF("doc_id", "text")
+    val root = buildDocRoot(corpus)
+    FpIndex.saveFlat(s"$root/${IndexBuild.CmsT}", TextAnalysis.cmsSketchOf(corpus))
+    val wordsD = (1 to 30).map(i => s"delta$i").mkString(" ")
+    val b1 = Seq((12L, wordsA), (13L, wordsD)).toDF("doc_id", "text")
+    IndexDelta.admitDocs(spark, root, b1, batchId = "cms1")
+    val probe = Seq("alpha1", "delta7", "beta1").toDF("token")
+    def estimatesOf(sketch: DataFrame): Map[String, Long] =
+      TextAnalysis.cmsEstimateOf(sketch, probe).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def servedEst(): Map[String, Long] = estimatesOf(
+      TextAnalysis.cmsLoadMerged(spark, s"$root/${IndexBuild.CmsT}"))
+    val served = servedEst()
+    val want = estimatesOf(TextAnalysis.cmsSketchOf(corpus.unionByName(b1)))
+    assert(served == want && served.keySet == Set("alpha1", "delta7", "beta1") &&
+      served.values.forall(_ >= 1L),
+      s"stored estimates must count corpus ∪ admissions exactly: $served vs $want")
+    // replay: the sketch is unchanged
+    IndexDelta.admitDocs(spark, root, b1, batchId = "cms1r")
+    assert(servedEst() == want, "a replayed batch must not inflate the sketch")
+    CacheRegistry.releaseAll()
+  }
+
   // ----------------------------------------------------- admitVectors
 
   private val Dim = 64
