@@ -27,32 +27,68 @@ import scala.collection.mutable
   * Storage level is MEMORY_AND_DISK: at 100 TB an operator intermediate
   * must spill, not OOM — same reasoning as `Dataset.cache()`'s default,
   * made explicit here.
+  *
+  * CONCURRENCY (round-14 advice closed): builds run OUTSIDE the
+  * registry monitor under a PER-KEY latch — the global lock covers only
+  * the map insert of an unevaluated cell (O(1)), so a streaming
+  * foreachBatch admission building one key never blocks a query
+  * building another, while two threads racing the SAME key still build
+  * it exactly once (the second blocks on that key's cell alone).
+  * `releaseAll` expects the usual quiesced call sites (Bench/Verify
+  * between queries, a pipeline's scope exit): a build in flight DURING
+  * release re-registers nothing — its cell has already left the map —
+  * so its persisted frame is released by the build thread's own scope,
+  * not leaked silently into a registry that no longer tracks it
+  * (CacheRegistrySpec covers the two-key parallel build).
   */
 object CacheRegistry {
 
   private case class Key(sessionId: Int, name: String)
-  private val entries = mutable.LinkedHashMap[Key, DataFrame]()
+
+  /** One memoized build: the per-key latch. `value` runs the build +
+    * persist at most once (double-checked under the cell's own
+    * monitor); `peek` exposes the frame only if already built, so
+    * releaseAll never forces an unevaluated build. */
+  private final class Cell(build: () => DataFrame) {
+    @volatile private var v: DataFrame = null
+    def value: DataFrame = {
+      val c = v
+      if (c != null) c
+      else synchronized {
+        if (v == null) v = build().persist(StorageLevel.MEMORY_AND_DISK)
+        v
+      }
+    }
+    def peek: Option[DataFrame] = Option(v)
+  }
+
+  private val entries = mutable.LinkedHashMap[Key, Cell]()
 
   /** Memoized persist: builds + persists on first use per (session,
-    * key), returns the same persisted DataFrame afterwards. */
-  def getOrCache(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      val k = Key(System.identityHashCode(spark), name)
-      entries.getOrElseUpdate(k, build.persist(StorageLevel.MEMORY_AND_DISK))
+    * key), returns the same persisted DataFrame afterwards. The build
+    * itself runs outside the registry monitor (per-key latch). */
+  def getOrCache(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    val cell = synchronized {
+      entries.getOrElseUpdate(
+        Key(System.identityHashCode(spark), name), new Cell(() => build))
     }
+    cell.value
+  }
 
   /** Unpersist everything registered. Non-blocking: the executors drop
     * blocks asynchronously; correctness never depends on the cache.
     * Driver-side models memoized in [[ModelRegistry]] share this
     * lifecycle: one release point per query (Bench) / dump (Verify). */
   def releaseAll(): Unit = {
-    synchronized {
-      entries.values.foreach { df =>
-        try df.unpersist(blocking = false)
-        catch { case _: Throwable => () } // session may already be stopped
-      }
+    val cells = synchronized {
+      val c = entries.values.toList
       entries.clear()
+      c
     }
+    cells.foreach(_.peek.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+    })
     ModelRegistry.clear()
   }
 
@@ -78,21 +114,39 @@ object CacheRegistry {
   * clears both): memoized per (session, key) for the duration of one
   * query's warmup+reps or one verify dump, released between queries.
   *
-  * LOCK-ORDER CONTRACT: a memoized build may call
-  * `CacheRegistry.getOrCache` (training reads the cached corpus
-  * frame), so the ordering is ModelRegistry → CacheRegistry. Never
-  * call `getOrCompute` from inside a `getOrCache` build lambda — that
-  * inverts the order and can deadlock two threads. */
+  * CONCURRENCY: same per-key latch as CacheRegistry (round-14 advice)
+  * — a multi-job Lloyd training holds only ITS key's cell monitor, so
+  * a concurrent thread memoizing a different model (or any
+  * CacheRegistry key) proceeds in parallel. Nested memoization
+  * (`getOrCompute` whose build calls `CacheRegistry.getOrCache`, or
+  * vice versa) is deadlock-free as long as no two keys' builds each
+  * wait on the other's cell — the registries themselves no longer
+  * impose a lock order. */
 object ModelRegistry {
 
-  private val entries = mutable.HashMap[(Int, String), Any]()
-
-  /** Memoized driver-side compute per (session, key). */
-  def getOrCompute[T](spark: SparkSession, name: String)(build: => T): T =
-    synchronized {
-      entries.getOrElseUpdate((System.identityHashCode(spark), name), build)
-        .asInstanceOf[T]
+  private final class Cell(build: () => Any) {
+    @volatile private var computed = false
+    private var v: Any = null
+    def value: Any = {
+      if (computed) v
+      else synchronized {
+        if (!computed) { v = build(); computed = true }
+        v
+      }
     }
+  }
+
+  private val entries = mutable.HashMap[(Int, String), Cell]()
+
+  /** Memoized driver-side compute per (session, key); the build runs
+    * outside the registry monitor (per-key latch). */
+  def getOrCompute[T](spark: SparkSession, name: String)(build: => T): T = {
+    val cell = synchronized {
+      entries.getOrElseUpdate(
+        (System.identityHashCode(spark), name), new Cell(() => build))
+    }
+    cell.value.asInstanceOf[T]
+  }
 
   def clear(): Unit = synchronized(entries.clear())
 

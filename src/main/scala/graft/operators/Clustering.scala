@@ -172,9 +172,10 @@ object Clustering {
     * identical Lloyd training per invocation; now one query family
     * trains once per release scope. Bit-identical to calling
     * [[trainCentroids]] directly (same corpus frame, same
-    * arithmetic) — memoization only removes repetition. Lock order:
-    * the corpus frame is fetched BEFORE entering the model memo, per
-    * ModelRegistry's contract. */
+    * arithmetic) — memoization only removes repetition. The corpus
+    * frame is fetched before entering the model memo (the natural
+    * data order; since the registries build under per-key latches it
+    * is no longer a lock-order requirement). */
   def centroidsFor(spark: SparkSession, dir: String,
       k: Int = K, iters: Int = Iters): Seq[Array[Long]] = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
@@ -1882,8 +1883,8 @@ object Clustering {
 
   /** The dir-cached FLAT assignment with dist — shared by q133's
     * funnel and the q142-q144 admission family (one key, one
-    * materialization). Fetches the model BEFORE the frame memo
-    * (ModelRegistry lock order). */
+    * materialization). Fetches the model before the frame memo (data
+    * order; the per-key-latch registries impose no lock order). */
   private def flatAsgD(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
@@ -1985,13 +1986,24 @@ object Clustering {
 
   /** The arrival half of the staleness monitor against a PRE-BUILT
     * radius table — the O(delta) serving form ([[cellRadiiOf]] is the
-    * stored side). */
+    * stored side). FULL join (round-14 advice closed): an arrival
+    * assigned to a cell with NO radius row (zero corpus members — the
+    * most-drifted arrivals possible) counts as STALE under a 0-member
+    * (n_base = 0, radius NULL) cell row instead of silently dropping
+    * out of both the n_new denominator and the n_stale numerator; a
+    * radius row with no arrivals still reports n_new = 0. */
   def stalenessAgainstRadii(radii: DataFrame, arrivals: DataFrame): DataFrame =
     radii.join(arrivals.select(col("cluster"), col("vec_id"), col("dist")),
-        Seq("cluster"), "left")
-      .groupBy(col("cluster"), col("n_base"), col("radius"))
-      .agg(count(col("vec_id")).as("n_new"),
-        sum(when(col("dist") > col("radius"), 1L).otherwise(0L)).as("n_stale"))
+        Seq("cluster"), "full")
+      .groupBy(col("cluster"))
+      .agg(coalesce(max(col("n_base")), lit(0L)).as("n_base"),
+        max(col("radius")).as("radius"),
+        count(col("vec_id")).as("n_new"),
+        // radius NULL ⇒ arrival-side-only row (radii rows always carry a
+        // radius) ⇒ stale by definition; radii-only rows have dist NULL
+        // and the comparison's NULL falls through to 0
+        sum(when(col("radius").isNull || col("dist") > col("radius"), 1L)
+          .otherwise(0L)).as("n_stale"))
       .select(col("cluster"), col("n_base"), col("radius"), col("n_new"),
         col("n_stale"),
         expr("CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT) " +
@@ -2012,12 +2024,13 @@ object Clustering {
        |  SELECT cid, n_base, dist AS radius
        |  FROM rk WHERE rn = (19 * n_base + 19) // 20),
        |st AS (
-       |  SELECT r.cid, r.n_base, r.radius,
+       |  SELECT coalesce(r.cid, a.cid) AS cid,
+       |         coalesce(max(r.n_base), 0) AS n_base, max(r.radius) AS radius,
        |         count(a.vec_id) AS n_new,
-       |         CAST(sum(CASE WHEN a.dist > r.radius THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS n_stale
-       |  FROM rad r LEFT JOIN arr a ON a.cid = r.cid
-       |  GROUP BY r.cid, r.n_base, r.radius)
+       |         CAST(sum(CASE WHEN r.radius IS NULL OR a.dist > r.radius
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+       |  FROM rad r FULL JOIN arr a ON a.cid = r.cid
+       |  GROUP BY coalesce(r.cid, a.cid))
        |SELECT cid AS cluster, n_base, radius, n_new,
        |       coalesce(n_stale, CAST(0 AS BIGINT)) AS n_stale,
        |       CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
@@ -2088,12 +2101,13 @@ object Clustering {
        |  SELECT cid, n_base, dist AS radius
        |  FROM rk WHERE rn = (19 * n_base + 19) // 20),
        |st AS (
-       |  SELECT r.cid, r.n_base, r.radius,
+       |  SELECT coalesce(r.cid, a.cid) AS cid,
+       |         coalesce(max(r.n_base), 0) AS n_base, max(r.radius) AS radius,
        |         count(a.vec_id) AS n_new,
-       |         CAST(sum(CASE WHEN a.dist > r.radius THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS n_stale
-       |  FROM rad r LEFT JOIN arr a ON a.cid = r.cid
-       |  GROUP BY r.cid, r.n_base, r.radius)
+       |         CAST(sum(CASE WHEN r.radius IS NULL OR a.dist > r.radius
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+       |  FROM rad r FULL JOIN arr a ON a.cid = r.cid
+       |  GROUP BY coalesce(r.cid, a.cid))
        |SELECT cid AS cluster, n_base, radius, n_new,
        |       coalesce(n_stale, CAST(0 AS BIGINT)) AS n_stale,
        |       CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
@@ -2182,7 +2196,7 @@ object Clustering {
   def embedCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val v = graft.CacheRegistry.getOrCache(spark, s"clustering.fixed:$dir")(
       fixedPoint(spark, dir))
-    // model fetched BEFORE the frame memo (ModelRegistry lock order)
+    // model fetched before the frame memo (data order; no lock order)
     val cents = centroidsFor(spark, dir)
     val asg = graft.CacheRegistry.getOrCache(spark, s"clustering.flatAsgD:$dir")(
       assignWith(v, cents)

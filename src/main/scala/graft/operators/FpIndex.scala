@@ -49,9 +49,21 @@ object FpIndex {
     * keeps served rows from EVER mixing two racing rebuilds. */
   val BuildCol = "_build"
 
-  /** Persist any flat scalar index table as a ManifestSink table. */
-  def saveFlat(path: String, df: DataFrame): Unit =
+  /** Persist any flat scalar index table as a ManifestSink table.
+    * A save that CREATES the table (version 0 → 1) drops any winner
+    * memo entries for the path: a table root deleted and recreated at
+    * the same path within one JVM restarts its version numbering, so
+    * the old table's cached winners would otherwise alias the new
+    * table's low versions and [[loadFlat]] would filter by a stale
+    * (gen, build) — serving zero rows (round-14 advice). */
+  def saveFlat(path: String, df: DataFrame): Unit = {
+    val fresh = tableVersion(path) == 0
     df.write.format(Format).option("path", path).mode(SaveMode.Append).save()
+    if (fresh) {
+      val abs = new java.io.File(path).getAbsolutePath
+      winnerCache.keySet.removeIf(_._1 == abs)
+    }
+  }
 
   /** The table's logical commit count — the value a serving session
     * pins via `asOfManifest` so a concurrent [[rebuildFlat]] cannot
@@ -266,16 +278,51 @@ object FpIndex {
     * (their snapshots are gone — that is what reclaiming space means).
     * Run it when the retention window says no such reader exists; the
     * generation-append rebuild itself never needs it for correctness.
-    * No-op (returns 0) on never-rebuilt tables. Returns rows removed. */
+    * No-op (returns 0) on never-rebuilt tables. Returns rows removed.
+    *
+    * CONCURRENCY (round-14 advice closed): ONE snapshot read of the
+    * distinct (gen, build) stamps yields BOTH the winner (max by the
+    * same coalesced (gen, build) order [[loadFlat]] serves by) and the
+    * superseded set, and the delete predicate ENUMERATES that
+    * superseded set instead of deleting "NOT winner" — so a rebuild or
+    * delta that commits after the snapshot carries a stamp that is NOT
+    * in the enumerated set and its freshly-committed rows survive the
+    * vacuum unconditionally. (A blanket NOT-winner delete would wipe
+    * such a racing winner wholesale, and a post-delete winner re-check
+    * could not even detect it: the delete itself removes the
+    * evidence.) A commit landing DURING the copy-on-write rewrite is
+    * caught by the swap's own optimistic-concurrency check
+    * (`ConcurrentModificationException` — retry the vacuum). */
   def vacuumSuperseded(spark: SparkSession, path: String): Long = {
     import org.apache.spark.sql.{sources => v1}
-    winningBuildAt(spark, path, tableVersion(path)) match {
-      case None => 0L
-      case Some((g, b)) =>
-        val before = rawLoad(spark, path, None).count()
-        graft.sources.ManifestDelete.run(path, Array[v1.Filter](
-          v1.Not(v1.And(v1.EqualNullSafe(GenCol, g), v1.EqualNullSafe(BuildCol, b)))))
-        before - rawLoad(spark, path, None).count()
+    val raw = rawLoad(spark, path, None)
+    if (!raw.columns.contains(GenCol)) return 0L // never rebuilt
+    // distinct build stamps present — builds are few (one row per
+    // rebuild/delta batch lineage), so this is a model-sized collect
+    val stamps = raw.select(col(GenCol), col(BuildCol)).distinct()
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null
+                 else java.lang.Long.valueOf(r.getLong(0)),
+                 if (r.isNullAt(1)) null else r.getString(1)))
+    if (stamps.isEmpty) return 0L
+    // the serving order: nulls coalesce to (0, "") exactly as loadFlat's
+    // winner filter does, so vacuum keeps precisely what loadFlat serves
+    def keyOf(s: (java.lang.Long, String)): (Long, String) =
+      (if (s._1 == null) 0L else s._1.longValue, if (s._2 == null) "" else s._2)
+    val winnerKey = stamps.map(keyOf).max
+    val superseded = stamps.filter(keyOf(_) != winnerKey)
+    if (superseded.isEmpty) 0L
+    else {
+      val cond = superseded.map { case (gg, bb) =>
+        col(GenCol) <=> lit(gg) && col(BuildCol) <=> lit(bb) }
+        .reduce(_ || _)
+      val removed = raw.filter(cond).count()
+      graft.sources.ManifestDelete.run(path,
+        Array[v1.Filter](superseded.map { case (gg, bb) =>
+          v1.And(v1.EqualNullSafe(GenCol, gg),
+            v1.EqualNullSafe(BuildCol, bb)): v1.Filter
+        }.reduce(v1.Or(_, _))))
+      removed
     }
   }
 

@@ -56,10 +56,19 @@ object IndexDelta {
     *
     *  - keys: the admitted batch's NEW distinct content hashes;
     *  - bands/shingles: the admitted documents' band keys and shingle
-    *    sets (an id already holding stored shingles is excluded — the
-    *    doubled-set guard, belt to the exact-dup gate's suspenders);
+    *    sets;
     *  - novelty: the admitted documents' shingle hashes not already in
     *    the stored set.
+    *
+    * ID-CONFLICT rule (round-14 advice closed): an arrival whose
+    * doc_id ALREADY holds stored shingle rows but whose content is new
+    * (same-ID-new-content) is REJECTED with `reject_stage =
+    * 'id_conflict'` — it cannot be near-dup-indexed without doubling
+    * its stored shingle sets, and admitting it unindexed would let
+    * future near-dup variants of its content through the gate
+    * (violating "what batch N admits, batch N+1's gate sees"). The
+    * conflict surfaces in the verdict frame, so the caller can
+    * re-submit under a fresh id.
     *
     * Idempotent under replay: a re-sent batch re-gates, every document
     * rejects as an exact dup (its content hash is now stored), nothing
@@ -76,14 +85,23 @@ object IndexDelta {
     val shingles = FpIndex.loadShingles(spark, s"$root/$ShinglesT")
     val verdicts = graft.CacheRegistry.getOrCache(spark,
       s"indexdelta.docs:$root:$batchId")(
-      Incremental.curationGateStream(arrivals, keys, bands, shingles))
+      Incremental.curationGateStream(arrivals, keys, bands, shingles)
+        // id-conflict re-verdict: a doc_id with stored shingle rows is
+        // only re-admittable as an exact replay (which the gate already
+        // rejects) — same-ID-new-content rejects here instead of being
+        // admitted-but-unindexed (the half-indexed hazard)
+        .join(shingles.select(col("doc_id"), lit(true).as("_id_held")),
+          Seq("doc_id"), "left")
+        .withColumn("reject_stage",
+          when(col("admitted") && col("_id_held").isNotNull, lit("id_conflict"))
+            .otherwise(col("reject_stage")))
+        .withColumn("admitted", col("admitted") && col("_id_held").isNull)
+        .drop("_id_held"))
     val admitted = arrivals.join(
       verdicts.filter(col("admitted")).select(col("doc_id")), Seq("doc_id"))
-    // ids that already hold stored shingle rows must not re-append
-    // (loadShingles raises on doubled sets); the exact-dup gate already
-    // rejects same-content replays, this guards same-ID-new-content
+    // admitted ids never hold stored shingle rows (the id-conflict rule
+    // above), so the shingle append can never double a stored set
     val sh = Dedup.shingleTable(admitted)
-      .join(shingles.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val newKeys = Incremental.corpusKeySet(admitted)
       .join(keys, Seq("content_hash"), "left_anti")
     val novelty = FpIndex.loadFlat(spark, s"$root/$NoveltyT")

@@ -82,6 +82,50 @@ class CacheRegistrySpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("per-key latch: two DIFFERENT keys build in PARALLEL (round-14 advice " +
+      "— a global build lock would deadlock this rendezvous), same key builds " +
+      "exactly once under concurrency") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    CacheRegistry.releaseAll()
+    // rendezvous: each build signals arrival then waits for the OTHER —
+    // only possible if both builds are inside getOrCache simultaneously
+    val both = new CountDownLatch(2)
+    def build(tag: String) = {
+      both.countDown()
+      assert(both.await(30, TimeUnit.SECONDS),
+        s"build $tag waited alone — builds are serialized under a global lock")
+      spark.range(5).toDF(tag)
+    }
+    val tA = new Thread(() =>
+      CacheRegistry.getOrCache(spark, "latchA")(build("a")).count())
+    val tB = new Thread(() =>
+      CacheRegistry.getOrCache(spark, "latchB")(build("b")).count())
+    tA.start(); tB.start(); tA.join(60000); tB.join(60000)
+    assert(!tA.isAlive && !tB.isAlive, "parallel builds must complete")
+    assert(CacheRegistry.size == 2)
+    // same key raced by two threads: the build body runs exactly once
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to 4).map(_ => new Thread(() =>
+      CacheRegistry.getOrCache(spark, "latchC") {
+        builds.incrementAndGet(); spark.range(3).toDF("c")
+      }.count()))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(builds.get == 1, s"same-key build ran ${builds.get} times")
+    // ModelRegistry: same latch contract (training outside the monitor)
+    val mBoth = new CountDownLatch(2)
+    def mBuild(tag: String): String = {
+      mBoth.countDown()
+      assert(mBoth.await(30, TimeUnit.SECONDS),
+        s"model build $tag waited alone — global monitor held during training")
+      tag
+    }
+    val mA = new Thread(() => ModelRegistry.getOrCompute(spark, "mA")(mBuild("a")))
+    val mB = new Thread(() => ModelRegistry.getOrCompute(spark, "mB")(mBuild("b")))
+    mA.start(); mB.start(); mA.join(60000); mB.join(60000)
+    assert(!mA.isAlive && !mB.isAlive && ModelRegistry.size == 2)
+    CacheRegistry.releaseAll()
+  }
+
   test("released cache does not change results: q18 identical before/after release") {
     CacheRegistry.releaseAll()
     val before = Dedup.minhashLsh(spark, sf).orderBy(col("a_id"), col("b_id")).collect().toSeq

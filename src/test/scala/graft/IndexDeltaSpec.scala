@@ -105,6 +105,61 @@ class IndexDeltaSpec extends AnyFunSuite {
       "post-vacuum deltas serve")
   }
 
+  test("vacuum-vs-rebuild race (round-14 advice): a rebuild committing during " +
+      "the vacuum's rewrite ABORTS the vacuum (OCC), the racing winner's rows " +
+      "are fully intact, and the retried vacuum keeps serving it") {
+    import spark.implicits._
+    val path = tmp("vacrace")
+    FpIndex.saveFlat(path, Seq((1L, 10L)).toDF("k", "v"))
+    FpIndex.rebuildFlat(spark, path, Seq((1L, 11L)).toDF("k", "v"), buildId = "bA")
+    // inject: a full rebuild (new winner bB) lands between the vacuum's
+    // snapshot read and its copy-on-write swap — exactly the advice's
+    // "freshly-committed winner rows deleted wholesale" scenario
+    var fired = false
+    graft.sources.ManifestSink.beforeSwapHook = () =>
+      if (!fired) {
+        fired = true
+        FpIndex.rebuildFlat(spark, path,
+          Seq((1L, 12L), (2L, 22L)).toDF("k", "v"), buildId = "bB")
+      }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        FpIndex.vacuumSuperseded(spark, path)
+      }
+    } finally graft.sources.ManifestSink.beforeSwapHook = () => ()
+    val racedWinner = Seq(Seq[Any](1L, 12L), Seq[Any](2L, 22L))
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == racedWinner,
+      "the racing rebuild's rows must be fully intact after the aborted vacuum")
+    // the retry (against the new history) reclaims everything superseded
+    val removed = FpIndex.vacuumSuperseded(spark, path)
+    assert(removed == 2L, // the original + bA's row
+      s"retried vacuum must reclaim the superseded rows, removed $removed")
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == racedWinner,
+      "the racing winner keeps serving after the retried vacuum")
+  }
+
+  test("winner memo does not leak across table re-creation at the same path " +
+      "(round-14 advice): a recreated table's low versions must not alias the " +
+      "old table's cached winners") {
+    import spark.implicits._
+    val path = tmp("recreate")
+    FpIndex.saveFlat(path, Seq((1L, 10L)).toDF("k", "v"))
+    FpIndex.rebuildFlat(spark, path, Seq((1L, 11L)).toDF("k", "v"), buildId = "bOld")
+    // loadFlat warms the winner memo for (path, version=2)
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == Seq(Seq[Any](1L, 11L)))
+    // delete and recreate the table at the same path within this JVM
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(path))
+    FpIndex.saveFlat(path, Seq((7L, 70L)).toDF("k", "v"))
+    FpIndex.rebuildFlat(spark, path, Seq((7L, 71L), (8L, 81L)).toDF("k", "v"),
+      buildId = "bNew") // version 2 again — the aliasing collision
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) ==
+      Seq(Seq[Any](7L, 71L), Seq[Any](8L, 81L)),
+      "the recreated table must serve its own winner, not the stale memo's")
+  }
+
   // ------------------------------------------------------- admitDocs
 
   private val wordsA = (1 to 30).map(i => s"alpha$i").mkString(" ")
@@ -166,6 +221,44 @@ class IndexDeltaSpec extends AnyFunSuite {
     val ids = FpIndex.loadShingles(spark, s"$root/${IndexBuild.ShinglesT}")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 12L, 22L), s"stored shingle ids: $ids")
+    CacheRegistry.releaseAll()
+  }
+
+  test("admitDocs id-conflict (round-14 advice): same-ID-new-content REJECTS " +
+      "with reject_stage=id_conflict and appends nothing — never " +
+      "admitted-but-unindexed; the content stays admittable under a fresh id") {
+    import spark.implicits._
+    CacheRegistry.releaseAll()
+    val corpus = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    val root = buildDocRoot(corpus)
+    val keysBefore = sortedRows(FpIndex.loadFlat(spark, s"$root/${IndexBuild.KeysT}"))
+    // doc_id 1 already holds stored shingles; its content here is NEW
+    val conflict = Seq((1L, wordsC)).toDF("doc_id", "text")
+    val v = IndexDelta.admitDocs(spark, root, conflict, batchId = "idc1")
+      .select(col("doc_id"), col("admitted"), col("reject_stage"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(v == Map(1L -> (false, "id_conflict")), s"id-conflict verdicts: $v")
+    assert(sortedRows(FpIndex.loadFlat(spark, s"$root/${IndexBuild.KeysT}")) ==
+      keysBefore, "a rejected id-conflict must append no content key")
+    val shIds = FpIndex.loadShingles(spark, s"$root/${IndexBuild.ShinglesT}")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(shIds == Set(1L, 2L), s"stored shingle ids unchanged: $shIds")
+    // the conflicted CONTENT was never admitted, so under a fresh id it
+    // gates cleanly — "what batch N admits, batch N+1's gate sees" holds
+    // exactly (nothing was admitted, nothing is seen)
+    val v2 = IndexDelta.admitDocs(spark, root,
+        Seq((30L, wordsC)).toDF("doc_id", "text"), batchId = "idc2")
+      .select(col("doc_id"), col("admitted")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v2 == Map(30L -> true), s"fresh-id resubmission must admit: $v2")
+    // and now its near-dup GATES (the admitted content is fully indexed)
+    val wordsCnear = (1 to 29).map(i => s"gamma$i").mkString(" ") + " zzz"
+    val v3 = IndexDelta.admitDocs(spark, root,
+        Seq((31L, wordsCnear)).toDF("doc_id", "text"), batchId = "idc3")
+      .select(col("doc_id"), col("admitted"), col("reject_stage"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(v3 == Map(31L -> (false, "near_dedup")),
+      s"the admitted content's near-dup must gate: $v3")
     CacheRegistry.releaseAll()
   }
 
@@ -580,5 +673,31 @@ class IndexDeltaSpec extends AnyFunSuite {
         Some(centPin)).map(_.toSeq) == pinnedCents.map(_.toSeq),
       "a reader pinned before the refresh still serves the planted model")
     CacheRegistry.releaseAll()
+  }
+
+  test("stalenessAgainstRadii counts arrivals in RADIUS-LESS cells as stale " +
+      "(round-14 advice): an empty-corpus cell's arrivals are the most " +
+      "drifted — they must enter both n_new and n_stale, not vanish") {
+    import spark.implicits._
+    val radii = Seq((0, 10L, 0.5), (1, 4L, 0.2))
+      .toDF("cluster", "n_base", "radius")
+    val arrivals = Seq(
+      (0, 100L, 0.3),  // cell 0, inside radius → fresh
+      (0, 101L, 0.9),  // cell 0, outside → stale
+      (2, 102L, 0.01), // cell 2 has NO radius row → stale by definition
+      (2, 103L, 0.02)
+    ).toDF("cluster", "vec_id", "dist")
+    val got = Clustering.stalenessAgainstRadii(radii, arrivals)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(0) == ((10L, 2L, 1L, 500000L)), s"cell 0: ${got(0)}")
+    assert(got(1) == ((4L, 0L, 0L, 0L)), s"radius row with no arrivals: ${got(1)}")
+    assert(got(2) == ((0L, 2L, 2L, 1000000L)),
+      s"radius-less cell's arrivals must count fully stale: ${got.get(2)}")
+    // and the refresh trigger's totals see them: 3/4 stale = 750000 ppm
+    val t = Clustering.stalenessAgainstRadii(radii, arrivals)
+      .agg(sum(col("n_new")), sum(col("n_stale"))).head()
+    assert(t.getLong(0) == 4L && t.getLong(1) == 3L,
+      s"totals must include empty-cell arrivals: $t")
   }
 }
