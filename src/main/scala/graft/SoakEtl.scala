@@ -319,7 +319,8 @@ object SoakAnn {
       "q44 IVF (coarse quantizer)" -> (() => operators.Similarity.ivfTopK(spark, sfDir)),
       "PQ-ADC full scan" -> (() => operators.Similarity.pqTopK(spark, sfDir)),
       "q145 SQ8 asymmetric scan" -> (() => operators.Similarity.sq8TopK(spark, sfDir)),
-      "IVF+PQ+exact rerank" -> (() => operators.Similarity.ivfPqTopK(spark, sfDir)))
+      "IVF+PQ+exact rerank" -> (() => operators.Similarity.ivfPqTopK(spark, sfDir)),
+      "q149 IVF+SQ8+exact rerank" -> (() => operators.Similarity.ivfSq8TopK(spark, sfDir)))
     println(s"## ANN ladder at $sfDir (end-to-end incl. index build, warm 2nd run)")
     tiers.foreach { case (name, fn) =>
       fn().write.format("noop").mode("overwrite").save() // warm
@@ -341,6 +342,7 @@ object SoakAnn {
       operators.Similarity.buildPqIndex(spark, sfDir, idx)
       operators.Similarity.buildIvfPqIndex(spark, sfDir, s"$idx/composed")
       operators.Similarity.buildSq8Index(spark, sfDir, idx)
+      operators.Similarity.buildIvfSq8Index(spark, sfDir, s"$idx/ivfsq8")
     }
     println(f"build (train+persist q44+q82+sq8+composed) ${tBuild}%6.2f s  → $idx")
     CacheRegistry.releaseAll() // serve must not inherit the build's cache
@@ -358,6 +360,8 @@ object SoakAnn {
       operators.Similarity.ivfPqTopKServe(serve, sfDir, s"$idx/composed"))
     serveRow("q145 serve (stored SQ8 codes)",
       operators.Similarity.sq8TopKServe(serve, sfDir, idx))
+    serveRow("q149 IVF+SQ8 serve (composed)",
+      operators.Similarity.ivfSq8TopKServe(serve, sfDir, s"$idx/ivfsq8"))
     spark.stop()
   }
 }

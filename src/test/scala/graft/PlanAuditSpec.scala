@@ -86,7 +86,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // query side; q148 runs the exact leg through the same tail; the
       // scale path prunes candidates through IVF cells like the PQ
       // tier's composed form)
-      "q145_sq8_topk", "q148_sq8_recall")
+      "q145_sq8_topk", "q148_sq8_recall",
+      // q149: inherits q44's documented quantizer cross (the declared-
+      // small query side ranks the broadcast centroid table); the cell
+      // probe, SQ8 shortlist, and rerank joins are all equi-key
+      "q149_ivf_sq8")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

@@ -162,6 +162,58 @@ class PqSpec extends AnyFunSuite {
       s"cell-restricted NN reached the reranked top-5 for only $rate of queries")
   }
 
+  test("composed IVF+SQ8+rerank (q149): the cell-restricted exact-L2 NN " +
+      "survives to the final top-5, and the rerank orders by ascending " +
+      "exact squared L2") {
+    // driver-side replay of the IVF restriction (q44's contract), L2
+    // flavor: the composition's own contribution — SQ8 shortlist +
+    // exact rerank INSIDE the probed cells — is what this isolates;
+    // SQ8 fidelity itself is q148's recall audit.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = raw.filter(_._1 % 31 == 7).toSeq.sortBy(_._1)
+    def cellOf(v: Array[Double]): Long =
+      cents.foldLeft((Long.MinValue, Double.NegativeInfinity)) { case ((bid, bs), (cid, cv)) =>
+        val s = cos(v, cv); if (s > bs) (cid, s) else (bid, bs)
+      }._1
+    val cellIndex: Map[Long, Long] = raw.map { case (id, v) => id -> cellOf(v) }
+    val queries = raw.keys.filter(_ % 25 == 0).toSeq
+    def probed(q: Long): Set[Long] = cents
+      .map { case (cid, cv) => (cid, cos(raw(q), cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(3).map(_._1).toSet
+
+    CacheRegistry.releaseAll()
+    val got = Similarity.ivfSq8TopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rank")) }
+    assert(got.keySet == queries.toSet, "every query must be answered")
+    val hits = queries.count { q =>
+      val cells = probed(q)
+      val restricted = raw.iterator
+        .filter { case (id, _) => id != q && cells.contains(cellIndex(id)) }
+        .map { case (id, v) => (id, l2(raw(q), v)) }.toSeq
+      restricted.nonEmpty && {
+        val nn = restricted.minBy { case (id, d) => (d, id) }._1
+        val rows = got(q)
+        val dists = rows.map(_.getAs[Double]("dist"))
+        assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+          s"query $q: rerank must order by ascending exact squared L2")
+        rows.map(_.getAs[Long]("neighbor_id")).contains(nn)
+      }
+    }
+    val rate = hits.toDouble / queries.size
+    // the rerank is EXACT, so the NN reaches the top-5 iff the SQ8
+    // shortlist caught it — int8 decode error is tiny, expect ~all
+    assert(rate >= 0.9,
+      s"cell-restricted exact NN reached the reranked top-5 for only $rate")
+    CacheRegistry.releaseAll()
+  }
+
   test("oracled q82 (seed-codebook integer ADC) equals a full driver-side replay") {
     // independent reimplementation of the whole q82 pipeline in plain
     // Scala integer arithmetic — the same role check_oracle's DuckDB
