@@ -1476,10 +1476,11 @@ object Dedup {
     * distinct counts + pair intersection via hash equi-join) are the
     * only other corpus-sized work and are exactly what a production
     * sketch-only run drops. */
-  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // distinct (source, scrambled-hash) — the one corpus pass, shared
-    // by all three consumers below.
-    val sh = graft.CacheRegistry.getOrCache(spark, s"dedup.kmvOverlap.sh:$dir") {
+  /** The q114/q150 shared corpus pass: distinct (source, scrambled
+    * shingle hash), cached once per dir — feeds the sketch build, the
+    * exact-cardinality audit, and the exact-intersection audit. */
+  private def kmvSourceHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.getOrCache(spark, s"dedup.kmvOverlap.sh:$dir") {
       Tables.documents(spark, dir)
         .select(col("source"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
@@ -1489,9 +1490,23 @@ object Dedup {
         .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
         .select(col("source"), col("hv"))
     }
+
+  /** Per-source bottom-k over a distinct (source, hv) frame — the KMV
+    * sketch cut shared by q114, q150, and the stored-sketch build. A
+    * WindowGroupLimit: each task prunes to a k-heap before the
+    * per-source sort (k smallest of a union is computable from k
+    * smallest of each part — the mergeable-partial argument). */
+  private def kmvCut(sh: DataFrame): DataFrame = {
     val wS = Window.partitionBy(col("source")).orderBy(col("hv"))
-    val sk = sh.withColumn("rk", row_number().over(wS))
+    sh.withColumn("rk", row_number().over(wS))
       .filter(col("rk") <= OvK).select(col("source"), col("hv"))
+  }
+
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (source, scrambled-hash) — the one corpus pass, shared
+    // by all three consumers below.
+    val sh = kmvSourceHashes(spark, dir)
+    val sk = kmvCut(sh)
     val card = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = card.select(col("source").as("source_a"), col("n").as("n_a"))
       .join(card.select(col("source").as("source_b"), col("n").as("n_b")),
@@ -1637,4 +1652,187 @@ object Dedup {
        |LEFT JOIN tau t USING (source_a, source_b)
        |LEFT JOIN rho USING (source_a, source_b)
        |LEFT JOIN ex USING (source_a, source_b)""".stripMargin
+
+  // --------------------------------------------------------------- q150
+
+  /** q150: the PRODUCTION SKETCH-ONLY form of q114 (round-14 verdict
+    * ask #4) — q114's own scaladoc promises "the exact-audit legs are
+    * exactly what a production sketch-only run drops", and this is the
+    * entry point that drops them: per-source cardinality comes from
+    * the q112 KMV estimator ((k−1)·2³² div k-th-minimum) instead of a
+    * corpus-sized exact distinct count, and the pair
+    * union/Jaccard/intersection estimates come from the Beyer et al.
+    * sketch set-operation rules alone — no exact-intersection
+    * hash-join. Everything downstream of the (shared, cached) shingle
+    * pass is |sources|·k sketch rows; at a deployment the sketch is a
+    * STORED artifact ([[saveKmvSketch]]) and this query runs with ZERO
+    * corpus work ([[kmvOverlapServe]]). Small-set rule carried over
+    * from q114: a source sketch smaller than k IS its complete
+    * distinct set, so its cardinality "estimate" is exact, and a pair
+    * whose merged sketch never reaches k reports the exact union. */
+  def kmvOverlapSketch(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapFromSketch(kmvCut(kmvSourceHashes(spark, dir)))
+
+  /** The sketch-side estimator core shared by [[kmvOverlapSketch]]
+    * (in-session) and [[kmvOverlapServe]] (stored sketch): input is
+    * the per-source bottom-k (source, hv) table; every join below is
+    * over |sources|·k rows. */
+  def kmvOverlapFromSketch(sk: DataFrame): DataFrame = {
+    // per-source sketch stats: size + k-th minimum (the sketch max)
+    val est = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("sz"), max(col("hv")).as("mxh"))
+      .withColumn("n_est",
+        when(col("sz") < OvK, col("sz"))
+          .otherwise(expr(s"(${OvK - 1}L * 4294967296L) div greatest(mxh, 1)")))
+      .select(col("source"), col("n_est"))
+    val pairs = est.select(col("source").as("source_a"), col("n_est").as("n_a_est"))
+      .join(est.select(col("source").as("source_b"), col("n_est").as("n_b_est")),
+        col("source_a") < col("source_b"))
+    val ska = sk.select(col("source").as("source_a"), col("hv"))
+    val skb = sk.select(col("source").as("source_b"), col("hv"))
+    val mg = pairs.select(col("source_a"), col("source_b"))
+      .join(ska, "source_a")
+      .select(col("source_a"), col("source_b"), col("hv"))
+      .union(pairs.select(col("source_a"), col("source_b"))
+        .join(skb, "source_b")
+        .select(col("source_a"), col("source_b"), col("hv")))
+      .distinct()
+    val wP = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("hv"))
+    val tau = mg.withColumn("rk", row_number().over(wP))
+      .filter(col("rk") === OvK)
+      .select(col("source_a"), col("source_b"), col("hv").as("tau"))
+    val msz = mg.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("msz"))
+    val rho = ska.join(skb, "hv")
+      .filter(col("source_a") < col("source_b"))
+      .join(tau, Seq("source_a", "source_b"), "left")
+      .filter(col("tau").isNull || col("hv") <= col("tau"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("rho"))
+    pairs
+      .join(msz, Seq("source_a", "source_b"))
+      .join(tau, Seq("source_a", "source_b"), "left")
+      .join(rho, Seq("source_a", "source_b"), "left")
+      .withColumn("rho", coalesce(col("rho"), lit(0L)))
+      .withColumn("union_est",
+        when(col("tau").isNotNull,
+          expr(s"(${OvK - 1}L * 4294967296L) div greatest(tau, 1)"))
+          .otherwise(col("msz")))
+      .withColumn("jacc_est_ppm",
+        when(col("tau").isNotNull, expr(s"(1000000 * rho) div $OvK"))
+          .otherwise(expr("(1000000 * rho) div msz")))
+      .withColumn("inter_est",
+        when(col("tau").isNotNull, expr(s"(rho * union_est) div $OvK"))
+          .otherwise(col("rho")))
+      .withColumn("tau", coalesce(col("tau"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a_est"), col("n_b_est"),
+        col("tau"), col("rho"), col("union_est"),
+        col("jacc_est_ppm"), col("inter_est"))
+  }
+
+  // ------------------------------------ stored KMV sketch (mergeable)
+
+  /** Build the per-source KMV sketch as a frame — |sources|·k rows,
+    * the MERGEABLE serving artifact (k smallest of a union = the union
+    * of the parts' k-smallest, re-cut to k — so a stored sketch plus a
+    * delta batch's sketch merge EXACTLY, no rebuild). */
+  def kmvSketchOf(docs: DataFrame): DataFrame =
+    kmvCut(docs
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"),
+        explode(TextHash.wordNGramHashes(col("t"), 3)).as("h"))
+      .distinct()
+      .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
+      .select(col("source"), col("hv")))
+
+  /** Persist / rebuild the per-source KMV sketch artifact. */
+  def saveKmvSketch(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    FpIndex.saveOrRebuildFlat(spark, path, kmvSketchOf(docs))
+
+  /** DELTA-ADMIT an arriving document batch into the stored sketch:
+    * the batch's own k-sketch appends as one delta commit
+    * ([[FpIndex.deltaAppendFlat]] — O(delta), OCC vs rebuilds) and
+    * [[loadKmvMerged]] re-cuts on load. Mergeable-statistics artifact
+    * in the [[graft.pipeline.IndexDelta]] taxonomy: estimates over the
+    * merged sketch equal a full rebuild over corpus ∪ batch exactly
+    * (DedupSpec pins it) — idempotent under replay by the distinct +
+    * re-cut (a replayed batch's hashes are already in the union). */
+  def admitKmvSketch(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    FpIndex.deltaAppendFlat(spark, path, kmvSketchOf(docs))
+
+  /** Load the stored sketch, merging any delta commits: distinct
+    * (source, hv) union re-cut to the per-source bottom-k — the KMV
+    * merge rule. Identity when delta-free. */
+  def loadKmvMerged(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame =
+    kmvCut(FpIndex.loadFlat(spark, path, asOf).distinct())
+
+  /** Serve the q150 overlap report from the stored sketch — zero
+    * corpus work (the sketch tables are the only scans). */
+  def kmvOverlapServe(spark: SparkSession, path: String): DataFrame =
+    kmvOverlapFromSketch(loadKmvMerged(spark, path))
+
+  val kmvOverlapSketchSql: String =
+    s"""WITH sh0 AS (
+       |  SELECT source, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT source, (h * 2654435761) % 4294967296 AS hv
+       |  FROM (SELECT source, unnest(list_transform(shingles,
+       |          s -> ${duckPolyhash("s")})) AS h
+       |        FROM sh0)),
+       |sk AS (
+       |  SELECT source, hv FROM (
+       |    SELECT source, hv,
+       |           row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+       |    FROM sh) WHERE rk <= $OvK),
+       |est AS (
+       |  SELECT source,
+       |         CASE WHEN sz < $OvK THEN sz
+       |              ELSE (${OvK - 1} * 4294967296) // greatest(mxh, 1) END AS n_est
+       |  FROM (SELECT source, count(*) AS sz, max(hv) AS mxh FROM sk GROUP BY source)),
+       |pairs AS (
+       |  SELECT a.source AS source_a, a.n_est AS n_a_est,
+       |         b.source AS source_b, b.n_est AS n_b_est
+       |  FROM est a JOIN est b ON a.source < b.source),
+       |mg AS (
+       |  SELECT DISTINCT source_a, source_b, hv FROM (
+       |    SELECT p.source_a, p.source_b, s.hv
+       |    FROM pairs p JOIN sk s ON s.source = p.source_a
+       |    UNION ALL
+       |    SELECT p.source_a, p.source_b, s.hv
+       |    FROM pairs p JOIN sk s ON s.source = p.source_b)),
+       |tau AS (
+       |  SELECT source_a, source_b, hv AS tau FROM (
+       |    SELECT source_a, source_b, hv,
+       |           row_number() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rk
+       |    FROM mg) WHERE rk = $OvK),
+       |msz AS (SELECT source_a, source_b, count(*) AS msz FROM mg GROUP BY 1, 2),
+       |rho AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS rho
+       |  FROM sk a JOIN sk b ON a.hv = b.hv AND a.source < b.source
+       |  LEFT JOIN tau t ON t.source_a = a.source AND t.source_b = b.source
+       |  WHERE t.tau IS NULL OR a.hv <= t.tau
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.n_a_est, p.n_b_est,
+       |       coalesce(t.tau, 0) AS tau,
+       |       coalesce(rho.rho, 0) AS rho,
+       |       CASE WHEN t.tau IS NOT NULL
+       |            THEN (${OvK - 1} * 4294967296) // greatest(t.tau, 1)
+       |            ELSE m.msz END AS union_est,
+       |       CASE WHEN t.tau IS NOT NULL
+       |            THEN (1000000 * coalesce(rho.rho, 0)) // $OvK
+       |            ELSE (1000000 * coalesce(rho.rho, 0)) // m.msz END AS jacc_est_ppm,
+       |       CASE WHEN t.tau IS NOT NULL
+       |            THEN (coalesce(rho.rho, 0)
+       |                  * ((${OvK - 1} * 4294967296) // greatest(t.tau, 1))) // $OvK
+       |            ELSE coalesce(rho.rho, 0) END AS inter_est
+       |FROM pairs p
+       |JOIN msz m USING (source_a, source_b)
+       |LEFT JOIN tau t USING (source_a, source_b)
+       |LEFT JOIN rho USING (source_a, source_b)""".stripMargin
 }

@@ -578,6 +578,68 @@ class DedupSpec extends AnyFunSuite {
       "fixture sources should overlap — otherwise the estimator legs are vacuous")
   }
 
+  test("q150 sketch-only overlap: estimate columns equal q114's for every pair, " +
+      "per-source cardinality estimates are the q112 estimator, and no exact " +
+      "audit column survives") {
+    CacheRegistry.releaseAll()
+    val full = Dedup.kmvOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("tau"), r.getAs[Long]("rho"), r.getAs[Long]("union_est"),
+          r.getAs[Long]("jacc_est_ppm"), r.getAs[Long]("inter_est"))).toMap
+    val sk = Dedup.kmvOverlapSketch(spark, sf)
+    assert(sk.columns.toSet ==
+      Set("source_a", "source_b", "n_a_est", "n_b_est", "tau", "rho",
+        "union_est", "jacc_est_ppm", "inter_est"),
+      s"sketch-only surface must carry no exact leg: ${sk.columns.toSeq}")
+    val got = sk.collect()
+    assert(got.length == full.size, "one row per unordered source pair")
+    got.foreach { r =>
+      val key = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val est = (r.getAs[Long]("tau"), r.getAs[Long]("rho"),
+        r.getAs[Long]("union_est"), r.getAs[Long]("jacc_est_ppm"),
+        r.getAs[Long]("inter_est"))
+      assert(full(key) == est,
+        s"pair $key: sketch-only estimates must equal q114's estimate columns")
+    }
+    CacheRegistry.releaseAll()
+  }
+
+  test("stored KMV sketch is MERGEABLE: build → delta-admit a batch → merged " +
+      "load equals a full rebuild over corpus ∪ batch; replay adds nothing; " +
+      "served overlaps need zero corpus work") {
+    import spark.implicits._
+    CacheRegistry.releaseAll()
+    val path = java.nio.file.Files.createTempDirectory("graft-kmvsketch").toString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    Dedup.saveKmvSketch(spark, path, corpus)
+    // a batch with fresh content on existing sources (stable shingles)
+    val batch = Seq(
+      (900001L, "source_0", (1 to 40).map(i => s"kappa$i").mkString(" ")),
+      (900002L, "source_1", (1 to 40).map(i => s"lambda$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    Dedup.admitKmvSketch(spark, path, batch)
+    val merged = Dedup.loadKmvMerged(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.kmvSketchOf(corpus.unionByName(batch)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == rebuilt,
+      "merged stored sketch must equal a full rebuild over corpus ∪ batch")
+    // replay: the same batch's hashes are already in the union
+    Dedup.admitKmvSketch(spark, path, batch)
+    val replayed = Dedup.loadKmvMerged(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(replayed == rebuilt, "a replayed batch must not change the sketch")
+    // and the served overlap report equals the in-session sketch-only
+    // form over the same (merged) sketch
+    val served = Dedup.kmvOverlapServe(spark, path).collect().map(_.toSeq).toSet
+    val inSession = Dedup.kmvOverlapFromSketch(
+      Dedup.kmvSketchOf(corpus.unionByName(batch))).collect().map(_.toSeq).toSet
+    assert(served == inSession,
+      "stored-sketch serve must equal the in-session sketch estimator")
+    CacheRegistry.releaseAll()
+  }
+
   test("q116 novelty curve: full driver replay; novel mass sums to the corpus's " +
       "distinct shingle count; curve starts at its maximum") {
     def polyhash(s: String): Long =

@@ -90,7 +90,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // q149: inherits q44's documented quantizer cross (the declared-
       // small query side ranks the broadcast centroid table); the cell
       // probe, SQ8 shortlist, and rerank joins are all equi-key
-      "q149_ivf_sq8")
+      "q149_ivf_sq8",
+      // q150: q114's |sources|^2 pair cross, now over the k-row
+      // per-source sketch stats — every input is model-sized
+      "q150_kmv_overlap_sketch")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
