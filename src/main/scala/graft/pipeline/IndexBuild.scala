@@ -56,6 +56,11 @@ object IndexBuild {
   val HierModelT = "hier_model"; val AssignedHierT = "assigned_hier"
   val CappedHierT = "assigned_hier_capped"; val RadiiT = "cell_radii"
   val RadiiHierT = "cell_radii_hier"
+  /** 1-row build meta for the TEXT artifacts: (n_docs, n_keys) at the
+    * nightly build — the staleness denominator
+    * [[IndexDelta.textStaleness]] compares admitted growth against.
+    * Written by the build only; admissions never touch it. */
+  val TextMetaT = "text_meta"
 
   /** Persist every serving artifact for `dir` under `root` — the
     * nightly build job. Safe to re-run against a live index root:
@@ -71,6 +76,7 @@ object IndexBuild {
     FpIndex.saveOrRebuildShingles(spark, s"$root/$ShinglesT", Dedup.shingleIndexOf(spark, dir))
     // BM25 posting index — the retrieval probe's stored side
     FpIndex.saveOrRebuildFlat(spark, s"$root/$PostingsT", Incremental.postingTable(docs))
+    buildTextMeta(spark, docs, root)
     // CMS sketch + novelty shingle set — the monitoring gates' stored sides
     FpIndex.saveOrRebuildFlat(spark, s"$root/$CmsT", TextAnalysis.cmsSketchOf(docs))
     FpIndex.saveOrRebuildFlat(spark, s"$root/$NoveltyT", Incremental.corpusShingleSet(docs))
@@ -94,12 +100,24 @@ object IndexBuild {
     // cheaper projected-IVF ANN); fit shares the centroid build's
     // cached fixed-point corpus and the q126 Gram pass's dimStats
     Pca.saveModel(spark, s"$root/$PcaT", Pca.fit(spark, dir))
-    // the AT-SCALE gate's stored side: the two-level FRAME model at
-    // the kForCorpus operating point (floored at 4 so kc >= 2 — the
-    // multi-probe gate needs a second coarse cell) plus the corpus
-    // assigned by it, hot-cell-capped by the same 9n/8k rule. The
-    // training and save paths never carry the fine table as a literal
-    // or driver collect (the r12-closed transport posture).
+    buildHierVectorArtifacts(spark, fixed, root, Some(nVecs))
+  }
+
+  /** The TWO-LEVEL vector serving artifacts as one rebuildable unit —
+    * the at-scale gate's stored side: the two-level FRAME model at the
+    * kForCorpus operating point (floored at 4 so kc >= 2 — the
+    * multi-probe gate needs a second coarse cell), the corpus assigned
+    * by it hot-cell-capped by the same 9n/8k rule, and the k-row hier
+    * radius table. The training and save paths never carry the fine
+    * table as a literal or driver collect (the r12-closed transport
+    * posture). Extracted from [[buildAll]] (the
+    * [[buildFlatVectorArtifacts]] precedent) so
+    * [[IndexDelta.refreshIfStaleHier]] can retrain JUST this unit when
+    * the hier staleness monitor trips mid-cycle; each table cuts over
+    * atomically via the generation-append rebuild. */
+  def buildHierVectorArtifacts(spark: SparkSession, fixed: DataFrame,
+      root: String, nVecsKnown: Option[Long] = None): Long = {
+    val nVecs = nVecsKnown.getOrElse(fixed.count())
     val hk = math.max(4, Clustering.kForCorpus(nVecs))
     val hm = Clustering.trainHierarchicalFrames(fixed, hk)
     Clustering.saveHierModelDf(spark, s"$root/$HierModelT", hm)
@@ -114,6 +132,7 @@ object IndexBuild {
     FpIndex.saveOrRebuildFlat(spark, s"$root/$RadiiHierT",
       Clustering.cellRadiiOf(Clustering.assignHier(fixed, hm)
         .select(col("cluster"), col("vec_id"), col("dist"))))
+    nVecs
   }
 
   /** The FLAT vector serving artifacts as one rebuildable unit: the
@@ -144,6 +163,18 @@ object IndexBuild {
       Clustering.assignWith(fixed, cents)
         .select(col("cluster"), col("vec_id"), col("dist"))))
     nVecs
+  }
+
+  /** Write the 1-row [[TextMetaT]] build stamp — counted over the same
+    * `docs` frame the text artifacts were built from (two tiny aggs on
+    * the build budget). Factored so [[IndexDelta.refreshTextIfStale]]
+    * re-stamps it after a selective text rebuild. */
+  def buildTextMeta(spark: SparkSession, docs: DataFrame, root: String): Unit = {
+    import spark.implicits._
+    val nDocs = docs.count()
+    val nKeys = Incremental.corpusKeySet(docs).count()
+    FpIndex.saveOrRebuildFlat(spark, s"$root/$TextMetaT",
+      Seq((nDocs, nKeys)).toDF("n_docs", "n_keys").repartition(1))
   }
 
   /** The loaded serving surface: every stored frame a session probes,

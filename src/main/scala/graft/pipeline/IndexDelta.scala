@@ -267,4 +267,81 @@ object IndexDelta {
       true
     } else false
   }
+
+  /** [[refreshIfStale]] for the TWO-LEVEL serving unit (round-14
+    * verdict ask #2a): when the hier staleness monitor
+    * ([[storedStalenessHier]], totaled to ppm) trips, retrain the
+    * whole hier unit — frame model, hot-cell-capped assigned corpus,
+    * capped-cells table, hier radii — from the corpus of record
+    * through [[IndexBuild.buildHierVectorArtifacts]]'s
+    * generation-append cutovers (atomic per table; readers pinned
+    * before the refresh keep serving the old model bit-for-bit,
+    * IndexDeltaSpec pins it). Same threshold reasoning as the flat
+    * unit: a fresh model strands ~5% of arrivals past its p95 radii
+    * by construction. */
+  def refreshIfStaleHier(spark: SparkSession, dir: String, root: String,
+      arrivals: DataFrame, maxStalePpm: Long = 150000L): Boolean = {
+    val t = storedStalenessHier(spark, root, arrivals)
+      .agg(sum(col("n_new")).as("n"), sum(col("n_stale")).as("s"))
+      .head()
+    val n = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val stale = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val ppm = if (n == 0) 0L else 1000000L * stale / n
+    if (ppm > maxStalePpm) {
+      IndexBuild.buildHierVectorArtifacts(spark,
+        Clustering.fixedPoint(spark, dir), root)
+      true
+    } else false
+  }
+
+  /** TEXT-side staleness signal (round-14 verdict ask #2b): the
+    * postings/volume artifacts are NORMALIZED statistics (df/N/avgdl
+    * baked into rows) and refresh by rebuild only — this is their
+    * cheap trigger. The stored serving keys table grows with every
+    * admitted batch (delta commits), while [[IndexBuild.TextMetaT]]
+    * pins the key count the nightly build's normalized artifacts were
+    * computed over; the gap in ppm is exactly "how much corpus the
+    * BM25 stats have not seen". One row: (n_keys_built, n_keys_now,
+    * growth_ppm). Cost: a 1-row meta read + one count over the keys
+    * INDEX table — O(index), no corpus scan, no per-batch state. */
+  def textStaleness(spark: SparkSession, root: String): DataFrame = {
+    require(FpIndex.tableVersion(s"$root/${IndexBuild.TextMetaT}") > 0,
+      s"no text_meta stored under $root — the root predates the staleness " +
+        "trigger; re-run IndexBuild.buildAll to stamp it")
+    val meta = FpIndex.loadFlat(spark, s"$root/${IndexBuild.TextMetaT}")
+      .select(col("n_keys").as("n_keys_built"))
+    val now = FpIndex.loadFlat(spark, s"$root/$KeysT")
+      .agg(count(lit(1)).as("n_keys_now"))
+    meta.crossJoin(now) // 1-row × 1-row
+      .select(col("n_keys_built"), col("n_keys_now"),
+        expr("CASE WHEN n_keys_built = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * greatest(n_keys_now - n_keys_built, 0)) " +
+          "div n_keys_built END").as("growth_ppm"))
+  }
+
+  /** REFRESH POLICY for the text-side normalized artifacts: when
+    * admitted-key growth since the last build exceeds `maxGrowthPpm`,
+    * selectively rebuild [[IndexBuild.buildAll]]'s NORMALIZED text
+    * artifact (the BM25 posting index) over `docs` — the CORPUS OF
+    * RECORD, which in the deployment shape already includes the
+    * admitted batches (the admission job appends them there, the
+    * [[FpIndex.deltaAppendFlat]] contract) — and re-stamp
+    * [[IndexBuild.TextMetaT]] with that corpus's key count, so the
+    * signal resets and the next batches measure against the fresh
+    * stats. Atomic generation-append cutovers, pinned readers
+    * untouched. The membership artifacts (keys/bands/shingles/novelty)
+    * took their deltas already and the CMS merges cell-wise; none of
+    * them needs this rebuild — the documented Lucene-segment split,
+    * now with its trigger closed. */
+  def refreshTextIfStale(spark: SparkSession, root: String, docs: DataFrame,
+      maxGrowthPpm: Long = 100000L): Boolean = {
+    val r = textStaleness(spark, root).head()
+    if (r.getLong(2) > maxGrowthPpm) {
+      val d = docs.select(col("doc_id"), col("text"))
+      FpIndex.saveOrRebuildFlat(spark, s"$root/${IndexBuild.PostingsT}",
+        Incremental.postingTable(d))
+      IndexBuild.buildTextMeta(spark, d, root)
+      true
+    } else false
+  }
 }

@@ -675,6 +675,87 @@ class IndexDeltaSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("refreshIfStaleHier closes the two-level loop (round-14 ask #2a): " +
+      "below threshold nothing commits; planted drift retrains the hier unit " +
+      "through generation-append cutovers and pinned readers keep serving") {
+    import spark.implicits._
+    CacheRegistry.releaseAll()
+    val root = tmp("hrefresh")
+    val fixed = Clustering.fixedPoint(spark, sf)
+    IndexBuild.buildHierVectorArtifacts(spark, fixed, root)
+    val modelPath = s"$root/${IndexBuild.HierModelT}"
+    val radiiPath = s"$root/${IndexBuild.RadiiHierT}"
+    val pinModel = FpIndex.tableVersion(modelPath)
+    val pinnedRows = sortedRows(FpIndex.loadFlat(spark, modelPath, Some(pinModel)))
+    // near arrivals: a corpus slice re-assigned under the same model —
+    // ~5% past p95 by construction, far below the 150000 ppm default
+    val nearArr = Tables.embeddings(spark, sf).filter(col("vec_id") % 13 === 2)
+      .select(col("vec_id"), col("embedding"))
+    assert(!IndexDelta.refreshIfStaleHier(spark, sf, root, nearArr),
+      "near arrivals must not trip the hier refresh")
+    assert(FpIndex.tableVersion(modelPath) == pinModel,
+      "no refresh → no new hier-model commits")
+    // drifted arrivals: planted far outside every stored radius
+    val farArr = Seq((910L, Array.fill(64)(-0.9f)), (911L, Array.fill(64)(-0.92f)))
+      .toDF("vec_id", "embedding")
+    assert(IndexDelta.refreshIfStaleHier(spark, sf, root, farArr),
+      "drifted arrivals must trip the hier refresh")
+    assert(FpIndex.tableVersion(modelPath) > pinModel &&
+      FpIndex.tableVersion(radiiPath) > 1,
+      "the refresh must commit a retrained hier unit (model + radii)")
+    assert(sortedRows(FpIndex.loadFlat(spark, modelPath, Some(pinModel))) == pinnedRows,
+      "a reader pinned before the hier refresh still serves the old model rows")
+    // the refreshed unit keeps monitoring (the loop continues)
+    assert(IndexDelta.storedStalenessHier(spark, root, nearArr).count() > 0)
+    CacheRegistry.releaseAll()
+  }
+
+  test("text-side staleness trigger (round-14 ask #2b): admitted-key growth " +
+      "vs the build stamp; below threshold no-op; past it the postings " +
+      "rebuild + meta re-stamp reset the signal; pinned readers keep serving") {
+    import spark.implicits._
+    CacheRegistry.releaseAll()
+    val corpus = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    val root = buildDocRoot(corpus)
+    FpIndex.saveFlat(s"$root/${IndexBuild.PostingsT}",
+      Incremental.postingTable(corpus))
+    IndexBuild.buildTextMeta(spark, corpus, root)
+    val st0 = IndexDelta.textStaleness(spark, root).head()
+    assert(st0.getLong(0) == 2L && st0.getLong(1) == 2L && st0.getLong(2) == 0L,
+      s"fresh build must report zero growth: $st0")
+    val postingsPath = s"$root/${IndexBuild.PostingsT}"
+    val pin = FpIndex.tableVersion(postingsPath)
+    assert(!IndexDelta.refreshTextIfStale(spark, root, corpus),
+      "zero growth must not trip the text refresh")
+    assert(FpIndex.tableVersion(postingsPath) == pin)
+    // admit a batch: keys grow 2 → 3 (500000 ppm — past the default)
+    val batch = Seq((10L, wordsC)).toDF("doc_id", "text")
+    IndexDelta.admitDocs(spark, root, batch, batchId = "txt1")
+    val st1 = IndexDelta.textStaleness(spark, root).head()
+    assert(st1.getLong(1) == 3L && st1.getLong(2) == 500000L,
+      s"admitted keys must register as growth: $st1")
+    val pinnedPostings = sortedRows(FpIndex.loadFlat(spark, postingsPath, Some(pin)))
+    // the corpus of record now includes the admitted batch (the
+    // deployment contract: the admission job appends there too)
+    val record = corpus.unionByName(batch)
+    assert(IndexDelta.refreshTextIfStale(spark, root, record),
+      "500000 ppm growth must trip the text refresh")
+    assert(FpIndex.tableVersion(postingsPath) > pin,
+      "the refresh must commit rebuilt postings")
+    // the rebuilt stats SEE the admitted document (N = 3 in every row)
+    val ns = FpIndex.loadFlat(spark, postingsPath)
+      .select(col("n")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(ns == Seq(3L), s"rebuilt postings must carry N=3: $ns")
+    assert(sortedRows(FpIndex.loadFlat(spark, postingsPath, Some(pin))) ==
+      pinnedPostings, "a reader pinned before the refresh serves the old stats")
+    // the signal resets: growth is measured against the fresh stamp
+    val st2 = IndexDelta.textStaleness(spark, root).head()
+    assert(st2.getLong(2) == 0L, s"re-stamped meta must reset the signal: $st2")
+    assert(!IndexDelta.refreshTextIfStale(spark, root, record),
+      "the reset signal must not re-trip")
+    CacheRegistry.releaseAll()
+  }
+
   test("stalenessAgainstRadii counts arrivals in RADIUS-LESS cells as stale " +
       "(round-14 advice): an empty-corpus cell's arrivals are the most " +
       "drifted — they must enter both n_new and n_stale, not vanish") {
