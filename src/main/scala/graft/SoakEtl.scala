@@ -800,13 +800,151 @@ object SoakDelta {
       println(f"admit_vectors            1x: $t1%6.2f s ($c1%6d vecs, $a1%6d admitted)   " +
         f"${n}x: $tn%6.2f s ($cn%7d vecs, $an%7d admitted)   growth ${tn / t1}%4.1fx   " +
         f"per-vec ${1e6 * t1 / c1}%5.0f -> ${1e6 * tn / cn}%5.0f us")
+      // the replay invariant is "nothing re-APPENDS": replays of appended
+      // arrivals reject outright; replays of capped-cell arrivals (never
+      // appended) re-FLAG admitted-but-capped, which is the documented
+      // stable verdict — so count admissions headed for the probe table
       var rAdm = 0L
       val tr = time { rAdm = pipeline.IndexDelta.admitVectors(spark, rootA, b1, "v1r")
-        .filter(col("admitted") === 1).count() }
+        .filter(col("admitted") === 1 && col("cell_capped") === 0).count() }
       CacheRegistry.releaseAll()
-      println(f"admit_vectors_replay     $tr%6.2f s ($c1%6d vecs, $rAdm admitted)")
-      require(rAdm == 0, "replayed vector batch must admit nothing")
+      println(f"admit_vectors_replay     $tr%6.2f s ($c1%6d vecs, $rAdm appendable)")
+      require(rAdm == 0, "replayed vector batch must re-append nothing")
       Seq(b1, bn).foreach(_.unpersist())
+    }
+
+    // -------------- delta ACCUMULATION + compaction (round-15 ask) --------------
+    // one root, many consecutive admitted batches: does per-batch admit
+    // cost or serve latency grow with accumulated delta COMMITS (each
+    // admission = one manifest commit + small files per table)?
+    // FpIndex.compactIndex is the documented answer past the knee —
+    // bin-packs the files and collapses the log to one checkpoint,
+    // winner/delta stamps untouched (IndexDeltaSpec pins semantics).
+    locally {
+      val batches = 24
+      val root = buildDocRoot()
+      val base = docs.filter(col("doc_id") % 101 === 0)
+      def batchOf(i: Int): DataFrame = base
+        .withColumn("doc_id",
+          col("doc_id") + lit(800000000L) + lit(i.toLong) * lit(1000000L))
+        .select(col("doc_id"), expr(
+          "array_join(transform(split(text, ' '), w -> concat(w, '_', doc_id)), ' ')")
+          .as("text"))
+      val probeArr = batchOf(999).limit(50).persist()
+      probeArr.count()
+      def serveProbe(): Double = time {
+        streaming.Incremental.curationGateStream(
+            probeArr,
+            operators.FpIndex.loadFlat(spark, s"$root/${pipeline.IndexBuild.KeysT}"),
+            operators.FpIndex.loadFlat(spark, s"$root/${pipeline.IndexBuild.BandsT}"),
+            operators.FpIndex.loadShingles(spark, s"$root/${pipeline.IndexBuild.ShinglesT}"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // warm plans once
+      pipeline.IndexDelta.admitDocs(spark, root, batchOf(0), "acc-w").count()
+      CacheRegistry.releaseAll()
+      val marks = Set(1, 8, 16, batches)
+      val admitTimes = (1 to batches).map { i =>
+        val t = time {
+          pipeline.IndexDelta.admitDocs(spark, root, batchOf(i), s"acc-$i").count()
+        }
+        CacheRegistry.releaseAll()
+        if (marks(i)) {
+          val s = serveProbe()
+          val m = graft.sources.ManifestSink.sortedManifests(
+            new java.io.File(s"$root/${pipeline.IndexBuild.KeysT}")).size
+          println(f"accumulate batch $i%2d      admit $t%6.2f s   serve $s%6.2f s   " +
+            f"keys-manifests $m%3d")
+        }
+        t
+      }
+      val head5 = admitTimes.take(5).sum / 5
+      val tail5 = admitTimes.takeRight(5).sum / 5
+      println(f"accumulate admit flatness: first-5 avg $head5%6.2f s -> " +
+        f"last-5 avg $tail5%6.2f s (${tail5 / head5}%4.2fx)")
+      val servePre = serveProbe()
+      val tCompact = time {
+        Seq(pipeline.IndexBuild.KeysT, pipeline.IndexBuild.BandsT,
+          pipeline.IndexBuild.ShinglesT, pipeline.IndexBuild.NoveltyT)
+          .foreach(t => operators.FpIndex.compactIndex(spark, s"$root/$t"))
+      }
+      val servePost = serveProbe()
+      val mPost = graft.sources.ManifestSink.sortedManifests(
+        new java.io.File(s"$root/${pipeline.IndexBuild.KeysT}")).size
+      println(f"compactIndex             $tCompact%6.2f s   serve $servePre%6.2f -> " +
+        f"$servePost%6.2f s   keys-manifests -> $mPost%3d")
+      // post-compaction admission keeps working at the same cost shape
+      val tAfter = time {
+        pipeline.IndexDelta.admitDocs(spark, root, batchOf(batches + 1), "acc-post").count()
+      }
+      CacheRegistry.releaseAll()
+      println(f"admit after compaction   $tAfter%6.2f s")
+      probeArr.unpersist()
+    }
+
+    // -------------- streaming admission soak (round-15 ask) --------------
+    // >= 20 micro-batches of mixed clean/replay/near-dup arrivals through
+    // the foreachBatch admission against ONE root: verdict stability
+    // (every replay rejects, every near-dup of an admitted doc rejects,
+    // every fresh doc admits) and flat per-batch cost as admissions
+    // accumulate.
+    locally {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val root = buildDocRoot()
+      val nBatches = 20
+      // synthetic 30-word docs: quality-passing by construction, near-dup
+      // variants (one appended word → jaccard 28/29) reliably above tau
+      def freshOf(i: Int): Seq[(Long, String)] = (0 until 40).map { j =>
+        val nid = 700000000L + i.toLong * 1000000L + j
+        (nid, (1 to 30).map(k => s"w${nid}_$k").mkString(" "))
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val stats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          val v = pipeline.IndexDelta.admitDocs(
+              batch.sparkSession, root, batch, s"soak-$id")
+            .groupBy(col("admitted")).count().collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          val sec = (System.nanoTime() - t0) / 1e9
+          stats.synchronized {
+            stats += ((id, v.getOrElse(true, 0L), v.getOrElse(false, 0L), sec))
+          }
+          CacheRegistry.releaseAll()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_soak_admit_ckpt").toString)
+        .start()
+      try {
+        (0 until nBatches).foreach { i =>
+          val fresh = freshOf(i)
+          val replays = if (i == 0) Seq.empty else freshOf(i - 1).take(20)
+          val nearDups = if (i == 0) Seq.empty else freshOf(i - 1).drop(20).take(20)
+            .map { case (id, t) => (id + 500000000L, t + " zzz") }
+          input.addData(fresh ++ replays ++ nearDups)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val rows = stats.sortBy(_._1)
+      val admitted = rows.map(_._2).sum; val rejected = rows.map(_._3).sum
+      // batch 0: all 40 fresh admit. batches 1..19: 40 fresh admit, 20
+      // replays + 20 near-dups reject — verdict stability as a hard gate
+      require(rows.head._2 == 40 && rows.head._3 == 0,
+        s"batch 0 must admit all fresh docs: ${rows.head}")
+      require(rows.tail.forall(r => r._2 == 40 && r._3 == 40),
+        s"every later batch must admit 40 fresh and reject 40: ${rows.tail}")
+      val first5 = rows.take(5).map(_._4).sum / 5
+      val last5 = rows.takeRight(5).map(_._4).sum / 5
+      println(f"stream_admit ${rows.size}%2d batches  admitted $admitted%5d  " +
+        f"rejected $rejected%5d  per-batch first-5 $first5%5.2f s -> " +
+        f"last-5 $last5%5.2f s (${last5 / first5}%4.2fx)")
+      rows.grouped(5).zipWithIndex.foreach { case (g, gi) =>
+        println(f"  batches ${gi * 5}%2d-${gi * 5 + g.size - 1}%2d  " +
+          f"avg ${g.map(_._4).sum / g.size}%5.2f s")
+      }
     }
     spark.stop()
   }

@@ -326,6 +326,26 @@ object FpIndex {
     }
   }
 
+  /** COMPACT an index table that has accumulated delta commits — the
+    * maintenance verb past the SoakDelta knee: every
+    * [[deltaAppendFlat]] adds one manifest commit and one (or more)
+    * small data files, so a root admitting N batches between nightly
+    * builds pays O(N) listing + file-open cost per serve. This
+    * rewrites the data files bin-packed (`nFiles`) and publishes ONE
+    * checkpoint absorbing the whole commit history (the
+    * ManifestOptimize copy-on-write swap — OCC: a commit landing
+    * mid-rewrite aborts the compaction, never loses rows).
+    *
+    * Winner/delta stamps are ORDINARY DATA COLUMNS, so they survive
+    * bit-for-bit: fresh loads serve identical rows before and after,
+    * [[loadFlat]] still filters by the same winning build, and
+    * post-compaction deltas/rebuilds/vacuums keep working
+    * (IndexDeltaSpec pins all three). Retention trade, same as
+    * [[vacuumSuperseded]]: readers pinned strictly before the
+    * compaction expire — run it below the slowest reader's horizon. */
+  def compactIndex(spark: SparkSession, path: String, nFiles: Int = 1): Unit =
+    graft.sources.ManifestOptimize.compactFiles(spark, path, nFiles)
+
   /** Persist the shingle-set table (doc_id, hh array<long>) in first
     * normal form. */
   def saveShingles(path: String, sh: DataFrame): Unit =

@@ -138,6 +138,46 @@ class IndexDeltaSpec extends AnyFunSuite {
       "the racing winner keeps serving after the retried vacuum")
   }
 
+  test("compactIndex preserves winner/delta semantics (round-14 ask #3): " +
+      "served rows identical across the compaction, the absorbed commit " +
+      "history collapses to one checkpoint, and deltas/rebuilds/vacuum keep " +
+      "working on the compacted root") {
+    import spark.implicits._
+    val path = tmp("compact")
+    FpIndex.saveFlat(path, Seq((1L, 10L)).toDF("k", "v"))
+    FpIndex.rebuildFlat(spark, path, Seq((1L, 11L)).toDF("k", "v"), buildId = "bA")
+    // accumulate delta commits (the SoakDelta shape)
+    (0 until 6).foreach(i =>
+      FpIndex.deltaAppendFlat(spark, path, Seq((10L + i, 100L + i)).toDF("k", "v")))
+    val served = sortedRows(FpIndex.loadFlat(spark, path))
+    assert(served.size == 7) // winner row + 6 deltas
+    val verBefore = FpIndex.tableVersion(path)
+    val manifestsBefore = graft.sources.ManifestSink.sortedManifests(
+      new java.io.File(path)).size
+    assert(manifestsBefore >= 8, s"expected per-commit manifests: $manifestsBefore")
+    FpIndex.compactIndex(spark, path)
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == served,
+      "served rows must be identical across the compaction")
+    assert(graft.sources.ManifestSink.sortedManifests(new java.io.File(path)).size
+      < manifestsBefore, "the commit history must collapse")
+    // a pin taken AT the post-compaction version serves; the lifecycle
+    // continues: delta, rebuild, vacuum all work on the compacted root
+    val pin = FpIndex.tableVersion(path)
+    assert(pin >= verBefore, "versions stay monotone across the compaction")
+    FpIndex.deltaAppendFlat(spark, path, Seq((99L, 990L)).toDF("k", "v"))
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) ==
+      (served :+ Seq[Any](99L, 990L)).sortBy(_.mkString(" ")),
+      "post-compaction deltas serve")
+    assert(sortedRows(FpIndex.loadFlat(spark, path, Some(pin))) == served,
+      "a reader pinned at the compaction point is untouched by later deltas")
+    FpIndex.rebuildFlat(spark, path, Seq((1L, 12L)).toDF("k", "v"), buildId = "bB")
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == Seq(Seq[Any](1L, 12L)),
+      "a post-compaction rebuild supersedes the compacted build + its deltas")
+    val removed = FpIndex.vacuumSuperseded(spark, path)
+    assert(removed == 9L, // original + bA's row + 6 deltas + post-compact delta
+      s"vacuum on the compacted root reclaims the superseded rows: $removed")
+  }
+
   test("winner memo does not leak across table re-creation at the same path " +
       "(round-14 advice): a recreated table's low versions must not alias the " +
       "old table's cached winners") {
