@@ -230,13 +230,25 @@ object FpIndex {
     * (one admission job per corpus — the deployment shape); the OCC
     * guard catches delta-vs-rebuild races, not two identical deltas
     * racing each other (which would double-admit, exactly like two
-    * concurrent ON CONFLICT-free inserts). */
-  def deltaAppendFlat(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    * concurrent ON CONFLICT-free inserts).
+    *
+    * FILE-COUNT contract: the delta frame is COALESCED to `files`
+    * output files (default 1) before the append — a delta batch is
+    * O(delta) by this verb's own contract, and letting it inherit the
+    * session's shuffle partitioning writes up to
+    * `spark.sql.shuffle.partitions` near-empty parquet files PER
+    * COMMIT, so a root admitting N batches pays O(N·partitions)
+    * file-opens per serve instead of O(N) (measured: the SoakDelta
+    * streaming stage's per-batch cost grew 1.4× over 20 batches from
+    * exactly this). Callers with genuinely large deltas raise
+    * `files`. [[compactIndex]] bounds the residual growth. */
+  def deltaAppendFlat(spark: SparkSession, path: String, df: DataFrame,
+      files: Int = 1): Unit = {
     require(tableVersion(path) > 0,
       s"no index stored at $path — initial builds use saveFlat")
     winningBuildAt(spark, path, tableVersion(path)) match {
-      case None => saveFlat(path, df)
-      case Some((g, b)) => deltaAppendFlatAt(spark, path, df, g, b)
+      case None => saveFlat(path, df.coalesce(files))
+      case Some((g, b)) => deltaAppendFlatAt(spark, path, df.coalesce(files), g, b)
     }
   }
 
