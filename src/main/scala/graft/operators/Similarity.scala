@@ -1947,10 +1947,16 @@ object Similarity {
     * probes + 1-row stats); fusion itself touches only
     * |queries|·(5+10) candidate rows — a union, one (query, doc)
     * aggregate, one per-query WindowGroupLimit top-k. */
-  def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
-    val dense = cosineTopK(spark, dir)
-      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-        expr("1048576 div (60 + rank)").as("c"))
+  def hybridTopK(spark: SparkSession, dir: String): DataFrame =
+    hybridFuse(spark, dir,
+      cosineTopK(spark, dir)
+        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+          expr("1048576 div (60 + rank)").as("c")))
+
+  /** The sparse leg + RRF fusion tail shared by [[hybridTopK]] (exact
+    * dense leg) and [[hybridTopKAnn]] (IVF-pruned dense leg). */
+  private def hybridFuse(spark: SparkSession, dir: String,
+      dense: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val probes = docs.filter(expr("doc_id % 25 = 0"))
       .select(col("doc_id").as("query_id"),
@@ -1965,6 +1971,50 @@ object Similarity {
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
   }
+
+  /** q151: the PRODUCTION form of q93, oracled — hybrid RRF with the
+    * DENSE leg served by q44's IVF cell pruning instead of the exact
+    * cosine scan (the swap q93's scaladoc names as its scale path).
+    * The sf1 capture (BENCH_SF1.json) measured why this entry must
+    * exist: the exact dense leg is |Q|·n pairs, so q93 went
+    * 1.65 → 51.2 s at 10× magnitudes while every blocked/pruned
+    * operator stayed ~flat; this form's dense candidates are
+    * O(nprobe·n/nlist) per query and the fusion tail is identical
+    * (shared seam). IVF (unlike the trained-PQ leg) is fully
+    * oracle-expressible, so the production form carries its own hash
+    * gate; at a deployment the dense leg serves from the STORED
+    * quantizer ([[ivfTopKServe]]) — the composition is the same. */
+  def hybridTopKAnn(spark: SparkSession, dir: String): DataFrame =
+    hybridFuse(spark, dir,
+      ivfTopK(spark, dir)
+        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+          expr("1048576 div (60 + rank)").as("c")))
+
+  val hybridTopKAnnSql: String =
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id,
+       |         1048576 // (60 + rank) AS c
+       |  FROM (
+       |$ivfTopKSql
+       |  ) dq),
+       |sparse AS (
+       |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS c
+       |  FROM (
+       |${TextAnalysis.bm25Sql(
+      """  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+        |    FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
+      excludeSelf = true)}
+       |  ) sq),
+       |f AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+       |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, rrf_score FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |  FROM f) WHERE rank <= 10""".stripMargin
 
   val hybridTopKSql: String =
     s"""WITH dense AS (

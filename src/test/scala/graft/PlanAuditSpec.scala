@@ -93,7 +93,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "q149_ivf_sq8",
       // q150: q114's |sources|^2 pair cross, now over the k-row
       // per-source sketch stats — every input is model-sized
-      "q150_kmv_overlap_sketch")
+      "q150_kmv_overlap_sketch",
+      // q151: q93's fusion with the dense leg swapped to q44's IVF —
+      // inherits q44's quantizer cross and q92's 1-row stats cross;
+      // the corpus-side joins are all equi-key (cell id, term, doc)
+      "q151_hybrid_rrf_ann")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

@@ -276,6 +276,54 @@ class SimilaritySpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("q151 hybrid-ANN (the q93 production form): fusion replays exactly " +
+      "with the IVF dense leg; the sparse leg is shared; outputs overlap the " +
+      "exact form substantially") {
+    CacheRegistry.releaseAll()
+    val docs = Tables.documents(spark, sf)
+    val dense = Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1).toLong).toMap
+    val probes = docs.filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = graft.operators.TextAnalysis
+      .bm25Of(docs, probes, excludeSelf = true).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    def c(rank: Long): Long = 1048576L / (60L + rank)
+    val expected = (dense.keySet ++ sparse.keySet).groupBy(_._1)
+      .flatMap { case (q, keys) =>
+        keys.toSeq
+          .map { k => (k._2,
+            dense.get(k).map(c).getOrElse(0L) + sparse.get(k).map(c).getOrElse(0L)) }
+          .sortBy { case (d, s) => (-s, d) }
+          .take(10).zipWithIndex
+          .map { case ((d, s), i) => (q, i + 1) -> (d, s) }
+      }
+    val got = Similarity.hybridTopKAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toMap
+    assert(got == expected, "ANN fusion must equal the driver-replayed RRF")
+    // the production form should not collapse vs the exact form: the
+    // sparse leg is shared verbatim and the IVF leg recalls most exact
+    // neighbors (IvfSpec), so per-query top-10 overlap stays high
+    val exact = Similarity.hybridTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    val ann = got.toSeq.groupBy(_._1._1)
+      .map { case (q, rs) => q -> rs.map(_._2._1).toSet }
+    assert(ann.keySet == exact.keySet, "every query answered in both forms")
+    // .toSeq before map: a Set of per-query ratios would collapse
+    // duplicates and silently shrink the mean
+    val overlap = exact.keys.toSeq.map { q =>
+      ann(q).intersect(exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(overlap >= 0.6,
+      f"ANN hybrid must track the exact hybrid (mean top-10 overlap $overlap%.2f)")
+    CacheRegistry.releaseAll()
+  }
+
   /** Driver replay of q96's full integer contract: floor(x·2²⁰)
     * quantize, truncating-div integer centroid (Spark `div` ≡ DuckDB
     * `//` ≡ Scala `/` on Longs — all toward zero), exact integer
