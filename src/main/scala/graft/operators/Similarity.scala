@@ -376,6 +376,15 @@ object Similarity {
       nprobe: Int,
       k: Int): DataFrame = {
     val (assigned, probes) = ivfAssignAndProbe(corpus, queryPred, cents, nprobe)
+    ivfRank(assigned, probes, k)
+  }
+
+  /** The probe-join + rerank tail of the IVF scan, factored so callers
+    * can feed a CACHED assigned corpus (the q151 lesson: composing the
+    * raw NearestCell assignment — a quantizer-sized literal expression
+    * — into a LARGER fused plan poisons the whole fused codegen stage
+    * at real quantizer sizes; a materialization point isolates it). */
+  private def ivfRank(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     // the probe join: equi-join on the cell id — candidates are the
     // nprobe cells' inverted lists, not the corpus
     val cand = assigned.join(broadcast(probes),
@@ -1983,12 +1992,25 @@ object Similarity {
     * (shared seam). IVF (unlike the trained-PQ leg) is fully
     * oracle-expressible, so the production form carries its own hash
     * gate; at a deployment the dense leg serves from the STORED
-    * quantizer ([[ivfTopKServe]]) — the composition is the same. */
-  def hybridTopKAnn(spark: SparkSession, dir: String): DataFrame =
-    hybridFuse(spark, dir,
-      ivfTopK(spark, dir)
-        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-          expr("1048576 div (60 + rank)").as("c")))
+    * quantizer ([[ivfTopKServe]]) — the composition is the same.
+    *
+    * Materialization point (measured at sf1): the cell assignment is a
+    * quantizer-sized literal expression (nlist ≈ n/31 centroids inlined
+    * into NearestCell's codegen); fused RAW into the RRF union it
+    * poisoned the whole fused stage's codegen/JIT and ran 176.9 s —
+    * cached (the q57-shared `ivfCells` key), the fused plan reads the
+    * assignment from memory and the dense leg costs IVF-scan time. */
+  def hybridTopKAnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val cents = collectCentroids(v, expr(IvfCentroidFilter))
+    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.ivfCells:$dir")(
+      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
+    val dense = ivfRank(assigned,
+        probeCells(v, expr(QueryFilter), cents, IvfNprobe), IvfK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        expr("1048576 div (60 + rank)").as("c"))
+    hybridFuse(spark, dir, dense)
+  }
 
   val hybridTopKAnnSql: String =
     s"""WITH dense AS (

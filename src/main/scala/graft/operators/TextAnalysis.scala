@@ -1482,8 +1482,23 @@ object TextAnalysis {
     "(length(conv((n * 1048576) div df, 10, 2)) - 1) * " +
       "((tf * 2097152) div (tf * 1024 + (1024 + (dl * 1024) div (tot div n)) div 2))"
 
+  /** `maxDfFrac`: static common-term pruning — probe terms whose
+    * document frequency exceeds `frac · N` are dropped BEFORE the
+    * posting join (the WAND-family production lever: a term with
+    * df ≈ N has BM25 idf ≈ 0 — it contributes nothing to the ranking
+    * yet its posting list is the whole corpus, so it alone can
+    * dominate the matched-row count; measured at sf1 the q93/q151
+    * probe join materializes 5.5·10⁸ rows, every one from such
+    * terms). Approximation, deliberately opt-in (None = exact — the
+    * oracled q92/q93/q151 semantics): dropping a term removes its
+    * (near-zero) contribution only from the docs that contain it, so
+    * near-ties among candidates can reorder. NOTE the fixture corpora
+    * are vocabulary-degenerate (every template word has df ≈ 0.77·N),
+    * so on them any useful cap empties the probe set — the lever is
+    * spec-verified on a planted Zipfian corpus instead. */
   def bm25Of(docs: DataFrame, probes: DataFrame, k: Int = 10,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxDfFrac: Option[Double] = None): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
     // Materialization point (the q82 projection-collapse lesson): tf is
@@ -1501,8 +1516,17 @@ object TextAnalysis {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    // common-term pruning happens on the PROBE side: the df table is
+    // vocab-sized, the filtered probes broadcast, and the posting join
+    // then never materializes the dropped terms' corpus-sized lists
+    val probeTerms = maxDfFrac.fold(probes) { frac =>
+      probes.join(dfreq, Seq("w"))
+        .crossJoin(broadcast(stats.select(col("n").as("n_corpus"))))
+        .filter(col("df") <= col("n_corpus") * lit(frac))
+        .select(probes.columns.map(col).toIndexedSeq: _*)
+    }
     val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("w"))
-      .join(broadcast(probes), Seq("w"))
+      .join(broadcast(probeTerms), Seq("w"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), expr(Bm25TermScore).as("s"))
       .groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("score"))

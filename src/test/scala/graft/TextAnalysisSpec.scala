@@ -866,4 +866,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 common-term pruning (maxDfFrac): a df=N stopword's corpus-sized " +
+      "posting list is never materialized, and rankings decided by " +
+      "distinctive terms are unchanged") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // every doc carries the stopword; doc i also carries its own term
+    val docs = (1 to 6).map { i =>
+      (i.toLong, ("the " + (s"w$i " * i)).trim)
+    }.toDF("doc_id", "text")
+    val probes = Seq((100L, "the"), (100L, "w3")).toDF("query_id", "w")
+    val uncapped = TextAnalysis.bm25Of(docs, probes).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toMap
+    val capped = TextAnalysis.bm25Of(docs, probes, maxDfFrac = Some(0.5)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"))).toMap
+    // uncapped: the stopword matches EVERY doc -> 6 candidates;
+    // capped: only the distinctive term probes -> 1 candidate
+    assert(uncapped.size == 6, s"uncapped candidates: $uncapped")
+    assert(capped.keySet == Set(3L), s"capped candidates: $capped")
+    // the ranking the distinctive term decides is unchanged
+    assert(uncapped.minBy(_._2)._1 == 3L,
+      s"w3's doc must top the uncapped list too: $uncapped")
+    assert(capped(3L) == 1)
+  }
+
 }
