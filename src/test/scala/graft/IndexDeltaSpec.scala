@@ -166,7 +166,7 @@ class IndexDeltaSpec extends AnyFunSuite {
     assert(pin >= verBefore, "versions stay monotone across the compaction")
     FpIndex.deltaAppendFlat(spark, path, Seq((99L, 990L)).toDF("k", "v"))
     assert(sortedRows(FpIndex.loadFlat(spark, path)) ==
-      (served :+ Seq[Any](99L, 990L)).sortBy(_.mkString(" ")),
+      (served :+ Seq[Any](99L, 990L)).sortBy(_.mkString("\u0000")),
       "post-compaction deltas serve")
     assert(sortedRows(FpIndex.loadFlat(spark, path, Some(pin))) == served,
       "a reader pinned at the compaction point is untouched by later deltas")
