@@ -36,6 +36,20 @@ object Bench {
     */
   private val CalibrationBandSec = 0.6
 
+  /** Loadavg gate (round-15 verdict ask #4): the r15 post-close driver
+    * capture started at loadavg 6.20 and inflated q126 17×, yet
+    * `load_warn` stayed false because the calibration probe happened
+    * to land in-band (calibration is a 3-rep median — on a machine
+    * whose contention comes in bursts it can thread the gaps). The
+    * 1-minute loadavg integrates over the whole preceding minute and
+    * cannot thread anything, so the gate now also trips when the
+    * START loadavg exceeds availableProcessors / 4 — a quarter-loaded
+    * box already distorts a 32-thread local run's medians. (Only the
+    * start reading gates: the end reading is dominated by the suite's
+    * own threads; during-capture contention stays with the end-of-
+    * suite calibration probe, which runs on the quiesced pool.) */
+  private def loadGateThreshold(cpus: Int): Double = cpus / 4.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +85,10 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(' ').take(3).mkString(" ")
       catch { case _: Exception => "unavailable" }
 
+    // 1-minute loadavg as a number (NaN when unavailable — never trips)
+    def load1(s: String): Double =
+      try s.split(' ').head.toDouble catch { case _: Exception => Double.NaN }
+
     // Fixed-cost machine-state probe: constant work over a cached range,
     // timed under the identical warmup+median contract as real queries.
     // Same cost every run on every HEAD — so a reading outside the band
@@ -100,6 +118,11 @@ object Bench {
       System.err.println(f"WARN: bench calibration $calibrationStart%.3f s exceeds the committed " +
         f"idle band ($CalibrationBandSec s) — machine is contended (loadavg $loadavgStart); " +
         "this capture measures load, not plans. Re-run idle before trusting it.")
+    if (load1(loadavgStart) > loadGateThreshold(cpusAvailable))
+      System.err.println(f"WARN: start 1-min loadavg $loadavgStart exceeds the idle gate " +
+        f"(${loadGateThreshold(cpusAvailable)}%.1f = cpus/4) — machine was busy over the " +
+        "preceding minute even if calibration landed in-band; this capture is contended. " +
+        "Re-run idle before trusting it.")
 
     // The full summary JSON for whatever has completed so far. Both the
     // driver's BENCH_r06/r07 captures arrived truncated (one end of the
@@ -113,11 +136,22 @@ object Bench {
       val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val calEndJson = if (calibrationEnd >= 0) calibrationEnd.toString else "null"
+      val loadThresh = loadGateThreshold(cpusAvailable)
+      // START loadavg only: it integrates the minute BEFORE this JVM
+      // did any work, so a reading above the gate can only be FOREIGN
+      // load (the r15 contended capture: 6.20 at start, gate missed).
+      // The END loadavg is dominated by the suite's own 32 threads —
+      // gating on it would flag every honest capture — so
+      // became-contended-during detection stays with the end-of-suite
+      // calibration probe, which runs after the pool quiesces.
+      val loadavgWarn = load1(loadavgStart) > loadThresh
       val loadWarn = calibrationStart > CalibrationBandSec ||
-        (calibrationEnd >= 0 && calibrationEnd > CalibrationBandSec)
+        (calibrationEnd >= 0 && calibrationEnd > CalibrationBandSec) ||
+        loadavgWarn
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)},""" +
         s""""calibration_sec":$calibrationStart,"calibration_end_sec":$calEndJson,""" +
         s""""calibration_band_sec":$CalibrationBandSec,"load_warn":$loadWarn,""" +
+        s""""loadavg_warn":$loadavgWarn,"loadavg_threshold":$loadThresh,""" +
         s""""loadavg":${jstr(loadavgStart)},"loadavg_end":${jstr(loadavgEnd)},"cpus_available":$cpusAvailable}"""
     }
     def writeDurable(): Unit =

@@ -35,11 +35,13 @@ import scala.collection.mutable
   * building another, while two threads racing the SAME key still build
   * it exactly once (the second blocks on that key's cell alone).
   * `releaseAll` expects the usual quiesced call sites (Bench/Verify
-  * between queries, a pipeline's scope exit): a build in flight DURING
-  * release re-registers nothing — its cell has already left the map —
-  * so its persisted frame is released by the build thread's own scope,
-  * not leaked silently into a registry that no longer tracks it
-  * (CacheRegistrySpec covers the two-key parallel build).
+  * between queries, a pipeline's scope exit); a build in flight DURING
+  * release is handled by the orphan handshake on its cell — the
+  * completed frame re-registers under its key (released by the NEXT
+  * releaseAll) or, if the key was rebuilt meanwhile, unpersists
+  * itself, so nothing leaks into a registry that no longer tracks it
+  * (CacheRegistrySpec covers the two-key parallel build and the
+  * orphaned in-flight build).
   */
 object CacheRegistry {
 
@@ -48,14 +50,30 @@ object CacheRegistry {
   /** One memoized build: the per-key latch. `value` runs the build +
     * persist at most once (double-checked under the cell's own
     * monitor); `peek` exposes the frame only if already built, so
-    * releaseAll never forces an unevaluated build. */
-  private final class Cell(build: () => DataFrame) {
+    * releaseAll never forces an unevaluated build.
+    *
+    * ORPHAN HANDLING (round-15 advice): a cell drained by
+    * [[releaseAll]] while its build is still in flight would otherwise
+    * finish persisting a frame no registry entry tracks — leaked until
+    * session stop, because getOrCache callers never unpersist. So
+    * releaseAll marks drained-unbuilt cells `orphaned`, and the build
+    * thread RE-REGISTERS the cell on completion (volatile handshake:
+    * orphaned is written before the releaseAll peek, v before the
+    * orphan check — at least one side always observes the other, so a
+    * completed frame is either unpersisted by releaseAll or back in
+    * the map for the next one). If the key has meanwhile been rebuilt
+    * by a newer cell, the orphan unpersists its own frame instead. */
+  private final class Cell(val key: Key, build: () => DataFrame) {
     @volatile private var v: DataFrame = null
+    @volatile private[CacheRegistry] var orphaned = false
     def value: DataFrame = {
       val c = v
       if (c != null) c
       else synchronized {
-        if (v == null) v = build().persist(StorageLevel.MEMORY_AND_DISK)
+        if (v == null) {
+          v = build().persist(StorageLevel.MEMORY_AND_DISK)
+          if (orphaned) reattach(this, v)
+        }
         v
       }
     }
@@ -68,11 +86,25 @@ object CacheRegistry {
     * key), returns the same persisted DataFrame afterwards. The build
     * itself runs outside the registry monitor (per-key latch). */
   def getOrCache(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    val k = Key(System.identityHashCode(spark), name)
     val cell = synchronized {
-      entries.getOrElseUpdate(
-        Key(System.identityHashCode(spark), name), new Cell(() => build))
+      entries.getOrElseUpdate(k, new Cell(k, () => build))
     }
     cell.value
+  }
+
+  /** Re-register a cell whose build outlived a [[releaseAll]] (lock
+    * order Cell → Registry is safe: getOrCache never holds the
+    * registry monitor while taking a cell's — `cell.value` runs
+    * outside it). A newer cell already holding the key wins; the
+    * orphan then unpersists its own frame (the cache is advisory). */
+  private def reattach(cell: Cell, df: DataFrame): Unit = {
+    val readopted = synchronized {
+      if (entries.contains(cell.key)) false
+      else { entries.put(cell.key, cell); true }
+    }
+    if (!readopted)
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
   }
 
   /** Unpersist everything registered. Non-blocking: the executors drop
@@ -85,10 +117,16 @@ object CacheRegistry {
       entries.clear()
       c
     }
-    cells.foreach(_.peek.foreach { df =>
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () } // session may already be stopped
-    })
+    cells.foreach { cell =>
+      // mark BEFORE peeking: a build completing concurrently either
+      // sees the orphan flag (and re-registers for the next release)
+      // or completes early enough that the peek below sees its frame
+      cell.orphaned = true
+      cell.peek.foreach { df =>
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () } // session may already be stopped
+      }
+    }
     ModelRegistry.clear()
   }
 

@@ -1486,9 +1486,18 @@ object Dedup {
         .filter(size(col("t")) >= 3)
         .select(col("source"),
           explode(TextHash.wordNGramHashes(col("t"), 3)).as("h"))
-        .distinct()
+        // dedup on the POST-scramble (source, hv) grain — the grain
+        // [[loadKmvMerged]]'s distinct uses and the DuckDB oracle's
+        // DISTINCT computes. Deduping on the 64-bit pre-scramble h
+        // would keep two h that collide mod 2^32 as duplicate
+        // (source, hv) rows, drifting the exact-cardinality audit and
+        // the in-session cut away from the merged stored sketch
+        // (round-15 advice; at real corpus scale such collisions are
+        // expected). One distinct instead of two is also one fewer
+        // shuffle over the exploded shingle stream.
         .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
         .select(col("source"), col("hv"))
+        .distinct()
     }
 
   /** Per-source bottom-k over a distinct (source, hv) frame — the KMV
@@ -1749,9 +1758,12 @@ object Dedup {
       .filter(size(col("t")) >= 3)
       .select(col("source"),
         explode(TextHash.wordNGramHashes(col("t"), 3)).as("h"))
-      .distinct()
+      // same post-scramble dedup grain as [[kmvSourceHashes]] /
+      // [[loadKmvMerged]] — keeps "merged sketch ≡ full rebuild"
+      // exact even when two 64-bit h collide mod 2^32
       .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
-      .select(col("source"), col("hv")))
+      .select(col("source"), col("hv"))
+      .distinct())
 
   /** Persist / rebuild the per-source KMV sketch artifact. */
   def saveKmvSketch(spark: SparkSession, path: String, docs: DataFrame): Unit =

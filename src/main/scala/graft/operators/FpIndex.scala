@@ -159,6 +159,31 @@ object FpIndex {
     * (path, version), so repeat lookups — every load in a serving
     * session, the pre-read of every delta batch after the first — are
     * a manifest file-count check, not a scan. */
+  /** Driver-side replica of the serving total order: generation, then
+    * build id by UNSIGNED UTF-8 BYTE comparison — exactly how Spark's
+    * UTF8String orders the `max(struct(g, b))` in [[winningBuild]].
+    * (Scala's `(Long, String)` tuple max would compare the id by
+    * UTF-16 code units, which disagrees beyond the BMP.) */
+  private[graft] val buildStampOrdering: Ordering[(Long, String)] =
+    new Ordering[(Long, String)] {
+      def compare(p: (Long, String), q: (Long, String)): Int = {
+        val g = java.lang.Long.compare(p._1, q._1)
+        if (g != 0) g
+        else {
+          val a = p._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = q._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      }
+    }
+
   private def winningBuild(raw: DataFrame): Option[(Long, String)] =
     if (!raw.columns.contains(GenCol)) None
     else {
@@ -232,25 +257,72 @@ object FpIndex {
     * racing each other (which would double-admit, exactly like two
     * concurrent ON CONFLICT-free inserts).
     *
-    * FILE-COUNT contract: the delta frame is COALESCED to `files`
-    * output files (default 1) before the append — a delta batch is
-    * O(delta) by this verb's own contract, and letting it inherit the
-    * session's shuffle partitioning writes up to
-    * `spark.sql.shuffle.partitions` near-empty parquet files PER
+    * FILE-COUNT contract: the delta frame is COALESCED before the
+    * append — a delta batch is O(delta) by this verb's own contract,
+    * and letting it inherit the session's shuffle partitioning writes
+    * up to `spark.sql.shuffle.partitions` near-empty parquet files PER
     * COMMIT, so a root admitting N batches pays O(N·partitions)
     * file-opens per serve instead of O(N) (measured: the SoakDelta
     * streaming stage's per-batch cost grew 1.4× over 20 batches from
-    * exactly this). Callers with genuinely large deltas raise
-    * `files`. [[compactIndex]] bounds the residual growth. */
+    * exactly this). `files` = 0 (the default) SIZES the file count
+    * from the delta's actual row count (one delta-sized count job,
+    * ⌈rows / [[DeltaRowsPerFile]]⌉ capped at 64) — so a genuinely
+    * large delta never funnels its write through a single task while
+    * small admission batches still write one file (round-15 advice:
+    * a fixed default of 1 relied on every caller remembering the
+    * knob). Callers that know better pass `files` explicitly.
+    * [[compactIndex]] bounds the residual growth — and once the
+    * root's VISIBLE manifest count crosses
+    * [[AutoCompactManifests]] this verb triggers it itself (see
+    * [[maybeAutoCompact]]); admission paths that must preserve
+    * pre-delta pinned snapshots past that horizon pass
+    * `autoCompact = false`. */
   def deltaAppendFlat(spark: SparkSession, path: String, df: DataFrame,
-      files: Int = 1): Unit = {
+      files: Int = 0, autoCompact: Boolean = true): Unit = {
     require(tableVersion(path) > 0,
       s"no index stored at $path — initial builds use saveFlat")
+    val n =
+      if (files > 0) files
+      else {
+        val rows = df.count() // delta-sized by this verb's contract
+        math.min(64L, (rows + DeltaRowsPerFile - 1) / DeltaRowsPerFile).toInt.max(1)
+      }
     winningBuildAt(spark, path, tableVersion(path)) match {
-      case None => saveFlat(path, df.coalesce(files))
-      case Some((g, b)) => deltaAppendFlatAt(spark, path, df.coalesce(files), g, b)
+      case None => saveFlat(path, df.coalesce(n))
+      case Some((g, b)) => deltaAppendFlatAt(spark, path, df.coalesce(n), g, b)
     }
+    if (autoCompact) maybeAutoCompact(spark, path)
   }
+
+  /** Auto-sizing grain for [[deltaAppendFlat]]'s file count: flat
+    * index rows are a handful of scalars (~tens of bytes in parquet),
+    * so 2M rows/file lands in the tens-of-MB range — small enough to
+    * parallelize a big delta's write, large enough that steady-state
+    * admission batches stay one file per commit. */
+  val DeltaRowsPerFile: Long = 2L * 1024 * 1024
+
+  /** AUTO-COMPACTION policy (round-15 verdict ask): the SoakDelta
+    * accumulation run measured the serve-latency knee at ~16-24
+    * accumulated delta commits (probe serve 0.53 → 1.08 s over 24
+    * commits; compaction restored 0.31 s), and before this trigger a
+    * human had to notice it. [[deltaAppendFlat]] checks the VISIBLE
+    * manifest count after each commit and compacts past this
+    * threshold, so a sustained admission stream self-compacts every
+    * ~15 deltas and serve latency stays bounded. */
+  val AutoCompactManifests: Int = 16
+
+  /** The [[deltaAppendFlat]] auto-compaction step. Failure-isolated:
+    * a commit racing the copy-on-write rewrite aborts the compaction
+    * (the ManifestOptimize OCC contract — rows are never lost), and
+    * the NEXT delta append simply retries; the admission itself has
+    * already committed either way. Inherits [[compactIndex]]'s
+    * retention trade — readers pinned strictly below the compaction
+    * horizon expire. */
+  private def maybeAutoCompact(spark: SparkSession, path: String): Unit =
+    if (graft.sources.ManifestSink.sortedManifests(
+        new java.io.File(path)).size >= AutoCompactManifests)
+      try compactIndex(spark, path)
+      catch { case _: java.util.ConcurrentModificationException => () }
 
   /** Race seam: [[deltaAppendFlat]] with the winner read pinned by the
     * caller — a delta stamped with a build a rebuild has since
@@ -318,10 +390,16 @@ object FpIndex {
                  if (r.isNullAt(1)) null else r.getString(1)))
     if (stamps.isEmpty) return 0L
     // the serving order: nulls coalesce to (0, "") exactly as loadFlat's
-    // winner filter does, so vacuum keeps precisely what loadFlat serves
+    // winner filter does, so vacuum keeps precisely what loadFlat serves.
+    // Build ids compare by UTF-8 BYTES (Spark's UTF8String order — what
+    // winningBuild's max(struct(g, b)) uses), NOT Scala's String
+    // compareTo (UTF-16 code units): for ids containing supplementary-
+    // plane characters the two orders disagree, and a vacuum picking a
+    // different winner than loadFlat would delete the serving build
+    // (round-15 advice).
     def keyOf(s: (java.lang.Long, String)): (Long, String) =
       (if (s._1 == null) 0L else s._1.longValue, if (s._2 == null) "" else s._2)
-    val winnerKey = stamps.map(keyOf).max
+    val winnerKey = stamps.map(keyOf).max(buildStampOrdering)
     val superseded = stamps.filter(keyOf(_) != winnerKey)
     if (superseded.isEmpty) 0L
     else {

@@ -126,6 +126,58 @@ class CacheRegistrySpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("orphaned in-flight build re-registers on completion — the next " +
+      "releaseAll unpersists it (round-15 advice: no frame leaks past release)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    CacheRegistry.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
+    val inBuild = new CountDownLatch(1)
+    val released = new CountDownLatch(1)
+    val t = new Thread(() =>
+      CacheRegistry.getOrCache(spark, "orphanK") {
+        inBuild.countDown()
+        // hold the build open until releaseAll has drained the map
+        assert(released.await(30, TimeUnit.SECONDS))
+        spark.range(7).toDF("o")
+      }.count())
+    t.start()
+    assert(inBuild.await(30, TimeUnit.SECONDS))
+    CacheRegistry.releaseAll() // drains the cell mid-build, marks it orphaned
+    assert(CacheRegistry.size == 0)
+    released.countDown()
+    t.join(60000)
+    assert(!t.isAlive, "orphaned build must complete")
+    // the completed build re-registered itself instead of leaking
+    assert(CacheRegistry.size == 1,
+      "a build that outlives releaseAll must re-register its frame")
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    CacheRegistry.releaseAll()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the re-registered orphan must be unpersisted by the next release")
+    // …and if the key was REBUILT meanwhile, the orphan unpersists itself
+    val inBuild2 = new CountDownLatch(1)
+    val released2 = new CountDownLatch(1)
+    val t2 = new Thread(() =>
+      CacheRegistry.getOrCache(spark, "orphanK2") {
+        inBuild2.countDown()
+        assert(released2.await(30, TimeUnit.SECONDS))
+        spark.range(3).toDF("o2")
+      }.count())
+    t2.start()
+    assert(inBuild2.await(30, TimeUnit.SECONDS))
+    CacheRegistry.releaseAll()
+    // a NEWER cell takes the key before the orphan completes
+    CacheRegistry.getOrCache(spark, "orphanK2")(spark.range(4).toDF("n")).count()
+    released2.countDown()
+    t2.join(60000)
+    assert(!t2.isAlive)
+    assert(CacheRegistry.size == 1, "the newer cell must keep the key")
+    CacheRegistry.releaseAll()
+    // block cleanup is async but plan-cache removal is synchronous
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "both the newer frame and the self-unpersisted orphan must be gone")
+  }
+
   test("released cache does not change results: q18 identical before/after release") {
     CacheRegistry.releaseAll()
     val before = Dedup.minhashLsh(spark, sf).orderBy(col("a_id"), col("b_id")).collect().toSeq

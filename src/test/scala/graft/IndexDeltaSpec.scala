@@ -178,6 +178,48 @@ class IndexDeltaSpec extends AnyFunSuite {
       s"vacuum on the compacted root reclaims the superseded rows: $removed")
   }
 
+  test("auto-compaction (round-15 ask #3): a long admission run self-compacts " +
+      "past AutoCompactManifests — served rows byte-stable, manifest count " +
+      "bounded, deltas keep landing after; autoCompact=false preserves pins") {
+    import spark.implicits._
+    val path = tmp("autocompact")
+    FpIndex.saveFlat(path, Seq((0L, 0L)).toDF("k", "v"))
+    FpIndex.rebuildFlat(spark, path, Seq((0L, 1L)).toDF("k", "v"))
+    val nDeltas = FpIndex.AutoCompactManifests + 6 // well past the trigger
+    (1 to nDeltas).foreach { i =>
+      FpIndex.deltaAppendFlat(spark, path, Seq((i.toLong, i * 10L)).toDF("k", "v"))
+    }
+    val manifests = graft.sources.ManifestSink
+      .sortedManifests(new java.io.File(path)).size
+    assert(manifests < FpIndex.AutoCompactManifests,
+      s"sustained admission must self-compact below the threshold, got $manifests")
+    // served rows: the winning build's row plus every delta, none lost
+    val served = sortedRows(FpIndex.loadFlat(spark, path))
+    val expected = (Seq(Seq[Any](0L, 1L)) ++
+      (1 to nDeltas).map(i => Seq[Any](i.toLong, i * 10L)))
+      .sortBy(_.mkString(" "))
+    assert(served == expected, "auto-compaction must not change served rows")
+    // the lifecycle keeps working post-compaction: another delta + a rebuild
+    FpIndex.deltaAppendFlat(spark, path, Seq((99L, 990L)).toDF("k", "v"))
+    assert(sortedRows(FpIndex.loadFlat(spark, path)).contains(Seq[Any](99L, 990L)))
+    FpIndex.rebuildFlat(spark, path, Seq((7L, 70L)).toDF("k", "v"))
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == Seq(Seq[Any](7L, 70L)))
+    // opt-out: admission paths that need pinned snapshots across the
+    // horizon accumulate manifests freely under autoCompact = false
+    val path2 = tmp("nocompact")
+    FpIndex.saveFlat(path2, Seq((0L, 0L)).toDF("k", "v"))
+    val pin = FpIndex.tableVersion(path2)
+    (1 to nDeltas).foreach { i =>
+      FpIndex.deltaAppendFlat(spark, path2,
+        Seq((i.toLong, i * 10L)).toDF("k", "v"), autoCompact = false)
+    }
+    assert(graft.sources.ManifestSink.sortedManifests(
+        new java.io.File(path2)).size > FpIndex.AutoCompactManifests,
+      "autoCompact=false must never trigger the rewrite")
+    assert(sortedRows(FpIndex.loadFlat(spark, path2, Some(pin))) ==
+      Seq(Seq[Any](0L, 0L)), "pre-delta pin must keep serving under opt-out")
+  }
+
   test("winner memo does not leak across table re-creation at the same path " +
       "(round-14 advice): a recreated table's low versions must not alias the " +
       "old table's cached winners") {
