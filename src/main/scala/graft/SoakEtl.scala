@@ -949,6 +949,96 @@ object SoakDelta {
           f"avg ${g.map(_._4).sum / g.size}%5.2f s")
       }
     }
+
+    // ------ IVF+SQ8 streaming VECTOR admission soak (round-16 ask #6) ------
+    // 20 micro-batches of mixed fresh/replay/near-dup vector arrivals
+    // through the foreachBatch gate probing the STORED composed tier
+    // (quantizer + SQ8 codes — the q149 store), with admitted arrivals
+    // delta-appended so batch N+1's gate sees batch N's admissions.
+    // Hard verdict gate per batch + flat per-batch cost; the per-vec
+    // cost prints in the same µs units as admit_vectors above for the
+    // "per-arrival cost <= current gate" comparison. Because every
+    // admission is one delta commit, this stage ALSO exercises the
+    // auto-compaction trigger live (manifest count stays bounded below
+    // FpIndex.AutoCompactManifests across 20 commits).
+    locally {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val annPath = tmpRoot("ivfsq8")
+      operators.Similarity.buildIvfSq8Index(spark, sfDir, annPath)
+      val tau = 0.05
+      val nBatches = 20
+      def freshVec(id: Long): Array[Float] = Array.tabulate(64) { d =>
+        ((((id * 64 + d + 1) * 2654435761L) % 1048576L) - 524288L) / 1048576.0f
+      }
+      def freshOf(i: Int): Seq[(Long, Array[Float])] = (0 until 100).map { j =>
+        val id = 600000000L + i.toLong * 1000000L + j
+        (id, freshVec(id))
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val stats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Double)]()
+      val q = input.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val t0 = System.nanoTime()
+          val b = batch.persist()
+          val v = operators.Similarity.ivfSq8Gate(b.sparkSession, annPath, b, tau)
+            .persist()
+          val byStage = v.groupBy(col("admitted"), col("reject_stage")).count()
+            .collect()
+            .map(r => (r.getBoolean(0),
+              if (r.isNullAt(1)) "ok" else r.getString(1)) -> r.getLong(2)).toMap
+          val admitted = v.filter(col("admitted")).select(col("vec_id"))
+          operators.Similarity.admitIvfSq8Codes(b.sparkSession, annPath,
+            b.join(admitted, Seq("vec_id")))
+          val sec = (System.nanoTime() - t0) / 1e9
+          stats.synchronized {
+            stats += ((id, byStage.getOrElse((true, "ok"), 0L),
+              byStage.getOrElse((false, "replay"), 0L),
+              byStage.getOrElse((false, "near_dup"), 0L), sec))
+          }
+          v.unpersist(); b.unpersist()
+          CacheRegistry.releaseAll()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_soak_vecadmit_ckpt").toString)
+        .start()
+      try {
+        (0 until nBatches).foreach { i =>
+          val fresh = freshOf(i)
+          val replays = if (i == 0) Seq.empty else freshOf(i - 1).take(50)
+          val nearDups = if (i == 0) Seq.empty else freshOf(i - 1).drop(50)
+            .map { case (id, vv) =>
+              val a = vv.clone(); a(0) = a(0) + 0.001f
+              (id + 400000000L, a)
+            }
+          input.addData(fresh ++ replays ++ nearDups)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val rows = stats.sortBy(_._1)
+      require(rows.head == ((0L, 100L, 0L, 0L, rows.head._5)),
+        s"batch 0 must admit all 100 fresh vectors: ${rows.head}")
+      require(rows.tail.forall(r => r._2 == 100 && r._3 == 50 && r._4 == 50),
+        "every later batch must admit 100 fresh, replay-reject 50, " +
+          s"near-dup-reject 50: ${rows.tail}")
+      val manifests = graft.sources.ManifestSink.sortedManifests(
+        new java.io.File(s"$annPath/codes")).size
+      require(manifests < operators.FpIndex.AutoCompactManifests,
+        s"auto-compaction must bound the code-table manifests, got $manifests")
+      val steady0 = rows.slice(5, 10).map(_._5).sum / 5
+      val last5 = rows.takeRight(5).map(_._5).sum / 5
+      val perVec = 1e6 * rows.tail.map(_._5).sum / (rows.tail.size * 200)
+      println(f"stream_ivfsq8_gate ${rows.size}%2d batches  " +
+        f"admitted ${rows.map(_._2).sum}%5d  replay ${rows.map(_._3).sum}%4d  " +
+        f"near_dup ${rows.map(_._4).sum}%4d  per-batch steady 5-9 $steady0%5.2f s " +
+        f"-> 15-19 $last5%5.2f s (${last5 / steady0}%4.2fx)  " +
+        f"per-vec $perVec%5.0f us  codes-manifests $manifests%2d")
+      rows.grouped(5).zipWithIndex.foreach { case (g, gi) =>
+        println(f"  batches ${gi * 5}%2d-${gi * 5 + g.size - 1}%2d  " +
+          f"avg ${g.map(_._5).sum / g.size}%5.2f s")
+      }
+    }
     spark.stop()
   }
 }

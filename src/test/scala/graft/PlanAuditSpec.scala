@@ -97,7 +97,18 @@ class PlanAuditSpec extends AnyFunSuite {
       // q151: q93's fusion with the dense leg swapped to q44's IVF —
       // inherits q44's quantizer cross and q92's 1-row stats cross;
       // the corpus-side joins are all equi-key (cell id, term, doc)
-      "q151_hybrid_rrf_ann")
+      "q151_hybrid_rrf_ann",
+      // q152: q151's composition with the sparse probes additionally
+      // crossing the 1-row corpus-stats scalar for the df cap (the
+      // probe set is query-sized, the stats row is 1 row); the
+      // posting join itself stays equi-key on the term
+      "q152_hybrid_rrf_pruned",
+      // q153/q154: the sampled audit twins — inherit q21's broadcast-
+      // anchors inequality join with the anchor side now the 32-row
+      // deterministic sample (strictly smaller than q88/q109's), plus
+      // the same 1-row denominator/k-literal crosses as their exact
+      // parents
+      "q153_recall_audit_sampled", "q154_agreement_sampled")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

@@ -688,4 +688,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / tot >= 0.9,
       s"SQ8 recall@5 vs exact L2 = $hit/$tot — quantization broke the ranking")
   }
+
+  test("q153/q154 sampled audits (round-15 ask #2): when the full query set " +
+      "fits the sample bound they equal their exact parents row-for-row — " +
+      "the sampling changes |Q|, never the arithmetic; and both are " +
+      "deterministic across runs") {
+    // sf0.001 has fewer query vectors than AuditSampleQ, so the
+    // TakeOrdered sample IS the full query set and the sampled twins
+    // must reproduce q88/q109 exactly — pinning that the only thing
+    // sampling may ever change is which queries participate
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val nQueries = Similarity.cosineTopK(spark, sf)
+      .select(col("q_id")).distinct().count()
+    assert(nQueries <= Similarity.AuditSampleQ,
+      s"fixture grew past the sample bound ($nQueries) — move this spec's " +
+        "equality leg to a smaller slice")
+    val full88 = rows(Similarity.recallAudit(spark, sf))
+    CacheRegistry.releaseAll()
+    val samp88 = rows(Similarity.recallAuditSampled(spark, sf))
+    CacheRegistry.releaseAll()
+    assert(full88 == samp88, "recall audit: sampled != full at |Q| <= bound")
+    val full109 = rows(Similarity.retrieverAgreement(spark, sf))
+    CacheRegistry.releaseAll()
+    val samp109 = rows(Similarity.agreementSampled(spark, sf))
+    CacheRegistry.releaseAll()
+    assert(full109 == samp109, "agreement: sampled != full at |Q| <= bound")
+    // determinism (the partition-invariance contract): a rerun under a
+    // different shuffle layout returns identical rows
+    val again = rows(Similarity.agreementSampled(spark, sf))
+    CacheRegistry.releaseAll()
+    assert(again == samp109, "sampled audit must be deterministic")
+  }
 }
