@@ -968,8 +968,20 @@ object SoakDelta {
       operators.Similarity.buildIvfSq8Index(spark, sfDir, annPath)
       val tau = 0.05
       val nBatches = 20
+      // splitmix64 finalizer, NOT a bare multiplicative hash: an LCG on
+      // sequential inputs makes vec(id) − vec(id') ≈ constant·(1,…,1)
+      // (the Weyl-orbit correlation), so ~6% of unrelated id pairs land
+      // within any small tau and the soak's "fresh" vectors near-dup
+      // each other by construction (observed: 192/200 false near-dups
+      // by batch 4). Avalanche mixing makes dims independent.
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
       def freshVec(id: Long): Array[Float] = Array.tabulate(64) { d =>
-        ((((id * 64 + d + 1) * 2654435761L) % 1048576L) - 524288L) / 1048576.0f
+        (java.lang.Math.floorMod(mix(id * 64 + d), 1048576L) - 524288L) / 1048576.0f
       }
       def freshOf(i: Int): Seq[(Long, Array[Float])] = (0 until 100).map { j =>
         val id = 600000000L + i.toLong * 1000000L + j
@@ -1028,15 +1040,35 @@ object SoakDelta {
         s"auto-compaction must bound the code-table manifests, got $manifests")
       val steady0 = rows.slice(5, 10).map(_._5).sum / 5
       val last5 = rows.takeRight(5).map(_._5).sum / 5
-      val perVec = 1e6 * rows.tail.map(_._5).sum / (rows.tail.size * 200)
+      // per-batch cost at 200-vec micro-batches is OVERHEAD-bound
+      // (plan + stored-artifact reads + append + releaseAll per batch
+      // — same shape as stream_admit above), so the per-ARRIVAL
+      // comparison against admit_vectors runs at its batch size:
+      // one 2000-vector gate-only pass, cold (corp decode built) and
+      // warm (the serving steady state)
       println(f"stream_ivfsq8_gate ${rows.size}%2d batches  " +
         f"admitted ${rows.map(_._2).sum}%5d  replay ${rows.map(_._3).sum}%4d  " +
         f"near_dup ${rows.map(_._4).sum}%4d  per-batch steady 5-9 $steady0%5.2f s " +
         f"-> 15-19 $last5%5.2f s (${last5 / steady0}%4.2fx)  " +
-        f"per-vec $perVec%5.0f us  codes-manifests $manifests%2d")
+        f"codes-manifests $manifests%2d")
       rows.grouped(5).zipWithIndex.foreach { case (g, gi) =>
         println(f"  batches ${gi * 5}%2d-${gi * 5 + g.size - 1}%2d  " +
           f"avg ${g.map(_._5).sum / g.size}%5.2f s")
+      }
+      locally {
+        val bigDf = (0 until 2000)
+          .map(j => (650000000L + j, freshVec(650000000L + j)))
+          .toDF("vec_id", "embedding")
+        def gateOnce(): Double = time {
+          operators.Similarity.ivfSq8Gate(spark, annPath, bigDf, tau)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val cold = gateOnce()
+        val warm = gateOnce()
+        CacheRegistry.releaseAll()
+        println(f"ivfsq8_gate_2000         cold $cold%5.2f s (${1e6 * cold / 2000}%5.0f us/vec)" +
+          f"   warm $warm%5.2f s (${1e6 * warm / 2000}%5.0f us/vec)" +
+          "   [admit_vectors 1x above is the flat-gate comparator]")
       }
     }
     spark.stop()

@@ -173,9 +173,18 @@ object AnnIndex {
       buildId: String = java.util.UUID.randomUUID().toString): Unit =
     FpIndex.rebuildFlat(spark, path, codeRows(coded), buildId)
 
+  /** `posexplode_outer`, deliberately: code arrays are fixed-length
+    * ≥ 1 by construction (d SQ8 dims / m PQ subspaces), so outer ≡
+    * inner semantically — but the INNER form plants an implicit
+    * `size(codes) > 0` Generate requirement that projection collapse
+    * pushes into the scan filter, evaluating the d-expression encode
+    * array TWICE per row and blowing the fused stage past Janino's
+    * 64KB method limit at d = 64 (whole-stage codegen fell back on
+    * every index build). The outer form has no size filter: one
+    * evaluation, codegen stays on. */
   private[graft] def codeRows(coded: DataFrame): DataFrame =
     coded.select(col("vec_id"), col("cell"),
-      posexplode(col("codes")).as(Seq("j", "code")))
+      posexplode_outer(col("codes")).as(Seq("j", "code")))
 
   // ----------------------------------------- re-runnable build entry
 
