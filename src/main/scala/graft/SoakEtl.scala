@@ -994,7 +994,14 @@ object SoakDelta {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
           val t0 = System.nanoTime()
           val b = batch.persist()
-          val v = operators.Similarity.ivfSq8Gate(b.sparkSession, annPath, b, tau)
+          // nprobe = 3: the soak's verdict gate is HARD (every planted
+          // near-dup must reject), and the single-probe default carries
+          // the documented cell-boundary miss (observed live: 1 of 950
+          // planted near-dups landed in a cell adjacent to its stored
+          // twin's and admitted). Multi-probe closes the boundary; the
+          // nprobe=1 cost line below is the flat-gate parity number.
+          val v = operators.Similarity.ivfSq8Gate(b.sparkSession, annPath, b, tau,
+              nprobe = 3)
             .persist()
           val byStage = v.groupBy(col("admitted"), col("reject_stage")).count()
             .collect()
@@ -1066,7 +1073,7 @@ object SoakDelta {
         val cold = gateOnce()
         val warm = gateOnce()
         CacheRegistry.releaseAll()
-        println(f"ivfsq8_gate_2000         cold $cold%5.2f s (${1e6 * cold / 2000}%5.0f us/vec)" +
+        println(f"ivfsq8_gate_2000 (nprobe=1)  cold $cold%5.2f s (${1e6 * cold / 2000}%5.0f us/vec)" +
           f"   warm $warm%5.2f s (${1e6 * warm / 2000}%5.0f us/vec)" +
           "   [admit_vectors 1x above is the flat-gate comparator]")
       }

@@ -1866,7 +1866,7 @@ object Similarity {
     * neighbor_id, dist). Stream-legal inside `foreachBatch`;
     * [[admitIvfSq8Codes]] is the append half. */
   def ivfSq8Gate(spark: SparkSession, indexPath: String, arrivals: DataFrame,
-      tau: Double, nprobe: Int = IvfNprobe): DataFrame = {
+      tau: Double, nprobe: Int = 1): DataFrame = {
     val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
     val corp = ivfSq8StoredCorp(spark, indexPath, loadSq8Stats(spark, indexPath))
     val qs = arrivals
@@ -1877,10 +1877,23 @@ object Similarity {
         .withColumn("_replay", lit(1)),
       Seq("vec_id"), "left")
     val fresh = flagged.filter(col("_replay").isNull)
-    val probeT = probeCellsOf(
-        fresh.select(col("vec_id").as("q_id"), col("e").as("qe"),
-          col("nrm").as("qn")),
-        cents, nprobe)
+    // nprobe = 1 (the default) matches the flat gate's single-cell
+    // blocking trade AND its cost shape: the cell comes from the same
+    // codegen'd NearestCell kernel (one pass over the quantizer
+    // literal per arrival), not the crossJoin + window the ranked
+    // multi-probe path pays (measured at 2000 arrivals × 645 cells:
+    // kernel ≈ the flat gate's per-arrival cost; the cross form ran
+    // ~2×). nprobe ≥ 2 buys cell-boundary recall at that documented
+    // cross cost — the semanticNearDupGate2 trade, caller's choice.
+    val queries = fresh.select(col("vec_id").as("q_id"), col("e").as("qe"),
+      col("nrm").as("qn"))
+    val probeT = (if (nprobe == 1)
+        assignCells(queries.withColumnRenamed("qe", "e")
+            .withColumnRenamed("qn", "nrm"), cents)
+          .select(col("q_id"), col("e").as("qe"), col("cell").as("probe"))
+      else
+        probeCellsOf(queries, cents, nprobe)
+          .select(col("q_id"), col("qe"), col("probe")))
       .withColumn("qq", VectorOps.dot(col("qe"), col("qe")))
       .select(col("q_id"), col("qe"), col("qq"), col("probe"))
     val nearest = corp.join(broadcast(probeT), col("cell") === col("probe"))
