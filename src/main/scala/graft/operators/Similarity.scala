@@ -2810,7 +2810,7 @@ object Similarity {
     * function of vec_id), cross-engine identical (same integer
     * arithmetic, same ORDER BY/LIMIT), and model-sized (32 rows —
     * broadcast everywhere it joins). */
-  private def sampledQueryIds(v: DataFrame): DataFrame =
+  private[graft] def sampledQueryIds(v: DataFrame): DataFrame =
     v.filter(expr(QueryFilter))
       .select(col("vec_id"))
       .withColumn("hq", expr("(vec_id * 2654435761) % 4294967296"))
@@ -2824,7 +2824,7 @@ object Similarity {
 
   /** Exact cosine top-5 FOR THE SAMPLE ONLY — the one cached pass
     * q153 and q154 share. 32·n pairs, one corpus scan. */
-  private def sampledExactTopK(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sampledExactTopK(spark: SparkSession, dir: String): DataFrame =
     graft.CacheRegistry.getOrCache(spark, s"similarity.exactTopkSamp:$dir") {
       val n = vectors(spark, dir)
       val q = n.join(broadcast(sampledQueryIds(n)), col("vec_id") === col("q_id"))
@@ -2907,7 +2907,7 @@ object Similarity {
   /** [[pqAdcTopK]] with the broadcast query-table side restricted to
     * the sampled ids — the stored code table (the cache) is shared
     * with q82 unchanged; only |Q| shrinks. */
-  private def pqAdcTopKSampled(spark: SparkSession, dir: String,
+  private[graft] def pqAdcTopKSampled(spark: SparkSession, dir: String,
       ids: Set[Long]): DataFrame = {
     val v = pqIntVectors(spark, dir)
     val cb = trainPq(v, PqOracleM, PqOracleK, iters = 0)

@@ -720,4 +720,55 @@ class SimilaritySpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
     assert(again == samp109, "sampled audit must be deterministic")
   }
+
+  test("q153/q154 at sf0.1: the sample genuinely CUTS (|Q| = 200 > 32) and " +
+      "every predicate-pushed leg equals its post-filtered full run — the " +
+      "per-query-independence claim tested where it matters") {
+    // sf0.001/sf0.01 hold <= 32 queries, so the equality spec above and
+    // the sf0.01 oracle never exercise the cut; this is the fixture
+    // where sampling actually samples.
+    val sf01 = "/root/testdata/sf0.1"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val v = Similarity.vectorsForSpec(spark, sf01)
+    val idRows = Similarity.sampledQueryIds(v).collect().map(_.getLong(0)).toSeq
+    assert(idRows.size == Similarity.AuditSampleQ,
+      s"the sample must be exactly the bound: ${idRows.size}")
+    assert(idRows.forall(_ % 25 == 0), "sampled ids must be query ids")
+    assert(v.filter(col("vec_id") % 25 === 0).count() > Similarity.AuditSampleQ,
+      "fixture must hold more queries than the bound for this spec to bite")
+    val ids = idRows.toSet
+    val pred = col("q_id").isin(idRows: _*)
+    // exact leg: per-query windows commute with query filtering
+    val exactSampled = rows(Similarity.sampledExactTopK(spark, sf01))
+    val exactFull = rows(Similarity.cosineTopK(spark, sf01).filter(pred)
+      .select(col("q_id"), col("rank"), col("neighbor_id")))
+    assert(exactSampled == exactFull && exactSampled.nonEmpty,
+      "sampled exact leg must equal the post-filtered full scan")
+    CacheRegistry.releaseAll()
+    // each tier: serving ONLY the sampled queries returns the same
+    // rows the full serve filtered to the sample would (bucket/cell/
+    // code structures are query-independent)
+    val sampPred = col("vec_id").isin(idRows: _*)
+    val lshSampled = rows(
+      Similarity.annTopKWith(v, sampPred, 4, 64, 3)) // Bits=4, the q22 default
+    val lshFull = rows(Similarity.annTopK(spark, sf01).filter(pred))
+    assert(lshSampled == lshFull && lshSampled.nonEmpty, "lsh tier mismatch")
+    CacheRegistry.releaseAll()
+    val ivfSampled = rows(Similarity.ivfTopKWith(v, sampPred,
+      expr("vec_id % 31 = 7"), 3, 3)) // the q44 fixture constants
+    val ivfFull = rows(Similarity.ivfTopK(spark, sf01).filter(pred))
+    assert(ivfSampled == ivfFull && ivfSampled.nonEmpty, "ivf tier mismatch")
+    CacheRegistry.releaseAll()
+    val pqSampled = rows(Similarity.pqAdcTopKSampled(spark, sf01, ids))
+    val pqFull = rows(Similarity.pqAdcTopK(spark, sf01).filter(pred))
+    assert(pqSampled == pqFull && pqSampled.nonEmpty, "pq tier mismatch")
+    CacheRegistry.releaseAll()
+    // and the public outputs carry the cut: q154 reports n_q = 32
+    val nq = Similarity.agreementSampled(spark, sf01)
+      .select(col("n_q")).distinct().collect()
+    assert(nq.map(_.getLong(0)).toSeq == Seq(Similarity.AuditSampleQ.toLong),
+      s"q154 must aggregate over exactly the sample: ${nq.mkString(",")}")
+    CacheRegistry.releaseAll()
+  }
 }
