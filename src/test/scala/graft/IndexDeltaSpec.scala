@@ -178,6 +178,34 @@ class IndexDeltaSpec extends AnyFunSuite {
       s"vacuum on the compacted root reclaims the superseded rows: $removed")
   }
 
+  test("vacuum winner order matches loadFlat beyond the BMP (round-15 advice): " +
+      "build ids where UTF-16 and UTF-8 orders DISAGREE — vacuum must keep " +
+      "the build loadFlat serves, not the Scala-tuple-max one") {
+    import spark.implicits._
+    val path = tmp("utf8order")
+    FpIndex.saveFlat(path, Seq((1L, 10L)).toDF("k", "v"))
+    // U+10000 (UTF-8 F0 90 80 80) vs U+E000 (UTF-8 EE 80 80): UTF-16 code units say D800 < E000, UTF-8 bytes
+    // say F0 > EE — the two total orders flip. Spark's max(struct)
+    // compares UTF8String bytes, so U+10000 WINS the serve; a vacuum
+    // picking its winner by Scala's (Long, String) max would instead
+    // crown U+E000 and delete the serving build's rows.
+    val gen = FpIndex.tableVersion(path).toLong
+    FpIndex.rebuildFlatAt(spark, path, Seq((1L, 11L)).toDF("k", "v"),
+      gen, "\uE000")
+    // same gen: exactly the racing-rebuilds state where the build id
+    // is the only tiebreak
+    FpIndex.rebuildFlatAt(spark, path, Seq((1L, 12L)).toDF("k", "v"),
+      gen, "\uD800\uDC00")
+    val served = sortedRows(FpIndex.loadFlat(spark, path))
+    assert(served == Seq(Seq[Any](1L, 12L)),
+      s"loadFlat must serve the UTF-8-max build: $served")
+    val removed = FpIndex.vacuumSuperseded(spark, path)
+    assert(removed == 2L, // the original + the UTF-16-max loser
+      s"vacuum must reclaim the original and the losing build, got $removed")
+    assert(sortedRows(FpIndex.loadFlat(spark, path)) == served,
+      "vacuum deleted the serving build — winner orders diverged")
+  }
+
   test("auto-compaction (round-15 ask #3): a long admission run self-compacts " +
       "past AutoCompactManifests — served rows byte-stable, manifest count " +
       "bounded, deltas keep landing after; autoCompact=false preserves pins") {
