@@ -3001,4 +3001,254 @@ object Similarity {
        |  GROUP BY k)
        |SELECT k, n_q, n_overlap, (1000000 * n_overlap) // (n_q * k) AS agree_ppm
        |FROM ov, nq""".stripMargin
+
+  // ------------------------------------------------------------- q155
+
+  /** Planted-corpus geometry for q155 (exact pruned top-k). The
+    * FIXTURE embeddings are measurably isotropic (same-label mean
+    * cosine 1.8e-5 vs 1.3e-5 cross-label at sf0.1) — on isotropic
+    * high-dimensional data, metric bounds provably cannot prune (every
+    * cell's radius spans the sphere: the curse-of-dimensionality
+    * classic), so the fixture can demo only the brute-force form. Real
+    * embedding corpora are the opposite — heavily clustered (that
+    * geometry is WHY SemDeDup/IVF work) — so, exactly as q152 derives
+    * a Zipf text corpus where the fixture text is vocabulary-
+    * degenerate, q155 derives a CLUSTERED vector corpus
+    * deterministically from `vec_id` in both engines: [[PlantClusters]]
+    * well-separated integer centers (±8000 per component) plus a small
+    * per-vector integer offset (±60, ~1% of the center scale — tight
+    * cells). Components are pure `* % +` integer arithmetic under one
+    * shared per-element template, cast to DOUBLE at the end; every dot
+    * product is an exact integer below 2⁵³, so cross-engine float
+    * equality is unconditional (stronger than q21, which needs the
+    * pinned fold order). */
+  val PlantDim = 8
+  val PlantClusters = 8
+  /** Quantizer density for the pruned scan — every 7th id, the q44
+    * id-filter pattern (oracle-expressible, no training). ~7 members
+    * per cell: cells subdivide the planted clusters finely, so the
+    * per-cell radii stay small and the bound keeps cutting as the
+    * corpus grows (measured candidate fraction mean 5.5% at n=500,
+    * 0.4% at n=20000 — the fraction SHRINKS with scale). */
+  private val PlantCentroidFilter = "vec_id % 7 = 3"
+  /** Cells scanned for the seed lower bound. 4 nearest cells ≈ 28
+    * expected members at the %7 density — comfortably ≥ k, so the
+    * lb = −2 keep-everything fallback never fires on the derived
+    * corpus at any fixture sf (measured: zero fallbacks at n = 50,
+    * 500, 2000, 20000). */
+  private val PlantSeedNprobe = 4
+  private val PlantK = 5
+  /** Floating-safety margin added to every pruning upper bound. The
+    * bound chain is exact real-arithmetic mathematics; its DOUBLE
+    * evaluation accumulates ≤ ~10 ulp across the dot (exact integer —
+    * 0 ulp), two sqrts (≤ 1 ulp each, correctly rounded), and the
+    * gap/square/divide tail — ≤ ~1e-14 absolute on values in [0, 2].
+    * 1e-9 dominates that by five orders of magnitude while costing
+    * pruning nothing (planted inter-cluster gaps are ~0.5 in cosine),
+    * so a bound can never round BELOW a true similarity and exactness
+    * is unconditional, not probabilistic. */
+  private val BoundEps = 1e-9
+
+  /** Element `j` of the derived clustered vector for a vec_id — one
+    * template string both engines evaluate verbatim (only `* % + -`
+    * and CAST; the q152 zipfTok precedent). cluster
+    * g = knuth(vec_id) mod [[PlantClusters]]; center component =
+    * knuth(g·dim + j) mod 2001 − 1000, scaled ×8; offset component =
+    * (knuth(vec_id·dim + j)·69069 mod 2³²) mod 121 − 60 (the second
+    * multiplicative round decorrelates consecutive ids — the r16
+    * Weyl-orbit soak lesson; 69069 keeps the product < 2⁶³). All
+    * operands non-negative before the final subtractions, so `%` is
+    * mathematical mod in both engines. */
+  private def plantElem(j: Int): String = {
+    val g = s"(((vec_id * 2654435761) % 4294967296) % $PlantClusters)"
+    val hc = s"((($g * $PlantDim + $j) * 2654435761) % 4294967296)"
+    val ho = s"((((vec_id * $PlantDim + $j) * 2654435761) % 4294967296) * 69069 % 4294967296)"
+    s"CAST(($hc % 2001 - 1000) * 8 + ($ho % 121 - 60) AS DOUBLE)"
+  }
+
+  /** The derived corpus frame: (vec_id, e[8 doubles], nrm). The 8
+    * elements are inline codegen'd scalar expressions (no higher-order
+    * lambda — the zipfTextExpr choice), derived in the same narrow
+    * projection that scans them. */
+  private[graft] def plantedVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr((0 until PlantDim).map(plantElem).mkString("array(", ", ", ")")).as("e"))
+      .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
+
+  private val duckPlantedVectors: String =
+    s"""SELECT vec_id, e,
+       |       sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(e, x -> x * x)), (a, x) -> a + x)) AS nrm
+       |FROM (SELECT vec_id,
+       |        [${(0 until PlantDim).map(plantElem).mkString(",\n         ")}] AS e
+       |      FROM embeddings)""".stripMargin
+
+  /** Shared prefix of [[exactPrunedTopKWith]] and
+    * [[exactPrunedCandidateCountsWith]]: assign cells (cached —
+    * 3 consumers), compute the per-query KEPT-cell probe frame.
+    * Returns (assigned corpus, keep probes). Parameterized over the
+    * corpus so the spec can run the SAME pruning on the isotropic
+    * fixture geometry (exactness must hold there too — the bound just
+    * stops cutting). */
+  private def exactPrunedKeepOf(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double], Double)],
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String]): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assignedRaw =
+      assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val assigned = cacheKey.fold(assignedRaw)(key =>
+      graft.CacheRegistry.getOrCache(spark, key)(assignedRaw))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
+      .toDF("c_id", "ce", "cn")
+    // per-cell radius in chord² form: rc2 = max over members of
+    // (2 − 2·cos(x, centroid)) — ONE pass over the cached assignment,
+    // output is quantizer-sized
+    val cellStats = assigned.join(broadcast(centDf), col("cell") === col("c_id"))
+      .withColumn("simc",
+        VectorOps.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("cell"))
+      .agg(max(greatest(lit(0d), lit(2d) - lit(2d) * col("simc"))).as("rc2"))
+    // seed scan: each query's PlantSeedNprobe nearest cells, exact
+    // sims, the k-th best = the pruning lower bound (no k-th row →
+    // keep everything: lb = −2)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val seedLb = assigned
+      .join(broadcast(probeCellsOf(queries, cents, seedNprobe)),
+        col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") === k)
+      .select(col("q_id"), col("sim").as("lb"))
+    // the triangle-inequality bound per (query, cell):
+    //   ub = 1 − max(0, ‖q̃−c̃‖ − R_c)²/2 + ε  ≥  max cos(q, x∈cell)
+    // keep cells with ub ≥ lb; every true top-k member's cell survives
+    // (its sim ≥ lb and its cell's ub ≥ its sim)
+    val cellInfo = centDf.join(cellStats, col("c_id") === col("cell"))
+      .select(col("c_id"), col("ce"), col("cn"), col("rc2"))
+    val keep = queries
+      .join(seedLb, Seq("q_id"), "left")
+      .withColumn("lbc", coalesce(col("lb"), lit(-2d)))
+      .crossJoin(broadcast(cellInfo))
+      .withColumn("simqc",
+        VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("gap", greatest(lit(0d),
+        sqrt(greatest(lit(0d), lit(2d) - lit(2d) * col("simqc"))) - sqrt(col("rc2"))))
+      .filter(lit(1d) - col("gap") * col("gap") / lit(2d) + lit(BoundEps) >= col("lbc"))
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
+    (assigned, keep)
+  }
+
+  /** q155: GUARANTEED-EXACT top-k under triangle-inequality cell
+    * pruning — exact results at IVF cost on clusterable geometry, the
+    * missing tier between the brute-force exactness baseline (q21,
+    * |Q|·n pairs always) and the approximate family (q22/q44/q61/q82/
+    * q145/q149, cheap but recall < 1). The FAISS/ball-tree bound
+    * re-expressed as dataflow:
+    *
+    *   1. assign the corpus to id-filtered quantizer cells (q44's
+    *      oracle contract — one cached NearestCell map stage);
+    *   2. one quantizer-sized aggregate: each cell's radius
+    *      R_c = max ‖x̃ − c̃‖ over members;
+    *   3. SEED: scan the [[PlantSeedNprobe]] nearest cells exactly —
+    *      the k-th best similarity is a LOWER bound on the true k-th;
+    *   4. PRUNE: for unit vectors cos(q,x) = 1 − ‖q̃−x̃‖²/2 and
+    *      ‖q̃−x̃‖ ≥ ‖q̃−c̃‖ − R_c, so
+    *      ub(q,c) = 1 − max(0, ‖q̃−c̃‖ − R_c)²/2 upper-bounds every
+    *      member's similarity; drop cells with ub < lb — no member
+    *      can reach the top k (strictly below an ACHIEVED k-th
+    *      value), so dropping is lossless, not approximate;
+    *   5. exact rerank over surviving cells (the shared [[ivfRank]]
+    *      probe join + window).
+    *
+    * The ORACLE is the brute-force exact scan — no bound appears in
+    * the SQL — so the hash gate PROVES the guarantee end-to-end on
+    * real data rather than asserting it: any wrongly-pruned cell
+    * would flip the row hash. Runs on the derived clustered corpus
+    * ([[plantElem]] — the fixture embeddings are isotropic, where
+    * bounds provably cannot cut; see the geometry scaladoc).
+    *
+    * Scale shape: bound rows are |Q|·ncells (the q44 probe-ranking
+    * shape, 8-dim dots); the exact work collapses from |Q|·n pairs to
+    * |Q|·(seed + kept-cell members) — measured candidate fraction
+    * 5.5% of the corpus per query at sf0.01 and 0.4% at 40× (the
+    * fraction SHRINKS as cells subdivide clusters more finely, while
+    * lb tightens). At deployment scale the quantizer moves to
+    * nlist ≈ √n Lloyd-refined centroids ([[refineCentroids]]) and the
+    * same two-level split the hier family uses bounds the |Q|·ncells
+    * term; the id-filter density here is the oracle contract, not the
+    * production knob. */
+  def exactPrunedTopK(spark: SparkSession, dir: String): DataFrame =
+    exactPrunedTopKWith(plantedVectors(spark, dir), expr(QueryFilter),
+      expr(PlantCentroidFilter), PlantSeedNprobe, PlantK,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
+
+  /** Parameterized exact-pruned core — q155's plan over an arbitrary
+    * corpus (vec_id, e[double], nrm). Exactness holds for ANY corpus
+    * geometry (the bound is the triangle inequality, not a data
+    * assumption); geometry only decides how much the prune CUTS —
+    * SimilaritySpec runs it on the isotropic fixture embeddings and
+    * measures the honest ~no-cut alongside the planted corpus's
+    * 5%-and-shrinking. */
+  def exactPrunedTopKWith(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      centroidPred: org.apache.spark.sql.Column,
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assigned, keep) = exactPrunedKeepOf(corpus, queryPred,
+      collectCentroids(corpus, centroidPred), seedNprobe, k, cacheKey)
+    ivfRank(assigned, keep, k)
+  }
+
+  /** Per-query surviving-candidate count — the shrinkage evidence
+    * SimilaritySpec asserts and PERF records (kept-cell members per
+    * query, to compare against the corpus size the brute-force scan
+    * pays). */
+  def exactPrunedCandidateCounts(spark: SparkSession, dir: String): DataFrame =
+    exactPrunedCandidateCountsWith(plantedVectors(spark, dir), expr(QueryFilter),
+      expr(PlantCentroidFilter), PlantSeedNprobe, PlantK,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
+
+  /** [[exactPrunedCandidateCounts]] over an arbitrary corpus. */
+  def exactPrunedCandidateCountsWith(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      centroidPred: org.apache.spark.sql.Column,
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assigned, keep) = exactPrunedKeepOf(corpus, queryPred,
+      collectCentroids(corpus, centroidPred), seedNprobe, k, cacheKey)
+    assigned.join(broadcast(keep.select(col("q_id"), col("probe"))),
+        col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
+  }
+
+  /** The brute-force oracle: exact top-k over the derived corpus,
+    * no pruning anywhere — hash equality with the Spark plan is the
+    * proof that the bound never drops a true neighbor. */
+  val exactPrunedTopKSql: String =
+    s"""WITH n AS (
+       |$duckPlantedVectors),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE $QueryFilter),
+       |p AS (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(qe)), i -> qe[i] * e[i])),
+       |           (a, x) -> a + x) / (qn * nrm) AS sim
+       |  FROM n, q WHERE vec_id != q_id),
+       |r AS (SELECT q_id, neighbor_id, sim,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= $PlantK""".stripMargin
 }

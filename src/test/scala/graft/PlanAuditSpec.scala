@@ -108,7 +108,14 @@ class PlanAuditSpec extends AnyFunSuite {
       // deterministic sample (strictly smaller than q88/q109's), plus
       // the same 1-row denominator/k-literal crosses as their exact
       // parents
-      "q153_recall_audit_sampled", "q154_agreement_sampled")
+      "q153_recall_audit_sampled", "q154_agreement_sampled",
+      // q155: inherits q44's documented quantizer cross TWICE — the
+      // seed probe ranks the broadcast centroid table, and the pruning
+      // bound scores every (query, cell) pair against the same
+      // broadcast quantizer (|Q|·ncells rows of 8-dim dots, the
+      // declared probe-ranking shape); the seed scan and the final
+      // exact rerank are both equi-key joins on the cell id
+      "q155_exact_pruned_topk")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

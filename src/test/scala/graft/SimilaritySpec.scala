@@ -771,4 +771,73 @@ class SimilaritySpec extends AnyFunSuite {
       s"q154 must aggregate over exactly the sample: ${nq.mkString(",")}")
     CacheRegistry.releaseAll()
   }
+
+  test("q155 exact pruned top-k: equals the unpruned brute-force scan " +
+      "row-for-row on the planted corpus (the triangle-inequality " +
+      "guarantee, spec-proven at two sfs on top of the sf0.01 oracle)") {
+    def brute(dir: String): Seq[Seq[Any]] = {
+      // independent brute force over the SAME derived corpus — built
+      // here from the public pieces, no pruning code in the loop
+      val n = Similarity.plantedVectors(spark, dir)
+      val q = n.filter(expr("vec_id % 25 = 0"))
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          graft.functions.VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    }
+    def pruned(dir: String): Seq[Seq[Any]] = {
+      val r = Similarity.exactPrunedTopK(spark, dir)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      CacheRegistry.releaseAll()
+      r
+    }
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val b = brute(dir)
+      val p = pruned(dir)
+      assert(b.nonEmpty && b == p, s"pruned != brute force at $dir")
+    }
+  }
+
+  test("q155 pruning cuts on clustered geometry and honestly cannot on " +
+      "isotropic geometry — exactness holds in BOTH") {
+    val dir = "/root/testdata/sf0.01"
+    // planted (clustered) corpus: the bound keeps a small fraction of
+    // the corpus per query (measured 5.5% mean at n=500; assert with
+    // headroom), and it never degenerates to a full scan
+    val n = Similarity.plantedVectors(spark, dir).count()
+    val cand = Similarity.exactPrunedCandidateCounts(spark, dir).collect()
+      .map(_.getAs[Long]("n_candidates"))
+    CacheRegistry.releaseAll()
+    assert(cand.nonEmpty)
+    val meanFrac = cand.sum.toDouble / cand.length / n
+    val maxFrac = cand.max.toDouble / n
+    assert(meanFrac < 0.15, f"planted mean candidate fraction $meanFrac%.3f — pruning stopped cutting")
+    assert(maxFrac < 0.30, f"planted max candidate fraction $maxFrac%.3f")
+    // isotropic fixture embeddings: the same pruning plan stays EXACT
+    // (the guarantee is geometry-independent) while the bound keeps
+    // nearly everything — the curse-of-dimensionality measurement that
+    // justifies the derived corpus (same reasoning as q152's
+    // vocabulary-degeneracy note)
+    val v = Similarity.vectorsForSpec(spark, dir)
+    val exact = Similarity.cosineTopK(spark, dir)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val prunedIso = Similarity.exactPrunedTopKWith(v, expr("vec_id % 25 = 0"),
+        expr("vec_id % 7 = 3"), 4, 5)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    assert(exact == prunedIso, "pruned scan must stay exact on isotropic geometry")
+    val isoCand = Similarity.exactPrunedCandidateCountsWith(v, expr("vec_id % 25 = 0"),
+        expr("vec_id % 7 = 3"), 4, 5).collect()
+      .map(_.getAs[Long]("n_candidates"))
+    val isoMean = isoCand.sum.toDouble / isoCand.length / n
+    assert(isoMean > 0.5,
+      f"isotropic fixture unexpectedly prunable (mean frac $isoMean%.3f) — " +
+        "the derived-corpus justification in the q155 scaladoc needs re-measuring")
+  }
 }
