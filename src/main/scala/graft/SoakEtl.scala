@@ -320,7 +320,19 @@ object SoakAnn {
       "PQ-ADC full scan" -> (() => operators.Similarity.pqTopK(spark, sfDir)),
       "q145 SQ8 asymmetric scan" -> (() => operators.Similarity.sq8TopK(spark, sfDir)),
       "IVF+PQ+exact rerank" -> (() => operators.Similarity.ivfPqTopK(spark, sfDir)),
-      "q149 IVF+SQ8+exact rerank" -> (() => operators.Similarity.ivfSq8TopK(spark, sfDir)))
+      "q149 IVF+SQ8+exact rerank" -> (() => operators.Similarity.ivfSq8TopK(spark, sfDir)),
+      // q155 vs its own unpruned twin: SAME derived clustered corpus,
+      // same 8-dim arithmetic — the pair isolates what the
+      // triangle-inequality cut buys (the q21 row above is 64-dim
+      // fixture geometry, not comparable). The brute leg materializes
+      // the derivation first: unfenced, projection collapse inlines
+      // the 8-element hash chain per PAIR (the q82 lesson) and the
+      // baseline would be measuring derivation, not scan
+      "planted brute force (8-dim)" -> (() => operators.Similarity.cosineTopKOf(
+        CacheRegistry.getOrCache(spark, s"soak.planted:$sfDir")(
+          operators.Similarity.plantedVectors(spark, sfDir)),
+        org.apache.spark.sql.functions.expr("vec_id % 25 = 0"), 5)),
+      "q155 exact pruned top-k" -> (() => operators.Similarity.exactPrunedTopK(spark, sfDir)))
     println(s"## ANN ladder at $sfDir (end-to-end incl. index build, warm 2nd run)")
     tiers.foreach { case (name, fn) =>
       fn().write.format("noop").mode("overwrite").save() // warm

@@ -51,17 +51,27 @@ object Similarity {
 
   // ---------------------------------------------------------------- q21
 
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val n = vectors(spark, dir)
-    val q = n.filter(expr(QueryFilter))
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    cosineTopKOf(vectors(spark, dir), expr(QueryFilter), 5)
+
+  /** q21's brute-force plan over an arbitrary corpus (vec_id,
+    * e[double], nrm) — the exactness baseline every pruned/approximate
+    * tier is audited against; factored so the q155 soak/spec can run
+    * the UNpruned scan on the same derived corpus the pruned scan
+    * serves (apples-to-apples cost of the triangle-inequality cut). */
+  def cosineTopKOf(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val q = corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val pairs = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val pairs = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("dot", VectorOps.dot(col("qe"), col("e")))
       .withColumn("sim", col("dot") / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     pairs
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
