@@ -355,8 +355,9 @@ object SoakAnn {
       operators.Similarity.buildIvfPqIndex(spark, sfDir, s"$idx/composed")
       operators.Similarity.buildSq8Index(spark, sfDir, idx)
       operators.Similarity.buildIvfSq8Index(spark, sfDir, s"$idx/ivfsq8")
+      operators.Similarity.buildExactPrunedIndex(spark, sfDir, s"$idx/exactpruned")
     }
-    println(f"build (train+persist q44+q82+sq8+composed) ${tBuild}%6.2f s  → $idx")
+    println(f"build (train+persist q44+q82+sq8+composed+q155) ${tBuild}%6.2f s  → $idx")
     CacheRegistry.releaseAll() // serve must not inherit the build's cache
     val serve = spark.newSession() // fresh session state: nothing trained
     def serveRow(name: String, fn: => org.apache.spark.sql.DataFrame): Unit = {
@@ -374,6 +375,8 @@ object SoakAnn {
       operators.Similarity.sq8TopKServe(serve, sfDir, idx))
     serveRow("q149 IVF+SQ8 serve (composed)",
       operators.Similarity.ivfSq8TopKServe(serve, sfDir, s"$idx/ivfsq8"))
+    serveRow("q155 exact-pruned serve",
+      operators.Similarity.exactPrunedTopKServe(serve, sfDir, s"$idx/exactpruned"))
     spark.stop()
   }
 }

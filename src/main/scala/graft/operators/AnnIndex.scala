@@ -208,6 +208,46 @@ object AnnIndex {
     if (FpIndex.tableVersion(path) > 0) rebuildCodes(spark, path, coded)
     else saveCodes(path, coded)
 
+  // ------------------------------------------ exact-pruned cell radii
+
+  /** Persist the per-cell radius table of the exact-pruned tier
+    * (q155): rows (cell, rc2) — each cell's chord² radius
+    * max ‖x̃ − c̃‖² over members, the SECOND model-sized artifact the
+    * pruned-exact serve needs next to the quantizer. Quantizer-sized
+    * (one row per cell); doubles round-trip exactly through the
+    * manifest codec, so served bounds are bit-identical to build-time
+    * bounds and the serve keeps the exactness guarantee. */
+  def saveRadii(path: String, radii: DataFrame): Unit =
+    radii.write.format(Format).option("path", path).mode(SaveMode.Append).save()
+
+  /** Retrain-in-place for a live radius table — same atomic
+    * generation-append contract as [[rebuildQuantizer]]. */
+  def rebuildRadii(spark: SparkSession, path: String, radii: DataFrame,
+      buildId: String = java.util.UUID.randomUUID().toString): Unit =
+    FpIndex.rebuildFlat(spark, path, radii, buildId)
+
+  /** See [[saveOrRebuildQuantizer]]. */
+  def saveOrRebuildRadii(spark: SparkSession, path: String, radii: DataFrame): Unit =
+    if (FpIndex.tableVersion(path) > 0) rebuildRadii(spark, path, radii)
+    else saveRadii(path, radii)
+
+  /** Load a stored radius table back to (cell, rc2). Same
+    * rebuild-in-place guard as [[loadCodes]]: a duplicate cell row
+    * means an append over a live table, and the SMALLER duplicate
+    * would silently shrink a bound below a true similarity — the one
+    * failure mode the exact tier cannot tolerate — so raise. */
+  def loadRadii(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
+    FpIndex.loadFlat(spark, path, asOf)
+      .groupBy(col("cell"))
+      .agg(collect_list(col("rc2")).as("rs"))
+      .select(col("cell"),
+        when(size(col("rs")) === 1, element_at(col("rs"), 1))
+          .otherwise(raise_error(concat(
+            lit("stored radius table has duplicate rows for cell "),
+            col("cell"),
+            lit(" — a rebuild appended over a live index; TRUNCATE before rebuilding"))))
+          .as("rc2"))
+
   /** Load a stored code table back to (vec_id, cell, codes) — ONE
     * groupBy(vec_id) reassembly; `array_sort` on (j, code) structs
     * restores subspace order (struct ordering is field-by-field, j

@@ -3107,7 +3107,8 @@ object Similarity {
       cents: Seq[(Long, Array[Double], Double)],
       seedNprobe: Int,
       k: Int,
-      cacheKey: Option[String]): (DataFrame, DataFrame) = {
+      cacheKey: Option[String],
+      storedRadii: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val assignedRaw =
@@ -3120,12 +3121,10 @@ object Similarity {
       .toDF("c_id", "ce", "cn")
     // per-cell radius in chord² form: rc2 = max over members of
     // (2 − 2·cos(x, centroid)) — ONE pass over the cached assignment,
-    // output is quantizer-sized
-    val cellStats = assigned.join(broadcast(centDf), col("cell") === col("c_id"))
-      .withColumn("simc",
-        VectorOps.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
-      .groupBy(col("cell"))
-      .agg(max(greatest(lit(0d), lit(2d) - lit(2d) * col("simc"))).as("rc2"))
+    // output is quantizer-sized; a SERVE session loads the stored
+    // table instead (doubles round-trip exactly, so served bounds are
+    // bit-identical — AnnIndexSpec pins it)
+    val cellStats = storedRadii.getOrElse(radiiOf(assigned, centDf))
     // seed scan: each query's PlantSeedNprobe nearest cells, exact
     // sims, the k-th best = the pruning lower bound (no k-th row →
     // keep everything: lb = −2)
@@ -3155,6 +3154,16 @@ object Similarity {
       .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
     (assigned, keep)
   }
+
+  /** The per-cell radius aggregate shared by the in-session plan and
+    * [[buildExactPrunedIndex]] — one corpus pass, quantizer-sized
+    * output (cell, rc2). */
+  private def radiiOf(assigned: DataFrame, centDf: DataFrame): DataFrame =
+    assigned.join(broadcast(centDf), col("cell") === col("c_id"))
+      .withColumn("simc",
+        VectorOps.dot(col("e"), col("ce")) / (col("nrm") * col("cn")))
+      .groupBy(col("cell"))
+      .agg(max(greatest(lit(0d), lit(2d) - lit(2d) * col("simc"))).as("rc2"))
 
   /** q155: GUARANTEED-EXACT top-k under triangle-inequality cell
     * pruning — exact results at IVF cost on clusterable geometry, the
@@ -3241,6 +3250,40 @@ object Similarity {
     assigned.join(broadcast(keep.select(col("q_id"), col("probe"))),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))
+  }
+
+  /** Train-once half of the q155 lifecycle: persist the quantizer AND
+    * the per-cell radius table — the two model-sized artifacts the
+    * pruned-exact serve needs. The radii are the one BUILD-time corpus
+    * pass; a serve session then pays assignment + seed + kept-cell
+    * rerank only, and its bounds are bit-identical to build-time
+    * (stored doubles round-trip exactly), so the served results keep
+    * the exactness guarantee — the same build/serve symmetry as
+    * q44/q82/q145/q149. */
+  def buildExactPrunedIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    import spark.implicits._
+    val v = plantedVectors(spark, dir)
+    val cents = collectCentroids(v, expr(PlantCentroidFilter))
+    AnnIndex.saveOrRebuildQuantizer(spark, s"$indexPath/quantizer", cents)
+    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.plantCells:$dir")(
+      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
+    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
+      .toDF("c_id", "ce", "cn")
+    AnnIndex.saveOrRebuildRadii(spark, s"$indexPath/radii", radiiOf(assigned, centDf))
+  }
+
+  /** Serve half: the q155 plan against the STORED quantizer + radius
+    * table — no radius aggregate over the corpus at serve time.
+    * Byte-identical to in-session pruning (AnnIndexSpec pins it on a
+    * fresh session). */
+  def exactPrunedTopKServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val radii = AnnIndex.loadRadii(spark, s"$indexPath/radii")
+    val (assigned, keep) = exactPrunedKeepOf(
+      plantedVectors(spark, dir), expr(QueryFilter), cents,
+      PlantSeedNprobe, PlantK,
+      cacheKey = Some(s"similarity.plantCells:$dir"), storedRadii = Some(radii))
+    ivfRank(assigned, keep, PlantK)
   }
 
   /** The brute-force oracle: exact top-k over the derived corpus,

@@ -117,6 +117,31 @@ class AnnIndexSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("exact-pruned lifecycle (q155): build (quantizer + per-cell radius " +
+      "table) → NEW session serves byte-identically — the stored bounds " +
+      "keep the exactness guarantee") {
+    CacheRegistry.releaseAll()
+    val want = sortedRows(Similarity.exactPrunedTopK(spark, sf).collect())
+    assert(want.nonEmpty)
+    val path = tmpIndex("exactpruned")
+    Similarity.buildExactPrunedIndex(spark, sf, path)
+    CacheRegistry.releaseAll()
+    val serveSession = spark.newSession() // fresh state: nothing trained here
+    val got = sortedRows(Similarity.exactPrunedTopKServe(serveSession, sf, path).collect())
+    assert(got == want,
+      s"served q155 must equal in-session q155 (${got.size} vs ${want.size} rows)")
+    // the radius table round-trips exactly: one row per stored cell,
+    // all radii finite and non-negative (a NaN/negative radius would
+    // silently disable or corrupt the bound)
+    val radii = AnnIndex.loadRadii(spark, s"$path/radii").collect()
+    assert(radii.nonEmpty)
+    radii.foreach { r =>
+      val rc2 = r.getAs[Double]("rc2")
+      assert(!rc2.isNaN && rc2 >= 0.0 && rc2 <= 4.0 + 1e-12, s"radius out of range: $r")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("rebuild lifecycle: TRUNCATE + re-append swaps the index atomically at the manifest level") {
     val path = tmpIndex("swap")
     val cb0 = AnnIndexSpecFixtures.codebook
