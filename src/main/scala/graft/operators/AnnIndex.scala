@@ -231,22 +231,34 @@ object AnnIndex {
     if (FpIndex.tableVersion(path) > 0) rebuildRadii(spark, path, radii)
     else saveRadii(path, radii)
 
-  /** Load a stored radius table back to (cell, rc2). Same
-    * rebuild-in-place guard as [[loadCodes]]: a duplicate cell row
-    * means an append over a live table, and the SMALLER duplicate
-    * would silently shrink a bound below a true similarity — the one
-    * failure mode the exact tier cannot tolerate — so raise. */
+  /** Delta-admit a batch's per-cell radii ([[FpIndex.deltaAppendFlat]]
+    * — delta-sized commits, auto-compaction past the manifest knee).
+    * Radii are MAX-MERGEABLE statistics — the third artifact category
+    * (the CMS/KMV precedent): each commit's row upper-bounds ITS
+    * members' chord² to the centroid, so the max over commits
+    * upper-bounds the union, and admission needs no base-table read,
+    * no renormalization, no rebuild. This verb is what keeps the
+    * exact tier EXACT under streaming admission: a new member can LIE
+    * FARTHER from its centroid than any build-time member, and a
+    * serve still holding the build-time radius would under-bound the
+    * cell and prune a true neighbor (AnnIndexSpec plants exactly that
+    * miss and proves this verb repairs it). */
+  def admitRadii(spark: SparkSession, path: String, batchRadii: DataFrame): Unit =
+    FpIndex.deltaAppendFlat(spark, path, batchRadii)
+
+  /** Load a stored radius table back to (cell, rc2) — the MAX-MERGE
+    * over every visible commit (see [[admitRadii]]: radii are
+    * max-mergeable, so duplicate cell rows from deltas are the design,
+    * not corruption, and the merge direction is the SAFE one — a
+    * stale-but-larger radius only costs pruning, never exactness;
+    * stale-smaller is the hazard admission exists to prevent). After
+    * a corpus SHRINK (vacuumed members) the merged radius stays
+    * conservative — still exact, just less cut — until
+    * [[rebuildRadii]] resets the statistic under a new generation. */
   def loadRadii(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame =
     FpIndex.loadFlat(spark, path, asOf)
       .groupBy(col("cell"))
-      .agg(collect_list(col("rc2")).as("rs"))
-      .select(col("cell"),
-        when(size(col("rs")) === 1, element_at(col("rs"), 1))
-          .otherwise(raise_error(concat(
-            lit("stored radius table has duplicate rows for cell "),
-            col("cell"),
-            lit(" — a rebuild appended over a live index; TRUNCATE before rebuilding"))))
-          .as("rc2"))
+      .agg(max(col("rc2")).as("rc2"))
 
   /** Load a stored code table back to (vec_id, cell, codes) — ONE
     * groupBy(vec_id) reassembly; `array_sort` on (j, code) structs

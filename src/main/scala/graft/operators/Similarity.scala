@@ -3260,13 +3260,25 @@ object Similarity {
     * (stored doubles round-trip exactly), so the served results keep
     * the exactness guarantee — the same build/serve symmetry as
     * q44/q82/q145/q149. */
-  def buildExactPrunedIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+  def buildExactPrunedIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+    buildExactPrunedIndexOf(plantedVectors(spark, dir), expr(PlantCentroidFilter),
+      indexPath, cacheKey = Some(s"similarity.plantCells:$dir"))
+
+  /** [[buildExactPrunedIndex]] over an arbitrary corpus (vec_id,
+    * e[double], nrm). */
+  def buildExactPrunedIndexOf(
+      corpus: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      indexPath: String,
+      cacheKey: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val v = plantedVectors(spark, dir)
-    val cents = collectCentroids(v, expr(PlantCentroidFilter))
+    val cents = collectCentroids(corpus, centroidPred)
     AnnIndex.saveOrRebuildQuantizer(spark, s"$indexPath/quantizer", cents)
-    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.plantCells:$dir")(
-      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
+    val assignedRaw =
+      assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val assigned = cacheKey.fold(assignedRaw)(key =>
+      graft.CacheRegistry.getOrCache(spark, key)(assignedRaw))
     val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
       .toDF("c_id", "ce", "cn")
     AnnIndex.saveOrRebuildRadii(spark, s"$indexPath/radii", radiiOf(assigned, centDf))
@@ -3276,14 +3288,50 @@ object Similarity {
     * table — no radius aggregate over the corpus at serve time.
     * Byte-identical to in-session pruning (AnnIndexSpec pins it on a
     * fresh session). */
-  def exactPrunedTopKServe(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+  def exactPrunedTopKServe(spark: SparkSession, dir: String, indexPath: String): DataFrame =
+    exactPrunedTopKServeOf(plantedVectors(spark, dir), expr(QueryFilter),
+      indexPath, PlantSeedNprobe, PlantK,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
+
+  /** [[exactPrunedTopKServe]] over an arbitrary corpus. The radius
+    * table is loaded MAX-MERGED ([[AnnIndex.loadRadii]]), so a corpus
+    * that has grown since the build serves exactly PROVIDED each
+    * arrival batch went through [[admitExactPruned]]. */
+  def exactPrunedTopKServeOf(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      indexPath: String,
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
     val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
     val radii = AnnIndex.loadRadii(spark, s"$indexPath/radii")
-    val (assigned, keep) = exactPrunedKeepOf(
-      plantedVectors(spark, dir), expr(QueryFilter), cents,
-      PlantSeedNprobe, PlantK,
-      cacheKey = Some(s"similarity.plantCells:$dir"), storedRadii = Some(radii))
-    ivfRank(assigned, keep, PlantK)
+    val (assigned, keep) = exactPrunedKeepOf(corpus, queryPred, cents,
+      seedNprobe, k, cacheKey, storedRadii = Some(radii))
+    ivfRank(assigned, keep, k)
+  }
+
+  /** Admission half of the q155 lifecycle: assign an arrival batch
+    * (vec_id, e[double], nrm) with the STORED quantizer and delta-admit
+    * its per-cell radii — O(batch) work, no base-corpus read. This is
+    * the verb that keeps the served tier EXACT as the corpus grows: an
+    * arrival farther from its centroid than any build-time member
+    * would otherwise leave the stored radius under-bounding its cell,
+    * and a later serve could prune the cell while the arrival is a
+    * true top-k neighbor (AnnIndexSpec constructs that miss
+    * geometrically and proves this verb repairs it). Returns the
+    * cell-assigned arrivals for the caller's corpus append. */
+  def admitExactPruned(spark: SparkSession, indexPath: String,
+      arrivals: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val asg = assignCells(arrivals, cents)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
+      .toDF("c_id", "ce", "cn")
+    AnnIndex.admitRadii(spark, s"$indexPath/radii", radiiOf(asg, centDf))
+    asg
   }
 
   /** The brute-force oracle: exact top-k over the derived corpus,

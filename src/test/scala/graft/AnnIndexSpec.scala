@@ -142,6 +142,66 @@ class AnnIndexSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("q155 admission keeps the exact tier exact: a planted arrival beyond " +
+      "its cell's build-time radius is WRONGLY PRUNED by a stale serve and " +
+      "recovered after admitRadii's max-merge — the hazard and the repair, " +
+      "both demonstrated") {
+    import spark.implicits._
+    // geometry on the unit circle embedded in 8-dim (dims 0,1), ×1e5
+    // integer components (sims exact to ~1e-5, margins are ~1e-3):
+    //   cell A centroid id=100 at 0°, members 1°..3° + query id=10 at 4°
+    //   cell B centroid id=200 at 10°, tight members 9.5°..10.5°
+    //   arrival id=50 at 5.2° — nearest centroid is B (4.8° < 5.2°),
+    //   yet it is the query's top-2 true neighbor (1.2° away). B's
+    //   build radius is chord(0.5°), so the stale bound for (q, B) is
+    //   cos-like 0.9954 < the seed lb cos(2°) = 0.99939 → B pruned.
+    def vecAt(id: Long, deg: Double): (Long, Seq[Double], Double) = {
+      val r = math.toRadians(deg)
+      val e = Seq(math.rint(math.cos(r) * 100000), math.rint(math.sin(r) * 100000)) ++
+        Seq.fill(6)(0.0)
+      (id, e, math.sqrt(e.map(x => x * x).sum))
+    }
+    // cell A's non-query members stay strictly on A's Voronoi side
+    // (anything past 5° would assign to B and dilute the plant)
+    val corpus0 = (Seq(
+      vecAt(100L, 0.0),
+      vecAt(1L, 3.0), vecAt(2L, 2.5), vecAt(3L, 2.0),
+      vecAt(4L, 1.5), vecAt(5L, 1.0),
+      vecAt(10L, 4.0), // the query
+      vecAt(200L, 10.0),
+      vecAt(20L, 9.5), vecAt(21L, 10.5)
+    )).toDF("vec_id", "e", "nrm")
+    val arrival = Seq(vecAt(50L, 5.2)).toDF("vec_id", "e", "nrm")
+    val corpus1 = corpus0.unionByName(arrival)
+    val centPred = col("vec_id").isin(100L, 200L)
+    val qPred = col("vec_id") === 10L
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      sortedRows(df.collect())
+
+    val path = tmpIndex("admit")
+    Similarity.buildExactPrunedIndexOf(corpus0, centPred, path)
+    // build-time serve is exact (sanity)
+    assert(rows(Similarity.exactPrunedTopKServeOf(corpus0, qPred, path, 1, 5)) ==
+      rows(Similarity.cosineTopKOf(corpus0, qPred, 5)), "build-time serve not exact")
+
+    // the corpus grows WITHOUT admission: the stale radius under-bounds
+    // cell B and the serve MISSES the true top-2 neighbor — the hazard
+    // is real, not theoretical
+    val stale = rows(Similarity.exactPrunedTopKServeOf(corpus1, qPred, path, 1, 5))
+    val truth = rows(Similarity.cosineTopKOf(corpus1, qPred, 5))
+    assert(truth.exists(_.contains(50L)), "geometry broke: arrival should be a true top-5 row")
+    assert(stale != truth, "stale serve should miss the planted arrival")
+    assert(!stale.exists(_.contains(50L)), "stale serve should have pruned the arrival's cell")
+
+    // admit the batch: O(batch) assignment + a max-merged radius delta
+    val asg = Similarity.admitExactPruned(spark, path, arrival)
+    assert(asg.select(col("cell")).collect().map(_.getLong(0)).toSeq == Seq(200L),
+      "arrival should assign to cell B (the far centroid)")
+    val fresh = rows(Similarity.exactPrunedTopKServeOf(corpus1, qPred, path, 1, 5))
+    assert(fresh == truth, "post-admission serve must be exact again")
+    assert(fresh.exists(_.contains(50L)), "the recovered arrival should rank")
+  }
+
   test("rebuild lifecycle: TRUNCATE + re-append swaps the index atomically at the manifest level") {
     val path = tmpIndex("swap")
     val cb0 = AnnIndexSpecFixtures.codebook
