@@ -828,6 +828,67 @@ object SoakDelta {
       Seq(b1, bn).foreach(_.unpersist())
     }
 
+    // -------------- exact-pruned tier under admission (q155 radii deltas) --------------
+    // the exactness HARD GATE under sustained growth: 20 batches of
+    // cluster-structured arrivals with EXTRA directional wobble (±120
+    // on ±60 planted offsets — most arrivals land OUTSIDE their cell's
+    // build-time radius, so the gate fails unless each batch's radii
+    // delta-admit; the AnnIndexSpec plant, at soak scale), radii
+    // max-merge across 20 delta commits, auto-compaction crosses its
+    // knee (AutoCompactManifests = 16) mid-soak, and after EVERY batch
+    // the served top-k must equal the brute-force scan of the grown
+    // corpus row-for-row.
+    locally {
+      val batches = 20
+      val base = operators.Similarity.plantedVectors(spark, sfDir)
+        .persist()
+      base.count()
+      val idx = tmpRoot("exact155")
+      operators.Similarity.buildExactPrunedIndexOf(
+        base, expr("vec_id % 7 = 3"), s"$idx/q155")
+      def arrivalsOf(b: Int): DataFrame = {
+        val wobbled = operators.Similarity.plantedVectorsOfIds(
+            spark.range(100).select(
+              (col("id") + lit(900000000L) + lit(b.toLong) * lit(1000000L)).as("vec_id")))
+          .select(col("vec_id"), expr(
+            "transform(e, (x, j) -> x + CAST((vec_id * 7 + CAST(j AS BIGINT)) % 241 - 120 AS DOUBLE))")
+            .as("e"))
+        wobbled.withColumn("nrm",
+          sqrt(graft.functions.VectorOps.dot(col("e"), col("e"))))
+      }
+      var corpus = base
+      var tAdmit = 0.0; var tGate = 0.0
+      (1 to batches).foreach { b =>
+        val arr = arrivalsOf(b).persist()
+        arr.count()
+        tAdmit += time {
+          operators.Similarity.admitExactPruned(spark, s"$idx/q155", arr).count()
+        }
+        corpus = corpus.unionByName(arr).persist()
+        corpus.count()
+        val qp = expr("vec_id % 25 = 0")
+        var served: Seq[Seq[Any]] = null; var truth: Seq[Seq[Any]] = null
+        tGate += time {
+          served = operators.Similarity.exactPrunedTopKServeOf(
+              corpus, qp, s"$idx/q155", 4, 5)
+            .collect().map(_.toSeq).toSeq.sortBy(_.mkString("\u0001"))
+          truth = operators.Similarity.cosineTopKOf(corpus, qp, 5)
+            .collect().map(_.toSeq).toSeq.sortBy(_.mkString("\u0001"))
+        }
+        require(served == truth,
+          s"exact tier lost exactness at admission batch $b " +
+            s"(${served.size} vs ${truth.size} rows)")
+        CacheRegistry.releaseAll()
+      }
+      val radiiManifests = graft.sources.ManifestSink.sortedManifests(
+        new java.io.File(s"$idx/q155/radii")).size
+      require(radiiManifests < operators.FpIndex.AutoCompactManifests,
+        s"auto-compaction must bound the radii manifests, got $radiiManifests")
+      println(f"exact155_admission       $batches%2d batches x100 wobbled arrivals  " +
+        f"admit total $tAdmit%6.2f s  gate total $tGate%6.2f s  " +
+        f"served == brute EVERY batch  radii-manifests $radiiManifests%2d")
+    }
+
     // -------------- delta ACCUMULATION + compaction (round-15 ask) --------------
     // one root, many consecutive admitted batches: does per-batch admit
     // cost or serve latency grow with accumulated delta COMMITS (each

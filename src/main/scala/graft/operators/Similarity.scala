@@ -3068,11 +3068,19 @@ object Similarity {
     * multiplicative round decorrelates consecutive ids — the r16
     * Weyl-orbit soak lesson; 69069 keeps the product < 2⁶³). All
     * operands non-negative before the final subtractions, so `%` is
-    * mathematical mod in both engines. */
+    * mathematical mod in both engines.
+    *
+    * Every operand reduces mod 2³¹ BEFORE its Knuth multiply:
+    * 2³¹·2654435761 < 2⁶³ where an unreduced id·dim+j at the
+    * admission soak's 9·10⁸ arrival offsets overflows BIGINT (found
+    * live — ANSI mode raised ARITHMETIC_OVERFLOW). The reduction is
+    * the IDENTITY for every fixture id (all < 2³¹ even at sf1), so
+    * the oracle contract and the committed hashes are untouched; it
+    * just extends the template's domain to any non-negative id. */
   private def plantElem(j: Int): String = {
-    val g = s"(((vec_id * 2654435761) % 4294967296) % $PlantClusters)"
+    val g = s"((((vec_id % 2147483648) * 2654435761) % 4294967296) % $PlantClusters)"
     val hc = s"((($g * $PlantDim + $j) * 2654435761) % 4294967296)"
-    val ho = s"((((vec_id * $PlantDim + $j) * 2654435761) % 4294967296) * 69069 % 4294967296)"
+    val ho = s"((((vec_id * $PlantDim + $j) % 2147483648) * 2654435761) % 4294967296 * 69069 % 4294967296)"
     s"CAST(($hc % 2001 - 1000) * 8 + ($ho % 121 - 60) AS DOUBLE)"
   }
 
@@ -3081,7 +3089,14 @@ object Similarity {
     * lambda — the zipfTextExpr choice), derived in the same narrow
     * projection that scans them. */
   private[graft] def plantedVectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    plantedVectorsOfIds(Tables.embeddings(spark, dir).select(col("vec_id")))
+
+  /** The derivation over an arbitrary (vec_id) frame — the seam the
+    * admission soak uses to derive cluster-structured ARRIVALS for ids
+    * beyond the fixture (the template is a pure function of vec_id, so
+    * fresh ids land in the same planted clusters). */
+  private[graft] def plantedVectorsOfIds(ids: DataFrame): DataFrame =
+    ids
       .select(col("vec_id"),
         expr((0 until PlantDim).map(plantElem).mkString("array(", ", ", ")")).as("e"))
       .withColumn("nrm", sqrt(VectorOps.dot(col("e"), col("e"))))
@@ -3228,6 +3243,26 @@ object Similarity {
     ivfRank(assigned, keep, k)
   }
 
+  /** [[exactPrunedTopKWith]] against a PRE-TRAINED quantizer — the
+    * production knob the q155 scaladoc names: the guarantee is the
+    * triangle inequality, valid for ANY centroid set, so a
+    * Lloyd-refined quantizer ([[refineCentroids]]) only changes how
+    * much the bound CUTS (tighter cells → smaller radii → more
+    * pruning), never what it returns. SimilaritySpec proves both
+    * halves: refined-quantizer results stay ≡ brute force, and the
+    * refined cut is at least as deep as the id-filtered one. */
+  def exactPrunedTopKWithQuantizer(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double], Double)],
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assigned, keep) =
+      exactPrunedKeepOf(corpus, queryPred, cents, seedNprobe, k, cacheKey)
+    ivfRank(assigned, keep, k)
+  }
+
   /** Per-query surviving-candidate count — the shrinkage evidence
     * SimilaritySpec asserts and PERF records (kept-cell members per
     * query, to compare against the corpus size the brute-force scan
@@ -3244,9 +3279,22 @@ object Similarity {
       centroidPred: org.apache.spark.sql.Column,
       seedNprobe: Int,
       k: Int,
-      cacheKey: Option[String] = None): DataFrame = {
-    val (assigned, keep) = exactPrunedKeepOf(corpus, queryPred,
+      cacheKey: Option[String] = None): DataFrame =
+    exactPrunedCandidateCountsWithQuantizer(corpus, queryPred,
       collectCentroids(corpus, centroidPred), seedNprobe, k, cacheKey)
+
+  /** [[exactPrunedCandidateCountsWith]] against a pre-trained
+    * quantizer — the measurement half of
+    * [[exactPrunedTopKWithQuantizer]]. */
+  def exactPrunedCandidateCountsWithQuantizer(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      cents: Seq[(Long, Array[Double], Double)],
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (assigned, keep) =
+      exactPrunedKeepOf(corpus, queryPred, cents, seedNprobe, k, cacheKey)
     assigned.join(broadcast(keep.select(col("q_id"), col("probe"))),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_candidates"))

@@ -840,4 +840,34 @@ class SimilaritySpec extends AnyFunSuite {
       f"isotropic fixture unexpectedly prunable (mean frac $isoMean%.3f) — " +
         "the derived-corpus justification in the q155 scaladoc needs re-measuring")
   }
+
+  test("q155 with a Lloyd-refined quantizer: STILL exact (the bound holds " +
+      "for any centroid set) and the cut is at least as deep — the " +
+      "production training knob proven on the guarantee") {
+    val dir = "/root/testdata/sf0.01"
+    val v = Similarity.plantedVectors(spark, dir)
+    val qPred = expr("vec_id % 25 = 0")
+    val cents0 = Similarity.trainIvfQuantizer(v, expr("vec_id % 7 = 3"))
+    val refined = Similarity.refineCentroids(v, cents0, iters = 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      CacheRegistry.releaseAll()
+      r
+    }
+    val truth = rows(Similarity.cosineTopKOf(v, qPred, 5))
+    val prunedRefined = rows(
+      Similarity.exactPrunedTopKWithQuantizer(v, qPred, refined, 4, 5))
+    assert(prunedRefined == truth, "refined-quantizer pruning must stay exact")
+    def meanCand(cents: Seq[(Long, Array[Double], Double)]): Double = {
+      val c = Similarity.exactPrunedCandidateCountsWithQuantizer(v, qPred, cents, 4, 5)
+        .collect().map(_.getAs[Long]("n_candidates"))
+      CacheRegistry.releaseAll()
+      c.sum.toDouble / c.length
+    }
+    val cutId = meanCand(cents0)
+    val cutRefined = meanCand(refined)
+    assert(cutRefined <= cutId * 1.05,
+      f"Lloyd refinement should tighten (or hold) the cut: " +
+        f"id-filtered $cutId%.1f vs refined $cutRefined%.1f candidates/query")
+  }
 }
