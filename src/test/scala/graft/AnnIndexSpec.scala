@@ -202,6 +202,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fresh.exists(_.contains(50L)), "the recovered arrival should rank")
   }
 
+  test("q155 under corpus SHRINK: stale-larger radii stay EXACT (the safe " +
+      "direction — only pruning is lost) and a radii rebuild restores the " +
+      "cut under a new generation") {
+    CacheRegistry.releaseAll()
+    val v = Similarity.plantedVectors(spark, "/root/testdata/sf0.01")
+    val qPred = expr("vec_id % 25 = 0")
+    val centPred = expr("vec_id % 7 = 3")
+    val path = tmpIndex("shrink")
+    Similarity.buildExactPrunedIndexOf(v, centPred, path)
+    // shrink: drop a deterministic third of the corpus (keep every
+    // centroid and every query so the plan shapes stay comparable)
+    val shrunk = v.filter(expr("vec_id % 3 != 1 OR vec_id % 7 = 3 OR vec_id % 25 = 0"))
+    assert(shrunk.count() < v.count())
+    val truth = sortedRows(Similarity.cosineTopKOf(shrunk, qPred, 5).collect())
+    val staleServe = sortedRows(
+      Similarity.exactPrunedTopKServeOf(shrunk, qPred, path, 4, 5).collect())
+    assert(staleServe == truth,
+      "serve over the shrunk corpus with build-time radii must stay exact " +
+        "(radii only ever OVER-bound after a shrink)")
+    val stale = AnnIndex.loadRadii(spark, s"$path/radii").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
+    CacheRegistry.releaseAll()
+    // rebuild the index against the shrunk corpus (generation-append —
+    // same verb a nightly maintenance job runs): still exact, and the
+    // refreshed radii never exceed the stale ones (members only left),
+    // with at least one genuinely tightened — the cut comes back
+    Similarity.buildExactPrunedIndexOf(shrunk, centPred, path)
+    val rebuiltServe = sortedRows(
+      Similarity.exactPrunedTopKServeOf(shrunk, qPred, path, 4, 5).collect())
+    assert(rebuiltServe == truth, "serve after the radii rebuild must stay exact")
+    val rebuilt = AnnIndex.loadRadii(spark, s"$path/radii").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
+    CacheRegistry.releaseAll()
+    assert(rebuilt.nonEmpty)
+    rebuilt.foreach { case (cell, rc2) =>
+      stale.get(cell).foreach(old =>
+        assert(rc2 <= old + 1e-12, s"rebuilt radius grew for cell $cell: $old -> $rc2"))
+    }
+    assert(rebuilt.exists { case (cell, rc2) =>
+      stale.get(cell).exists(old => rc2 < old - 1e-9) },
+      "a shrink that removed members should tighten at least one cell radius")
+  }
+
   test("rebuild lifecycle: TRUNCATE + re-append swaps the index atomically at the manifest level") {
     val path = tmpIndex("swap")
     val cb0 = AnnIndexSpecFixtures.codebook
