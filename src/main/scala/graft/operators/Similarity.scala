@@ -3158,7 +3158,10 @@ object Similarity {
     val cellInfo = centDf.join(cellStats, col("c_id") === col("cell"))
       .select(col("c_id"), col("ce"), col("cn"), col("rc2"))
     val keep = queries
-      .join(seedLb, Seq("q_id"), "left")
+      // seedLb is one row per query (|Q|-sized) — broadcast it or the
+      // left join plans a sort-merge with two exchanges on frames that
+      // both fit in a task
+      .join(broadcast(seedLb), Seq("q_id"), "left")
       .withColumn("lbc", coalesce(col("lb"), lit(-2d)))
       .crossJoin(broadcast(cellInfo))
       .withColumn("simqc",
