@@ -332,7 +332,8 @@ object SoakAnn {
         CacheRegistry.getOrCache(spark, s"soak.planted:$sfDir")(
           operators.Similarity.plantedVectors(spark, sfDir)),
         org.apache.spark.sql.functions.expr("vec_id % 25 = 0"), 5)),
-      "q155 exact pruned top-k" -> (() => operators.Similarity.exactPrunedTopK(spark, sfDir)))
+      "q155 exact pruned top-k" -> (() => operators.Similarity.exactPrunedTopK(spark, sfDir)),
+      "q156 exact pruned 2-level" -> (() => operators.Similarity.exactPruned2Level(spark, sfDir)))
     println(s"## ANN ladder at $sfDir (end-to-end incl. index build, warm 2nd run)")
     tiers.foreach { case (name, fn) =>
       fn().write.format("noop").mode("overwrite").save() // warm
@@ -340,6 +341,20 @@ object SoakAnn {
       fn().write.format("noop").mode("overwrite").save()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
+    // q156 bound-row accounting: how many per-cell bound rows the
+    // two-level form evaluates per query vs the ncells q155 always
+    // pays — the evidence that level 1 prunes the |Q|·ncells term
+    locally {
+      val ncells = operators.Similarity.plantedVectors(spark, sfDir)
+        .filter(expr("vec_id % 7 = 3")).count()
+      val acct = operators.Similarity.exactPruned2LevelBoundRows(spark, sfDir).collect()
+      CacheRegistry.releaseAll()
+      val mg = acct.map(_.getAs[Long]("n_groups_kept")).sum.toDouble / acct.length
+      val mc = acct.map(_.getAs[Long]("n_cell_bounds")).sum.toDouble / acct.length
+      println(f"q156 bound rows/query: groups kept $mg%6.1f of ${(ncells + 6) / 7}%4d   " +
+        f"cell bounds $mc%7.1f of $ncells%5d (q155 pays all $ncells%5d)")
+    }
+
     // stored-index lifecycle (round-9 judge ask): train+persist ONCE,
     // then serve from the manifest tables in a fresh session — the
     // serve rows pay no training scan and (q82) no corpus encode

@@ -3385,6 +3385,136 @@ object Similarity {
     asg
   }
 
+  // ------------------------------------------------------------- q156
+
+  /** Cell-group density for the two-level bound: every 7th centroid
+    * leads a group — ngroups = ncells/7 ≈ n/49, the same ladder ratio
+    * the hier clustering family uses. */
+  private val PlantGroupEvery = 7
+
+  /** q156: the TWO-LEVEL exact bound — q155 with the |Q|·ncells
+    * bound-row term itself pruned. q155's per-(query, cell) bound is
+    * the q44 probe-ranking shape: linear in ncells per query, and with
+    * quantizer density ∝ n (the oracle contract) that term is the
+    * next thing to grow at 100×. The triangle inequality COMPOSES:
+    * group cells under group leaders (every [[PlantGroupEvery]]th
+    * centroid), give each group the radius
+    * R_g = max over member cells (‖c̃ − g̃‖ + R_c) ≥ max over member
+    * VECTORS ‖x̃ − g̃‖, and prune whole groups with the same bound
+    * before any per-cell work:
+    *
+    *   ub(q, g) = 1 − max(0, ‖q̃−g̃‖ − R_g)²/2 + ε ≥ max cos(q, x∈g)
+    *
+    * Per-query bound rows fall from ncells to
+    * ngroups + cells-in-surviving-groups (measured in the spec); the
+    * result is STILL EXACT — a dropped vector sits under a dropped
+    * group or a dropped cell, both strictly below an achieved k-th
+    * value — and the ORACLE is the same brute-force scan as q155's,
+    * so the composed bound carries its own hash proof at sf0.01 and
+    * sf1. Group assignment and radii are driver-side folds over the
+    * COLLECTED quantizer and cell stats (both model-sized — the
+    * collectCentroids precedent); the corpus sees exactly the same
+    * passes as q155: one assignment, one radius aggregate (collected),
+    * the seed scan, and the kept-cell rerank. */
+  def exactPruned2Level(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, cellBounds) = exactPruned2LevelCellBounds(spark, dir)
+    val keep = cellBounds
+      .filter(lit(1d) - col("gap") * col("gap") / lit(2d) + lit(BoundEps) >= col("lbc"))
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
+    ivfRank(assigned, keep, PlantK)
+  }
+
+  /** Per-query bound-row accounting for the two levels — the spec's
+    * evidence that level 1 cuts the |Q|·ncells term: (q_id,
+    * n_groups_kept, n_cell_bounds). q155 evaluates ncells cell bounds
+    * per query unconditionally; q156 evaluates them only under
+    * surviving groups. */
+  def exactPruned2LevelBoundRows(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cellBounds) = exactPruned2LevelCellBounds(spark, dir)
+    cellBounds.groupBy(col("q_id"))
+      .agg(countDistinct(col("g_id")).as("n_groups_kept"),
+        count(lit(1)).as("n_cell_bounds"))
+  }
+
+  /** Shared core of [[exactPruned2Level]] and
+    * [[exactPruned2LevelBoundRows]]: (assigned corpus, the level-2
+    * bound rows — one per (query, cell-under-surviving-group) with
+    * `gap`/`lbc` ready for the final filter). */
+  private def exactPruned2LevelCellBounds(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val v = plantedVectors(spark, dir)
+    val cents = collectCentroids(v, expr(PlantCentroidFilter))
+    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.plantCells:$dir")(
+      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
+    val queries = v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
+      .toDF("c_id", "ce", "cn")
+    // per-cell radii, COLLECTED (ncells rows — model-sized, the
+    // collectCentroids precedent) so the group radii compose on the
+    // driver with zero extra corpus passes
+    val rc2ByCell = radiiOf(assigned, centDf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
+    // group leaders: every PlantGroupEvery-th centroid (cents is
+    // ascending by id; the middle offset avoids leader id 0 bias)
+    val leaders = cents.zipWithIndex
+      .collect { case (c, i) if i % PlantGroupEvery == PlantGroupEvery / 2 => c }
+    val groups = if (leaders.nonEmpty) leaders else cents.take(1)
+    // driver-side folds over model-sized tables: nearest leader per
+    // cell (lowest id on ties — the NearestCell contract) and the
+    // composed radius R_g = max over member cells (‖c̃−g̃‖ + R_c)
+    def unitDist(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+      math.sqrt(math.max(0.0, 2.0 - 2.0 * (dot / (a._3 * b._3))))
+    }
+    val cellGroup: Map[Long, Long] = cents.map { c =>
+      c._1 -> groups.minBy(g => (unitDist(c, g), g._1))._1
+    }.toMap
+    val rg2ByGroup: Map[Long, Double] = cents
+      .groupBy(c => cellGroup(c._1))
+      .map { case (gid, cs) =>
+        val g = groups.find(_._1 == gid).get
+        val rg = cs.map(c => unitDist(c, g) + math.sqrt(
+          math.max(0.0, rc2ByCell.getOrElse(c._1, 0.0)))).max
+        gid -> rg * rg
+      }
+    // seed lower bound: identical to q155's (nearest cells, exact sims)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val seedLb = assigned
+      .join(broadcast(probeCellsOf(queries, cents, PlantSeedNprobe)),
+        col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") === PlantK)
+      .select(col("q_id"), col("sim").as("lb"))
+    val qlb = queries.join(broadcast(seedLb), Seq("q_id"), "left")
+      .withColumn("lbc", coalesce(col("lb"), lit(-2d)))
+    // LEVEL 1: queries × groups (|Q|·ngroups rows — ncells/7 of
+    // q155's level)
+    val groupDf = groups.map { case (id, vv, nm) =>
+      (id, vv.toSeq, nm, rg2ByGroup.getOrElse(id, 4.0)) }
+      .toDF("g_id", "ge", "gn", "rg2")
+    val keptGroups = qlb.crossJoin(broadcast(groupDf))
+      .withColumn("simqg",
+        VectorOps.dot(col("qe"), col("ge")) / (col("qn") * col("gn")))
+      .withColumn("gapg", greatest(lit(0d),
+        sqrt(greatest(lit(0d), lit(2d) - lit(2d) * col("simqg"))) - sqrt(col("rg2"))))
+      .filter(lit(1d) - col("gapg") * col("gapg") / lit(2d) + lit(BoundEps) >= col("lbc"))
+      .select(col("q_id"), col("qe"), col("qn"), col("lbc"), col("g_id"))
+    // LEVEL 2: per-cell bound rows exist ONLY under surviving groups
+    val cellInfo = cents.map { case (id, vv, nm) =>
+      (id, vv.toSeq, nm, rc2ByCell.getOrElse(id, 0.0), cellGroup(id)) }
+      .toDF("c_id", "ce", "cn", "rc2", "g_id")
+    val cellBounds = keptGroups.join(broadcast(cellInfo), Seq("g_id"))
+      .withColumn("simqc",
+        VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("gap", greatest(lit(0d),
+        sqrt(greatest(lit(0d), lit(2d) - lit(2d) * col("simqc"))) - sqrt(col("rc2"))))
+    (assigned, cellBounds)
+  }
+
   /** The brute-force oracle: exact top-k over the derived corpus,
     * no pruning anywhere — hash equality with the Spark plan is the
     * proof that the bound never drops a true neighbor. */
@@ -3403,4 +3533,9 @@ object Similarity {
        |      FROM p)
        |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
        |FROM r WHERE rank <= $PlantK""".stripMargin
+
+  /** q156's oracle IS q155's: the two-level bound claims the same
+    * exact result set, so the same brute-force SQL hash-proves the
+    * composed guarantee independently. */
+  val exactPruned2LevelSql: String = exactPrunedTopKSql
 }

@@ -115,7 +115,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // broadcast quantizer (|Q|·ncells rows of 8-dim dots, the
       // declared probe-ranking shape); the seed scan and the final
       // exact rerank are both equi-key joins on the cell id
-      "q155_exact_pruned_topk")
+      "q155_exact_pruned_topk",
+      // q156: q155's crosses with the per-cell one replaced by a
+      // group-level cross (|Q|·ngroups = ncells/7) — the level-2 cell
+      // bound and the rerank are equi-key joins (g_id, cell)
+      "q156_exact_pruned_2level")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

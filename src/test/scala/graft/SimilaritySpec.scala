@@ -870,4 +870,29 @@ class SimilaritySpec extends AnyFunSuite {
       f"Lloyd refinement should tighten (or hold) the cut: " +
         f"id-filtered $cutId%.1f vs refined $cutRefined%.1f candidates/query")
   }
+
+  test("q156 two-level bound: identical rows to q155 and the brute force " +
+      "(the composed triangle bound stays lossless), and level 1 cuts the " +
+      "per-query cell-bound rows well below ncells") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      CacheRegistry.releaseAll()
+      r
+    }
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val one = rows(Similarity.exactPrunedTopK(spark, dir))
+      val two = rows(Similarity.exactPruned2Level(spark, dir))
+      assert(one.nonEmpty && one == two, s"two-level != one-level at $dir")
+    }
+    val dir = "/root/testdata/sf0.01"
+    val v = Similarity.plantedVectors(spark, dir)
+    val ncells = v.filter(expr("vec_id % 7 = 3")).count()
+    val acct = Similarity.exactPruned2LevelBoundRows(spark, dir).collect()
+    CacheRegistry.releaseAll()
+    assert(acct.nonEmpty)
+    val meanCellBounds = acct.map(_.getAs[Long]("n_cell_bounds")).sum.toDouble / acct.length
+    assert(meanCellBounds < 0.6 * ncells,
+      f"level 1 should prune groups before cell bounds: mean $meanCellBounds%.1f " +
+        f"cell-bound rows/query vs ncells=$ncells (q155 always pays ncells)")
+  }
 }
