@@ -351,7 +351,10 @@ object SoakAnn {
       CacheRegistry.releaseAll()
       val mg = acct.map(_.getAs[Long]("n_groups_kept")).sum.toDouble / acct.length
       val mc = acct.map(_.getAs[Long]("n_cell_bounds")).sum.toDouble / acct.length
-      println(f"q156 bound rows/query: groups kept $mg%6.1f of ${(ncells + 6) / 7}%4d   " +
+      // leader count the way exactPruned2LevelCellBounds picks them:
+      // indices i < ncells with i % 7 == 3, i.e. (ncells + 3) / 7 —
+      // ceil(ncells/7) overcounts by one when ncells mod 7 is 1-3
+      println(f"q156 bound rows/query: groups kept $mg%6.1f of ${(ncells + 3) / 7}%4d   " +
         f"cell bounds $mc%7.1f of $ncells%5d (q155 pays all $ncells%5d)")
     }
 
@@ -879,8 +882,16 @@ object SoakDelta {
         tAdmit += time {
           operators.Similarity.admitExactPruned(spark, s"$idx/q155", arr).count()
         }
-        corpus = corpus.unionByName(arr).persist()
-        corpus.count()
+        // materialize the grown corpus BEFORE dropping the previous
+        // frame (r16 advice: the old code stacked ~21 persisted corpus
+        // copies by the last batch — memory/spill pressure that grows
+        // with sf); arr's rows live inside `next` after the count, so
+        // it unpersists too
+        val next = corpus.unionByName(arr).persist()
+        next.count()
+        if (corpus ne base) corpus.unpersist()
+        arr.unpersist()
+        corpus = next
         val qp = expr("vec_id % 25 = 0")
         var served: Seq[Seq[Any]] = null; var truth: Seq[Seq[Any]] = null
         tGate += time {
@@ -902,6 +913,8 @@ object SoakDelta {
       println(f"exact155_admission       $batches%2d batches x100 wobbled arrivals  " +
         f"admit total $tAdmit%6.2f s  gate total $tGate%6.2f s  " +
         f"served == brute EVERY batch  radii-manifests $radiiManifests%2d")
+      if (corpus ne base) corpus.unpersist()
+      base.unpersist()
     }
 
     // -------------- delta ACCUMULATION + compaction (round-15 ask) --------------

@@ -3109,6 +3109,22 @@ object Similarity {
        |        [${(0 until PlantDim).map(plantElem).mkString(",\n         ")}] AS e
        |      FROM embeddings)""".stripMargin
 
+  /** Quantizer identity folded into every cell-assignment cache key
+    * (r16 advice): the assignment is a pure function of (corpus,
+    * quantizer), but the raw `plantCells:$dir` key encoded only the
+    * corpus — a serve session whose STORED quantizer diverged from the
+    * in-session id-filter one (e.g. after a Lloyd-refined rebuild)
+    * would have read cells assigned under the WRONG quantizer against
+    * the stored radii, silently voiding the exactness guarantee. Same
+    * centroids → same fingerprint → cache sharing is preserved where
+    * it is actually safe. */
+  private def quantizerFingerprint(cents: Seq[(Long, Array[Double], Double)]): String =
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.orderedHash(
+      cents.map { case (id, v, nm) => (id, v.toSeq, nm) }))
+
+  private def assignKey(base: String, cents: Seq[(Long, Array[Double], Double)]): String =
+    s"$base#${quantizerFingerprint(cents)}"
+
   /** Shared prefix of [[exactPrunedTopKWith]] and
     * [[exactPrunedCandidateCountsWith]]: assign cells (cached —
     * 3 consumers), compute the per-query KEPT-cell probe frame.
@@ -3129,7 +3145,7 @@ object Similarity {
     val assignedRaw =
       assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     val assigned = cacheKey.fold(assignedRaw)(key =>
-      graft.CacheRegistry.getOrCache(spark, key)(assignedRaw))
+      graft.CacheRegistry.getOrCache(spark, assignKey(key, cents))(assignedRaw))
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
@@ -3329,7 +3345,7 @@ object Similarity {
     val assignedRaw =
       assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     val assigned = cacheKey.fold(assignedRaw)(key =>
-      graft.CacheRegistry.getOrCache(spark, key)(assignedRaw))
+      graft.CacheRegistry.getOrCache(spark, assignKey(key, cents))(assignedRaw))
     val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
       .toDF("c_id", "ce", "cn")
     AnnIndex.saveOrRebuildRadii(spark, s"$indexPath/radii", radiiOf(assigned, centDf))
@@ -3445,7 +3461,8 @@ object Similarity {
     import spark.implicits._
     val v = plantedVectors(spark, dir)
     val cents = collectCentroids(v, expr(PlantCentroidFilter))
-    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.plantCells:$dir")(
+    val assigned = graft.CacheRegistry.getOrCache(spark,
+        assignKey(s"similarity.plantCells:$dir", cents))(
       assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
     val queries = v.filter(expr(QueryFilter))
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))

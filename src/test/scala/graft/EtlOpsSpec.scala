@@ -130,6 +130,38 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture yields no SNM pairs — test is vacuous")
   }
 
+  test("q80 parallel SNM: overlap/rank form == global-sort form on a vocabulary spanning partition boundaries") {
+    import spark.implicits._
+    // a vocabulary large enough that every range partition holds a
+    // contiguous slice and W=3 successors cross boundaries everywhere;
+    // near-identical stems make many pairs pass the edit-distance gate
+    val vocab = (0 until 400).map(i => f"name${i / 4}%03d v${i % 4}")
+    val names = vocab.toDF("p_name").repartition(7) // scrambled input order
+    val par = Dedup.snmMatchOf(names, Dedup.SnmWindow, "test.snmRank:boundary")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // the single-partition reference form (what the old q80 planned)
+    val sortedV = vocab.sorted
+    val expected = (for {
+      i <- sortedV.indices; k <- 1 to Dedup.SnmWindow if i + k < sortedV.length
+      d = levRef(sortedV(i), sortedV(i + k)) if d <= Dedup.FuzzyMaxDist
+    } yield (sortedV(i), sortedV(i + k), d)).toSet
+    assert(par == expected,
+      "parallel SNM must emit exactly the global-sort form's pairs")
+    assert(par.nonEmpty, "boundary vocabulary yields no pairs — vacuous")
+    // sanity: the ranked vocabulary really spans >1 range partition at
+    // the session's shuffle parallelism (otherwise the case is q80's)
+    assert(spark.sessionState.conf.numShufflePartitions > 1)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("q73 transitionProfile: pair mass conserved, ppm rows sum to ~1e6") {
     val rows = Extended.transitionProfile(spark, sf).collect()
     val totalPairs = rows.map(_.getAs[Long]("n")).sum

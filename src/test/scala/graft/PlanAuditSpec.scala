@@ -133,6 +133,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q80 SNM plans no single-partition exchange (the parallel rank form, r16 weak)") {
+    // the old form windowed the whole vocabulary under Exchange
+    // SinglePartition; the rank form's windows partition by bucket and
+    // the pair join is an equi-join on the rank — nothing may funnel
+    // to one partition (the cached ranked vocabulary's plan is nested
+    // inside the InMemoryRelation and is covered by the same string)
+    val plan = planOf("q80_snm_match")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q80 funnels to a single partition:\n$plan")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("top-K queries use TakeOrderedAndProject, never a global Sort+Limit") {
     Seq("q01_discovery", "q03_topk").foreach { name =>
       assert(planOf(name).contains("TakeOrderedAndProject"), name)
