@@ -333,7 +333,10 @@ object SoakAnn {
           operators.Similarity.plantedVectors(spark, sfDir)),
         org.apache.spark.sql.functions.expr("vec_id % 25 = 0"), 5)),
       "q155 exact pruned top-k" -> (() => operators.Similarity.exactPrunedTopK(spark, sfDir)),
-      "q156 exact pruned 2-level" -> (() => operators.Similarity.exactPruned2Level(spark, sfDir)))
+      "q156 exact pruned 2-level" -> (() => operators.Similarity.exactPruned2Level(spark, sfDir)),
+      // q157 end-to-end: √n train (3 Lloyd passes) + store + serve per
+      // call — the whole lifecycle, not just the serve
+      "q157 trained train+serve" -> (() => operators.Similarity.exactPrunedTopKTrained(spark, sfDir)))
     println(s"## ANN ladder at $sfDir (end-to-end incl. index build, warm 2nd run)")
     tiers.foreach { case (name, fn) =>
       fn().write.format("noop").mode("overwrite").save() // warm
@@ -395,6 +398,22 @@ object SoakAnn {
       operators.Similarity.ivfSq8TopKServe(serve, sfDir, s"$idx/ivfsq8"))
     serveRow("q155 exact-pruned serve",
       operators.Similarity.exactPrunedTopKServe(serve, sfDir, s"$idx/exactpruned"))
+    // q157: the TRAINED √n quantizer's build and serve costs broken
+    // out — the r16 verdict's ask: what does the production-sized
+    // quantizer's collect/bound work cost at this sf, vs the
+    // id-filter contract's ncells ∝ n
+    locally {
+      val t0 = System.nanoTime()
+      val cents = operators.Similarity.buildExactPrunedIndexTrained(
+        operators.Similarity.plantedVectors(spark, sfDir), s"$idx/trained157")
+      val tb = (System.nanoTime() - t0) / 1e9
+      CacheRegistry.releaseAll()
+      println(f"q157 trained build (nlist=${cents.size}%4d = sqrt-n, 3 Lloyd passes) $tb%6.2f s")
+      serveRow("q157 trained-quantizer serve",
+        operators.Similarity.exactPrunedTopKServeOf(
+          operators.Similarity.plantedVectors(serve, sfDir),
+          expr("vec_id % 25 = 0"), s"$idx/trained157", 4, 5))
+    }
     spark.stop()
   }
 }

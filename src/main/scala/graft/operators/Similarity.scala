@@ -3337,10 +3337,21 @@ object Similarity {
       corpus: DataFrame,
       centroidPred: org.apache.spark.sql.Column,
       indexPath: String,
+      cacheKey: Option[String] = None): Unit =
+    buildExactPrunedIndexWithQuantizer(corpus,
+      collectCentroids(corpus, centroidPred), indexPath, cacheKey)
+
+  /** Persist the exact-pruned artifacts (quantizer + per-cell radii)
+    * for an ARBITRARY centroid set — the seam [[buildExactPrunedIndexOf]]
+    * (id-filter oracle contract) and [[buildExactPrunedIndexTrained]]
+    * (Lloyd-trained √n production quantizer) share. */
+  def buildExactPrunedIndexWithQuantizer(
+      corpus: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      indexPath: String,
       cacheKey: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = collectCentroids(corpus, centroidPred)
     AnnIndex.saveOrRebuildQuantizer(spark, s"$indexPath/quantizer", cents)
     val assignedRaw =
       assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
@@ -3350,6 +3361,84 @@ object Similarity {
       .toDF("c_id", "ce", "cn")
     AnnIndex.saveOrRebuildRadii(spark, s"$indexPath/radii", radiiOf(assigned, centDf))
   }
+
+  // ------------------------------------------------------------- q157
+
+  /** Lloyd iterations for the trained production quantizer — enough
+    * for the centers to settle into the planted clusters (IvfSpec's
+    * monotone-improvement contract); exactness never depends on it. */
+  val TrainedLloydIters = 3
+
+  /** Train the PRODUCTION quantizer for the exact-pruned tier:
+    * nlist ≈ √n seed centroids picked by a deterministic id stride,
+    * then [[refineCentroids]] (Lloyd). This retires the oracle
+    * fixture's `vec_id % 7` density contract (ncells ∝ n — the one
+    * linear-in-n driver-side structure the r16 verdict flagged): the
+    * quantizer collect, the radius table, and q155's per-(query, cell)
+    * bound term are all √n-sized under this trainer, which is the
+    * published IVF sizing rule. The trained centroids are NOT
+    * deterministic across runs (float mean accumulation follows
+    * Spark's partition merge order) and do not need to be: the q155
+    * guarantee is the triangle inequality, exact for ANY centroid set
+    * — centroids only change which cells prune, never the result — so
+    * the brute-force oracle hash-gates the served rows regardless of
+    * what the trainer emitted. */
+  def trainExactPrunedQuantizer(
+      corpus: DataFrame,
+      iters: Int = TrainedLloydIters): Seq[(Long, Array[Double], Double)] = {
+    val n = corpus.count()
+    require(n > 0, "cannot train a quantizer on an empty corpus")
+    val nlist = math.max(4L, math.round(math.sqrt(n.toDouble)))
+    val stride = math.max(1L, n / nlist)
+    val seed = collectCentroids(corpus, expr(s"vec_id % $stride = 0"))
+    refineCentroids(corpus, seed, iters)
+  }
+
+  /** Train-and-persist half of the q157 lifecycle: √n Lloyd-trained
+    * quantizer + its per-cell radii, stored through the same
+    * [[AnnIndex]] artifacts as the id-filter build. Returns the
+    * trained quantizer (callers that go straight to serve reuse it
+    * for the fingerprinted cache key). */
+  def buildExactPrunedIndexTrained(
+      corpus: DataFrame,
+      indexPath: String,
+      iters: Int = TrainedLloydIters,
+      cacheKey: Option[String] = None): Seq[(Long, Array[Double], Double)] = {
+    val cents = trainExactPrunedQuantizer(corpus, iters)
+    buildExactPrunedIndexWithQuantizer(corpus, cents, indexPath, cacheKey)
+    cents
+  }
+
+  /** q157: the exact-pruned top-k SERVED FROM A TRAINED √n QUANTIZER —
+    * the full production lifecycle in one oracled query: train
+    * (nlist ≈ √n seeds, [[TrainedLloydIters]] Lloyd passes) → store
+    * ([[AnnIndex.saveOrRebuildQuantizer]] + radii) → load back → serve
+    * ([[exactPrunedTopKServeOf]] — the stored-artifact path, no
+    * in-session radius aggregate). The r16 verdict's #1 ask: every
+    * previous cell-pruned CORRECTNESS row served from the fixture's
+    * `vec_id % 7` id-filter quantizer, whose density (ncells ∝ n) made
+    * the quantizer collect and the per-query bound term linear in the
+    * corpus; this row proves the √n-sized trained path end-to-end on
+    * data. The ORACLE is q155's boundless brute-force scan — exactness
+    * is quantizer-independent (the triangle-inequality guarantee), so
+    * the nondeterministic trainer needs no determinism contract: any
+    * centroids it emits must still hash-match the brute scan, and the
+    * gate proves exactly that at sf0.01 and sf1. */
+  def exactPrunedTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    val v = plantedVectors(spark, dir)
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-q157-idx").toString
+    buildExactPrunedIndexTrained(v, indexPath,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
+    exactPrunedTopKServeOf(v, expr(QueryFilter), indexPath,
+      PlantSeedNprobe, PlantK, cacheKey = Some(s"similarity.plantCells:$dir"))
+  }
+
+  /** q157's oracle IS q155's: the trained quantizer claims the same
+    * exact result set, so the same brute-force SQL hash-proves the
+    * train → store → serve lifecycle independently. (A `def`:
+    * `exactPrunedTopKSql` is declared later in the object and a `val`
+    * here would capture null during initialization.) */
+  def exactPrunedTopKTrainedSql: String = exactPrunedTopKSql
 
   /** Serve half: the q155 plan against the STORED quantizer + radius
     * table — no radius aggregate over the corpus at serve time.

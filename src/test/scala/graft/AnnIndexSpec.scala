@@ -142,6 +142,36 @@ class AnnIndexSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("trained-quantizer lifecycle (q157): √n Lloyd-trained quantizer + radii " +
+      "stored, FRESH session serves ≡ brute force; the artifacts are √n-sized " +
+      "— the ncells ∝ n fixture contract retired") {
+    CacheRegistry.releaseAll()
+    val dir = "/root/testdata/sf0.01"
+    val v = Similarity.plantedVectors(spark, dir)
+    val n = v.count()
+    val qPred = expr("vec_id % 25 = 0")
+    val truth = sortedRows(Similarity.cosineTopKOf(v, qPred, 5).collect())
+    assert(truth.nonEmpty)
+    val path = tmpIndex("trained157")
+    val cents = Similarity.buildExactPrunedIndexTrained(v, path)
+    // √n sizing: the quantizer (and therefore the radius table and the
+    // per-query bound term) must be √n-scale, NOT the id-filter n/7
+    val root = math.sqrt(n.toDouble)
+    assert(cents.size >= root / 2 && cents.size <= root * 2,
+      s"trained quantizer should be ~√n=$root cells, got ${cents.size}")
+    val radii = AnnIndex.loadRadii(spark, s"$path/radii").count()
+    assert(radii <= cents.size, "radius table is quantizer-sized")
+    CacheRegistry.releaseAll()
+    // fresh session: nothing trained, everything from the stored tables
+    val serveSession = spark.newSession()
+    val got = sortedRows(Similarity.exactPrunedTopKServeOf(
+      Similarity.plantedVectors(serveSession, dir), qPred, path, 4, 5).collect())
+    assert(got == truth,
+      "serve from the TRAINED stored quantizer must equal brute force " +
+        "(exactness is quantizer-independent — the q155 guarantee)")
+    CacheRegistry.releaseAll()
+  }
+
   test("q155 admission keeps the exact tier exact: a planted arrival beyond " +
       "its cell's build-time radius is WRONGLY PRUNED by a stale serve and " +
       "recovered after admitRadii's max-merge — the hazard and the repair, " +

@@ -119,7 +119,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q156: q155's crosses with the per-cell one replaced by a
       // group-level cross (|Q|·ngroups = ncells/7) — the level-2 cell
       // bound and the rerank are equi-key joins (g_id, cell)
-      "q156_exact_pruned_2level")
+      "q156_exact_pruned_2level",
+      // q157: q155's documented crosses against the TRAINED √n
+      // quantizer (strictly smaller than the id-filter one — nlist is
+      // √n, not n/7); the radii/seed/rerank joins stay equi-key
+      "q157_exact_pruned_trained")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
