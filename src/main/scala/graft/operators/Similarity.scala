@@ -3644,4 +3644,66 @@ object Similarity {
     * exact result set, so the same brute-force SQL hash-proves the
     * composed guarantee independently. */
   val exactPruned2LevelSql: String = exactPrunedTopKSql
+
+  // ------------------------------------------------------------- q158
+
+  /** q158: the GUARANTEED-EXACT hybrid — the retrieval ladder's apex
+    * (r16 verdict ask #3): q152's df-PRUNED sparse leg (probe terms
+    * with df > 5%·N dropped before the posting join — the WAND-family
+    * lever, per-term cost capped at frac·N) fused with q155's
+    * EXACT-PRUNED dense leg (triangle-inequality cell pruning —
+    * IVF-shaped cost, exact results). Production cost on BOTH legs,
+    * exactness on the dense one: where q152's dense leg is IVF
+    * (approximate — nprobe misses are possible and measured in q88),
+    * this form's dense contributions are PROVABLY the brute-force
+    * top-k's, so any fusion-rank difference against the q93-form
+    * brute hybrid can come only from the sparse leg's declared df cap,
+    * never from a silently dropped dense neighbor.
+    *
+    * Both legs run on the DERIVED corpora (the q152/q155 precedent —
+    * the fixture text is vocabulary-degenerate and the fixture
+    * embeddings isotropic, so neither leg's pruning could demonstrate
+    * anything there): sparse over [[TextAnalysis.zipfDocsOf]], dense
+    * over [[plantedVectors]], both deterministic from the row id in
+    * both engines. The ORACLE fuses the BOUNDLESS brute-force dense
+    * scan (q155's oracle — no bound anywhere) with the same pruned
+    * sparse leg, so the hash gate proves end-to-end that the dense
+    * pruning dropped nothing through the fusion tail. Fusion, probes,
+    * self-exclusion and tie order are byte-identical to q151/q152's
+    * (the shared [[hybridFuse]] seam). */
+  def hybridTopKExactPruned(spark: SparkSession, dir: String): DataFrame =
+    hybridFuse(spark, dir,
+      exactPrunedTopK(spark, dir)
+        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+          expr("1048576 div (60 + rank)").as("c")),
+      TextAnalysis.zipfDocsOf(Tables.documents(spark, dir).select(col("doc_id"))),
+      Some(TextAnalysis.ZipfMaxDfFrac))
+
+  val hybridTopKExactPrunedSql: String =
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id,
+       |         1048576 // (60 + rank) AS c
+       |  FROM (
+       |$exactPrunedTopKSql
+       |  ) dq),
+       |sparse AS (
+       |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS c
+       |  FROM (
+       |${TextAnalysis.bm25Sql(
+      s"""  SELECT DISTINCT query_id, w FROM (
+        |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+        |    FROM ${TextAnalysis.zipfDocsSqlFrom} zq WHERE doc_id % 25 = 0)""".stripMargin,
+      excludeSelf = true,
+      docsFrom = TextAnalysis.zipfDocsSqlFrom,
+      maxDfFrac = Some(TextAnalysis.ZipfMaxDfFrac))}
+       |  ) sq),
+       |f AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+       |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, rrf_score FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |  FROM f) WHERE rank <= 10""".stripMargin
 }

@@ -123,7 +123,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q157: q155's documented crosses against the TRAINED √n
       // quantizer (strictly smaller than the id-filter one — nlist is
       // √n, not n/7); the radii/seed/rerank joins stay equi-key
-      "q157_exact_pruned_trained")
+      "q157_exact_pruned_trained",
+      // q158: the exact hybrid — inherits q155's quantizer crosses on
+      // the dense leg and q152's 1-row corpus-stats cross on the
+      // sparse leg; posting join, fusion and rerank are all equi-key
+      "q158_hybrid_exact_pruned")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
