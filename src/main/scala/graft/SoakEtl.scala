@@ -936,6 +936,93 @@ object SoakDelta {
       base.unpersist()
     }
 
+    // -------------- TRAINED-quantizer TWO-LEVEL lifecycle (q157 × q156, r16 ask #8) --------------
+    // the full production loop end-to-end, hard-gated at every step:
+    // TRAIN a √n Lloyd quantizer → STORE the two-level artifacts
+    // (quantizer, cell radii, cell→group table, group radii) → SERVE
+    // → 20 admission batches through admitExactPruned2Level (cell AND
+    // composed group radii delta-admitted; auto-compaction crosses its
+    // knee mid-soak on both radius tables) → RE-TRAIN on the grown
+    // corpus in place (the refreshIfStale precedent — atomic
+    // generation rebuild) → serve again. The gate is served ≡ brute
+    // after EVERY step; the arrivals carry the same directional
+    // wobble as the q155 stage, so most land outside their cell's
+    // build-time radius AND outside their group's composed radius —
+    // the gate fails unless both admission levels work.
+    locally {
+      val batches = 20
+      val base = operators.Similarity.plantedVectors(spark, sfDir).persist()
+      base.count()
+      val idx = tmpRoot("trained2l")
+      val qp = expr("vec_id % 25 = 0")
+      def gate(corpus: DataFrame, stage: String): Unit = {
+        val served = operators.Similarity.exactPruned2LevelServeOf(
+            corpus, qp, s"$idx/q157", 4, 5)
+          .collect().map(_.toSeq).toSeq.sortBy(_.mkString("\u0001"))
+        val truth = operators.Similarity.cosineTopKOf(corpus, qp, 5)
+          .collect().map(_.toSeq).toSeq.sortBy(_.mkString("\u0001"))
+        require(served == truth,
+          s"trained 2-level serve lost exactness at $stage " +
+            s"(${served.size} vs ${truth.size} rows)")
+        CacheRegistry.releaseAll()
+      }
+      var tTrain = 0.0
+      var nlist = 0
+      tTrain = time {
+        val cents = operators.Similarity.trainExactPrunedQuantizer(base)
+        nlist = cents.size
+        operators.Similarity.buildExactPruned2LevelIndexWithQuantizer(
+          base, cents, s"$idx/q157")
+      }
+      gate(base, "initial build")
+      def arrivalsOf(b: Int): DataFrame = {
+        val wobbled = operators.Similarity.plantedVectorsOfIds(
+            spark.range(100).select(
+              (col("id") + lit(910000000L) + lit(b.toLong) * lit(1000000L)).as("vec_id")))
+          .select(col("vec_id"), expr(
+            "transform(e, (x, j) -> x + CAST((vec_id * 7 + CAST(j AS BIGINT)) % 241 - 120 AS DOUBLE))")
+            .as("e"))
+        wobbled.withColumn("nrm",
+          sqrt(graft.functions.VectorOps.dot(col("e"), col("e"))))
+      }
+      var corpus: DataFrame = base
+      var tAdmit = 0.0
+      (1 to batches).foreach { b =>
+        val arr = arrivalsOf(b).persist()
+        arr.count()
+        tAdmit += time {
+          operators.Similarity.admitExactPruned2Level(spark, s"$idx/q157", arr).count()
+        }
+        val next = corpus.unionByName(arr).persist()
+        next.count()
+        if (corpus ne base) corpus.unpersist()
+        arr.unpersist()
+        corpus = next
+        gate(corpus, s"admission batch $b")
+      }
+      Seq("radii", "gradii").foreach { t =>
+        val m = graft.sources.ManifestSink.sortedManifests(
+          new java.io.File(s"$idx/q157/$t")).size
+        require(m < operators.FpIndex.AutoCompactManifests,
+          s"auto-compaction must bound the $t manifests, got $m")
+      }
+      // RE-TRAIN in place on the grown corpus: new √n quantizer, new
+      // generation under every artifact, pinned readers unaffected
+      var nlist2 = 0
+      val tRetrain = time {
+        val cents2 = operators.Similarity.trainExactPrunedQuantizer(corpus)
+        nlist2 = cents2.size
+        operators.Similarity.buildExactPruned2LevelIndexWithQuantizer(
+          corpus, cents2, s"$idx/q157")
+      }
+      gate(corpus, "post-retrain")
+      println(f"trained2l_lifecycle      train $tTrain%6.2f s (nlist=$nlist%4d)  " +
+        f"$batches%2d wobbled batches admit $tAdmit%6.2f s  " +
+        f"retrain $tRetrain%6.2f s (nlist=$nlist2%4d)  served == brute EVERY step")
+      if (corpus ne base) corpus.unpersist()
+      base.unpersist()
+    }
+
     // -------------- delta ACCUMULATION + compaction (round-15 ask) --------------
     // one root, many consecutive admitted batches: does per-batch admit
     // cost or serve latency grow with accumulated delta COMMITS (each

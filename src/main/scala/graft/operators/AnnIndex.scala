@@ -260,6 +260,64 @@ object AnnIndex {
       .groupBy(col("cell"))
       .agg(max(col("rc2")).as("rc2"))
 
+  // ------------------------------------ two-level group artifacts (q156)
+
+  /** Persist the cell→group assignment of the two-level exact-pruned
+    * tier: rows (cell, g_id, dcg) — each cell's leader and its
+    * unit-chord distance ‖c̃ − g̃‖ to it. STATIC between retrains
+    * (a pure function of the quantizer), which is why the distance is
+    * stored: group-radius admission composes an arrival batch's
+    * per-cell radius to dcg + R_c without touching the quantizer
+    * vectors. Quantizer-sized. */
+  def saveOrRebuildGroups(spark: SparkSession, path: String, groups: DataFrame): Unit =
+    if (FpIndex.tableVersion(path) > 0)
+      FpIndex.rebuildFlat(spark, path, groups, java.util.UUID.randomUUID().toString)
+    else groups.write.format(Format).option("path", path).mode(SaveMode.Append).save()
+
+  /** Load the stored cell→group table back to (cell, g_id, dcg), with
+    * the same rebuild-in-place duplicate guard as [[loadQuantizer]]
+    * (a second save appended over a live table would pair cells with
+    * two leaders silently). */
+  def loadGroups(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): Seq[(Long, Long, Double)] = {
+    val rows = FpIndex.loadFlat(spark, path, asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    require(rows.nonEmpty, s"no group table stored at $path")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"group table $path has duplicate cell rows — a rebuild appended " +
+        "over a live index; TRUNCATE the table before retraining")
+    rows.toSeq
+  }
+
+  /** See [[saveOrRebuildQuantizer]] — the initial save / atomic
+    * rebuild dispatch for the per-GROUP radius table (g_id, rg2). */
+  def saveOrRebuildGroupRadii(spark: SparkSession, path: String, gradii: DataFrame): Unit =
+    if (FpIndex.tableVersion(path) > 0)
+      FpIndex.rebuildFlat(spark, path, gradii, java.util.UUID.randomUUID().toString)
+    else gradii.write.format(Format).option("path", path).mode(SaveMode.Append).save()
+
+  /** Delta-admit a batch's per-GROUP radii — the same max-mergeable
+    * contract as [[admitRadii]], one level up: the group radius
+    * R_g = max over member cells (‖c̃−g̃‖ + R_c) COMPOSES under max
+    * (max over commits of (dcg + R_c_commit) ≥ dcg + max-merged R_c
+    * for every cell in every commit), so admission stays O(batch)
+    * with no base-table read at the group level too. Without this
+    * verb the two-level serve can prune a whole GROUP whose cell
+    * radii were correctly admitted — the level-1 analogue of the
+    * stale-smaller hazard (AnnIndexSpec plants it). */
+  def admitGroupRadii(spark: SparkSession, path: String, batchGradii: DataFrame): Unit =
+    FpIndex.deltaAppendFlat(spark, path, batchGradii)
+
+  /** Load the stored group-radius table back to (g_id, rg2) — the
+    * max-merge over every visible commit (rg2 is a squared chord;
+    * max on rg2 ≡ max on rg, both non-negative). Same conservative
+    * semantics as [[loadRadii]] after a shrink. */
+  def loadGroupRadii(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame =
+    FpIndex.loadFlat(spark, path, asOf)
+      .groupBy(col("g_id"))
+      .agg(max(col("rg2")).as("rg2"))
+
   /** Load a stored code table back to (vec_id, cell, codes) — ONE
     * groupBy(vec_id) reassembly; `array_sort` on (j, code) structs
     * restores subspace order (struct ordering is field-by-field, j

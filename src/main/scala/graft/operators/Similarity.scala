@@ -1281,7 +1281,12 @@ object Similarity {
     * work); the hub count is one map-side-combined aggregate over
     * |Q|·k candidate rows, the share join is against a 1-row scalar
     * frame, and the final rank is TakeOrderedAndProject-sized
-    * ([[HubTopK]]). */
+    * ([[HubTopK]]).
+    *
+    * ROLE: exactness REFERENCE, not the deployment default — the
+    * inherited q21 leg covers the FULL query set, quadratic-shaped at
+    * 100×. A deployment monitors [[hubAuditSampled]] (q159), whose
+    * exact leg is the shared fixed-sample pass — linear in n. */
   def hubAudit(spark: SparkSession, dir: String): DataFrame = {
     val nn = cosineTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
     val slots = nn.agg(count(lit(1)).as("n_slots"))
@@ -2048,7 +2053,15 @@ object Similarity {
     * Scale shape: the semi-join is on (q_id, neighbor_id) where both
     * sides are |Q|·k rows (the SAMPLED query set, not the corpus) —
     * the audit never touches corpus-sized data beyond what the tiers
-    * themselves do. */
+    * themselves do.
+    *
+    * ROLE: exactness REFERENCE, not the deployment default. The exact
+    * baseline here covers the FULL query set (|Q| = n/25), so the
+    * audit is quadratic-shaped by inheritance (measured 20.1 s at sf1,
+    * 12.9× growth). A deployment monitors [[recallAuditSampled]]
+    * (q153) — the fixed-[[AuditSampleQ]]-query twin, linear in n
+    * forever — and runs this form only when the sampled estimate
+    * moves. */
   def recallAudit(spark: SparkSession, dir: String): DataFrame = {
     val exact = graft.CacheRegistry.getOrCache(spark, s"similarity.exactTopk:$dir")(
       cosineTopK(spark, dir).select(col("q_id"), col("rank"), col("neighbor_id")))
@@ -2114,7 +2127,15 @@ object Similarity {
     * broadcast query-side scan; q92's posting join with broadcast
     * probes + 1-row stats); fusion itself touches only
     * |queries|·(5+10) candidate rows — a union, one (query, doc)
-    * aggregate, one per-query WindowGroupLimit top-k. */
+    * aggregate, one per-query WindowGroupLimit top-k.
+    *
+    * ROLE: exactness REFERENCE, not the deployment default — BOTH
+    * legs are unpruned (the dense leg is |Q|·n pairs; the sparse leg
+    * joins uncapped posting lists: ~5.5·10⁸ rows at sf1). The
+    * deployment default is [[hybridTopKAnnPruned]] (q152: IVF dense
+    * leg + df-pruned sparse leg, 10× faster at sf1 and linear-shaped);
+    * when the dense leg must be provably exact, the apex is
+    * [[hybridTopKExactPruned]] (q158). */
   def hybridTopK(spark: SparkSession, dir: String): DataFrame =
     hybridFuse(spark, dir,
       cosineTopK(spark, dir)
@@ -2164,7 +2185,13 @@ object Similarity {
     * into NearestCell's codegen); fused RAW into the RRF union it
     * poisoned the whole fused stage's codegen/JIT and ran 176.9 s —
     * cached (the q57-shared `ivfCells` key), the fused plan reads the
-    * assignment from memory and the dense leg costs IVF-scan time. */
+    * assignment from memory and the dense leg costs IVF-scan time.
+    *
+    * ROLE: exactness reference for the SPARSE leg only — its posting
+    * join is still uncapped (47-110 s at sf1, the 16M-pair broadcast
+    * GC band). The deployment default is [[hybridTopKAnnPruned]]
+    * (q152), which caps per-term posting cost at frac·N before the
+    * join. */
   def hybridTopKAnn(spark: SparkSession, dir: String): DataFrame =
     hybridFuse(spark, dir, ivfDenseLeg(spark, dir))
 
@@ -2758,7 +2785,13 @@ object Similarity {
     * agreement itself joins two |Q|·k frames on (query, doc) — the
     * k-sweep is a 3-row literal frame nested-loop-joined against
     * ≤ |Q|·k matched rows, then a 3-row aggregate. Zero corpus cost
-    * beyond the legs themselves. */
+    * beyond the legs themselves.
+    *
+    * ROLE: exactness REFERENCE, not the deployment default — the legs
+    * cover the FULL query set, so the audit is quadratic-shaped by
+    * inheritance (46.2 s at sf1). A deployment monitors
+    * [[agreementSampled]] (q154) — the fixed-sample twin, linear in n
+    * — and runs this form only when the sampled estimate moves. */
   def retrieverAgreement(spark: SparkSession, dir: String): DataFrame = {
     val dense = cosineTopK(spark, dir)
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
@@ -3011,6 +3044,54 @@ object Similarity {
        |  GROUP BY k)
        |SELECT k, n_q, n_overlap, (1000000 * n_overlap) // (n_q * k) AS agree_ppm
        |FROM ov, nq""".stripMargin
+
+  // ------------------------------------------------------------- q159
+
+  /** q159: the SAMPLED hub audit — q121's production twin (r16 ask
+    * #7, the q153/q154 pattern applied to the last full-query-set
+    * audit): q121 inherits q21's exact dense leg over |Q| = n/25
+    * queries, so it is quadratic-shaped BY INHERITANCE even though its
+    * own aggregate touches only |Q|·k rows. The deployment dashboard
+    * monitors hub concentration on the [[AuditSampleQ]]-query
+    * deterministic sample instead — the exact leg is the SHARED cached
+    * [[sampledExactTopK]] pass (32·n pairs, linear in n forever), and
+    * everything downstream is sample-sized. Same output shape and
+    * integer ppm/ratio arithmetic as q121; n_slots is the SAMPLE's
+    * slot count, so share_ppm reads identically (share of audited
+    * slots) at any corpus size. q121 stays the exactness reference by
+    * role. */
+  def hubAuditSampled(spark: SparkSession, dir: String): DataFrame = {
+    val nn = sampledExactTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val slots = nn.agg(count(lit(1)).as("n_slots"))
+    val corpus = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_corpus"))
+    val hubs = nn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("n_hits"))
+    val w = Window.orderBy(col("n_hits").desc, col("neighbor_id").asc)
+    hubs.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= HubTopK)
+      .crossJoin(broadcast(slots))
+      .crossJoin(broadcast(corpus))
+      .select(col("pos"), col("neighbor_id"), col("n_hits"),
+        expr("(1000000 * n_hits) div n_slots").as("share_ppm"),
+        expr("(((1000000 * n_hits) div n_slots) * n_corpus) div 1000")
+          .as("hub_score_x1000"))
+  }
+
+  val hubAuditSampledSql: String =
+    s"""WITH nn AS (
+       |$sampledExactSql),
+       |slots AS (SELECT count(*) AS n_slots FROM nn),
+       |corpus AS (SELECT count(*) AS n_corpus FROM embeddings),
+       |hubs AS (
+       |  SELECT neighbor_id, count(*) AS n_hits
+       |  FROM nn GROUP BY 1),
+       |ranked AS (
+       |  SELECT neighbor_id, n_hits,
+       |         CAST(row_number() OVER (ORDER BY n_hits DESC, neighbor_id ASC) AS INT) AS pos
+       |  FROM hubs)
+       |SELECT pos, neighbor_id, n_hits,
+       |       (1000000 * n_hits) // n_slots AS share_ppm,
+       |       (((1000000 * n_hits) // n_slots) * n_corpus) // 1000 AS hub_score_x1000
+       |FROM ranked, slots, corpus WHERE pos <= $HubTopK""".stripMargin
 
   // ------------------------------------------------------------- q155
 
@@ -3541,64 +3622,79 @@ object Similarity {
         count(lit(1)).as("n_cell_bounds"))
   }
 
-  /** Shared core of [[exactPruned2Level]] and
-    * [[exactPruned2LevelBoundRows]]: (assigned corpus, the level-2
-    * bound rows — one per (query, cell-under-surviving-group) with
-    * `gap`/`lbc` ready for the final filter). */
-  private def exactPruned2LevelCellBounds(
-      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val v = plantedVectors(spark, dir)
-    val cents = collectCentroids(v, expr(PlantCentroidFilter))
-    val assigned = graft.CacheRegistry.getOrCache(spark,
-        assignKey(s"similarity.plantCells:$dir", cents))(
-      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
-    val queries = v.filter(expr(QueryFilter))
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
-    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
-      .toDF("c_id", "ce", "cn")
-    // per-cell radii, COLLECTED (ncells rows — model-sized, the
-    // collectCentroids precedent) so the group radii compose on the
-    // driver with zero extra corpus passes
-    val rc2ByCell = radiiOf(assigned, centDf).collect()
-      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
-    // group leaders: every PlantGroupEvery-th centroid (cents is
-    // ascending by id; the middle offset avoids leader id 0 bias)
+  /** Unit-chord distance between two (id, vector, norm) rows — the
+    * driver-side fold primitive of the two-level model. */
+  private def unitChordDist(
+      a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+    var dot = 0.0; var i = 0
+    while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+    math.sqrt(math.max(0.0, 2.0 - 2.0 * (dot / (a._3 * b._3))))
+  }
+
+  /** The two-level MODEL: leaders (every `groupEvery`-th centroid,
+    * middle offset — cents is ascending by id), each cell's nearest
+    * leader with its unit-chord distance dcg, and the composed group
+    * radius R_g² where R_g = max over member cells (dcg + R_c). All
+    * driver-side folds over model-sized tables (the collectCentroids
+    * precedent) — zero corpus passes. Returns (leader rows,
+    * cell → (g_id, dcg), g_id → rg2). */
+  private def twoLevelModel(
+      cents: Seq[(Long, Array[Double], Double)],
+      rc2ByCell: Map[Long, Double],
+      groupEvery: Int): (Seq[(Long, Array[Double], Double)],
+        Map[Long, (Long, Double)], Map[Long, Double]) = {
     val leaders = cents.zipWithIndex
-      .collect { case (c, i) if i % PlantGroupEvery == PlantGroupEvery / 2 => c }
+      .collect { case (c, i) if i % groupEvery == groupEvery / 2 => c }
     val groups = if (leaders.nonEmpty) leaders else cents.take(1)
-    // driver-side folds over model-sized tables: nearest leader per
-    // cell (lowest id on ties — the NearestCell contract) and the
-    // composed radius R_g = max over member cells (‖c̃−g̃‖ + R_c)
-    def unitDist(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
-      var dot = 0.0; var i = 0
-      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
-      math.sqrt(math.max(0.0, 2.0 - 2.0 * (dot / (a._3 * b._3))))
-    }
-    val cellGroup: Map[Long, Long] = cents.map { c =>
-      c._1 -> groups.minBy(g => (unitDist(c, g), g._1))._1
+    // nearest leader per cell (lowest id on ties — the NearestCell
+    // contract), keeping the distance for group-radius composition
+    val cellGroup: Map[Long, (Long, Double)] = cents.map { c =>
+      val g = groups.minBy(g => (unitChordDist(c, g), g._1))
+      c._1 -> (g._1, unitChordDist(c, g))
     }.toMap
     val rg2ByGroup: Map[Long, Double] = cents
-      .groupBy(c => cellGroup(c._1))
+      .groupBy(c => cellGroup(c._1)._1)
       .map { case (gid, cs) =>
-        val g = groups.find(_._1 == gid).get
-        val rg = cs.map(c => unitDist(c, g) + math.sqrt(
+        val rg = cs.map(c => cellGroup(c._1)._2 + math.sqrt(
           math.max(0.0, rc2ByCell.getOrElse(c._1, 0.0)))).max
         gid -> rg * rg
       }
+    (groups, cellGroup, rg2ByGroup)
+  }
+
+  /** Shared core of the two-level plans — in-session ([[exactPruned2Level]],
+    * [[exactPruned2LevelBoundRows]]) and served
+    * ([[exactPruned2LevelServeOf]]): given the assigned corpus, the
+    * query frame and the MODEL tables (quantizer, per-cell radii,
+    * cell→group map, per-group radii — in-session folds or stored
+    * artifacts, both model-sized), produce (assigned, the level-2
+    * bound rows — one per (query, cell-under-surviving-group) with
+    * `gap`/`lbc` ready for the final filter). */
+  private def exactPruned2LevelCellBoundsOf(
+      assigned: DataFrame,
+      queries: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      rc2ByCell: Map[Long, Double],
+      groups: Seq[(Long, Array[Double], Double)],
+      cellGroup: Map[Long, (Long, Double)],
+      rg2ByGroup: Map[Long, Double],
+      seedNprobe: Int,
+      k: Int): (DataFrame, DataFrame) = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     // seed lower bound: identical to q155's (nearest cells, exact sims)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     val seedLb = assigned
-      .join(broadcast(probeCellsOf(queries, cents, PlantSeedNprobe)),
+      .join(broadcast(probeCellsOf(queries, cents, seedNprobe)),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
       .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") === PlantK)
+      .filter(col("rk") === k)
       .select(col("q_id"), col("sim").as("lb"))
     val qlb = queries.join(broadcast(seedLb), Seq("q_id"), "left")
       .withColumn("lbc", coalesce(col("lb"), lit(-2d)))
-    // LEVEL 1: queries × groups (|Q|·ngroups rows — ncells/7 of
-    // q155's level)
+    // LEVEL 1: queries × groups (|Q|·ngroups rows — ncells/groupEvery
+    // of q155's level)
     val groupDf = groups.map { case (id, vv, nm) =>
       (id, vv.toSeq, nm, rg2ByGroup.getOrElse(id, 4.0)) }
       .toDF("g_id", "ge", "gn", "rg2")
@@ -3611,7 +3707,7 @@ object Similarity {
       .select(col("q_id"), col("qe"), col("qn"), col("lbc"), col("g_id"))
     // LEVEL 2: per-cell bound rows exist ONLY under surviving groups
     val cellInfo = cents.map { case (id, vv, nm) =>
-      (id, vv.toSeq, nm, rc2ByCell.getOrElse(id, 0.0), cellGroup(id)) }
+      (id, vv.toSeq, nm, rc2ByCell.getOrElse(id, 0.0), cellGroup(id)._1) }
       .toDF("c_id", "ce", "cn", "rc2", "g_id")
     val cellBounds = keptGroups.join(broadcast(cellInfo), Seq("g_id"))
       .withColumn("simqc",
@@ -3619,6 +3715,145 @@ object Similarity {
       .withColumn("gap", greatest(lit(0d),
         sqrt(greatest(lit(0d), lit(2d) - lit(2d) * col("simqc"))) - sqrt(col("rc2"))))
     (assigned, cellBounds)
+  }
+
+  /** In-session wiring of [[exactPruned2LevelCellBoundsOf]] for the
+    * q156 entry: id-filter quantizer, cached assignment, per-cell
+    * radii COLLECTED (ncells rows — model-sized) so the group radii
+    * compose on the driver with zero extra corpus passes. */
+  private def exactPruned2LevelCellBounds(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val v = plantedVectors(spark, dir)
+    val cents = collectCentroids(v, expr(PlantCentroidFilter))
+    val assigned = graft.CacheRegistry.getOrCache(spark,
+        assignKey(s"similarity.plantCells:$dir", cents))(
+      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
+    val queries = v.filter(expr(QueryFilter))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
+      .toDF("c_id", "ce", "cn")
+    val rc2ByCell = radiiOf(assigned, centDf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
+    val (groups, cellGroup, rg2ByGroup) =
+      twoLevelModel(cents, rc2ByCell, PlantGroupEvery)
+    exactPruned2LevelCellBoundsOf(assigned, queries, cents, rc2ByCell,
+      groups, cellGroup, rg2ByGroup, PlantSeedNprobe, PlantK)
+  }
+
+  /** Train-and-persist half of the TWO-LEVEL lifecycle: the q155
+    * artifacts (quantizer + per-cell radii) plus the two group-level
+    * ones — the static cell→group table (cell, g_id, dcg) and the
+    * max-mergeable per-group radius table (g_id, rg2). Both
+    * quantizer-sized; the only corpus pass is the shared radius
+    * aggregate. */
+  def buildExactPruned2LevelIndexOf(
+      corpus: DataFrame,
+      centroidPred: org.apache.spark.sql.Column,
+      indexPath: String,
+      groupEvery: Int = PlantGroupEvery,
+      cacheKey: Option[String] = None): Unit =
+    buildExactPruned2LevelIndexWithQuantizer(corpus,
+      collectCentroids(corpus, centroidPred), indexPath, groupEvery, cacheKey)
+
+  /** [[buildExactPruned2LevelIndexOf]] for an arbitrary (e.g. Lloyd-
+    * trained) quantizer — the seam the trained-lifecycle soak uses. */
+  def buildExactPruned2LevelIndexWithQuantizer(
+      corpus: DataFrame,
+      cents: Seq[(Long, Array[Double], Double)],
+      indexPath: String,
+      groupEvery: Int = PlantGroupEvery,
+      cacheKey: Option[String] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildExactPrunedIndexWithQuantizer(corpus, cents, indexPath, cacheKey)
+    // the just-persisted radii are the model input for the group folds
+    // (model-sized collect — no second corpus pass)
+    val rc2ByCell = AnnIndex.loadRadii(spark, s"$indexPath/radii").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
+    val (_, cellGroup, rg2ByGroup) = twoLevelModel(cents, rc2ByCell, groupEvery)
+    AnnIndex.saveOrRebuildGroups(spark, s"$indexPath/groups",
+      cellGroup.toSeq.map { case (c, (g, d)) => (c, g, d) }
+        .sortBy(_._1).toDF("cell", "g_id", "dcg"))
+    AnnIndex.saveOrRebuildGroupRadii(spark, s"$indexPath/gradii",
+      rg2ByGroup.toSeq.sortBy(_._1).toDF("g_id", "rg2"))
+  }
+
+  /** Serve half of the two-level lifecycle: the q156 plan against the
+    * STORED quantizer, cell radii, cell→group table and group radii —
+    * every model table max-merged/loaded, no corpus aggregate at serve
+    * time. Exact PROVIDED each arrival batch went through
+    * [[admitExactPruned2Level]] (the group level has its own
+    * stale-smaller hazard — AnnIndexSpec plants an arrival whose CELL
+    * radius is admitted but whose GROUP radius is not, and the level-1
+    * bound prunes the whole group). */
+  def exactPruned2LevelServeOf(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      indexPath: String,
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val rc2ByCell = AnnIndex.loadRadii(spark, s"$indexPath/radii").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rc2")).toMap
+    val cellGroup = AnnIndex.loadGroups(spark, s"$indexPath/groups")
+      .map { case (c, g, d) => c -> (g, d) }.toMap
+    val rg2ByGroup = AnnIndex.loadGroupRadii(spark, s"$indexPath/gradii").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rg2")).toMap
+    // leaders = the distinct stored g_ids, vectors from the quantizer
+    // (every leader is its own group's member cell, so the stored
+    // table always carries it)
+    val leaderIds = cellGroup.values.map(_._1).toSet
+    val groups = cents.filter(c => leaderIds(c._1))
+    val assignedRaw =
+      assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val assigned = cacheKey.fold(assignedRaw)(key =>
+      graft.CacheRegistry.getOrCache(spark, assignKey(key, cents))(assignedRaw))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val (asg, cellBounds) = exactPruned2LevelCellBoundsOf(assigned, queries,
+      cents, rc2ByCell, groups, cellGroup, rg2ByGroup, seedNprobe, k)
+    val keep = cellBounds
+      .filter(lit(1d) - col("gap") * col("gap") / lit(2d) + lit(BoundEps) >= col("lbc"))
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
+    ivfRank(asg, keep, k)
+  }
+
+  /** Admission half of the two-level lifecycle: assign the batch with
+    * the stored quantizer, delta-admit its per-CELL radii (the q155
+    * verb) AND the composed per-GROUP radii — rg_batch(g) = max over
+    * batch cells in g of (dcg + √rc2_batch), max-mergeable one level
+    * up (see [[AnnIndex.admitGroupRadii]]). O(batch) work plus
+    * model-sized collects; no base-corpus read. */
+  def admitExactPruned2Level(spark: SparkSession, indexPath: String,
+      arrivals: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val asg = assignCells(arrivals, cents)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
+      .toDF("c_id", "ce", "cn")
+    // ONE pass over the batch; the (cell, rc2) rows are quantizer-
+    // bounded, so collecting feeds both admissions without a second
+    // batch scan
+    val batchRadii = radiiOf(asg, centDf).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("rc2"))).toSeq
+    AnnIndex.admitRadii(spark, s"$indexPath/radii",
+      batchRadii.toDF("cell", "rc2"))
+    val cellGroup = AnnIndex.loadGroups(spark, s"$indexPath/groups")
+      .map { case (c, g, d) => c -> (g, d) }.toMap
+    val batchGradii = batchRadii
+      .map { case (cell, rc2) =>
+        val (g, dcg) = cellGroup(cell)
+        val rg = dcg + math.sqrt(math.max(0.0, rc2))
+        g -> rg * rg
+      }
+      .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).max) }.toSeq
+    AnnIndex.admitGroupRadii(spark, s"$indexPath/gradii",
+      batchGradii.toDF("g_id", "rg2"))
+    asg
   }
 
   /** The brute-force oracle: exact top-k over the derived corpus,

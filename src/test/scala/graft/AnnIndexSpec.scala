@@ -232,6 +232,65 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fresh.exists(_.contains(50L)), "the recovered arrival should rank")
   }
 
+  test("q156 group-radii admission: an arrival whose CELL radius is admitted " +
+      "but whose GROUP radius is not gets its whole group pruned at level 1 " +
+      "— the hazard one level up — and admitExactPruned2Level repairs it") {
+    import spark.implicits._
+    // the q155 admission plant's geometry (unit circle in 8-dim):
+    // cell A (id 100) at 0° with members 1°..3°, query id 10 at 4°,
+    // cell B (id 200) at 10° with tight members, arrival id 50 at
+    // 5.2° assigning to B. groupEvery = 1 makes every centroid its
+    // own leader (dcg = 0, R_g = R_c) — the group table is still a
+    // DISTINCT stored artifact evaluated at level 1, which is the
+    // point: repairing the cell radius alone leaves level 1 pruning
+    // on the stale group radius.
+    def vecAt(id: Long, deg: Double): (Long, Seq[Double], Double) = {
+      val r = math.toRadians(deg)
+      val e = Seq(math.rint(math.cos(r) * 100000), math.rint(math.sin(r) * 100000)) ++
+        Seq.fill(6)(0.0)
+      (id, e, math.sqrt(e.map(x => x * x).sum))
+    }
+    val corpus0 = (Seq(
+      vecAt(100L, 0.0),
+      vecAt(1L, 3.0), vecAt(2L, 2.5), vecAt(3L, 2.0),
+      vecAt(4L, 1.5), vecAt(5L, 1.0),
+      vecAt(10L, 4.0), // the query
+      vecAt(200L, 10.0),
+      vecAt(20L, 9.5), vecAt(21L, 10.5)
+    )).toDF("vec_id", "e", "nrm")
+    val arrival = Seq(vecAt(50L, 5.2)).toDF("vec_id", "e", "nrm")
+    val corpus1 = corpus0.unionByName(arrival)
+    val centPred = col("vec_id").isin(100L, 200L)
+    val qPred = col("vec_id") === 10L
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      sortedRows(df.collect())
+
+    val path = tmpIndex("admit2l")
+    Similarity.buildExactPruned2LevelIndexOf(corpus0, centPred, path, groupEvery = 1)
+    // build-time two-level serve is exact (sanity)
+    assert(rows(Similarity.exactPruned2LevelServeOf(corpus0, qPred, path, 1, 5)) ==
+      rows(Similarity.cosineTopKOf(corpus0, qPred, 5)), "build-time 2-level serve not exact")
+
+    // grow the corpus and admit ONLY the cell radii (the q155 verb)
+    Similarity.admitExactPruned(spark, path, arrival)
+    val truth = rows(Similarity.cosineTopKOf(corpus1, qPred, 5))
+    assert(truth.exists(_.contains(50L)), "geometry broke: arrival should be a true top-5 row")
+    // the ONE-level serve is exact again — the cell radius was repaired
+    assert(rows(Similarity.exactPrunedTopKServeOf(corpus1, qPred, path, 1, 5)) == truth,
+      "one-level serve should be exact after cell-radii admission")
+    // …but the TWO-level serve still prunes the whole group on the
+    // stale group radius: the hazard is real one level up
+    val stale2l = rows(Similarity.exactPruned2LevelServeOf(corpus1, qPred, path, 1, 5))
+    assert(stale2l != truth, "2-level serve should miss on the stale group radius")
+    assert(!stale2l.exists(_.contains(50L)),
+      "the miss should be the arrival's group, pruned at level 1")
+
+    // full two-level admission: cell AND composed group radii
+    Similarity.admitExactPruned2Level(spark, path, arrival)
+    assert(rows(Similarity.exactPruned2LevelServeOf(corpus1, qPred, path, 1, 5)) == truth,
+      "post-admission 2-level serve must be exact again")
+  }
+
   test("q155 under corpus SHRINK: stale-larger radii stay EXACT (the safe " +
       "direction — only pruning is lost) and a radii rebuild restores the " +
       "cut under a new generation") {

@@ -127,7 +127,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q158: the exact hybrid — inherits q155's quantizer crosses on
       // the dense leg and q152's 1-row corpus-stats cross on the
       // sparse leg; posting join, fusion and rerank are all equi-key
-      "q158_hybrid_exact_pruned")
+      "q158_hybrid_exact_pruned",
+      // q159: q121's sampled twin — inherits q153/q154's 32-row
+      // broadcast-anchors inequality join plus the two 1-row
+      // denominator crosses (slot count, corpus count)
+      "q159_hub_audit_sampled")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>
