@@ -367,12 +367,22 @@ object Similarity {
     val centDf = cents.map { case (id, v, nm) => (id, v.toSeq, nm) }
       .toDF("c_id", "ce", "cn")
     val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    queries
+    // project to (q_id, c_id, sim) BEFORE the rank shuffle: the
+    // |Q|·ncells cross is the probe ranking's declared row count, but
+    // carrying the d-dim query vector through the window exchange
+    // multiplies its BYTES ~20× for nothing (found live at sf10:
+    // 8000 queries × 28.5k cells × 64 doubles ≈ 30 GB shuffled where
+    // 24-byte rows need ~1.5 GB). The nprobe winners re-join the
+    // query frame by id — |Q|·nprobe rows of two longs, broadcast.
+    val winners = queries
       .crossJoin(broadcast(centDf))
       .withColumn("sim", VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .select(col("q_id"), col("c_id"), col("sim"))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("probe"))
+      .select(col("q_id"), col("c_id").as("probe"))
+    queries.join(broadcast(winners), Seq("q_id"))
+      .select(col("q_id"), col("qe"), col("qn"), col("probe"))
   }
 
   /** Parameterized IVF core. `corpus` needs (vec_id, e[double], nrm)
@@ -408,10 +418,15 @@ object Similarity {
     * at real quantizer sizes; a materialization point isolates it). */
   private def ivfRank(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     // the probe join: equi-join on the cell id — candidates are the
-    // nprobe cells' inverted lists, not the corpus
+    // nprobe cells' inverted lists, not the corpus. The similarity is
+    // computed in the join stage and the candidate row PROJECTS to
+    // (q_id, vec_id, sim) before the rank window — the probe-ranking
+    // byte lesson (see probeCellsOf): never carry the vectors through
+    // an exchange they're not needed past.
     val cand = assigned.join(broadcast(probes),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     cand
       .withColumn("rank", row_number().over(w))
@@ -1730,10 +1745,20 @@ object Similarity {
     val stats = sq8Stats(v)
     val rec = array(stats.map { case (i, mn, mx) => sq8Rec(i, mn, mx) }
       .toIndexedSeq: _*)
-    // ONE cached pass holds cell + decoded vector + rr: NearestCell and
-    // the 64-expression decode run once per corpus row, never per pair
+    // TWO materialization points, deliberately (found live at sf10):
+    // fusing NearestCell (a 400k-iteration loop at ncells = n/31) with
+    // the 64 separate decode expression trees in ONE projection blows
+    // the consume method past HotSpot's DontCompileHugeMethods limit
+    // (~8 KB bytecode) — no Janino fallback fires, the stage just runs
+    // in the BYTECODE INTERPRETER and NearestCell's loop costs ~70
+    // ms/row instead of ~40 µs (measured: the fused cache build sat at
+    // 2.2+ CPU-hours where the two separated stages take ~8 s). The
+    // assignment rides the SHARED q57/q151 cache; the decode projects
+    // from the materialized (vec_id, e, cell) rows — each method JITs.
+    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.ivfCells:$dir")(
+      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
     val corp = graft.CacheRegistry.getOrCache(spark, s"similarity.ivfSq8corp:$dir")(
-      assignCells(v, cents).select(col("vec_id"), col("cell"), rec.as("re"))
+      assigned.select(col("vec_id"), col("cell"), rec.as("re"))
         .withColumn("rr", VectorOps.dot(col("re"), col("re"))))
     ivfSq8Scan(v, corp, cents, expr(QueryFilter), nprobe, shortlist, topK)
   }
@@ -1762,6 +1787,8 @@ object Similarity {
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("adist",
         col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("re")) + col("rr"))
+      // project before the rank shuffle (the probeCellsOf byte lesson)
+      .select(col("q_id"), col("vec_id"), col("adist"))
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlist)
       .select(col("q_id"), col("vec_id"))
@@ -1775,6 +1802,7 @@ object Similarity {
       .withColumn("dist",
         col("qq") - lit(2.0) * VectorOps.dot(col("qe"), col("e")) +
           VectorOps.dot(col("e"), col("e")))
+      .select(col("q_id"), col("vec_id"), col("dist"))
       .withColumn("rank", row_number().over(wR))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"),
@@ -1796,8 +1824,12 @@ object Similarity {
       stats.toDF("i", "mn", "mx").repartition(1))
     val codeArr = array(stats.map { case (i, mn, mx) => sq8Code(i, mn, mx) }
       .toIndexedSeq: _*)
+    // assignment isolated from the 64-expression encode (the ivfSq8TopK
+    // huge-method lesson — one fused projection runs interpreted)
+    val assigned = graft.CacheRegistry.getOrCache(spark, s"similarity.ivfCells:$dir")(
+      assignCells(v, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell")))
     AnnIndex.saveOrRebuildCodes(spark, s"$indexPath/codes",
-      assignCells(v, cents).select(col("vec_id"), col("cell"), codeArr.as("codes")))
+      assigned.select(col("vec_id"), col("cell"), codeArr.as("codes")))
   }
 
   /** Serve-only half: reload quantizer + codebook + cell-stamped codes
@@ -2148,7 +2180,7 @@ object Similarity {
     * over the derived Zipf corpus). `docs` defaults to the fixture
     * corpus; `maxDfFrac` passes through to [[TextAnalysis.bm25Of]]'s
     * common-term pruning. */
-  private def hybridFuse(spark: SparkSession, dir: String,
+  private[graft] def hybridFuse(spark: SparkSession, dir: String,
       dense: DataFrame, docs0: DataFrame = null,
       maxDfFrac: Option[Double] = None): DataFrame = {
     val docs = Option(docs0).getOrElse(Tables.documents(spark, dir))
@@ -3245,6 +3277,7 @@ object Similarity {
       .join(broadcast(probeCellsOf(queries, cents, seedNprobe)),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") === k)
       .select(col("q_id"), col("sim").as("lb"))
@@ -3688,6 +3721,7 @@ object Similarity {
       .join(broadcast(probeCellsOf(queries, cents, seedNprobe)),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("sim"))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") === k)
       .select(col("q_id"), col("sim").as("lb"))

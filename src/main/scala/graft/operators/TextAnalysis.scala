@@ -1518,7 +1518,16 @@ object TextAnalysis {
     * in both engines, so the pruned production form carries a real
     * hash gate. */
   private def zipfTok(j: Int): String = {
-    val h = s"(((doc_id * $ZipfDocTokens + $j) * 2654435761) % 4294967296)"
+    // the seed reduces mod 2³¹ BEFORE the Knuth multiply (the r17
+    // second-decade find, the same hazard plantElem was hardened
+    // against in r16): 2³¹·2654435761 < 2⁶³ where an unreduced
+    // doc_id·16+j at sf10's ~10⁹ ids overflows BIGINT under ANSI
+    // (found live — q152 at sf10 raised ARITHMETIC_OVERFLOW). The
+    // reduction is the IDENTITY for every fixture id through sf1
+    // (max doc_id·16+16 ≈ 8·10⁸ < 2³¹), so the oracle contract and
+    // every committed hash are untouched; it just extends the
+    // template's domain to any non-negative id.
+    val h = s"((((doc_id * $ZipfDocTokens + $j) % 2147483648) * 2654435761) % 4294967296)"
     val lvl = s"CAST($h % $ZipfLevels AS INT)"
     val h2 = s"(($h * 69069) % 4294967296)"
     s"'z' || CAST(((1 << $lvl) + ($h2 % (1 << $lvl))) AS STRING)"
