@@ -142,9 +142,15 @@ object ProofSf10 {
       // query is minutes, so the warm+timed double-run convention
       // would double a long capture for noise reduction nobody needs
       // at this magnitude; progress prints per query.
+      // q160 rides here too: its dense-leg exactness at sf10 is the
+      // q157 serve gate above (same stored-lifecycle path, same
+      // triangle bound), its sparse leg and fusion tail are q152's —
+      // the timing row against q152 is the measured argument that the
+      // trained dense leg removes the fixture-IVF leg's superlinear
+      // second-decade term
       val all = Seq("q149_ivf_sq8", "q152_hybrid_rrf_pruned",
         "q153_recall_audit_sampled", "q154_agreement_sampled",
-        "q159_hub_audit_sampled")
+        "q159_hub_audit_sampled", "q160_hybrid_exact_trained")
       val todo = if (mode.startsWith("q1")) all.filter(_.startsWith(mode)) else all
       todo.foreach { name =>
         Console.out.println(s"[sf10] starting $name"); Console.out.flush()

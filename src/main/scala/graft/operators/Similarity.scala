@@ -3975,4 +3975,40 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
        |  FROM f) WHERE rank <= 10""".stripMargin
+
+  // ------------------------------------------------------------- q160
+
+  /** q160: the DEPLOYMENT-DEFAULT hybrid — q158's guaranteed-exact
+    * fusion with the dense leg served from q157's TRAINED √n stored
+    * quantizer (train → [[AnnIndex]] store → serve) instead of the
+    * id-filter oracle contract. This is the row that closes the loop
+    * the sf10 capture opened: q152's superlinear second-decade growth
+    * sits entirely in its fixture-contract IVF leg (ncells ∝ n makes
+    * the |Q|·ncells probe term quadratic-shaped — q155's 63.5 s vs
+    * q157's 3.3 s at sf10 for the SAME exact answer), so the hybrid a
+    * deployment should actually run is this one: df-pruned sparse leg
+    * (per-term posting cost capped at frac·N), exact-pruned dense leg
+    * whose quantizer collect, radius table and per-query bound term
+    * are all √n-sized. Production cost on both legs AT BOTH DECADES,
+    * provable exactness on the dense one.
+    *
+    * The ORACLE is q158's: the trained quantizer claims the same
+    * exact dense result set (the triangle-inequality guarantee is
+    * quantizer-independent), and the sparse leg and fusion tail are
+    * byte-identical, so the same brute-fusion SQL hash-proves this
+    * lifecycle with no determinism contract on the nondeterministic
+    * trainer. SimilaritySpec additionally pins q160 ≡ q158 frame-equal
+    * (two exact dense legs under different quantizers must fuse
+    * identically); ProofSf10 gates that equality at the second decade,
+    * where the id-filter form is the one paying the ncells ∝ n bill. */
+  def hybridTopKExactPrunedTrained(spark: SparkSession, dir: String): DataFrame =
+    hybridFuse(spark, dir,
+      exactPrunedTopKTrained(spark, dir)
+        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+          expr("1048576 div (60 + rank)").as("c")),
+      TextAnalysis.zipfDocsOf(Tables.documents(spark, dir).select(col("doc_id"))),
+      Some(TextAnalysis.ZipfMaxDfFrac))
+
+  /** q160's oracle IS q158's (see [[hybridTopKExactPrunedTrained]]). */
+  def hybridTopKExactPrunedTrainedSql: String = hybridTopKExactPrunedSql
 }

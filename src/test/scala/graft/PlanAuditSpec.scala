@@ -131,7 +131,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // q159: q121's sampled twin — inherits q153/q154's 32-row
       // broadcast-anchors inequality join plus the two 1-row
       // denominator crosses (slot count, corpus count)
-      "q159_hub_audit_sampled")
+      "q159_hub_audit_sampled",
+      // q160: q158 with the dense leg on the TRAINED √n quantizer —
+      // inherits q157's (strictly smaller) quantizer crosses and
+      // q152's 1-row corpus-stats cross on the sparse leg
+      "q160_hybrid_exact_trained")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

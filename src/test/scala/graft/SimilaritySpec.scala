@@ -895,4 +895,21 @@ class SimilaritySpec extends AnyFunSuite {
       f"level 1 should prune groups before cell bounds: mean $meanCellBounds%.1f " +
         f"cell-bound rows/query vs ncells=$ncells (q155 always pays ncells)")
   }
+
+  test("q160 trained exact hybrid ≡ q158 id-filter exact hybrid: two exact " +
+      "dense legs under DIFFERENT quantizers (trained √n vs id-filter n/7) " +
+      "must fuse to identical rows — the quantizer-independence of the " +
+      "triangle-inequality guarantee, observed through the full RRF tail") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      CacheRegistry.releaseAll()
+      r
+    }
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val idFiltered = rows(Similarity.hybridTopKExactPruned(spark, dir))
+      val trained = rows(Similarity.hybridTopKExactPrunedTrained(spark, dir))
+      assert(idFiltered.nonEmpty && idFiltered == trained,
+        s"trained hybrid != id-filter hybrid at $dir")
+    }
+  }
 }
