@@ -2191,13 +2191,36 @@ object Similarity {
     val sparse = TextAnalysis.bm25Of(docs, probes, excludeSelf = true,
         maxDfFrac = maxDfFrac)
       .select(col("query_id"), col("doc_id"), expr("1048576 div (60 + rank)").as("c"))
-    dense.unionByName(sparse)
+    rrfFuseContrib(Seq(dense, sparse), 10)
+  }
+
+  /** PUBLIC reciprocal-rank fusion over ARBITRARY ranked legs — the
+    * verb a deployment composing its own retrievers (a stored-index
+    * dense serve, a BM25 leg over its own probe set, a third
+    * recency/metadata ranker…) reaches for; q93/q151/q152/q158/q160
+    * are this tail over their fixture legs. Each leg is a
+    * (query_id, doc_id, rank) frame; contributions are the integer
+    * RRF convention used engine-wide (`1048576 div (rrfK + rank)` —
+    * a ×2²⁰ fixed-point floor of 1/(k+r), so fusion scores and tie
+    * order are bit-stable across engines and partitionings, where a
+    * double 1/(k+r) sum is neither). A document missing from a leg
+    * simply contributes nothing (the standard RRF treatment). Scale
+    * shape: each leg is already |Q|·k rows, so fusion touches
+    * legs·|Q|·k rows — one (query_id, doc_id) hash aggregate and one
+    * per-query WindowGroupLimit top-k; nothing corpus-sized. */
+  def rrfFuse(legs: Seq[DataFrame], topK: Int = 10, rrfK: Int = 60): DataFrame =
+    rrfFuseContrib(legs.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1048576 div ($rrfK + rank)").as("c"))), topK)
+
+  /** The shared fusion tail: legs already carrying integer RRF
+    * contributions `c`. */
+  private def rrfFuseContrib(legs: Seq[DataFrame], topK: Int): DataFrame =
+    legs.reduce(_ unionByName _)
       .groupBy(col("query_id"), col("doc_id")).agg(sum(col("c")).as("rrf_score"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("rrf_score").desc, col("doc_id"))))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
-  }
 
   /** q151: the PRODUCTION form of q93, oracled — hybrid RRF with the
     * DENSE leg served by q44's IVF cell pruning instead of the exact

@@ -896,6 +896,39 @@ class SimilaritySpec extends AnyFunSuite {
         f"cell-bound rows/query vs ncells=$ncells (q155 always pays ncells)")
   }
 
+  test("rrfFuse (the public fusion verb): exact integer contributions on " +
+      "synthetic legs, and q93 reproduced from its two legs composed " +
+      "through the public surface") {
+    import spark.implicits._
+    // driver-replayed: c(r) = floor(2^20 / (60 + r)); c(1)=17189, c(2)=16912
+    val legA = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val legB = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(legA, legB), topK = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSet
+    assert(got == Set(
+      (1L, 1, 11L, 34101L), // both legs: 17189 + 16912
+      (1L, 2, 10L, 17189L),
+      (2L, 1, 20L, 17189L), // tie with 21 breaks by doc_id
+      (2L, 2, 21L, 17189L)))
+    // q93 from its own legs, through the public verb only
+    val dense = Similarity.cosineTopK(spark, sf)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val docs = graft.Tables.documents(spark, sf)
+    val probes = docs.filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = graft.operators.TextAnalysis.bm25Of(docs, probes, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val fused = Similarity.rrfFuse(Seq(dense, sparse)).collect().map(_.toSeq).toSet
+    val q93 = Similarity.hybridTopK(spark, sf).collect().map(_.toSeq).toSet
+    assert(fused.nonEmpty && fused == q93,
+      "public rrfFuse over q93's legs must reproduce q93 exactly")
+  }
+
   test("q160 trained exact hybrid ≡ q158 id-filter exact hybrid: two exact " +
       "dense legs under DIFFERENT quantizers (trained √n vs id-filter n/7) " +
       "must fuse to identical rows — the quantizer-independence of the " +
