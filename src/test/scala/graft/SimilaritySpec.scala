@@ -913,6 +913,13 @@ class SimilaritySpec extends AnyFunSuite {
       (1L, 2, 10L, 17189L),
       (2L, 1, 20L, 17189L), // tie with 21 breaks by doc_id
       (2L, 2, 21L, 17189L)))
+    // three legs (the README recency-leg shape): a third ranker's
+    // contribution folds into the same aggregate — doc 10 overtakes 11
+    val legC = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val got3 = Similarity.rrfFuse(Seq(legA, legB, legC), topK = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_score"))).toSet
+    assert(got3 == Set((1L, 10L, 34378L), (2L, 20L, 17189L))) // 17189·2 = 34378 > 34101
     // q93 from its own legs, through the public verb only
     val dense = Similarity.cosineTopK(spark, sf)
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
