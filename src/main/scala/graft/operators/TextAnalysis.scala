@@ -1239,6 +1239,123 @@ object TextAnalysis {
         expr("(100 * bpe_tokens) div n_words"))
   }
 
+  // --------------------------------------------------------------- q161
+
+  /** Merge rounds for the ORACLED BPE form — fixed and small so the
+    * DuckDB oracle unrolls one CTE chain per round. */
+  val BpeOracleRounds = 4
+
+  /** q161: BPE merge training, the ORACLED fixed-R form — upgrading
+    * the tokenizer-training surface from spec-only ([[trainBpe]],
+    * ratified r12 as "iterative training is not reasonably
+    * oracle-expressible") to a hash-gated CORRECTNESS row. The
+    * unlock is a merge-application convention both engines implement
+    * with the SAME built-in: symbols as a space-joined, space-padded
+    * string, and each round's winning pair fused by a TWO-PASS
+    * literal `replace(s, ' a b ', ' ab ')` — both Spark's
+    * StringReplace and DuckDB's replace scan left-to-right
+    * non-overlapping, the first pass consumes shared boundary
+    * spaces, and the second pass provably converges (between two
+    * pass-1 replacements at most one unreplaced occurrence remains,
+    * and replacements never create new occurrences: the fused symbol
+    * has no internal space). On runs of one symbol ≥5 this pinned
+    * convention can SEGMENT differently from [[trainBpe]]'s
+    * canonical leftmost-first `mergePair` ("aaaaa" → `aa a aa` vs
+    * `aa aa a` — same token count, different split); TextAnalysisSpec
+    * plants that run and documents the divergence, and proves the
+    * learned MERGE TABLES agree with [[trainBpe]] on the fixture.
+    *
+    * Scale shape (the [[trainBpe]] argument, distributed one step
+    * further): ONE corpus pass to the word-frequency table; every
+    * round then runs DISTRIBUTED on the persisted vocab-bounded
+    * table — a pair-count aggregate (q79's posexplode+lead bigram
+    * machinery, map-side combined, symbol-vocab²-bounded output), a
+    * 1-row collect of the winner, and a map-only two-replace
+    * projection. Nothing corpus-sized after pass one; the driver
+    * holds R winner rows, never the dict (vs [[trainBpe]]'s
+    * published driver-resident loop — this form is the one you run
+    * when even the floored dict won't fit a driver). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(spark, dir), BpeOracleRounds)
+
+  /** [[bpeMerges]] over an arbitrary (text) frame. */
+  def bpeMergesOf(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // symbol string: chars joined and PADDED by single spaces, so a
+    // merge pattern ' a b ' can never match across a symbol boundary
+    // (symbols are [a-z0-9]+ by the filter, never contain spaces)
+    var syms = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .persist()
+    syms.count()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val toks = syms.select(col("w"), col("wc"),
+        posexplode(split(trim(col("s")), " ")).as(Seq("pos", "a")))
+      val wd = Window.partitionBy(col("w")).orderBy(col("pos"))
+      // winner: highest weighted count, ties lexicographically — the
+      // trainBpe tie-break, pinned in both engines. 1-row collect.
+      val best = toks.withColumn("b", lead(col("a"), 1).over(wd))
+        .filter(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (la, lb, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val merged = la + lb
+      val next = syms.withColumn("s",
+          expr(s"replace(replace(s, ' $la $lb ', ' $merged '), ' $la $lb ', ' $merged ')"))
+        .persist()
+      next.count()
+      syms.unpersist()
+      syms = next
+      val tokensAfter = syms
+        .agg(sum(col("wc") * size(split(trim(col("s")), " "))).as("t"))
+        .collect()(0).getLong(0)
+      out += ((r, la, lb, merged, cnt, tokensAfter))
+    }
+    syms.unpersist()
+    out.toSeq.toDF("round", "lhs", "rhs", "merged", "weighted_count", "corpus_tokens_after")
+  }
+
+  /** q161's oracle: the identical R rounds unrolled as a DuckDB CTE
+    * chain — same word filter, same padded symbol strings, same
+    * zipped-slice pair counting, same (count desc, pair asc) winner,
+    * same two-pass replace. */
+  val bpeMergesSql: String = {
+    val rounds = (1 to BpeOracleRounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc,
+         |           unnest(t[1:len(t)-1]) AS a,
+         |           unnest(t[2:len(t)]) AS b
+         |    FROM (SELECT wc, string_split(trim(s), ' ') AS t FROM $prev))
+         |  GROUP BY a, b),
+         |b$r AS (SELECT a, b, a || b AS m, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT w, wc,
+         |         replace(replace(s,
+         |             (SELECT ' '||a||' '||b||' ' FROM b$r), (SELECT ' '||m||' ' FROM b$r)),
+         |           (SELECT ' '||a||' '||b||' ' FROM b$r), (SELECT ' '||m||' ' FROM b$r)) AS s
+         |  FROM $prev),
+         |t$r AS (SELECT CAST(sum(wc * len(string_split(trim(s), ' '))) AS BIGINT) AS t FROM s$r),
+         |r$r AS (SELECT $r AS round, a AS lhs, b AS rhs, m AS merged, cnt AS weighted_count,
+         |               (SELECT t FROM t$r) AS corpus_tokens_after FROM b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeOracleRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]{2,}$$') GROUP BY w),
+       |s0 AS (SELECT w, wc, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM words),
+       |$rounds
+       |SELECT round, lhs, rhs, merged, weighted_count, corpus_tokens_after
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q89
 
   /** q89: CORPUS HEALTH dashboard — the one query every data team runs

@@ -200,4 +200,34 @@ class BpeSpec extends AnyFunSuite {
     assert(TextAnalysis.bpeDroppedPairMass(docs, 1L) == 0L,
       "floor 1 drops nothing")
   }
+
+  test("q161 oracled form: the distributed fixed-R trainer learns the SAME " +
+      "merge table as trainBpe on the fixture (1-char words carry no pairs, " +
+      "so the stricter word filter changes nothing), and the two-pass " +
+      "replace convention is pinned on a planted same-symbol run") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = TextAnalysis.bpeMergesOf(docs, 4).collect().sortBy(_.getInt(0))
+    assert(rows.length == 4)
+    val gotMerges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val want = TextAnalysis.trainBpe(docs, nMerges = 4, minPairCount = 1L)
+    assert(gotMerges == want,
+      s"q161 merge table must equal trainBpe's: $gotMerges vs $want")
+    // the compression trajectory is monotone: each merge can only
+    // reduce the weighted symbol count (by exactly the number of
+    // fused occurrences)
+    val toks = rows.map(_.getLong(5))
+    assert(toks.zip(toks.tail).forall { case (a, b) => b < a },
+      s"corpus_tokens_after must strictly decrease: ${toks.toSeq}")
+    // planted run-of-5: merge table and counts agree with canonical
+    // BPE; the SEGMENTATION convention (two-pass replace: 'aa a aa')
+    // differs from leftmost-first ('aa aa a') — same symbol count
+    // here, documented in the q161 scaladoc
+    val run = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMergesOf(run, 1).collect()(0)
+    assert((m.getString(1), m.getString(2), m.getLong(4)) == ("a", "a", 4L),
+      s"run-of-5 pair count: $m")
+    assert(m.getLong(5) == 3L, "aaaaa fuses to 3 symbols under either convention")
+    assert(TextAnalysis.trainBpe(run, 1, minPairCount = 1L) == Seq(("a", "a")))
+  }
 }
