@@ -1282,6 +1282,20 @@ object TextAnalysis {
   def bpeMergesOf(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (rows, syms) = bpeMergeRounds(docs, rounds)
+    syms.unpersist()
+    rows.toDF("round", "lhs", "rhs", "merged", "weighted_count", "corpus_tokens_after")
+  }
+
+  /** The shared q161/q162 core: runs the R distributed merge rounds
+    * and returns (merge rows, the PERSISTED final symbol table
+    * (w, wc, s)) — q161 reads the rows, q162 reads the table (the
+    * per-word piece counts under the learned merges). Caller
+    * unpersists the table. */
+  private[graft] def bpeMergeRounds(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // symbol string: chars joined and PADDED by single spaces, so a
     // merge pattern ' a b ' can never match across a symbol boundary
     // (symbols are [a-z0-9]+ by the filter, never contain spaces)
@@ -1316,15 +1330,13 @@ object TextAnalysis {
         .collect()(0).getLong(0)
       out += ((r, la, lb, merged, cnt, tokensAfter))
     }
-    syms.unpersist()
-    out.toSeq.toDF("round", "lhs", "rhs", "merged", "weighted_count", "corpus_tokens_after")
+    (out.toSeq, syms)
   }
 
-  /** q161's oracle: the identical R rounds unrolled as a DuckDB CTE
-    * chain — same word filter, same padded symbol strings, same
-    * zipped-slice pair counting, same (count desc, pair asc) winner,
-    * same two-pass replace. */
-  val bpeMergesSql: String = {
+  /** The shared q161/q162 oracle CTE chain: words → padded symbol
+    * strings → R unrolled (pair-count, winner, two-pass replace)
+    * rounds, ending at s{R}. */
+  private def bpeChainSql: String = {
     val rounds = (1 to BpeOracleRounds).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS (
@@ -1340,21 +1352,91 @@ object TextAnalysis {
          |         replace(replace(s,
          |             (SELECT ' '||a||' '||b||' ' FROM b$r), (SELECT ' '||m||' ' FROM b$r)),
          |           (SELECT ' '||a||' '||b||' ' FROM b$r), (SELECT ' '||m||' ' FROM b$r)) AS s
-         |  FROM $prev),
-         |t$r AS (SELECT CAST(sum(wc * len(string_split(trim(s), ' '))) AS BIGINT) AS t FROM s$r),
-         |r$r AS (SELECT $r AS round, a AS lhs, b AS rhs, m AS merged, cnt AS weighted_count,
-         |               (SELECT t FROM t$r) AS corpus_tokens_after FROM b$r)""".stripMargin
+         |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeOracleRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z0-9]{2,}$$') GROUP BY w),
        |s0 AS (SELECT w, wc, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** q161's oracle: the identical R rounds unrolled as a DuckDB CTE
+    * chain — same word filter, same padded symbol strings, same
+    * zipped-slice pair counting, same (count desc, pair asc) winner,
+    * same two-pass replace. */
+  val bpeMergesSql: String = {
+    val tails = (1 to BpeOracleRounds).map { r =>
+      s"""t$r AS (SELECT CAST(sum(wc * len(string_split(trim(s), ' '))) AS BIGINT) AS t FROM s$r),
+         |r$r AS (SELECT $r AS round, a AS lhs, b AS rhs, m AS merged, cnt AS weighted_count,
+         |               (SELECT t FROM t$r) AS corpus_tokens_after FROM b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeOracleRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+    s"""WITH $bpeChainSql,
+       |$tails
        |SELECT round, lhs, rhs, merged, weighted_count, corpus_tokens_after
        |FROM ($union) ORDER BY round""".stripMargin
   }
+
+  // --------------------------------------------------------------- q162
+
+  /** q162: per-document token counts under the q161-TRAINED merges —
+    * the encode half of the BPE loop, ORACLED (upgrading
+    * [[bpeTokenCountsOf]]'s spec-only UDF tail): under a FIXED merge
+    * table the per-word piece count is just the symbol count in the
+    * trained table, so encoding is a (doc_id, word) aggregate
+    * broadcast-joined to the vocab-sized type table — no UDF, no
+    * re-segmentation, the classic word-type shortcut with the types
+    * priced during training. Words outside the trained universe
+    * (1-char — the only ones the [a-z0-9]{2,} filter drops on this
+    * corpus) count their characters (= 1).
+    *
+    * Scale shape: train is q161's (one corpus pass + vocab-bounded
+    * rounds); encode is ONE (doc_id, word) hash aggregate with
+    * map-side combine + a broadcast join to the collected vocab-sized
+    * type table + one per-doc aggregate. Nothing corpus-sized is
+    * collected, shuffled twice, or re-encoded per row. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val (_, syms) = bpeMergeRounds(docs, BpeOracleRounds)
+    // vocab-sized collect (the bpeTokenCountsOf head precedent), so
+    // the persisted training table can be released before the encode
+    val typeRows = syms
+      .select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("np"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    syms.unpersist()
+    val types = typeRows.toDF("w", "n_pieces")
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .join(broadcast(types), Seq("w"), "left")
+      .withColumn("n_pieces", coalesce(col("n_pieces"), length(col("w")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_pieces")).as("bpe_tokens"))
+      .withColumn("pieces_per_word_x100", expr("(100 * bpe_tokens) div n_words"))
+  }
+
+  /** q162's oracle: the q161 chain to s{R}, then the same word-type
+    * join and per-doc aggregate. */
+  val bpeTokenCountsSql: String =
+    s"""WITH $bpeChainSql,
+       |types AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+       |  FROM s$BpeOracleRounds),
+       |perdoc AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY doc_id, w)
+       |SELECT doc_id,
+       |       CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * coalesce(n_pieces, CAST(length(w) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+       |       (100 * CAST(sum(n * coalesce(n_pieces, CAST(length(w) AS BIGINT))) AS BIGINT))
+       |         // CAST(sum(n) AS BIGINT) AS pieces_per_word_x100
+       |FROM perdoc LEFT JOIN types USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q89
 

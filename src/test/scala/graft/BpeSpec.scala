@@ -230,4 +230,36 @@ class BpeSpec extends AnyFunSuite {
     assert(m.getLong(5) == 3L, "aaaaa fuses to 3 symbols under either convention")
     assert(TextAnalysis.trainBpe(run, 1, minPairCount = 1L) == Seq(("a", "a")))
   }
+
+  test("q162 encode under the trained merges: per-doc token counts equal an " +
+      "INDEPENDENT driver replay (plain java String.replace two-pass per " +
+      "word — the same pinned convention) of the q161 merge table over raw text") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val merges = TextAnalysis.bpeMergesOf(docs, 4).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    def pieces(w: String): Long =
+      if (!w.matches("^[a-z0-9]{2,}$")) w.length.toLong
+      else {
+        var s = " " + w.flatMap(c => s"$c ")
+        merges.foreach { case (a, b) =>
+          val p = s" $a $b "; val f = s" $a$b "
+          s = s.replace(p, f).replace(p, f)
+        }
+        s.trim.split(" ").length.toLong
+      }
+    val want = docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) None
+      else Some(r.getLong(0) -> (ws.length.toLong, ws.map(pieces).sum))
+    }.toMap
+    val got = TextAnalysis.bpeTokenCounts(spark, dir).collect()
+    assert(got.nonEmpty && got.length == want.size)
+    got.foreach { r =>
+      val (nw, bt) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nw && r.getAs[Long]("bpe_tokens") == bt,
+        s"doc ${r.getAs[Long]("doc_id")}: engine vs replay mismatch")
+      assert(r.getAs[Long]("pieces_per_word_x100") == 100L * bt / nw)
+    }
+  }
 }
