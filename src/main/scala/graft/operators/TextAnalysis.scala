@@ -1261,9 +1261,24 @@ object TextAnalysis {
     * has no internal space). On runs of one symbol ≥5 this pinned
     * convention can SEGMENT differently from [[trainBpe]]'s
     * canonical leftmost-first `mergePair` ("aaaaa" → `aa a aa` vs
-    * `aa aa a` — same token count, different split); TextAnalysisSpec
-    * plants that run and documents the divergence, and proves the
-    * learned MERGE TABLES agree with [[trainBpe]] on the fixture.
+    * `aa aa a` — same token count, different split), and on runs ≥7
+    * ("aaaaaaaaa" → `aa a aa a aa a`, 6 tokens, vs leftmost-first's
+    * `aa aa aa aa a`, 5) even the TOKEN COUNTS — and through
+    * `corpus_tokens_after` and later rounds' pair counts, the learned
+    * merge table itself — can diverge from canonical BPE (r17 advice).
+    * The two ENGINES stay mutually consistent under the shared
+    * convention (that is what the hash gate proves); the
+    * trainBpe-equality property BpeSpec pins is fixture-specific —
+    * it holds because the fixture corpus has no same-symbol run ≥7.
+    * BpeSpec plants a run-of-5 and documents the segmentation
+    * divergence, and proves the learned MERGE TABLES agree with
+    * [[trainBpe]] on the fixture.
+    *
+    * Precondition: the corpus must have ≥1 remaining adjacent pair at
+    * every round (a corpus whose every qualifying word has fused to a
+    * single symbol before round R exhausts training — the per-round
+    * winner guard fails fast with a clear message instead of an
+    * opaque IndexOutOfBounds / a NULLed-out oracle; r17 advice).
     *
     * Scale shape (the [[trainBpe]] argument, distributed one step
     * further): ONE corpus pass to the word-frequency table; every
@@ -1285,6 +1300,20 @@ object TextAnalysis {
     val (rows, syms) = bpeMergeRounds(docs, rounds)
     syms.unpersist()
     rows.toDF("round", "lhs", "rhs", "merged", "weighted_count", "corpus_tokens_after")
+  }
+
+  /** One pinned-convention merge application: the TWO-PASS literal
+    * replace of ' a b ' → ' ab ' over a space-padded symbol string
+    * (see the q161 scaladoc for why two passes converge). Patterns
+    * ride as Column literals via `call_function`, never as spliced
+    * SQL source (r17 advice). Shared by training ([[bpeMergeRounds]])
+    * and the chain-projection encode ([[bpeTokenCounts]]), so the two
+    * sides segment identically BY CONSTRUCTION. */
+  private def twoPassFuse(s: org.apache.spark.sql.Column, a: String, b: String,
+      fused: String): org.apache.spark.sql.Column = {
+    val pat = lit(s" $a $b ")
+    val rep = lit(s" $fused ")
+    call_function("replace", call_function("replace", s, pat, rep), pat, rep)
   }
 
   /** The shared q161/q162 core: runs the R distributed merge rounds
@@ -1312,15 +1341,22 @@ object TextAnalysis {
       val wd = Window.partitionBy(col("w")).orderBy(col("pos"))
       // winner: highest weighted count, ties lexicographically — the
       // trainBpe tie-break, pinned in both engines. 1-row collect.
-      val best = toks.withColumn("b", lead(col("a"), 1).over(wd))
+      val winner = toks.withColumn("b", lead(col("a"), 1).over(wd))
         .filter(col("b").isNotNull)
         .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .collect()(0)
+        .collect()
+      require(winner.nonEmpty,
+        s"corpus exhausted before $rounds merge rounds (round $r has no " +
+          "remaining adjacent pair — every qualifying word fused to one symbol)")
+      val best = winner(0)
       val (la, lb, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       val merged = la + lb
-      val next = syms.withColumn("s",
-          expr(s"replace(replace(s, ' $la $lb ', ' $merged '), ' $la $lb ', ' $merged ')"))
+      // patterns as Column LITERALS, not spliced expr() source text —
+      // safe for any symbol content, not just the current
+      // [a-z0-9]{2,} filter (r17 advice: the expr form was one filter
+      // loosening away from a SQL-injection hazard)
+      val next = syms.withColumn("s", twoPassFuse(col("s"), la, lb, merged))
         .persist()
       next.count()
       syms.unpersist()
@@ -1392,27 +1428,48 @@ object TextAnalysis {
     * (1-char — the only ones the [a-z0-9]{2,} filter drops on this
     * corpus) count their characters (= 1).
     *
-    * Scale shape: train is q161's (one corpus pass + vocab-bounded
-    * rounds); encode is ONE (doc_id, word) hash aggregate with
-    * map-side combine + a broadcast join to the collected vocab-sized
-    * type table + one per-doc aggregate. Nothing corpus-sized is
-    * collected, shuffled twice, or re-encoded per row. */
+    * Scale shape (r17 rework — the verdict's watch item was the
+    * previous form's FULL word-type-table collect, Heaps-law
+    * unbounded on real web text): under a fixed R-merge table the
+    * per-word piece count is a PURE FUNCTION of the word — pad the
+    * word's characters exactly as training's s0 does, apply the R
+    * trained merges through the SAME [[twoPassFuse]] chain, count
+    * symbols — so the encode is a map-only codegen'd projection over
+    * the (doc_id, word) aggregate. The driver holds exactly R winner
+    * rows (the 1-row-per-round collects training already makes);
+    * NOTHING vocab- or corpus-sized is ever collected, by
+    * construction. Chain(w) ≡ the training table's final s column for
+    * every trained word (same initial padding, same fused pairs in
+    * the same order, and the replace chain is a pure function of its
+    * input), so the oracle — which still reads the type table off the
+    * unrolled CTE chain — is unchanged; BpeSpec additionally pins
+    * chain-projection ≡ type-table-join on the fixture. Words the
+    * training filter excludes (not ^[a-z0-9]{2,}$ — on this corpus,
+    * 1-char words only) count their characters, as before. */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val (_, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    // vocab-sized collect (the bpeTokenCountsOf head precedent), so
-    // the persisted training table can be released before the encode
-    val typeRows = syms
-      .select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("np"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
     syms.unpersist()
-    val types = typeRows.toDF("w", "n_pieces")
+    bpeTokenCountsChain(docs, rows.map(r => (r._2, r._3, r._4)))
+  }
+
+  /** The chain-projection encode under an explicit merge table — the
+    * seam q162 and the shard-export pipeline share. `merges` rows are
+    * (lhs, rhs, fused) in training order. */
+  private[graft] def bpeTokenCountsChain(docs: DataFrame,
+      merges: Seq[(String, String, String)]): DataFrame = {
+    // n_pieces(w): pad → apply the R merges (two-pass each, training
+    // order) → count symbols = spaces-between = len-trim diff over a
+    // single codegen'd expression chain; no UDF, no join, no state
+    val padded = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val fusedCol = merges.foldLeft(padded) { case (c, (a, b, m)) => twoPassFuse(c, a, b, m) }
+    val nPieces = when(col("w").rlike("^[a-z0-9]{2,}$"),
+        size(split(trim(fusedCol), " ")).cast("long"))
+      .otherwise(length(col("w")).cast("long"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-      .join(broadcast(types), Seq("w"), "left")
-      .withColumn("n_pieces", coalesce(col("n_pieces"), length(col("w")).cast("long")))
+      .withColumn("n_pieces", nPieces)
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_pieces")).as("bpe_tokens"))

@@ -231,6 +231,46 @@ class BpeSpec extends AnyFunSuite {
     assert(TextAnalysis.trainBpe(run, 1, minPairCount = 1L) == Seq(("a", "a")))
   }
 
+  test("q162 rework (r17): the chain-projection encode — no vocab-sized " +
+      "collect, the R merges re-applied per word as one codegen'd replace " +
+      "chain — equals the type-table-join encode it replaced (piece counts " +
+      "read off the training table's final symbol column)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val (_, syms) = TextAnalysis.bpeMergeRounds(docs, 4)
+    val types = syms.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_pieces"))
+    val old = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .join(broadcast(types), Seq("w"), "left")
+      .withColumn("n_pieces",
+        coalesce(col("n_pieces"), length(col("w")).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"), sum(col("n") * col("n_pieces")).as("bpe_tokens"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    syms.unpersist()
+    val got = TextAnalysis.bpeTokenCounts(spark, dir).collect()
+    assert(got.nonEmpty && got.length == old.size)
+    got.foreach { r =>
+      val (nw, bt) = old(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nw && r.getAs[Long]("bpe_tokens") == bt,
+        s"doc ${r.getAs[Long]("doc_id")}: chain projection vs type-table join")
+    }
+  }
+
+  test("q161 degenerate corpus: training past pair exhaustion fails fast " +
+      "with the documented message instead of an IndexOutOfBounds (r17 advice)") {
+    import spark.implicits._
+    // one qualifying 2-char word type: round 1 fuses it to a single
+    // symbol, round 2 has no adjacent pair anywhere
+    val run = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergesOf(run, 2)
+    }
+    assert(e.getMessage.contains("corpus exhausted"), e.getMessage)
+  }
+
   test("q162 encode under the trained merges: per-doc token counts equal an " +
       "INDEPENDENT driver replay (plain java String.replace two-pass per " +
       "word — the same pinned convention) of the q161 merge table over raw text") {
