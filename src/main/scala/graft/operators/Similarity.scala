@@ -3264,10 +3264,28 @@ object Similarity {
   /** Shared prefix of [[exactPrunedTopKWith]] and
     * [[exactPrunedCandidateCountsWith]]: assign cells (cached —
     * 3 consumers), compute the per-query KEPT-cell probe frame.
-    * Returns (assigned corpus, keep probes). Parameterized over the
+    * Returns (candidate corpus, keep probes). Parameterized over the
     * corpus so the spec can run the SAME pruning on the isotropic
     * fixture geometry (exactness must hold there too — the bound just
-    * stops cutting). */
+    * stops cutting).
+    *
+    * `candFilter` (q163): restricts the CANDIDATE set — both the seed
+    * lower bound and the returned rerank frame — to vectors
+    * satisfying a metadata predicate, applied ON TOP of the cached
+    * assignment (the cache stays filter-independent). Exactness under
+    * filtering needs exactly two properties, both by construction
+    * here: (1) the seed lb is an ACHIEVED k-th FILTERED similarity
+    * (ranked over filtered candidates only; < k filtered seed
+    * members → no k-th row → lb = −2 keeps every cell, degrading to
+    * the brute filtered scan), so a pruned cell (ub < lb ≤ true
+    * filtered k-th) cannot hold a filtered top-k member; (2) the cell
+    * radii stay the UNFILTERED stored ones — a radius over a superset
+    * upper-bounds the subset's, so the bound only LOOSENS, never
+    * cuts a filtered member's cell. k is therefore re-satisfied after
+    * the filter whenever the filtered corpus has k candidates at all
+    * (SimilaritySpec sweeps selectivity 100% → ~0.2%, where the
+    * filtered corpus itself runs out of rows and both engines return
+    * the same < k). */
   private def exactPrunedKeepOf(
       corpus: DataFrame,
       queryPred: org.apache.spark.sql.Column,
@@ -3275,13 +3293,15 @@ object Similarity {
       seedNprobe: Int,
       k: Int,
       cacheKey: Option[String],
-      storedRadii: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      storedRadii: Option[DataFrame] = None,
+      candFilter: DataFrame => DataFrame = identity): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val assignedRaw =
       assignCells(corpus, cents).select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-    val assigned = cacheKey.fold(assignedRaw)(key =>
+    val assignedAll = cacheKey.fold(assignedRaw)(key =>
       graft.CacheRegistry.getOrCache(spark, assignKey(key, cents))(assignedRaw))
+    val assigned = candFilter(assignedAll)
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
     val centDf = cents.map { case (id, vv, nm) => (id, vv.toSeq, nm) }
@@ -3290,8 +3310,11 @@ object Similarity {
     // (2 − 2·cos(x, centroid)) — ONE pass over the cached assignment,
     // output is quantizer-sized; a SERVE session loads the stored
     // table instead (doubles round-trip exactly, so served bounds are
-    // bit-identical — AnnIndexSpec pins it)
-    val cellStats = storedRadii.getOrElse(radiiOf(assigned, centDf))
+    // bit-identical — AnnIndexSpec pins it). Always over the FULL
+    // assignment, never the candidate-filtered one, so in-session and
+    // stored-serve bounds agree under any candFilter (a superset
+    // radius stays a valid upper bound for the filtered subset)
+    val cellStats = storedRadii.getOrElse(radiiOf(assignedAll, centDf))
     // seed scan: each query's PlantSeedNprobe nearest cells, exact
     // sims, the k-th best = the pruning lower bound (no k-th row →
     // keep everything: lb = −2)
@@ -3603,6 +3626,70 @@ object Similarity {
     val (assigned, keep) = exactPrunedKeepOf(corpus, queryPred, cents,
       seedNprobe, k, cacheKey, storedRadii = Some(radii))
     ivfRank(assigned, keep, k)
+  }
+
+  // ------------------------------------------------------------- q163
+
+  /** Metadata predicate for the oracled filtered row: candidates
+    * restricted to documents whose `lang` column (joined id-to-id —
+    * the embeddings/documents fixture tables share the 0..n−1 id
+    * domain, preserved by every decade replica) carries this value —
+    * ~15% of the corpus at every sf. */
+  private[graft] val Q163Lang = "zh"
+
+  /** [[exactPrunedTopKServeOf]] with a CANDIDATE filter — filtered
+    * vector search against the stored trained index. The serve-path
+    * twin of [[exactPrunedTopKFilteredTrained]]; see
+    * [[exactPrunedKeepOf]] for the two-property exactness argument
+    * (filtered seed lb + superset radii). `candFilter` composes with
+    * the cached assignment, so a metadata semi-join or a pushed
+    * column predicate both ride BELOW the candidate probe join. */
+  def exactPrunedTopKServeFilteredOf(
+      corpus: DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      candFilter: DataFrame => DataFrame,
+      indexPath: String,
+      seedNprobe: Int,
+      k: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = AnnIndex.loadQuantizer(spark, s"$indexPath/quantizer")
+    val radii = AnnIndex.loadRadii(spark, s"$indexPath/radii")
+    val (cands, keep) = exactPrunedKeepOf(corpus, queryPred, cents,
+      seedNprobe, k, cacheKey, storedRadii = Some(radii), candFilter = candFilter)
+    ivfRank(cands, keep, k)
+  }
+
+  /** q163: FILTERED vector search on the TRAINED exact-pruned serve —
+    * the production retrieval shape every deployment actually runs
+    * ("top-k among vectors satisfying P"), composed from the q157
+    * lifecycle: train the √n Lloyd quantizer → store quantizer +
+    * radii → serve with the metadata predicate (documents.lang,
+    * joined id-to-id and applied as a semi-join UNDER the candidate
+    * probe join). The subtle part — the reason this needs its own
+    * hash gate rather than following from q157's — is k
+    * RE-SATISFACTION after the filter: a pruning lower bound computed
+    * over UNFILTERED seed candidates would be too tight (it could
+    * prune a cell whose filtered member is a true filtered top-k
+    * row), and a serve that filters AFTER rank would return < k. Here
+    * the seed ranks filtered candidates only and the rerank window
+    * runs over filtered candidates of kept cells, so the row is the
+    * exact filtered top-k whenever k filtered candidates exist — and
+    * exactly the filtered-corpus size when they don't (both engines
+    * agree; SimilaritySpec sweeps selectivity to the starved case).
+    * The ORACLE is the brute-force filtered scan — no bound, no
+    * quantizer — so the gate proves the composition end-to-end. */
+  def exactPrunedTopKFilteredTrained(spark: SparkSession, dir: String): DataFrame = {
+    val v = plantedVectors(spark, dir)
+    val indexPath = java.nio.file.Files.createTempDirectory("graft-q163-idx").toString
+    buildExactPrunedIndexTrained(v, indexPath,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === Q163Lang).select(col("doc_id").as("vec_id"))
+    exactPrunedTopKServeFilteredOf(v, expr(QueryFilter),
+      df => df.join(allowed, Seq("vec_id"), "semi"),
+      indexPath, PlantSeedNprobe, PlantK,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
   }
 
   /** Admission half of the q155 lifecycle: assign an arrival batch
@@ -3936,6 +4023,29 @@ object Similarity {
     * exact result set, so the same brute-force SQL hash-proves the
     * composed guarantee independently. */
   val exactPruned2LevelSql: String = exactPrunedTopKSql
+
+  /** q163's oracle: the brute-force FILTERED scan — every (query,
+    * filtered-candidate) pair, no bound, no quantizer, the metadata
+    * join spelled directly — so the hash gate proves both exactness
+    * under filtering and k re-satisfaction end-to-end. */
+  val exactPrunedTopKFilteredSql: String =
+    s"""WITH n AS (
+       |$duckPlantedVectors),
+       |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE $QueryFilter),
+       |c AS (SELECT n.vec_id, n.e, n.nrm FROM n
+       |      JOIN documents d ON n.vec_id = d.doc_id
+       |      WHERE d.lang = '$Q163Lang'),
+       |p AS (
+       |  SELECT q_id, c.vec_id AS neighbor_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(qe)), i -> qe[i] * c.e[i])),
+       |           (a, x) -> a + x) / (qn * c.nrm) AS sim
+       |  FROM c, q WHERE c.vec_id != q_id),
+       |r AS (SELECT q_id, neighbor_id, sim,
+       |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT q_id, rank, neighbor_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= $PlantK""".stripMargin
 
   // ------------------------------------------------------------- q158
 

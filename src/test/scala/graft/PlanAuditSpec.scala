@@ -135,7 +135,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // q160: q158 with the dense leg on the TRAINED √n quantizer —
       // inherits q157's (strictly smaller) quantizer crosses and
       // q152's 1-row corpus-stats cross on the sparse leg
-      "q160_hybrid_exact_trained")
+      "q160_hybrid_exact_trained",
+      // q163: q157's trained serve with a metadata candidate filter —
+      // inherits exactly q157's quantizer crosses; the lang predicate
+      // itself is an equi-key semi-join on the vector id, applied
+      // below the candidate probe join
+      "q163_filtered_topk_trained")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     SparkEntry.queries.keys.foreach { name =>

@@ -871,6 +871,57 @@ class SimilaritySpec extends AnyFunSuite {
         f"id-filtered $cutId%.1f vs refined $cutRefined%.1f candidates/query")
   }
 
+  test("q163 filtered serve: exact at every selectivity (~100%, ~10%, " +
+      "starved ~0.4%) against a brute filtered scan, and k re-satisfies to " +
+      "the filtered-corpus size when fewer than k candidates exist") {
+    val dir = "/root/testdata/sf0.01"
+    val v = Similarity.plantedVectors(spark, dir)
+    val qPred = expr("vec_id % 25 = 0")
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("graft-q163-spec").toString
+    Similarity.buildExactPrunedIndexTrained(v, indexPath,
+      cacheKey = Some("similarity.q163spec"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    def bruteFiltered(pred: String): Seq[Seq[Any]] = {
+      val q = v.filter(qPred)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      rows(v.filter(expr(pred))
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          graft.functions.VectorOps.dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 6).as("sim")))
+    }
+    // the sweep the r17 verdict asked for: a pruned serve that filters
+    // AFTER ranking, or seeds its lower bound on unfiltered
+    // candidates, fails one of these — returning < k rows (or wrong
+    // ones) as selectivity drops
+    Seq("vec_id >= 0", "vec_id % 10 = 3", "vec_id % 250 = 7").foreach { pred =>
+      val got = rows(Similarity.exactPrunedTopKServeFilteredOf(
+        v, qPred, d => d.filter(expr(pred)), indexPath, 4, 5,
+        cacheKey = Some("similarity.q163spec")))
+      assert(got.nonEmpty && got == bruteFiltered(pred),
+        s"filtered serve != brute filtered scan under '$pred'")
+    }
+    // starved: 2 candidates in a 500-row corpus — every query must
+    // return exactly the filtered candidates (self excluded), not k
+    val nCand = v.filter(expr("vec_id % 250 = 7")).count()
+    val starved = Similarity.exactPrunedTopKServeFilteredOf(
+      v, qPred, d => d.filter(expr("vec_id % 250 = 7")), indexPath, 4, 5,
+      cacheKey = Some("similarity.q163spec"))
+      .groupBy(col("q_id")).count().collect()
+    CacheRegistry.releaseAll()
+    assert(nCand > 0 && nCand < 5, s"fixture drift: starved pred keeps $nCand")
+    assert(starved.nonEmpty && starved.forall(_.getLong(1) <= nCand) &&
+      starved.exists(_.getLong(1) == nCand),
+      s"starved selectivity must cap rows at the filtered-corpus size ($nCand)")
+  }
+
   test("q156 two-level bound: identical rows to q155 and the brute force " +
       "(the composed triangle bound stays lossless), and level 1 cuts the " +
       "per-query cell-bound rows well below ncells") {
