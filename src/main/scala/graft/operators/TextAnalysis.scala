@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1457,23 +1457,28 @@ object TextAnalysis {
     * seam q162 and the shard-export pipeline share. `merges` rows are
     * (lhs, rhs, fused) in training order. */
   private[graft] def bpeTokenCountsChain(docs: DataFrame,
-      merges: Seq[(String, String, String)]): DataFrame = {
-    // n_pieces(w): pad → apply the R merges (two-pass each, training
-    // order) → count symbols = spaces-between = len-trim diff over a
-    // single codegen'd expression chain; no UDF, no join, no state
-    val padded = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    val fusedCol = merges.foldLeft(padded) { case (c, (a, b, m)) => twoPassFuse(c, a, b, m) }
-    val nPieces = when(col("w").rlike("^[a-z0-9]{2,}$"),
-        size(split(trim(fusedCol), " ")).cast("long"))
-      .otherwise(length(col("w")).cast("long"))
+      merges: Seq[(String, String, String)]): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("n_pieces", nPieces)
+      .withColumn("n_pieces", bpePieceCountCol(merges))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_pieces")).as("bpe_tokens"))
       .withColumn("pieces_per_word_x100", expr("(100 * bpe_tokens) div n_words"))
+
+  /** Piece count of the word in `w` under a fixed merge table:
+    * pad → apply the R merges (two-pass each, training order) → count
+    * symbols — one codegen'd expression chain; no UDF, no join, no
+    * state. Words outside the training filter count their characters
+    * (the q162 contract). Shared by the q162 encode and the q164
+    * shard export. */
+  private def bpePieceCountCol(merges: Seq[(String, String, String)]): Column = {
+    val padded = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val fusedCol = merges.foldLeft(padded) { case (c, (a, b, m)) => twoPassFuse(c, a, b, m) }
+    when(col("w").rlike("^[a-z0-9]{2,}$"),
+        size(split(trim(fusedCol), " ")).cast("long"))
+      .otherwise(length(col("w")).cast("long"))
   }
 
   /** q162's oracle: the q161 chain to s{R}, then the same word-type
@@ -1494,6 +1499,101 @@ object TextAnalysis {
        |         // CAST(sum(n) AS BIGINT) AS pieces_per_word_x100
        |FROM perdoc LEFT JOIN types USING (w)
        |GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q164
+
+  /** Token budget per published training shard. */
+  private[graft] val ShardBudget = 4096L
+
+  /** q164: the TRAINING-SHARD MANIFEST — the end-to-end deliverable
+    * row the r17 verdict asked for: tokenize the corpus under the
+    * q161-TRAINED merges (the q162 chain-projection encode), pack
+    * documents into fixed token-budget shards (the q62 packing rule —
+    * per-source cumulative offset, a document belongs to the shard
+    * its START offset falls in — but over REAL trained-tokenizer
+    * counts, not whitespace counts), and report one row per shard:
+    * document count, token mass, doc-id span. This is the table a
+    * pretraining run's data loader is driven by, and its totals are
+    * the conservation evidence (Σ shard_tokens = Σ per-doc
+    * bpe_tokens, Σ n_docs = corpus docs) — [[graft.pipeline.ShardExport]]
+    * is the production twin that PUBLISHES the shard rows through the
+    * manifest-committed sink in ONE action with the same conservation
+    * proven by observe metrics and hard-gated, plus a fresh-session
+    * read-back (ShardExportSpec).
+    *
+    * Scale shape: train is q161's (one corpus pass + vocab-bounded
+    * rounds); encode is the q162 map-only chain projection over the
+    * (doc_id, word) aggregate; packing is one running-sum window
+    * PARTITIONED BY source (embarrassingly parallel across sources —
+    * the q62 argument) and one (source, shard_id) hash aggregate.
+    * Nothing model-sized beyond the R winner rows ever sits on the
+    * driver. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
+    syms.unpersist()
+    shardManifestOf(docs, rows.map(r => (r._2, r._3, r._4)))
+  }
+
+  /** Per-document shard assignment under an explicit merge table —
+    * (doc_id, source, bpe_tokens, shard_id); the seam q164 and the
+    * ShardExport publish share, so the oracled manifest and the
+    * published files agree by construction. */
+  private[graft] def shardAssignOf(docs: DataFrame,
+      merges: Seq[(String, String, String)]): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("n_pieces", bpePieceCountCol(merges))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n") * col("n_pieces")).as("bpe_tokens"))
+      .withColumn("off", sum(col("bpe_tokens")).over(w) - col("bpe_tokens"))
+      .withColumn("shard_id", expr(s"off div $ShardBudget"))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("shard_id"))
+  }
+
+  /** [[shardManifest]] over an arbitrary (doc_id, source, text) frame
+    * and merge table. */
+  def shardManifestOf(docs: DataFrame,
+      merges: Seq[(String, String, String)]): DataFrame =
+    shardAssignOf(docs, merges)
+      .groupBy(col("source"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** q164's oracle: the q161 chain to the type table, the per-doc
+    * token totals with `source` carried through, then the q62-form
+    * running-sum pack and the per-shard aggregate. */
+  val shardManifestSql: String =
+    s"""WITH $bpeChainSql,
+       |types AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+       |  FROM s$BpeOracleRounds),
+       |perdoc AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(n * coalesce(n_pieces, CAST(length(w) AS BIGINT))) AS BIGINT) AS bpe_tokens
+       |  FROM (
+       |    SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS n FROM (
+       |      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |    WHERE length(w) > 0 GROUP BY doc_id, source, w) pw
+       |  LEFT JOIN types USING (w)
+       |  GROUP BY doc_id, source),
+       |o AS (
+       |  SELECT doc_id, source, bpe_tokens,
+       |         CAST(sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              - bpe_tokens AS BIGINT) AS off
+       |  FROM perdoc)
+       |SELECT source, off // $ShardBudget AS shard_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(bpe_tokens) AS BIGINT) AS shard_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM o GROUP BY source, off // $ShardBudget""".stripMargin
 
   // ---------------------------------------------------------------- q89
 

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+import graft.pipeline.ShardExport
+
+/** End-to-end training-shard export (q164 + ShardExport): the
+  * conservation contract — no token and no document is lost or
+  * duplicated between the corpus-side encode and the PUBLISHED shard
+  * files — checked three ways: the pipeline's own observe-metric
+  * hard gate, a fresh-session re-read of the manifest-committed
+  * output re-aggregated to the q164 manifest, and the manifest's
+  * totals against an independently computed corpus token mass. */
+class ShardExportSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shard export publishes every doc exactly once, conserves token " +
+      "mass end-to-end, and a FRESH session re-reading the published " +
+      "shards re-aggregates them to the oracled q164 manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-spec").toString
+    val stages = ShardExport.run(spark, dir, out)
+    val enc = stages.find(_.stage == "corpus_encode").get
+    val pub = stages.find(_.stage == "published").get
+    assert(enc.docs > 0 && enc.docs == pub.docs && enc.tokens == pub.tokens)
+
+    // independent corpus mass: q162's oracled per-doc counts (the
+    // chain encode), summed — the manifest totals must match
+    val q162 = TextAnalysis.bpeTokenCounts(spark, dir)
+      .agg(count(lit(1)), sum(col("bpe_tokens"))).collect()(0)
+    assert(q162.getLong(0) == enc.docs && q162.getLong(1) == enc.tokens,
+      "pipeline encode mass != the oracled q162 per-doc counts")
+
+    // fresh session: nothing trained or cached here — the published
+    // files alone must reconstruct the manifest
+    val fresh = spark.newSession()
+    val readBack = fresh.read.format("graft.sources.ManifestSink")
+      .option("path", out).load()
+    assert(readBack.select(col("doc_id")).distinct().count() == enc.docs,
+      "published shards must carry every doc exactly once")
+    val gotManifest = readBack
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val wantManifest = TextAnalysis.shardManifest(spark, dir)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    assert(gotManifest.nonEmpty && gotManifest == wantManifest,
+      "fresh-session re-aggregation of published shards != the q164 manifest")
+
+    // shard invariants: every shard holds a contiguous doc_id span
+    // within its source, and every shard except a source's last is
+    // filled past the budget boundary it started before (the
+    // start-offset rule: a shard closes only when a doc STARTS past
+    // its boundary, so fill can exceed the budget by the straddling
+    // doc, never undershoot to zero)
+    val manifest = wantManifest.map(r => (r(0).asInstanceOf[String],
+      r(1).asInstanceOf[Long], r(2).asInstanceOf[Long], r(3).asInstanceOf[Long]))
+    manifest.groupBy(_._1).foreach { case (_, shards) =>
+      val ordered = shards.sortBy(_._2)
+      assert(ordered.map(_._2) == ordered.indices.map(_.toLong),
+        "shard ids within a source must be dense from 0")
+      ordered.dropRight(1).foreach { case (src, sid, _, tokens) =>
+        assert(tokens >= 1, s"$src shard $sid is empty")
+      }
+    }
+  }
+}
