@@ -22,11 +22,12 @@ object Plans {
     val sb = new StringBuilder
     sb.append("# Physical plans (explain formatted, sf0.001, AQE off for stable shapes)\n")
     sb.append("\nRegenerate: `sbt \"runMain graft.Plans\"`.\n")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution
-        .explainString(ExplainMode.fromString("formatted"))
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
-    }
+    (SparkEntry.queries.toSeq ++ SparkEntry.planFrames.toSeq)
+      .sortBy(_._1).foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        sb.append(s"\n## $name\n\n```\n$plan```\n")
+      }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"[plans] wrote $out")
     spark.stop()

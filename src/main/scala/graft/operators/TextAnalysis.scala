@@ -1321,29 +1321,65 @@ object TextAnalysis {
     * (w, wc, s)) — q161 reads the rows, q162 reads the table (the
     * per-word piece counts under the learned merges). Caller
     * unpersists the table. */
+  /** The initial symbol table (w, wc, s) — symbol strings are chars
+    * joined and PADDED by single spaces, so a merge pattern ' a b '
+    * can never match across a symbol boundary (symbols are [a-z0-9]+
+    * by the filter, never contain spaces). Lazy; [[bpeMergeRounds]]
+    * persists it, the plan-observability frames don't. */
+  private def bpeSymsInit(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+
+  /** One round's DISTRIBUTED pair-count aggregate over a symbol table
+    * — q79's posexplode+lead bigram machinery, map-side combined,
+    * symbol-vocab²-bounded output. Factored so the round-internal
+    * plan is auditable ([[bpeRoundPlanFrames]]) even though the
+    * training loop executes it eagerly. */
+  private def bpePairCountsOf(syms: DataFrame): DataFrame = {
+    val toks = syms.select(col("w"), col("wc"),
+      posexplode(split(trim(col("s")), " ")).as(Seq("pos", "a")))
+    val wd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    toks.withColumn("b", lead(col("a"), 1).over(wd))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
+  }
+
+  /** The per-round weighted token-count aggregate (Σ wc·|symbols|). */
+  private def bpeTokensAfterOf(syms: DataFrame): DataFrame =
+    syms.agg(sum(col("wc") * size(split(trim(col("s")), " "))).as("t"))
+
+  /** ROUND-INTERNAL plans for the eager q161/q164 training loop (r17
+    * verdict #4): `bpeMergeRounds` runs its rounds before returning,
+    * so the frame a caller explains is a `LocalTableScan` and the
+    * per-round distributed work was invisible to PLANS.md and the
+    * PlanAuditSpec sweeps. These are the SAME builders the loop runs
+    * — one representative round over the initial symbol table (the
+    * fuse projection under a placeholder merge pair; patterns are
+    * literals, so the plan shape is merge-independent) — exposed
+    * lazily for Plans/PlanAuditSpec to walk. */
+  private[graft] def bpeRoundPlanFrames(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = {
+    val syms0 = bpeSymsInit(Tables.documents(spark, dir))
+    Seq(
+      "q161_round_pair_counts" -> bpePairCountsOf(syms0),
+      "q161_round_fuse_projection" ->
+        syms0.withColumn("s", twoPassFuse(col("s"), "a", "b", "ab")),
+      "q161_round_tokens_after" -> bpeTokensAfterOf(syms0))
+  }
+
   private[graft] def bpeMergeRounds(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // symbol string: chars joined and PADDED by single spaces, so a
-    // merge pattern ' a b ' can never match across a symbol boundary
-    // (symbols are [a-z0-9]+ by the filter, never contain spaces)
-    var syms = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z0-9]{2,}$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .withColumn("s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
-      .persist()
+    var syms = bpeSymsInit(docs).persist()
     syms.count()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Long)]()
     for (r <- 1 to rounds) {
-      val toks = syms.select(col("w"), col("wc"),
-        posexplode(split(trim(col("s")), " ")).as(Seq("pos", "a")))
-      val wd = Window.partitionBy(col("w")).orderBy(col("pos"))
       // winner: highest weighted count, ties lexicographically — the
       // trainBpe tie-break, pinned in both engines. 1-row collect.
-      val winner = toks.withColumn("b", lead(col("a"), 1).over(wd))
-        .filter(col("b").isNotNull)
-        .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
+      val winner = bpePairCountsOf(syms)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .collect()
       require(winner.nonEmpty,
@@ -1361,9 +1397,7 @@ object TextAnalysis {
       next.count()
       syms.unpersist()
       syms = next
-      val tokensAfter = syms
-        .agg(sum(col("wc") * size(split(trim(col("s")), " "))).as("t"))
-        .collect()(0).getLong(0)
+      val tokensAfter = bpeTokensAfterOf(syms).collect()(0).getLong(0)
       out += ((r, la, lb, merged, cnt, tokensAfter))
     }
     (out.toSeq, syms)

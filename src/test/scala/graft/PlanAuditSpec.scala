@@ -11,7 +11,8 @@ class PlanAuditSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   private def planOf(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    SparkEntry.queries.getOrElse(name, SparkEntry.planFrames(name))(spark, sf)
+      .queryExecution.executedPlan.toString
 
   /** Queries whose plan legitimately contains a nested-loop join:
     * q09 crossJoin of two bounded dims (the reference's config cross
@@ -143,7 +144,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q163_filtered_topk_trained")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
-    SparkEntry.queries.keys.foreach { name =>
+    // planFrames: the round-internal plans of eager driver-looped
+    // queries (q161's training rounds) — swept with the same
+    // assertions so eager loops can't hide a cartesian (r17 verdict)
+    (SparkEntry.queries.keys ++ SparkEntry.planFrames.keys).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
