@@ -50,6 +50,18 @@ object MakeSf10 {
     Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events")
       .foreach(t => write(Tables.load(spark, src, t), t))
+    // fixed-|Q| FIRST-CLASS query fixture (r17 verdict #6): the base
+    // probe rule (id % 25) scales |Q| with the corpus, making every
+    // full-|Q| retrieval form quadratic by fixture construction past
+    // sf10; a deployment serves a bounded query set. 32 ids by the
+    // same Knuth-scramble smallest rule ProofSf10 derived ad hoc, so
+    // existing decade gates are unchanged — the rule is now a table.
+    write(spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(expr("vec_id % 25 = 0"))
+      .select(col("vec_id").as("query_id"))
+      .withColumn("hq", expr("(query_id * 2654435761) % 4294967296"))
+      .orderBy(col("hq"), col("query_id")).limit(32).drop("hq")
+      .coalesce(1), "queries")
     println(s"""{"sf10_dir": "$out", "mult": $n, "src": "$src"}""")
     spark.stop()
   }
@@ -97,13 +109,24 @@ object ProofSf10 {
 
     if (mode == "gates" || mode == "all") {
       val planted = Similarity.plantedVectors(spark, dir)
-      // the 32-query deterministic sample, pushed into the query
-      // predicates as a driver-side literal (the q153 pattern)
-      val sampIds = planted.filter(expr("vec_id % 25 = 0"))
-        .select(col("vec_id"))
-        .withColumn("hq", expr("(vec_id * 2654435761) % 4294967296"))
-        .orderBy(col("hq"), col("vec_id")).limit(32)
-        .collect().map(_.getLong(0)).toSeq
+      // the 32-query bounded sample, pushed into the query predicates
+      // as a driver-side literal (the q153 pattern). Since r18 the
+      // sample is a FIRST-CLASS fixture table (queries.parquet,
+      // written by MakeSf10 under the same Knuth-scramble smallest
+      // rule); older fixture dirs fall back to deriving it — the two
+      // are row-identical by construction.
+      val qFix = new java.io.File(s"$dir/queries.parquet")
+      val sampIds =
+        if (qFix.exists)
+          spark.read.parquet(qFix.toString)
+            .orderBy(col("query_id")).collect().map(_.getLong(0)).toSeq
+        else planted.filter(expr("vec_id % 25 = 0"))
+          .select(col("vec_id"))
+          .withColumn("hq", expr("(vec_id * 2654435761) % 4294967296"))
+          .orderBy(col("hq"), col("vec_id")).limit(32)
+          .collect().map(_.getLong(0)).toSeq
+      println(s"query fixture: ${if (qFix.exists) "queries.parquet" else "derived"} " +
+        s"(|Q|=${sampIds.size})")
       val sampPred = col("vec_id").isin(sampIds: _*)
       val (brute, tBrute) = timed(rows(
         Similarity.cosineTopKOf(planted, sampPred, 5)))
@@ -152,26 +175,34 @@ object ProofSf10 {
       // shared, so the gate isolates exactly the dense-pruning claim).
       locally {
         import operators.TextAnalysis
-        val denseServe = Similarity.exactPrunedTopKServeOf(planted, sampPred,
-            idx157, 4, 5, cacheKey = Some("sf10.plantCells"))
-          .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        // the FULL q160 composition — in-query train → store → trained
+        // exact-pruned dense serve, df-pruned sparse leg, rrfFuse —
+        // run through the PUBLIC full-form verb under the fixture's
+        // fixed |Q| (r17 verdict #6: the full listed form, no longer
+        // SKIP-adjudicated at the third decade; the quadratic was the
+        // probe rule's |Q| ∝ n, not the operator)
+        val (fusedServe, tHyb) = timed(rows(
+          Similarity.hybridTopKExactPrunedTrainedOf(spark, dir, sampIds)))
+        CacheRegistry.releaseAll()
+        // reference: the same fixture legs with the dense serve
+        // replaced by the brute-force scan (sparse leg and fusion code
+        // shared, so the gate isolates exactly the dense-pruning claim)
         val docsZ = TextAnalysis.zipfDocsOf(
           Tables.documents(spark, dir).select(col("doc_id")))
         val probes = docsZ.filter(col("doc_id").isin(sampIds: _*))
           .select(col("doc_id").as("query_id"),
             explode(slice(split(col("text"), " "), 1, 8)).as("w"))
           .distinct()
-        def sparse = TextAnalysis.bm25Of(docsZ, probes, excludeSelf = true,
+        val sparse = TextAnalysis.bm25Of(docsZ, probes, excludeSelf = true,
             maxDfFrac = Some(TextAnalysis.ZipfMaxDfFrac))
           .select(col("query_id"), col("doc_id"), col("rank"))
-        val (fusedServe, tHyb) = timed(rows(Similarity.rrfFuse(Seq(denseServe, sparse))))
         val denseBrute = Similarity.cosineTopKOf(planted, sampPred, 5)
           .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
         val fusedBrute = rows(Similarity.rrfFuse(Seq(denseBrute, sparse)))
         require(fusedServe == fusedBrute,
-          s"sampled hybrid lost dense exactness through fusion " +
+          s"fixed-|Q| full-form hybrid lost dense exactness through fusion " +
             s"(${fusedServe.size} vs ${fusedBrute.size} rows)")
-        println(f"q160 sampled-|Q| hybrid (rrfFuse, pruned legs) $tHyb%7.2f s  == brute-dense fusion (${fusedServe.size}%5d rows)")
+        println(f"q160 fixed-|Q| FULL form (train+serve+fuse)   $tHyb%8.2f s  == brute-dense fusion (${fusedServe.size}%5d rows)")
         CacheRegistry.releaseAll()
       }
       // the id-filter oracle contract too (ncells = n/7 = 28.5k at

@@ -922,6 +922,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"starved selectivity must cap rows at the filtered-corpus size ($nCand)")
   }
 
+  test("q160 full form under an explicit query-id set (the fixed-|Q| fixture " +
+      "verb): at the full fixture |Q| it reproduces the oracled q160 " +
+      "row-for-row — both dense legs are exact and the sparse/fusion code " +
+      "is shared, so the parameterization cannot drift") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+      val r = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      CacheRegistry.releaseAll()
+      r
+    }
+    val ids = Similarity.plantedVectors(spark, dir)
+      .filter(expr("vec_id % 25 = 0")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val got = rows(Similarity.hybridTopKExactPrunedTrainedOf(spark, dir, ids))
+    val want = rows(Similarity.hybridTopKExactPrunedTrained(spark, dir))
+    assert(got.nonEmpty && got == want,
+      "fixed-|Q| full form at full fixture |Q| != the oracled q160")
+  }
+
   test("q156 two-level bound: identical rows to q155 and the brute force " +
       "(the composed triangle bound stays lossless), and level 1 cuts the " +
       "per-query cell-bound rows well below ncells") {
