@@ -4181,4 +4181,91 @@ object Similarity {
       Some(TextAnalysis.ZipfMaxDfFrac),
       probePred = col("doc_id").isin(queryIds: _*))
   }
+
+  // ------------------------------------------------------------- q165
+
+  /** q165: the FILTERED HYBRID — q163's metadata predicate composed
+    * through BOTH retrieval legs and the fusion tail, which is the
+    * full production query ("top-k among documents satisfying P,
+    * ranked by dense+sparse fusion"): the dense leg is the q163
+    * filtered trained exact-pruned serve (candidates semi-joined to
+    * the allowed ids UNDER the probe join, seed lb over filtered
+    * candidates, k re-satisfied post-filter); the sparse leg is
+    * df-pruned BM25 over the corpus RESTRICTED to the allowed docs —
+    * restriction BEFORE indexing, so tf/df/dl and the idf are the
+    * FILTERED corpus's own statistics (the honest filtered-BM25
+    * semantics: a term common in the full corpus but rare among
+    * allowed docs ranks high, exactly what a per-language or
+    * per-license serving index would do) — probed by the UNFILTERED
+    * query docs' leading tokens (queries need not satisfy P;
+    * candidates must). Fusion is the engine-wide integer RRF through
+    * the public [[rrfFuse]]. The ORACLE composes the brute filtered
+    * dense scan (q163's) with the same filtered-corpus BM25 SQL and
+    * fusion tail, so the hash gate proves the only pruned leg — the
+    * dense one — dropped nothing through the composition.
+    *
+    * Scale shape: q163's dense serve (√n quantizer, triangle-bound
+    * cells, filtered rerank) + q152's sparse shape over a SMALLER
+    * corpus (the allowed subset) + a |Q|·k fusion aggregate. */
+  def hybridTopKFilteredTrained(spark: SparkSession, dir: String): DataFrame = {
+    val v = plantedVectors(spark, dir)
+    val indexPath =
+      java.nio.file.Files.createTempDirectory("graft-q165-idx").toString
+    buildExactPrunedIndexTrained(v, indexPath,
+      cacheKey = Some(s"similarity.plantCells:$dir"))
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === Q163Lang).select(col("doc_id"))
+    val dense = exactPrunedTopKServeFilteredOf(v, expr(QueryFilter),
+        _.join(allowed.select(col("doc_id").as("vec_id")), Seq("vec_id"), "semi"),
+        indexPath, PlantSeedNprobe, PlantK,
+        cacheKey = Some(s"similarity.plantCells:$dir"))
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    // probes from the UNFILTERED query docs (the standing %25 rule);
+    // the sparse CORPUS is the allowed subset — zipf text derives from
+    // doc_id, so the filtered corpus frame is just zipfDocsOf(allowed)
+    val probes = TextAnalysis.zipfDocsOf(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .filter(expr("doc_id % 25 = 0"))
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+      .distinct()
+    val sparse = TextAnalysis.bm25Of(TextAnalysis.zipfDocsOf(allowed), probes,
+        excludeSelf = true, maxDfFrac = Some(TextAnalysis.ZipfMaxDfFrac))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    rrfFuse(Seq(dense, sparse))
+  }
+
+  /** q165's oracle: q163's brute filtered dense scan + BM25 over the
+    * SAME filtered corpus source + the shared integer-RRF tail. */
+  val hybridTopKFilteredTrainedSql: String = {
+    val filteredZipfFrom =
+      s"(SELECT doc_id, ${TextAnalysis.zipfTextExpr} AS text " +
+        s"FROM documents WHERE lang = '$Q163Lang')"
+    s"""WITH dense AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id,
+       |         1048576 // (60 + rank) AS c
+       |  FROM (
+       |$exactPrunedTopKFilteredSql
+       |  ) dq),
+       |sparse AS (
+       |  SELECT query_id, doc_id, 1048576 // (60 + rank) AS c
+       |  FROM (
+       |${TextAnalysis.bm25Sql(
+        s"""  SELECT DISTINCT query_id, w FROM (
+          |    SELECT doc_id AS query_id, unnest(string_split(text, ' ')[1:8]) AS w
+          |    FROM ${TextAnalysis.zipfDocsSqlFrom} zq WHERE doc_id % 25 = 0)""".stripMargin,
+        excludeSelf = true,
+        docsFrom = filteredZipfFrom,
+        maxDfFrac = Some(TextAnalysis.ZipfMaxDfFrac))}
+       |  ) sq),
+       |f AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+       |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, rrf_score FROM (
+       |  SELECT query_id, doc_id, rrf_score,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+       |  FROM f) WHERE rank <= 10""".stripMargin
+  }
 }

@@ -141,7 +141,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // inherits exactly q157's quantizer crosses; the lang predicate
       // itself is an equi-key semi-join on the vector id, applied
       // below the candidate probe join
-      "q163_filtered_topk_trained")
+      "q163_filtered_topk_trained",
+      // q165: the filtered hybrid — q163's dense-leg crosses plus
+      // q152's 1-row corpus-stats cross on the (filtered) sparse leg;
+      // posting join, fusion and rerank stay equi-key
+      "q165_filtered_hybrid")
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
     // planFrames: the round-internal plans of eager driver-looped
