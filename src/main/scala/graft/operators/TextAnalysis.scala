@@ -1574,6 +1574,17 @@ object TextAnalysis {
     * ShardExport publish share, so the oracled manifest and the
     * published files agree by construction. */
   private[graft] def shardAssignOf(docs: DataFrame,
+      merges: Seq[(String, String, String)]): DataFrame =
+    shardOffsetsOf(docs, merges)
+      .withColumn("shard_id", expr(s"off div $ShardBudget"))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("shard_id"))
+
+  /** The encode + running-sum half of [[shardAssignOf]] with the RAW
+    * per-doc start offset kept — (doc_id, source, bpe_tokens, off) —
+    * the seam incremental admission needs: a stored per-source tail
+    * shifts `off` to the corpus offset BEFORE the shard-id floor
+    * (flooring first would lose the within-shard position). */
+  private[graft] def shardOffsetsOf(docs: DataFrame,
       merges: Seq[(String, String, String)]): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1584,8 +1595,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n") * col("n_pieces")).as("bpe_tokens"))
       .withColumn("off", sum(col("bpe_tokens")).over(w) - col("bpe_tokens"))
-      .withColumn("shard_id", expr(s"off div $ShardBudget"))
-      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("shard_id"))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("off"))
   }
 
   /** [[shardManifest]] over an arbitrary (doc_id, source, text) frame

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{FpIndex, TextAnalysis}
 
 /** End-to-end TRAINING-SHARD EXPORT — the pipeline's final
   * deliverable, composed from verbs that are each already oracled:
@@ -41,34 +41,152 @@ object ShardExport {
     * (corpus-encode mass vs published mass, already `require`-gated
     * equal). */
   def run(spark: SparkSession, dir: String, outDir: String): Seq[ShardStage] = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val (mergeRows, syms) = TextAnalysis.bpeMergeRounds(docs, TextAnalysis.BpeOracleRounds)
     syms.unpersist()
+    val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
+    publishBatch(docs, mergeRows.map(r => (r._2, r._3, r._4)), empty, outDir)._1
+  }
+
+  // ------------------------------------------- incremental admission
+
+  /** The publish core [[build]] and [[admit]] share: encode `docs`
+    * under `merges`, CONTINUE each source's token offset from
+    * `baseTails` (source, next_off — empty for an initial build) by
+    * shifting the RAW within-batch offsets BEFORE the shard-id floor
+    * ([[TextAnalysis.shardOffsetsOf]] — flooring first would lose the
+    * within-shard position), publish the shard rows in ONE observed
+    * manifest-committed action, and return (stages, the batch's
+    * updated per-source tails, collected — |sources|-bounded). The
+    * conservation require runs here, so every admission batch is
+    * gated exactly like the initial export. The shifted-offset frame
+    * is persisted for the batch duration (delta-sized by the admit
+    * contract; corpus-sized once at build — the same one-extra-pass
+    * trade CorpusPipeline documents) because it feeds both the
+    * publish action and the tails aggregate. */
+  private def publishBatch(docs: DataFrame,
+      merges: Seq[(String, String, String)],
+      baseTails: DataFrame,
+      outDir: String): (Seq[ShardStage], Seq[(String, Long, Long)]) = {
+    val oPublish = Observation()
+    val offsets = TextAnalysis.shardOffsetsOf(docs, merges)
+      .join(broadcast(baseTails), Seq("source"), "left")
+      .withColumn("base", coalesce(col("next_off"), lit(0L)))
+      .withColumn("shard_id",
+        expr(s"(base + off) div ${TextAnalysis.ShardBudget}"))
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("off"),
+        col("base"), col("shard_id"))
+      .persist()
+    try {
+      val encRow = offsets
+        .agg(count(lit(1)), coalesce(sum(col("bpe_tokens")), lit(0L))).collect()(0)
+      val enc = ShardStage("corpus_encode", encRow.getLong(0), encRow.getLong(1))
+      val published = offsets
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("shard_id"),
+          col("bpe_tokens"), col("text"))
+        .observe(oPublish, count(lit(1)).as("docs"),
+          coalesce(sum(col("bpe_tokens")), lit(0L)).as("tokens"))
+      published.write.format("graft.sources.ManifestSink")
+        .option("path", outDir).mode(SaveMode.Append).save()
+      val pub = ShardStage("published",
+        oPublish.get("docs").asInstanceOf[Long],
+        oPublish.get("tokens").asInstanceOf[Long])
+      require(enc.docs == pub.docs && enc.tokens == pub.tokens,
+        s"shard export lost mass: encoded ${enc.docs} docs/${enc.tokens} tokens, " +
+          s"published ${pub.docs}/${pub.tokens}")
+      // next_off = base + Σ batch tokens = the LAST doc's shifted end
+      // (off is the within-source running sum, so max(base+off+tok)
+      // is exactly the source's new tail)
+      val tails = offsets.groupBy(col("source"))
+        .agg(max(col("base") + col("off") + col("bpe_tokens")).as("next_off"),
+          max(col("doc_id")).as("max_doc"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("next_off"),
+          r.getAs[Long]("max_doc"))).toSeq
+      (Seq(enc, pub), tails)
+    } finally offsets.unpersist()
+  }
+
+  /** Export + STORE the tokenizer/packer state as serving artifacts
+    * (the IndexBuild pattern): the q161-trained merge table and the
+    * per-source pack tails (next token offset + max admitted doc id),
+    * both manifest-committed flat tables under `indexPath`. Arrival
+    * batches then [[admit]] WITHOUT retraining — the tokenizer is a
+    * frozen model artifact exactly like a stored quantizer. */
+  def build(spark: SparkSession, dir: String, outDir: String,
+      indexPath: String): Seq[ShardStage] =
+    buildOf(Tables.documents(spark, dir), outDir, indexPath)
+
+  /** [[build]] over an arbitrary (doc_id, source, text) frame — the
+    * seam the admission spec trains on a PREFIX corpus through. */
+  def buildOf(docs: DataFrame, outDir: String,
+      indexPath: String): Seq[ShardStage] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (mergeRows, syms) = TextAnalysis.bpeMergeRounds(docs, TextAnalysis.BpeOracleRounds)
+    syms.unpersist()
+    FpIndex.saveFlat(s"$indexPath/merges",
+      mergeRows.map(r => (r._1, r._2, r._3, r._4))
+        .toDF("round", "lhs", "rhs", "merged"))
     val merges = mergeRows.map(r => (r._2, r._3, r._4))
+    val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
+    val (stages, tails) = publishBatch(docs, merges, empty, outDir)
+    FpIndex.saveFlat(s"$indexPath/tails",
+      tails.toDF("source", "next_off", "max_doc"))
+    stages
+  }
 
-    val oEncode = Observation("shard_encode")
-    val oPublish = Observation("shard_publish")
-    def observed(df: DataFrame, o: Observation): DataFrame =
-      df.observe(o, count(lit(1)).as("docs"),
-        coalesce(sum(col("bpe_tokens")), lit(0L)).as("tokens"))
+  /** Load the stored merge table in training order. */
+  def loadMerges(spark: SparkSession, indexPath: String): Seq[(String, String, String)] =
+    FpIndex.loadFlat(spark, s"$indexPath/merges")
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"))).toSeq
 
-    val assigned = observed(TextAnalysis.shardAssignOf(docs, merges), oEncode)
-    val published = observed(
-      assigned.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
-      oPublish)
-      .select(col("doc_id"), col("source"), col("shard_id"),
-        col("bpe_tokens"), col("text"))
-    published.write.format("graft.sources.ManifestSink")
-      .option("path", outDir).mode(SaveMode.Append).save()
+  /** The per-source tails, MAX-MERGED over every visible commit —
+    * both columns are monotone under admission, so duplicate source
+    * rows from deltas merge safely (the loadRadii rule). */
+  def loadTails(spark: SparkSession, indexPath: String): DataFrame =
+    FpIndex.loadFlat(spark, s"$indexPath/tails")
+      .groupBy(col("source"))
+      .agg(max(col("next_off")).as("next_off"), max(col("max_doc")).as("max_doc"))
 
-    def stageOf(name: String, o: Observation) = ShardStage(name,
-      o.get("docs").asInstanceOf[Long], o.get("tokens").asInstanceOf[Long])
-    val enc = stageOf("corpus_encode", oEncode)
-    val pub = stageOf("published", oPublish)
-    require(enc.docs == pub.docs && enc.tokens == pub.tokens,
-      s"shard export lost mass: encoded ${enc.docs} docs/${enc.tokens} tokens, " +
-        s"published ${pub.docs}/${pub.tokens}")
-    Seq(enc, pub)
+  /** Admit an arrival batch of (doc_id, source, text) to a BUILT
+    * shard export: encode under the STORED merge table (no retrain —
+    * the tokenizer is frozen between [[build]]s, like every stored
+    * model artifact), continue each source's token offset from the
+    * stored tail, publish the rows manifest-committed, delta-admit
+    * the updated tails. The MONOTONE-ID contract (every batch doc_id
+    * strictly above the source's stored max — the log-structured
+    * ingest rule) is what makes incremental ≡ one-shot: under it the
+    * admission order IS doc_id order, so the continued offsets
+    * reproduce the full-corpus running-sum window exactly
+    * (ShardExportSpec gates 2 admissions ≡ the from-scratch export
+    * over the concatenated corpus under the same merges, and pins
+    * that an out-of-order batch is REFUSED). */
+  def admit(spark: SparkSession, indexPath: String, outDir: String,
+      batch: DataFrame): Seq[ShardStage] = {
+    val merges = loadMerges(spark, indexPath)
+    val tails = loadTails(spark, indexPath)
+    // |sources|-bounded guard collect: a batch id at or below a stored
+    // max would interleave into already-published shards
+    val violations = batch.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("min_doc"))
+      .join(tails, Seq("source"))
+      .filter(col("min_doc") <= col("max_doc"))
+      .collect()
+    require(violations.isEmpty,
+      s"out-of-order admission: batch ids at/below the stored max for " +
+        violations.map(_.getAs[String]("source")).mkString("[", ", ", "]") +
+        " — shard packing is append-only per source (monotone doc_id contract)")
+    val (stages, newTails) = publishBatch(batch, merges,
+      tails.select(col("source"), col("next_off")), outDir)
+    import spark.implicits._
+    FpIndex.deltaAppendFlat(spark, s"$indexPath/tails",
+      newTails.toDF("source", "next_off", "max_doc"))
+    stages
   }
 
   /** Export timing harness (the PERF.md row): one [[run]] over

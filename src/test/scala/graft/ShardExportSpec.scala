@@ -68,4 +68,46 @@ class ShardExportSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental admission: two monotone-id batches encoded under the " +
+      "STORED merge table (no retrain) reproduce the one-shot export over " +
+      "the concatenated corpus EXACTLY — same shards, same offsets — and " +
+      "an out-of-order batch is refused before anything publishes") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-inc").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-shard-idx").toString
+    val all = Tables.documents(spark, dir)
+    val base = all.filter(col("doc_id") < 30)
+    val b1 = all.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    val b2 = all.filter(col("doc_id") >= 40)
+
+    // build trains the tokenizer on the PREFIX corpus only — the
+    // frozen-model contract: later batches encode under these merges
+    val s0 = ShardExport.buildOf(base, out, idx)
+    assert(s0.head.docs == base.count())
+    val s1 = ShardExport.admit(spark, idx, out, b1)
+    val s2 = ShardExport.admit(spark, idx, out, b2)
+    assert(s1.head.docs == b1.count() && s2.head.docs == b2.count())
+    assert(s0.head.docs > 0 && s1.head.docs > 0 && s2.head.docs > 0)
+
+    // one-shot reference: the SAME stored merges over the full corpus
+    val merges = ShardExport.loadMerges(spark, idx)
+    val want = TextAnalysis.shardManifestOf(all, merges)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val fresh = spark.newSession()
+    val got = fresh.read.format("graft.sources.ManifestSink")
+      .option("path", out).load()
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    assert(got.nonEmpty && got == want,
+      "incremental shards != one-shot export under the same frozen merges")
+
+    // tails survived the delta chain: a third admission continues from
+    // the merged state, and re-admitting already-packed ids is refused
+    val e = intercept[IllegalArgumentException] {
+      ShardExport.admit(spark, idx, out, b1)
+    }
+    assert(e.getMessage.contains("out-of-order admission"), e.getMessage)
+  }
 }
