@@ -1406,7 +1406,12 @@ object TextAnalysis {
   /** The shared q161/q162 oracle CTE chain: words → padded symbol
     * strings → R unrolled (pair-count, winner, two-pass replace)
     * rounds, ending at s{R}. */
-  private def bpeChainSql: String = {
+  private def bpeChainSql: String = bpeChainSqlFrom("documents")
+
+  /** [[bpeChainSql]] with the TRAINING corpus source parameterized
+    * (a table name or a parenthesized subquery) — the q166 drift
+    * audit trains on a split of `documents`, not the whole table. */
+  private def bpeChainSqlFrom(docsSrc: String): String = {
     val rounds = (1 to BpeOracleRounds).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS (
@@ -1426,7 +1431,7 @@ object TextAnalysis {
     }.mkString(",\n")
     s"""words AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM $docsSrc)
        |  WHERE regexp_matches(w, '^[a-z0-9]{2,}$$') GROUP BY w),
        |s0 AS (SELECT w, wc, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM words),
        |$rounds""".stripMargin
@@ -1638,6 +1643,122 @@ object TextAnalysis {
        |       CAST(sum(bpe_tokens) AS BIGINT) AS shard_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM o GROUP BY source, off // $ShardBudget""".stripMargin
+
+  // --------------------------------------------------------------- q166
+
+  /** Drift-audit holdout rule: every `DriftHoldoutMod`-th document
+    * (by id) is EXCLUDED from tokenizer training and plays the
+    * arrival stream the frozen tokenizer must encode. */
+  private[graft] val DriftHoldoutMod = 4L
+
+  /** q166: the TOKENIZER DRIFT AUDIT — the staleness monitor of the
+    * frozen-tokenizer lifecycle, the q143 `modelStalenessOf` of the
+    * BPE world: a deployment trains once ([[graft.pipeline.ShardExport.build]]),
+    * freezes the merge table, and keeps admitting new data encoded
+    * under it ([[graft.pipeline.ShardExport.admit]]) — the operational
+    * question is whether the frozen tokenizer is still EFFICIENT on
+    * the newly-arriving distribution, and the published signal is
+    * encode efficiency (pieces per word) on held-out data vs the
+    * training corpus. Here the merges train on the ¬holdout split
+    * (doc_id % 4 ≠ 3) and the audit reports, PER SOURCE: word and
+    * token mass on each split, pieces-per-100-words on each split
+    * (integer, hash-stable), and the drift delta. A source whose
+    * holdout ppw sits well above its training ppw is the retrain
+    * signal — the knee that triggers [[graft.pipeline.ShardExport.build]]
+    * anew, exactly as the compaction knee triggers the ANN retrain.
+    *
+    * The frozen-model subtlety the oracle must share: holdout words
+    * UNSEEN in training still encode under the trained merges (the
+    * chain projection is a pure function of the word — [[bpePieceCountCol]]),
+    * so the oracle REPLAYS the trained winner pairs over the
+    * FULL-corpus vocabulary (the a{r} CTEs below), not just the
+    * training vocabulary. Words outside the [a-z0-9]{2,} universe
+    * count their characters, the q162 contract.
+    *
+    * Scale shape: training is q161's (vocab-bounded rounds on the
+    * split); the audit itself is ONE corpus pass to a (source, split,
+    * word) aggregate, the map-only chain projection, and a
+    * |sources|-row aggregate. Nothing beyond the R winner rows on
+    * the driver. */
+  def tokenizerDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % DriftHoldoutMod =!= (DriftHoldoutMod - 1))
+    val (rows, syms) = bpeMergeRounds(train, BpeOracleRounds)
+    syms.unpersist()
+    tokenizerDriftOf(docs,
+      col("doc_id") % DriftHoldoutMod === (DriftHoldoutMod - 1),
+      rows.map(r => (r._2, r._3, r._4)))
+  }
+
+  /** [[tokenizerDrift]] over an arbitrary (doc_id, source, text)
+    * frame, holdout predicate, and trained merge table — the seam a
+    * deployment points at its admitted batches with the STORED
+    * merges ([[graft.pipeline.ShardExport.loadMerges]]). */
+  def tokenizerDriftOf(docs: DataFrame, holdout: Column,
+      merges: Seq[(String, String, String)]): DataFrame =
+    docs.select(col("source"), holdout.as("is_holdout"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("is_holdout"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_pieces", bpePieceCountCol(merges))
+      .groupBy(col("source"))
+      .agg(
+        coalesce(sum(when(!col("is_holdout"), col("n"))), lit(0L)).as("train_words"),
+        coalesce(sum(when(!col("is_holdout"), col("n") * col("n_pieces"))), lit(0L)).as("train_tokens"),
+        coalesce(sum(when(col("is_holdout"), col("n"))), lit(0L)).as("holdout_words"),
+        coalesce(sum(when(col("is_holdout"), col("n") * col("n_pieces"))), lit(0L)).as("holdout_tokens"))
+      .withColumn("train_ppw_x100",
+        when(col("train_words") > 0, expr("(100 * train_tokens) div train_words")))
+      .withColumn("holdout_ppw_x100",
+        when(col("holdout_words") > 0, expr("(100 * holdout_tokens) div holdout_words")))
+      .withColumn("drift_x100", col("holdout_ppw_x100") - col("train_ppw_x100"))
+
+  /** q166's oracle: the q161 chain TRAINED ON THE ¬HOLDOUT SPLIT
+    * (b{r} = the winner pairs), REPLAYED over the full-corpus
+    * vocabulary (a{r} — same two-pass replace, same padding; a
+    * holdout-only word gets the frozen merges applied exactly as the
+    * engine's chain projection does), then the per-(source, split)
+    * mass aggregate and the integer ppw/drift columns. */
+  val tokenizerDriftSql: String = {
+    val replay = (1 to BpeOracleRounds).map { r =>
+      val prev = if (r == 1) "a0" else s"a${r - 1}"
+      s"""a$r AS (
+         |  SELECT w, replace(replace(s,
+         |             (SELECT ' '||a||' '||b||' ' FROM b$r), (SELECT ' '||m||' ' FROM b$r)),
+         |           (SELECT ' '||a||' '||b||' ' FROM b$r), (SELECT ' '||m||' ' FROM b$r)) AS s
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val chain = bpeChainSqlFrom(
+      s"(SELECT * FROM documents WHERE doc_id % $DriftHoldoutMod != ${DriftHoldoutMod - 1})")
+    s"""WITH $chain,
+       |pw AS (
+       |  SELECT source, is_holdout, w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT source, doc_id % $DriftHoldoutMod = ${DriftHoldoutMod - 1} AS is_holdout,
+       |           unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY source, is_holdout, w),
+       |a0 AS (
+       |  SELECT DISTINCT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       |  FROM pw WHERE regexp_matches(w, '^[a-z0-9]{2,}$$')),
+       |$replay,
+       |types AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+       |  FROM a$BpeOracleRounds),
+       |agg AS (
+       |  SELECT source,
+       |         CAST(coalesce(sum(CASE WHEN NOT is_holdout THEN n END), 0) AS BIGINT) AS train_words,
+       |         CAST(coalesce(sum(CASE WHEN NOT is_holdout THEN n * coalesce(n_pieces, CAST(length(w) AS BIGINT)) END), 0) AS BIGINT) AS train_tokens,
+       |         CAST(coalesce(sum(CASE WHEN is_holdout THEN n END), 0) AS BIGINT) AS holdout_words,
+       |         CAST(coalesce(sum(CASE WHEN is_holdout THEN n * coalesce(n_pieces, CAST(length(w) AS BIGINT)) END), 0) AS BIGINT) AS holdout_tokens
+       |  FROM pw LEFT JOIN types USING (w) GROUP BY source)
+       |SELECT source, train_words, train_tokens, holdout_words, holdout_tokens,
+       |       CASE WHEN train_words > 0 THEN (100 * train_tokens) // train_words END AS train_ppw_x100,
+       |       CASE WHEN holdout_words > 0 THEN (100 * holdout_tokens) // holdout_words END AS holdout_ppw_x100,
+       |       CASE WHEN train_words > 0 AND holdout_words > 0
+       |            THEN (100 * holdout_tokens) // holdout_words - (100 * train_tokens) // train_words
+       |       END AS drift_x100
+       |FROM agg""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q89
 

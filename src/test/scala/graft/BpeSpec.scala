@@ -302,4 +302,37 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getAs[Long]("pieces_per_word_x100") == 100L * bt / nw)
     }
   }
+
+  test("q166 tokenizer drift: the frozen trained merges apply to holdout " +
+      "words UNSEEN in training (pure-function chain projection), and the " +
+      "per-source masses and integer ppw/drift columns match a hand-computed " +
+      "planted corpus") {
+    import spark.implicits._
+    // train split (doc_id % 4 != 3): three docs of "abcde abcde" — the
+    // four learned merges are a+b, ab+c, abc+d, abcd+e (equal counts,
+    // lexicographic tie-break at every round), so "abcde" encodes to 1
+    // piece. holdout (doc_id 3): "abcdz xy" — "abcdz" never seen in
+    // training, but the frozen chain still fuses its abcd prefix (2
+    // pieces, not 5 chars); "xy" has no trained pair (2 pieces via
+    // padding — symbols x y stay apart)
+    val docs = Seq(
+      (0L, "s", "abcde abcde"), (1L, "s", "abcde abcde"),
+      (2L, "s", "abcde abcde"), (3L, "s", "abcdz xy"))
+      .toDF("doc_id", "source", "text")
+    val train = docs.filter(col("doc_id") % 4 =!= 3)
+    val merges = TextAnalysis.bpeMergesOf(train, 4).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(merges == Seq(("a", "b", "ab"), ("ab", "c", "abc"),
+      ("abc", "d", "abcd"), ("abcd", "e", "abcde")))
+    val row = TextAnalysis.tokenizerDriftOf(docs, col("doc_id") % 4 === 3, merges)
+      .collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getAs[Long]("train_words") == 6 && r.getAs[Long]("train_tokens") == 6)
+    // holdout: abcdz -> [abcd, z] = 2 pieces; xy -> [x, y] = 2 pieces
+    assert(r.getAs[Long]("holdout_words") == 2 && r.getAs[Long]("holdout_tokens") == 4)
+    assert(r.getAs[Long]("train_ppw_x100") == 100)
+    assert(r.getAs[Long]("holdout_ppw_x100") == 200)
+    assert(r.getAs[Long]("drift_x100") == 100)
+  }
 }
