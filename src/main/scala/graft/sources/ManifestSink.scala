@@ -8,7 +8,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+  MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => rstream}
@@ -66,6 +67,20 @@ class ManifestSink extends TableProvider {
 object ManifestSink {
   val SchemaFile = "_schema.ddl"
   private val ManifestPrefix = "_manifest-"
+
+  /** Name of the per-row file-identity metadata column. */
+  val FileCol = "_file"
+
+  /** The [[FileCol]] metadata-column descriptor (DSv2
+    * SupportsMetadataColumns): string, non-null, never stored —
+    * the reader synthesizes it from the partition's file name. */
+  val FileMetadataColumn: MetadataColumn = new MetadataColumn {
+    override def name(): String = FileCol
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "committed data file (manifest-relative name) this row was read from"
+  }
 
   def root(options: CaseInsensitiveStringMap): File = {
     val p = options.get("path")
@@ -330,10 +345,16 @@ object ManifestSink {
     *    The window is one validation listing wide; readers needing
     *    strict isolation follow the same contract as vacuum — don't
     *    race an in-flight OPTIMIZE/DELETE, or re-read. */
-  def publishCowSwap(root: File, expected: Seq[File], adopted: Seq[String]): Unit = {
+  def publishCowSwap(root: File, expected: Seq[File], adopted: Seq[String],
+      freshOnAbort: Option[Seq[String]] = None): Unit = {
     beforeSwapHook()
+    // a PARTIAL rewrite (file-granular DELETE) adopts untouched
+    // pre-existing files alongside its new COW files — on conflict
+    // only the new ones may be deleted, or the rollback would destroy
+    // committed data the surviving history still references
+    val removable = freshOnAbort.getOrElse(adopted)
     def abort(found: Int): Nothing = {
-      adopted.foreach(f => new File(root, f).delete())
+      removable.foreach(f => new File(root, f).delete())
       throw new java.util.ConcurrentModificationException(
         s"table $root changed during the copy-on-write rewrite " +
           s"(expected ${expected.size} manifests, found $found) — retry the operation")
@@ -388,8 +409,18 @@ object ManifestSink {
 class ManifestTable(path: String, external: StructType,
     pinnedAsOf: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with SupportsMetadataColumns {
   require(path != null, "ManifestSink requires option 'path'")
+
+  /** `_file` — the committed data file this row was read from (the
+    * manifest-relative name), the handle file-granular maintenance
+    * keys on: DELETE rewrites only files that HOLD matching rows
+    * ([[ManifestDelete]]), and a caller can group/audit by physical
+    * file (`df.metadataColumn("_file")`). Served by the scan when
+    * requested through column pruning; never stored in rows. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(ManifestSink.FileMetadataColumn)
 
   /** Storage location — lets catalog-resolved commands (GRAFT MERGE
     * INTO <ident>) route to the path-based maintenance machinery. */
@@ -606,16 +637,26 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
 
 // ---------------------------------------------------------------- read
 
+/** Implements required-column pruning (DSv2
+  * SupportsPushDownRequiredColumns): the reader then decodes ONLY the
+  * requested cells of each row — a 2-column projection over a wide
+  * table stops paying for the other columns — and pruning is also the
+  * channel through which a requested [[ManifestSink.FileCol]] metadata
+  * column reaches the scan (Spark appends it to the pruned schema). */
 class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
     maxPerTrigger: Option[Int] = None)
-    extends ScanBuilder {
-  override def build(): Scan = new ManifestScan(path, schema, asOf, maxPerTrigger)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new ManifestScan(path, schema, required, asOf, maxPerTrigger)
 }
 
-class ManifestScan(path: String, schema: StructType, asOf: Option[Int],
-    maxPerTrigger: Option[Int] = None)
+class ManifestScan(path: String, schema: StructType, required: StructType,
+    asOf: Option[Int], maxPerTrigger: Option[Int] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** Only manifest-listed files — a stray temp or unpublished file is
@@ -633,7 +674,7 @@ class ManifestScan(path: String, schema: StructType, asOf: Option[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema)
+    new ManifestReaderFactory(schema, required)
 
   /** Streaming read: the manifest sequence IS the offset log — offset
     * n = "the first n committed manifests". Each micro-batch reads
@@ -694,10 +735,27 @@ class ManifestMicroBatchStream(path: String, schema: StructType,
 
 case class ManifestFilePartition(file: String) extends InputPartition
 
-class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Emits only the REQUIRED fields: each is resolved once to either
+  * its cell index in the stored (full) schema or, for
+  * [[ManifestSink.FileCol]], the partition's file name synthesized
+  * per-split (constant across its rows — never decoded, never
+  * stored). Evolution null-padding keys off the FULL schema index, so
+  * pruning composes with narrower-written rows unchanged. */
+class ManifestReaderFactory(schema: StructType,
+    required: StructType) extends PartitionReaderFactory {
+  def this(schema: StructType) = this(schema, schema)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[ManifestFilePartition].file
-    val types = schema.fields.map(_.dataType)
+    // (full-schema cell index | -1 for _file, decode type) per output
+    val fields: Array[(Int, DataType)] = required.fields.map { f =>
+      if (f.name == ManifestSink.FileCol) (-1, StringType: DataType)
+      else {
+        val i = schema.fieldIndex(f.name)
+        (i, schema.fields(i).dataType)
+      }
+    }
+    val fileName = UTF8String.fromString(new File(file).getName)
     new PartitionReader[InternalRow] {
       private val lines = Files.lines(Paths.get(file))
       private val it = lines.iterator()
@@ -709,9 +767,11 @@ class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
         // rows written under a NARROWER (pre-evolution) schema pad
         // their missing trailing columns with null — see ensureSchema
         current = new GenericInternalRow(
-          types.indices.map(i =>
-            if (i < cells.length) ManifestSink.decodeField(cells(i), types(i))
-            else null).toArray[Any])
+          fields.map { case (i, dt) =>
+            if (i < 0) fileName
+            else if (i < cells.length) ManifestSink.decodeField(cells(i), dt)
+            else null
+          }.toArray[Any])
         true
       }
       override def get(): InternalRow = current
@@ -761,20 +821,42 @@ object ManifestDelete {
     val spark = org.apache.spark.sql.SparkSession.active
     val toDelete = filters.flatMap(toColumn(_)).reduceOption(_ && _)
       .getOrElse(F.lit(true))
-    // distributed survivor rewrite into a scratch manifest table.
     // SQL DELETE removes rows where the predicate is TRUE — rows where
     // it evaluates to NULL (three-valued logic: e.g. `c = 'x'` on a
     // null c, which this sink produces via all-nullable schemas and
     // evolution null-padding) must SURVIVE, so the survivor filter is
     // NOT(coalesce(p, false)), not NOT(p).
+    val hit = F.coalesce(toDelete, F.lit(false))
+    // both scans pinned to the `before` snapshot (asOfManifest) — a
+    // commit racing the delete is then caught exactly once, by the
+    // swap's optimistic validation, not by the scans drifting apart
+    val table = spark.read.format("graft.sources.ManifestSink")
+      .option("path", path)
+      .option("asOfManifest", before.map(ManifestSink.weightOf).sum)
+      .load()
+    val fileCol = table.metadataColumn(ManifestSink.FileCol)
+    // FILE-GRANULAR rewrite (the Delta/Iceberg COW-delete shape): only
+    // files that HOLD a matching row are rewritten; every other
+    // committed file is adopted into the checkpoint UNDER ITS OWN NAME
+    // with its bytes untouched. A targeted delete on a big table stops
+    // paying a full-table rewrite — it pays one distributed scan (no
+    // per-file column stats in the manifest to skip it) plus a rewrite
+    // of the hit files only. The hit-file collect is bounded by the
+    // committed FILE count, the same driver-resident list every
+    // manifest operation already holds.
+    val hits = table.filter(hit).select(fileCol.as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (hits.isEmpty) return // DELETE matched nothing: no rewrite, no commit
+    val untouched = ManifestSink.filesOf(before).filterNot(hits)
+    // distributed survivor rewrite of the hit files into a scratch
+    // manifest table
     val tmpDir = Files.createTempDirectory("graft_delete_cow").toFile
-    spark.read.format("graft.sources.ManifestSink").option("path", path).load()
-      .filter(!F.coalesce(toDelete, F.lit(false)))
+    table.filter(fileCol.isin(hits.toSeq: _*) && !hit)
       .write.format("graft.sources.ManifestSink")
       .option("path", tmpDir.getAbsolutePath).mode("append").save()
     // adopt the survivor files under collision-free names
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
+    val fresh = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
       .zipWithIndex.map { case (f, i) =>
         val target = s"cow-$stamp-$i-$f"
         val dst = new File(root, target)
@@ -784,8 +866,11 @@ object ManifestDelete {
         target
       }
     // one checkpoint absorbs the entire pre-delete history PLUS this
-    // delete as a logical commit; publication is the optimistic swap
-    try ManifestSink.publishCowSwap(root, before, adopted)
+    // delete as a logical commit; publication is the optimistic swap.
+    // Only the FRESH files may be rolled back on conflict — the
+    // untouched ones belong to the surviving history.
+    try ManifestSink.publishCowSwap(root, before, untouched ++ fresh,
+      freshOnAbort = Some(fresh))
     finally {
       Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
       tmpDir.delete()

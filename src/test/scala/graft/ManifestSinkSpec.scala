@@ -615,4 +615,75 @@ class ManifestSinkSpec extends AnyFunSuite {
     val b = back.collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("file-granular DELETE: only files HOLDING matching rows are rewritten — " +
+      "untouched committed files survive under their own names with bytes " +
+      "intact, the swap registers ONE logical commit, and a no-match DELETE " +
+      "publishes nothing at all") {
+    import spark.implicits._
+    import org.apache.spark.sql.{sources => v1}
+    import graft.sources.{ManifestDelete, ManifestSink}
+    val dir = tmpDir()
+    val root = new File(dir)
+    Seq((1L, "keep1"), (2L, "drop")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq((3L, "keep2")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq((4L, "keep3")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    def committed(): Seq[String] =
+      ManifestSink.filesOf(ManifestSink.sortedManifests(root))
+    val before = committed()
+    assert(before.size == 3)
+    val t = spark.read.format(fmt).option("path", dir).load()
+    val dropFile = t.filter(col("s") === "drop")
+      .select(t.metadataColumn("_file")).head.getString(0)
+    val untouched = before.filterNot(_ == dropFile)
+    val bytesBefore = untouched.map(f =>
+      (f, Files.readAllBytes(new File(root, f).toPath).toSeq)).toMap
+    val verBefore = ManifestSink.logicalCount(root)
+
+    ManifestDelete.run(dir, Array(v1.EqualTo("s", "drop")))
+
+    val after = committed()
+    untouched.foreach { f =>
+      assert(after.contains(f), s"untouched file $f must be adopted by name")
+      assert(Files.readAllBytes(new File(root, f).toPath).toSeq == bytesBefore(f),
+        s"untouched file $f must not be rewritten")
+    }
+    assert(!after.contains(dropFile), "the hit file must leave the manifest")
+    val rows = spark.read.format(fmt).option("path", dir).load()
+      .select("id", "s").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "keep1"), (3L, "keep2"), (4L, "keep3")))
+    assert(ManifestSink.logicalCount(root) == verBefore + 1,
+      "the delete is exactly one logical commit")
+
+    // no-match DELETE: no rewrite, no commit, no version bump
+    ManifestDelete.run(dir, Array(v1.EqualTo("s", "nope")))
+    assert(committed() == after &&
+      ManifestSink.logicalCount(root) == verBefore + 1)
+  }
+
+  test("required-column pruning serves narrow projections (and composes with " +
+      "evolution null-padding); the _file metadata column names exactly the " +
+      "manifest-committed files") {
+    import spark.implicits._
+    import graft.sources.ManifestSink
+    val dir = tmpDir()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq((3L, "c", 1.5)).toDF("id", "s", "score").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val t = spark.read.format(fmt).option("path", dir).load()
+    // pruned single-column read over the widened table: the two
+    // pre-evolution rows null-pad THROUGH the pruned index mapping
+    val scores = t.select("score").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(scores.count(_.isEmpty) == 2 && scores.contains(Some(1.5)))
+    assert(t.select("s").as[String].collect().toSet == Set("a", "b", "c"))
+    val files = t.select(t.metadataColumn("_file")).distinct()
+      .as[String].collect().toSet
+    assert(files ==
+      ManifestSink.filesOf(ManifestSink.sortedManifests(new File(dir))).toSet)
+  }
 }
