@@ -1618,7 +1618,15 @@ object TextAnalysis {
   /** q164's oracle: the q161 chain to the type table, the per-doc
     * token totals with `source` carried through, then the q62-form
     * running-sum pack and the per-shard aggregate. */
-  val shardManifestSql: String =
+  val shardManifestSql: String = shardManifestSqlWhere("")
+
+  /** [[shardManifestSql]] with an optional predicate applied AFTER
+    * the pack (the o CTE) and BEFORE the per-shard aggregate — the
+    * q167 retraction semantics: offsets and shard ids are the
+    * PUBLISHED ones (computed over the full corpus), retraction only
+    * removes rows, so surviving docs keep their original shard and
+    * retracted mass leaves shards underfull rather than repacked. */
+  private def shardManifestSqlWhere(where: String): String =
     s"""WITH $bpeChainSql,
        |types AS (
        |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
@@ -1642,7 +1650,7 @@ object TextAnalysis {
        |       count(*) AS n_docs,
        |       CAST(sum(bpe_tokens) AS BIGINT) AS shard_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM o GROUP BY source, off // $ShardBudget""".stripMargin
+       |FROM o $where GROUP BY source, off // $ShardBudget""".stripMargin
 
   // --------------------------------------------------------------- q166
 
@@ -1759,6 +1767,58 @@ object TextAnalysis {
        |       END AS drift_x100
        |FROM agg""".stripMargin
   }
+
+  // --------------------------------------------------------------- q167
+
+  /** Retraction rule for the oracled row: every 17th document drew a
+    * takedown. */
+  private[graft] val RetractMod = 17L
+
+  /** q167: the RETRACTED-SHARD MANIFEST — q164 after a takedown
+    * sweep, the compliance half of the shard-export lifecycle: when
+    * documents must leave published training shards (licensing,
+    * user deletion), the shards are NOT repacked — offsets and shard
+    * ids are the PUBLISHED ones, retraction only removes rows, so
+    * every surviving doc keeps its original shard and retracted mass
+    * leaves shards underfull (a shard losing all docs disappears).
+    * That is exactly what [[graft.pipeline.ShardExport.retract]]
+    * produces physically (a file-granular manifest DELETE over the
+    * published table), so this row is the oracle of the post-
+    * retraction state a fresh reader re-aggregates to
+    * (ShardExportSpec closes that loop). Repacking would be a new
+    * [[graft.pipeline.ShardExport.build]] — a different, heavier
+    * operation a deployment schedules, not the takedown path.
+    *
+    * Scale shape: q164's exactly (the pack window runs over the full
+    * corpus BEFORE the retraction filter — the published offsets are
+    * the contract), plus one map-side filter. */
+  def retractedShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
+    syms.unpersist()
+    retractedShardManifestOf(docs, col("doc_id") % RetractMod === 0,
+      rows.map(r => (r._2, r._3, r._4)))
+  }
+
+  /** [[retractedShardManifest]] over an arbitrary frame, retraction
+    * predicate (on the assigned (doc_id, source, bpe_tokens,
+    * shard_id) row), and merge table. */
+  def retractedShardManifestOf(docs: DataFrame, retracted: Column,
+      merges: Seq[(String, String, String)]): DataFrame =
+    shardAssignOf(docs, merges)
+      .filter(!retracted)
+      .groupBy(col("source"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** q167's oracle: [[shardManifestSql]] with the retraction filter
+    * between the pack and the per-shard aggregate — offsets stay the
+    * full-corpus ones. */
+  val retractedShardManifestSql: String =
+    shardManifestSqlWhere(s"WHERE doc_id % $RetractMod != 0")
 
   // ---------------------------------------------------------------- q89
 

@@ -189,6 +189,35 @@ object ShardExport {
     stages
   }
 
+  // -------------------------------------------------------- retraction
+
+  /** RETRACT published documents (takedown/licensing/user-deletion —
+    * the compliance half of the lifecycle): a file-granular DELETE on
+    * the published shard table ([[graft.sources.ManifestDelete]] —
+    * only data files HOLDING a retracted row are rewritten; every
+    * other committed file is adopted byte-untouched). Shards are NOT
+    * repacked and the stored pack tails are NOT rewound: the
+    * published offsets are the contract, surviving docs keep their
+    * shard, retracted mass leaves shards underfull, and future
+    * admissions still append at the stored tail — so retraction
+    * commutes with admission and the post-state is exactly the q167
+    * oracle ([[graft.operators.TextAnalysis.retractedShardManifestOf]];
+    * ShardExportSpec closes the loop through a fresh-session
+    * re-read). Repacking is a scheduled re-[[build]], not this path.
+    *
+    * `docIds` is the takedown list — driver-resident BY CONTRACT
+    * (retraction batches are request-sized, not corpus-sized); a
+    * corpus-scale purge is a rebuild. Returns the count removed. */
+  def retract(spark: SparkSession, outDir: String, docIds: Seq[Long]): Long = {
+    import org.apache.spark.sql.{sources => v1}
+    val before = spark.read.format("graft.sources.ManifestSink")
+      .option("path", outDir).load()
+      .filter(col("doc_id").isin(docIds: _*)).count()
+    graft.sources.ManifestDelete.run(outDir,
+      Array(v1.In("doc_id", docIds.map(Long.box).toArray[Any])))
+    before
+  }
+
   /** Export timing harness (the PERF.md row): one [[run]] over
     * `SPARK_GRAFT_SF_DIR`, printing the conservation report and the
     * wall clock as one JSON line. */

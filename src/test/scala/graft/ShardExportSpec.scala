@@ -110,4 +110,56 @@ class ShardExportSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("out-of-order admission"), e.getMessage)
   }
+
+  test("retraction: a takedown of published docs is a FILE-GRANULAR delete — " +
+      "a fresh session re-reads the table to exactly the q167 oracle form " +
+      "(original shard ids, underfull shards, no repack), untouched files " +
+      "survive by name, and a later admission still appends at the stored " +
+      "tail (retraction commutes with admission)") {
+    import graft.sources.ManifestSink
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-ret").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-shard-ridx").toString
+    val all = Tables.documents(spark, dir)
+    val base = all.filter(col("doc_id") < 40)
+    val mid = all.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val rest = all.filter(col("doc_id") >= 60)
+    // three separate commits = at least three distinct published
+    // files, so a takedown confined to ONE batch leaves the other
+    // commits' files provably untouched
+    ShardExport.buildOf(base, out, idx)
+    val baseFiles = ManifestSink.filesOf(
+      ManifestSink.sortedManifests(new java.io.File(out))).toSet
+    ShardExport.admit(spark, idx, out, mid)
+    val merges = ShardExport.loadMerges(spark, idx)
+    def committed(): Set[String] = ManifestSink.filesOf(
+      ManifestSink.sortedManifests(new java.io.File(out))).toSet
+    def manifestOf(session: SparkSession) =
+      session.read.format("graft.sources.ManifestSink").option("path", out).load()
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+
+    // takedown of docs that live only in the MID commit's files
+    val ids = Seq(43L, 47L, 59L)
+    assert(ShardExport.retract(spark, out, ids) == 3)
+    assert(baseFiles.subsetOf(committed()),
+      "files holding no retracted row must be adopted untouched, by name")
+
+    val retractedP = col("doc_id").isin(ids: _*)
+    val want = TextAnalysis.retractedShardManifestOf(
+        all.filter(col("doc_id") < 60), retractedP, merges)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val got = manifestOf(spark.newSession())
+    assert(got.nonEmpty && got == want,
+      "post-retraction table != the q167 oracle form over the same corpus")
+
+    // admission after retraction: tails were NOT rewound, so the
+    // combined state is the full-corpus pack minus the retracted docs
+    ShardExport.admit(spark, idx, out, rest)
+    val want2 = TextAnalysis.retractedShardManifestOf(all, retractedP, merges)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    assert(manifestOf(spark.newSession()) == want2,
+      "retraction and admission must commute through the published offsets")
+  }
 }
