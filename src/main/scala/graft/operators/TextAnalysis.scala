@@ -1626,8 +1626,11 @@ object TextAnalysis {
     * PUBLISHED ones (computed over the full corpus), retraction only
     * removes rows, so surviving docs keep their original shard and
     * retracted mass leaves shards underfull rather than repacked. */
-  private def shardManifestSqlWhere(where: String): String =
-    s"""WITH $bpeChainSql,
+  /** The shared pack-offset CTE prefix (chain → types → per-doc
+    * tokens → running-sum offsets `o`) — q164/q167 aggregate it per
+    * shard, q168 re-cuts it per fixed-length sequence. */
+  private def shardOffsetsSqlCtes: String =
+    s"""$bpeChainSql,
        |types AS (
        |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
        |  FROM s$BpeOracleRounds),
@@ -1645,7 +1648,10 @@ object TextAnalysis {
        |         CAST(sum(bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |              - bpe_tokens AS BIGINT) AS off
-       |  FROM perdoc)
+       |  FROM perdoc)""".stripMargin
+
+  private def shardManifestSqlWhere(where: String): String =
+    s"""WITH $shardOffsetsSqlCtes
        |SELECT source, off // $ShardBudget AS shard_id,
        |       count(*) AS n_docs,
        |       CAST(sum(bpe_tokens) AS BIGINT) AS shard_tokens,
@@ -1819,6 +1825,74 @@ object TextAnalysis {
     * full-corpus ones. */
   val retractedShardManifestSql: String =
     shardManifestSqlWhere(s"WHERE doc_id % $RetractMod != 0")
+
+  // --------------------------------------------------------------- q168
+
+  /** Loader sequence length (deliberately ≠ [[ShardBudget]]: the
+    * data loader's cut length is a training hyperparameter, not the
+    * storage shard size). */
+  private[graft] val SeqLen = 2048L
+
+  /** q168: the SEQUENCE-SPAN MANIFEST — the data loader's view of
+    * the packed corpus. Pretraining does not feed whole documents:
+    * it CONCATENATES each source's token stream (the q164 offsets)
+    * and cuts fixed-length sequences of [[SeqLen]] tokens, so a
+    * sequence can span several documents and a document can straddle
+    * several sequences. This row reports, per (source, seq_id): how
+    * many docs contribute, the doc-id span, and the token mass
+    * inside the sequence — exactly [[SeqLen]] for every sequence but
+    * each source's last (the conservation shape a loader audit
+    * checks: Σ seq_tokens = Σ bpe_tokens, and any interior sequence
+    * ≠ SeqLen is a cut bug). n_docs − 1 is the number of document
+    * boundaries crossed — the attention-mask/boundary-token cost of
+    * the cut, the statistic that decides whether boundary-respecting
+    * packing is worth its padding overhead.
+    *
+    * Scale shape: the q164 encode + ONE source-partitioned window,
+    * then a bounded range-explode — each doc emits
+    * ⌈tokens/SeqLen⌉+1 ≥ 1 rows, so total output is
+    * O(corpus_tokens/SeqLen + n_docs), linear — and one (source,
+    * seq_id) hash aggregate. No join beyond the encode's own. */
+  def sequenceManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
+    syms.unpersist()
+    sequenceManifestOf(docs, rows.map(r => (r._2, r._3, r._4)))
+  }
+
+  /** [[sequenceManifest]] over an arbitrary frame and merge table. */
+  def sequenceManifestOf(docs: DataFrame,
+      merges: Seq[(String, String, String)]): DataFrame =
+    shardOffsetsOf(docs, merges)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"off div $SeqLen"),
+          expr(s"(off + bpe_tokens - 1) div $SeqLen"))))
+      .withColumn("in_seq",
+        least(col("off") + col("bpe_tokens"), (col("seq_id") + 1) * SeqLen) -
+          greatest(col("off"), col("seq_id") * SeqLen))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("in_seq")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
+  /** q168's oracle: the shared offset CTEs, the same bounded
+    * generate_series range-explode, the same least/greatest overlap
+    * arithmetic (all BIGINT). */
+  val sequenceManifestSql: String =
+    s"""WITH $shardOffsetsSqlCtes,
+       |seqs AS (
+       |  SELECT doc_id, source, bpe_tokens, off,
+       |         unnest(generate_series(off // $SeqLen,
+       |                                (off + bpe_tokens - 1) // $SeqLen)) AS seq_id
+       |  FROM o)
+       |SELECT source, seq_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(least(off + bpe_tokens, (seq_id + 1) * $SeqLen)
+       |                - greatest(off, seq_id * $SeqLen)) AS BIGINT) AS seq_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM seqs GROUP BY source, seq_id""".stripMargin
 
   // ---------------------------------------------------------------- q89
 

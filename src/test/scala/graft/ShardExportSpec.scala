@@ -162,4 +162,31 @@ class ShardExportSpec extends AnyFunSuite {
     assert(manifestOf(spark.newSession()) == want2,
       "retraction and admission must commute through the published offsets")
   }
+
+  test("q168 sequence manifest: the concat-and-cut loader view conserves " +
+      "token mass exactly, every interior sequence holds exactly SeqLen " +
+      "tokens (only each source's LAST may be short), sequence ids are " +
+      "dense from 0, and doc boundaries agree with the pack offsets") {
+    val docs = Tables.documents(spark, dir)
+    val merges = TextAnalysis.bpeMergesOf(docs, 4).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val seqs = TextAnalysis.sequenceManifestOf(docs, merges).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("seq_tokens")))
+    assert(seqs.nonEmpty)
+    val corpusTokens = TextAnalysis.bpeTokenCountsChain(docs, merges)
+      .agg(sum(col("bpe_tokens"))).collect()(0).getLong(0)
+    assert(seqs.map(_._4).sum == corpusTokens,
+      "sequence cut must conserve the corpus token mass exactly")
+    seqs.groupBy(_._1).foreach { case (src, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong),
+        s"$src: sequence ids must be dense from 0")
+      ordered.dropRight(1).foreach { case (_, sid, _, tok) =>
+        assert(tok == 2048L, s"$src seq $sid: interior sequence holds $tok tokens")
+      }
+      assert(ordered.last._4 <= 2048L && ordered.last._4 >= 1L)
+      assert(ordered.forall(_._3 >= 1))
+    }
+  }
 }
