@@ -189,4 +189,54 @@ class ShardExportSpec extends AnyFunSuite {
       assert(ordered.forall(_._3 >= 1))
     }
   }
+
+  test("streaming shard admission: micro-batches driven through foreachBatch " +
+      "feed ShardExport.admit under the streaming runtime — the frozen " +
+      "tokenizer and stored tails carry across epochs, and the published " +
+      "table equals the one-shot export over everything that arrived") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-stream").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-shard-sidx").toString
+    val all = Tables.documents(spark, dir)
+    ShardExport.buildOf(all.filter(col("doc_id") < 30), out, idx)
+
+    val arrivals = all.filter(col("doc_id") >= 30)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (wave1, wave2) = arrivals.splitAt(arrivals.length / 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val st = ShardExport.admit(batch.sparkSession, idx, out, batch)
+          assert(st.find(_.stage == "corpus_encode").get.tokens ==
+            st.find(_.stage == "published").get.tokens)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-shard-ckpt").toString)
+      .start()
+    try {
+      input.addData(wave1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(wave2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val merges = ShardExport.loadMerges(spark, idx)
+    val want = TextAnalysis.shardManifestOf(all, merges)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    val got = spark.newSession().read.format("graft.sources.ManifestSink")
+      .option("path", out).load()
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+    assert(got.nonEmpty && got == want,
+      "streamed admissions != the one-shot export under the same frozen merges")
+  }
 }
