@@ -1291,3 +1291,94 @@ object SoakDelta {
     spark.stop()
   }
 }
+
+/** SHARD-EXPORT LIFECYCLE SOAK — the SoakDelta of the training-shard
+  * pipeline: ONE build (train the tokenizer on the base corpus, store
+  * merges + tails, publish the base shards), then N monotone-id
+  * admission waves under the FROZEN merges, then a bounded takedown
+  * retraction — each step timed, and the lifecycle HARD-GATED twice:
+  * after the waves the published table must equal the one-shot export
+  * over everything admitted (the incremental ≡ one-shot contract at
+  * sf scale), and after the takedown it must equal the q167
+  * retracted-manifest oracle form. Every admission wave additionally
+  * carries ShardExport's own observe-metric conservation require.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.SoakShard [waves=8]
+  */
+object SoakShard {
+  def main(args: Array[String]): Unit = {
+    val waves = args.headOption.map(_.toInt).getOrElse(8)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-soak-shard-out").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-soak-shard-idx").toString
+    println(s"## Shard-export lifecycle soak at $sfDir (build + $waves admission waves + takedown)")
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val idRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+    val (minId, maxId) = (idRow.getLong(0), idRow.getLong(1))
+    val cut0 = minId + (maxId - minId) * 6 / 10
+    val base = docs.filter(col("doc_id") <= cut0)
+
+    var built: Seq[pipeline.ShardExport.ShardStage] = Seq.empty
+    val tBuild = time { built = pipeline.ShardExport.buildOf(base, out, idx) }
+    println(f"shard_build            $tBuild%6.2f s  " +
+      s"(docs=${built.head.docs}, tokens=${built.head.tokens})")
+
+    val span = maxId - cut0
+    for (w <- 1 to waves) {
+      val lo = cut0 + span * (w - 1) / waves
+      val hi = cut0 + span * w / waves
+      val batch = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      var st: Seq[pipeline.ShardExport.ShardStage] = Seq.empty
+      val tw = time { st = pipeline.ShardExport.admit(spark, idx, out, batch) }
+      println(f"shard_admit_wave_$w%-2d    $tw%6.2f s  " +
+        s"(docs=${st.head.docs}, tokens=${st.head.tokens})")
+    }
+
+    def published() = spark.newSession()
+      .read.format("graft.sources.ManifestSink").option("path", out).load()
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+
+    val merges = pipeline.ShardExport.loadMerges(spark, idx)
+    var gate1 = false
+    val tGate1 = time {
+      val want = operators.TextAnalysis.shardManifestOf(docs, merges)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      val got = published()
+      require(got.nonEmpty && got == want,
+        s"LIFECYCLE GATE FAILED: ${got.size} published shard rows != " +
+          s"${want.size} one-shot rows")
+      gate1 = true
+    }
+    println(f"gate_incremental_eq    $tGate1%6.2f s  (PASS: published == one-shot export)")
+
+    // bounded takedown: every 997th doc id that exists
+    val takedown = docs.filter(col("doc_id") % 997 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    var removed = 0L
+    val tRet = time { removed = pipeline.ShardExport.retract(spark, out, takedown) }
+    require(removed == takedown.size,
+      s"retraction removed $removed of ${takedown.size} takedown docs")
+    println(f"shard_retract_${takedown.size}%-6d  $tRet%6.2f s  (file-granular delete)")
+
+    val tGate2 = time {
+      val want = operators.TextAnalysis.retractedShardManifestOf(
+          docs, col("doc_id").isin(takedown: _*), merges)
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
+      val got = published()
+      require(got == want,
+        "LIFECYCLE GATE FAILED: post-retraction table != the q167 oracle form")
+    }
+    println(f"gate_retraction_eq     $tGate2%6.2f s  (PASS: published == retracted manifest)")
+    require(gate1)
+    spark.stop()
+  }
+}
