@@ -228,7 +228,7 @@ object ManifestSink {
     val root = new File(path)
     val ms = sortedManifests(root)
     if (ms.size <= 1) return
-    val union = filesOf(ms)
+    val union = entriesOf(ms)
     val w = ms.map(weightOf).sum
     val seq = seqOf(ms.last)
     val tmp = Files.createTempFile(root.toPath, "_inflight-", ".manifest")
@@ -354,7 +354,7 @@ object ManifestSink {
     // committed data the surviving history still references
     val removable = freshOnAbort.getOrElse(adopted)
     def abort(found: Int): Nothing = {
-      removable.foreach(f => new File(root, f).delete())
+      removable.foreach(f => new File(root, nameOf(f)).delete())
       throw new java.util.ConcurrentModificationException(
         s"table $root changed during the copy-on-write rewrite " +
           s"(expected ${expected.size} manifests, found $found) — retry the operation")
@@ -387,9 +387,59 @@ object ManifestSink {
   }
 
   def filesOf(manifests: Seq[File]): Seq[String] =
+    entriesOf(manifests).map(nameOf)
+
+  /** Full manifest ENTRIES — file name plus the optional column-stats
+    * cells — de-duplicated by file name (first occurrence wins). */
+  def entriesOf(manifests: Seq[File]): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
     manifests.flatMap(m => new String(
       Files.readAllBytes(m.toPath), StandardCharsets.UTF_8).split("\n"))
-      .filter(_.nonEmpty).distinct
+      .filter(_.nonEmpty)
+      .foreach(l => seen.getOrElseUpdate(nameOf(l), l))
+    seen.values.toSeq
+  }
+
+  /** The file-name field of a manifest entry (stats cells follow
+    * after tabs; generated file names never contain one). */
+  def nameOf(entry: String): String = {
+    val i = entry.indexOf('\t')
+    if (i < 0) entry else entry.substring(0, i)
+  }
+
+  /** Entry = name + (fieldIdx, min, max) TRIPLETS for the numeric
+    * columns the writer tracked — the file-skipping statistics the
+    * scan refutes pushed filters against. A name-only line (every
+    * pre-stats commit) parses to no stats and is never skipped. */
+  def statsEntry(name: String, stats: Seq[(Int, String, String)]): String =
+    (name +: stats.flatMap { case (i, mn, mx) => Seq(i.toString, mn, mx) })
+      .mkString("\t")
+
+  def statsOfEntry(entry: String): Seq[(Int, String, String)] = {
+    val cells = entry.split("\t", -1).drop(1)
+    if (cells.isEmpty || cells.length % 3 != 0) Seq.empty
+    else cells.grouped(3).flatMap {
+      case Array(i, mn, mx) => i.toIntOption.map(ix => (ix, mn, mx))
+      case _ => None
+    }.toSeq
+  }
+
+  /** Move a scratch COW table's data files into `root` under
+    * collision-free names, PRESERVING each entry's stats cells —
+    * returns the adopted ENTRIES. Shared by DELETE / OPTIMIZE /
+    * upsert, so no copy-on-write path silently drops statistics. */
+  def adoptInto(root: File, tmpDir: File, prefix: String): Seq[String] = {
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    entriesOf(sortedManifests(tmpDir)).zipWithIndex.map { case (e, i) =>
+      val f = nameOf(e)
+      val target = s"$prefix-$stamp-$i-$f"
+      val dst = new File(root, target)
+      Files.move(new File(tmpDir, f).toPath, dst.toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      dst.setLastModified(System.currentTimeMillis()) // publish-time retention
+      statsEntry(target, statsOfEntry(e))
+    }
+  }
 
   def decodeField(s: String, dt: DataType): Any =
     if (s == "\\N") null
@@ -526,7 +576,7 @@ class ManifestStreamingWrite(path: String, queryId: String, schema: StructType)
           // may predate the grace period and let a concurrent vacuum
           // reclaim the file in the pre-manifest window
           target.setLastModified(System.currentTimeMillis())
-          m.file
+          ManifestSink.statsEntry(m.file, m.stats)
       }
       ManifestSink.ensureSchema(root, schema)
       ManifestSink.writeManifest(root, epochTag(epochId), files.toSeq)
@@ -579,7 +629,7 @@ class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
           target.toPath, StandardCopyOption.ATOMIC_MOVE)
         // re-key retention on publish time (see streaming commit note)
         target.setLastModified(System.currentTimeMillis())
-        m.file
+        ManifestSink.statsEntry(m.file, m.stats)
     }
     ManifestSink.ensureSchema(root, schema)
     ManifestSink.writeManifest(root, queryId, files.toSeq)
@@ -600,7 +650,8 @@ class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
   }
 }
 
-case class ManifestCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+case class ManifestCommitMessage(file: String, rows: Long,
+    stats: Seq[(Int, String, String)] = Nil) extends WriterCommitMessage
 
 class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
     extends DataWriterFactory {
@@ -616,6 +667,32 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
       private val out = Files.newBufferedWriter(tmp.toPath, StandardCharsets.UTF_8)
       private var rows = 0L
       private val types = schema.fields.map(_.dataType)
+      // per-column min/max over NON-NULL cells of the numeric columns
+      // (the file-skipping statistics; see ManifestStats)
+      private val statIdx = types.indices.filter(i => ManifestStats.eligible(types(i)))
+      private val mins = Array.fill[Option[Double]](types.length)(None)
+      private val maxs = Array.fill[Option[Double]](types.length)(None)
+      private val minsL = Array.fill[Option[Long]](types.length)(None)
+      private val maxsL = Array.fill[Option[Long]](types.length)(None)
+
+      private def updStats(row: InternalRow): Unit = statIdx.foreach { i =>
+        if (!row.isNullAt(i)) types(i) match {
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (!v.isNaN) {
+              if (mins(i).forall(v < _)) mins(i) = Some(v)
+              if (maxs(i).forall(v > _)) maxs(i) = Some(v)
+            }
+          case IntegerType =>
+            val v = row.getInt(i).toLong
+            if (minsL(i).forall(v < _)) minsL(i) = Some(v)
+            if (maxsL(i).forall(v > _)) maxsL(i) = Some(v)
+          case _ => // LongType | TimestampType (micros)
+            val v = row.getLong(i)
+            if (minsL(i).forall(v < _)) minsL(i) = Some(v)
+            if (maxsL(i).forall(v > _)) maxsL(i) = Some(v)
+        }
+      }
 
       override def write(row: InternalRow): Unit = {
         val cells = types.indices.map { i =>
@@ -624,11 +701,21 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
         }
         out.write(cells.mkString("\t"))
         out.write("\n")
+        updStats(row)
         rows += 1
       }
       override def commit(): WriterCommitMessage = {
         out.close()
-        ManifestCommitMessage(fileName, rows)
+        val stats = statIdx.flatMap { i =>
+          (minsL(i), maxsL(i)) match {
+            case (Some(a), Some(b)) => Some((i, a.toString, b.toString))
+            case _ => (mins(i), maxs(i)) match {
+              case (Some(a), Some(b)) => Some((i, a.toString, b.toString))
+              case _ => None
+            }
+          }
+        }
+        ManifestCommitMessage(fileName, rows, stats.toSeq)
       }
       override def abort(): Unit = { out.close(); tmp.delete() }
       override def close(): Unit = ()
@@ -645,15 +732,30 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
   * column reaches the scan (Spark appends it to the pruned schema). */
 class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
     maxPerTrigger: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = schema
+  private var skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** FILE SKIPPING, not row filtering: filters refutable against the
+    * per-file min/max stats ([[ManifestStats]]) prune whole committed
+    * files from the scan; EVERY filter is also returned as a residual
+    * so Spark still applies it row-by-row — skipping is purely an
+    * optimization and can never change results. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    skip = filters.filter(ManifestStats.skippable(schema, _))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skip
   override def build(): Scan =
-    new ManifestScan(path, schema, required, asOf, maxPerTrigger)
+    new ManifestScan(path, schema, required, skip, asOf, maxPerTrigger)
 }
 
 class ManifestScan(path: String, schema: StructType, required: StructType,
+    skipFilters: Array[org.apache.spark.sql.sources.Filter],
     asOf: Option[Int], maxPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -668,8 +770,11 @@ class ManifestScan(path: String, schema: StructType, required: StructType,
     val root = new File(path)
     val visible = asOf.fold(ManifestSink.sortedManifests(root))(n =>
       ManifestSink.manifestSlice(root, 0, n)) // n counts LOGICAL commits
-    ManifestSink.filesOf(visible)
-      .map(f => ManifestFilePartition(new File(root, f).getPath): InputPartition)
+    ManifestSink.entriesOf(visible)
+      .filter(e => !ManifestStats.refutedBy(
+        skipFilters.toIndexedSeq, ManifestSink.statsOfEntry(e), schema))
+      .map(e => ManifestFilePartition(
+        new File(root, ManifestSink.nameOf(e)).getPath): InputPartition)
       .toArray
   }
 
@@ -780,6 +885,94 @@ class ManifestReaderFactory(schema: StructType,
   }
 }
 
+// ---------------------------------------------------------------- stats
+
+/** Per-file column statistics for FILE SKIPPING — the manifest-level
+  * min/max pruning every table format ships (Delta file stats,
+  * Iceberg manifest column bounds, parquet footer pushdown): the
+  * writer records min/max of each NUMERIC column per data file
+  * (strings are excluded — a truncation-safe upper bound is not worth
+  * the complexity at this row codec), the manifest entry carries the
+  * triplets, and the scan drops any committed file whose stats PROVE
+  * the pushed conjunction cannot hold on any of its rows. Soundness
+  * with nulls: min/max cover exactly the NON-NULL cells, and the
+  * supported atomic predicates are never TRUE on a null cell, so a
+  * file refuted on its non-null range cannot hide a matching row.
+  * Missing or malformed stats never refute (pre-stats commits keep
+  * scanning everywhere). */
+object ManifestStats {
+  import org.apache.spark.sql.{sources => v1}
+
+  /** Columns the WRITER tracks (timestamp micros recorded for future
+    * use; refutation below is numeric-only). */
+  def eligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | TimestampType => true
+    case _ => false
+  }
+
+  private def num(v: Any): Option[BigDecimal] = v match {
+    case n: java.lang.Number => scala.util.Try(BigDecimal(n.toString)).toOption
+    case _ => None
+  }
+
+  private def numericCol(schema: StructType, a: String): Boolean =
+    schema.fields.find(_.name == a).exists(_.dataType match {
+      case LongType | IntegerType | DoubleType => true
+      case _ => false
+    })
+
+  /** Could this filter ever refute a file from stats alone? */
+  def skippable(schema: StructType, f: v1.Filter): Boolean = f match {
+    case v1.EqualTo(a, v) => numericCol(schema, a) && num(v).isDefined
+    case v1.GreaterThan(a, v) => numericCol(schema, a) && num(v).isDefined
+    case v1.GreaterThanOrEqual(a, v) => numericCol(schema, a) && num(v).isDefined
+    case v1.LessThan(a, v) => numericCol(schema, a) && num(v).isDefined
+    case v1.LessThanOrEqual(a, v) => numericCol(schema, a) && num(v).isDefined
+    case v1.In(a, vs) =>
+      numericCol(schema, a) && vs.nonEmpty && vs.forall(num(_).isDefined)
+    case v1.And(l, r) => skippable(schema, l) || skippable(schema, r)
+    case v1.Or(l, r) => skippable(schema, l) && skippable(schema, r)
+    case _ => false
+  }
+
+  /** TRUE iff the stats PROVE no row of the file satisfies the pushed
+    * conjunction. */
+  def refutedBy(filters: Seq[v1.Filter], stats: Seq[(Int, String, String)],
+      schema: StructType): Boolean = {
+    if (filters.isEmpty || stats.isEmpty) return false
+    val byName: Map[String, (BigDecimal, BigDecimal)] = stats.flatMap {
+      case (i, mn, mx) if i >= 0 && i < schema.length =>
+        (scala.util.Try(BigDecimal(mn)).toOption,
+          scala.util.Try(BigDecimal(mx)).toOption) match {
+          case (Some(a), Some(b)) => Some(schema.fields(i).name -> ((a, b)))
+          case _ => None
+        }
+      case _ => None
+    }.toMap
+    filters.exists(refutes(_, byName))
+  }
+
+  private def refutes(f: v1.Filter,
+      m: Map[String, (BigDecimal, BigDecimal)]): Boolean = f match {
+    case v1.EqualTo(a, v) =>
+      m.get(a).exists { case (mn, mx) => num(v).exists(x => x < mn || x > mx) }
+    case v1.GreaterThan(a, v) =>
+      m.get(a).exists { case (_, mx) => num(v).exists(x => mx <= x) }
+    case v1.GreaterThanOrEqual(a, v) =>
+      m.get(a).exists { case (_, mx) => num(v).exists(x => mx < x) }
+    case v1.LessThan(a, v) =>
+      m.get(a).exists { case (mn, _) => num(v).exists(x => mn >= x) }
+    case v1.LessThanOrEqual(a, v) =>
+      m.get(a).exists { case (mn, _) => num(v).exists(x => mn > x) }
+    case v1.In(a, vs) =>
+      m.get(a).exists { case (mn, mx) =>
+        vs.nonEmpty && vs.forall(v => num(v).exists(x => x < mn || x > mx)) }
+    case v1.And(l, r) => refutes(l, m) || refutes(r, m)
+    case v1.Or(l, r) => refutes(l, m) && refutes(r, m)
+    case _ => false
+  }
+}
+
 // --------------------------------------------------------------- delete
 
 /** Copy-on-write DELETE for manifest tables (see
@@ -847,24 +1040,18 @@ object ManifestDelete {
     val hits = table.filter(hit).select(fileCol.as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (hits.isEmpty) return // DELETE matched nothing: no rewrite, no commit
-    val untouched = ManifestSink.filesOf(before).filterNot(hits)
+    // untouched files are adopted as their FULL entries — their
+    // stats survive the swap verbatim; the rewritten files' stats
+    // come from the scratch write and ride through adoptInto
+    val untouched = ManifestSink.entriesOf(before)
+      .filterNot(e => hits(ManifestSink.nameOf(e)))
     // distributed survivor rewrite of the hit files into a scratch
     // manifest table
     val tmpDir = Files.createTempDirectory("graft_delete_cow").toFile
     table.filter(fileCol.isin(hits.toSeq: _*) && !hit)
       .write.format("graft.sources.ManifestSink")
       .option("path", tmpDir.getAbsolutePath).mode("append").save()
-    // adopt the survivor files under collision-free names
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
-      .zipWithIndex.map { case (f, i) =>
-        val target = s"cow-$stamp-$i-$f"
-        val dst = new File(root, target)
-        Files.move(new File(tmpDir, f).toPath, dst.toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-        dst.setLastModified(System.currentTimeMillis()) // publish-time retention
-        target
-      }
+    val fresh = ManifestSink.adoptInto(root, tmpDir, "cow")
     // one checkpoint absorbs the entire pre-delete history PLUS this
     // delete as a logical commit; publication is the optimistic swap.
     // Only the FRESH files may be rolled back on conflict — the
@@ -934,16 +1121,7 @@ object ManifestOptimize {
     rewritten
       .write.format("graft.sources.ManifestSink")
       .option("path", tmpDir.getAbsolutePath).mode("append").save()
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
-      .zipWithIndex.map { case (f, i) =>
-        val target = s"opt-$stamp-$i-$f"
-        val dst = new File(root, target)
-        Files.move(new File(tmpDir, f).toPath, dst.toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-        dst.setLastModified(System.currentTimeMillis()) // publish-time retention
-        target
-      }
+    val adopted = ManifestSink.adoptInto(root, tmpDir, "opt")
     try ManifestSink.publishCowSwap(root, before, adopted)
     finally {
       Option(tmpDir.listFiles()).foreach(_.foreach(_.delete()))
@@ -1015,14 +1193,7 @@ object ManifestUpsert {
     survivors.unionByName(batch.select(current.columns.map(F.col).toIndexedSeq: _*))
       .write.format("graft.sources.ManifestSink")
       .option("path", tmpDir.getAbsolutePath).mode("append").save()
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val adopted = ManifestSink.filesOf(ManifestSink.sortedManifests(tmpDir))
-      .zipWithIndex.map { case (f, i) =>
-        val target = s"ups-$stamp-$i-$f"
-        Files.move(new File(tmpDir, f).toPath, new File(root, target).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-        target
-      }
+    val adopted = ManifestSink.adoptInto(root, tmpDir, "ups")
     // optimistic swap: a commit that landed since `before` aborts the
     // merge (its rows are not in our survivor set) — caller retries
     try ManifestSink.publishCowSwap(root, before, adopted)

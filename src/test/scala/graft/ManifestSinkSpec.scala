@@ -686,4 +686,63 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(files ==
       ManifestSink.filesOf(ManifestSink.sortedManifests(new File(dir))).toSet)
   }
+
+  test("file skipping: per-file numeric min/max stats prune committed files " +
+      "a pushed filter refutes — and the stats survive log compaction, " +
+      "file-granular DELETE adoption, and OPTIMIZE rewrite — while results " +
+      "stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.{sources => v1}
+    import graft.sources.{ManifestDelete, ManifestScanBuilder, ManifestSink}
+    val dir = tmpDir()
+    val root = new File(dir)
+    // three commits with DISJOINT id ranges -> three files with
+    // non-overlapping [min, max]
+    Seq.tabulate(10)(i => (i.toLong, s"a$i")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq.tabulate(10)(i => (100L + i, s"b$i")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq.tabulate(10)(i => (200L + i, s"c$i")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val schema = spark.read.format(fmt).option("path", dir).load().schema
+
+    def partsFor(filters: v1.Filter*): Int = {
+      val b = new ManifestScanBuilder(dir, schema, None)
+      b.pushFilters(filters.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    assert(partsFor() == 3, "no filter scans every committed file")
+    assert(partsFor(v1.EqualTo("id", 105L)) == 1, "point lookup prunes to 1 file")
+    assert(partsFor(v1.EqualTo("id", 500L)) == 0, "out-of-range lookup prunes all")
+    assert(partsFor(v1.GreaterThan("id", 150L)) == 1)
+    assert(partsFor(v1.LessThanOrEqual("id", 9L)) == 1)
+    assert(partsFor(v1.In("id", Array(5L, 205L))) == 2)
+    assert(partsFor(v1.EqualTo("s", "b5")) == 3, "string filters never prune")
+    // null-safety shape: OR with an unsupported side must not prune
+    assert(partsFor(v1.Or(v1.EqualTo("id", 500L), v1.EqualTo("s", "b5"))) == 3)
+
+    // results stay exact regardless of skipping
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.filter(col("id") === 105L).select("s").as[String].collect().toSeq
+      == Seq("b5"))
+    assert(t.filter(col("id") > 150L).count() == 10)
+
+    // stats survive LOG compaction (entriesOf union through the ckpt)
+    ManifestSink.compact(dir)
+    assert(partsFor(v1.EqualTo("id", 105L)) == 1, "stats lost in compaction")
+
+    // stats survive the file-granular DELETE: the untouched files keep
+    // their original entries, the rewritten file gets fresh stats
+    ManifestDelete.run(dir, Array(v1.EqualTo("id", 105L)))
+    assert(partsFor(v1.EqualTo("id", 5L)) == 1, "untouched-file stats lost in delete")
+    assert(partsFor(v1.EqualTo("id", 205L)) == 1)
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 29)
+
+    // OPTIMIZE rewrites data files; the new files carry fresh stats
+    graft.sources.ManifestOptimize.compactFiles(spark, dir, nFiles = 2)
+    val entries = ManifestSink.entriesOf(ManifestSink.sortedManifests(root))
+    assert(entries.nonEmpty && entries.forall(e =>
+      ManifestSink.statsOfEntry(e).nonEmpty), "optimized files lost stats")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 29)
+  }
 }
