@@ -1037,7 +1037,12 @@ object ManifestDelete {
     // of the hit files only. The hit-file collect is bounded by the
     // committed FILE count, the same driver-resident list every
     // manifest operation already holds.
-    val hits = table.filter(hit).select(fileCol.as("f")).distinct()
+    // the hit scan filters on the RAW predicate, not the coalesce
+    // wrapper: rows where p is TRUE are identical (null -> filtered
+    // either way), and the raw conjunction translates to v1 filters,
+    // so the scan FILE-SKIPS on the manifest stats — an id-targeted
+    // takedown reads only the files whose [min, max] admit the ids
+    val hits = table.filter(toDelete).select(fileCol.as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (hits.isEmpty) return // DELETE matched nothing: no rewrite, no commit
     // untouched files are adopted as their FULL entries — their
