@@ -82,10 +82,18 @@ object ShardExport {
       val encRow = offsets
         .agg(count(lit(1)), coalesce(sum(col("bpe_tokens")), lit(0L))).collect()(0)
       val enc = ShardStage("corpus_encode", encRow.getLong(0), encRow.getLong(1))
+      // RANGE-partition the publish by doc_id: each published file
+      // then covers a tight contiguous id span, so the sink's per-file
+      // [min, max] stats are DISJOINT and an id-targeted retraction's
+      // skip-scan reads only the files actually holding the ids (the
+      // clustering-makes-stats-selective rule OPTIMIZE ZORDER applies
+      // at maintenance time, bought here at write time for the column
+      // takedowns key on)
       val published = offsets
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("shard_id"),
           col("bpe_tokens"), col("text"))
+        .repartitionByRange(col("doc_id"))
         .observe(oPublish, count(lit(1)).as("docs"),
           coalesce(sum(col("bpe_tokens")), lit(0L)).as("tokens"))
       published.write.format("graft.sources.ManifestSink")

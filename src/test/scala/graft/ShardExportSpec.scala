@@ -239,4 +239,24 @@ class ShardExportSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       "streamed admissions != the one-shot export under the same frozen merges")
   }
+
+  test("range-partitioned publish: the published files cover pairwise " +
+      "DISJOINT doc_id spans, so an id-targeted retraction's skip-scan " +
+      "touches only the files actually holding the ids") {
+    import graft.sources.ManifestSink
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-rng").toString
+    ShardExport.run(spark, dir, out)
+    val entries = ManifestSink.entriesOf(
+      ManifestSink.sortedManifests(new java.io.File(out)))
+    // doc_id is field 0 of the published schema
+    val spans = entries.flatMap(e => ManifestSink.statsOfEntry(e)
+      .collectFirst { case (0, mn, mx) => (mn.toLong, mx.toLong) })
+    assert(spans.size == entries.size, "every published file must carry doc_id stats")
+    val sorted = spans.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file spans: $sorted")
+      case _ => ()
+    }
+  }
 }
