@@ -407,19 +407,35 @@ object ManifestSink {
     if (i < 0) entry else entry.substring(0, i)
   }
 
-  /** Entry = name + (fieldIdx, min, max) TRIPLETS for the numeric
-    * columns the writer tracked — the file-skipping statistics the
-    * scan refutes pushed filters against. A name-only line (every
-    * pre-stats commit) parses to no stats and is never skipped. */
-  def statsEntry(name: String, stats: Seq[(Int, String, String)]): String =
-    (name +: stats.flatMap { case (i, mn, mx) => Seq(i.toString, mn, mx) })
+  /** Entry = name + `#<rowcount>` + (fieldIdx, min, max) TRIPLETS for
+    * the numeric columns the writer tracked — the file-skipping and
+    * aggregate-pushdown statistics. The `#` cell doubles as the
+    * stats-aware marker: its presence distinguishes "this column had
+    * only nulls in this file" (entry is stats-aware, triplet absent)
+    * from "this entry predates statistics" (no `#` — never skipped,
+    * never aggregated from metadata). A name-only line (every
+    * pre-stats commit) parses to no stats. */
+  def statsEntry(name: String, rows: Long,
+      stats: Seq[(Int, String, String)]): String =
+    (Seq(name, s"#$rows") ++
+      stats.flatMap { case (i, mn, mx) => Seq(i.toString, mn, mx) })
       .mkString("\t")
 
+  private def statCells(entry: String): Seq[String] =
+    entry.split("\t", -1).drop(1).toSeq
+
+  /** The entry's exact row count, when stats-aware. */
+  def rowsOfEntry(entry: String): Option[Long] =
+    statCells(entry).headOption.filter(_.startsWith("#"))
+      .flatMap(c => c.drop(1).toLongOption)
+
   def statsOfEntry(entry: String): Seq[(Int, String, String)] = {
-    val cells = entry.split("\t", -1).drop(1)
+    val cells0 = statCells(entry)
+    val cells = if (cells0.headOption.exists(_.startsWith("#"))) cells0.drop(1)
+      else cells0
     if (cells.isEmpty || cells.length % 3 != 0) Seq.empty
     else cells.grouped(3).flatMap {
-      case Array(i, mn, mx) => i.toIntOption.map(ix => (ix, mn, mx))
+      case Seq(i, mn, mx) => i.toIntOption.map(ix => (ix, mn, mx))
       case _ => None
     }.toSeq
   }
@@ -437,7 +453,7 @@ object ManifestSink {
       Files.move(new File(tmpDir, f).toPath, dst.toPath,
         StandardCopyOption.ATOMIC_MOVE)
       dst.setLastModified(System.currentTimeMillis()) // publish-time retention
-      statsEntry(target, statsOfEntry(e))
+      target + e.substring(f.length) // rename; stats/rowcount cells verbatim
     }
   }
 
@@ -576,7 +592,7 @@ class ManifestStreamingWrite(path: String, queryId: String, schema: StructType)
           // may predate the grace period and let a concurrent vacuum
           // reclaim the file in the pre-manifest window
           target.setLastModified(System.currentTimeMillis())
-          ManifestSink.statsEntry(m.file, m.stats)
+          ManifestSink.statsEntry(m.file, m.rows, m.stats)
       }
       ManifestSink.ensureSchema(root, schema)
       ManifestSink.writeManifest(root, epochTag(epochId), files.toSeq)
@@ -629,7 +645,7 @@ class ManifestBatchWrite(path: String, queryId: String, schema: StructType)
           target.toPath, StandardCopyOption.ATOMIC_MOVE)
         // re-key retention on publish time (see streaming commit note)
         target.setLastModified(System.currentTimeMillis())
-        ManifestSink.statsEntry(m.file, m.stats)
+        ManifestSink.statsEntry(m.file, m.rows, m.stats)
     }
     ManifestSink.ensureSchema(root, schema)
     ManifestSink.writeManifest(root, queryId, files.toSeq)
@@ -733,11 +749,98 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
 class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
     maxPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = schema
   private var skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Any])] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** METADATA-ONLY aggregation (DSv2 complete aggregate pushdown):
+    * ungrouped COUNT(*)/MIN/MAX answered from the manifest's exact
+    * per-file row counts and column min/max — no data file is opened.
+    * Spark only attempts aggregate pushdown when no post-scan filter
+    * remains, and this scan keeps EVERY filter as a residual, so the
+    * pushdown can only fire on unfiltered aggregates — exactly the
+    * shape the stats answer exactly. Declined (scan falls back to
+    * reading rows) unless every visible entry is stats-aware: a
+    * pre-stats commit makes counts unknowable from metadata. MIN/MAX
+    * skip entries without the column's triplet — those files hold
+    * only nulls there, which SQL MIN/MAX ignore. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answerFromStats(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = answerFromStats(agg)
+    aggResult.isDefined
+  }
+
+  private def answerFromStats(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.{aggregate => va}
+    if (agg.groupByExpressions.nonEmpty) return None
+    val root = new File(path)
+    val visible = asOf.fold(ManifestSink.sortedManifests(root))(n =>
+      ManifestSink.manifestSlice(root, 0, n))
+    val entries = ManifestSink.entriesOf(visible)
+    val rowCounts = entries.map(ManifestSink.rowsOfEntry)
+    if (rowCounts.exists(_.isEmpty)) return None // pre-stats commit present
+    val statsPer = entries.map(ManifestSink.statsOfEntry)
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(Int, DataType)] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val i = schema.fieldNames.indexOf(nr.fieldNames()(0))
+        if (i < 0) None else Some((i, schema.fields(i).dataType))
+      case _ => None
+    }
+    def parsed(i: Int, dt: DataType, pick: Seq[BigDecimal] => BigDecimal,
+        side: Int): Option[Any] = {
+      val vals = statsPer.flatMap(_.collectFirst {
+        case (`i`, mn, mx) => scala.util.Try(
+          BigDecimal(if (side == 0) mn else mx)).toOption
+      }.flatten)
+      if (vals.isEmpty) Some(null) // every file all-null there -> SQL null
+      else dt match {
+        case LongType | TimestampType => Some(Long.box(pick(vals).toLongExact))
+        case IntegerType => Some(Int.box(pick(vals).toIntExact))
+        case DoubleType => Some(Double.box(pick(vals).toDouble))
+        case _ => None
+      }
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: va.CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += Long.box(rowCounts.flatten.sum)
+      case m: va.Min =>
+        colOf(m.column) match {
+          case Some((i, dt)) if ManifestStats.eligible(dt) =>
+            parsed(i, dt, _.min, 0) match {
+              case Some(v) => fields += StructField(s"min_$i", dt); values += v
+              case None => return None
+            }
+          case _ => return None
+        }
+      case m: va.Max =>
+        colOf(m.column) match {
+          case Some((i, dt)) if ManifestStats.eligible(dt) =>
+            parsed(i, dt, _.max, 1) match {
+              case Some(v) => fields += StructField(s"max_$i", dt); values += v
+              case None => return None
+            }
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result()))
+  }
 
   /** FILE SKIPPING, not row filtering: filters refutable against the
     * per-file min/max stats ([[ManifestStats]]) prune whole committed
@@ -750,9 +853,34 @@ class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = skip
-  override def build(): Scan =
-    new ManifestScan(path, schema, required, skip, asOf, maxPerTrigger)
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => new ManifestAggScan(aggSchema, row)
+    case None => new ManifestScan(path, schema, required, skip, asOf, maxPerTrigger)
+  }
 }
+
+/** The one-row result of a completely-pushed-down aggregate — emitted
+  * without opening any data file. */
+class ManifestAggScan(aggSchema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = new GenericInternalRow(
+            p.asInstanceOf[ManifestAggPartition].values.toArray)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class ManifestAggPartition(values: Seq[Any]) extends InputPartition
 
 class ManifestScan(path: String, schema: StructType, required: StructType,
     skipFilters: Array[org.apache.spark.sql.sources.Filter],

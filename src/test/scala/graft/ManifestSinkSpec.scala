@@ -745,4 +745,51 @@ class ManifestSinkSpec extends AnyFunSuite {
       ManifestSink.statsOfEntry(e).nonEmpty), "optimized files lost stats")
     assert(spark.read.format(fmt).option("path", dir).load().count() == 29)
   }
+
+  test("aggregate pushdown: ungrouped COUNT(*)/MIN/MAX are answered from the " +
+      "manifest's exact per-file statistics WITHOUT opening any data file — " +
+      "proven by deleting the data files out from under the manifests — and " +
+      "a pre-stats commit makes the scan fall back to reading rows") {
+    import spark.implicits._
+    import graft.sources.ManifestSink
+    val dir = tmpDir()
+    val root = new File(dir)
+    Seq.tabulate(10)(i => (i.toLong, i * 1.5, s"a$i")).toDF("id", "x", "s")
+      .coalesce(1).write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq.tabulate(10)(i => (100L + i, -5.0 + i, s"b$i")).toDF("id", "x", "s")
+      .coalesce(1).write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    def t = spark.read.format(fmt).option("path", dir).load()
+    val agg = t.agg(count(lit(1)), min(col("id")), max(col("id")),
+      min(col("x")), max(col("x"))).collect()(0)
+    assert(agg.getLong(0) == 20 && agg.getLong(1) == 0L && agg.getLong(2) == 109L)
+    assert(agg.getDouble(3) == -5.0 && agg.getDouble(4) == 13.5)
+
+    // the decisive proof: remove the DATA files, keep the manifests —
+    // metadata-only aggregates still answer; a row read fails
+    val dataFiles = ManifestSink.filesOf(ManifestSink.sortedManifests(root))
+    dataFiles.foreach(f => assert(new File(root, f).delete()))
+    assert(t.agg(count(lit(1))).collect()(0).getLong(0) == 20,
+      "COUNT(*) must come from the manifest, not the data files")
+    assert(t.agg(max(col("id"))).collect()(0).getLong(0) == 109L)
+    intercept[Exception] { t.select("s").collect() }
+
+    // grouped/filtered shapes are NOT pushed (they need rows) — with
+    // the data files gone they must fail rather than silently answer
+    intercept[Exception] { t.filter(col("id") > 5).count() }
+    intercept[Exception] { t.groupBy(col("s")).count().collect() }
+
+    // a pre-stats (name-only) manifest line disables metadata answers:
+    // rebuild a fresh table, then strip the stats cells from its log
+    val dir2 = tmpDir()
+    Seq((1L, "z")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir2).mode(SaveMode.Append).save()
+    val m2 = ManifestSink.sortedManifests(new File(dir2))
+    val entry = new String(Files.readAllBytes(m2.head.toPath),
+      StandardCharsets.UTF_8).trim
+    Files.write(m2.head.toPath,
+      ManifestSink.nameOf(entry).getBytes(StandardCharsets.UTF_8))
+    val t2 = spark.read.format(fmt).option("path", dir2).load()
+    assert(t2.agg(count(lit(1))).collect()(0).getLong(0) == 1,
+      "pre-stats entries must fall back to scanning rows — and still be right")
+  }
 }
