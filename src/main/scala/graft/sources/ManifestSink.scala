@@ -106,7 +106,7 @@ object ManifestSink {
     * `.replace("\\n", …).replace("\\\\", …)` chain corrupted strings
     * like `"C:\net"`: its encoding `C:\\net` matched the `\n` rule
     * first, decoding to backslash+LF.) */
-  private def unescape(s: String): String = {
+  private[sources] def unescape(s: String): String = {
     if (s.indexOf('\\') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -690,6 +690,11 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
       private val maxs = Array.fill[Option[Double]](types.length)(None)
       private val minsL = Array.fill[Option[Long]](types.length)(None)
       private val maxsL = Array.fill[Option[Long]](types.length)(None)
+      // string bounds compared in UTF8String BINARY order — the order
+      // Spark's own string comparisons use, so read-side refutation
+      // against a filter value agrees with what the rows would do
+      private val minsS = Array.fill[Option[UTF8String]](types.length)(None)
+      private val maxsS = Array.fill[Option[UTF8String]](types.length)(None)
 
       private def updStats(row: InternalRow): Unit = statIdx.foreach { i =>
         if (!row.isNullAt(i)) types(i) match {
@@ -703,6 +708,11 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
             val v = row.getInt(i).toLong
             if (minsL(i).forall(v < _)) minsL(i) = Some(v)
             if (maxsL(i).forall(v > _)) maxsL(i) = Some(v)
+          case StringType =>
+            val v = row.getUTF8String(i)
+            // clone only on a new extreme — the row's buffer is reused
+            if (minsS(i).forall(v.compareTo(_) < 0)) minsS(i) = Some(v.clone())
+            if (maxsS(i).forall(v.compareTo(_) > 0)) maxsS(i) = Some(v.clone())
           case _ => // LongType | TimestampType (micros)
             val v = row.getLong(i)
             if (minsL(i).forall(v < _)) minsL(i) = Some(v)
@@ -727,7 +737,20 @@ class ManifestWriterFactory(path: String, queryId: String, schema: StructType)
             case (Some(a), Some(b)) => Some((i, a.toString, b.toString))
             case _ => (mins(i), maxs(i)) match {
               case (Some(a), Some(b)) => Some((i, a.toString, b.toString))
-              case _ => None
+              case _ => (minsS(i), maxsS(i)) match {
+                case (Some(a), Some(b)) =>
+                  // truncation-safe bounds (the Iceberg truncate rule):
+                  // lower = prefix of min (a prefix is <= the full
+                  // string in binary order); upper = max itself when
+                  // short, else an INCREMENTED prefix strictly above
+                  // every string sharing it. No safe upper -> no
+                  // triplet (bounds must be sound or absent).
+                  ManifestStats.upperBound(b.toString).map(up =>
+                    (i, ManifestSink.encodeField(
+                        ManifestStats.lowerBound(a.toString)),
+                      ManifestSink.encodeField(up)))
+                case _ => None
+              }
             }
           }
         }
@@ -821,7 +844,7 @@ class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
         values += Long.box(rowCounts.flatten.sum)
       case m: va.Min =>
         colOf(m.column) match {
-          case Some((i, dt)) if ManifestStats.eligible(dt) =>
+          case Some((i, dt)) if ManifestStats.exactBounds(dt) =>
             parsed(i, dt, _.min, 0) match {
               case Some(v) => fields += StructField(s"min_$i", dt); values += v
               case None => return None
@@ -830,7 +853,7 @@ class ManifestScanBuilder(path: String, schema: StructType, asOf: Option[Int],
         }
       case m: va.Max =>
         colOf(m.column) match {
-          case Some((i, dt)) if ManifestStats.eligible(dt) =>
+          case Some((i, dt)) if ManifestStats.exactBounds(dt) =>
             parsed(i, dt, _.max, 1) match {
               case Some(v) => fields += StructField(s"max_$i", dt); values += v
               case None => return None
@@ -1031,11 +1054,55 @@ class ManifestReaderFactory(schema: StructType,
 object ManifestStats {
   import org.apache.spark.sql.{sources => v1}
 
-  /** Columns the WRITER tracks (timestamp micros recorded for future
-    * use; refutation below is numeric-only). */
+  /** Columns the WRITER tracks (timestamp micros recorded; string
+    * bounds truncation-safe — see [[lowerBound]]/[[upperBound]]). */
   def eligible(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | TimestampType | StringType => true
+    case _ => false
+  }
+
+  /** Types whose stored bounds are EXACT extreme values — the only
+    * ones metadata-only MIN/MAX may answer from. String bounds may be
+    * truncated (sound for skipping, wrong as values). */
+  def exactBounds(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | TimestampType => true
     case _ => false
+  }
+
+  /** Truncation width for string bounds (chars). */
+  private val TruncLen = 32
+
+  /** Lower bound of a string file-min: a ≤-prefix (surrogate-safe). */
+  def lowerBound(min: String): String = truncSafe(min)
+
+  /** STRICT-or-exact upper bound of a string file-max: the value
+    * itself when short; else an incremented prefix — the increment
+    * lands only on chars whose successor is a valid non-surrogate
+    * BMP char, so the bound is a real string and binary order agrees
+    * with code-point order. None when no char can be incremented. */
+  def upperBound(max: String): Option[String] =
+    if (max.length <= TruncLen) Some(max)
+    else incString(truncSafe(max))
+
+  private def truncSafe(s: String): String =
+    if (s.length <= TruncLen) s
+    else if (Character.isHighSurrogate(s.charAt(TruncLen - 1)))
+      s.substring(0, TruncLen - 1)
+    else s.substring(0, TruncLen)
+
+  /** The smallest safe string strictly greater than every string that
+    * has `s` as a prefix: increment the LAST incrementable char and
+    * cut there. Incrementable = successor stays a non-surrogate BMP
+    * char (never creates a lone surrogate or overflows \uFFFF). */
+  def incString(s: String): Option[String] = {
+    var j = s.length - 1
+    while (j >= 0) {
+      val c = s.charAt(j)
+      if (c < 0xD7FF || (c >= 0xE000 && c < 0xFFFE))
+        return Some(s.substring(0, j) + (c + 1).toChar)
+      j -= 1
+    }
+    None
   }
 
   private def num(v: Any): Option[BigDecimal] = v match {
@@ -1043,36 +1110,60 @@ object ManifestStats {
     case _ => None
   }
 
-  private def numericCol(schema: StructType, a: String): Boolean =
-    schema.fields.find(_.name == a).exists(_.dataType match {
-      case LongType | IntegerType | DoubleType => true
+  private def str(v: Any): Option[UTF8String] = v match {
+    case s: String => Some(UTF8String.fromString(s))
+    case u: UTF8String => Some(u)
+    case _ => None
+  }
+
+  private def colType(schema: StructType, a: String): Option[DataType] =
+    schema.fields.find(_.name == a).map(_.dataType)
+
+  private def cmpCol(schema: StructType, a: String, v: Any): Boolean =
+    colType(schema, a).exists {
+      case LongType | IntegerType | DoubleType => num(v).isDefined
+      case StringType => str(v).isDefined
       case _ => false
-    })
+    }
 
   /** Could this filter ever refute a file from stats alone? */
   def skippable(schema: StructType, f: v1.Filter): Boolean = f match {
-    case v1.EqualTo(a, v) => numericCol(schema, a) && num(v).isDefined
-    case v1.GreaterThan(a, v) => numericCol(schema, a) && num(v).isDefined
-    case v1.GreaterThanOrEqual(a, v) => numericCol(schema, a) && num(v).isDefined
-    case v1.LessThan(a, v) => numericCol(schema, a) && num(v).isDefined
-    case v1.LessThanOrEqual(a, v) => numericCol(schema, a) && num(v).isDefined
-    case v1.In(a, vs) =>
-      numericCol(schema, a) && vs.nonEmpty && vs.forall(num(_).isDefined)
+    case v1.EqualTo(a, v) => cmpCol(schema, a, v)
+    case v1.GreaterThan(a, v) => cmpCol(schema, a, v)
+    case v1.GreaterThanOrEqual(a, v) => cmpCol(schema, a, v)
+    case v1.LessThan(a, v) => cmpCol(schema, a, v)
+    case v1.LessThanOrEqual(a, v) => cmpCol(schema, a, v)
+    case v1.In(a, vs) => vs.nonEmpty && vs.forall(cmpCol(schema, a, _))
+    case v1.StringStartsWith(a, v) =>
+      colType(schema, a).contains(StringType) && v != null
     case v1.And(l, r) => skippable(schema, l) || skippable(schema, r)
     case v1.Or(l, r) => skippable(schema, l) && skippable(schema, r)
     case _ => false
   }
+
+  private sealed trait Bounds
+  private case class NumBounds(mn: BigDecimal, mx: BigDecimal) extends Bounds
+  private case class StrBounds(mn: UTF8String, mx: UTF8String) extends Bounds
 
   /** TRUE iff the stats PROVE no row of the file satisfies the pushed
     * conjunction. */
   def refutedBy(filters: Seq[v1.Filter], stats: Seq[(Int, String, String)],
       schema: StructType): Boolean = {
     if (filters.isEmpty || stats.isEmpty) return false
-    val byName: Map[String, (BigDecimal, BigDecimal)] = stats.flatMap {
+    val byName: Map[String, Bounds] = stats.flatMap {
       case (i, mn, mx) if i >= 0 && i < schema.length =>
-        (scala.util.Try(BigDecimal(mn)).toOption,
-          scala.util.Try(BigDecimal(mx)).toOption) match {
-          case (Some(a), Some(b)) => Some(schema.fields(i).name -> ((a, b)))
+        val name = schema.fields(i).name
+        schema.fields(i).dataType match {
+          case StringType =>
+            Some(name -> StrBounds(
+              UTF8String.fromString(ManifestSink.unescape(mn)),
+              UTF8String.fromString(ManifestSink.unescape(mx))))
+          case LongType | IntegerType | DoubleType | TimestampType =>
+            (scala.util.Try(BigDecimal(mn)).toOption,
+              scala.util.Try(BigDecimal(mx)).toOption) match {
+              case (Some(a), Some(b)) => Some(name -> NumBounds(a, b))
+              case _ => None
+            }
           case _ => None
         }
       case _ => None
@@ -1080,21 +1171,56 @@ object ManifestStats {
     filters.exists(refutes(_, byName))
   }
 
-  private def refutes(f: v1.Filter,
-      m: Map[String, (BigDecimal, BigDecimal)]): Boolean = f match {
+  // below/above the FILE's value range — the two refutation verdicts
+  // every atomic shape reduces to, dispatched on the bounds kind
+  private def outside(b: Bounds, v: Any): (Boolean, Boolean) = b match {
+    case NumBounds(mn, mx) =>
+      num(v).map(x => (x < mn, x > mx)).getOrElse((false, false))
+    case StrBounds(mn, mx) =>
+      str(v).map(x => (x.compareTo(mn) < 0, x.compareTo(mx) > 0))
+        .getOrElse((false, false))
+  }
+  private def atMostMax(b: Bounds, v: Any): Boolean = b match {
+    // mx <= v: nothing in the file is > v
+    case NumBounds(_, mx) => num(v).exists(x => mx <= x)
+    case StrBounds(_, mx) => str(v).exists(x => mx.compareTo(x) <= 0)
+  }
+  private def belowMaxStrict(b: Bounds, v: Any): Boolean = b match {
+    // mx < v: nothing in the file is >= v
+    case NumBounds(_, mx) => num(v).exists(x => mx < x)
+    case StrBounds(_, mx) => str(v).exists(x => mx.compareTo(x) < 0)
+  }
+  private def atLeastMin(b: Bounds, v: Any): Boolean = b match {
+    // mn >= v: nothing in the file is < v
+    case NumBounds(mn, _) => num(v).exists(x => mn >= x)
+    case StrBounds(mn, _) => str(v).exists(x => mn.compareTo(x) >= 0)
+  }
+  private def aboveMinStrict(b: Bounds, v: Any): Boolean = b match {
+    // mn > v: nothing in the file is <= v
+    case NumBounds(mn, _) => num(v).exists(x => mn > x)
+    case StrBounds(mn, _) => str(v).exists(x => mn.compareTo(x) > 0)
+  }
+
+  private def refutes(f: v1.Filter, m: Map[String, Bounds]): Boolean = f match {
     case v1.EqualTo(a, v) =>
-      m.get(a).exists { case (mn, mx) => num(v).exists(x => x < mn || x > mx) }
-    case v1.GreaterThan(a, v) =>
-      m.get(a).exists { case (_, mx) => num(v).exists(x => mx <= x) }
-    case v1.GreaterThanOrEqual(a, v) =>
-      m.get(a).exists { case (_, mx) => num(v).exists(x => mx < x) }
-    case v1.LessThan(a, v) =>
-      m.get(a).exists { case (mn, _) => num(v).exists(x => mn >= x) }
-    case v1.LessThanOrEqual(a, v) =>
-      m.get(a).exists { case (mn, _) => num(v).exists(x => mn > x) }
+      m.get(a).exists { b => val (lo, hi) = outside(b, v); lo || hi }
+    case v1.GreaterThan(a, v) => m.get(a).exists(atMostMax(_, v))
+    case v1.GreaterThanOrEqual(a, v) => m.get(a).exists(belowMaxStrict(_, v))
+    case v1.LessThan(a, v) => m.get(a).exists(atLeastMin(_, v))
+    case v1.LessThanOrEqual(a, v) => m.get(a).exists(aboveMinStrict(_, v))
     case v1.In(a, vs) =>
-      m.get(a).exists { case (mn, mx) =>
-        vs.nonEmpty && vs.forall(v => num(v).exists(x => x < mn || x > mx)) }
+      m.get(a).exists { b =>
+        vs.nonEmpty && vs.forall { v => val (lo, hi) = outside(b, v); lo || hi } }
+    case v1.StringStartsWith(a, v) =>
+      // strings with prefix v live in [v, incString(v)); refuted when
+      // the whole file sits below v, or (when the half-open top is
+      // expressible) at/above it
+      m.get(a).exists {
+        case sb: StrBounds =>
+          belowMaxStrict(sb, v) ||
+            incString(v).exists(up => atLeastMin(sb, up))
+        case _ => false
+      }
     case v1.And(l, r) => refutes(l, m) || refutes(r, m)
     case v1.Or(l, r) => refutes(l, m) && refutes(r, m)
     case _ => false

@@ -717,9 +717,15 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(partsFor(v1.GreaterThan("id", 150L)) == 1)
     assert(partsFor(v1.LessThanOrEqual("id", 9L)) == 1)
     assert(partsFor(v1.In("id", Array(5L, 205L))) == 2)
-    assert(partsFor(v1.EqualTo("s", "b5")) == 3, "string filters never prune")
-    // null-safety shape: OR with an unsupported side must not prune
-    assert(partsFor(v1.Or(v1.EqualTo("id", 500L), v1.EqualTo("s", "b5"))) == 3)
+    assert(partsFor(v1.EqualTo("s", "b5")) == 1,
+      "string point lookup prunes on the (short, exact) string bounds")
+    assert(partsFor(v1.StringStartsWith("s", "c")) == 1)
+    assert(partsFor(v1.StringStartsWith("s", "z")) == 0)
+    // OR prunes only files BOTH sides refute: id=500 refutes all three,
+    // s=b5 keeps the b-file -> 1 part survives
+    assert(partsFor(v1.Or(v1.EqualTo("id", 500L), v1.EqualTo("s", "b5"))) == 1)
+    // an OR with an unsupported side can never prune
+    assert(partsFor(v1.Or(v1.EqualTo("id", 500L), v1.IsNotNull("s"))) == 3)
 
     // results stay exact regardless of skipping
     val t = spark.read.format(fmt).option("path", dir).load()
@@ -791,5 +797,51 @@ class ManifestSinkSpec extends AnyFunSuite {
     val t2 = spark.read.format(fmt).option("path", dir2).load()
     assert(t2.agg(count(lit(1))).collect()(0).getLong(0) == 1,
       "pre-stats entries must fall back to scanning rows — and still be right")
+  }
+
+  test("string bounds are truncation-safe: long shared-prefix values keep " +
+      "sound [lower, upper) bounds — a value between the truncated bounds " +
+      "is never wrongly pruned, values outside still are, and metadata " +
+      "MIN/MAX never answers from a (possibly truncated) string bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.{sources => v1}
+    import graft.sources.{ManifestScanBuilder, ManifestStats}
+    val dir = tmpDir()
+    val pre = "p" * 40 // well past the 32-char truncation width
+    Seq((1L, pre + "aaa"), (2L, pre + "mmm")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    Seq((3L, "zzz")).toDF("id", "s").coalesce(1)
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val schema = spark.read.format(fmt).option("path", dir).load().schema
+    def partsFor(filters: v1.Filter*): Int = {
+      val b = new ManifestScanBuilder(dir, schema, None)
+      b.pushFilters(filters.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    // the long-prefix file's bounds truncate to [p*32, p*31 + q): a
+    // lookup INSIDE the real range must keep the file
+    assert(partsFor(v1.EqualTo("s", pre + "ggg")) == 1)
+    // a lookup below every value prunes both files
+    assert(partsFor(v1.EqualTo("s", "a")) == 0)
+    // binary-order quirk pinned: the truncated upper bound rounds UP,
+    // so a value just past the true max but under the rounded bound
+    // conservatively keeps the file (sound, merely not tight)
+    assert(partsFor(v1.EqualTo("s", pre + "zzz")) >= 1)
+    assert(partsFor(v1.StringStartsWith("s", pre)) == 1)
+    // exact results under the pruning
+    val t = spark.read.format(fmt).option("path", dir).load()
+    assert(t.filter(col("s") === (pre + "mmm")).count() == 1)
+    assert(t.filter(col("s").startsWith("z")).select("id").as[Long].collect()
+      .toSeq == Seq(3L))
+    // MIN/MAX of a string column is NEVER answered from metadata: with
+    // data intact it reads rows and is exact even though the stored
+    // bound is truncated
+    assert(t.agg(min(col("s"))).collect()(0).getString(0) == pre + "aaa")
+    assert(t.agg(max(col("s"))).collect()(0).getString(0) == "zzz")
+    // and the bound helpers hold their contracts on edge inputs
+    assert(ManifestStats.incString("ab").contains("ac"))
+    assert(ManifestStats.incString("a\uFFFF").contains("b"))
+    assert(ManifestStats.incString("\uFFFF").isEmpty)
+    assert(ManifestStats.upperBound("short").contains("short"))
   }
 }
