@@ -908,9 +908,39 @@ case class ManifestAggPartition(values: Seq[Any]) extends InputPartition
 class ManifestScan(path: String, schema: StructType, required: StructType,
     skipFilters: Array[org.apache.spark.sql.sources.Filter],
     asOf: Option[Int], maxPerTrigger: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** ACCURATE table statistics from the manifest (post-skipping):
+    * numRows from the per-entry rowcounts when every surviving entry
+    * is stats-aware, sizeInBytes from the surviving files' actual
+    * lengths. Catalyst then auto-broadcasts joins against small
+    * stored tables instead of defaulting them to "huge" (DSv2 scans
+    * without statistics report spark.sql.defaultSizeInBytes and never
+    * broadcast without a hint). */
+  override def estimateStatistics(): Statistics = {
+    val root = new File(path)
+    val entries = survivingEntries(root)
+    val rows = entries.map(ManifestSink.rowsOfEntry)
+    val bytes = entries.map(e =>
+      new File(root, ManifestSink.nameOf(e)).length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rows.exists(_.isEmpty)) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows.flatten.sum)
+    }
+  }
+
+  private def survivingEntries(root: File): Seq[String] = {
+    val visible = asOf.fold(ManifestSink.sortedManifests(root))(n =>
+      ManifestSink.manifestSlice(root, 0, n))
+    ManifestSink.entriesOf(visible)
+      .filter(e => !ManifestStats.refutedBy(
+        skipFilters.toIndexedSeq, ManifestSink.statsOfEntry(e), schema))
+  }
 
   /** Only manifest-listed files — a stray temp or unpublished file is
     * invisible by construction. One input partition per committed
@@ -919,11 +949,7 @@ class ManifestScan(path: String, schema: StructType, required: StructType,
     * commit is a retained snapshot boundary. */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new File(path)
-    val visible = asOf.fold(ManifestSink.sortedManifests(root))(n =>
-      ManifestSink.manifestSlice(root, 0, n)) // n counts LOGICAL commits
-    ManifestSink.entriesOf(visible)
-      .filter(e => !ManifestStats.refutedBy(
-        skipFilters.toIndexedSeq, ManifestSink.statsOfEntry(e), schema))
+    survivingEntries(root)
       .map(e => ManifestFilePartition(
         new File(root, ManifestSink.nameOf(e)).getPath): InputPartition)
       .toArray

@@ -844,4 +844,20 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestStats.incString("\uFFFF").isEmpty)
     assert(ManifestStats.upperBound("short").contains("short"))
   }
+
+  test("reported statistics: the scan estimates exact numRows and real " +
+      "file bytes from the manifest (post-skipping), so a join against a " +
+      "small manifest table auto-broadcasts WITHOUT a hint") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq.tabulate(50)(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.format(fmt).option("path", dir).mode(SaveMode.Append).save()
+    val small = spark.read.format(fmt).option("path", dir).load()
+    val big = spark.range(0, 200000).toDF("k")
+    val joined = big.join(small, "k")
+    assert(joined.count() == 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"accurate manifest stats must let Catalyst broadcast the small side:\n$plan")
+  }
 }
