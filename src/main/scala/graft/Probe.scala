@@ -1,0 +1,150 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimization-round measurement scratchpad (guide §1): times named
+  * sub-frames of expensive queries under the bench contract (noop
+  * sink, warmup + 3-rep median) so a change targets the stage that
+  * actually costs, not the one that looks complex. Not part of the
+  * driver contract; experiments come and go between commits.
+  *
+  * Run: `sbt "runMain graft.Probe [sfDir]"` (cpus from
+  * SPARK_GRAFT_CPUS, default 32).
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, release: Boolean = true)(fn: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sparkContext.setJobDescription(name)
+      once() // warmup
+      val times = (1 to 3).map(_ => once()).sorted
+      println(f"PROBE $name%-40s ${times(1)}%.3f s")
+      if (release) CacheRegistry.releaseAll()
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    val only = sys.env.get("GRAFT_PROBE_ONLY").map(_.split(',').map(_.trim).toSet)
+    def probeQ(name: String): Unit =
+      if (only.forall(_.contains(name)))
+        time(name)(SparkEntry.queries(name)(spark, sfDir))
+
+    // whole-query probes (same contract as Bench, targeted)
+    sys.env.get("GRAFT_PROBE_QUERIES").foreach(_.split(',').map(_.trim)
+      .foreach(probeQ))
+
+    // --- q114 stage decomposition (mirrors Dedup.kmvOverlap internals)
+    if (sys.env.get("GRAFT_PROBE_SET").contains("q114")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val OvK = 64
+      def shRaw = Tables.documents(spark, sfDir)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(graft.functions.TextHash.wordNGramHashes(col("t"), 3)).as("h"))
+        .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
+        .select(col("source"), col("hv"))
+        .distinct()
+      def shC = CacheRegistry.getOrCache(spark, s"probe.sh:$sfDir")(shRaw)
+      time("q114.sh_build_uncached", release = true)(shRaw)
+      time("q114.sh_cached_scan", release = false)(shC)
+      def cut = {
+        val wS = Window.partitionBy(col("source")).orderBy(col("hv"))
+        shC.withColumn("rk", row_number().over(wS))
+          .filter(col("rk") <= OvK).select(col("source"), col("hv"))
+      }
+      time("q114.kmvCut", release = false)(cut)
+      time("q114.card", release = false)(
+        shC.groupBy(col("source")).agg(count(lit(1)).as("n")))
+      time("q114.exact_selfjoin", release = false)(
+        shC.select(col("source").as("source_a"), col("hv"))
+          .join(shC.select(col("source").as("source_b"), col("hv")), "hv")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("exact_inter")))
+      time("q114.exact_shufflehash", release = false)(
+        shC.select(col("source").as("source_a"), col("hv"))
+          .hint("shuffle_hash")
+          .join(shC.select(col("source").as("source_b"), col("hv")), "hv")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("exact_inter")))
+      CacheRegistry.releaseAll()
+      time("q114.full")(SparkEntry.queries("q114_kmv_overlap")(spark, sfDir))
+    }
+
+    // --- q114 TAIL decomposition with sk/card cached
+    if (sys.env.get("GRAFT_PROBE_SET").contains("q114tail")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val OvK = 64
+      def shRaw = Tables.documents(spark, sfDir)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(graft.functions.TextHash.wordNGramHashes(col("t"), 3)).as("h"))
+        .withColumn("hv", expr("(h * 2654435761) % 4294967296"))
+        .select(col("source"), col("hv"))
+        .distinct()
+      val sh = CacheRegistry.getOrCache(spark, s"probe.sh:$sfDir")(shRaw)
+      val sk = CacheRegistry.getOrCache(spark, s"probe.sk:$sfDir") {
+        val wS = Window.partitionBy(col("source")).orderBy(col("hv"))
+        sh.withColumn("rk", row_number().over(wS))
+          .filter(col("rk") <= OvK).select(col("source"), col("hv"))
+      }
+      val card = CacheRegistry.getOrCache(spark, s"probe.card:$sfDir")(
+        sh.groupBy(col("source")).agg(count(lit(1)).as("n")))
+      val pairs = card.select(col("source").as("source_a"), col("n").as("n_a"))
+        .join(card.select(col("source").as("source_b"), col("n").as("n_b")),
+          col("source_a") < col("source_b"))
+      val ska = sk.select(col("source").as("source_a"), col("hv"))
+      val skb = sk.select(col("source").as("source_b"), col("hv"))
+      val mg = pairs.select(col("source_a"), col("source_b"))
+        .join(ska, "source_a")
+        .select(col("source_a"), col("source_b"), col("hv"))
+        .union(pairs.select(col("source_a"), col("source_b"))
+          .join(skb, "source_b")
+          .select(col("source_a"), col("source_b"), col("hv")))
+        .distinct()
+      val wP = Window.partitionBy(col("source_a"), col("source_b"))
+        .orderBy(col("hv"))
+      val tau = mg.withColumn("rk", row_number().over(wP))
+        .filter(col("rk") === OvK)
+        .select(col("source_a"), col("source_b"), col("hv").as("tau"))
+      val msz = mg.groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("msz"))
+      val rho = ska.join(skb, "hv")
+        .filter(col("source_a") < col("source_b"))
+        .join(tau, Seq("source_a", "source_b"), "left")
+        .filter(col("tau").isNull || col("hv") <= col("tau"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("rho"))
+      time("tail.pairs", release = false)(pairs)
+      time("tail.mg", release = false)(mg)
+      time("tail.tau", release = false)(tau)
+      time("tail.msz", release = false)(msz)
+      time("tail.rho", release = false)(rho)
+      time("tail.joined", release = false)(
+        pairs.join(msz, Seq("source_a", "source_b"))
+          .join(tau, Seq("source_a", "source_b"), "left")
+          .join(rho, Seq("source_a", "source_b"), "left"))
+      CacheRegistry.releaseAll()
+    }
+
+    spark.stop()
+  }
+}

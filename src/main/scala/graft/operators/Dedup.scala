@@ -1565,8 +1565,20 @@ object Dedup {
     // distinct (source, scrambled-hash) — the one corpus pass, shared
     // by all three consumers below.
     val sh = kmvSourceHashes(spark, dir)
-    val sk = kmvCut(sh)
-    val card = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // the CUT and the per-source cardinality are MATERIALIZATION
+    // points (r18 measurement): the final report joins pairs, msz,
+    // tau, rho and exact, and Catalyst re-executes each one's whole
+    // subtree — the bottom-k window rode the plan ~8× (≈1 s each) and
+    // the cardinality aggregate ~10× (≈0.6 s each), 8.2 s for a query
+    // whose distinct stages sum to ≈2.6 s. Cached, every reuse is a
+    // model-sized scan: sk is |sources|·k rows (the same artifact
+    // q150 stores — same key, so the two queries share one build) and
+    // card is |sources| rows.
+    val sk = graft.CacheRegistry.getOrCache(spark,
+      s"dedup.kmvSketch:$dir")(kmvCut(sh))
+    val card = graft.CacheRegistry.getOrCache(spark,
+      s"dedup.kmvCard:$dir")(
+      sh.groupBy(col("source")).agg(count(lit(1)).as("n")))
     val pairs = card.select(col("source").as("source_a"), col("n").as("n_a"))
       .join(card.select(col("source").as("source_b"), col("n").as("n_b")),
         col("source_a") < col("source_b"))
@@ -1580,20 +1592,27 @@ object Dedup {
         .join(skb, "source_b")
         .select(col("source_a"), col("source_b"), col("hv")))
       .distinct()
+    // per-pair merged-sketch stats — τ (k-th smallest, the union
+    // threshold) and msz (merged size, the small-set fallback's exact
+    // union: a merged sketch short of k means each source sketch IS
+    // its complete distinct set — the standard KMV small-set rule; τ
+    // does not exist for such a pair, so it is NULL and τ joins stay
+    // LEFT joins, or small pairs would silently drop from the report).
+    // ONE window+aggregate pass instead of the previous separate tau
+    // window and msz aggregate, CACHED (r18 measurement): the final
+    // report references tau via rho AND directly, and Catalyst
+    // re-executes the whole mg-window subtree per reference — the tail
+    // joins alone cost 4.1 s of the 8.2 s query. Cached, each reuse is
+    // a |sources|²-row scan.
     val wP = Window.partitionBy(col("source_a"), col("source_b"))
       .orderBy(col("hv"))
-    val tau = mg.withColumn("rk", row_number().over(wP))
-      .filter(col("rk") === OvK)
-      .select(col("source_a"), col("source_b"), col("hv").as("tau"))
-    // merged-sketch size per pair — the small-set fallback's exact union:
-    // if the merged sketch holds fewer than k values, each source sketch
-    // held fewer than k values, which means each sketch is the COMPLETE
-    // distinct set of its source and the merged sketch is the exact union
-    // (the standard KMV small-set rule). τ does not exist for such a pair
-    // (row_number never reaches k), so τ joins below are LEFT joins —
-    // an inner join would silently drop every small pair from the report.
-    val msz = mg.groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("msz"))
+    val stats = graft.CacheRegistry.getOrCache(spark,
+      s"dedup.kmvPairStats:$dir")(
+      mg.withColumn("rk", row_number().over(wP))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("msz"),
+          max(when(col("rk") === OvK, col("hv"))).as("tau")))
+    val tau = stats.select(col("source_a"), col("source_b"), col("tau"))
     // ρ: sketch values present in BOTH sketches at or below τ
     // (no τ → sketches are complete sets → count every common value)
     val rho = ska.join(skb, "hv")
@@ -1602,15 +1621,21 @@ object Dedup {
       .filter(col("tau").isNull || col("hv") <= col("tau"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("rho"))
-    // exact audit leg: pair intersection over the full distinct sets
+    // exact audit leg: pair intersection over the full distinct sets.
+    // (An r18 experiment replaced this self-join with a groupBy(hv)
+    // collect_list + pair explode — one exchange instead of two — and
+    // it measured 3× SLOWER: collect_list is an ObjectHashAggregate,
+    // which falls back to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold=128
+    // in-memory keys, so corpus-cardinality grouping keys pay a full
+    // sort anyway and lose codegen. The equi-join form stays.)
     val exact = sh.select(col("source").as("source_a"), col("hv"))
       .join(sh.select(col("source").as("source_b"), col("hv")), "hv")
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("exact_inter"))
     pairs
-      .join(msz, Seq("source_a", "source_b"))
-      .join(tau, Seq("source_a", "source_b"), "left")
+      .join(stats, Seq("source_a", "source_b"))
       .join(rho, Seq("source_a", "source_b"), "left")
       .join(exact, Seq("source_a", "source_b"), "left")
       .withColumn("rho", coalesce(col("rho"), lit(0L)))
@@ -1762,13 +1787,19 @@ object Dedup {
         .join(skb, "source_b")
         .select(col("source_a"), col("source_b"), col("hv")))
       .distinct()
+    // per-pair merged-sketch stats (τ + msz) in ONE window+aggregate
+    // pass, CACHED on the sketch frame's semantic hash (the q114 r18
+    // finding: tau rides the final report via rho AND directly, and
+    // each reference re-executed the whole mg-window subtree)
     val wP = Window.partitionBy(col("source_a"), col("source_b"))
       .orderBy(col("hv"))
-    val tau = mg.withColumn("rk", row_number().over(wP))
-      .filter(col("rk") === OvK)
-      .select(col("source_a"), col("source_b"), col("hv").as("tau"))
-    val msz = mg.groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("msz"))
+    val stats = graft.CacheRegistry.getOrCache(sk.sparkSession,
+      s"dedup.kmvPairStats#${sk.queryExecution.analyzed.semanticHash()}")(
+      mg.withColumn("rk", row_number().over(wP))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("msz"),
+          max(when(col("rk") === OvK, col("hv"))).as("tau")))
+    val tau = stats.select(col("source_a"), col("source_b"), col("tau"))
     val rho = ska.join(skb, "hv")
       .filter(col("source_a") < col("source_b"))
       .join(tau, Seq("source_a", "source_b"), "left")
@@ -1776,8 +1807,7 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("rho"))
     pairs
-      .join(msz, Seq("source_a", "source_b"))
-      .join(tau, Seq("source_a", "source_b"), "left")
+      .join(stats, Seq("source_a", "source_b"))
       .join(rho, Seq("source_a", "source_b"), "left")
       .withColumn("rho", coalesce(col("rho"), lit(0L)))
       .withColumn("union_est",

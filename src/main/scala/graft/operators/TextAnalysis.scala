@@ -1333,18 +1333,24 @@ object TextAnalysis {
       .withColumn("s", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
 
   /** One round's DISTRIBUTED pair-count aggregate over a symbol table
-    * — q79's posexplode+lead bigram machinery, map-side combined,
-    * symbol-vocab²-bounded output. Factored so the round-internal
+    * — map-side combined, symbol-vocab²-bounded output. Adjacent
+    * pairs come straight off the split array (posexplode the symbol
+    * list, pair each element with its successor by index) — a pure
+    * Generate+Project, NO shuffle: the previous form re-derived
+    * adjacency with a per-word window (partitionBy w, lead), paying a
+    * vocab-sized exchange + sort EVERY round for an ordering the
+    * array already holds (guide §2.4). Factored so the round-internal
     * plan is auditable ([[bpeRoundPlanFrames]]) even though the
     * training loop executes it eagerly. */
-  private def bpePairCountsOf(syms: DataFrame): DataFrame = {
-    val toks = syms.select(col("w"), col("wc"),
-      posexplode(split(trim(col("s")), " ")).as(Seq("pos", "a")))
-    val wd = Window.partitionBy(col("w")).orderBy(col("pos"))
-    toks.withColumn("b", lead(col("a"), 1).over(wd))
+  private def bpePairCountsOf(syms: DataFrame): DataFrame =
+    syms.select(col("wc"), split(trim(col("s")), " ").as("t"))
+      .select(col("wc"), col("t"), posexplode(col("t")).as(Seq("pos", "a")))
+      // get(), not getItem(): the last element's successor is out of
+      // bounds, and ANSI mode makes getItem throw where get() yields
+      // the NULL the filter drops
+      .withColumn("b", get(col("t"), col("pos") + 1))
       .filter(col("b").isNotNull)
       .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("cnt"))
-  }
 
   /** The per-round weighted token-count aggregate (Σ wc·|symbols|). */
   private def bpeTokensAfterOf(syms: DataFrame): DataFrame =
@@ -1373,8 +1379,10 @@ object TextAnalysis {
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persist() only — no count(): the round-1 winner aggregate is the
+    // materializing action (one fewer corpus pass; guide §1.2 — don't
+    // compute things you throw away)
     var syms = bpeSymsInit(docs).persist()
-    syms.count()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Long)]()
     for (r <- 1 to rounds) {
       // winner: highest weighted count, ties lexicographically — the
@@ -1394,10 +1402,12 @@ object TextAnalysis {
       // loosening away from a SQL-injection hazard)
       val next = syms.withColumn("s", twoPassFuse(col("s"), la, lb, merged))
         .persist()
-      next.count()
+      // the tokens-after aggregate IS the materializing action for the
+      // fused table (the old count() was a redundant third pass per
+      // round); unpersist the parent only after the child is pinned
+      val tokensAfter = bpeTokensAfterOf(next).collect()(0).getLong(0)
       syms.unpersist()
       syms = next
-      val tokensAfter = bpeTokensAfterOf(syms).collect()(0).getLong(0)
       out += ((r, la, lb, merged, cnt, tokensAfter))
     }
     (out.toSeq, syms)
