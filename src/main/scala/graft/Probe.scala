@@ -145,6 +145,32 @@ object Probe {
       CacheRegistry.releaseAll()
     }
 
+    // --- bm25 sparse-leg decomposition over the zipf corpus
+    if (sys.env.get("GRAFT_PROBE_SET").contains("bm25")) {
+      import org.apache.spark.sql.functions._
+      val docs = operators.TextAnalysis.zipfDocsOf(
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val tf = CacheRegistry.getOrCache(spark, "probe.bm25tf") {
+        toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      }
+      time("bm25.tf_cached_scan", release = false)(tf)
+      time("bm25.dl", release = false)(
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      time("bm25.dfreq", release = false)(
+        tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+      val probes = docs.filter(expr("doc_id % 25 = 0"))
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(col("text"), " "), 1, 8)).as("w"))
+        .distinct()
+      time("bm25.probes", release = false)(probes)
+      time("bm25.full_leg", release = false)(
+        operators.TextAnalysis.bm25Of(docs, probes, excludeSelf = true,
+          maxDfFrac = Some(operators.TextAnalysis.ZipfMaxDfFrac)))
+      CacheRegistry.releaseAll()
+    }
+
     spark.stop()
   }
 }

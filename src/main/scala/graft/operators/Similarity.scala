@@ -1303,7 +1303,13 @@ object Similarity {
     * 100×. A deployment monitors [[hubAuditSampled]] (q159), whose
     * exact leg is the shared fixed-sample pass — linear in n. */
   def hubAudit(spark: SparkSession, dir: String): DataFrame = {
-    val nn = cosineTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
+    // cached under q88/q109's shared key: nn rides the plan twice
+    // (slots + hubs) and each uncached reference re-ran the |Q|·n
+    // brute-force scan (the q109 r18 finding)
+    val nn = graft.CacheRegistry.getOrCache(spark,
+        s"similarity.exactTopk:$dir")(
+        cosineTopK(spark, dir).select(col("q_id"), col("rank"), col("neighbor_id")))
+      .select(col("q_id"), col("neighbor_id"))
     val slots = nn.agg(count(lit(1)).as("n_slots"))
     val corpus = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_corpus"))
     val hubs = nn.groupBy(col("neighbor_id")).agg(count(lit(1)).as("n_hits"))
@@ -2849,7 +2855,13 @@ object Similarity {
     * [[agreementSampled]] (q154) — the fixed-sample twin, linear in n
     * — and runs this form only when the sampled estimate moves. */
   def retrieverAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val dense = cosineTopK(spark, dir)
+    // cached under q88's key (same frame): the |Q|·k dense list rides
+    // this plan TWICE (matched + the n_q denominator), and uncached
+    // the second reference re-ran the whole |Q|·n brute-force scan —
+    // ~2 s of the query's 6 s (r18 measurement)
+    val dense = graft.CacheRegistry.getOrCache(spark,
+        s"similarity.exactTopk:$dir")(
+        cosineTopK(spark, dir).select(col("q_id"), col("rank"), col("neighbor_id")))
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("drank"))
     val docs = Tables.documents(spark, dir)

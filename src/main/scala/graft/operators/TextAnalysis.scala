@@ -2241,13 +2241,26 @@ object TextAnalysis {
     // object identity: repeated invocations over the same corpus (and
     // q92/q93 in one session) share ONE persisted tf, while a
     // different corpus frame gets its own entry.
+    val h = docs.queryExecution.analyzed.semanticHash()
     val tf = graft.CacheRegistry.getOrCache(docs.sparkSession,
-        s"bm25_tf_${docs.queryExecution.analyzed.semanticHash()}") {
+        s"bm25_tf_$h") {
       toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     }
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    // dl / dfreq / stats are materialization points too (r18
+    // measurement): each rides the plan twice (dl: stats + scoring;
+    // dfreq: probe pruning + scoring; stats: probe pruning + scoring),
+    // and every reference re-ran its aggregate over the cached tf
+    // (~0.5 s each at sf0.1). Cached, every reuse is a doc-/vocab-/
+    // 1-row-sized scan. stats additionally collapses from an
+    // aggregate-over-dl into ONE pass over tf (n = docs with a token,
+    // tot = Σtf — the same numbers dl summed a second time).
+    val dl = graft.CacheRegistry.getOrCache(docs.sparkSession,
+      s"bm25_dl_$h")(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val dfreq = graft.CacheRegistry.getOrCache(docs.sparkSession,
+      s"bm25_df_$h")(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val stats = graft.CacheRegistry.getOrCache(docs.sparkSession,
+      s"bm25_stats_$h")(
+      tf.agg(countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("tot")))
     // common-term pruning happens on the PROBE side: the df table is
     // vocab-sized, the filtered probes broadcast, and the posting join
     // then never materializes the dropped terms' corpus-sized lists
