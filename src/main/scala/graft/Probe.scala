@@ -145,6 +145,39 @@ object Probe {
       CacheRegistry.releaseAll()
     }
 
+    // --- q66 A/B: 4-corpus-pass original vs cached (source,token) form
+    if (sys.env.get("GRAFT_PROBE_SET").contains("q66ab")) {
+      import org.apache.spark.sql.functions._
+      val DivTopV = 100
+      def oldForm = {
+        val tok = Tables.documents(spark, sfDir)
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        val corpusCnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c_cnt"))
+        val totalAll = tok.agg(count(lit(1)).as("c_tot"))
+        val topQ = corpusCnt.orderBy(col("c_cnt").desc, col("token")).limit(DivTopV)
+          .crossJoin(broadcast(totalAll))
+          .withColumn("q_ppm", expr("(1000000 * c_cnt) div c_tot"))
+          .select(col("token"), col("q_ppm"))
+        val qConst = topQ.agg(sum(col("q_ppm")).as("q_sum"))
+        val srcTot = tok.groupBy(col("source")).agg(count(lit(1)).as("s_tot"))
+        val deltas = tok.join(broadcast(topQ), "token")
+          .groupBy(col("source"), col("token"), col("q_ppm"))
+          .agg(count(lit(1)).as("s_cnt"))
+          .join(broadcast(srcTot), "source")
+          .withColumn("delta",
+            abs(expr("(1000000 * s_cnt) div s_tot") - col("q_ppm")) - col("q_ppm"))
+          .groupBy(col("source")).agg(sum(col("delta")).as("d_sum"))
+        srcTot.join(deltas, Seq("source"), "left")
+          .crossJoin(broadcast(qConst))
+          .withColumn("l1_ppm", coalesce(col("d_sum"), lit(0L)) + col("q_sum"))
+          .select(col("source"), col("l1_ppm"))
+      }
+      time("q66.oldform")(oldForm)
+      time("q66.newform")(SparkEntry.queries("q66_source_divergence")(spark, sfDir))
+      time("q66.oldform2")(oldForm)
+      time("q66.newform2")(SparkEntry.queries("q66_source_divergence")(spark, sfDir))
+    }
+
     // --- bm25 sparse-leg decomposition over the zipf corpus
     if (sys.env.get("GRAFT_PROBE_SET").contains("bm25")) {
       import org.apache.spark.sql.functions._

@@ -601,7 +601,13 @@ object Components {
     // a1(s) = Σ_{c→s} 1 (in-degree); h1(c) = Σ_{c→s} a1(s);
     // a2(s) = Σ_{c→s} h1(c)
     val a1 = e.groupBy(col("s")).agg(count(lit(1)).as("a"))
-    val h1 = e.join(a1, "s").groupBy(col("c")).agg(sum(col("a")).as("h"))
+    // h1 rides the plan twice (the hub ranking AND a2's input) and
+    // uncached each reference re-ran the e⋈a1 join + aggregate over
+    // the cached edge table (r18 measurement: the duplicated round
+    // was most of the query). Node-sized, same lifecycle as e.
+    val h1 = graft.CacheRegistry.getOrCache(spark,
+      s"q102_h1_${edges0.queryExecution.analyzed.semanticHash()}")(
+      e.join(a1, "s").groupBy(col("c")).agg(sum(col("a")).as("h")))
     val a2 = e.join(h1, "c").groupBy(col("s")).agg(sum(col("h")).as("a"))
     def ranked(df: DataFrame, idCol: String, scoreCol: String, role: String) =
       df.withColumn("pos", row_number().over(

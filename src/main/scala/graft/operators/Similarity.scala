@@ -1186,7 +1186,14 @@ object Similarity {
     * the recall@k/probe-accuracy dashboard number. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    val nn = cosineTopK(spark, dir).select(col("q_id"), col("neighbor_id"))
+    // shared q88/q109/q121 cache key (r18): q117's confusion matrix
+    // references the whole classify subtree twice (cells + row
+    // totals), and uncached each reference re-ran the |Q|·n
+    // brute-force scan under the votes
+    val nn = graft.CacheRegistry.getOrCache(spark,
+        s"similarity.exactTopk:$dir")(
+        cosineTopK(spark, dir).select(col("q_id"), col("rank"), col("neighbor_id")))
+      .select(col("q_id"), col("neighbor_id"))
     val votes = labels
       .join(broadcast(nn), col("vec_id") === col("neighbor_id"))
       .groupBy(col("q_id"), col("label"))

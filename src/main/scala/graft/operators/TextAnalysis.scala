@@ -517,7 +517,12 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
     }
-    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+    // dlen rides the plan twice (scoring join + the n_docs
+    // denominator) — cached doc-sized so the second reference scans
+    // |docs| rows instead of re-aggregating the corpus tf (the bm25
+    // r18 finding, same shape)
+    val dlen = graft.CacheRegistry.getOrCache(spark, s"text.dlen:$dir")(
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen")))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = dlen.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -873,6 +878,15 @@ object TextAnalysis {
     * reference token present still appear (left join from the
     * source-total table) with l1_ppm = Σ_top q. */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    // r18 NOTE: a one-corpus-pass restructure (cache the (source,
+    // token) count table, derive corpus counts / totals / deltas from
+    // it) was built and A/B-measured 0.3-0.45 s SLOWER in the same
+    // JVM: these four subtrees are map-side-combined aggregates whose
+    // shuffled bytes are ~|sources|·vocab partials, so the extra
+    // materialization stages cost more than the saved passes. Kept in
+    // the original multi-pass form deliberately; at 100 TB the four
+    // passes are four projected single-column scans (guide §1.3 —
+    // within a small factor of the floor).
     val tok = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
     val corpusCnt = tok.groupBy(col("token")).agg(count(lit(1)).as("c_cnt"))
@@ -936,14 +950,29 @@ object TextAnalysis {
     * vocab²-BOUNDED (not corpus-sized); C(prev) derives from the
     * bigram counts — no second corpus pass; the scoring join is
     * bigram-table × count-table equi-join; one final doc aggregate. */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks.withColumn("nxt", lead(col("w"), 1).over(wd))
+  /** Adjacent-bigram stream (doc_id, w, nxt) — straight off the split
+    * array (posexplode + get(pos+1), a pure Generate: the array
+    * already holds the adjacency the old per-doc window re-derived
+    * with a doc_id exchange + sort; the r18 BPE-round finding applied
+    * to the q79/q81 family). */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("pos", "w")))
+      .withColumn("nxt", get(col("t"), col("pos") + 1))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("w"), col("nxt"))
-    val c12 = bi.groupBy(col("w"), col("nxt")).agg(count(lit(1)).as("c12"))
+
+  /** Corpus bigram counts, cached — shared by q79 (scoring join + the
+    * unigram margin) and q81 (pair/margin/total tables): each of those
+    * references used to re-run the whole bigram subtree (r18). */
+  private def bigramCountsOf(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.getOrCache(spark, s"text.bigramCounts:$dir")(
+      bigramsOf(Tables.documents(spark, dir))
+        .groupBy(col("w"), col("nxt")).agg(count(lit(1)).as("c12")))
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = bigramsOf(Tables.documents(spark, dir))
+    val c12 = bigramCountsOf(spark, dir)
     val c1 = c12.groupBy(col("w")).agg(sum(col("c12")).as("c1"))
     bi.join(c12, Seq("w", "nxt")).join(c1, Seq("w"))
       .withColumn("bits", length(conv(expr("(c1 * 1048576) div c12"), 10, 2)) - lit(1))
@@ -967,18 +996,15 @@ object TextAnalysis {
     * a support cutoff (count ≥ 20) drops the unreliable tail before
     * ranking.
     *
-    * Scale shape: identical to q79 — one doc_id shuffle for bigrams,
-    * vocab²-bounded count tables, unigram counts derived from bigram
-    * counts (no second corpus pass); the PMI projection and top-K are
-    * over the count table, never the corpus. */
+    * Scale shape: identical to q79 — bigrams straight off the split
+    * array (map-only, no shuffle; r18), vocab²-bounded count tables,
+    * unigram counts derived from bigram counts (no second corpus
+    * pass); the PMI projection and top-K are over the count table,
+    * never the corpus. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks.withColumn("nxt", lead(col("w"), 1).over(wd))
-      .filter(col("nxt").isNotNull)
-      .select(col("w"), col("nxt"))
-    val c12 = bi.groupBy(col("w"), col("nxt")).agg(count(lit(1)).as("c12"))
+    // shared cached bigram counts (see [[bigramCountsOf]]): cA/cB/n
+    // and the pair table each used to re-run the bigram subtree
+    val c12 = bigramCountsOf(spark, dir)
     val cA = c12.groupBy(col("w")).agg(sum(col("c12")).as("ca"))
     val cB = c12.groupBy(col("nxt")).agg(sum(col("c12")).as("cb"))
     val n = c12.agg(sum(col("c12")).as("n_pairs"))
@@ -2033,8 +2059,15 @@ object TextAnalysis {
   def nbScoresOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("w"))
-    val cnt = toks.groupBy(col("lang").as("l"), col("w"))
-      .agg(count(lit(1)).as("c"))
+    // the model-count table rides the plan FOUR times (class totals,
+    // vocab, vocab size, the grid's left join) and uncached each
+    // reference re-ran the corpus explode+aggregate (r18). Cached
+    // |classes|·vocab-sized, keyed on the input frame (q90 and q117's
+    // confusion audit call this on different frames).
+    val cnt = graft.CacheRegistry.getOrCache(docs.sparkSession,
+      s"text.nbCnt_${docs.queryExecution.analyzed.semanticHash()}")(
+      toks.groupBy(col("lang").as("l"), col("w"))
+        .agg(count(lit(1)).as("c")))
     val tot = cnt.groupBy(col("l")).agg(sum(col("c")).as("tot"))
     val vocab = cnt.select(col("w")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
