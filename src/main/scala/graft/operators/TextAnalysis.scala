@@ -2704,8 +2704,15 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("t"))
-    val dist = cnt.join(tot, "source")
-      .select(col("source"), col("token"), expr("(1000000 * c) div t").as("ppm"))
+    // MATERIALIZATION POINT (r18, the q119 finding): dist rides the
+    // plan four ways (both self-join sides + vmass twice through the
+    // pair cross), each re-running the corpus explode + vocab join —
+    // the before-plan carried 16 parquet scans for ONE
+    // |sources|·vocab-sized table.
+    val dist = graft.CacheRegistry.getOrCache(spark,
+      s"text.srcDist:$dir")(
+      cnt.join(tot, "source")
+        .select(col("source"), col("token"), expr("(1000000 * c) div t").as("ppm")))
     val vmass = dist.groupBy(col("source")).agg(sum(col("ppm")).as("vm"))
     val common = dist.select(col("source").as("source_a"), col("token"), col("ppm").as("pa"))
       .join(dist.select(col("source").as("source_b"), col("token"), col("ppm").as("pb")),
@@ -2806,8 +2813,16 @@ object TextAnalysis {
       .join(broadcast(vocab), Seq("token"))
       .groupBy(col("cohort"), col("token")).agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("cohort")).agg(sum(col("c")).as("t"))
-    val dist = cnt.join(tot, "cohort")
-      .select(col("cohort"), col("token"), expr("(1000000 * c) div t").as("ppm"))
+    // MATERIALIZATION POINT (r18): dist rides the plan FOUR ways
+    // (vocab mass, the cohort-0 baseline, the common join's both
+    // sides' ancestry, the final left join), and each reference
+    // re-ran the corpus explode + vocab join + two aggregates — the
+    // before-plan carried 24 parquet scans of documents for what is
+    // ONE cohorts×vocab-sized table (≤ 10·|vocab| rows).
+    val dist = graft.CacheRegistry.getOrCache(docs.sparkSession,
+      s"text.cohortDist_${docs.queryExecution.analyzed.semanticHash()}")(
+      cnt.join(tot, "cohort")
+        .select(col("cohort"), col("token"), expr("(1000000 * c) div t").as("ppm")))
     val vmass = dist.groupBy(col("cohort")).agg(sum(col("ppm")).as("vm"))
     val base = dist.filter(col("cohort") === 0)
       .select(col("token"), col("ppm").as("p0"))
