@@ -2284,16 +2284,16 @@ object TextAnalysis {
     // dfreq: probe pruning + scoring; stats: probe pruning + scoring),
     // and every reference re-ran its aggregate over the cached tf
     // (~0.5 s each at sf0.1). Cached, every reuse is a doc-/vocab-/
-    // 1-row-sized scan. stats additionally collapses from an
-    // aggregate-over-dl into ONE pass over tf (n = docs with a token,
-    // tot = Σtf — the same numbers dl summed a second time).
+    // 1-row-sized scan; stats aggregates the CACHED dl (a doc-sized
+    // scan — an r18 countDistinct-over-tf variant measured SLOWER at
+    // sf10, where the distinct shuffles the corpus-sized tf grain).
     val dl = graft.CacheRegistry.getOrCache(docs.sparkSession,
       s"bm25_dl_$h")(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val dfreq = graft.CacheRegistry.getOrCache(docs.sparkSession,
       s"bm25_df_$h")(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
     val stats = graft.CacheRegistry.getOrCache(docs.sparkSession,
       s"bm25_stats_$h")(
-      tf.agg(countDistinct(col("doc_id")).as("n"), sum(col("tf")).as("tot")))
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")))
     // common-term pruning happens on the PROBE side: the df table is
     // vocab-sized, the filtered probes broadcast, and the posting join
     // then never materializes the dropped terms' corpus-sized lists
