@@ -178,6 +178,30 @@ object Probe {
       time("q66.newform2")(SparkEntry.queries("q66_source_divergence")(spark, sfDir))
     }
 
+    // --- BPE family decomposition: training wall clock (eager, collect-
+    // driven — not noop-timeable) vs the encode leg, chain vs head join
+    if (sys.env.get("GRAFT_PROBE_SET").contains("bpe")) {
+      import org.apache.spark.sql.functions._
+      def wall[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROBE $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val (_, symsW) = operators.TextAnalysis.bpeMergeRounds(docs, 4) // warmup
+      symsW.unpersist()
+      (1 to 3).foreach { i =>
+        val (rows, syms) =
+          wall(s"bpe.train_$i")(operators.TextAnalysis.bpeMergeRounds(docs, 4))
+        val merges = rows.map(r => (r._2, r._3, r._4))
+        time(s"bpe.encode_chain_$i", release = false)(
+          operators.TextAnalysis.bpeTokenCountsChain(docs, merges))
+        time(s"bpe.encode_head_$i", release = false)(
+          operators.TextAnalysis.bpeTokenCountsChain(docs, merges,
+            Some(operators.TextAnalysis.bpeHeadTypes(syms))))
+        syms.unpersist()
+      }
+    }
+
     // --- bm25 sparse-leg decomposition over the zipf corpus
     if (sys.env.get("GRAFT_PROBE_SET").contains("bm25")) {
       import org.apache.spark.sql.functions._

@@ -1403,39 +1403,59 @@ object TextAnalysis {
 
   private[graft] def bpeMergeRounds(docs: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // persist() only — no count(): the round-1 winner aggregate is the
+    // persist() only — no count(): round 1's combined aggregate is the
     // materializing action (one fewer corpus pass; guide §1.2 — don't
     // compute things you throw away)
     var syms = bpeSymsInit(docs).persist()
-    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long, Long)]()
+    // parent table of the current `syms`, kept persisted until the
+    // child materializes (the child's lineage reads the parent's cache)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    val after = scala.collection.mutable.ArrayBuffer[Long]()
+    var wTotal = 0L
     for (r <- 1 to rounds) {
-      // winner: highest weighted count, ties lexicographically — the
-      // trainBpe tie-break, pinned in both engines. 1-row collect.
-      val winner = bpePairCountsOf(syms)
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .collect()
-      require(winner.nonEmpty,
+      // ONE pass per round for (winner, total pair mass) — this was two
+      // actions/two scans before (a TakeOrdered winner collect + a
+      // separate tokens-after aggregate over the fused table; guide
+      // §1.2). The algebra: min(struct(-cnt, a, b)) IS the
+      // (cnt desc, a, b) winner — the trainBpe tie-break, pinned in
+      // both engines — and the PREVIOUS round's corpus_tokens_after
+      // falls out of this round's total pair mass with no extra scan:
+      // size(t) = pairs + 1 per word, so Σ wc·size = Σ pair mass + Σ wc,
+      // and Σ wc is round-invariant (merges fuse symbols, never drop
+      // words). Round 2 also picks up Σ wc — aggregated off the
+      // already-MATERIALIZED parent table (round 1's), so no round ever
+      // runs two subtrees over an unmaterialized cache entry.
+      val pcAgg = bpePairCountsOf(syms)
+        .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("win"),
+          sum(col("cnt")).as("pm"))
+      val combined =
+        if (r == 2) pcAgg.crossJoin(prev.agg(sum(col("wc")).as("wt")))
+        else pcAgg
+      val row = combined.collect()(0)
+      require(!row.isNullAt(row.fieldIndex("win")),
         s"corpus exhausted before $rounds merge rounds (round $r has no " +
           "remaining adjacent pair — every qualifying word fused to one symbol)")
-      val best = winner(0)
-      val (la, lb, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      val merged = la + lb
+      val win = row.getStruct(row.fieldIndex("win"))
+      val (la, lb, cnt) = (win.getString(1), win.getString(2), -win.getLong(0))
+      val pm = row.getLong(row.fieldIndex("pm"))
+      if (r == 2) wTotal = row.getLong(row.fieldIndex("wt"))
+      if (r >= 2) after += pm + wTotal // round r−1's corpus_tokens_after
+      merges += ((r, la, lb, la + lb, cnt))
       // patterns as Column LITERALS, not spliced expr() source text —
       // safe for any symbol content, not just the current
       // [a-z0-9]{2,} filter (r17 advice: the expr form was one filter
       // loosening away from a SQL-injection hazard)
-      val next = syms.withColumn("s", twoPassFuse(col("s"), la, lb, merged))
+      if (prev != null) prev.unpersist()
+      prev = syms
+      syms = syms.withColumn("s", twoPassFuse(col("s"), la, lb, la + lb))
         .persist()
-      // the tokens-after aggregate IS the materializing action for the
-      // fused table (the old count() was a redundant third pass per
-      // round); unpersist the parent only after the child is pinned
-      val tokensAfter = bpeTokensAfterOf(next).collect()(0).getLong(0)
-      syms.unpersist()
-      syms = next
-      out += ((r, la, lb, merged, cnt, tokensAfter))
     }
+    // the last round's tokens-after needs the FINAL fused table — one
+    // direct aggregate, which is also that table's materializing action
+    after += bpeTokensAfterOf(syms).collect()(0).getLong(0)
+    if (prev != null) prev.unpersist()
+    val out = merges.zip(after).map { case ((r, a, b, m, c), t) => (r, a, b, m, c, t) }
     (out.toSeq, syms)
   }
 
@@ -1524,19 +1544,26 @@ object TextAnalysis {
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    syms.unpersist()
-    bpeTokenCountsChain(docs, rows.map(r => (r._2, r._3, r._4)))
+    // the trained symbol table IS the type table — keep it persisted
+    // for the encode's broadcast head (released by the registry at
+    // query end) instead of re-deriving every word's pieces per row
+    graft.CacheRegistry.adopt(syms)
+    bpeTokenCountsChain(docs, rows.map(r => (r._2, r._3, r._4)),
+      Some(bpeHeadTypes(syms)))
   }
 
-  /** The chain-projection encode under an explicit merge table — the
-    * seam q162 and the shard-export pipeline share. `merges` rows are
-    * (lhs, rhs, fused) in training order. */
+  /** The encode under an explicit merge table — the seam q162 and the
+    * shard-export pipeline share. `merges` rows are (lhs, rhs, fused)
+    * in training order; `types` is the optional trained head-type
+    * broadcast ([[withPieceCount]]). */
   private[graft] def bpeTokenCountsChain(docs: DataFrame,
-      merges: Seq[(String, String, String)]): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("n_pieces", bpePieceCountCol(merges))
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame =
+    withPieceCount(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n")),
+      merges, types)
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_words"),
         sum(col("n") * col("n_pieces")).as("bpe_tokens"))
@@ -1554,6 +1581,43 @@ object TextAnalysis {
     when(col("w").rlike("^[a-z0-9]{2,}$"),
         size(split(trim(fusedCol), " ")).cast("long"))
       .otherwise(length(col("w")).cast("long"))
+  }
+
+  /** Broadcast head of the TRAINED type table — (w, head_pieces) for
+    * the `maxDriverTypes` highest-mass trained words, piece counts
+    * read straight off the training table's final symbol column
+    * (chain(w) ≡ s for every trained word: same initial padding, same
+    * fused pairs applied through the same [[twoPassFuse]] in training
+    * order — BpeSpec pins the equivalence). Bounded exactly as
+    * [[bpeTokenCountsOf]]'s head (TakeOrdered by corpus mass, ties by
+    * word), so on a Heaps-unbounded web vocabulary the broadcast side
+    * never exceeds the cap and tail types keep encoding in place. */
+  private[graft] def bpeHeadTypes(syms: DataFrame,
+      maxDriverTypes: Int = 1 << 20): DataFrame =
+    syms.orderBy(col("wc").desc, col("w").asc).limit(maxDriverTypes)
+      .select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("head_pieces"))
+
+  /** The n_pieces projection over a word-grain aggregate: with a
+    * trained head-type table, each distinct head word is priced ONCE
+    * (during training — the broadcast join just reads it back) instead
+    * of re-evaluating the 2R-replace chain per (doc, word) row (guide
+    * §1.2/§3 — the chain is a pure function of `w`, so per-row
+    * re-evaluation over the corpus aggregate was N_rows/N_types
+    * redundant work); tail/unseen words fall back to the in-place
+    * chain (`coalesce` and `CaseWhen` evaluate lazily under codegen,
+    * so head rows never run the chain). Values are identical by the
+    * chain ≡ s equivalence. Without a head table (the stored-merges
+    * admit path, delta-sized batches) the chain applies in place as
+    * before. */
+  private def withPieceCount(grouped: DataFrame,
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame]): DataFrame = types match {
+    case Some(t) =>
+      grouped.join(broadcast(t), Seq("w"), "left")
+        .withColumn("n_pieces", coalesce(col("head_pieces"), bpePieceCountCol(merges)))
+        .drop("head_pieces")
+    case None =>
+      grouped.withColumn("n_pieces", bpePieceCountCol(merges))
   }
 
   /** q162's oracle: the q161 chain to s{R}, then the same word-type
@@ -1606,8 +1670,9 @@ object TextAnalysis {
   def shardManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    syms.unpersist()
-    shardManifestOf(docs, rows.map(r => (r._2, r._3, r._4)))
+    graft.CacheRegistry.adopt(syms)
+    shardManifestOf(docs, rows.map(r => (r._2, r._3, r._4)),
+      Some(bpeHeadTypes(syms)))
   }
 
   /** Per-document shard assignment under an explicit merge table —
@@ -1615,8 +1680,9 @@ object TextAnalysis {
     * ShardExport publish share, so the oracled manifest and the
     * published files agree by construction. */
   private[graft] def shardAssignOf(docs: DataFrame,
-      merges: Seq[(String, String, String)]): DataFrame =
-    shardOffsetsOf(docs, merges)
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame =
+    shardOffsetsOf(docs, merges, types)
       .withColumn("shard_id", expr(s"off div $ShardBudget"))
       .select(col("doc_id"), col("source"), col("bpe_tokens"), col("shard_id"))
 
@@ -1626,13 +1692,15 @@ object TextAnalysis {
     * shifts `off` to the corpus offset BEFORE the shard-id floor
     * (flooring first would lose the within-shard position). */
   private[graft] def shardOffsetsOf(docs: DataFrame,
-      merges: Seq[(String, String, String)]): DataFrame = {
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("doc_id"), col("source"), col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("n_pieces", bpePieceCountCol(merges))
+    withPieceCount(
+      docs.select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("source"), col("w")).agg(count(lit(1)).as("n")),
+      merges, types)
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n") * col("n_pieces")).as("bpe_tokens"))
       .withColumn("off", sum(col("bpe_tokens")).over(w) - col("bpe_tokens"))
@@ -1642,8 +1710,9 @@ object TextAnalysis {
   /** [[shardManifest]] over an arbitrary (doc_id, source, text) frame
     * and merge table. */
   def shardManifestOf(docs: DataFrame,
-      merges: Seq[(String, String, String)]): DataFrame =
-    shardAssignOf(docs, merges)
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame =
+    shardAssignOf(docs, merges, types)
       .groupBy(col("source"), col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1734,10 +1803,14 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(col("doc_id") % DriftHoldoutMod =!= (DriftHoldoutMod - 1))
     val (rows, syms) = bpeMergeRounds(train, BpeOracleRounds)
-    syms.unpersist()
+    graft.CacheRegistry.adopt(syms)
+    // the head covers TRAINING-split words only; holdout-only words
+    // fall back to the in-place chain — exactly the frozen-tokenizer
+    // semantics (the oracle replays the chain over unseen words too)
     tokenizerDriftOf(docs,
       col("doc_id") % DriftHoldoutMod === (DriftHoldoutMod - 1),
-      rows.map(r => (r._2, r._3, r._4)))
+      rows.map(r => (r._2, r._3, r._4)),
+      Some(bpeHeadTypes(syms)))
   }
 
   /** [[tokenizerDrift]] over an arbitrary (doc_id, source, text)
@@ -1745,13 +1818,15 @@ object TextAnalysis {
     * deployment points at its admitted batches with the STORED
     * merges ([[graft.pipeline.ShardExport.loadMerges]]). */
   def tokenizerDriftOf(docs: DataFrame, holdout: Column,
-      merges: Seq[(String, String, String)]): DataFrame =
-    docs.select(col("source"), holdout.as("is_holdout"),
-        explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("source"), col("is_holdout"), col("w"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("n_pieces", bpePieceCountCol(merges))
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame =
+    withPieceCount(
+      docs.select(col("source"), holdout.as("is_holdout"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("is_holdout"), col("w"))
+        .agg(count(lit(1)).as("n")),
+      merges, types)
       .groupBy(col("source"))
       .agg(
         coalesce(sum(when(!col("is_holdout"), col("n"))), lit(0L)).as("train_words"),
@@ -1837,17 +1912,18 @@ object TextAnalysis {
   def retractedShardManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    syms.unpersist()
+    graft.CacheRegistry.adopt(syms)
     retractedShardManifestOf(docs, col("doc_id") % RetractMod === 0,
-      rows.map(r => (r._2, r._3, r._4)))
+      rows.map(r => (r._2, r._3, r._4)), Some(bpeHeadTypes(syms)))
   }
 
   /** [[retractedShardManifest]] over an arbitrary frame, retraction
     * predicate (on the assigned (doc_id, source, bpe_tokens,
     * shard_id) row), and merge table. */
   def retractedShardManifestOf(docs: DataFrame, retracted: Column,
-      merges: Seq[(String, String, String)]): DataFrame =
-    shardAssignOf(docs, merges)
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame =
+    shardAssignOf(docs, merges, types)
       .filter(!retracted)
       .groupBy(col("source"), col("shard_id"))
       .agg(
@@ -1892,14 +1968,16 @@ object TextAnalysis {
   def sequenceManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    syms.unpersist()
-    sequenceManifestOf(docs, rows.map(r => (r._2, r._3, r._4)))
+    graft.CacheRegistry.adopt(syms)
+    sequenceManifestOf(docs, rows.map(r => (r._2, r._3, r._4)),
+      Some(bpeHeadTypes(syms)))
   }
 
   /** [[sequenceManifest]] over an arbitrary frame and merge table. */
   def sequenceManifestOf(docs: DataFrame,
-      merges: Seq[(String, String, String)]): DataFrame =
-    shardOffsetsOf(docs, merges)
+      merges: Seq[(String, String, String)],
+      types: Option[DataFrame] = None): DataFrame =
+    shardOffsetsOf(docs, merges, types)
       .withColumn("seq_id",
         explode(sequence(expr(s"off div $SeqLen"),
           expr(s"(off + bpe_tokens - 1) div $SeqLen"))))

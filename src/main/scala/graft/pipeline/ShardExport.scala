@@ -44,9 +44,10 @@ object ShardExport {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val (mergeRows, syms) = TextAnalysis.bpeMergeRounds(docs, TextAnalysis.BpeOracleRounds)
-    syms.unpersist()
     val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
-    publishBatch(docs, mergeRows.map(r => (r._2, r._3, r._4)), empty, outDir)._1
+    try publishBatch(docs, mergeRows.map(r => (r._2, r._3, r._4)), empty, outDir,
+      Some(TextAnalysis.bpeHeadTypes(syms)))._1
+    finally syms.unpersist()
   }
 
   // ------------------------------------------- incremental admission
@@ -68,9 +69,10 @@ object ShardExport {
   private def publishBatch(docs: DataFrame,
       merges: Seq[(String, String, String)],
       baseTails: DataFrame,
-      outDir: String): (Seq[ShardStage], Seq[(String, Long, Long)]) = {
+      outDir: String,
+      types: Option[DataFrame] = None): (Seq[ShardStage], Seq[(String, Long, Long)]) = {
     val oPublish = Observation()
-    val offsets = TextAnalysis.shardOffsetsOf(docs, merges)
+    val offsets = TextAnalysis.shardOffsetsOf(docs, merges, types)
       .join(broadcast(baseTails), Seq("source"), "left")
       .withColumn("base", coalesce(col("next_off"), lit(0L)))
       .withColumn("shard_id",
@@ -134,16 +136,18 @@ object ShardExport {
     val spark = docs.sparkSession
     import spark.implicits._
     val (mergeRows, syms) = TextAnalysis.bpeMergeRounds(docs, TextAnalysis.BpeOracleRounds)
-    syms.unpersist()
-    FpIndex.saveFlat(s"$indexPath/merges",
-      mergeRows.map(r => (r._1, r._2, r._3, r._4))
-        .toDF("round", "lhs", "rhs", "merged"))
-    val merges = mergeRows.map(r => (r._2, r._3, r._4))
-    val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
-    val (stages, tails) = publishBatch(docs, merges, empty, outDir)
-    FpIndex.saveFlat(s"$indexPath/tails",
-      tails.toDF("source", "next_off", "max_doc"))
-    stages
+    try {
+      FpIndex.saveFlat(s"$indexPath/merges",
+        mergeRows.map(r => (r._1, r._2, r._3, r._4))
+          .toDF("round", "lhs", "rhs", "merged"))
+      val merges = mergeRows.map(r => (r._2, r._3, r._4))
+      val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
+      val (stages, tails) = publishBatch(docs, merges, empty, outDir,
+        Some(TextAnalysis.bpeHeadTypes(syms)))
+      FpIndex.saveFlat(s"$indexPath/tails",
+        tails.toDF("source", "next_off", "max_doc"))
+      stages
+    } finally syms.unpersist()
   }
 
   /** Load the stored merge table in training order. */

@@ -259,6 +259,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("r19 encode head/tail seam: the trained head-type broadcast (pieces " +
+      "read off the training table) equals the pure chain projection, " +
+      "including under a 4-type cap that forces tail words onto the chain") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val (rows, syms) = TextAnalysis.bpeMergeRounds(docs, 4)
+    val merges = rows.map(r => (r._2, r._3, r._4))
+    def counts(types: Option[org.apache.spark.sql.DataFrame]) =
+      TextAnalysis.bpeTokenCountsChain(docs, merges, types).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"),
+            r.getAs[Long]("pieces_per_word_x100"))).toMap
+    val chainOnly = counts(None)
+    val fullHead = counts(Some(TextAnalysis.bpeHeadTypes(syms)))
+    val cappedHead = counts(Some(TextAnalysis.bpeHeadTypes(syms, maxDriverTypes = 4)))
+    syms.unpersist()
+    assert(chainOnly.nonEmpty)
+    assert(fullHead == chainOnly, "full head-type join diverged from the chain")
+    assert(cappedHead == chainOnly, "capped head (tail via chain) diverged")
+  }
+
   test("q161 degenerate corpus: training past pair exhaustion fails fast " +
       "with the documented message instead of an IndexOutOfBounds (r17 advice)") {
     import spark.implicits._
