@@ -79,6 +79,14 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query first-execution (warmup) seconds — the cold run that
+    // BUILDS each query's CacheRegistry/ModelRegistry entries before
+    // the recorded reps serve from them (r18 verdict ask #3: the warm
+    // median alone under-reports queries whose dominant subtree sits
+    // behind a materialization point; this exposes the build cost
+    // without changing the recorded metric). Additions-only: the
+    // `queries` map and the `value` total are untouched.
+    val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
 
     def loadavg(): String =
@@ -133,6 +141,7 @@ object Bench {
     // the final summary line is printed both before and after teardown.
     def summaryJson(): String = {
       val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      val ws = warmups.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       val calEndJson = if (calibrationEnd >= 0) calibrationEnd.toString else "null"
@@ -148,7 +157,7 @@ object Bench {
       val loadWarn = calibrationStart > CalibrationBandSec ||
         (calibrationEnd >= 0 && calibrationEnd > CalibrationBandSec) ||
         loadavgWarn
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$ws,"errors":$errs,"n":$Reps,"warmup":1,"sf":${jstr(sfDir)},""" +
         s""""calibration_sec":$calibrationStart,"calibration_end_sec":$calEndJson,""" +
         s""""calibration_band_sec":$CalibrationBandSec,"load_warn":$loadWarn,""" +
         s""""loadavg_warn":$loadavgWarn,"loadavg_threshold":$loadThresh,""" +
@@ -169,7 +178,7 @@ object Bench {
       .foreach { case (name, fn) =>
       val t =
         try {
-          runOnce(fn) // warmup (not recorded)
+          warmups(name) = runOnce(fn) // warmup (not part of the median)
           val times = (1 to Reps).map(_ => runOnce(fn)).sorted
           times(Reps / 2) // median
         } catch {
