@@ -178,6 +178,66 @@ object Probe {
       time("q66.newform2")(SparkEntry.queries("q66_source_divergence")(spark, sfDir))
     }
 
+    // --- q120 containment dedup decomposition
+    if (sys.env.get("GRAFT_PROBE_SET").contains("q120")) {
+      import org.apache.spark.sql.functions._
+      val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val off = base.agg((max(col("doc_id")) + lit(1L)).as("off"))
+      val trunc = base.crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "CAST(greatest(size(split(text, ' ')) div 2, 3) AS INT)), ' ')")
+            .as("text"))
+        .filter(size(split(col("text"), " ")) >= 3)
+      val sh = operators.Dedup.shingleTable(base.unionAll(trunc))
+      def exkRaw = {
+        val ex = sh.select(col("doc_id"), explode(col("hh")).as("h"))
+        val keep = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 50)
+          .select(col("h"))
+        ex.join(keep, "h")
+      }
+      time("q120.exk_build", release = true)(exkRaw)
+      val exk = CacheRegistry.getOrCache(spark, "probe.q120exk")(exkRaw)
+      time("q120.exk_cached_scan", release = false)(exk)
+      time("q120.nk", release = false)(
+        exk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept")))
+      time("q120.pairs", release = false)(
+        exk.as("a").join(exk.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter")))
+      time("q120.pairs_shufflehash", release = false)(
+        exk.as("a").hint("shuffle_hash").join(exk.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter")))
+      CacheRegistry.releaseAll()
+      time("q120.full")(SparkEntry.queries("q120_containment_dedup")(spark, sfDir))
+    }
+
+    // --- q100 basket lift decomposition
+    if (sys.env.get("GRAFT_PROBE_SET").contains("q100")) {
+      import org.apache.spark.sql.functions._
+      def basketsRaw = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      time("q100.baskets_build", release = true)(basketsRaw)
+      val baskets = CacheRegistry.getOrCache(spark, "probe.q100baskets")(basketsRaw)
+      time("q100.baskets_cached_scan", release = false)(baskets)
+      def pairsOf(b: org.apache.spark.sql.DataFrame, hint: Boolean) = {
+        val left = if (hint) b.select(col("o"), col("p").as("pa")).hint("shuffle_hash")
+          else b.select(col("o"), col("p").as("pa"))
+        left.join(b.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+      }
+      time("q100.pairs_smj_cached", release = false)(pairsOf(baskets, hint = false))
+      time("q100.pairs_shj_cached", release = false)(pairsOf(baskets, hint = true))
+      CacheRegistry.releaseAll()
+      time("q100.full")(SparkEntry.queries("q100_basket_lift")(spark, sfDir))
+    }
+
     // --- BPE family decomposition: training wall clock (eager, collect-
     // driven — not noop-timeable) vs the encode leg, chain vs head join
     if (sys.env.get("GRAFT_PROBE_SET").contains("bpe")) {

@@ -307,7 +307,11 @@ object Dedup {
     }
     val exk = cacheKey.fold(exk0)(key =>
       graft.CacheRegistry.getOrCache(sh.sparkSession, key)(exk0))
-    val pairs = exk.as("a")
+    // shuffled-hash, not sort-merge (guide §3.1; the q120 probe: the
+    // identical df-capped posting self-join 2.63 s SMJ → 1.20 s SHJ):
+    // build side bounded per partition by the df cap's hash-uniform
+    // keys, and the downstream hash aggregate never uses a sort order
+    val pairs = exk.as("a").hint("shuffle_hash")
       .join(exk.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
@@ -494,6 +498,12 @@ object Dedup {
         .select(col("band"), col("bval"))
       cached.join(broadcast(hot), Seq("band", "bval"), "left_anti")
     }
+    // sort-merge kept DELIBERATELY (r19 negative result): a
+    // shuffle_hash hint here measured 1.18 → 1.29/1.34 s (c8, sf0.1) —
+    // the composite (band, bval) key spreads rows so thin that the
+    // per-partition hash build costs more than the sort the simhash
+    // distinct tail partially reuses. q19/q120's single-hash-key
+    // posting joins are where SHJ wins (see ngramJaccard).
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -1253,6 +1263,10 @@ object Dedup {
     val hot = uniq.groupBy(col("fh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("fh"))
     val kept = uniq.join(broadcast(hot), Seq("fh"), "left_anti")
+    // sort-merge kept DELIBERATELY (r19 negative result): shuffle_hash
+    // here measured 0.84 → 0.91/0.97 s (c8, sf0.1) — the frame table is
+    // distinct-deduped and df-capped so small per key that the SMJ sort
+    // is already cheap and the hash build is pure overhead.
     kept.as("a")
       .join(kept.as("b"),
         col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
@@ -1354,7 +1368,13 @@ object Dedup {
       ex.join(keep, "h")
     }
     val nk = exk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
-    val pairs = exk.as("a")
+    // shuffled-hash, not sort-merge (guide §3.1): both sides are the
+    // cached df-capped posting table — per-partition build size is
+    // bounded and hash-uniform (df ≤ 50 caps any key's fan-out, the
+    // keys are polyhash values), and the pair stream feeds a hash
+    // aggregate that never needs the sort order SMJ pays for. Probe
+    // (c8, sf0.1): the pair join alone 2.63 s SMJ → 1.20 s SHJ.
+    val pairs = exk.as("a").hint("shuffle_hash")
       .join(exk.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
