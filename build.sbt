@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the ScalaTest report (what the budget split
+// below is tuned against).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
+// Long soak-style tests (multi-wave streaming admissions, decade
+// ladders) are tagged graft.Slow and EXCLUDED from the default
+// `sbt test` target so the default suite fits the driver's test
+// budget (r18 verdict ask #7 — the r18 run took 23m44s and the
+// driver's capture died mid-suite). Run the full set with
+// `GRAFT_RUN_SLOW=1 sbt test`, or only the slow set with
+// `sbt "testOnly * -- -n graft.Slow"`.
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_RUN_SLOW")) Seq.empty[Tests.Argument]
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
 // Pass the forked JVM's stdout through verbatim instead of logging it
 // with an `[info] ` prefix: the driver parses Bench's single JSON
 // stdout line, and the prefix broke that parse (BENCH_r02 "parsed":

@@ -216,6 +216,31 @@ object Probe {
       time("q120.full")(SparkEntry.queries("q120_containment_dedup")(spark, sfDir))
     }
 
+    // --- q157 trained-serve lifecycle decomposition (train/build/serve)
+    if (sys.env.get("GRAFT_PROBE_SET").contains("q157")) {
+      import operators.Similarity
+      def wall[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"PROBE $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      }
+      val v = Similarity.plantedVectors(spark, sfDir)
+      (1 to 3).foreach { i =>
+        val indexPath =
+          java.nio.file.Files.createTempDirectory("graft-probe-q157").toString
+        val cents = wall(s"q157.train_$i")(
+          Similarity.trainExactPrunedQuantizer(v))
+        wall(s"q157.buildstore_$i")(
+          Similarity.buildExactPrunedIndexWithQuantizer(v, cents, indexPath,
+            cacheKey = Some(s"probe.plantCells:$sfDir")))
+        time(s"q157.serve_$i", release = false)(
+          Similarity.exactPrunedTopKServeOf(v,
+            org.apache.spark.sql.functions.expr("vec_id % 25 = 0"),
+            indexPath, 4, 5,
+            cacheKey = Some(s"probe.plantCells:$sfDir")))
+        CacheRegistry.releaseAll()
+      }
+    }
+
     // --- q100 basket lift decomposition
     if (sys.env.get("GRAFT_PROBE_SET").contains("q100")) {
       import org.apache.spark.sql.functions._

@@ -744,7 +744,7 @@ class ClusteringSpec extends AnyFunSuite {
   }
 
   test("semantic survivors: one row per q139 group; survivor is the max-dist " +
-      "member (ties to smaller id, the q127 diversity rule); dropped = gsize-1") {
+      "member (ties to smaller id, the q127 diversity rule); dropped = gsize-1", Slow) {
     CacheRegistry.releaseAll()
     val groups = Clustering.semanticDedupGroups(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -13,7 +13,7 @@ class ComponentsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("q60: endpoints of every verified pair share a rep; rep is the member minimum; csize = member count") {
+  test("q60: endpoints of every verified pair share a rep; rep is the member minimum; csize = member count", Slow) {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
     assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
@@ -52,7 +52,7 @@ class ComponentsSpec extends AnyFunSuite {
       6L -> ((2L, 6L, 20L, 1L, 20L))), s"survivorship was $got")
   }
 
-  test("q91 dedupSurvivors: one row per q60 cluster; survivor is the argmax member; drop accounting conserves") {
+  test("q91 dedupSurvivors: one row per q60 cluster; survivor is the argmax member; drop accounting conserves", Slow) {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "n_chars").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -76,7 +76,7 @@ class ComponentsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
-  test("q94 leakageSplitOf: naive split leaks the planted straddling pair; cluster key contains it") {
+  test("q94 leakageSplitOf: naive split leaks the planted straddling pair; cluster key contains it", Slow) {
     import spark.implicits._
     // naive buckets: 1→61(train) 2→26(train) 3→87(val) 5→17(train)
     // 11→95(test) 35→19(train). Edge (1,3) straddles train/val under
@@ -147,7 +147,7 @@ class ComponentsSpec extends AnyFunSuite {
 
   test("q95 lineage control (round-15 verdict #3): checkpointed loop is " +
       "bit-identical to the unbroken-lineage loop, and at iters=50 the plan " +
-      "depth stays bounded per round") {
+      "depth stays bounded per round", Slow) {
     import spark.implicits._
     val es = Seq((0L, 2L), (0L, 4L), (0L, 6L), (0L, 8L), (10L, 12L), (4L, 6L))
     // equality: a checkpoint only truncates lineage, never changes rows
@@ -210,7 +210,7 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum % 3 == 0, "every triangle has exactly 3 corners")
   }
 
-  test("q99 fixture: per-node counts ≡ brute-force over the q18 pair graph; chain-merged clusters expose coeff 0") {
+  test("q99 fixture: per-node counts ≡ brute-force over the q18 pair graph; chain-merged clusters expose coeff 0", Slow) {
     val pairs = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSeq
     val want = triReplay(pairs)

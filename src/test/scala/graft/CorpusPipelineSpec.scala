@@ -86,7 +86,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"all 64 chain nodes must collapse to representative 1; got reps ${comps.values.toSet}")
   }
 
-  test("property: distributed components ≡ driver-side union-find on random graphs") {
+  test("property: distributed components ≡ driver-side union-find on random graphs", Slow) {
     import spark.implicits._
     import graft.operators.Components
     (0 until 3).foreach { round =>
@@ -111,7 +111,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("funnel with a synthetic (1,2),(2,3),(3,4) chain keeps exactly one representative") {
+  test("funnel with a synthetic (1,2),(2,3),(3,4) chain keeps exactly one representative", Slow) {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_corpus_chain").toString
     // find four doc_ids that certainly survive quality gate + exact
@@ -153,7 +153,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
   }
 
   test("q123 report ≡ run(): the oracled funnel table and the Observation-metric " +
-      "pipeline agree stage by stage; retention is monotone") {
+      "pipeline agree stage by stage; retention is monotone", Slow) {
     CacheRegistry.releaseAll()
     val out = java.nio.file.Files.createTempDirectory("graft-funnel-q123").toString
     val fromRun = CorpusPipeline.run(spark, sf, s"$out/corpus")

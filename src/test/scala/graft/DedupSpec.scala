@@ -89,7 +89,7 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("minhash-LSH recall: finds every brute-force pair at jaccard ≥ 0.9") {
+  test("minhash-LSH recall: finds every brute-force pair at jaccard ≥ 0.9", Slow) {
     // brute force over the small sf via the inverted index WITHOUT the
     // df cap and with threshold 0.9 (planted dups are ≥0.97, so any
     // LSH miss would show here)
@@ -606,7 +606,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("stored KMV sketch is MERGEABLE: build → delta-admit a batch → merged " +
       "load equals a full rebuild over corpus ∪ batch; replay adds nothing; " +
-      "served overlaps need zero corpus work") {
+      "served overlaps need zero corpus work", Slow) {
     import spark.implicits._
     CacheRegistry.releaseAll()
     val path = java.nio.file.Files.createTempDirectory("graft-kmvsketch").toString
@@ -683,7 +683,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("q120 containment dedup: full driver replay; every planted prefix truncation " +
-      "surfaces at containment 1e6 with the subset signature") {
+      "surfaces at containment 1e6 with the subset signature", Slow) {
     def polyhash(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
     val base = spark.read.parquet(s"$sf/documents.parquet")

@@ -43,7 +43,7 @@ class IndexBuildSpec extends AnyFunSuite {
   }
 
   test("one build job → a fresh session serves the full text surface row-equal " +
-      "to in-session builds, scanning ONLY stored index tables (zero corpus recompute)") {
+      "to in-session builds, scanning ONLY stored index tables (zero corpus recompute)", Slow) {
     val r = root
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     // expected rows from IN-SESSION builds (the corpus-sized path)
@@ -211,7 +211,7 @@ class IndexBuildSpec extends AnyFunSuite {
   }
 
   test("nightly re-run: buildAll over a live root cuts every table over " +
-      "atomically; a session pinned at open is unaffected") {
+      "atomically; a session pinned at open is unaffected", Slow) {
     val r = root
     val pinnedSession = spark.newSession()
     val pinnedIdx = IndexBuild.loadAll(pinnedSession, r) // pinned by default

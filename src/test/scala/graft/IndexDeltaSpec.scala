@@ -289,7 +289,7 @@ class IndexDeltaSpec extends AnyFunSuite {
   }
 
   test("admitDocs: batch 2 is gated against batch 1's ADMISSIONS (exact and " +
-      "near-dup), and a wholesale replay admits nothing") {
+      "near-dup), and a wholesale replay admits nothing", Slow) {
     import spark.implicits._
     CacheRegistry.releaseAll()
     val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
@@ -619,7 +619,7 @@ class IndexDeltaSpec extends AnyFunSuite {
 
   test("IVF+SQ8 streaming gate (round-15 ask #6): foreachBatch arrivals " +
       "probe the STORED composed tier — batch 1's admission gates batch 2's " +
-      "near-dup and replay; far vectors keep admitting") {
+      "near-dup and replay; far vectors keep admitting", Slow) {
     import spark.implicits._
     import graft.operators.Similarity
     implicit val ctx = spark.sqlContext
@@ -863,7 +863,7 @@ class IndexDeltaSpec extends AnyFunSuite {
 
   test("refreshIfStaleHier closes the two-level loop (round-14 ask #2a): " +
       "below threshold nothing commits; planted drift retrains the hier unit " +
-      "through generation-append cutovers and pinned readers keep serving") {
+      "through generation-append cutovers and pinned readers keep serving", Slow) {
     import spark.implicits._
     CacheRegistry.releaseAll()
     val root = tmp("hrefresh")
@@ -898,7 +898,7 @@ class IndexDeltaSpec extends AnyFunSuite {
 
   test("text-side staleness trigger (round-14 ask #2b): admitted-key growth " +
       "vs the build stamp; below threshold no-op; past it the postings " +
-      "rebuild + meta re-stamp reset the signal; pinned readers keep serving") {
+      "rebuild + meta re-stamp reset the signal; pinned readers keep serving", Slow) {
     import spark.implicits._
     CacheRegistry.releaseAll()
     val corpus = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")

@@ -104,7 +104,7 @@ class LangIdSpec extends AnyFunSuite {
       wrong.map(r => s"  ${r.getString(0)} -> ${r.getString(1)}: ${r.getString(2)}").mkString("\n"))
   }
 
-  test("TrigramLangScores expression ≡ per-language HOF specification (codegen.fallback=false)") {
+  test("TrigramLangScores expression ≡ per-language HOF specification (codegen.fallback=false)", Slow) {
     import org.apache.spark.sql.GraftSqlBridge
     import graft.functions.{TrigramLangScores, TrigramProfiles}
     val prev = spark.conf.get("spark.sql.codegen.fallback")

@@ -147,7 +147,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // posting join, fusion and rerank stay equi-key
       "q165_filtered_hybrid")
 
-  test("no query plans a CartesianProduct; nested-loop joins only where documented") {
+  test("no query plans a CartesianProduct; nested-loop joins only where documented", Slow) {
     // planFrames: the round-internal plans of eager driver-looped
     // queries (q161's training rounds) — swept with the same
     // assertions so eager loops can't hide a cartesian (r17 verdict)
@@ -250,7 +250,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(onePass < legs, s"one-pass=$onePass must beat six-leg=$legs")
   }
 
-  test("text/dedup/similarity hot paths carry no interpreted HOF lambda (the q43/q52 trap)") {
+  test("text/dedup/similarity hot paths carry no interpreted HOF lambda (the q43/q52 trap)", Slow) {
     // Spark higher-order functions are CodegenFallback: a lambda on a
     // per-token/per-gram/per-element path reverts the scan to the
     // interpreter — q43 cost 230 s and q52 11 s that way before their

@@ -115,7 +115,7 @@ class ShardExportSpec extends AnyFunSuite {
       "a fresh session re-reads the table to exactly the q167 oracle form " +
       "(original shard ids, underfull shards, no repack), untouched files " +
       "survive by name, and a later admission still appends at the stored " +
-      "tail (retraction commutes with admission)") {
+      "tail (retraction commutes with admission)", Slow) {
     import graft.sources.ManifestSink
     val out = java.nio.file.Files.createTempDirectory("graft-shard-ret").toString
     val idx = java.nio.file.Files.createTempDirectory("graft-shard-ridx").toString
@@ -193,7 +193,7 @@ class ShardExportSpec extends AnyFunSuite {
   test("streaming shard admission: micro-batches driven through foreachBatch " +
       "feed ShardExport.admit under the streaming runtime — the frozen " +
       "tokenizer and stored tails carry across epochs, and the published " +
-      "table equals the one-shot export over everything that arrived") {
+      "table equals the one-shot export over everything that arrived", Slow) {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-shard-stream").toString

@@ -692,7 +692,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("q153/q154 sampled audits (round-15 ask #2): when the full query set " +
       "fits the sample bound they equal their exact parents row-for-row — " +
       "the sampling changes |Q|, never the arithmetic; and both are " +
-      "deterministic across runs") {
+      "deterministic across runs", Slow) {
     // sf0.001 has fewer query vectors than AuditSampleQ, so the
     // TakeOrdered sample IS the full query set and the sampled twins
     // must reproduce q88/q109 exactly — pinning that the only thing
@@ -723,7 +723,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("q153/q154 at sf0.1: the sample genuinely CUTS (|Q| = 200 > 32) and " +
       "every predicate-pushed leg equals its post-filtered full run — the " +
-      "per-query-independence claim tested where it matters") {
+      "per-query-independence claim tested where it matters", Slow) {
     // sf0.001/sf0.01 hold <= 32 queries, so the equality spec above and
     // the sf0.01 oracle never exercise the cut; this is the fixture
     // where sampling actually samples.
@@ -873,7 +873,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("q163 filtered serve: exact at every selectivity (~100%, ~10%, " +
       "starved ~0.4%) against a brute filtered scan, and k re-satisfies to " +
-      "the filtered-corpus size when fewer than k candidates exist") {
+      "the filtered-corpus size when fewer than k candidates exist", Slow) {
     val dir = "/root/testdata/sf0.01"
     val v = Similarity.plantedVectors(spark, dir)
     val qPred = expr("vec_id % 25 = 0")
@@ -925,7 +925,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("q160 full form under an explicit query-id set (the fixed-|Q| fixture " +
       "verb): at the full fixture |Q| it reproduces the oracled q160 " +
       "row-for-row — both dense legs are exact and the sparse/fusion code " +
-      "is shared, so the parameterization cannot drift") {
+      "is shared, so the parameterization cannot drift", Slow) {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
       val r = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
@@ -943,7 +943,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("q156 two-level bound: identical rows to q155 and the brute force " +
       "(the composed triangle bound stays lossless), and level 1 cuts the " +
-      "per-query cell-bound rows well below ncells") {
+      "per-query cell-bound rows well below ncells", Slow) {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
       val r = df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(" "))
       CacheRegistry.releaseAll()

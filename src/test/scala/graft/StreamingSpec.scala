@@ -165,7 +165,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming VIDEO near-dup ingest: an arriving trimmed + frame-noised re-encode " +
-      "out-votes its corruption against the stored frame index, append-legal") {
+      "out-votes its corruption against the stored frame index, append-legal", Slow) {
     import spark.implicits._
     import graft.functions.VideoHash
     import graft.multimodal.Media
@@ -750,7 +750,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming curation gate, windowed form: verdicts emit in append mode " +
-      "once the watermark closes the window, and equal the global form's") {
+      "once the watermark closes the window, and equal the global form's", Slow) {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val foxText =
@@ -926,7 +926,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming cluster drift: windows close past the watermark; per-window " +
-      "foreachBatch verdicts are bit-equal to batch clusterDriftOf on each slice") {
+      "foreachBatch verdicts are bit-equal to batch clusterDriftOf on each slice", Slow) {
     import spark.implicits._
     import graft.operators.Clustering
     implicit val ctx = spark.sqlContext
