@@ -82,22 +82,6 @@ object CacheRegistry {
 
   private val entries = mutable.LinkedHashMap[Key, Cell]()
 
-  /** Frames persisted OUTSIDE the registry (an eager training loop's
-    * final table — [[graft.operators.TextAnalysis.bpeMergeRounds]]
-    * persists its rounds itself and the LAST one outlives the call as
-    * the encode join's build side) whose lifecycle is handed to the
-    * next [[releaseAll]]. No memoization — every call registers its
-    * own frame; the name is evidence for debugging only. */
-  private val adopted = mutable.ListBuffer[DataFrame]()
-
-  /** Hand an already-persisted frame to the registry's lifecycle: it
-    * is unpersisted at the next [[releaseAll]] exactly like a
-    * [[getOrCache]] entry. The caller must NOT unpersist it itself. */
-  def adopt(df: DataFrame): DataFrame = {
-    synchronized { adopted += df }
-    df
-  }
-
   /** Memoized persist: builds + persists on first use per (session,
     * key), returns the same persisted DataFrame afterwards. The build
     * itself runs outside the registry monitor (per-key latch). */
@@ -128,16 +112,10 @@ object CacheRegistry {
     * Driver-side models memoized in [[ModelRegistry]] share this
     * lifecycle: one release point per query (Bench) / dump (Verify). */
   def releaseAll(): Unit = {
-    val (cells, handed) = synchronized {
+    val cells = synchronized {
       val c = entries.values.toList
       entries.clear()
-      val h = adopted.toList
-      adopted.clear()
-      (c, h)
-    }
-    handed.foreach { df =>
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      c
     }
     cells.foreach { cell =>
       // mark BEFORE peeking: a build completing concurrently either

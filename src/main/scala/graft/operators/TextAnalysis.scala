@@ -1544,12 +1544,12 @@ object TextAnalysis {
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    // the trained symbol table IS the type table — keep it persisted
-    // for the encode's broadcast head (released by the registry at
-    // query end) instead of re-deriving every word's pieces per row
-    graft.CacheRegistry.adopt(syms)
-    bpeTokenCountsChain(docs, rows.map(r => (r._2, r._3, r._4)),
-      Some(bpeHeadTypes(syms)))
+    // the trained symbol table IS the type table — read the bounded
+    // head off it (one local collect) instead of re-deriving every
+    // word's pieces per row, then drop it
+    val types = bpeHeadTypes(syms)
+    syms.unpersist()
+    bpeTokenCountsChain(docs, rows.map(r => (r._2, r._3, r._4)), Some(types))
   }
 
   /** The encode under an explicit merge table — the seam q162 and the
@@ -1590,12 +1590,25 @@ object TextAnalysis {
     * fused pairs applied through the same [[twoPassFuse]] in training
     * order — BpeSpec pins the equivalence). Bounded exactly as
     * [[bpeTokenCountsOf]]'s head (TakeOrdered by corpus mass, ties by
-    * word), so on a Heaps-unbounded web vocabulary the broadcast side
-    * never exceeds the cap and tail types keep encoding in place. */
+    * word, COLLECTED under the cap — the same driver-boundedness
+    * contract), so on a Heaps-unbounded web vocabulary the broadcast
+    * side never exceeds the cap and tail types keep encoding in
+    * place. Returns a LOCAL relation, eagerly collected while the
+    * training table is still persisted: keeping `syms` itself alive
+    * as the broadcast build side left its 5-deep InMemoryRelation
+    * lineage registered in the CacheManager for the query's lifetime,
+    * and every later action paid plan-canonicalization against those
+    * trees — measured as 2–10× run-to-run swings on the BPE family
+    * (driver-side, invisible to the calibration probe). The caller
+    * unpersists `syms` right after this returns. */
   private[graft] def bpeHeadTypes(syms: DataFrame,
-      maxDriverTypes: Int = 1 << 20): DataFrame =
+      maxDriverTypes: Int = 1 << 20): DataFrame = {
+    val spark = syms.sparkSession
+    import spark.implicits._
     syms.orderBy(col("wc").desc, col("w").asc).limit(maxDriverTypes)
       .select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("head_pieces"))
+      .as[(String, Long)].collect().toSeq.toDF("w", "head_pieces")
+  }
 
   /** The n_pieces projection over a word-grain aggregate: with a
     * trained head-type table, each distinct head word is priced ONCE
@@ -1670,9 +1683,9 @@ object TextAnalysis {
   def shardManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    graft.CacheRegistry.adopt(syms)
-    shardManifestOf(docs, rows.map(r => (r._2, r._3, r._4)),
-      Some(bpeHeadTypes(syms)))
+    val types = bpeHeadTypes(syms)
+    syms.unpersist()
+    shardManifestOf(docs, rows.map(r => (r._2, r._3, r._4)), Some(types))
   }
 
   /** Per-document shard assignment under an explicit merge table —
@@ -1803,14 +1816,14 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val train = docs.filter(col("doc_id") % DriftHoldoutMod =!= (DriftHoldoutMod - 1))
     val (rows, syms) = bpeMergeRounds(train, BpeOracleRounds)
-    graft.CacheRegistry.adopt(syms)
     // the head covers TRAINING-split words only; holdout-only words
     // fall back to the in-place chain — exactly the frozen-tokenizer
     // semantics (the oracle replays the chain over unseen words too)
+    val types = bpeHeadTypes(syms)
+    syms.unpersist()
     tokenizerDriftOf(docs,
       col("doc_id") % DriftHoldoutMod === (DriftHoldoutMod - 1),
-      rows.map(r => (r._2, r._3, r._4)),
-      Some(bpeHeadTypes(syms)))
+      rows.map(r => (r._2, r._3, r._4)), Some(types))
   }
 
   /** [[tokenizerDrift]] over an arbitrary (doc_id, source, text)
@@ -1912,9 +1925,10 @@ object TextAnalysis {
   def retractedShardManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    graft.CacheRegistry.adopt(syms)
+    val types = bpeHeadTypes(syms)
+    syms.unpersist()
     retractedShardManifestOf(docs, col("doc_id") % RetractMod === 0,
-      rows.map(r => (r._2, r._3, r._4)), Some(bpeHeadTypes(syms)))
+      rows.map(r => (r._2, r._3, r._4)), Some(types))
   }
 
   /** [[retractedShardManifest]] over an arbitrary frame, retraction
@@ -1968,9 +1982,9 @@ object TextAnalysis {
   def sequenceManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (rows, syms) = bpeMergeRounds(docs, BpeOracleRounds)
-    graft.CacheRegistry.adopt(syms)
-    sequenceManifestOf(docs, rows.map(r => (r._2, r._3, r._4)),
-      Some(bpeHeadTypes(syms)))
+    val types = bpeHeadTypes(syms)
+    syms.unpersist()
+    sequenceManifestOf(docs, rows.map(r => (r._2, r._3, r._4)), Some(types))
   }
 
   /** [[sequenceManifest]] over an arbitrary frame and merge table. */

@@ -44,10 +44,11 @@ object ShardExport {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val (mergeRows, syms) = TextAnalysis.bpeMergeRounds(docs, TextAnalysis.BpeOracleRounds)
+    val types = TextAnalysis.bpeHeadTypes(syms) // local, collected under the cap
+    syms.unpersist()
     val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
-    try publishBatch(docs, mergeRows.map(r => (r._2, r._3, r._4)), empty, outDir,
-      Some(TextAnalysis.bpeHeadTypes(syms)))._1
-    finally syms.unpersist()
+    publishBatch(docs, mergeRows.map(r => (r._2, r._3, r._4)), empty, outDir,
+      Some(types))._1
   }
 
   // ------------------------------------------- incremental admission
@@ -136,18 +137,17 @@ object ShardExport {
     val spark = docs.sparkSession
     import spark.implicits._
     val (mergeRows, syms) = TextAnalysis.bpeMergeRounds(docs, TextAnalysis.BpeOracleRounds)
-    try {
-      FpIndex.saveFlat(s"$indexPath/merges",
-        mergeRows.map(r => (r._1, r._2, r._3, r._4))
-          .toDF("round", "lhs", "rhs", "merged"))
-      val merges = mergeRows.map(r => (r._2, r._3, r._4))
-      val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
-      val (stages, tails) = publishBatch(docs, merges, empty, outDir,
-        Some(TextAnalysis.bpeHeadTypes(syms)))
-      FpIndex.saveFlat(s"$indexPath/tails",
-        tails.toDF("source", "next_off", "max_doc"))
-      stages
-    } finally syms.unpersist()
+    val types = TextAnalysis.bpeHeadTypes(syms) // local, collected under the cap
+    syms.unpersist()
+    FpIndex.saveFlat(s"$indexPath/merges",
+      mergeRows.map(r => (r._1, r._2, r._3, r._4))
+        .toDF("round", "lhs", "rhs", "merged"))
+    val merges = mergeRows.map(r => (r._2, r._3, r._4))
+    val empty = Seq.empty[(String, Long)].toDF("source", "next_off")
+    val (stages, tails) = publishBatch(docs, merges, empty, outDir, Some(types))
+    FpIndex.saveFlat(s"$indexPath/tails",
+      tails.toDF("source", "next_off", "max_doc"))
+    stages
   }
 
   /** Load the stored merge table in training order. */
